@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog: maps logical table names to parquet files under a scale-factor
+  * directory. Plays the role of the reference's `.det`/`.tbl` catalog
+  * (reference: src/qp/utils/Schema.java, src/qp/operators/Scan.java:30) —
+  * but schema comes from parquet footers and scans are columnar with
+  * predicate pushdown instead of full-tuple deserialization.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** All tables as a map — handy for the SPJ compiler's catalog. */
+  def catalog(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    names.map(n => n -> load(spark, dir, n)).toMap
+
+  /** Row-count statistics from parquet footers (no data scan). The analog
+    * of the reference's `.stat` files (src/qp/optimizer/PlanCost.java) used
+    * for join ordering. Cheap: reads only file metadata.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(conf)
+    val files = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val fileSeq = if (files.isEmpty) Array(fs.getFileStatus(path)) else files
+    fileSeq.map { st =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try in.getRecordCount finally in.close()
+    }.sum
+  }
+}

@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational surface — every capability of the reference engine
+  * (chung-ming/SPJ-Query-Engine, /root/reference) re-expressed Spark-first.
+  *
+  * Reference analogs (cited per query below):
+  *  - Scan/Project       -> src/qp/operators/Scan.java, Project.java
+  *  - Select(Condition)  -> src/qp/operators/Select.java, utils/Condition.java
+  *  - NestedJoin/BlockNestedJoin/HashJoin -> src/qp/operators/ Join classes
+  *  - Distinct/GroupBy/OrderBy -> src/qp/operators/{Distinct,GroupBy,OrderBy}.java
+  *
+  * Design rules (SURVEY.md §5):
+  *  - declarative DataFrame plans only; Catalyst/Tungsten pick physical ops
+  *  - filters/projections must reach the parquet scan (PushedFilters/ReadSchema)
+  *  - every query ends in a deterministic ORDER BY over ALL projected columns
+  *    so driver-side hashing is order-stable (ties are identical rows)
+  *  - float aggregates go through exact decimal accumulation so Spark's and
+  *    DuckDB's summation order cannot diverge (SURVEY.md §6)
+  */
+object Relational {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum cast back to double: identical in Spark and DuckDB
+    * regardless of partial-aggregation order. Map-side partial aggregation
+    * still applies (decimal sum is associative and exact).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  // ---------------------------------------------------------------------
+  // §2.1 rows 1-13, 16, 17
+  // ---------------------------------------------------------------------
+
+  private val q01 = Q(
+    "q01_scan_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem ORDER BY 1, 2, 3"""))
+
+  // All six comparison ops of the reference dialect (<, >, <=, >=, =, !=) as
+  // one conjunction — reference: src/qp/utils/Condition.java operator codes.
+  private val q02 = Q(
+    "q02_filter_range",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 5 && col("l_quantity") <= 45 &&
+          col("l_discount") > 0.01 && col("l_tax") < 0.07 &&
+          col("l_linenumber") =!= 3 && col("l_returnflag") === "N")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem
+            WHERE l_quantity >= 5 AND l_quantity <= 45 AND l_discount > 0.01
+              AND l_tax < 0.07 AND l_linenumber <> 3 AND l_returnflag = 'N'
+            ORDER BY 1, 2, 3, 4"""))
+
+  // String-literal equality selection — reference test-queries/query2.sql
+  // (CUSTOMER.gender="1").
+  private val q03 = Q(
+    "q03_filter_string",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") =!= "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey", "o_custkey", "o_orderstatus"),
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+            ORDER BY 1, 2, 3"""))
+
+  // 2-way equi join — reference src/qp/operators/HashJoin.java; here AQE
+  // picks broadcast-hash (customer is the small build side at any SF where
+  // it fits) or shuffled hash/sort-merge beyond the threshold.
+  private val q04 = Q(
+    "q04_hash_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey", "c_name", "o_totalprice")
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY c_custkey, o_orderkey, c_name, o_totalprice"""))
+
+  // 3-way chain — reference test-queries/query4/5. region and nation are
+  // tiny at every SF: Catalyst broadcasts them, so the chain is two
+  // broadcast joins with zero shuffle of the fact side.
+  private val q05 = Q(
+    "q05_join3",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey", "n_name", "r_name")
+    },
+    Some("""SELECT c_custkey, n_name, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            ORDER BY c_custkey, n_name, r_name"""))
+
+  // 4-way join + range filter + sort — reference test-queries/query10.sql
+  // (CUSTOMER x CART x CARTDETAILS x BILL with amount range + ORDERBY).
+  private val q06 = Q(
+    "q06_join4_filter_sort",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .filter(o("o_totalprice") > 500.0 && o("o_totalprice") < 5000.0)
+        .select(col("n_name"), col("c_custkey"), col("o_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("o_orderkey", "l_linenumber", "n_name", "c_custkey",
+          "l_extendedprice")
+    },
+    Some("""SELECT n_name, c_custkey, o_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_totalprice > 500.0 AND o_totalprice < 5000.0
+            ORDER BY o_orderkey, l_linenumber, n_name, c_custkey,
+                     l_extendedprice"""))
+
+  // Pure inequality join — reference NestedJoin with a non-equi Condition
+  // (src/qp/operators/NestedJoin.java). Spark: BroadcastNestedLoopJoin with
+  // the 25-row nation side broadcast; output bounded by 25 * |supplier|.
+  private val q07 = Q(
+    "q07_nonequi_join",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") < n("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_nationkey")
+        .orderBy("s_suppkey", "s_nationkey", "n_nationkey")
+    },
+    Some("""SELECT s_suppkey, s_nationkey, n_nationkey
+            FROM supplier JOIN nation ON s_nationkey < n_nationkey
+            ORDER BY 1, 2, 3"""))
+
+  // Cross product — reference NestedJoin with no condition.
+  private val q08 = Q(
+    "q08_cross_join",
+    (s, dir) =>
+      t(s, dir, "region").crossJoin(broadcast(t(s, dir, "nation")))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY 1, 2"""))
+
+  // DISTINCT — reference src/qp/operators/Distinct.java does an external
+  // sort-dedup; Spark uses partial (map-side) hash aggregation instead, so
+  // only distinct values shuffle.
+  private val q09 = Q(
+    "q09_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY 1, 2"""))
+
+  // GROUP BY with all five reference aggregates (MAX MIN SUM COUNT AVG —
+  // parser.cup attribute rule + src/qp/operators/Project.java aggregates).
+  // Sums/avgs use exact decimal accumulation for oracle stability.
+  private val q10 = Q(
+    "q10_groupby_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+              MIN(l_quantity) AS min_qty,
+              MAX(l_quantity) AS max_qty,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY 1, 2"""))
+
+  // Global (ungrouped) aggregate — reference Project with aggregates and no
+  // GROUPBY clause.
+  private val q11 = Q(
+    "q11_global_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price")),
+    Some("""SELECT COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+              MIN(o_totalprice) AS min_price,
+              MAX(o_totalprice) AS max_price
+            FROM orders"""))
+
+  // Join + GROUPBY + MAX — reference test-queries/query8.sql
+  // (SELECT gender, MAX(amount) ... GROUPBY gender).
+  private val q12 = Q(
+    "q12_join_groupby",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(o("o_totalprice") < 100000.0)
+        .groupBy("c_mktsegment")
+        .agg(
+          max("o_totalprice").as("max_price"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+              MAX(o_totalprice) AS max_price,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+              COUNT(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice < 100000.0
+            GROUP BY c_mktsegment ORDER BY 1"""))
+
+  // Multi-column ORDER BY incl. DESC — reference src/qp/operators/OrderBy
+  // (external merge sort); Spark: sampled range partitioning + per-partition
+  // sort, fully parallel.
+  private val q13 = Q(
+    "q13_orderby",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc, col("c_name")),
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey ASC, c_name"""))
+
+  // Semi/anti join — beyond the reference surface (SURVEY §2.1 row 16):
+  // customers with no high-value order. LeftAnti shuffles only the key
+  // column; the filter on the probe side is pushed to its scan.
+  private val q15 = Q(
+    "q15_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey", "c_name")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000.0)
+            ORDER BY 1, 2"""))
+
+  // Window rank — beyond the reference surface (SURVEY §2.1 row 17):
+  // top-3 orders per customer. Single shuffle on the partition key.
+  private val q16 = Q(
+    "q16_window_rank",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 3
+            ORDER BY o_custkey, rk, o_orderkey, o_totalprice"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q15, q16)
+}
