@@ -13,8 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table carries NANOS-precision parquet timestamps, which
+    * Spark's TimestampType (µs) cannot hold — read them as longs and
+    * truncate to µs. Event-time semantics downstream are µs-granular.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
 
   /** All tables as a map — handy for the SPJ compiler's catalog. */
   def catalog(spark: SparkSession, dir: String): Map[String, DataFrame] =

@@ -1,0 +1,100 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class SpjCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cust: DataFrame =
+    Seq((1, "f", "alice", 10), (2, "m", "bob", 20), (3, "f", "carol", 30))
+      .toDF("cid", "gender", "firstname", "nkey")
+  private lazy val cart: DataFrame =
+    Seq((100, 1, "open"), (101, 1, "paid"), (102, 2, "paid"))
+      .toDF("cartid", "cid", "status")
+  private lazy val bill: DataFrame =
+    Seq((100, 700.0), (101, 1200.0), (102, 900.0))
+      .toDF("cartid", "amount")
+
+  private def catalog = Map("CUSTOMER" -> cust, "CART" -> cart, "BILL" -> bill)
+  private def stats = Map("CUSTOMER" -> 3L, "CART" -> 3L, "BILL" -> 3L)
+
+  private def run(sql: String): DataFrame =
+    SpjCompiler.compile(SpjParser.parse(sql), catalog, stats)
+
+  test("selection with literal coercion to column type") {
+    val rows = run("""SELECT CUSTOMER.cid FROM CUSTOMER WHERE CUSTOMER.nkey > "15"""")
+      .collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(2, 3))
+  }
+
+  test("2-way equi join") {
+    val rows = run(
+      """SELECT CUSTOMER.cid, CART.cartid FROM CUSTOMER, CART
+        |WHERE CUSTOMER.cid = CART.cid ORDERBY CART.cartid""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1, 100), (1, 101), (2, 102)))
+  }
+
+  test("3-way chain with range selection") {
+    val rows = run(
+      """SELECT CUSTOMER.firstname, BILL.amount
+        |FROM CUSTOMER, CART, BILL
+        |WHERE CUSTOMER.cid = CART.cid, CART.cartid = BILL.cartid,
+        |      BILL.amount < "1000"
+        |ORDERBY BILL.amount""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("alice", 700.0), ("bob", 900.0)))
+  }
+
+  test("GROUPBY + MAX/COUNT/AVG") {
+    val rows = run(
+      """SELECT CUSTOMER.gender, MAX(BILL.amount), COUNT(BILL.amount)
+        |FROM CUSTOMER, CART, BILL
+        |WHERE CUSTOMER.cid = CART.cid, CART.cartid = BILL.cartid
+        |GROUPBY CUSTOMER.gender ORDERBY CUSTOMER.gender""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("f", 1200.0, 2L), ("m", 900.0, 1L)))
+  }
+
+  test("global aggregate without GROUPBY") {
+    val row = run("SELECT SUM(BILL.amount), MIN(BILL.amount) FROM BILL")
+      .collect().head
+    assert(row.getDouble(0) == 2800.0 && row.getDouble(1) == 700.0)
+  }
+
+  test("DISTINCT") {
+    val rows = run("SELECT DISTINCT CART.status FROM CART")
+      .collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("open", "paid"))
+  }
+
+  test("cross join when no condition links tables") {
+    assert(run("SELECT CUSTOMER.cid, CART.cartid FROM CUSTOMER, CART")
+      .count() == 9)
+  }
+
+  test("non-equi join") {
+    // customer cids {1,2,3} x cart cids {1,1,2}: only 1 < 2 qualifies
+    val n = run(
+      """SELECT CUSTOMER.cid, CART.cartid FROM CUSTOMER, CART
+        |WHERE CUSTOMER.cid < CART.cid""".stripMargin).count()
+    assert(n == 1)
+  }
+
+  test("small side gets a broadcast hint") {
+    val df = run(
+      """SELECT CUSTOMER.cid, CART.cartid FROM CUSTOMER, CART
+        |WHERE CUSTOMER.cid = CART.cid""".stripMargin)
+    assert(df.queryExecution.sparkPlan.toString.contains("Broadcast"))
+  }
+
+  test("projected non-aggregate column absent from GROUPBY becomes a key") {
+    val rows = run(
+      """SELECT CART.status, COUNT(CART.cartid) FROM CART
+        |GROUPBY CART.status ORDERBY CART.status""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("open", 1L), ("paid", 2L)))
+  }
+}
