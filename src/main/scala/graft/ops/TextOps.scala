@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis combinators for training-data pipelines. All pure
+  * `Column` expressions over `org.apache.spark.sql.functions` — codegen'd,
+  * zero UDFs, so they stay inside WholeStageCodegen at any scale.
+  *
+  * Every expression here has a DuckDB-SQL mirror (see
+  * graft.queries.PipelinePack) computed with IDENTICAL arithmetic: integer
+  * counts combined with one final double division, so the oracle compare
+  * is bit-exact.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Distinct token set. */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Adjacent word-pair (bigram/2-shingle) set — the blocking unit for
+    * n-gram Jaccard dedup. With a small vocabulary V, bigram keyspace is
+    * |V|^2, keeping inverted-index buckets ~|V| times smaller than
+    * single-token buckets.
+    */
+  def bigramSet(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    array_distinct(zip_with(
+      slice(t, lit(1), greatest(n - 1, lit(0))),
+      slice(t, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** Marker stopwords per language for the n-gram language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "in", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
+
+  /** Hit count of `markers` among the document's distinct tokens. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(wordSet(text), w => w.isInCollection(markers)))
+
+  /** Argmax language by marker hits; fixed priority order breaks ties
+    * (first language wins), so the result is deterministic.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    // CASE WHEN s_en >= all others THEN 'en' WHEN s_es >= remaining ... END
+    val branches = scores.zipWithIndex.map { case ((l, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val cond = rest.foldLeft(lit(true))((acc, o) => acc && s >= o)
+      (cond, lit(l))
+    }
+    branches.init.foldRight(branches.last._2: Column) {
+      case ((cond, v), els) => when(cond, v).otherwise(els)
+    }
+  }
+
+  /** Number of punctuation characters (fixed class, regex-dialect-safe). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Number of uppercase ASCII characters. */
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, single digits, and single
+    * non-alphanumeric glyphs each count as one token.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** English stopword hits among all (non-distinct) tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text),
+      w => w.isInCollection(Seq("the", "a", "of", "and", "is", "in", "to"))))
+
+  /** Composite quality score in [0,1]: integer counts combined with double
+    * divisions in a FIXED expression shape (mirrored in the oracle SQL).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val stopR = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctR = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val upperR = upperCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    lit(0.4) * lenScore + lit(0.3) * stopR +
+      lit(0.2) * (lit(1.0) - punctR) + lit(0.1) * (lit(1.0) - upperR)
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters, modulo
+    * a 31-bit prime (per-step pmod keeps the accumulator ANSI-overflow
+    * safe: acc < 1e9+7, so acc*31 + 255 << Long.Max). Codegen'd
+    * `aggregate` over the char array — no UDF.
+    */
+  def fingerprint(text: Column): Column = {
+    val prime = lit(1000000007L)
+    val chars = split(text, "")
+    aggregate(chars, lit(0L),
+      (acc, ch) => pmod(
+        acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)), prime))
+  }
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Events, Multimodal, TextOps, VectorOps}
+import Relational.Q
+
+/** SURVEY §2.2: training-data pipeline operators as oracle-checked queries.
+  *
+  * Oracle-stability rules (SURVEY §6): every float the oracle sees is
+  * either (a) a ratio of exact integers computed with one division in an
+  * identical expression shape, (b) an exact decimal sum cast to double, or
+  * (c) arithmetic over integer-quantized vectors whose partial sums are
+  * exact in IEEE double — so Spark and DuckDB agree bit-for-bit.
+  * LSH/MinHash/SimHash/fingerprint queries are rows-only (no portable SQL).
+  */
+object PipelinePack {
+
+  // ---- dedup ------------------------------------------------------------
+
+  private val d01 = Q(
+    "d01_dedup_exact",
+    (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+      .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  private val d02 = Q(
+    "d02_dedup_jaccard",
+    (s, dir) => Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+      "text", "doc_id", tauNum = 1, tauDen = 2).orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+              raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i FROM t),
+              tok AS (SELECT doc_id, w,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+                      FROM raw WHERE w <> ''),
+              big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+                      FROM tok a JOIN tok b
+                        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+              sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+              com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+                      FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+            FROM com JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+            WHERE c * 2 >= (sa.n + sb.n - c) * 1
+            ORDER BY 1, 2"""))
+
+  private val d03 = Q(
+    "d03_dedup_minhash",
+    (s, dir) => Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+      "text", "doc_id", bands = 32, rowsPerBand = 4, tauNum = 1, tauDen = 2)
+      .orderBy("id_a", "id_b"),
+    None) // LSH banding has no portable SQL analog -> rows-only
+
+  private val d04 = Q(
+    "d04_dedup_simhash",
+    (s, dir) => Dedup.simHashPairs(Tables.load(s, dir, "documents"),
+      "text", "doc_id", maxHamming = 3).orderBy("id_a", "id_b"),
+    None) // rows-only
+
+  private val d05 = Q(
+    "d05_dedup_embedding",
+    (s, dir) => VectorOps.cosinePairs(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", tau = 0.4).orderBy("id_a", "id_b"),
+    Some("""WITH q AS (SELECT vec_id,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              pair AS (SELECT a.vec_id ia, b.vec_id ib, SUM(a.v * b.v) dot
+                       FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+                       GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   dot / sqrt(na.nn * nb.nn) AS cos
+            FROM pair JOIN nrm na ON ia = na.vec_id JOIN nrm nb ON ib = nb.vec_id
+            WHERE dot / sqrt(na.nn * nb.nn) >= 0.4
+            ORDER BY 1, 2"""))
+
+  // ---- similarity search ------------------------------------------------
+
+  private val s01 = Q(
+    "s01_knn_brute",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.knnBrute(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10).orderBy("probe_id", "rk")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                       FROM q p JOIN q c ON p.i = c.i
+                       WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                       GROUP BY 1, 2),
+              scored AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                         FROM dotp JOIN nrm np ON pid = np.vec_id
+                                   JOIN nrm nc ON cid = nc.vec_id),
+              ranked AS (SELECT pid, cid, cos,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY cos DESC, cid ASC) rk
+                         FROM scored)
+            SELECT pid AS probe_id, cid AS corpus_id, cos, rk
+            FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk"""))
+
+  private val s02 = Q(
+    "s02_knn_lsh",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // 6 planes = 64 buckets: sized to the sf corpus (hundreds to a few
+      // thousand vectors) so multi-probe candidate sets stay ~10x k; at
+      // cluster scale, planes grows with log2(corpus/target-bucket-size).
+      VectorOps.knnLsh(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, planes = 6).orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only
+
+  // ---- text analysis ----------------------------------------------------
+
+  private def langIdOracle: String = {
+    def hits(markers: Seq[String]) =
+      s"len(list_filter(list_distinct(list_filter(string_split(text, ' '), " +
+        s"x -> x <> '')), x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val scores = TextOps.langMarkers.map { case (l, ms) => l -> hits(ms) }
+    val branches = scores.zipWithIndex.init.map { case ((l, sc), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      s"WHEN ${rest.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$l'"
+    }
+    s"""SELECT doc_id, lang AS lang_label,
+          CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END AS lang_pred
+        FROM documents ORDER BY doc_id"""
+  }
+
+  private val t01 = Q(
+    "t01_lang_id",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some(langIdOracle))
+
+  private val t02 = Q(
+    "t02_quality_score",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordCount(col("text")).as("n_stopwords"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some("""WITH c AS (
+              SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to'))) AS n_stopwords,
+                length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                length(text) AS n_chars
+              FROM documents)
+            SELECT doc_id, n_tokens, n_stopwords, n_punct,
+              0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+              + 0.3 * (CAST(n_stopwords AS DOUBLE)
+                       / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+              + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                             / greatest(CAST(n_chars AS DOUBLE), 1.0))
+              + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                             / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS quality
+            FROM c ORDER BY doc_id"""))
+
+  private val t03 = Q(
+    "t03_token_count",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  private val t04 = Q(
+    "t04_fingerprint",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    None) // rolling-hash aggregate -> rows-only
+
+  // ---- events -----------------------------------------------------------
+
+  private val e01 = Q(
+    "e01_window_agg",
+    (s, dir) => Events.hourlyAgg(Tables.load(s, dir, "events"))
+      .orderBy("hour_epoch", "event_type"),
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+              event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+              COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val e02 = Q(
+    "e02_sessionize",
+    (s, dir) => Events.sessionize(Tables.load(s, dir, "events"), 1800L)
+      .orderBy("user_id", "session_idx"),
+    Some("""WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                     THEN 1 ELSE 0 END AS flag
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+              MIN(event_id) AS first_event_id,
+              CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+              CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---- multimodal -------------------------------------------------------
+
+  private val m01 = Q(
+    "m01_multimodal_meta",
+    (s, dir) => {
+      implicit val spark = s
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))
+        .toDF().orderBy("doc_id")
+    },
+    None) // stubbed decode -> rows-only
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02,
+    t01, t02, t03, t04, e01, e02, m01)
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect().head.get(0)
+
+  test("tokens drop empties from repeated/trailing spaces") {
+    assert(one("a  b c ", size(TextOps.tokens(col("text")))) == 3)
+    assert(one("", size(TextOps.tokens(col("text")))) == 0)
+  }
+
+  test("bigramSet bridges multi-space gaps like the token stream") {
+    val bs = one("a  b c", TextOps.bigramSet(col("text")))
+      .asInstanceOf[scala.collection.Seq[String]].toSet
+    assert(bs == Set("a b", "b c"))
+  }
+
+  test("langId picks the marker-dominant language, ties go to priority") {
+    assert(one("the cat of the house and a dog", TextOps.langId(col("text"))) == "en")
+    assert(one("el perro y la casa de los gatos", TextOps.langId(col("text"))) == "es")
+    assert(one("xyzzy blorp", TextOps.langId(col("text"))) == "en") // all-zero tie
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    assert(one("hello world42 x!", TextOps.tokenCount(col("text"))) == 3)
+    // [hello][world][4][2][x][!]
+    assert(one("hello world42 x!", TextOps.bpeTokenCount(col("text"))) == 6)
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val a = one("abc", TextOps.fingerprint(col("text")))
+    val b = one("abd", TextOps.fingerprint(col("text")))
+    assert(a == one("abc", TextOps.fingerprint(col("text"))) && a != b)
+    // manual check: ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert(a == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("qualityScore bounded in [0,1]") {
+    val v = one("The quick, brown fox; is VERY fast.",
+      TextOps.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(v >= 0.0 && v <= 1.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark makes big data small again today"),
+    (2L, "spark makes big data small again today"),   // exact dup of 1
+    (3L, "spark makes big data small again tomorrow"), // near dup
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val r = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(r.length == 3)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("nGramJaccard finds exact and near duplicates, not distinct docs") {
+    val pairs = Dedup.nGramJaccard(docs, "text", "doc_id", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 1.0))
+    assert(pairs.exists(p => p._2 == 3 && p._3 >= 0.5))
+    assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
+  }
+
+  test("minHashLsh catches the exact-dup pair with jaccard 1.0") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id", 32, 4, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simHash: identical texts collide, distinct texts differ") {
+    val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L) && h(1L) != h(4L))
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSeq
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 0))
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.999f, 0.01f, 0.0f)), // near dup of 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f))    // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosinePairs finds only the near-duplicate pair at tau=0.9") {
+    val pairs = VectorOps.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
+
+  test("knnBrute ranks by cosine with id tiebreak") {
+    val r = VectorOps.knnBrute(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", 3)
+      .orderBy("rk").collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(r == Seq(1L, 2L, 3L)) // near-dup, orthogonal(0), opposite(-1)
+  }
+
+  test("knnLsh returns the true nearest neighbor for the probe") {
+    val r = VectorOps.knnLsh(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", 1, planes = 4)
+      .collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(r.headOption.contains(1L))
+  }
+}
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+  private val events = Seq(
+    (0L, ts(0), 1L, "click", 1.0),
+    (1L, ts(60), 1L, "click", 2.0),      // same session (gap 60s)
+    (2L, ts(4000), 1L, "view", 3.0),     // new session (gap > 1800s)
+    (3L, ts(10), 2L, "click", 4.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize splits on idle gap per user") {
+    val r = Events.sessionize(events, 1800L)
+      .orderBy("user_id", "session_idx").collect()
+    assert(r.map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_idx"),
+      x.getAs[Long]("n_events"))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    val s1 = r.head
+    assert(s1.getAs[Long]("start_epoch") == 0L &&
+      s1.getAs[Long]("end_epoch") == 60L &&
+      s1.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("hourlyAgg buckets by event-time hour and type") {
+    val r = Events.hourlyAgg(events).collect()
+    val clicks0 = r.find(x => x.getAs[Long]("hour_epoch") == 0L &&
+      x.getAs[String]("event_type") == "click").get
+    assert(clicks0.getAs[Long]("n_events") == 3L &&
+      clicks0.getAs[Long]("n_users") == 2L &&
+      clicks0.getAs[Double]("sum_value") == 7.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media plumbing: payload bytes, type assignment, stub features") {
+    implicit val s = spark
+    val docs = Seq((0L, "hello"), (1L, "worldly"), (2L, "!")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.map(_.media_type).toSeq == Seq("image", "audio", "video"))
+    assert(feats.map(_.payload_len).toSeq == Seq(5, 7, 1))
+    assert(feats.forall(f => f.width >= 0 && f.n_frames >= 0))
+    // deterministic: second run yields identical checksums
+    val again = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+}
