@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.EventPipeline
+
+/** Demo/verification main: drives the streaming pipeline end-to-end over
+  * the events parquet (file stream -> watermarked hourly window agg ->
+  * memory sink) and prints a one-line summary.
+  * Usage: runMain graft.StreamVerify [sfDir]
+  */
+object StreamVerify {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = EventPipeline.hourlyCounts(EventPipeline.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("drive")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    val rows = spark.table("drive").orderBy("hour_epoch", "event_type")
+    val n = rows.count()
+    val sample = rows.limit(3).collect().mkString(" | ")
+    println(s"STREAM_DRIVE rows=$n sample=$sample")
+    q.stop()
+    spark.stop()
+  }
+}

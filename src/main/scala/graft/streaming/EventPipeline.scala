@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming forms of the event-time operators. The column
+  * expressions mirror graft.ops.Events exactly, so batch and streaming
+  * agree; the streaming additions are the watermark (bounded state/late
+  * data) and the session state machine.
+  *
+  * Scale shape: the windowed aggregate is a streaming partial aggregation —
+  * state is (window, event_type) keyed, bounded by the watermark horizon;
+  * sessionization state is one open session per user, keyed by user_id.
+  */
+object EventPipeline {
+
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class OpenSession(
+      sessionIdx: Long,
+      startMicros: Long,
+      endMicros: Long,
+      nEvents: Long,
+      sumValue: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_idx: Long,
+      n_events: Long,
+      start_epoch: Long,
+      end_epoch: Long,
+      sum_value: Double)
+
+  /** Streaming source over the events parquet layout (ns timestamps read
+    * as longs, truncated to µs — same as Tables.events).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    // glob form: the source path is a single parquet FILE; a non-glob file
+    // path makes the file-stream source use the file itself as the
+    // partition-discovery base directory and reject it ("basePath must be
+    // a directory"), while a glob resolves the base to the parent dir
+    spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour event-time window counts with a watermark: late rows
+    * beyond `lateness` are dropped and window state is reclaimed — the
+    * streaming analog of Events.hourlyAgg.
+    */
+  def hourlyCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful gap sessionization: one open session per user in the state
+    * store; a session is emitted when the user's next event arrives more
+    * than `gapSeconds` after it ended. (The final open session per user is
+    * only emitted on stream end — standard evidence-based closing without
+    * timers; swap NoTimeout for EventTimeTimeout to flush on watermark.)
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          // events within a micro-batch are not ordered: sort this batch
+          val batch = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          batch.foreach { e =>
+            val t = micros(e.ts)
+            open match {
+              case Some(s) if t - s.endMicros <= gapMicros =>
+                open = Some(s.copy(endMicros = t, nEvents = s.nEvents + 1,
+                  sumValue = s.sumValue + e.value))
+              case Some(s) =>
+                closed += Session(userId, s.sessionIdx, s.nEvents,
+                  s.startMicros / 1000000L, s.endMicros / 1000000L, s.sumValue)
+                open = Some(OpenSession(s.sessionIdx + 1, t, t, 1L, e.value))
+              case None =>
+                open = Some(OpenSession(1L, t, t, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

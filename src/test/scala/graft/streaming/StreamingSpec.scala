@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import EventPipeline.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, sec: Long, user: Long, typ: String, v: Double) =
+    Event(id, new Timestamp(sec * 1000L), user, typ, v)
+
+  test("hourlyCounts: windowed event-time aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.hourlyCounts(src.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(ev(0, 10, 1, "click", 1.0), ev(1, 600, 1, "click", 2.0),
+        ev(2, 3700, 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((3600L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts: watermark drops too-late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.hourlyCounts(src.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hourly_wm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(ev(0, 7200, 1, "click", 1.0)) // watermark -> 7200-600
+      q.processAllAvailable()
+      src.addData(ev(1, 10, 1, "click", 1.0)) // hour-0 window closed: dropped
+      q.processAllAvailable()
+      val rows = spark.table("hourly_wm").collect().map(_.getLong(0))
+      assert(!rows.contains(0L))
+    } finally q.stop()
+  }
+
+  test("sessionize: emits a session when the gap is exceeded across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.sessionize(src.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(0, 0, 1, "click", 1.0), ev(1, 60, 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      src.addData(ev(2, 4000, 1, "view", 3.0)) // gap > 1800s -> closes s1
+      q.processAllAvailable()
+      val s = spark.table("sessions").as[EventPipeline.Session].collect()
+      assert(s.toSeq == Seq(
+        EventPipeline.Session(1L, 1L, 2L, 0L, 60L, 3.0)))
+      // user 2 in its own state partition, unaffected
+      src.addData(ev(3, 10, 2, "click", 9.0), ev(4, 8000, 2, "click", 1.0))
+      q.processAllAvailable()
+      val s2 = spark.table("sessions").as[EventPipeline.Session].collect()
+      assert(s2.exists(x => x.user_id == 2L && x.n_events == 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize matches the batch operator on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(0, 0, 1, "click", 1.0), ev(1, 60, 1, "click", 2.0),
+      ev(2, 4000, 1, "view", 3.0), ev(3, 10, 2, "click", 4.0))
+    // batch reference
+    val batch = graft.ops.Events.sessionize(events.toDF(), 1800L)
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // streaming: all in one batch, then a flush marker far in the future
+    val src = MemoryStream[Event]
+    val q = EventPipeline.sessionize(src.toDS(), 1800L)
+      .writeStream.format("memory").queryName("sessions_cmp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(events: _*)
+      q.processAllAvailable()
+      src.addData(ev(99, 1000000, 1, "end", 0.0), ev(100, 1000000, 2, "end", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sessions_cmp")
+        .orderBy("user_id", "session_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every batch session except the final open one per user is emitted;
+      // the flush markers close them all
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+}
