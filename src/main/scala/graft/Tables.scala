@@ -29,6 +29,16 @@ object Tables {
         "timestamp_micros(ts div 1000)"))
   }
 
+  /** Like [[load]], but spread across the session's shuffle parallelism.
+    * The small test tables are single parquet files (one scan partition);
+    * per-row-expensive expressions over them would otherwise run on one
+    * core. At cluster scale with many input files this is a no-op choice —
+    * prefer plain [[load]] when the source is already well-partitioned.
+    */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** All tables as a map — handy for the SPJ compiler's catalog. */
   def catalog(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap

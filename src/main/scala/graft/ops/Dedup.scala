@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   *  3. minHashLsh   — MinHash signatures + LSH banding (sub-quadratic)
   *  4. simHash      — 64-bit SimHash + pigeonhole chunk blocking
   *
-  * All are DataFrame->DataFrame combinators built on codegen'd column
-  * functions; none materializes a quadratic cross join. At 100 TB the
-  * shuffled keys are hashes/ids, never the document text.
+  * All are DataFrame->DataFrame combinators; none materializes a quadratic
+  * cross join, and at 100 TB the shuffled keys are hashes/ids, never the
+  * document text. Hot paths (MinHash signatures, SimHash bits) use
+  * explode + statically-unrolled aggregates, which whole-stage-codegen;
+  * lambda higher-order functions appear only in cheap per-document
+  * expressions, because Spark evaluates them interpreted
+  * (CodegenFallback). Inputs are repartitioned to the session's shuffle
+  * parallelism first, so a single-file source can't serialize the work.
   */
 object Dedup {
 
@@ -49,7 +54,9 @@ object Dedup {
       idCol: String,
       tauNum: Int,
       tauDen: Int): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
+    val grams = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"),
         explode(TextOps.bigramSet(col(textCol))).as("g"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
     val a = grams.as("a"); val b = grams.as("b")
@@ -67,14 +74,42 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min of
-    * `xxhash64(i || gram)` over the doc's gram set. One nested codegen'd
-    * transform — O(numHashes * |grams|) per doc, no UDF.
+  /** Affine MinHash permutation constants (fixed seed, 31-bit so that
+    * h*a + b stays far from long overflow under ANSI arithmetic).
     */
-  def minHashSignature(grams: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(grams,
-        g => xxhash64(concat(i.cast("string"), lit("#"), g)))))
+  private def minHashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)(((rnd.nextInt(Int.MaxValue - 2) + 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** (id, sig) MinHash signatures via explode + numHashes codegen'd MIN
+    * aggregates: minhash_i = min over grams of (h31(gram)*a_i + b_i mod p),
+    * where h31 is the low 31 bits of xxhash64.
+    *
+    * Deliberately NOT a nested transform/array_min lambda: higher-order
+    * functions are CodegenFallback (interpreted, boxed, single-expression),
+    * while this shape is a flat HashAggregate with map-side partial
+    * aggregation — every operator whole-stage codegen'd.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int): DataFrame = {
+    val exploded = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"),
+        explode(TextOps.bigramSet(col(textCol))).as("g"))
+      .withColumn("h31", xxhash64(col("g")).bitwiseAND(lit(0x7FFFFFFFL)))
+    val aggs = minHashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h31") * a + b, lit(MinHashPrime))).as(s"mh_$i")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding candidate pairs, verified by true Jaccard.
     *
@@ -82,6 +117,14 @@ object Dedup {
     * candidates (the only join is on (band, bucketHash) — sub-quadratic);
     * candidates are then verified with exact bigram Jaccard >= tauNum/tauDen.
     * Returns (id_a, id_b, jaccard) like [[nGramJaccard]] minus LSH misses.
+    *
+    * Buckets larger than `maxBucketSize` are DROPPED before the pair join:
+    * a hot bucket means a band signature shared by a crowd (boilerplate,
+    * tiny vocabularies) and contributes bucket^2 join rows for pairs that
+    * overwhelmingly fail verification; genuine near-dup pairs live in
+    * sparse buckets across 32 independent bands, so the recall cost is
+    * negligible while the worst-case join size becomes
+    * O(buckets * cap^2) — the property that keeps this runnable at 100 TB.
     */
   def minHashLsh(
       df: DataFrame,
@@ -90,58 +133,75 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       tauNum: Int,
-      tauDen: Int): DataFrame = {
+      tauDen: Int,
+      maxBucketSize: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"),
-        TextOps.bigramSet(col(textCol)).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sig", minHashSignature(col("grams"), numHashes))
+    val withSig = minHashSignatures(df, textCol, idCol, numHashes)
     // band j's bucket key = hash of the signature slice [j*r, (j+1)*r);
-    // bands are statically unrolled so slice offsets are literals
+    // bands are statically unrolled so slice offsets are literals. Banded
+    // rows carry ONLY (id, band, bucket) — the gram sets are re-joined for
+    // verification, so the banding shuffle stays narrow.
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(lit(j),
           concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)))
           .as("bucket"))
     }
-    val banded = withSig.select(col("id"), col("grams"),
+    val bandedAll = withSig.select(col("id"),
         explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("grams"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val coldBuckets = bandedAll.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val banded = bandedAll.join(coldBuckets, Seq("band", "bucket"))
     val l = banded.as("l"); val r = banded.as("r")
     val cand = l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.grams").as("ga"), col("r.grams").as("gb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verification on the candidate set only
+    val grams = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("gid"),
+        TextOps.bigramSet(col(textCol)).as("grams"))
     val c = size(array_intersect(col("ga"), col("gb")))
     val union = size(col("ga")) + size(col("gb")) - c
-    cand.withColumn("c", c).withColumn("u", union)
+    cand
+      .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("c", c).withColumn("u", union)
       .filter(col("c") * tauDen >= col("u") * tauNum)
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") / col("u")).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset: bit k of the hash is 1 iff the
-    * sum over tokens of (bit k of xxhash64(token) ? +1 : -1) is positive.
-    * Pure aggregate/zip_with — codegen'd, no UDF.
+  /** (id, sh) 64-bit SimHashes of the token multiset: bit k of sh is 1 iff
+    * the sum over tokens of (bit k of xxhash64(token) ? +1 : -1) is
+    * positive.
+    *
+    * Shape: explode tokens, then 64 codegen'd conditional-SUM aggregates
+    * (static bit shifts) packed with a static 64-term OR over the agg
+    * outputs. The lambda-based alternative (aggregate/zip_with) is
+    * CodegenFallback and serializes interpreted per-token-per-bit evals;
+    * this is a flat partially-aggregated HashAggregate. Documents with no
+    * tokens produce no row. (1L << 63 wraps to the long sign bit = bit 63.)
     */
-  def simHash(text: Column): Column = {
-    val bitVotes = aggregate(
-      TextOps.tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, k) => a + when(bit_get(h, k) === 1, lit(1L)).otherwise(lit(-1L)))
-      })
-    // static unroll: bit k set iff vote k positive (1L << 63 wraps to the
-    // long sign bit, which is exactly bit 63)
-    (0 until 64).map { k =>
-      when(element_at(bitVotes, k + 1) > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val aggs = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v_$k")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { k =>
+          when(col(s"v_$k") > 0, lit(1L << k)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
   /** Near-dup pairs with Hamming distance <= maxHamming between 64-bit
@@ -155,7 +215,7 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks of 16 bits support maxHamming <= 3")
-    val hashed = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val hashed = simHashes(df, textCol, idCol)
     val chunkCols = (0 until 4).map { i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))

@@ -4,8 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis combinators for training-data pipelines. All pure
-  * `Column` expressions over `org.apache.spark.sql.functions` — codegen'd,
-  * zero UDFs, so they stay inside WholeStageCodegen at any scale.
+  * `Column` expressions over `org.apache.spark.sql.functions` — zero UDFs.
+  * (Note: the lambda higher-order functions used here are CodegenFallback
+  * in Spark — interpreted, but cheap at per-document granularity; the
+  * per-PAIR hot paths in Dedup/VectorOps avoid them entirely.)
   *
   * Every expression here has a DuckDB-SQL mirror (see
   * graft.queries.PipelinePack) computed with IDENTICAL arithmetic: integer

@@ -22,12 +22,24 @@ object VectorOps {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale))
 
-  /** Exact dot product of two quantized vectors (order-independent). */
+  /** Exact dot product of two quantized vectors (order-independent —
+    * integer-valued doubles sum exactly). Custom codegen'd expression:
+    * the zip_with/aggregate equivalent is CodegenFallback and ~100x
+    * slower on the pairwise hot path.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   /** Squared L2 norm of a quantized vector. */
   def norm2(v: Column): Column = dot(v, v)
+
+  /** Spread rows across the session's shuffle parallelism: similarity
+    * inputs are often a single small parquet file (one scan partition),
+    * which would serialize all per-row vector math onto one core.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get(
+      "spark.sql.shuffle.partitions").toInt)
 
   /** Cosine similarity from quantized vectors + precomputed squared norms. */
   def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
@@ -43,7 +55,8 @@ object VectorOps {
       idCol: String,
       vecCol: String,
       tau: Double): DataFrame = {
-    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+    val q = spread(df)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
       .withColumn("n2", norm2(col("q")))
     val a = q.as("a"); val b = q.as("b")
     a.join(b, col("a.id") < col("b.id"))
@@ -65,7 +78,8 @@ object VectorOps {
       k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
-    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("corpus_id"))
@@ -105,7 +119,8 @@ object VectorOps {
       vecCol: String,
       k: Int,
       planes: Int = 12): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
       .withColumn("bucket", lshBucket(col("cq"), planes))
     val p0 = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))

@@ -21,7 +21,7 @@ object PipelinePack {
 
   private val d01 = Q(
     "d01_dedup_exact",
-    (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+    (s, dir) => Dedup.exact(Tables.loadParallel(s, dir, "documents"), "text", "doc_id")
       .orderBy("content_hash"),
     Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
               COUNT(*) AS n_copies
@@ -138,7 +138,7 @@ object PipelinePack {
 
   private val t01 = Q(
     "t01_lang_id",
-    (s, dir) => Tables.load(s, dir, "documents")
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), col("lang").as("lang_label"),
         TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id"),
@@ -146,7 +146,7 @@ object PipelinePack {
 
   private val t02 = Q(
     "t02_quality_score",
-    (s, dir) => Tables.load(s, dir, "documents")
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.stopwordCount(col("text")).as("n_stopwords"),
@@ -174,7 +174,7 @@ object PipelinePack {
 
   private val t03 = Q(
     "t03_token_count",
-    (s, dir) => Tables.load(s, dir, "documents")
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("ws_tokens"),
         TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
@@ -186,7 +186,7 @@ object PipelinePack {
 
   private val t04 = Q(
     "t04_fingerprint",
-    (s, dir) => Tables.load(s, dir, "documents")
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id"),
     None) // rolling-hash aggregate -> rows-only
@@ -233,7 +233,7 @@ object PipelinePack {
     (s, dir) => {
       implicit val spark = s
       Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))
+        Multimodal.mediaFromDocuments(Tables.loadParallel(s, dir, "documents")))
         .toDF().orderBy("doc_id")
     },
     None) // stubbed decode -> rows-only

@@ -82,7 +82,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simHash: identical texts collide, distinct texts differ") {
-    val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+    val h = Dedup.simHashes(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) == h(2L) && h(1L) != h(4L))
     val pairs = Dedup.simHashPairs(docs, "text", "doc_id", 3)
