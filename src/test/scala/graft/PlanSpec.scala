@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions (SURVEY §5/§6): filters and projections must reach
+  * the parquet scan, small dimensions must broadcast, and pairwise ops must
+  * not contain a bare cartesian product over the full input.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: column pruning reaches the scan (ReadSchema is minimal)") {
+    val p = plan("q01_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate") &&
+      !read.contains("l_quantity"))
+  }
+
+  test("q02: conjunctive predicates are pushed to the parquet scan") {
+    val p = plan("q02_filter_range")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity"))
+    assert(pushed.contains("EqualTo(l_returnflag"))
+    assert(pushed.contains("IsNotNull"))
+  }
+
+  test("q03: string equality filter pushed") {
+    val p = plan("q03_filter_string")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("EqualTo(o_orderpriority,1-URGENT)")))
+  }
+
+  test("q05: dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q05_join3")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q06: 4-way join keeps filter pushdown and broadcasts nation") {
+    val p = plan("q06_join4_filter_sort")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("GreaterThan(o_totalprice")))
+  }
+
+  test("q07: non-equi join is a broadcast nested loop, not a cartesian") {
+    val p = plan("q07_nonequi_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q10: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q10_groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count") ||
+      p.contains("Partial"))
+  }
+
+  test("q14: compiled SPJ dialect broadcasts small relations and pushes literals") {
+    val p = plan("q14_spj_sql")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("LessThan(o_totalprice")))
+  }
+
+  test("d02: inverted-index jaccard has no cartesian product") {
+    val p = plan("d02_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d03: LSH banding joins on bucket keys, no nested-loop over docs") {
+    val p = plan("d03_dedup_minhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s01: probe side is broadcast for the scoring join") {
+    val p = plan("s01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("dot product is the native codegen expression") {
+    val p = plan("d05_dedup_embedding")
+    // per-pair math must be graft_dot; lambdas remain only in the cheap
+    // per-row quantize step
+    assert(p.contains("graft_dot"))
+  }
+}
