@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, RollingHash}
+
+/** SparkSessionExtensions hook registering graft's native expressions as
+  * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works anywhere
+  * (including pure-SQL deployments):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_fingerprint(text)")
+        RollingHash(children.head)
+      }))
+
+  /** Registers graft's SQL functions on an already-running session (the
+    * config-based extension only affects sessions built after
+    * spark.sql.extensions is set).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge
+        .registerFunction(spark, id, info, builder)
+    }
+}

@@ -187,9 +187,10 @@ object PipelinePack {
   private val t04 = Q(
     "t04_fingerprint",
     (s, dir) => Tables.loadParallel(s, dir, "documents")
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id"),
-    None) // rolling-hash aggregate -> rows-only
+    None) // rolling-hash -> rows-only
 
   // ---- events -----------------------------------------------------------
 
