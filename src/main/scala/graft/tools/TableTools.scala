@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data tooling analogs of the reference repo's utilities:
+  *
+  *  - [[RandomTableGen]] ~ reference src/RandomDB.java (generate a random
+  *    table from a schema spec)
+  *  - [[CsvToParquet]]   ~ reference src/ConvertTxtToTbl.java (convert a
+  *    delimited text table into the engine's native format)
+  *
+  * Both emit parquet — the engine's native storage — partitioned for
+  * parallel reads, instead of the reference's single serialized .tbl file.
+  */
+object TableTools {
+
+  /** Schema spec mini-language matching the reference's .det type system
+    * (INT, STRING, REAL, TIME — reference src/qp/utils/Attribute.java):
+    * `"id:INT,name:STRING,price:REAL,created:TIME"`.
+    */
+  def parseSchema(spec: String): Seq[(String, String)] =
+    spec.split(",").toSeq.map { f =>
+      val Array(n, t) = f.trim.split(":")
+      (n.trim, t.trim.toUpperCase)
+    }
+
+  /** Deterministic random table as a DataFrame: seeded per-column hashes of
+    * the row id — reproducible, generated distributed (no driver loop).
+    */
+  def randomTable(
+      spark: SparkSession,
+      spec: String,
+      rows: Long,
+      seed: Long = 42L,
+      partitions: Int = 0): DataFrame = {
+    val nPart = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = spark.range(0, rows, 1, nPart)
+    val cols = parseSchema(spec).map { case (name, tpe) =>
+      val h = pmod(xxhash64(col("id"), lit(seed), lit(name)), lit(1000000L))
+      val c = tpe match {
+        case "INT" => h.cast("int")
+        case "REAL" => (h.cast("double") / 100.0)
+        case "STRING" => concat(lit(name.take(3)), lit("_"), h.cast("string"))
+        case "TIME" =>
+          timestamp_seconds(lit(1704067200L) + pmod(h, lit(31536000L)))
+        case other => throw new IllegalArgumentException(
+          s"unknown type $other (expected INT|STRING|REAL|TIME)")
+      }
+      c.as(name)
+    }
+    base.select(cols: _*)
+  }
+}
+
+/** `runMain graft.tools.RandomTableGen <schemaSpec> <rows> <outDir> [seed]`
+  * e.g. `RandomTableGen "id:INT,name:STRING,price:REAL" 100000 /tmp/t.parquet`
+  */
+object RandomTableGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: RandomTableGen <schema> <rows> <outDir> [seed]")
+    val spark = local()
+    TableTools.randomTable(spark, args(0), args(1).toLong,
+        if (args.length > 3) args(3).toLong else 42L)
+      .write.mode("overwrite").parquet(args(2))
+    println(s"[gen] wrote ${args(1)} rows to ${args(2)}")
+    spark.stop()
+  }
+
+  private[tools] def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** `runMain graft.tools.CsvToParquet <in.csv> <schemaSpec|header> <outDir>`
+  * Schema spec uses the reference's .det types; pass `header` to infer.
+  */
+object CsvToParquet {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: CsvToParquet <in.csv> <schema|header> <outDir>")
+    val spark = RandomTableGen.local()
+    val reader = spark.read.option("delimiter", ",")
+    val df =
+      if (args(1) == "header")
+        reader.option("header", "true").option("inferSchema", "true").csv(args(0))
+      else {
+        val ddl = TableTools.parseSchema(args(1)).map { case (n, t) =>
+          val spark_t = t match {
+            case "INT" => "INT"; case "REAL" => "DOUBLE"
+            case "STRING" => "STRING"; case "TIME" => "TIMESTAMP"
+          }
+          s"$n $spark_t"
+        }.mkString(", ")
+        reader.schema(ddl).csv(args(0))
+      }
+    df.write.mode("overwrite").parquet(args(2))
+    println(s"[csv] wrote ${args(2)}")
+    spark.stop()
+  }
+}
