@@ -16,6 +16,10 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("driver smoke contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q01: column pruning reaches the scan (ReadSchema is minimal)") {
     val p = plan("q01_scan_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).get

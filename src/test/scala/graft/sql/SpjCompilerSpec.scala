@@ -90,6 +90,21 @@ class SpjCompilerSpec extends SparkSpec {
     assert(df.queryExecution.sparkPlan.toString.contains("Broadcast"))
   }
 
+  test("TIME literals coerce to the timestamp column type (reference .det TIME)") {
+    import java.sql.Timestamp
+    val evts = Seq(
+      (1, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2, Timestamp.valueOf("2024-06-15 12:30:00")),
+      (3, Timestamp.valueOf("2024-12-31 23:59:59")))
+      .toDF("eid", "ts")
+    val rows = SpjCompiler.compile(
+      SpjParser.parse(
+        """SELECT EVT.eid FROM EVT WHERE EVT.ts > "2024-03-01 00:00:00" ORDERBY EVT.eid"""),
+      Map("EVT" -> evts), Map("EVT" -> 3L))
+      .collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(2, 3))
+  }
+
   test("projected non-aggregate column absent from GROUPBY becomes a key") {
     val rows = run(
       """SELECT CART.status, COUNT(CART.cartid) FROM CART
