@@ -59,15 +59,18 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(TextOps.bigramSet(col(textCol))).as("g"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
-    val a = grams.as("a"); val b = grams.as("b")
-    val common = a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // carry each doc's set size on its gram rows so the length-ratio
+    // prefilter (|A| >= tau*|B| and vice versa — necessary for
+    // jaccard >= tau) prunes candidate rows INSIDE the join, before the
+    // expensive pair-count aggregation
+    val withN = grams.join(sizes, "id")
+    val a = withN.as("a"); val b = withN.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        col("a.n") * tauNum <= col("b.n") * tauDen &&
+        col("b.n") * tauNum <= col("a.n") * tauDen)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .filter(col("na") * tauNum <= col("nb") * tauDen &&
-        col("nb") * tauNum <= col("na") * tauDen) // length-ratio prefilter
       .filter(col("c") * tauDen >= (col("na") + col("nb") - col("c")) * tauNum)
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")))
