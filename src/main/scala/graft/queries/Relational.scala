@@ -305,6 +305,26 @@ object Relational {
               FROM orders) WHERE rk <= 3
             ORDER BY o_custkey, rk, o_orderkey, o_totalprice"""))
 
+  // Semi join — the EXISTS dual of q15: customers with at least one
+  // urgent open order. Like anti, only the key column of the probe side
+  // shuffles and duplicates never multiply the output.
+  private val q17 = Q(
+    "q17_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey", "c_mktsegment")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT'
+                            AND o_orderstatus = 'O')
+            ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16)
+    q11, q12, q13, q15, q16, q17)
 }
