@@ -28,6 +28,21 @@ object StreamVerify {
     val sample = rows.limit(3).collect().mkString(" | ")
     println(s"STREAM_DRIVE rows=$n sample=$sample")
     q.stop()
+
+    // watermark-flushed sessionization over the same stream
+    import spark.implicits._
+    val events = EventPipeline.readEventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .as[EventPipeline.Event]
+    val q2 = EventPipeline.sessionize(events, gapSeconds = 1800L,
+        flushOnWatermark = true)
+      .writeStream.format("memory").queryName("drive_sessions")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    val nSess = spark.table("drive_sessions").count()
+    println(s"STREAM_SESSIONS rows=$nSess")
+    q2.stop()
     spark.stop()
   }
 }

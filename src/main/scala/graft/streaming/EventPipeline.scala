@@ -73,43 +73,61 @@ object EventPipeline {
 
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
-    * than `gapSeconds` after it ended. (The final open session per user is
-    * only emitted on stream end — standard evidence-based closing without
-    * timers; swap NoTimeout for EventTimeTimeout to flush on watermark.)
+    * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when
+    * the event-time watermark passes the session's gap horizon (so idle
+    * users' sessions emit without waiting for their next event; requires
+    * `withWatermark` upstream).
     */
   def sessionize(
       events: Dataset[Event],
-      gapSeconds: Long): Dataset[Session] = {
+      gapSeconds: Long,
+      flushOnWatermark: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
 
     def micros(t: Timestamp): Long = t.getTime * 1000L
+    def toSession(userId: Long, s: OpenSession): Session =
+      Session(userId, s.sessionIdx, s.nEvents,
+        s.startMicros / 1000000L, s.endMicros / 1000000L, s.sumValue)
+
+    val timeout =
+      if (flushOnWatermark) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
 
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[OpenSession, Session](OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          // events within a micro-batch are not ordered: sort this batch
-          val batch = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var open = state.getOption
-          batch.foreach { e =>
-            val t = micros(e.ts)
-            open match {
-              case Some(s) if t - s.endMicros <= gapMicros =>
-                open = Some(s.copy(endMicros = t, nEvents = s.nEvents + 1,
-                  sumValue = s.sumValue + e.value))
-              case Some(s) =>
-                closed += Session(userId, s.sessionIdx, s.nEvents,
-                  s.startMicros / 1000000L, s.endMicros / 1000000L, s.sumValue)
-                open = Some(OpenSession(s.sessionIdx + 1, t, t, 1L, e.value))
-              case None =>
-                open = Some(OpenSession(1L, t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no new events: close it
+            val out = state.getOption.map(toSession(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            // events within a micro-batch are not ordered: sort this batch
+            val batch = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            batch.foreach { e =>
+              val t = micros(e.ts)
+              open match {
+                case Some(s) if t - s.endMicros <= gapMicros =>
+                  open = Some(s.copy(endMicros = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += toSession(userId, s)
+                  open = Some(OpenSession(s.sessionIdx + 1, t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(1L, t, t, 1L, e.value))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              if (flushOnWatermark)
+                state.setTimeoutTimestamp(s.endMicros / 1000L + gapSeconds * 1000L)
+            }
+            closed.iterator
           }
-          open.foreach(state.update)
-          closed.iterator
       }
   }
 }

@@ -70,6 +70,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize flushOnWatermark: idle session closes without new user events") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.sessionize(
+        src.toDS().withWatermark("ts", "10 seconds"),
+        gapSeconds = 1800L, flushOnWatermark = true)
+      .writeStream.format("memory").queryName("sessions_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // NOTE: events exactly AT the watermark are dropped by the stateful
+      // late filter, and the initial watermark is epoch 0 — so test times
+      // start above it
+      src.addData(ev(0, 100, 1, "click", 1.0), ev(1, 160, 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_wm").count() == 0) // open, watermark 150
+      // another USER's event drives the watermark past 160 + 1800
+      src.addData(ev(2, 10000, 2, "view", 5.0))
+      q.processAllAvailable()
+      // timeout fires on the trigger after the watermark advances
+      src.addData(ev(3, 10001, 2, "view", 1.0))
+      q.processAllAvailable()
+      val s = spark.table("sessions_wm").as[EventPipeline.Session].collect()
+      assert(s.exists(x => x.user_id == 1L && x.n_events == 2L &&
+        x.start_epoch == 100L && x.end_epoch == 160L && x.sum_value == 3.0))
+    } finally q.stop()
+  }
+
   test("sessionize matches the batch operator on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
