@@ -45,6 +45,17 @@ def main(sf_dir, out_dir):
     fails = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that threw inside Verify writes no output dir: count it as a
+    # failure instead of silently skipping it (queries.json covers rows-only
+    # queries that have no oracle entry)
+    declared = set(oracle)
+    qj = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qj):
+        declared |= set(json.load(open(qj)))
+    missing = sorted(declared - set(names))
+    for name in missing:
+        print(f"  {name:24s} MISSING OUTPUT (query threw in Verify?)")
+        fails += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)]) \

@@ -208,22 +208,29 @@ object PipelinePack {
     "e02_sessionize",
     (s, dir) => Events.sessionize(Tables.load(s, dir, "events"), 1800L)
       .orderBy("user_id", "session_idx"),
-    Some("""WITH flagged AS (
-              SELECT user_id, event_id, ts, value,
-                CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+    Some("""WITH ev AS (
+              -- truncate to µs so gap decisions match Spark (which reads the
+              -- ns parquet column as µs); TIMESTAMP_NS would otherwise decide
+              -- sub-µs stragglers differently
+              SELECT user_id, event_id, value,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+              FROM events),
+            flagged AS (
+              SELECT user_id, event_id, value, us,
+                CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
                      THEN 1 ELSE 0 END AS flag
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
             sess AS (
               SELECT *, CAST(SUM(flag) OVER (PARTITION BY user_id
-                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
                 AS session_idx
               FROM flagged)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
               MIN(event_id) AS first_event_id,
-              CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
-              CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+              MIN(us) // 1000000 AS start_epoch,
+              MAX(us) // 1000000 AS end_epoch,
               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""))
 

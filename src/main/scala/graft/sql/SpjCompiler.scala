@@ -181,6 +181,11 @@ object SpjCompiler {
         val aggs = q.project.filter(_.agg != NoAgg).map(aggCol)
         val keyCols = keys.map(a => colRef(env, a).as(outName(a)))
         if (keys.isEmpty) plan.agg(aggs.head, aggs.tail: _*)
+        else if (aggs.isEmpty)
+          // GROUPBY with no aggregated projection (valid in the reference
+          // dialect): grouping without aggregates is DISTINCT over the keys.
+          plan.select(keyCols: _*).distinct()
+            .select(q.project.map(a => col(outName(a))): _*)
         else {
           val grouped = plan.groupBy(keyCols: _*)
           grouped.agg(aggs.head, aggs.tail: _*)

@@ -85,7 +85,9 @@ object EventPipeline {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
 
-    def micros(t: Timestamp): Long = t.getTime * 1000L
+    // exact µs: getTime truncates to ms, getNanos carries the full fraction
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     def toSession(userId: Long, s: OpenSession): Session =
       Session(userId, s.sessionIdx, s.nEvents,
         s.startMicros / 1000000L, s.endMicros / 1000000L, s.sumValue)
@@ -99,9 +101,20 @@ object EventPipeline {
       .flatMapGroupsWithState[OpenSession, Session](OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed end + gap with no new events: close it
-            val out = state.getOption.map(toSession(userId, _))
-            state.remove()
+            // Watermark passed end + gap with no new events: close it, but
+            // KEEP a tombstone (nEvents == 0) carrying the last emitted
+            // session_idx so the user's next session continues the
+            // cumulative numbering (batch/streaming equivalence). One tiny
+            // record per ever-seen user; at cluster scale bound it by
+            // compacting the state store or adding a retention timeout.
+            val out = state.getOption.filter(_.nEvents > 0)
+              .map(toSession(userId, _))
+            state.getOption match {
+              case Some(s) if s.nEvents > 0 =>
+                state.update(OpenSession(s.sessionIdx, s.endMicros,
+                  s.endMicros, 0L, 0.0))
+              case _ => state.remove()
+            }
             out.iterator
           } else {
             // events within a micro-batch are not ordered: sort this batch
@@ -111,6 +124,9 @@ object EventPipeline {
             batch.foreach { e =>
               val t = micros(e.ts)
               open match {
+                case Some(s) if s.nEvents == 0 =>
+                  // tombstone from a watermark flush: resume numbering
+                  open = Some(OpenSession(s.sessionIdx + 1, t, t, 1L, e.value))
                 case Some(s) if t - s.endMicros <= gapMicros =>
                   open = Some(s.copy(endMicros = t, nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value))
@@ -123,7 +139,7 @@ object EventPipeline {
             }
             open.foreach { s =>
               state.update(s)
-              if (flushOnWatermark)
+              if (flushOnWatermark && s.nEvents > 0)
                 state.setTimeoutTimestamp(s.endMicros / 1000L + gapSeconds * 1000L)
             }
             closed.iterator

@@ -105,6 +105,20 @@ class SpjCompilerSpec extends SparkSpec {
     assert(rows.toSeq == Seq(2, 3))
   }
 
+  test("GROUPBY with no aggregated projection is DISTINCT over the keys") {
+    val rows = run(
+      "SELECT CART.status FROM CART GROUPBY CART.status ORDERBY CART.status")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("open", "paid"))
+    // key listed in GROUPBY but projection includes a second plain column
+    val rows2 = run(
+      """SELECT CART.cid, CART.status FROM CART
+        |GROUPBY CART.cid ORDERBY CART.cid, CART.status""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows2.toSeq ==
+      Seq((1, "open"), (1, "paid"), (2, "paid")))
+  }
+
   test("projected non-aggregate column absent from GROUPBY becomes a key") {
     val rows = run(
       """SELECT CART.status, COUNT(CART.cartid) FROM CART

@@ -97,6 +97,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize flushOnWatermark: session_idx continues after a timeout flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.sessionize(
+        src.toDS().withWatermark("ts", "10 seconds"),
+        gapSeconds = 1800L, flushOnWatermark = true)
+      .writeStream.format("memory").queryName("sessions_idx")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(0, 100, 1, "click", 1.0))
+      q.processAllAvailable()
+      // drive the watermark past 100 + 1800 via another user, then trigger
+      src.addData(ev(1, 10000, 2, "view", 5.0))
+      q.processAllAvailable()
+      src.addData(ev(2, 10001, 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_idx").as[EventPipeline.Session].collect()
+        .exists(x => x.user_id == 1L && x.session_idx == 1L))
+      // user 1 returns: the new session must continue cumulative numbering
+      // (idx 2), not restart at 1 — matches the batch operator's numbering
+      src.addData(ev(3, 12000, 1, "click", 7.0))
+      q.processAllAvailable()
+      src.addData(ev(4, 20000, 2, "view", 1.0)) // watermark past 12000+1800
+      q.processAllAvailable()
+      src.addData(ev(5, 20001, 2, "view", 1.0)) // trigger the timeout
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_idx").as[EventPipeline.Session].collect()
+        .filter(_.user_id == 1L).map(_.session_idx).sorted
+      assert(u1.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize matches the batch operator on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
