@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, RollingHash, SignPack}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works anywhere
@@ -40,6 +40,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_fingerprint(text)")
         RollingHash(children.head)
+      }),
+    (FunctionIdentifier("graft_signpack"),
+      new ExpressionInfo(classOf[SignPack].getName, "graft_signpack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_signpack(vec, planesLiteral)")
+        val planes = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_signpack planes must be an integer literal, got $other")
+        }
+        SignPack(children.head, planes)
       }))
 
   /** Registers graft's SQL functions on an already-running session (the

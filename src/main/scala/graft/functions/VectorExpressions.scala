@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the dot product of two double arrays.
   *
@@ -59,8 +59,99 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH bucket: packs the sign bits of `planes`
+  * pseudo-random projections of a double-array vector into one long.
+  * Plane p's normal has +-1 components sign(p, i) derived from a splitmix64
+  * finalizer over (p, i) — deterministic, no stored model, identical across
+  * probes and corpus.
+  *
+  * This replaces a per-plane `aggregate(zip_with(...))` lambda stack (12
+  * CodegenFallback evaluations per CORPUS row — interpreted and boxed on
+  * the 100 TB side of the join). Here one fused loop walks the vector once,
+  * accumulating all plane projections, inside WholeStageCodegen.
+  */
+case class SignPack(child: Expression, planes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes >= 1 && planes <= 63, "planes must be in [1, 63]")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_signpack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val acc = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var p = 0
+      while (p < planes) {
+        if ((SignPack.mix(p * 1000003L + i) & 1L) == 0L) acc(p) += x
+        else acc(p) -= x
+        p += 1
+      }
+      i += 1
+    }
+    var b = 0L
+    var p = 0
+    while (p < planes) { if (acc(p) >= 0.0d) b |= (1L << p); p += 1 }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b")
+      s"""
+         |int $n = $v.numElements();
+         |double[] $acc = new double[$planes];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.getDouble($i);
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    if ((graft.functions.SignPack.mix($p * 1000003L + (long) $i) & 1L) == 0L) {
+         |      $acc[$p] += $x;
+         |    } else {
+         |      $acc[$p] -= $x;
+         |    }
+         |  }
+         |}
+         |long $b = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  if ($acc[$p] >= 0.0d) $b |= (1L << $p);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
+object SignPack {
+  /** splitmix64 finalizer — called from both interpreted eval and generated
+    * code (via the static forwarder on the companion class).
+    */
+  def mix(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd packed-sign LSH bucket of an ArrayType(DoubleType) column. */
+  def signPack(v: Column, planes: Int): Column =
+    Bridge.column(SignPack(Bridge.expression(v), planes))
 }

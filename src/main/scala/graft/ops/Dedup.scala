@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups by content hash. Keeps the minimum id as the
-    * canonical representative. Only (hash, id) pairs shuffle — the text
-    * stays at the scan. `hashFn` defaults to md5 (oracle-portable);
-    * xxhash64 is the cheaper production choice.
+    * canonical representative. The hash is computed in a projection directly
+    * over the scan partitions, so the ONLY shuffle in this plan is the
+    * groupBy's own exchange carrying narrow (hash, id) rows — the document
+    * text never moves. (Feed this [[graft.Tables.load]], not a pre-
+    * repartitioned frame: a repartition before the projection would shuffle
+    * the full text once for no benefit — at 100 TB the scan already has
+    * thousands of partitions and the hashing parallelizes there.)
+    * `hashFn` defaults to md5 (oracle-portable); xxhash64 is the cheaper
+    * production choice.
     */
   def exact(
       df: DataFrame,
@@ -38,43 +44,85 @@ object Dedup {
   /** Exact n-gram (word-bigram) Jaccard pairs with similarity >= tau.
     *
     * Inverted-index plan: explode each doc's distinct bigram set, self-join
-    * on the bigram (candidates share >= 1 gram), count common grams per
-    * pair, then test `common / (|A|+|B|-common) >= tau` by integer
+    * on the gram's 64-bit hash (candidates share >= 1 gram), count common
+    * grams per pair, then test `common / (|A|+|B|-common) >= tau` by integer
     * cross-multiplication — exact, so the DuckDB oracle matches bit-for-bit.
     * A length-ratio prefilter (|A| >= tau*|B| and vice versa, necessary for
-    * jaccard >= tau) prunes pairs before the similarity test.
+    * jaccard >= tau) prunes pairs before the similarity test. The join key
+    * and every shuffled row are fixed-width longs — gram text never leaves
+    * the scan stage. (Counting common gram HASHES equals counting common
+    * grams unless two distinct grams of the same pair collide in 64 bits —
+    * probability ~|doc|^2/2^64 per pair; at that point the corpus has a
+    * bigger problem than dedup.)
     *
-    * Scale: work is sum over grams of bucket^2 — bounded by banding on a
-    * LARGER shingle when buckets are hot; for genuinely adversarial corpora
-    * use [[minHashLsh]] instead.
+    * Scale: join work is sum over grams of df(g)^2, unbounded when a
+    * stop-bigram is shared by millions of docs. `maxGramDf` bounds it:
+    * grams with document frequency > maxGramDf are dropped from CANDIDATE
+    * GENERATION only, and surviving candidates are re-verified against the
+    * full gram sets — so every reported (pair, jaccard) is still exact, and
+    * the only possible error is a missed pair whose shared grams are ALL
+    * hotter than the cap (for near-dup pairs, overwhelmingly unlikely in
+    * natural corpora — they share many grams, most of them rare). With the
+    * cap on, join work is bounded by O(distinct_grams * cap^2). The default
+    * (no cap) is the oracle-exact configuration; at 100 TB, set a cap, or
+    * use [[minHashLsh]] for adversarially dense corpora.
     */
   def nGramJaccard(
       df: DataFrame,
       textCol: String,
       idCol: String,
       tauNum: Int,
-      tauDen: Int): DataFrame = {
+      tauDen: Int,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
     val grams = df
       .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col(idCol).as("id"),
         explode(TextOps.bigramSet(col(textCol))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
     // carry each doc's set size on its gram rows so the length-ratio
     // prefilter (|A| >= tau*|B| and vice versa — necessary for
     // jaccard >= tau) prunes candidate rows INSIDE the join, before the
     // expensive pair-count aggregation
     val withN = grams.join(sizes, "id")
-    val a = withN.as("a"); val b = withN.as("b")
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-        col("a.n") * tauNum <= col("b.n") * tauDen &&
-        col("b.n") * tauNum <= col("a.n") * tauDen)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") * tauDen >= (col("na") + col("nb") - col("c")) * tauNum)
-      .select(col("id_a"), col("id_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .as("jaccard"))
+    def lengthOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
+      col("b.n") * tauNum <= col("a.n") * tauDen
+    if (maxGramDf == Int.MaxValue) {
+      val a = withN.as("a"); val b = withN.as("b")
+      a.join(b, col("a.gh") === col("b.gh") && col("a.id") < col("b.id") &&
+          lengthOk)
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") * tauDen >= (col("na") + col("nb") - col("c")) * tauNum)
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+    } else {
+      // capped: prune hot grams from the index, generate candidates, then
+      // verify exactly against the full gram sets (same shape as
+      // minHashLsh's verification stage)
+      val coldGrams = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= maxGramDf).select("gh")
+      val idx = withN.join(coldGrams, "gh")
+      val a = idx.as("a"); val b = idx.as("b")
+      val cand = a.join(b, col("a.gh") === col("b.gh") &&
+          col("a.id") < col("b.id") && lengthOk)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val sets = df
+        .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
+      val c = size(array_intersect(col("ga"), col("gb")))
+      cand
+        .join(sets.select(col("sid").as("id_a"), col("gs").as("ga")), "id_a")
+        .join(sets.select(col("sid").as("id_b"), col("gs").as("gb")), "id_b")
+        .withColumn("c", c)
+        .withColumn("u", size(col("ga")) + size(col("gb")) - col("c"))
+        .filter(col("c") * tauDen >= col("u") * tauNum)
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / col("u")).as("jaccard"))
+    }
   }
 
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
@@ -211,22 +259,41 @@ object Dedup {
     * SimHashes. Pigeonhole blocking: split the hash into `maxHamming + 1`
     * 16-bit chunks — any pair within the distance budget must agree on at
     * least one chunk, so the only join is on (chunkIdx, chunkValue).
+    *
+    * Scale: 16-bit chunks give only 65 536 bucket values per chunk, so at
+    * billions of docs every bucket holds ~N/65 536 docs and the chunk join
+    * is quadratic per bucket. `maxBucketSize` drops (chunk, value) buckets
+    * larger than the cap before the pair join — same mechanism as
+    * [[minHashLsh]] — bounding worst-case join size at
+    * O(4 * 65 536 * cap^2) regardless of corpus size. A dropped hot bucket
+    * means a 16-bit template shared by a crowd; pairs whose agreement lives
+    * ONLY in hot chunks are missed (bounded recall loss — a true
+    * hamming<=k pair agrees on >= 4-k of 4 chunks, so it is missed only if
+    * ALL its agreeing chunks are crowd templates). The default cap is
+    * inactive at test SFs (buckets are tiny), so rows-only results are
+    * unchanged; it exists to make the operator safe at the 100 TB target.
     */
   def simHashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1024): DataFrame = {
     require(maxHamming <= 3, "4 chunks of 16 bits support maxHamming <= 3")
     val hashed = simHashes(df, textCol, idCol)
     val chunkCols = (0 until 4).map { i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
     }
-    val chunked = hashed.select(col("id"), col("sh"),
+    val chunkedAll = hashed.select(col("id"), col("sh"),
         explode(array(chunkCols: _*)).as("cc"))
       .select(col("id"), col("sh"),
         col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val coldBuckets = chunkedAll.groupBy("chunk", "cv")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("chunk", "cv")
+    val chunked = chunkedAll.join(coldBuckets, Seq("chunk", "cv"))
     val l = chunked.as("l"); val r = chunked.as("r")
     l.join(r, col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
         col("l.id") < col("r.id"))

@@ -101,16 +101,4 @@ object TextOps {
       lit(0.2) * (lit(1.0) - punctR) + lit(0.1) * (lit(1.0) - upperR)
   }
 
-  /** Rolling polynomial fingerprint over the document's characters, modulo
-    * a 31-bit prime (per-step pmod keeps the accumulator ANSI-overflow
-    * safe: acc < 1e9+7, so acc*31 + 255 << Long.Max). Codegen'd
-    * `aggregate` over the char array — no UDF.
-    */
-  def fingerprint(text: Column): Column = {
-    val prime = lit(1000000007L)
-    val chars = split(text, "")
-    aggregate(chars, lit(0L),
-      (acc, ch) => pmod(
-        acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)), prime))
-  }
 }

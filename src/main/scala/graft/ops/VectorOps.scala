@@ -92,19 +92,80 @@ object VectorOps {
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
-    * long. Plane p's normal has pseudo-random +-1 components derived from
-    * xxhash64(p, i) — deterministic, no stored model.
+    * long. Plane p's normal has pseudo-random +-1 components derived from a
+    * splitmix64 finalizer over (p, i) — deterministic, no stored model.
+    * Native codegen'd expression (graft.functions.SignPack): one fused loop
+    * computes all plane projections per row, so hashing the 100 TB corpus
+    * side stays inside WholeStageCodegen (the lambda HOF formulation would
+    * be interpreted per plane per row).
     */
-  def lshBucket(qvec: Column, planes: Int): Column = {
-    // statically unrolled over planes so bit shifts are literal
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(qvec, sequence(lit(1), size(qvec)), (x, i) =>
-          x * when(pmod(xxhash64(lit(p), i), lit(2)) === 0,
-            lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshBucket(qvec: Column, planes: Int): Column =
+    graft.functions.VectorExpressions.signPack(qvec, planes)
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Index: `nCentroids` corpus vectors chosen by a deterministic hash
+    * order (a seeded sample — "k-means-lite": centroid quality matters far
+    * less than list balance at this corpus density, and a hash sample is
+    * reproducible with no stored model). Every corpus vector is assigned to
+    * its nearest centroid (one broadcast of the tiny centroid set; argmin
+    * via window over nCentroids scored rows per vector — the classic IVF
+    * build, embarrassingly parallel over the corpus).
+    *
+    * Query: each probe scores the same centroid set, keeps its `nProbe`
+    * nearest lists, and exact cosine top-k runs over the union of those
+    * inverted lists. The corpus-side join key is the centroid id — the
+    * shuffle is (probe x candidate-lists), never probe x corpus.
+    *
+    * Scale: corpus side does one pass to build assignments (nCentroids
+    * dots per vector, all inside codegen via graft_dot); at query time work
+    * is sum of probed list sizes ~= corpus * nProbe / nCentroids.
+    */
+  def knnIvf(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 32,
+      nProbe: Int = 8): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    // deterministic "sample": nCentroids corpus vectors in xxhash64-id order
+    val centroids = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+      .limit(nCentroids)
+      .select(col("corpus_id").as("cent_id"), col("cq").as("cvec"),
+        col("cn2").as("cn2c"))
+    // assignment: nearest centroid per corpus vector (ties -> lowest cent_id)
+    val assignW = Window.partitionBy("corpus_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("corpus_id"), col("cq"), col("cn2"), col("cent_id"),
+        cosine(dot(col("cq"), col("cvec")), col("cn2"), col("cn2c")).as("ccos"))
+      .withColumn("crk", row_number().over(assignW))
+      .filter(col("crk") === 1)
+      .select(col("corpus_id"), col("cq"), col("cn2"), col("cent_id"))
+    // probe: nProbe nearest lists per probe
+    val probeW = Window.partitionBy("probe_id")
+      .orderBy(col("pcos").desc, col("cent_id").asc)
+    val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val probeLists = p.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id"),
+        cosine(dot(col("pq"), col("cvec")), col("pn2"), col("cn2c")).as("pcos"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nProbe)
+      .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id"))
+    // exact cosine over the probed lists' union
+    val scored = assigned.join(broadcast(probeLists), "cent_id")
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
   }
 
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe

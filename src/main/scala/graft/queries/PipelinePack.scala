@@ -21,7 +21,10 @@ object PipelinePack {
 
   private val d01 = Q(
     "d01_dedup_exact",
-    (s, dir) => Dedup.exact(Tables.loadParallel(s, dir, "documents"), "text", "doc_id")
+    // plain load, NOT loadParallel: a repartition before hashing would
+    // shuffle the full document text; Dedup.exact hashes at the scan and
+    // its groupBy exchange carries only (hash, id)
+    (s, dir) => Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
       .orderBy("content_hash"),
     Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
               COUNT(*) AS n_copies
@@ -107,6 +110,19 @@ object PipelinePack {
                          FROM scored)
             SELECT pid AS probe_id, cid AS corpus_id, cos, rk
             FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk"""))
+
+  private val s03 = Q(
+    "s03_knn_ivf",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // 32 lists, probe 8: ~25% of the corpus scanned per probe; at
+      // cluster scale nCentroids grows with corpus/target-list-size and
+      // nProbe stays a small constant
+      VectorOps.knnIvf(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 8)
+        .orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only (recall gate vs s01 in RecallSpec)
 
   private val s02 = Q(
     "s02_knn_lsh",
@@ -234,6 +250,15 @@ object PipelinePack {
               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val e03 = Q(
+    "e03_sessionize_salted",
+    // same result as e02 by construction (skew-safe two-phase plan), so it
+    // shares e02's oracle SQL verbatim — the DuckDB single-window answer
+    (s, dir) => Events.sessionizeSalted(Tables.load(s, dir, "events"),
+      gapSeconds = 1800L, chunkSeconds = 86400L)
+      .orderBy("user_id", "session_idx"),
+    e02.oracle)
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -246,6 +271,6 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02,
-    t01, t02, t03, t04, e01, e02, m01)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
+    t01, t02, t03, t04, e01, e02, e03, m01)
 }

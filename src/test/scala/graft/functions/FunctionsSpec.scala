@@ -26,13 +26,40 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
-  test("RollingHash matches the lambda fingerprint on ASCII text") {
+  test("RollingHash matches an independent lambda formulation on ASCII text") {
+    // the lambda rolling hash (formerly TextOps.fingerprint) lives here as
+    // the test oracle for the native RollingHash expression
+    def lambdaFingerprint(text: org.apache.spark.sql.Column) =
+      aggregate(split(text, ""), lit(0L),
+        (acc, ch) => pmod(
+          acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+          lit(1000000007L)))
     val df = Seq("abc", "the quick brown fox", "").toDF("text")
     val rows = df.select(
       TextExpressions.fingerprint(col("text")).as("native"),
-      graft.ops.TextOps.fingerprint(col("text")).as("lambda"))
+      lambdaFingerprint(col("text")).as("lambda"))
       .collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("SignPack interpreted eval matches codegen and is deterministic") {
+    val vecs = Seq(
+      Array(1.0, -2.0, 3.0, 0.5),
+      Array(-1.0, -1.0, -1.0, -1.0),
+      Array(0.0, 0.0, 0.0, 0.0))
+    val df = vecs.toDF("v")
+    val viaCodegen = df.select(
+      VectorExpressions.signPack(col("v"), 12).as("b")).collect().map(_.getLong(0))
+    // interpreted path: evaluate the expression directly
+    val viaEval = vecs.map { v =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+      SignPack(org.apache.spark.sql.catalyst.expressions.Literal(
+        arr, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), 12).eval(null)
+    }
+    assert(viaCodegen.toSeq == viaEval.toSeq)
+    // buckets land in [0, 2^12)
+    viaCodegen.foreach(b => assert(b >= 0 && b < 4096))
   }
 
   test("GraftExtensions registers SQL functions") {

@@ -36,9 +36,10 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("fingerprint is deterministic and content-sensitive") {
-    val a = one("abc", TextOps.fingerprint(col("text")))
-    val b = one("abd", TextOps.fingerprint(col("text")))
-    assert(a == one("abc", TextOps.fingerprint(col("text"))) && a != b)
+    import graft.functions.TextExpressions.fingerprint
+    val a = one("abc", fingerprint(col("text")))
+    val b = one("abd", fingerprint(col("text")))
+    assert(a == one("abc", fingerprint(col("text"))) && a != b)
     // manual check: ((0*31+97)*31+98)*31+99 mod 1e9+7
     assert(a == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
   }
