@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   *  - a warmup pass at sf0.001 first (JVM JIT + per-query codegen), so the
   *    timed pass measures the engine, not classloading;
   *  - results go to the `noop` sink — count() would let Catalyst prune the
-  *    plan down to a row count and under-measure.
+  *    plan down to a row count and under-measure;
+  *  - each query runs SPARK_GRAFT_REPS times (default 3); reported seconds
+  *    are the MEDIAN, with per-query max-min in "spread" — single-shot
+  *    timings in a shared JVM swing 2x on GC/compilation debt and cannot
+  *    distinguish a regression from noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,21 +49,30 @@ object Bench {
       }
     }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(exec(_, warmDir)) // warmup, untimed
 
     val results = names.map { name =>
-      // nudge the context cleaner: broadcast/shuffle cleanup is GC-driven,
-      // and a large rarely-collected heap lets debt leak into later timings
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = exec(name, sfDir)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        // nudge the context cleaner: broadcast/shuffle cleanup is GC-driven,
+        // and a large rarely-collected heap lets debt leak into later timings
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = exec(name, sfDir)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val good = times.filter(_ >= 0).sorted
+      val median = if (good.isEmpty) -1.0 else good(good.size / 2)
+      val spread = if (good.isEmpty) -1.0 else good.last - good.head
+      (name, median, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def js(kvs: Seq[(String, Double)]) = kvs
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      js(results.map(r => r._1 -> r._2))},"spread":${
+      js(results.map(r => r._1 -> r._3))},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,9 +169,15 @@ object VectorOps {
   }
 
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe
-    * their bucket plus all single-bit flips (planes+1 buckets), then exact
-    * cosine top-k within the candidate union. The join key is the bucket id
-    * — sub-quadratic, shuffle-light; recall tunable via `planes`.
+    * their own bucket plus every bucket within `maxFlips` sign-bit flips
+    * (Lv et al.'s multi-probe LSH: near neighbors that straddle a few
+    * hyperplanes land in low-Hamming-distance buckets). Then exact cosine
+    * top-k within the candidate union. The join key is the bucket id —
+    * sub-quadratic, shuffle-light; the corpus side is hashed ONCE by the
+    * codegen'd SignPack and only probe rows fan out (one row per probed
+    * bucket, broadcast). Recall/cost dial: planes sets bucket granularity
+    * (2^planes buckets), maxFlips sets probe coverage
+    * (sum of C(planes, f) for f <= maxFlips buckets per probe).
     */
   def knnLsh(
       probes: DataFrame,
@@ -179,7 +185,8 @@ object VectorOps {
       idCol: String,
       vecCol: String,
       k: Int,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12,
+      maxFlips: Int = 2): DataFrame = {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
@@ -187,11 +194,14 @@ object VectorOps {
     val p0 = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
       .withColumn("b0", lshBucket(col("pq"), planes))
-    // multi-probe: own bucket + single-bit flips
-    val flipped = (0 until planes).map(i =>
-      col("b0").bitwiseXOR(lit(1L << i)))
+    // all XOR masks with at most maxFlips bits set (statically enumerated
+    // via combinations — O(C(planes, maxFlips)), not O(2^planes))
+    val masks = (0 to maxFlips).flatMap(f =>
+      (0 until planes).combinations(f)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))))
     val p = p0.select(col("probe_id"), col("pq"), col("pn2"),
-      explode(array((col("b0") +: flipped): _*)).as("bucket"))
+      explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*))
+        .as("bucket"))
     val scored = c.join(broadcast(p), "bucket")
       .filter(col("probe_id") =!= col("corpus_id"))
       .dropDuplicates("probe_id", "corpus_id")

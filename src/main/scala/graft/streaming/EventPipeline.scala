@@ -77,11 +77,19 @@ object EventPipeline {
     * the event-time watermark passes the session's gap horizon (so idle
     * users' sessions emit without waiting for their next event; requires
     * `withWatermark` upstream).
+    *
+    * `tombstoneTtlSeconds` bounds state at scale: after a watermark flush,
+    * the per-user numbering tombstone (see below) itself expires once the
+    * user has been idle longer than gap + TTL. An expired user who returns
+    * restarts at session_idx 1 — the deliberate trade for state that is
+    * O(recently-active users) instead of O(ever-seen users). None (the
+    * default) keeps tombstones forever, preserving exact batch numbering.
     */
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long,
-      flushOnWatermark: Boolean = false): Dataset[Session] = {
+      flushOnWatermark: Boolean = false,
+      tombstoneTtlSeconds: Option[Long] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
 
@@ -104,15 +112,24 @@ object EventPipeline {
             // Watermark passed end + gap with no new events: close it, but
             // KEEP a tombstone (nEvents == 0) carrying the last emitted
             // session_idx so the user's next session continues the
-            // cumulative numbering (batch/streaming equivalence). One tiny
-            // record per ever-seen user; at cluster scale bound it by
-            // compacting the state store or adding a retention timeout.
+            // cumulative numbering (batch/streaming equivalence). With a
+            // TTL, the tombstone gets its own timeout and is dropped when
+            // it fires (the `case _` below) — bounding state to recently-
+            // active users at the cost of numbering resets after long
+            // idles; without one it is a tiny record per ever-seen user.
             val out = state.getOption.filter(_.nEvents > 0)
               .map(toSession(userId, _))
             state.getOption match {
               case Some(s) if s.nEvents > 0 =>
                 state.update(OpenSession(s.sessionIdx, s.endMicros,
                   s.endMicros, 0L, 0.0))
+                tombstoneTtlSeconds.foreach { ttl =>
+                  // clamp: Spark rejects timestamps behind the watermark;
+                  // an already-due expiry fires on the next trigger
+                  state.setTimeoutTimestamp(math.max(
+                    s.endMicros / 1000L + (gapSeconds + ttl) * 1000L,
+                    state.getCurrentWatermarkMs() + 1L))
+                }
               case _ => state.remove()
             }
             out.iterator
@@ -140,7 +157,9 @@ object EventPipeline {
             open.foreach { s =>
               state.update(s)
               if (flushOnWatermark && s.nEvents > 0)
-                state.setTimeoutTimestamp(s.endMicros / 1000L + gapSeconds * 1000L)
+                state.setTimeoutTimestamp(math.max(
+                  s.endMicros / 1000L + gapSeconds * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator
           }

@@ -52,6 +52,30 @@ object TableTools {
     }
     base.select(cols: _*)
   }
+
+  /** Write a table bucketed (and sorted) by a join/grouping key.
+    *
+    * Bucketing is the storage-level analog of the reference engine's
+    * partition-on-key hash join (reference src/qp/operators/HashJoin.java):
+    * both sides of a future equi-join land in the same bucket layout, so
+    * Spark's planner proves co-partitioning from the catalog and the join
+    * runs WITHOUT any Exchange — the decisive optimization for a fact-fact
+    * join that would otherwise shuffle 100 TB on every query. Aggregations
+    * on the bucket key skip their exchange too. Registered through the
+    * session catalog (bucket metadata lives there); `path` makes it an
+    * external table.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      key: String,
+      buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }
 
 /** `runMain graft.tools.RandomTableGen <schemaSpec> <rows> <outDir> [seed]`

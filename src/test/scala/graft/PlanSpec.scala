@@ -96,4 +96,35 @@ class PlanSpec extends SparkSpec {
     // per-row quantize step
     assert(p.contains("graft_dot"))
   }
+
+  test("d01: no exchange carries the document text (hash at scan, shuffle hash+id)") {
+    // formatted explain prints each Exchange node followed by an
+    // "Input [n]: [cols]" line — none of them may carry the text column
+    val lines = plan("d01_dedup_exact").linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty) // the groupBy's own exchange
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"exchange shuffles full text: $in")
+    }
+  }
+
+  test("s02: corpus-side bucket hashing is the native SignPack, not HOF lambdas") {
+    val p = plan("s02_knn_lsh")
+    assert(p.contains("graft_signpack"))
+    // the old formulation evaluated aggregate(zip_with(...)) per plane per
+    // corpus row, interpreted; only the cheap per-row quantize transform
+    // may remain as a lambda
+    assert(!p.contains("zip_with"))
+  }
+
+  test("e03: salted sessionization windows partition by (user_id, chunk)") {
+    val p = plan("e03_sessionize_salted")
+    // phase-1 window key includes the time chunk — the skew guard at scale
+    assert(p.contains("chunk"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

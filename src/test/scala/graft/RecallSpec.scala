@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Dedup
+
+/** Recall gates for the approximate (rows-only) queries: each one is
+  * bounded against its exact counterpart on real test data, so "no DuckDB
+  * oracle" never means "unverified". All inputs and operators are
+  * deterministic (fixed seeds / hash-derived randomness), so these are
+  * exact regression gates, not flaky statistical tests.
+  *
+  * Measured values at sf0.01 when the gates were locked in (update the
+  * assertion floors deliberately if parameters change):
+  *  - d03 minHashLsh = exact n-gram Jaccard pair set, zero misses
+  *  - d02 with maxGramDf=25 (prunes 77% of the inverted index) = uncapped
+  *  - s02 knnLsh recall@10 vs brute force (see assertion)
+  *  - s03 knnIvf recall@10 vs brute force (see assertion)
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d03: LSH banding finds EXACTLY the exact-jaccard pair set (sf0.01)") {
+    val exact = pairSet(SparkEntry.queries("d02_dedup_jaccard")(spark, dir))
+    val lsh = pairSet(SparkEntry.queries("d03_dedup_minhash")(spark, dir))
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).size} spurious=${(lsh -- exact).size}")
+  }
+
+  test("d02: active df-cap (capped candidates + exact verify) loses nothing (sf0.01)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val uncapped = Dedup.nGramJaccard(docs, "text", "doc_id", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // maxGramDf=25 drops ~77% of the inverted index at this SF (max df 46),
+    // so the cap is genuinely exercised, and every surviving jaccard value
+    // must still be exact
+    val capped = Dedup.nGramJaccard(docs, "text", "doc_id", 1, 2, maxGramDf = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped,
+      s"missed=${(uncapped -- capped).size} spurious=${(capped -- uncapped).size}")
+  }
+
+  test("s02: knnLsh multi-probe recall@10 vs brute force (sf0.01)") {
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    val lsh = topkSet(SparkEntry.queries("s02_knn_lsh")(spark, dir))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"s02 recall@10 = $recall%.3f (${(brute & lsh).size}/${brute.size})")
+    assert(recall >= 0.50, f"recall regressed: $recall%.3f < 0.50")
+  }
+
+  test("s03: knnIvf recall@10 vs brute force (sf0.01)") {
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    val ivf = topkSet(SparkEntry.queries("s03_knn_ivf")(spark, dir))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"s03 recall@10 = $recall%.3f (${(brute & ivf).size}/${brute.size})")
+    assert(recall >= 0.40, f"recall regressed: $recall%.3f < 0.40")
+  }
+}

@@ -129,6 +129,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tombstone TTL: numbering survives sub-TTL idles, resets after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    // gap 1800s, tombstone TTL 1000s -> tombstone expires once the user is
+    // idle past 2800s (gap + ttl)
+    val q = EventPipeline.sessionize(
+        src.toDS().withWatermark("ts", "10 seconds"),
+        gapSeconds = 1800L, flushOnWatermark = true,
+        tombstoneTtlSeconds = Some(1000L))
+      .writeStream.format("memory").queryName("sessions_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // --- sub-TTL idle: numbering continues ---
+      src.addData(ev(0, 100, 1, "click", 1.0))
+      q.processAllAvailable()
+      // u2 drives watermark to 1990 (> 100+1800): u1 flushes, tombstone
+      // timeout armed for 100+1800+1000 = 2900
+      src.addData(ev(1, 2000, 2, "view", 5.0))
+      q.processAllAvailable()
+      src.addData(ev(2, 2001, 2, "view", 1.0)) // trigger the timeout
+      q.processAllAvailable()
+      assert(spark.table("sessions_ttl").as[EventPipeline.Session].collect()
+        .exists(x => x.user_id == 1L && x.session_idx == 1L))
+      // u1 returns at 2500 — watermark (1991) still below 2900, tombstone
+      // alive -> session_idx continues at 2
+      src.addData(ev(3, 2500, 1, "click", 7.0))
+      q.processAllAvailable()
+      src.addData(ev(4, 10000, 2, "view", 1.0)) // watermark past 2500+1800
+      q.processAllAvailable()
+      src.addData(ev(5, 10001, 2, "view", 1.0)) // trigger
+      q.processAllAvailable()
+      val afterReturn = spark.table("sessions_ttl")
+        .as[EventPipeline.Session].collect().filter(_.user_id == 1L)
+      assert(afterReturn.map(_.session_idx).sorted.toSeq == Seq(1L, 2L))
+      // --- past-TTL idle: tombstone expired, numbering resets ---
+      // idx-2 tombstone timeout armed for 2500+2800 = 5300; watermark is
+      // already 9990, so the next trigger removes it
+      src.addData(ev(6, 10002, 2, "view", 1.0)) // trigger tombstone expiry
+      q.processAllAvailable()
+      src.addData(ev(7, 20000, 1, "click", 3.0)) // u1 returns after expiry
+      q.processAllAvailable()
+      src.addData(ev(8, 30000, 2, "view", 1.0)) // watermark past 20000+1800
+      q.processAllAvailable()
+      src.addData(ev(9, 30001, 2, "view", 1.0)) // trigger
+      q.processAllAvailable()
+      val u1 = spark.table("sessions_ttl").as[EventPipeline.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start_epoch)
+      // third emitted session RESTARTS at idx 1 (tombstone was expired)
+      assert(u1.map(_.session_idx).toSeq == Seq(1L, 2L, 1L))
+    } finally q.stop()
+  }
+
   test("sessionize matches the batch operator on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
