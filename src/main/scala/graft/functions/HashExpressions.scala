@@ -1,0 +1,239 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature expressions for the dedup operators.
+  *
+  * Both replace an explode + N-statically-unrolled-aggregates + shuffle
+  * pipeline (the best pure-`functions` formulation — already codegen'd,
+  * but it materializes one row per (doc, gram), shuffles them, and probes
+  * an aggregation hash table N times per gram) with ONE fused loop per
+  * document inside the scan stage projection: no explode, no shuffle, no
+  * aggregation state. At 100 TB this turns signature computation into a
+  * pure map over the corpus — the banding/blocking join afterwards is the
+  * only exchange left.
+  *
+  * Arithmetic is bit-identical to the aggregate formulation it replaced
+  * (xxhash64 seed 42 truncated to 31 bits; same affine permutations mod
+  * 2^31-1; same strict sign rule), so signatures — and therefore candidate
+  * pairs — are unchanged.
+  */
+
+/** MinHash signature: for each of the `aParams.length` affine permutations
+  * (a, b), the minimum over the document's grams of
+  * `(h31(gram) * a + b) mod 2147483647`, where h31 is the low 31 bits of
+  * xxhash64(gram). Input: the document's distinct gram array. Output:
+  * array<long> of length numHashes (empty input => all 2^31-1 sentinels;
+  * callers filter empty docs upstream to match the aggregate formulation,
+  * which emitted no row).
+  */
+case class MinHashSig(child: Expression, aParams: Array[Long], bParams: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(aParams.length == bParams.length && aParams.nonEmpty)
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  private val prime = 2147483647L // 2^31 - 1
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = aParams.length
+    val mins = Array.fill(k)(prime)
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes, 42L) & 0x7FFFFFFFL
+      var j = 0
+      while (j < k) {
+        val v = (h * aParams(j) + bParams(j)) % prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aParams, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bParams, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val g = ctx.freshName("g")
+      val h = ctx.freshName("h")
+      val hv = ctx.freshName("hv")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $mins = new long[${aParams.length}];
+         |java.util.Arrays.fill($mins, ${prime}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $g = $v.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $g.getBaseObject(), $g.getBaseOffset(), $g.numBytes(), 42L) & 0x7FFFFFFFL;
+         |  for (int $j = 0; $j < ${aParams.length}; $j++) {
+         |    long $hv = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
+         |    if ($hv < $mins[$j]) $mins[$j] = $hv;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array: bit k is set iff the sum over tokens of
+  * (bit k of xxhash64(token) ? +1 : -1) is strictly positive. Empty input
+  * => 0L; callers filter empty docs upstream to match the aggregate
+  * formulation.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(
+        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var k = 0
+      while (k < 64) {
+        acc(k) += (if (((h >>> k) & 1L) == 1L) 1L else -1L)
+        k += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var k = 0
+    while (k < 64) { if (acc(k) > 0) sh |= (1L << k); k += 1 }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val t = ctx.freshName("t")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      val sh = ctx.freshName("sh")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $acc = new long[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $v.getUTF8String($i);
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    $acc[$k] += ((($h >>> $k) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long $sh = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($acc[$k] > 0) $sh |= (1L << $k);
+         |}
+         |${ev.value} = $sh;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Distinct word-bigram (2-shingle) set of a document, straight from the
+  * raw text: tokens are maximal runs between 0x20 bytes (UTF-8 never uses
+  * 0x20 inside a multi-byte sequence, so byte-level splitting is exact),
+  * bigrams join adjacent tokens with one space, first occurrence wins.
+  * Matches `array_distinct(zip_with(slice(tokens,1,n-1), slice(tokens,2,
+  * n-1), concat_ws(" ")))` — which evaluates as an interpreted lambda
+  * stack per document (CodegenFallback), a real cost on the corpus side of
+  * every dedup operator. The loop here is compiled Scala invoked from
+  * generated code via the companion's static forwarder.
+  */
+case class BigramSetExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigram_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramSetExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.BigramSetExpr.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramSetExpr =
+    copy(child = newChild)
+}
+
+object BigramSetExpr {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    // token boundaries: maximal runs of non-space bytes
+    val tokens = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        tokens.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var t = 0
+    while (t + 1 < tokens.size()) {
+      seen.add(UTF8String.concat(tokens.get(t), Space, tokens.get(t + 1)))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[UTF8String](seen.size())))
+  }
+}
+
+object HashExpressions {
+  /** Codegen'd MinHash signature of a gram-array column. */
+  def minHashSig(grams: Column, params: Seq[(Long, Long)]): Column =
+    Bridge.column(MinHashSig(Bridge.expression(grams),
+      params.map(_._1).toArray, params.map(_._2).toArray))
+
+  /** Codegen'd 64-bit SimHash of a token-array column. */
+  def simHash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** Codegen'd distinct word-bigram set of a string column. */
+  def bigramSet(text: Column): Column =
+    Bridge.column(BigramSetExpr(Bridge.expression(text)))
+}

@@ -135,32 +135,32 @@ object Dedup {
   }
   private val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
 
-  /** (id, sig) MinHash signatures via explode + numHashes codegen'd MIN
-    * aggregates: minhash_i = min over grams of (h31(gram)*a_i + b_i mod p),
-    * where h31 is the low 31 bits of xxhash64.
+  /** (id, sig) MinHash signatures: minhash_i = min over grams of
+    * (h31(gram)*a_i + b_i mod p), where h31 is the low 31 bits of xxhash64.
     *
-    * Deliberately NOT a nested transform/array_min lambda: higher-order
-    * functions are CodegenFallback (interpreted, boxed, single-expression),
-    * while this shape is a flat HashAggregate with map-side partial
-    * aggregation — every operator whole-stage codegen'd.
+    * One native codegen'd expression (graft.functions.MinHashSig) computes
+    * the whole signature in a fused loop per document, directly in the scan
+    * stage: no explode, NO SHUFFLE, no numHashes-wide aggregation state.
+    * (The previous formulation — explode + 128 statically-unrolled MIN
+    * aggregates — was already codegen'd but paid one row per (doc, gram),
+    * an exchange, and 128 hash-table probes per gram; a lambda
+    * transform/array_min stack would be worse still: CodegenFallback,
+    * interpreted. Signatures are bit-identical across all three.)
+    * Docs with an empty gram set produce no row (matching the aggregate
+    * formulation, where explode dropped them). The repartition spreads
+    * per-doc signature work when the source is a single local file; at
+    * cluster scale the scan is already partitioned and it can be dropped.
     */
   def minHashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      numHashes: Int): DataFrame = {
-    val exploded = df
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(col(idCol).as("id"),
-        explode(TextOps.bigramSet(col(textCol))).as("g"))
-      .withColumn("h31", xxhash64(col("g")).bitwiseAND(lit(0x7FFFFFFFL)))
-    val aggs = minHashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h31") * a + b, lit(MinHashPrime))).as(s"mh_$i")
-    }
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("id"), graft.functions.HashExpressions
+        .minHashSig(col("grams"), minHashParams(numHashes)).as("sig"))
 
   /** MinHash + LSH banding candidate pairs, verified by true Jaccard.
     *
@@ -230,30 +230,22 @@ object Dedup {
 
   /** (id, sh) 64-bit SimHashes of the token multiset: bit k of sh is 1 iff
     * the sum over tokens of (bit k of xxhash64(token) ? +1 : -1) is
-    * positive.
+    * strictly positive.
     *
-    * Shape: explode tokens, then 64 codegen'd conditional-SUM aggregates
-    * (static bit shifts) packed with a static 64-term OR over the agg
-    * outputs. The lambda-based alternative (aggregate/zip_with) is
-    * CodegenFallback and serializes interpreted per-token-per-bit evals;
-    * this is a flat partially-aggregated HashAggregate. Documents with no
-    * tokens produce no row. (1L << 63 wraps to the long sign bit = bit 63.)
+    * One native codegen'd expression (graft.functions.SimHash64) computes
+    * the hash in a fused loop per document in the scan stage — no explode,
+    * NO SHUFFLE, no 64-wide aggregation state (previous shape: explode +
+    * 64 statically-unrolled conditional SUMs + exchange; bit-identical
+    * output). Documents with no tokens produce no row, matching the
+    * aggregate formulation. Repartition: same single-local-file note as
+    * [[minHashSignatures]].
     */
-  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val aggs = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))).as(s"v_$k")
-    }
-    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
       .select(col("id"),
-        (0 until 64).map { k =>
-          when(col(s"v_$k") > 0, lit(1L << k)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
-  }
+        graft.functions.HashExpressions.simHash64(col("ts")).as("sh"))
 
   /** Near-dup pairs with Hamming distance <= maxHamming between 64-bit
     * SimHashes. Pigeonhole blocking: split the hash into `maxHamming + 1`

@@ -26,16 +26,13 @@ object TextOps {
   /** Adjacent word-pair (bigram/2-shingle) set — the blocking unit for
     * n-gram Jaccard dedup. With a small vocabulary V, bigram keyspace is
     * |V|^2, keeping inverted-index buckets ~|V| times smaller than
-    * single-token buckets.
+    * single-token buckets. Native expression (graft.functions
+    * .BigramSetExpr): this runs once per corpus document in every dedup
+    * operator, where an interpreted zip_with/array_distinct lambda stack
+    * is a real per-row cost at 100 TB.
     */
-  def bigramSet(text: Column): Column = {
-    val t = tokens(text)
-    val n = size(t)
-    array_distinct(zip_with(
-      slice(t, lit(1), greatest(n - 1, lit(0))),
-      slice(t, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b)))
-  }
+  def bigramSet(text: Column): Column =
+    graft.functions.HashExpressions.bigramSet(text)
 
   /** Marker stopwords per language for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
