@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelinePack, Relational, SqlPack}
+import graft.queries.{CorpusPack, PipelinePack, Relational, SqlPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All query packs; each pack contributes (name, runner, optional oracle). */
   private def packs: Seq[Relational.Q] =
-    Relational.all ++ SqlPack.all ++ PipelinePack.all
+    Relational.all ++ SqlPack.all ++ PipelinePack.all ++ CorpusPack.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level analysis and dataset-preparation operators for
+  * training-data pipelines: vocabulary heavy hitters, per-group token
+  * statistics, and deterministic train/val/test assignment.
+  *
+  * Scale shapes:
+  *  - heavy hitters: explode + partial-aggregated count + top-k via
+  *    ORDER BY/LIMIT, which Spark plans as TakeOrderedAndProject — per
+  *    partition it keeps only k rows, so no global sort materializes.
+  *  - token stats: per-group aggregation with map-side partials for
+  *    count/min/max; the exact percentile aggregate buffers each group's
+  *    values, which is fine for low-cardinality groups (languages). For
+  *    high-cardinality grouping at 100 TB use `approx_percentile`
+  *    (t-digest, mergeable) — exact is used here because it is
+  *    oracle-checkable bit-for-bit.
+  *  - split assignment: pure per-row projection on md5(id) — no shuffle,
+  *    no RNG state, stable under re-runs, reshuffles, and backfills.
+  *    (Never use rand() for split assignment: it changes on retry and
+  *    re-partitioning, silently leaking val/test into train.)
+  */
+object Corpus {
+
+  /** Top-`k` most frequent whitespace tokens corpus-wide, with counts.
+    * Deterministic total order: count descending, then token ascending.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-`groupCol` whitespace-token-count statistics: document count,
+    * min/max, and exact median (linear interpolation — matches DuckDB's
+    * `quantile_cont(x, 0.5)` definition).
+    */
+  def tokenStats(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), TextOps.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_tok").as("min_tokens"),
+        max("n_tok").as("max_tokens"),
+        percentile(col("n_tok"), lit(0.5)).as("median_tokens"))
+
+  /** Deterministic content-independent split label for an id column from
+    * the last hex nibble of md5(id as string): 12/16 train, 2/16 val,
+    * 2/16 test. The md5 hex digest is identical in every engine, so the
+    * assignment is portable (the DuckDB oracle reproduces it exactly) and
+    * permanent — a document's split never changes as the corpus grows.
+    */
+  def splitLabel(idCol: Column): Column = {
+    val nib = substring(md5(idCol.cast("string")), 32, 1)
+    when(nib.isInCollection("0123456789ab".map(_.toString)), "train")
+      .when(nib.isInCollection(Seq("c", "d")), "val")
+      .otherwise("test")
+  }
+
+  /** Per-split document counts and token totals — the summary a pipeline
+    * asserts before training (split sizes near 75/12.5/12.5).
+    */
+  def splitSummary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(splitLabel(col(idCol)).as("split"),
+        TextOps.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"))
+}

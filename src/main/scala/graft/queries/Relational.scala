@@ -325,6 +325,67 @@ object Relational {
                             AND o_orderstatus = 'O')
             ORDER BY 1, 2"""))
 
+  // Left outer join — beyond the reference surface (inner-only engine):
+  // each customer with their big orders, or one null-extended row when
+  // they have none. Keys coalesced to sentinels so both engines order
+  // null-extended rows identically. The probe-side filter sits in the
+  // join's ON semantics (prefiltered input), so it cannot drop unmatched
+  // customers the way a WHERE after the join would.
+  private val q18 = Q(
+    "q18_outer_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_key"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("o_price"))
+        .orderBy("c_custkey", "o_key", "o_price")
+    },
+    Some("""SELECT c_custkey, coalesce(o_orderkey, -1) AS o_key,
+              coalesce(o_totalprice, 0.0) AS o_price
+            FROM customer LEFT JOIN orders
+              ON o_custkey = c_custkey AND o_totalprice > 450000.0
+            ORDER BY 1, 2, 3"""))
+
+  // UNION ALL + aggregate — party counts per nation across two entity
+  // tables. Spark's union is by position (UNION ALL); the groupBy gives
+  // the distinct-union semantics a report wants while keeping counts.
+  private val q19 = Q(
+    "q19_union",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk"),
+    Some("""SELECT nk, COUNT(*) AS n
+            FROM (SELECT c_nationkey AS nk FROM customer
+                  UNION ALL SELECT s_nationkey FROM supplier)
+            GROUP BY 1 ORDER BY 1"""))
+
+  // INTERSECT / EXCEPT — customers partitioned by whether they placed a
+  // big order. Set ops distinct both sides then plan as left-semi /
+  // left-anti joins: only the key column shuffles.
+  private val q20 = Q(
+    "q20_intersect_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("k")).distinct()
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("k")).distinct()
+      c.intersect(o).withColumn("tag", lit("both"))
+        .unionByName(c.except(o).withColumn("tag", lit("no_big_order")))
+        .select("tag", "k")
+        .orderBy("tag", "k")
+    },
+    Some("""WITH c AS (SELECT DISTINCT c_custkey AS k FROM customer),
+              o AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_totalprice > 400000.0)
+            SELECT 'both' AS tag, k FROM (SELECT k FROM c INTERSECT SELECT k FROM o)
+            UNION ALL
+            SELECT 'no_big_order' AS tag, k
+            FROM (SELECT k FROM c EXCEPT SELECT k FROM o)
+            ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16, q17)
+    q11, q12, q13, q15, q16, q17, q18, q19, q20)
 }

@@ -71,6 +71,24 @@ object EventPipeline {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication on a key column — the ingest-time
+    * analog of Dedup.exact for an unbounded source (at-least-once
+    * upstreams re-deliver events; this makes the pipeline effectively
+    * exactly-once downstream). State holds one entry per key seen within
+    * the watermark horizon and is evicted as the watermark advances —
+    * bounded state, unlike `dropDuplicates` which remembers every key
+    * forever. Rows later than `lateness` are dropped by the watermark
+    * (their duplicates-of-record may already be evicted — the standard
+    * correctness/state trade governed by the horizon).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
     * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when

@@ -103,6 +103,47 @@ object RandomTableGen {
   }
 }
 
+/** `runMain graft.tools.JsonlToParquet <in.jsonl> <schemaSpec|infer> <outDir>`
+  *
+  * JSON-lines ingest — the interchange format most raw LLM training
+  * corpora arrive in. With an explicit schema the scan is single-pass
+  * and malformed lines land in a `_corrupt_record` column instead of
+  * failing the job (PERMISSIVE mode — at 100 TB a bad line must never
+  * kill the pipeline; filter and count them instead). `infer` samples
+  * the input for the schema (extra pass — fine for exploration, not for
+  * the 100 TB path).
+  */
+object JsonlToParquet {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: JsonlToParquet <in.jsonl> <schema|infer> <outDir>")
+    val spark = RandomTableGen.local()
+    val df = jsonl(spark, args(0), if (args(1) == "infer") None else Some(args(1)))
+    df.write.mode("overwrite").parquet(args(2))
+    println(s"[jsonl] wrote ${args(2)}")
+    spark.stop()
+  }
+
+  /** Library form: read JSONL with the .det-style schema spec (or infer),
+    * keeping malformed lines in `_corrupt_record`.
+    */
+  def jsonl(spark: SparkSession, path: String, spec: Option[String]): DataFrame =
+    spec match {
+      case None => spark.read.json(path)
+      case Some(s) =>
+        val ddl = TableTools.parseSchema(s).map { case (n, t) =>
+          val sparkT = t match {
+            case "INT" => "BIGINT"; case "REAL" => "DOUBLE"
+            case "STRING" => "STRING"; case "TIME" => "TIMESTAMP"
+          }
+          s"$n $sparkT"
+        }.mkString(", ") + ", _corrupt_record STRING"
+        spark.read.schema(ddl)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+    }
+}
+
 /** `runMain graft.tools.CsvToParquet <in.csv> <schemaSpec|header> <outDir>`
   * Schema spec uses the reference's .det types; pass `header` to infer.
   */

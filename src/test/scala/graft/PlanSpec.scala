@@ -127,4 +127,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("chunk"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t06: heavy hitters top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("t06_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"))
+    // and the count aggregation is partial before its shuffle
+    assert(p.contains("partial_count") || p.contains("Partial"))
+  }
+
+  test("p01: split assignment plans with no exchange before the aggregation") {
+    // the md5 label is a pure projection — the summary groupBy's exchange
+    // carries only (split, n_tok), never the text column
+    val lines = plan("p01_split_assign").linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"exchange shuffles full text: $in")
+    }
+  }
+
+  test("p02: chunk packing shuffles fixed-width rows only (no text)") {
+    val lines = plan("p02_pack_chunk").linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty) // the shard window's exchange
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"exchange shuffles full text: $in")
+    }
+  }
+
+  test("q20: set ops plan as joins over distinct keys, no cartesian") {
+    val p = plan("q20_intersect_except")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join")) // intersect/except lowered to semi/anti joins
+  }
 }

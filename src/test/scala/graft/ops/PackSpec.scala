@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Gates for the rows-only packing / corpus-prep operators. */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val budget = 20
+  private val shard = 8
+
+  // docs with token counts 1..7 repeating; one oversized doc (id 50)
+  private lazy val docs = ((0L until 50L).map { i =>
+    (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "))
+  } :+ (50L, Seq.fill(30)("w").mkString(" "))).toDF("doc_id", "text")
+
+  private lazy val assign =
+    Packing.greedyPack(spark, docs, "doc_id", "text", budget, shard)
+
+  test("greedyPack covers every document exactly once") {
+    val got = assign.select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L to 50L))
+  }
+
+  test("greedyPack respects the budget except for single oversized docs") {
+    val bins = assign.groupBy("shard", "bin_idx")
+      .agg(sum("n_tok").as("tot"), count(lit(1)).as("n"))
+      .collect()
+    bins.foreach { r =>
+      val (tot, n) = (r.getAs[Long]("tot"), r.getAs[Long]("n"))
+      assert(tot <= budget || n == 1L,
+        s"bin over budget with $n docs, $tot tokens")
+    }
+    // the oversized doc is alone in its bin
+    val over = assign.filter(col("id") === 50L).collect().head
+    val mates = assign.filter(col("shard") === over.getAs[Long]("shard") &&
+      col("bin_idx") === over.getAs[Long]("bin_idx")).count()
+    assert(mates == 1L)
+  }
+
+  test("greedyPack is deterministic across runs and repartitionings") {
+    val a = assign.orderBy("shard", "bin_idx", "id").collect().toSeq
+    val b = Packing.greedyPack(spark, docs.repartition(7), "doc_id", "text",
+      budget, shard).orderBy("shard", "bin_idx", "id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("greedyPack docs never cross shards") {
+    assert(assign.filter(expr(s"shard <> id DIV $shard")).count() == 0L)
+  }
+
+  test("chunkPack conserves tokens and splits at exact budget boundaries") {
+    val out = Packing.chunkPack(docs, "doc_id", "text", budget, shard)
+    val totalTokens = out.agg(sum("n_tokens")).as[Long].collect().head
+    assert(totalTokens == (0L until 50L).map(i => (i % 7) + 1).sum + 30)
+    // within a shard, sequences are contiguous doc-id ranges:
+    // seq k's last_doc < seq k+1's first_doc
+    val rows = out.orderBy("shard", "seq_idx")
+      .select("shard", "seq_idx", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.sliding(2).foreach {
+      case Array((s1, _, _, last), (s2, _, first, _)) if s1 == s2 =>
+        assert(last < first || last == first,
+          "sequences within a shard must cover non-overlapping id ranges " +
+            "(a doc straddling a boundary belongs to the seq of its first token)")
+      case _ => ()
+    }
+  }
+
+  test("splitLabel is a deterministic pure function of the id") {
+    val s1 = Corpus.splitSummary(docs, "doc_id", "text")
+      .orderBy("split").collect().toSeq
+    val s2 = Corpus.splitSummary(docs.repartition(5), "doc_id", "text")
+      .orderBy("split").collect().toSeq
+    assert(s1 == s2)
+    val labels = docs.select(Corpus.splitLabel(col("doc_id"))).distinct()
+      .as[String].collect().toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("heavyHitters ranks by count then token") {
+    val hh = Corpus.heavyHitters(
+      Seq("a a a b b c", "b c c d").toDF("text"), "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(hh == Seq(("a", 3L), ("b", 3L), ("c", 3L)))
+  }
+
+  test("tokenStats median matches linear interpolation") {
+    val ts = Corpus.tokenStats(
+      Seq(("x", "a"), ("x", "a b"), ("x", "a b c"), ("x", "a b c d"))
+        .toDF("lang", "text"), "text", "lang")
+      .select("n_docs", "min_tokens", "max_tokens", "median_tokens")
+      .as[(Long, Int, Int, Double)].collect().head
+    assert(ts == ((4L, 1, 4, 2.5)))
+  }
+}

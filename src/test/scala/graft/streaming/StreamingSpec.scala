@@ -208,4 +208,22 @@ class StreamingSpec extends SparkSpec {
       assert(stream.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("dedupStream drops re-delivered keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.dedupStream(src.toDF(), Seq("event_id"),
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(ev(1, 10, 1, "click", 1.0), ev(1, 10, 1, "click", 1.0),
+        ev(2, 20, 1, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(ev(1, 30, 1, "click", 1.0)) // re-delivery, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }

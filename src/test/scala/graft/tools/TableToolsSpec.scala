@@ -30,4 +30,35 @@ class TableToolsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TableTools.randomTable(spark, "x:BLOB", 10).collect())
   }
+
+  test("jsonl: explicit schema reads good lines, quarantines malformed ones") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "hello world", "score": 0.5}
+        |{"doc_id": 2, "text": "second doc", "score": 1.5}
+        |{not json at all
+        |""".stripMargin)
+    // cache: Spark refuses to query ONLY _corrupt_record straight off raw
+    // JSON (the real pipeline lands parquet first, as the main() does)
+    val df = JsonlToParquet.jsonl(spark, f.getAbsolutePath,
+      Some("doc_id:INT,text:STRING,score:REAL")).cache()
+    import org.apache.spark.sql.functions.col
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(good.count() == 2)
+    assert(good.select("text").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("hello world", "second doc"))
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+  }
+
+  test("jsonl: inferred schema round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl2").toFile
+    val f = new java.io.File(dir, "t.jsonl")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"a": 1, "b": "x"}
+        |{"a": 2, "b": "y"}
+        |""".stripMargin)
+    val df = JsonlToParquet.jsonl(spark, f.getAbsolutePath, None)
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
+  }
 }
