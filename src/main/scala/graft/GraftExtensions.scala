@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, SignPack}
+import graft.functions.{BigramSetExpr, DotProduct, RollingHash, SignPack, SimHash64}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works anywhere
@@ -52,6 +52,18 @@ object GraftExtensions {
             s"graft_signpack planes must be an integer literal, got $other")
         }
         SignPack(children.head, planes)
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash64(tokenArray)")
+        SimHash64(children.head)
+      }),
+    (FunctionIdentifier("graft_bigram_set"),
+      new ExpressionInfo(classOf[BigramSetExpr].getName, "graft_bigram_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_bigram_set(text)")
+        BigramSetExpr(children.head)
       }))
 
   /** Registers graft's SQL functions on an already-running session (the

@@ -70,4 +70,40 @@ object Corpus {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"))
+
+  /** Top-`k` tokens per group by frequency (count desc, token asc within
+    * each group). Window over grouped counts: row cardinality entering the
+    * window is (groups x vocabulary), never raw tokens.
+    */
+  def topTokensPerGroup(
+      df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col("token").asc)
+    df.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Train/eval contamination pairs: (train_id, test_id, jaccard) where a
+    * train document's bigram-set similarity to a test document reaches
+    * tau — the leakage check every eval set needs before results are
+    * trusted. Splits come from [[splitLabel]]; the pair search is
+    * [[Dedup.crossJaccard]]'s inverted-index join (no cross product).
+    */
+  def decontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    val labeled = df.withColumn("split", splitLabel(col(idCol)))
+    Dedup.crossJaccard(
+        labeled.filter(col("split") === "train"),
+        labeled.filter(col("split") === "test"),
+        textCol, idCol, tauNum, tauDen)
+      .withColumnRenamed("id_a", "train_id")
+      .withColumnRenamed("id_b", "test_id")
+  }
 }

@@ -125,6 +125,45 @@ object Dedup {
     }
   }
 
+  /** Cross-relation n-gram Jaccard: pairs (id_a from `left`, id_b from
+    * `right`) with bigram-set similarity >= tau. Same inverted-index plan
+    * as [[nGramJaccard]] — join on 64-bit gram hashes, count common grams,
+    * exact integer threshold test, length-ratio prefilter inside the join —
+    * but across two relations, which is what incremental ingestion (new
+    * batch vs existing corpus) and train/eval decontamination need. Shuffled
+    * rows are fixed-width (id, hash, n) longs on both sides; text stays in
+    * the scan stage.
+    */
+  def crossJaccard(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"),
+        explode(TextOps.bigramSet(col(textCol))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    def withSizes(df: DataFrame) = {
+      val g = grams(df)
+      g.join(g.groupBy("id").agg(count(lit(1)).as("n")), "id")
+    }
+    val a = withSizes(left).as("a")
+    val b = withSizes(right).as("b")
+    val lengthOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
+      col("b.n") * tauNum <= col("a.n") * tauDen
+    a.join(b, col("a.gh") === col("b.gh") && lengthOk)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") * tauDen >= (col("na") + col("nb") - col("c")) * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+  }
+
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
     * h*a + b stays far from long overflow under ANSI arithmetic).
     */

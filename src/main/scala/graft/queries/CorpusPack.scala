@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Corpus, Packing}
+import graft.ops.{Corpus, Dedup, Packing}
 import Relational.Q
 
 /** SURVEY §2.2 corpus-analysis and dataset-prep operators as
@@ -79,6 +79,92 @@ object CorpusPack {
               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Shared CTE prefix: all-pairs bigram-Jaccard >= 1/2 (d02's oracle
+    * machinery), reused by the two cross-relation dedup oracles below.
+    */
+  private val pairsCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+       raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i FROM t),
+       tok AS (SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+               FROM raw WHERE w <> ''),
+       big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+               FROM tok a JOIN tok b
+                 ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+       sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+       com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+               FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+       pairs AS (SELECT ia, ib,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+                 FROM com JOIN sz sa ON ia = sa.doc_id
+                          JOIN sz sb ON ib = sb.doc_id
+                 WHERE c * 2 >= (sa.n + sb.n - c) * 1)"""
+
+  private val d06 = Q(
+    "d06_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // cutoff at 80% of the id space: ids below are the standing corpus,
+      // above are the newly ingested batch — the shape of every append-only
+      // ingestion run. broadcast: one scalar row
+      val thr = broadcast(docs.agg(expr("max(doc_id) * 8 DIV 10").as("thr")))
+      val withThr = docs.crossJoin(thr)
+      val corpus = withThr.filter(col("doc_id") <= col("thr"))
+      val batch = withThr.filter(col("doc_id") > col("thr"))
+      val contaminated = Dedup.crossJaccard(batch, corpus,
+          "text", "doc_id", tauNum = 1, tauDen = 2)
+        .select(col("id_a").as("doc_id")).distinct()
+      batch.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some(s"""WITH thr AS (SELECT max(doc_id) * 8 // 10 AS t FROM documents),
+               $pairsCte,
+               cont AS (SELECT CASE WHEN ia > t THEN ia ELSE ib END AS bid
+                        FROM pairs, thr WHERE (ia > t) <> (ib > t))
+             SELECT doc_id FROM documents, thr
+             WHERE doc_id > t
+               AND NOT EXISTS (SELECT 1 FROM cont WHERE bid = doc_id)
+             ORDER BY 1"""))
+
+  private val d07 = Q(
+    "d07_decontaminate",
+    (s, dir) => Corpus.decontaminate(Tables.load(s, dir, "documents"),
+        "doc_id", "text", tauNum = 1, tauDen = 2)
+      .orderBy("train_id", "test_id"),
+    Some(s"""WITH $pairsCte,
+               lab AS (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                        IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                      THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                        IN ('c','d')
+                      THEN 'val' ELSE 'test' END AS split
+                 FROM documents)
+             SELECT CASE WHEN la.split = 'train' THEN ia ELSE ib END AS train_id,
+               CASE WHEN la.split = 'train' THEN ib ELSE ia END AS test_id,
+               j AS jaccard
+             FROM pairs JOIN lab la ON la.doc_id = ia
+                        JOIN lab lb ON lb.doc_id = ib
+             WHERE (la.split = 'train' AND lb.split = 'test')
+                OR (la.split = 'test' AND lb.split = 'train')
+             ORDER BY 1, 2"""))
+
+  private val t07 = Q(
+    "t07_top_tokens_per_lang",
+    (s, dir) => Corpus.topTokensPerGroup(
+        Tables.load(s, dir, "documents"), "text", "lang", k = 3)
+      .orderBy("lang", "rk"),
+    Some("""SELECT lang, token, n, rk FROM (
+              SELECT lang, token, COUNT(*) AS n,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY COUNT(*) DESC, token ASC) AS rk
+              FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS token
+                    FROM documents)
+              GROUP BY lang, token)
+            WHERE rk <= 3 ORDER BY lang, rk"""))
+
   private val p03 = Q(
     "p03_pack_greedy",
     (s, dir) => Packing.greedyPack(s, Tables.load(s, dir, "documents"),
@@ -88,5 +174,5 @@ object CorpusPack {
       .orderBy("shard", "bin_idx"),
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
-  val all: Seq[Q] = Seq(t05, t06, p01, p02, p03)
+  val all: Seq[Q] = Seq(t05, t06, t07, p01, p02, p03, d06, d07)
 }

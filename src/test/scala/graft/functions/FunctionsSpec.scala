@@ -74,5 +74,13 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
     assert(dot == 11.0)
+    // the fused signature exprs are SQL-reachable too
+    val bg = s2.sql("SELECT graft_bigram_set('a b c') AS g")
+      .collect().head.getSeq[String](0)
+    assert(bg.toSet == Set("a b", "b c"))
+    val sh = s2.sql(
+      "SELECT graft_simhash64(array('tok')) AS h, graft_simhash64(array('tok')) AS h2")
+      .collect().head
+    assert(sh.getLong(0) == sh.getLong(1)) // deterministic
   }
 }

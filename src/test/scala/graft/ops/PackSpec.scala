@@ -87,6 +87,37 @@ class PackSpec extends SparkSpec {
     assert(hh == Seq(("a", 3L), ("b", 3L), ("c", 3L)))
   }
 
+  test("crossJaccard finds cross-relation pairs without an id-order constraint") {
+    val left = Seq((10L, "a b c d"), (11L, "x y z w")).toDF("doc_id", "text")
+    val right = Seq((1L, "a b c d"), (2L, "p q r s")).toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccard(left, right, "text", "doc_id", 1, 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // id_a (10) > id_b (1): nGramJaccard's a<b rule must NOT apply here
+    assert(pairs == Seq((10L, 1L, 1.0)))
+  }
+
+  test("decontaminate returns only train-test pairs") {
+    val labeled = (0L until 40L).map(i => (i, s"tok$i filler common words"))
+    val df = (labeled :+ (100L, "shared shared text here")
+      :+ (101L, "shared shared text here")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(df, "doc_id", "text", 1, 2)
+    val lab = df.select(col("doc_id"), Corpus.splitLabel(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    out.as[(Long, Long, Double)].collect().foreach { case (tr, te, _) =>
+      assert(lab(tr) == "train" && lab(te) == "test")
+    }
+  }
+
+  test("topTokensPerGroup ranks within each group independently") {
+    val df = Seq(("en", "a a b"), ("en", "a c"), ("fr", "z z q"))
+      .toDF("lang", "text")
+    val out = Corpus.topTokensPerGroup(df, "text", "lang", 2)
+      .orderBy("lang", "rk")
+      .as[(String, String, Long, Int)].collect().toSeq
+    assert(out == Seq(("en", "a", 3L, 1), ("en", "b", 1L, 2),
+      ("fr", "z", 2L, 1), ("fr", "q", 1L, 2)))
+  }
+
   test("tokenStats median matches linear interpolation") {
     val ts = Corpus.tokenStats(
       Seq(("x", "a"), ("x", "a b"), ("x", "a b c"), ("x", "a b c d"))
