@@ -86,6 +86,66 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Gopher-style repetition quality signals per document:
+    * `top_tok_frac` (share of the most frequent token — boilerplate and
+    * keyword-stuffing detector) and `dup_bigram_frac` (1 - distinct/total
+    * bigrams — copy-paste repetition detector). Filtering on these is the
+    * standard pre-training cleanup after dedup.
+    *
+    * Shape: distinct-bigram count comes from the fused codegen'd
+    * [[TextOps.bigramSet]] in the scan stage; the top-token count needs
+    * per-(doc, token) counts, so tokens explode and aggregate — shuffled
+    * rows are fixed-width (id, token-hash, small ints) with map-side
+    * partials, never text. xxhash64 token collisions are the same
+    * accepted ~2^-64 risk as hash-based exact dedup. Fractions are single
+    * divisions of exact integers (oracle-stable).
+    */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).as("n_tok"),
+        size(TextOps.bigramSet(col(textCol))).as("n_uniq_bigram"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("n_tok"), col("n_uniq_bigram"),
+        xxhash64(col("tok")).as("th"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol, "n_tok", "n_uniq_bigram")
+      .agg(max("c").as("top_tok_n"))
+      .select(col(idCol), col("n_tok"), col("top_tok_n"),
+        (col("top_tok_n").cast("double") / col("n_tok")).as("top_tok_frac"),
+        col("n_uniq_bigram"),
+        when(col("n_tok") > 1,
+            lit(1.0) - col("n_uniq_bigram").cast("double") / (col("n_tok") - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+
+  /** Deterministic stratified downsampling: keep `sixteenths(stratum)/16`
+    * of each stratum's rows (default `defaultSixteenths` for unlisted
+    * strata), decided by a hash nibble of the id — the rebalancing step
+    * that turns a source-skewed crawl into a target language/domain mix.
+    *
+    * Pure per-row projection: no shuffle, no RNG (rand() changes on retry
+    * and repartition), stable as the corpus grows. Uses md5 nibble 31,
+    * deliberately decorrelated from [[splitLabel]]'s nibble 32 so sampling
+    * never biases train/val/test membership.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      sixteenths: Map[String, Int],
+      defaultSixteenths: Int = 16): DataFrame = {
+    require((sixteenths.values ++ Seq(defaultSixteenths)).forall(k => k >= 0 && k <= 16))
+    val nib = substring(md5(col(idCol).cast("string")), 31, 1)
+    def keep(k: Int): Column =
+      if (k >= 16) lit(true)
+      else if (k <= 0) lit(false)
+      else nib.isInCollection("0123456789abcdef".take(k).map(_.toString))
+    val cond = sixteenths.foldLeft(keep(defaultSixteenths)) {
+      case (els, (stratum, k)) =>
+        when(col(strataCol) === stratum, keep(k)).otherwise(els)
+    }
+    df.filter(cond)
+  }
+
   /** Train/eval contamination pairs: (train_id, test_id, jaccard) where a
     * train document's bigram-set similarity to a test document reaches
     * tau — the leakage check every eval set needs before results are

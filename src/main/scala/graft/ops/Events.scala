@@ -55,6 +55,84 @@ object Events {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
   }
 
+  /** As-of join: for each `left` row, the single most recent `right` row
+    * with `right.timeCol <= left.timeCol` under the same `keyCol` (the
+    * "latest event at-or-before the order" lookup every feature pipeline
+    * needs). Left rows with no prior right row keep NULL payload
+    * (left-outer as-of semantics; filter for inner).
+    *
+    * Plan shape — union + ordered window, NOT a range join: both inputs
+    * union into one relation tagged by side, then ONE shuffle+sort on
+    * (key, time) and a running `last(payload, ignoreNulls)` fills each
+    * left row with the latest preceding right payload. Cost is
+    * sort-merge-like O((|L|+|R|) log) per key with fixed-width rows; the
+    * naive `JOIN ON key AND r.t <= l.t` + max is |L|x|R| per key and a
+    * range join Spark would plan as BroadcastNestedLoop. Skew caveat: one
+    * key's history lands in one task (same as [[sessionize]]; salt by
+    * time-chunk with a carry-over merge pass if a key is hot).
+    *
+    * `timeCol` must be a totally-ordering integer (epoch µs here — the ns
+    * parquet source truncates identically in Spark and DuckDB at µs).
+    * Determinism requires `right` unique per (key, time) — the standard
+    * ASOF precondition; ties at equal time match the right row (at-or-
+    * before is inclusive: right sorts before left via the side tag).
+    * Payload columns surface as `asof_<name>`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val r = right.select(
+      col(keyCol) +: col(timeCol) +:
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Per-left-row count of `right` rows with time in
+    * `(left.time - windowUs, left.time]` under the same key — the funnel
+    * question ("views in the hour before each purchase") and the general
+    * sliding-lookback feature.
+    *
+    * Plan shape — bounded bucketized range join: both sides bucket time by
+    * the window width, the left side probes its own bucket and the
+    * previous one (a half-open window of width W spans at most two
+    * W-buckets), and the join is pure EQUI on (key, bucket) with the range
+    * test as a cheap post-filter. Work is 2x|L| join rows against
+    * hash-partitioned buckets — never the BroadcastNestedLoopJoin a raw
+    * range predicate plans as. Left join + count(non-null) keeps
+    * zero-match left rows; a right row's bucket equals exactly one of the
+    * two probes, so nothing double-counts.
+    */
+  def rangeCountJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      windowUs: Long,
+      leftIdCol: String): DataFrame = {
+    val r = right.select(col(keyCol).as("__rk"), col(timeCol).as("__rt"))
+      .withColumn("__rb", expr(s"__rt div ${windowUs}L"))
+    val probes = left
+      .withColumn("__lb", expr(s"$timeCol div ${windowUs}L"))
+      .withColumn("__pb", explode(array(col("__lb"), col("__lb") - 1)))
+    probes.join(r,
+        probes(keyCol) === r("__rk") && col("__pb") === col("__rb") &&
+          col("__rt") > col(timeCol) - windowUs && col("__rt") <= col(timeCol),
+        "left")
+      .groupBy(col(leftIdCol), col(keyCol), col(timeCol))
+      .agg(count(col("__rt")).as("n_matches"))
+  }
+
   /** Skew-safe sessionization, bit-identical to [[sessionize]].
     *
     * `Window.partitionBy("user_id")` puts a user's ENTIRE history in one

@@ -165,6 +165,52 @@ object CorpusPack {
               GROUP BY lang, token)
             WHERE rk <= 3 ORDER BY lang, rk"""))
 
+  private val t08 = Q(
+    "t08_repetition",
+    // plain load, NOT loadParallel: repartitioning first would shuffle the
+    // raw text; the op's own groupBy exchanges only fixed-width rows after
+    // map-side partial aggregation
+    (s, dir) => Corpus.repetitionScores(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+              raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+                      FROM t),
+              tok AS (SELECT doc_id, w,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+                      FROM raw WHERE w <> ''),
+              cnt AS (SELECT doc_id, w, COUNT(*) c FROM tok GROUP BY 1, 2),
+              agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                        MAX(c) AS top_tok_n
+                      FROM cnt GROUP BY 1),
+              big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+                      FROM tok a JOIN tok b
+                        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+              sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1)
+            SELECT a.doc_id, a.n_tok, a.top_tok_n,
+              CAST(a.top_tok_n AS DOUBLE) / a.n_tok AS top_tok_frac,
+              COALESCE(s.n, 0) AS n_uniq_bigram,
+              CASE WHEN a.n_tok > 1
+                   THEN 1.0 - CAST(COALESCE(s.n, 0) AS DOUBLE) / (a.n_tok - 1)
+                   ELSE 0.0 END AS dup_bigram_frac
+            FROM agg a LEFT JOIN sz s ON a.doc_id = s.doc_id
+            ORDER BY a.doc_id"""))
+
+  private val p04 = Q(
+    "p04_stratified_sample",
+    (s, dir) => Corpus.stratifiedSample(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 4, "zh" -> 8))
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE CASE
+              WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)
+                IN ('0','1','2','3')
+              WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)
+                IN ('0','1','2','3','4','5','6','7')
+              ELSE TRUE END
+            ORDER BY doc_id"""))
+
   private val p03 = Q(
     "p03_pack_greedy",
     (s, dir) => Packing.greedyPack(s, Tables.load(s, dir, "documents"),
@@ -174,5 +220,5 @@ object CorpusPack {
       .orderBy("shard", "bin_idx"),
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
-  val all: Seq[Q] = Seq(t05, t06, t07, p01, p02, p03, d06, d07)
+  val all: Seq[Q] = Seq(t05, t06, t07, t08, p01, p02, p03, p04, d06, d07)
 }

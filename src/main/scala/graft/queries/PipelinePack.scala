@@ -259,6 +259,63 @@ object PipelinePack {
       .orderBy("user_id", "session_idx"),
     e02.oracle)
 
+  private val e04 = Q(
+    "e04_asof_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("us"), col("us").as("vus"))
+      Events.asofJoin(purchases, views, "user_id", "us",
+          Seq("event_id", "vus"))
+        .filter(col("asof_event_id").isNotNull) // inner as-of
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("asof_event_id").as("view_id"),
+          (col("us") - col("asof_vus")).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+              p AS (SELECT user_id, event_id, us FROM e
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, event_id, us FROM e
+                    WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id AS purchase_id,
+              v.event_id AS view_id, p.us - v.us AS gap_us
+            FROM p ASOF JOIN v
+              ON p.user_id = v.user_id AND v.us <= p.us
+            ORDER BY purchase_id"""))
+
+  private val e05 = Q(
+    "e05_funnel_count",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = e.filter(col("event_type") === "view")
+      Events.rangeCountJoin(purchases, views, "user_id", "us",
+          windowUs = 3600L * 1000000L, leftIdCol = "event_id")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("n_matches").as("n_views"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+              p AS (SELECT user_id, event_id, us FROM e
+                    WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, us FROM e WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id AS purchase_id,
+              COUNT(v.us) AS n_views
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+              AND v.us > p.us - 3600000000 AND v.us <= p.us
+            GROUP BY 1, 2 ORDER BY purchase_id"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -272,5 +329,5 @@ object PipelinePack {
     None) // stubbed decode -> rows-only
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-    t01, t02, t03, t04, e01, e02, e03, m01)
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, m01)
 }

@@ -162,6 +162,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e04: as-of join is union+window, never a range nested loop") {
+    val p = plan("e04_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("e05: lookback count is an equi join on (key, bucket)") {
+    val p = plan("e05_funnel_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("t08: repetition shuffles fixed-width rows only (no text)") {
+    val lines = plan("t08_repetition").linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty)
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"exchange shuffles full text: $in")
+    }
+  }
+
   test("q20: set ops plan as joins over distinct keys, no cartesian") {
     val p = plan("q20_intersect_except")
     assert(!p.contains("CartesianProduct"))

@@ -146,6 +146,30 @@ class EventsSpec extends SparkSpec {
       s1.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("asofJoin matches the latest right row at-or-before, left-outer") {
+    val l = Seq((1L, 100L, 10L), (1L, 5L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 100L, 20L), (1L, 40L, 21L), (1L, 120L, 22L), (3L, 1L, 23L))
+      .toDF("k", "t", "rid")
+    val out = Events.asofJoin(l, r, "k", "t", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).contains(20L)) // equal time matches: at-or-before is inclusive
+    assert(out(11L).isEmpty)       // nothing at-or-before
+    assert(out(12L).isEmpty)       // key with no right rows at all
+  }
+
+  test("rangeCountJoin counts the half-open lookback window exactly") {
+    val l = Seq((1L, 1000L, 10L), (1L, 2000L, 11L), (2L, 500L, 12L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 1000L), (1L, 950L), (1L, 900L), (1L, 899L),
+      (1L, 2000L), (2L, 0L)).toDF("k", "t")
+    val out = Events.rangeCountJoin(l, r, "k", "t", windowUs = 100L,
+        leftIdCol = "lid")
+      .select("lid", "n_matches").as[(Long, Long)].collect().toMap
+    // (900, 1000]: 1000 and 950 count; 900 (boundary) and 899 do not
+    assert(out == Map(10L -> 2L, 11L -> 1L, 12L -> 0L))
+  }
+
   test("hourlyAgg buckets by event-time hour and type") {
     val r = Events.hourlyAgg(events).collect()
     val clicks0 = r.find(x => x.getAs[Long]("hour_epoch") == 0L &&

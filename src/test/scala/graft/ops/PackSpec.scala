@@ -118,6 +118,29 @@ class PackSpec extends SparkSpec {
       ("fr", "z", 2L, 1), ("fr", "q", 1L, 2)))
   }
 
+  test("repetitionScores: top-token share and duplicate-bigram fraction") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = Corpus.repetitionScores(df, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Int, Long, Double, Int, Double)].collect().toSeq
+    // doc 1: 4 tokens, top "a"x3; bigrams [a a, a a, a b] -> 2 distinct of 3
+    assert(r(0) == ((1L, 4, 3L, 0.75, 2, 1.0 - 2.0 / 3)))
+    // doc 2: no repetition at all
+    assert(r(1) == ((2L, 3, 1L, 1.0 / 3, 2, 0.0)))
+  }
+
+  test("stratifiedSample: per-stratum hash fractions, deterministic") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val gone = Corpus.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0))
+    assert(gone.filter(col("lang") === "en").count() == 0)
+    assert(gone.filter(col("lang") === "fr").count() == 100) // default 16/16
+    val once = Corpus.stratifiedSample(df, "doc_id", "lang", Map("en" -> 4))
+      .filter(col("lang") === "en").as[(Long, String)].collect().toSet
+    val again = Corpus.stratifiedSample(df, "doc_id", "lang", Map("en" -> 4))
+      .filter(col("lang") === "en").as[(Long, String)].collect().toSet
+    assert(once == again && once.nonEmpty && once.size < 100)
+  }
+
   test("tokenStats median matches linear interpolation") {
     val ts = Corpus.tokenStats(
       Seq(("x", "a"), ("x", "a b"), ("x", "a b c"), ("x", "a b c d"))
