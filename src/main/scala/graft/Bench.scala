@@ -50,7 +50,11 @@ object Bench {
     }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // SPARK_GRAFT_ONLY=q01,d02 restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(exec(_, warmDir)) // warmup, untimed
 
     val results = names.map { name =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramSetExpr, DotProduct, RollingHash, SignPack, SimHash64}
+import graft.functions.{BigramSetExpr, DotProduct, RollingHash, SignPack, SimHash64, TokenStatsExpr}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works anywhere
@@ -64,6 +64,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_bigram_set(text)")
         BigramSetExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(classOf[TokenStatsExpr].getName, "graft_token_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_token_stats(text)")
+        TokenStatsExpr(children.head)
       }))
 
   /** Registers graft's SQL functions on an already-running session (the

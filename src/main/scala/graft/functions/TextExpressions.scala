@@ -55,8 +55,90 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused per-document token statistics in ONE pass over the raw text:
+  * whitespace token count, occurrence count of the most frequent token,
+  * and distinct word-bigram count — the three inputs of Gopher-style
+  * repetition scoring. Replaces an explode(tokens) + two-level aggregation
+  * (one row per corpus TOKEN through an exchange, two hash-table probes
+  * per token) with a pure map in the scan stage: no explode, no shuffle,
+  * no aggregation state. Same r3 lesson as MinHashSig/SimHash64
+  * (SURVEY.md §5).
+  *
+  * Tokens are maximal runs between 0x20 bytes (UTF-8 never uses 0x20
+  * inside a multi-byte sequence), identical to [[BigramSetExpr]] and to
+  * `string_split(text, ' ')` with empties dropped. The loop is compiled
+  * Scala invoked from generated code via the companion's static forwarder.
+  */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = TokenStatsExpr.schema
+  override def prettyName: String = "graft_token_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TokenStatsExpr.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+    copy(child = newChild)
+}
+
+object TokenStatsExpr {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("top_tok_n", LongType, nullable = false),
+    StructField("n_uniq_bigram", IntegerType, nullable = false)))
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val tokens = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        tokens.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    val n = tokens.size()
+    // top-token occurrence count (exact, per-doc hash map — docs are small)
+    val counts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var top = 0L
+    var t = 0
+    while (t < n) {
+      val c = counts.computeIfAbsent(tokens.get(t), _ => new Array[Int](1))
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      t += 1
+    }
+    // distinct adjacent-bigram count
+    val bigrams = new java.util.HashSet[UTF8String](n * 2)
+    t = 0
+    while (t + 1 < n) {
+      bigrams.add(UTF8String.concat(tokens.get(t), Space, tokens.get(t + 1)))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, top, bigrams.size()))
+  }
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash fingerprint of a string column. */
   def fingerprint(text: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(text)))
+
+  /** Codegen'd fused (n_tok, top_tok_n, n_uniq_bigram) struct. */
+  def tokenStats(text: Column): Column =
+    Bridge.column(TokenStatsExpr(Bridge.expression(text)))
 }

@@ -92,29 +92,29 @@ object Corpus {
     * bigrams — copy-paste repetition detector). Filtering on these is the
     * standard pre-training cleanup after dedup.
     *
-    * Shape: distinct-bigram count comes from the fused codegen'd
-    * [[TextOps.bigramSet]] in the scan stage; the top-token count needs
-    * per-(doc, token) counts, so tokens explode and aggregate — shuffled
-    * rows are fixed-width (id, token-hash, small ints) with map-side
-    * partials, never text. xxhash64 token collisions are the same
-    * accepted ~2^-64 risk as hash-based exact dedup. Fractions are single
-    * divisions of exact integers (oracle-stable).
+    * Shape: ONE fused codegen'd pass per document
+    * ([[graft.functions.TokenStatsExpr]]) computes all three counts in the
+    * scan stage — a pure map over the corpus, no explode, no shuffle (the
+    * r2 formulation exploded every corpus token through an exchange and
+    * two aggregations; same lesson as the r3 signature fusions, SURVEY §5).
+    * Fractions are single divisions of exact integers (oracle-stable).
+    *
+    * The empty-document filter runs on the raw text BEFORE the stats
+    * projection (all-space text has zero tokens) rather than on
+    * `st.n_tok`, so predicate pushdown can never duplicate the fused
+    * expression into a Filter below the projection.
     */
   def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-        TextOps.tokenCount(col(textCol)).as("n_tok"),
-        size(TextOps.bigramSet(col(textCol))).as("n_uniq_bigram"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("n_tok"), col("n_uniq_bigram"),
-        xxhash64(col("tok")).as("th"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(idCol, "n_tok", "n_uniq_bigram")
-      .agg(max("c").as("top_tok_n"))
-      .select(col(idCol), col("n_tok"), col("top_tok_n"),
-        (col("top_tok_n").cast("double") / col("n_tok")).as("top_tok_frac"),
-        col("n_uniq_bigram"),
-        when(col("n_tok") > 1,
-            lit(1.0) - col("n_uniq_bigram").cast("double") / (col("n_tok") - 1))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.TextExpressions.tokenStats(col(textCol)).as("st"))
+      .select(col(idCol),
+        col("st.n_tok").as("n_tok"),
+        col("st.top_tok_n").as("top_tok_n"),
+        (col("st.top_tok_n").cast("double") / col("st.n_tok")).as("top_tok_frac"),
+        col("st.n_uniq_bigram").as("n_uniq_bigram"),
+        when(col("st.n_tok") > 1,
+            lit(1.0) - col("st.n_uniq_bigram").cast("double") / (col("st.n_tok") - 1))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
 
   /** Deterministic stratified downsampling: keep `sixteenths(stratum)/16`

@@ -177,8 +177,17 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"))
   }
 
-  test("t08: repetition shuffles fixed-width rows only (no text)") {
-    val lines = plan("t08_repetition").linesIterator.toSeq
+  test("t08: repetition is a fused scan-stage map (no explode, no agg)") {
+    val p = plan("t08_repetition")
+    val lines = p.linesIterator.toSeq
+    // r4: TokenStatsExpr fuses all three counts into one per-doc pass —
+    // the plan must contain no Generate (explode) and no aggregation; the
+    // only exchange left is the final sort's, carrying narrow rows
+    assert(p.contains("graft_token_stats"))
+    assert(!p.contains("Generate") && !p.contains("HashAggregate"))
+    // the fused expression must be evaluated exactly once (CollapseProject
+    // / predicate pushdown must not have duplicated it per struct field)
+    assert("graft_token_stats".r.findAllIn(p).size == 1, p)
     val exchangeInputs = lines.zipWithIndex
       .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
       .map { case (_, i) =>
