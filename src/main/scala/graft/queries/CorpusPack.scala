@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup, Packing}
+import graft.ops.{Clusters, Corpus, Dedup, Packing}
 import Relational.Q
 
 /** SURVEY §2.2 corpus-analysis and dataset-prep operators as
@@ -150,6 +150,29 @@ object CorpusPack {
                 OR (la.split = 'test' AND lb.split = 'train')
              ORDER BY 1, 2"""))
 
+  private val d08 = Q(
+    "d08_dedup_clusters",
+    // pair finding (d02's exact inverted-index jaccard) -> transitive
+    // cluster resolution -> canonical pick: the full dedup pipeline.
+    // Oracle = recursive transitive closure with min-reachable labels.
+    (s, dir) => Clusters.dedupClusters(
+        Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 2),
+        "id_a", "id_b")
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $pairsCte,
+               edges AS (SELECT ia AS u, ib AS v FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                        FROM reach GROUP BY u)
+             SELECT doc_id, cluster_id,
+               CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
+             FROM comp ORDER BY doc_id"""))
+
   private val t07 = Q(
     "t07_top_tokens_per_lang",
     (s, dir) => Corpus.topTokensPerGroup(
@@ -220,5 +243,5 @@ object CorpusPack {
       .orderBy("shard", "bin_idx"),
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
-  val all: Seq[Q] = Seq(t05, t06, t07, t08, p01, p02, p03, p04, d06, d07)
+  val all: Seq[Q] = Seq(t05, t06, t07, t08, p01, p02, p03, p04, d06, d07, d08)
 }
