@@ -146,6 +146,46 @@ object Corpus {
     df.filter(cond)
   }
 
+  /** Deterministic mixture upsampling: replicate each document
+    * `epochs256(stratum)/256` times (fractional epochs resolved per-doc by
+    * a hash byte — e.g. 640/256 = 2.5 epochs means every doc appears
+    * twice and a stable pseudo-random half appear a third time). This is
+    * the data-mixing step that turns per-source corpus weights into an
+    * actual training stream; weights are 256ths so the arithmetic is
+    * exact integers end-to-end.
+    *
+    * Pure per-row projection + generator — no shuffle, no RNG state: the
+    * extra-epoch decision reads md5 hex chars 29–30 (decorrelated from
+    * [[splitLabel]]'s nibble 32 and [[stratifiedSample]]'s 31, so mixing
+    * never biases split membership or sampling). Output is one row per
+    * (doc, epoch) with epoch in 1..reps; a zero weight drops the stratum.
+    */
+  def mixtureUpsample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      epochs256: Map[String, Int],
+      default256: Int = 256): DataFrame = {
+    require((epochs256.values ++ Seq(default256)).forall(_ >= 0))
+    // hash byte in 0..255 from md5 hex chars 29-30 (engine-portable:
+    // instr over the hex alphabet, identical in DuckDB)
+    def nibble(pos: Int): Column =
+      expr(s"instr('0123456789abcdef', " +
+        s"substring(md5(cast(`$idCol` as string)), $pos, 1)) - 1")
+    val hashByte = nibble(29) * 16 + nibble(30)
+    val w256 = epochs256.foldLeft(lit(default256)) {
+      case (els, (stratum, w)) => when(col(strataCol) === stratum, w).otherwise(els)
+    }
+    df.withColumn("__w", w256)
+      .withColumn("reps",
+        expr("__w div 256") + when(hashByte < col("__w") % 256, 1).otherwise(0))
+      // sequence(1, 0) would step BACKWARDS ([1, 0]) — filter first
+      .filter(col("reps") > 0)
+      .select(col(idCol), col(strataCol),
+        explode(sequence(lit(1), col("reps"))).as("e"))
+      .select(col(idCol), col(strataCol), col("e").cast("long").as("epoch"))
+  }
+
   /** Train/eval contamination pairs: (train_id, test_id, jaccard) where a
     * train document's bigram-set similarity to a test document reaches
     * tau — the leakage check every eval set needs before results are

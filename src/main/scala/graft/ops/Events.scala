@@ -201,4 +201,27 @@ object Events {
         expr("end_us div 1000000").as("end_epoch"),
         col("sum_value"))
   }
+
+  /** Cohort retention: users grouped by first-active day, counted on each
+    * later active day — (cohort_day, offset_day, n_users) where both days
+    * are integer offsets (cohort from `epochDate`, offset from the
+    * cohort day), the triangle every growth/engagement dashboard draws.
+    *
+    * Shape: day-distinct activity first (collapses each user's events to
+    * at most one row per day BEFORE anything joins — at 100 TB this is the
+    * big reduction, and it is a pure map-side-partial aggregation), then
+    * min-day per user, one narrow (user, day) x (user, cohort) equi-join,
+    * and a count per (cohort, offset). Every shuffled row is two ints and
+    * a user id.
+    */
+  def retentionCohorts(events: DataFrame, epochDate: String): DataFrame = {
+    val act = events
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        to_date(lit(epochDate))).as("day"))
+      .distinct()
+    val cohorts = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_day"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) is distinct already
+  }
 }

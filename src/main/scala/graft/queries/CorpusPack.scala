@@ -234,6 +234,29 @@ object CorpusPack {
               ELSE TRUE END
             ORDER BY doc_id"""))
 
+  private val p05 = Q(
+    "p05_mixture_upsample",
+    // src0 at 2.5 epochs, src1 at 0.5, src2 dropped, everything else 1.0
+    (s, dir) => Corpus.mixtureUpsample(
+        Tables.load(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 640, "src1" -> 128, "src2" -> 0))
+      .orderBy("doc_id", "epoch"),
+    Some("""WITH w AS (SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 640 WHEN 'src1' THEN 128
+                            WHEN 'src2' THEN 0 ELSE 256 END AS w256,
+                (instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 16
+                + (instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) AS hb
+              FROM documents),
+              r AS (SELECT doc_id, source,
+                      w256 // 256
+                        + CASE WHEN hb < w256 % 256 THEN 1 ELSE 0 END AS reps
+                    FROM w)
+            SELECT doc_id, source,
+              unnest(generate_series(1, reps)) AS epoch
+            FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""))
+
   private val p03 = Q(
     "p03_pack_greedy",
     (s, dir) => Packing.greedyPack(s, Tables.load(s, dir, "documents"),
@@ -243,5 +266,6 @@ object CorpusPack {
       .orderBy("shard", "bin_idx"),
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
-  val all: Seq[Q] = Seq(t05, t06, t07, t08, p01, p02, p03, p04, d06, d07, d08)
+  val all: Seq[Q] =
+    Seq(t05, t06, t07, t08, p01, p02, p03, p04, p05, d06, d07, d08)
 }

@@ -316,6 +316,23 @@ object PipelinePack {
               AND v.us > p.us - 3600000000 AND v.us <= p.us
             GROUP BY 1, 2 ORDER BY purchase_id"""))
 
+  private val e06 = Q(
+    "e06_retention_cohorts",
+    (s, dir) => Events.retentionCohorts(
+        Tables.load(s, dir, "events"), epochDate = "2024-01-01")
+      .orderBy("cohort_day", "offset_day"),
+    // ts is ns parquet / µs in Spark — day granularity is unaffected
+    Some("""WITH act AS (SELECT DISTINCT user_id,
+                datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+              FROM events),
+              c AS (SELECT user_id, MIN(day) AS cohort_day
+                    FROM act GROUP BY 1)
+            SELECT CAST(c.cohort_day AS INTEGER) AS cohort_day,
+              CAST(act.day - c.cohort_day AS INTEGER) AS offset_day,
+              COUNT(*) AS n_users
+            FROM act JOIN c ON act.user_id = c.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -329,5 +346,5 @@ object PipelinePack {
     None) // stubbed decode -> rows-only
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, m01)
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, m01)
 }

@@ -170,6 +170,20 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(10L -> 2L, 11L -> 1L, 12L -> 0L))
   }
 
+  test("retentionCohorts counts each user once per (cohort, offset) cell") {
+    // user 1 first active day 0, returns day 2 (twice -> still 1 user);
+    // user 2 first active day 2 only
+    val e = Seq(
+      (0L, ts(0), 1L, "click", 1.0),
+      (1L, ts(2 * 86400), 1L, "view", 1.0),
+      (2L, ts(2 * 86400 + 60), 1L, "view", 1.0),
+      (3L, ts(2 * 86400), 2L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.retentionCohorts(e, "1970-01-01")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(r == Set((0, 0, 1L), (0, 2, 1L), (2, 0, 1L)))
+  }
+
   test("hourlyAgg buckets by event-time hour and type") {
     val r = Events.hourlyAgg(events).collect()
     val clicks0 = r.find(x => x.getAs[Long]("hour_epoch") == 0L &&

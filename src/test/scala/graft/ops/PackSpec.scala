@@ -141,6 +141,29 @@ class PackSpec extends SparkSpec {
     assert(once == again && once.nonEmpty && once.size < 100)
   }
 
+  test("mixtureUpsample: whole epochs exact, fractional epochs stable") {
+    val df = (0L until 400L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    // a: exactly 2 epochs; b: 0.5 epochs decided by a per-doc hash byte
+    val out = Corpus.mixtureUpsample(df, "doc_id", "source",
+      Map("a" -> 512, "b" -> 128), default256 = 256)
+    val byDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+      .as[(Long, String, Long, Long)].collect()
+    val aDocs = byDoc.filter(_._2 == "a")
+    assert(aDocs.length == 200 && aDocs.forall(d => d._3 == 2L && d._4 == 2L))
+    val bDocs = byDoc.filter(_._2 == "b")
+    assert(bDocs.forall(d => d._3 == 1L)) // kept b docs appear exactly once
+    // ~half of the 200 b docs survive, deterministically
+    assert(bDocs.length > 60 && bDocs.length < 140)
+    val again = Corpus.mixtureUpsample(df, "doc_id", "source",
+      Map("a" -> 512, "b" -> 128)).count()
+    assert(again == out.count())
+    // zero weight drops the stratum entirely
+    assert(Corpus.mixtureUpsample(df, "doc_id", "source", Map("b" -> 0))
+      .filter(col("source") === "b").count() == 0)
+  }
+
   test("tokenStats median matches linear interpolation") {
     val ts = Corpus.tokenStats(
       Seq(("x", "a"), ("x", "a b"), ("x", "a b c"), ("x", "a b c d"))
