@@ -86,6 +86,29 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Per-group vocabulary size (exact distinct whitespace tokens) and
+    * total token volume. Exact COUNT(DISTINCT) is the oracle-checkable
+    * configuration: it plans as a two-phase aggregate whose first phase
+    * shuffles the DISTINCT (group, token-hash) pairs — fine while
+    * vocabularies fit a shuffle, which natural-language vocabularies do.
+    * The 100 TB default is `approxVocabPerGroup` (HyperLogLog++): one
+    * pass, constant memory per group, mergeable sketches — gated within
+    * rsd by a spec against this exact version.
+    */
+  def vocabPerGroup(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(groupCol)
+      .agg(count_distinct(col("token")).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+
+  /** HLL++ sketch variant of [[vocabPerGroup]] — the scale path. */
+  def approxVocabPerGroup(
+      df: DataFrame, textCol: String, groupCol: String, rsd: Double = 0.05): DataFrame =
+    df.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(groupCol)
+      .agg(approx_count_distinct(col("token"), rsd).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+
   /** Gopher-style repetition quality signals per document:
     * `top_tok_frac` (share of the most frequent token — boilerplate and
     * keyword-stuffing detector) and `dup_bigram_frac` (1 - distinct/total

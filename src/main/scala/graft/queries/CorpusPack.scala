@@ -219,6 +219,18 @@ object CorpusPack {
             FROM agg a LEFT JOIN sz s ON a.doc_id = s.doc_id
             ORDER BY a.doc_id"""))
 
+  private val t09 = Q(
+    "t09_vocab_size",
+    (s, dir) => Corpus.vocabPerGroup(
+        Tables.load(s, dir, "documents"), "text", "lang")
+      .orderBy("lang"),
+    Some("""SELECT lang, COUNT(DISTINCT token) AS vocab,
+              COUNT(*) AS n_tokens
+            FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
   private val p04 = Q(
     "p04_stratified_sample",
     (s, dir) => Corpus.stratifiedSample(
@@ -267,5 +279,5 @@ object CorpusPack {
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, p01, p02, p03, p04, p05, d06, d07, d08)
+    Seq(t05, t06, t07, t08, t09, p01, p02, p03, p04, p05, d06, d07, d08)
 }

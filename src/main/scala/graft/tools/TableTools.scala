@@ -76,6 +76,18 @@ object TableTools {
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
   }
+
+  /** Hive-style partitioned parquet layout (`path/col=value/...`).
+    * Partitioning by a low-cardinality selector column (date, language,
+    * source) is the other storage-level pruning lever next to bucketing:
+    * a query filtering on the partition column never opens non-matching
+    * directories at all — at 100 TB, `lang = 'en'` touches only the `en`
+    * files instead of scanning everything and filtering rows. Keep
+    * cardinality low (directories are metadata): date x lang is fine,
+    * user_id is not — that's what bucketing is for.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }
 
 /** `runMain graft.tools.RandomTableGen <schemaSpec> <rows> <outDir> [seed]`

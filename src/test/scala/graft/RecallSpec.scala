@@ -66,4 +66,21 @@ class RecallSpec extends SparkSpec {
     info(f"s03 recall@10 = $recall%.3f (${(brute & ivf).size}/${brute.size})")
     assert(recall >= 0.40, f"recall regressed: $recall%.3f < 0.40")
   }
+
+  test("t09: HLL++ vocab within 3x rsd of exact per group (sf0.01)") {
+    import graft.{Tables => T}
+    val docs = T.load(spark, dir, "documents")
+    val exact = graft.ops.Corpus.vocabPerGroup(docs, "text", "lang")
+      .select("lang", "vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Corpus.approxVocabPerGroup(docs, "text", "lang", 0.05)
+      .select("lang", "vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (lang, v) =>
+      val err = math.abs(approx(lang) - v).toDouble / v
+      info(f"$lang: exact=$v approx=${approx(lang)} err=$err%.4f")
+      assert(err <= 0.15, f"$lang HLL error $err%.3f exceeds 3x rsd bound")
+    }
+  }
 }
