@@ -109,6 +109,44 @@ object Corpus {
       .agg(approx_count_distinct(col("token"), rsd).as("vocab"),
         count(lit(1)).as("n_tokens"))
 
+  /** Top-`k` DISTINCTIVE tokens per group by frequency lift:
+    * `(tf_group / group_total) / (tf_corpus / corpus_total)` — the
+    * TF-IDF-family contrast score ("which tokens characterize this
+    * language/source vs the whole corpus"), computed as two exact long
+    * products and ONE double division so the DuckDB oracle matches
+    * bit-for-bit (an `ln`-based idf would depend on libm rounding).
+    * `minDf` drops rare-token noise (a hapax in a small group otherwise
+    * always wins).
+    *
+    * Shape: one (group, token) count — the only shuffle carrying strings,
+    * with map-side partials — then token-level and group-level rollups of
+    * THOSE counts (narrow), a broadcast of the single corpus-total row,
+    * and a window over (groups x vocab) rows. Products stay exact while
+    * tf * corpus_total < 2^53 — fine into the tens-of-trillions-of-tokens
+    * range; beyond that, pre-divide by corpus_total (monotonic, same
+    * ranking, no longer oracle-exact).
+    */
+  def distinctiveTokensPerGroup(
+      df: DataFrame, textCol: String, groupCol: String,
+      k: Int, minDf: Long): DataFrame = {
+    val tf = df
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("tf"))
+    val groupTotals = tf.groupBy(groupCol).agg(sum("tf").as("gt"))
+    val corpusTfAll = tf.groupBy("token").agg(sum("tf").as("tc"))
+    // corpus total over ALL tokens (not just the df-filtered ones)
+    val total = broadcast(corpusTfAll.agg(sum("tc").as("total")))
+    val corpusTf = corpusTfAll.filter(col("tc") >= minDf)
+    val lift = tf.join(corpusTf, "token").join(groupTotals, Seq(groupCol))
+      .crossJoin(total)
+      .select(col(groupCol), col("token"), col("tf"),
+        ((col("tf") * col("total")).cast("double") /
+          (col("gt") * col("tc")).cast("double")).as("lift"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("lift").desc, col("token").asc)
+    lift.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Gopher-style repetition quality signals per document:
     * `top_tok_frac` (share of the most frequent token — boilerplate and
     * keyword-stuffing detector) and `dup_bigram_frac` (1 - distinct/total

@@ -231,6 +231,32 @@ object CorpusPack {
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
 
+  private val t10 = Q(
+    "t10_distinctive_tokens",
+    (s, dir) => Corpus.distinctiveTokensPerGroup(
+        Tables.load(s, dir, "documents"), "text", "lang", k = 5, minDf = 10L)
+      .orderBy("lang", "rk"),
+    Some("""WITH tf AS (SELECT lang, token, COUNT(*) AS tf
+              FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS token
+                    FROM documents)
+              GROUP BY lang, token),
+              gt AS (SELECT lang, SUM(tf) AS gt FROM tf GROUP BY lang),
+              ctf AS (SELECT token, SUM(tf) AS tc FROM tf GROUP BY token),
+              tot AS (SELECT SUM(tc) AS total FROM ctf),
+              lift AS (SELECT tf.lang, tf.token, tf.tf,
+                  CAST(tf.tf * tot.total AS DOUBLE)
+                    / CAST(gt.gt * ctf.tc AS DOUBLE) AS lift
+                FROM tf JOIN ctf ON tf.token = ctf.token
+                        JOIN gt ON tf.lang = gt.lang
+                        CROSS JOIN tot
+                WHERE ctf.tc >= 10)
+            SELECT lang, token, CAST(tf AS BIGINT) AS tf, lift, rk
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY lift DESC, token ASC) AS rk
+                  FROM lift)
+            WHERE rk <= 5 ORDER BY lang, rk"""))
+
   private val p04 = Q(
     "p04_stratified_sample",
     (s, dir) => Corpus.stratifiedSample(
@@ -279,5 +305,5 @@ object CorpusPack {
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, p01, p02, p03, p04, p05, d06, d07, d08)
+    Seq(t05, t06, t07, t08, t09, t10, p01, p02, p03, p04, p05, d06, d07, d08)
 }

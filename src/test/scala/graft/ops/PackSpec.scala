@@ -164,6 +164,21 @@ class PackSpec extends SparkSpec {
       .filter(col("source") === "b").count() == 0)
   }
 
+  test("distinctiveTokensPerGroup scores lift against the whole corpus") {
+    val df = Seq(("en", "aa aa bb"), ("fr", "bb bb cc")).toDF("lang", "text")
+    val out = Corpus.distinctiveTokensPerGroup(df, "text", "lang", 2, 1L)
+      .select("lang", "token", "tf", "lift", "rk")
+      .as[(String, String, Long, Double, Int)].collect().toSet
+    // totals: en=3, fr=3, corpus=6; aa: tc=2, bb: tc=3, cc: tc=1
+    assert(out == Set(
+      ("en", "aa", 2L, 2.0, 1), ("en", "bb", 1L, 6.0 / 9, 2),
+      ("fr", "cc", 1L, 2.0, 1), ("fr", "bb", 2L, 12.0 / 9, 2)))
+    // minDf prunes rare tokens before ranking
+    val pruned = Corpus.distinctiveTokensPerGroup(df, "text", "lang", 2, 2L)
+      .select("token").as[String].collect().toSet
+    assert(pruned == Set("aa", "bb"))
+  }
+
   test("tokenStats median matches linear interpolation") {
     val ts = Corpus.tokenStats(
       Seq(("x", "a"), ("x", "a b"), ("x", "a b c"), ("x", "a b c d"))
