@@ -223,6 +223,35 @@ object BigramSetExpr {
   }
 }
 
+/** Membership probe against a pre-built Bloom filter sketch, usable as a
+  * scan-stage prefilter: `mightContainLong` is a few XXH64 rounds against
+  * a bit array — no join, no shuffle. False positives only (callers verify
+  * those exactly); a `false` is definitive. The sketch rides along as a
+  * codegen reference object inside the task binary, which Spark ships to
+  * executors via its own (torrent-broadcast) mechanism once per stage.
+  */
+case class BloomMightContain(
+    child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Codegen'd MinHash signature of a gram-array column. */
   def minHashSig(grams: Column, params: Seq[(Long, Long)]): Column =
@@ -236,4 +265,9 @@ object HashExpressions {
   /** Codegen'd distinct word-bigram set of a string column. */
   def bigramSet(text: Column): Column =
     Bridge.column(BigramSetExpr(Bridge.expression(text)))
+
+  /** Codegen'd Bloom-filter membership probe over a long column. */
+  def bloomMightContain(
+      h: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(h), bloom))
 }

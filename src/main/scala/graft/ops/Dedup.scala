@@ -125,6 +125,45 @@ object Dedup {
     }
   }
 
+  /** Incremental EXACT dedup of a new batch against a standing corpus,
+    * with a Bloom-filter prefilter: returns the batch rows whose content
+    * does not already exist in the corpus (the admit list of an
+    * append-only ingestion run).
+    *
+    * Plan: (1) one pass over corpus content hashes builds a compact Bloom
+    * sketch (per-partition sketches, merged — constant memory, no
+    * shuffle); (2) the batch probes the sketch IN ITS SCAN STAGE via the
+    * codegen'd [[graft.functions.BloomMightContain]] — every definite-new
+    * doc (the vast majority of a typical batch) is admitted with ZERO
+    * join work; (3) only the `might-contain` survivors (true dups +
+    * ~fpp false positives) enter an exact md5 anti-join for verification,
+    * so the result is exactly the plain anti-join's. At 100 TB the corpus
+    * side of step 3 is the content-hash manifest a production pipeline
+    * maintains as its own table — here it is recomputed from a 1-column
+    * scan. Result is EXACT: Bloom false positives are re-verified, and a
+    * Bloom "no" is definitive.
+    */
+  def exactIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val corpusH = corpus.select(xxhash64(col(textCol)).as("h"),
+      md5(col(textCol)).as("m"))
+    val bloom = corpusH.stat.bloomFilter("h", expectedItems, fpp)
+    val probe = graft.functions.HashExpressions
+      .bloomMightContain(xxhash64(col(textCol)), bloom)
+    val definiteNew = batch.filter(!probe)
+    val maybeDup = batch.filter(probe)
+      .withColumn("m", md5(col(textCol)))
+    val verifiedNew = maybeDup
+      .join(corpusH.select("m"), Seq("m"), "left_anti")
+      .drop("m")
+    definiteNew.unionByName(verifiedNew)
+  }
+
   /** Cross-relation n-gram Jaccard: pairs (id_a from `left`, id_b from
     * `right`) with bigram-set similarity >= tau. Same inverted-index plan
     * as [[nGramJaccard]] — join on 64-bit gram hashes, count common grams,

@@ -150,6 +150,26 @@ object CorpusPack {
                 OR (la.split = 'test' AND lb.split = 'train')
              ORDER BY 1, 2"""))
 
+  private val d09 = Q(
+    "d09_dedup_bloom",
+    // re-ingestion run: the whole table arrives as a batch, the first 80%
+    // of the id space is already in the corpus — ids <= thr are exact
+    // dups (caught by bloom + md5 verify), ids > thr are admitted. The
+    // bloom sketch admits definite-new docs with zero join work.
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val thr = broadcast(docs.agg(expr("max(doc_id) * 8 DIV 10").as("thr")))
+      val corpus = docs.crossJoin(thr).filter(col("doc_id") <= col("thr"))
+      Dedup.exactIncremental(docs, corpus, "text", "doc_id",
+          expectedItems = 100000L, fpp = 0.01)
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some("""WITH thr AS (SELECT max(doc_id) * 8 // 10 AS t FROM documents)
+            SELECT doc_id FROM documents b, thr
+            WHERE NOT EXISTS (SELECT 1 FROM documents c
+                              WHERE c.doc_id <= thr.t AND c.text = b.text)
+            ORDER BY 1"""))
+
   private val d08 = Q(
     "d08_dedup_clusters",
     // pair finding (d02's exact inverted-index jaccard) -> transitive
@@ -305,5 +325,6 @@ object CorpusPack {
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, p01, p02, p03, p04, p05, d06, d07, d08)
+    Seq(t05, t06, t07, t08, t09, t10,
+      p01, p02, p03, p04, p05, d06, d07, d08, d09)
 }

@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exactIncremental equals the plain anti-join, even with bloom FPs") {
+    val corpus = (0L until 50L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    // batch: 10 dups of corpus docs + 40 genuinely new docs
+    val batch = ((0L until 10L).map(i => (100L + i, s"corpus doc number $i")) ++
+      (0L until 40L).map(i => (200L + i, s"new doc number $i")))
+      .toDF("doc_id", "text")
+    val expected = (200L until 240L).toSet
+    // fpp 0.5 forces false positives through the exact-verify branch
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Dedup.exactIncremental(batch, corpus, "text", "doc_id",
+          expectedItems = 50L, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp")
+    }
+  }
+
   test("nGramJaccard finds exact and near duplicates, not distinct docs") {
     val pairs = Dedup.nGramJaccard(docs, "text", "doc_id", 1, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
