@@ -333,6 +333,34 @@ object PipelinePack {
             FROM act JOIN c ON act.user_id = c.user_id
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val e07 = Q(
+    "e07_hopping_window",
+    // sliding/hopping event-time windows (1 h size, 15 min hop): Spark's
+    // native window() plans an Expand (4 rows per event, codegen'd) ahead
+    // of the partial aggregation — one exchange of partially-aggregated
+    // rows, no self-join. Window starts emitted as epoch seconds
+    // (hop-aligned, so exact; raw timestamps would hit the ns/µs gap).
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type"),
+    // same µs arithmetic as e05: window k covers [k*hop, k*hop + size)
+    Some("""WITH e AS (SELECT event_type, value,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+              w AS (SELECT event_type, value,
+                      unnest(generate_series(
+                        (us - 3600000000) // 900000000 + 1,
+                        us // 900000000)) AS k
+                    FROM e)
+            SELECT k * 900 AS win_start, event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -346,5 +374,5 @@ object PipelinePack {
     None) // stubbed decode -> rows-only
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, m01)
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, m01)
 }

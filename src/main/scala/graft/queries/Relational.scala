@@ -386,6 +386,30 @@ object Relational {
             FROM (SELECT k FROM c EXCEPT SELECT k FROM o)
             ORDER BY 1, 2"""))
 
+  // ROLLUP: hierarchical subtotals in ONE pass — the Expand operator
+  // replicates each input row per grouping set BEFORE the partial
+  // aggregation, so the plan still has exactly one exchange (of partially
+  // aggregated narrow rows), not one scan per level. Subtotal NULLs are
+  // coalesced to a sentinel on BOTH engines: no NULL-ordering divergence
+  // (Spark sorts nulls first, DuckDB last) and a deterministic ORDER BY.
+  private val q21 = Q(
+    "q21_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              COALESCE(l_linestatus, 'ALL') AS ls,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21)
 }

@@ -199,6 +199,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21: rollup expands grouping sets before ONE partial aggregation") {
+    val p = plan("q21_rollup")
+    assert(p.contains("Expand"))
+    // one exchange for the aggregation, one for the final sort — never a
+    // scan or aggregation per rollup level
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("e07: hopping windows expand per-event, no self-join") {
+    val p = plan("e07_hopping_window")
+    assert(p.contains("Expand") || p.contains("Generate"))
+    assert(!p.contains("Join"), "hopping windows must not plan as a join")
+  }
+
   test("q20: set ops plan as joins over distinct keys, no cartesian") {
     val p = plan("q20_intersect_except")
     assert(!p.contains("CartesianProduct"))
