@@ -62,6 +62,79 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a video payload. */
+  final case class FrameRecord(
+      doc_id: Long,
+      frame_idx: Int,
+      payload_len: Int,
+      frame_hash: Long)
+
+  /** A resized media row (images only pass through resize). */
+  final case class ResizedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Frame sampling: every `everyN`-th frame of each VIDEO row, one
+    * output row per sampled frame — the standard decimation before
+    * vision-model feature extraction. flatMap shape: per-row output is
+    * bounded by n_frames/everyN (never the whole video), non-video rows
+    * emit nothing, and the decoder is initialized once per partition.
+    * The frame "pixels" are a deterministic stub hash; a real codec
+    * seeks+decodes here and ONLY here changes.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[FrameRecord] = {
+    require(everyN > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      it.flatMap { rec =>
+        if (rec.media_type != "video") Iterator.empty
+        else {
+          val (_, _, frames, sum) = decoder.decode(rec.media_type, rec.payload)
+          Iterator.range(0, frames, everyN).map { f =>
+            FrameRecord(rec.doc_id, f, rec.payload.length,
+              sum * 1315423911L + f)
+          }
+        }
+      }
+    }
+  }
+
+  /** Aspect-preserving resize of IMAGE rows so max(width, height) ==
+    * `maxDim` (smaller images upscale too — deterministic contract).
+    * Integer arithmetic only; the resampled payload is a stub stride
+    * slice standing in for the real pixel resample. Non-image rows are
+    * dropped (resize is an image-pipeline stage).
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
+    require(maxDim > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      it.flatMap { rec =>
+        if (rec.media_type != "image") Iterator.empty
+        else {
+          val (w, h, _, _) = decoder.decode(rec.media_type, rec.payload)
+          val (nw, nh) =
+            if (w >= h) (maxDim, math.max(1, (h.toLong * maxDim / w).toInt))
+            else (math.max(1, (w.toLong * maxDim / h).toInt), maxDim)
+          // stub resample: stride-sliced payload, length scaled by area ratio
+          val outLen = math.max(1,
+            (rec.payload.length.toLong * nw * nh / (w.toLong * h)).toInt)
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = rec.payload((i.toLong * rec.payload.length / outLen).toInt)
+            i += 1
+          }
+          Iterator.single(ResizedMedia(rec.doc_id, nw, nh, out))
+        }
+      }
+    }
+  }
+
   /** STUB DECODER — deterministic fake. A real implementation would wrap
     * an image/audio/video library here (and this is the only place that
     * changes); dimensions/frames are derived from payload bytes so results

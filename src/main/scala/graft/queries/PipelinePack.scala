@@ -361,6 +361,28 @@ object PipelinePack {
               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val e08 = Q(
+    "e08_json_props",
+    // semi-structured payload column: extract a typed field from the JSON
+    // props string IN THE SCAN STAGE (native get_json_object — single
+    // parse per row, no UDF), then aggregate. The schema-on-read answer
+    // to event payloads that evolve faster than tables; integer payload
+    // values keep the sums oracle-exact.
+    (s, dir) => Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+              COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+              MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -373,6 +395,17 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only
 
+  private val m02 = Q(
+    "m02_frame_sample",
+    (s, dir) => {
+      implicit val spark = s
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.loadParallel(s, dir, "documents")),
+          everyN = 30)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, m01)
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, m01, m02)
 }

@@ -227,4 +227,40 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
+
+  test("sampleFrames decimates videos only, every Nth frame") {
+    implicit val s = spark
+    val docs = (0L until 9L).map(i => (i, s"document number $i payload"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.sampleFrames(media, everyN = 30).collect()
+    val videoDocs = media.filter(_.media_type == "video").collect()
+    assert(frames.map(_.doc_id).toSet == videoDocs.map(_.doc_id).toSet)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.n_frames).toMap
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(fs.length == (feats(id) + 29) / 30) // ceil(n_frames / everyN)
+      assert(fs.map(_.frame_idx).sorted.toSeq ==
+        (0 until feats(id) by 30).toSeq)
+    }
+  }
+
+  test("resizeImages caps the long edge and preserves aspect") {
+    implicit val s = spark
+    val docs = (0L until 9L).map(i => (i, "x " * (i.toInt + 1) * 40))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val dims = Multimodal.extractFeatures(media).collect()
+      .filter(_.media_type == "image").map(f => f.doc_id -> (f.width, f.height)).toMap
+    val resized = Multimodal.resizeImages(media, maxDim = 64).collect()
+    assert(resized.map(_.doc_id).toSet == dims.keySet) // images only
+    resized.foreach { r =>
+      val (w, h) = dims(r.doc_id)
+      assert(math.max(r.width, r.height) == 64)
+      // integer-rounded aspect preservation
+      if (w >= h) assert(r.height == math.max(1, h.toLong * 64 / w).toInt)
+      else assert(r.width == math.max(1, w.toLong * 64 / h).toInt)
+      assert(r.payload.nonEmpty)
+    }
+  }
 }
