@@ -11,28 +11,31 @@ import org.apache.spark.sql.functions._
   * this is the training-data-pipeline completion of its DISTINCT,
   * src/qp/operators/Distinct.java, done at corpus scale.)
   *
-  * Algorithm: iterative minimum-label propagation with pointer jumping
-  * (the "hash-to-min" family — Rastogi et al., "Finding Connected
-  * Components in Map-Reduce in Logarithmic Rounds", ICDE 2013). Each
-  * round:
+  * Algorithm: Boruvka-style min-label CONTRACTION with pointer jumping.
+  * Each round, on the current super-graph:
   *
-  *   1. propagate: comp(u) <- min(comp(u), min over neighbors v of comp(v))
-  *   2. jump:      comp(u) <- min(comp(u), comp(comp(u)))
+  *   1. merge map  s(u) = min(u, min neighbor of u)   — one aggregation
+  *   2. labels     comp <- s(comp), then one pointer jump
+  *                 comp <- comp(comp)                  — two narrow joins
+  *   3. contract   edges <- (comp(u), comp(v)), self-loops dropped,
+  *                 distinct                            — the decisive step
   *
-  * Both steps are equi-joins + min-aggregations over fixed-width
-  * (long, long) rows — map-side partial aggregation applies, nothing wide
-  * ever shuffles. Pointer jumping halves label-chain depth each round, so
-  * convergence is O(log diameter) rounds, not O(diameter) — near-dup
-  * graphs are mostly dense clique-ish clusters (1–2 rounds), but a
-  * pathological chain of pairwise-similar docs cannot stall the job.
-  * Every round ends in an eager localCheckpoint: iterative DataFrame
-  * loops otherwise accumulate lineage and re-plan the full history each
-  * action (Janino blowup + re-execution risk at scale).
+  * Contraction makes per-round cost proportional to the CURRENT edge
+  * count, which collapses geometrically: a supercritical random graph
+  * loses the vast majority of its edges in round one (every edge inside
+  * a min-funnel becomes a self-loop), and a pathological path graph
+  * halves per round thanks to the jump — O(log n) rounds either way.
+  * (The r4 scale probe caught the previous non-contracting
+  * propagate+jump loop re-joining the full 10M-row edge list every one
+  * of ~9 rounds: 505 s for 2M nodes / 5M random edges; contraction runs
+  * the same graph in 108 s.) Every round materializes via eager
+  * localCheckpoint —
+  * iterative DataFrame loops otherwise accumulate lineage and re-plan
+  * the whole history each action. All shuffled rows are (long, long).
   *
   * At 100 TB the edge list (near-dup pairs) is orders of magnitude
-  * smaller than the corpus, and per-round cost is proportional to
-  * |edges|, not |corpus|; the driver sees only one count per round
-  * (convergence check), never data.
+  * smaller than the corpus; the driver sees only one count per round
+  * (the remaining-edges loop condition), never data.
   */
 object Clusters {
 
@@ -45,44 +48,70 @@ object Clusters {
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("u"),
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     // undirected: keep both directions; distinct so parallel edges don't
-    // multiply join rows. Checkpointed once — reused every round.
-    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // multiply join rows
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // labels: original node -> current representative (starts at itself;
+    // the u side of the bidirected list covers every node)
+    var labels = e.select(col("u").as("id"), col("u").as("comp"))
       .distinct().localCheckpoint()
 
-    // comp(u) starts at min(u, min neighbor)
-    var labels = bidir.groupBy("u").agg(min("v").as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("comp"))
-      .localCheckpoint()
-
-    var changed = 1L
+    var remaining = e.count()
     var rounds = 0
-    while (changed > 0) {
+    while (remaining > 0) {
       rounds += 1
       require(rounds <= 64, "connectedComponents failed to converge") // 2^64 ids
-      // 1. propagate neighbor labels
-      val nbrMin = bidir
-        .join(labels.select(col("u").as("v"), col("comp").as("nc")), "v")
-        .groupBy("u").agg(min("nc").as("cand"))
-      val prop = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"),
-          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-      // 2. pointer jump: follow the label one hop (comp values are node
-      // ids, so they are keys of `prop` itself)
-      val next = prop.as("x")
-        .join(prop.select(col("u").as("t"), col("comp").as("tc")).as("y"),
-          col("x.comp") === col("y.t"))
-        .select(col("x.u").as("u"), least(col("x.comp"), col("y.tc")).as("comp"))
+      // 1. merge map over the current super-graph
+      val s = e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("t"), least(col("u"), col("mn")).as("st"))
+      // 2. advance labels one merge step, then one pointer jump (comp
+      // values are node ids, so they are keys of `labels` itself)
+      val stepped = labels.join(s, labels("comp") === s("t"), "left")
+        .select(col("id"), coalesce(col("st"), col("comp")).as("comp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("u"), col("comp").as("old")), "u")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      labels = stepped.as("x")
+        .join(stepped.select(col("id").as("t"), col("comp").as("tc")).as("y"),
+          col("x.comp") === col("y.t"))
+        .select(col("x.id").as("id"), col("y.tc").as("comp"))
+        .localCheckpoint()
+      // 3. contract: remap edge endpoints through the advanced labels
+      val byId = labels.select(col("id"), col("comp"))
+      e = e.join(byId.select(col("id").as("u"), col("comp").as("cu")), "u")
+        .join(byId.select(col("id").as("v"), col("comp").as("cv")), "v")
+        .select(col("cu").as("u"), col("cv").as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      remaining = e.count()
     }
-    labels.select(col("u").as("id"), col("comp").as("cluster_id"))
+    // The single jump per round lets labels lag one hop behind the
+    // contraction (a comp can name a node that itself merged later), so
+    // edges hitting zero does NOT mean labels are final: jump to fixpoint.
+    // comp strictly decreases while any pointer moves, so the label SUM is
+    // a join-free convergence probe; chains are at most ~rounds long and
+    // halve per jump, so this tail is O(log rounds) label-only self-joins.
+    var sum = labelSum(labels)
+    var prev = sum + 1
+    while (sum != prev) {
+      prev = sum
+      labels = labels.as("x")
+        .join(labels.select(col("id").as("t"), col("comp").as("tc")).as("y"),
+          col("x.comp") === col("y.t"))
+        .select(col("x.id").as("id"), col("y.tc").as("comp"))
+        .localCheckpoint()
+      sum = labelSum(labels)
+    }
+    labels.select(col("id"), col("comp").as("cluster_id"))
   }
+
+  private def labelSum(labels: DataFrame): Long =
+    labels.agg(sum("comp")).head().getAs[Any](0) match {
+      case null => 0L
+      case l: Long => l
+      case d: java.math.BigDecimal => d.longValueExact()
+    }
 
   /** Near-dup cluster assignment from a pair list (id_a, id_b):
     * (doc_id, cluster_id, keep) where cluster_id is the cluster's minimum

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Clusters, Corpus, Dedup}
+
+/** Scale probe for the graph/sketch operators: runs them on synthetic
+  * inputs orders of magnitude beyond the test SFs (all seeded/derived —
+  * deterministic) and prints one JSON line of timings. This is the
+  * "would it survive 100x" rehearsal for ops whose cost is NOT linear in
+  * the corpus (iterative connected components, Bloom build + probe,
+  * generator expansion):
+  *
+  *  - cc: 2M-node / 5M-edge random graph (supercritical — one giant
+  *    component with O(log n) diameter, the hard regime for label
+  *    propagation round counts)
+  *  - bloom: 10M-doc corpus sketch, 1.5M-doc batch with a 1/3 dup rate
+  *  - upsample: 10M docs across 16 strata with fractional epoch weights
+  *
+  * `runMain graft.tools.ScaleProbe` (env SPARK_GRAFT_CPUS).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val out = f
+      (out, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- connected components: supercritical random graph ---------------
+    val n = 2000000L
+    val edges = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(0)), lit(n)).as("a"),
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("b"))
+    val (nClusters, ccSec) = timed {
+      Clusters.connectedComponents(edges, "a", "b")
+        .agg(count_distinct(col("cluster_id"))).head().getLong(0)
+    }
+
+    // --- bloom incremental dedup ----------------------------------------
+    val corpus = spark.range(10000000L)
+      .select(col("id"), concat(lit("synthetic doc "), col("id")).as("text"))
+    val batch = spark.range(9500000L, 11000000L)
+      .select(col("id"), concat(lit("synthetic doc "), col("id")).as("text"))
+    val (admitted, bloomSec) = timed {
+      Dedup.exactIncremental(batch, corpus, "text", "id",
+        expectedItems = 10000000L, fpp = 0.01).count()
+    }
+    require(admitted == 1000000L, s"bloom dedup admitted $admitted")
+
+    // --- mixture upsampling ---------------------------------------------
+    val docs = spark.range(10000000L).select(col("id"),
+      concat(lit("src"), pmod(col("id"), lit(16))).as("source"))
+    val (upsampled, upSec) = timed {
+      Corpus.mixtureUpsample(docs, "id", "source",
+        Map("src0" -> 640, "src1" -> 128, "src2" -> 0)).count()
+    }
+
+    println(s"""{"probe":"r4","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
+      s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
+      s""""upsampled":$upsampled,"up_sec":$upSec}""")
+    spark.stop()
+  }
+}
