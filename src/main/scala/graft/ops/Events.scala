@@ -214,6 +214,46 @@ object Events {
     * and a count per (cohort, offset). Every shuffled row is two ints and
     * a user id.
     */
+  /** Ordered funnel: how far does each user get through `steps`
+    * (strictly increasing timestamps, step k after step k-1)? Returns
+    * (stage, n_users) where stage ∈ 0..steps.length — the conversion
+    * summary behind every funnel chart.
+    *
+    * Shape: one narrow (user, type, us) projection, then per step a
+    * filtered min-aggregation joined on user — each pass shuffles only
+    * (user, epoch) pairs with map-side partial MIN, and the number of
+    * passes is the (small, fixed) number of funnel steps, never data
+    * volume. First-event times are the tightest valid choice: for the
+    * "earliest completion" semantics, taking min at each stage is optimal
+    * (greedy earliest-next-step never hurts later steps).
+    */
+  def funnelStages(
+      events: DataFrame, steps: Seq[String], timeCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty)
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col(timeCol)).as("us"))
+    val users = base.select("user_id").distinct()
+    // reach(k): per user, earliest step-k event strictly after reach(k-1)
+    val reach = steps.foldLeft(List.empty[DataFrame]) { (acc, step) =>
+      val mine = base.filter(col("event_type") === step)
+      val eligible = acc.headOption match {
+        case None => mine
+        case Some(p) =>
+          mine.join(p.select(col("user_id"), col("t").as("pt")), "user_id")
+            .filter(col("us") > col("pt"))
+      }
+      eligible.groupBy("user_id").agg(min("us").as("t")) :: acc
+    }.reverse
+    val staged = reach.zipWithIndex.foldLeft(
+        users.select(col("user_id"), lit(0).as("stage"))) {
+      case (acc, (r, i)) =>
+        acc.join(r.select(col("user_id"), lit(i + 1).as("s")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            greatest(col("stage"), coalesce(col("s"), lit(0))).as("stage"))
+    }
+    staged.groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
   def retentionCohorts(events: DataFrame, epochDate: String): DataFrame = {
     val act = events
       .select(col("user_id"), datediff(to_date(col("ts")),

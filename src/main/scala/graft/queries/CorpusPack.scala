@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Corpus, Dedup, Packing}
+import graft.ops.{Clusters, Corpus, Dedup, Packing, TextOps}
 import Relational.Q
 
 /** SURVEY §2.2 corpus-analysis and dataset-prep operators as
@@ -277,6 +277,24 @@ object CorpusPack {
                   FROM lift)
             WHERE rk <= 5 ORDER BY lang, rk"""))
 
+  private val t11 = Q(
+    "t11_length_histogram",
+    // token-length histogram in fixed 64-token buckets (top bucket open) —
+    // the sequence-length profile that sizes packing budgets and batch
+    // shapes. Pure projection + small-keyspace count: 16 groups max.
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(TextOps.tokenCount(col("text")).as("n_tok"))
+      .groupBy(least(expr("n_tok div 64"), lit(15)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+      .orderBy("bucket"),
+    Some("""SELECT LEAST(n_tok // 64, 15) AS bucket, COUNT(*) AS n_docs,
+              MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens
+            FROM (SELECT len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS n_tok
+                  FROM documents)
+            GROUP BY 1 ORDER BY 1"""))
+
   private val p04 = Q(
     "p04_stratified_sample",
     (s, dir) => Corpus.stratifiedSample(
@@ -325,6 +343,6 @@ object CorpusPack {
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10,
+    Seq(t05, t06, t07, t08, t09, t10, t11,
       p01, p02, p03, p04, p05, d06, d07, d08, d09)
 }

@@ -383,6 +383,33 @@ object PipelinePack {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
+  private val e09 = Q(
+    "e09_funnel_stages",
+    (s, dir) => Events.funnelStages(Tables.load(s, dir, "events"),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage"),
+    Some("""WITH e AS (SELECT user_id, event_type,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+              r1 AS (SELECT user_id, MIN(us) AS t FROM e
+                     WHERE event_type = 'view' GROUP BY 1),
+              r2 AS (SELECT e.user_id, MIN(us) AS t
+                     FROM e JOIN r1 ON e.user_id = r1.user_id
+                     WHERE event_type = 'click' AND us > r1.t GROUP BY 1),
+              r3 AS (SELECT e.user_id, MIN(us) AS t
+                     FROM e JOIN r2 ON e.user_id = r2.user_id
+                     WHERE event_type = 'purchase' AND us > r2.t GROUP BY 1),
+              u AS (SELECT DISTINCT user_id FROM e)
+            SELECT stage, COUNT(*) AS n_users FROM (
+              SELECT u.user_id,
+                CASE WHEN r3.user_id IS NOT NULL THEN 3
+                     WHEN r2.user_id IS NOT NULL THEN 2
+                     WHEN r1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS stage
+              FROM u LEFT JOIN r1 USING (user_id)
+                     LEFT JOIN r2 USING (user_id)
+                     LEFT JOIN r3 USING (user_id))
+            GROUP BY 1 ORDER BY 1"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -407,5 +434,6 @@ object PipelinePack {
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, m01, m02)
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09,
+    m01, m02)
 }

@@ -187,6 +187,24 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(10L -> 2L, 11L -> 1L, 12L -> 0L))
   }
 
+  test("funnelStages requires strict temporal order across steps") {
+    val e = Seq(
+      // user 1: full funnel in order
+      (0L, ts(10), 1L, "view", 0.0), (1L, ts(20), 1L, "click", 0.0),
+      (2L, ts(30), 1L, "purchase", 0.0),
+      // user 2: purchase BEFORE the view-click chain -> stage 2 only
+      (3L, ts(5), 2L, "purchase", 0.0), (4L, ts(10), 2L, "view", 0.0),
+      (5L, ts(20), 2L, "click", 0.0),
+      // user 3: click only, no view first -> stage 0
+      (6L, ts(10), 3L, "click", 0.0),
+      // user 4: view only
+      (7L, ts(10), 4L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.funnelStages(e, Seq("view", "click", "purchase"))
+      .as[(Int, Long)].collect().toMap
+    assert(r == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
   test("retentionCohorts counts each user once per (cohort, offset) cell") {
     // user 1 first active day 0, returns day 2 (twice -> still 1 user);
     // user 2 first active day 2 only
