@@ -212,4 +212,83 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Deterministic Lloyd's k-means over quantized embeddings —
+    * (id, cluster, dist2) after `iters` iterations. The clustering step
+    * of embedding-space corpus curation (SemDeDup-style semantic dedup,
+    * domain discovery, diversity balancing).
+    *
+    * Scale + determinism shape:
+    *  - assignment pass: corpus × broadcast(k centroids), squared-L2 via
+    *    the codegen'd `graft_dot` (dist² = |x|² − 2x·c + |c|²), argmin by
+    *    window with id tiebreak — embarrassingly parallel, no corpus
+    *    shuffle beyond the argmin's narrow rows.
+    *  - update pass: elementwise centroid sums via posexplode →
+    *    (cluster, dim) aggregation. Inputs are integer-valued doubles
+    *    (quantized), so the sums are EXACT in any partial-aggregation
+    *    order — centroids are bit-identical run to run, repartition or
+    *    not (a naive double mean would drift with aggregation order and
+    *    make the whole clustering nondeterministic).
+    *  - the driver holds only k×dim centroid sums per round (the
+    *    legitimate iterative-ML driver state), never data rows.
+    *  - empty clusters keep their previous centroid.
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = spread(df)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", norm2(col("q")))
+      .localCheckpoint() // reused every iteration
+    // deterministic seed: k vectors in xxhash64-id order (same trick as
+    // knnIvf — reproducible with no stored model)
+    var cents: Array[(Int, Array[Double])] = c
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select("q").as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v.toArray) }
+
+    def assign(): DataFrame = {
+      val centDf = broadcast(
+        cents.toSeq.map { case (i, v) =>
+          (i, v, v.map(x => x * x).sum)
+        }.toDF("cluster", "cvec", "cn2"))
+      val aw = Window.partitionBy("id").orderBy(col("dist2").asc, col("cluster").asc)
+      c.crossJoin(centDf)
+        .select(col("id"), col("q"), col("cluster"),
+          (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
+            .as("dist2"))
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("q"), col("cluster"), col("dist2"))
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assign()
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getAs[Int]("cluster"))
+      cents = cents.map { case (i, old) =>
+        byCluster.get(i) match {
+          case None => (i, old) // empty cluster: keep previous centroid
+          case Some(rows) =>
+            val dim = old.length
+            val v = new Array[Double](dim)
+            rows.foreach { r =>
+              v(r.getAs[Int]("pos")) =
+                r.getAs[Double]("sx") / r.getAs[Long]("n")
+            }
+            (i, v)
+        }
+      }
+    }
+    assign().select(col("id"), col("cluster"), col("dist2"))
+  }
 }

@@ -124,6 +124,17 @@ object PipelinePack {
     },
     None) // approximate -> rows-only (recall gate vs s01 in RecallSpec)
 
+  private val s04 = Q(
+    "s04_kmeans",
+    // embedding-space clustering for corpus curation (SemDeDup-style
+    // semantic grouping / diversity balancing): deterministic Lloyd's
+    // over quantized vectors. Distortion-monotonicity gate in RecallSpec.
+    (s, dir) => VectorOps.kmeansAssign(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id"),
+    None) // float centroids -> rows-only
+
   private val s02 = Q(
     "s02_knn_lsh",
     (s, dir) => {
@@ -433,7 +444,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, s04,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09,
     m01, m02)
 }

@@ -67,6 +67,18 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.40, f"recall regressed: $recall%.3f < 0.40")
   }
 
+  test("s04: k-means distortion is monotone in iterations (sf0.01)") {
+    import org.apache.spark.sql.functions.sum
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    def distortion(iters: Int): Double =
+      graft.ops.VectorOps.kmeansAssign(emb, "vec_id", "embedding", 10, iters)
+        .agg(sum("dist2")).head().getDouble(0)
+    val d1 = distortion(1)
+    val d3 = distortion(3)
+    info(f"total dist2: iters=1 $d1%.0f, iters=3 $d3%.0f")
+    assert(d3 <= d1 * (1 + 1e-12), "Lloyd's must not increase distortion")
+  }
+
   test("t09: HLL++ vocab within 3x rsd of exact per group (sf0.01)") {
     import graft.{Tables => T}
     val docs = T.load(spark, dir, "documents")

@@ -138,6 +138,28 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("corpus_id")).toSeq
     assert(r.headOption.contains(1L))
   }
+
+  test("kmeansAssign recovers well-separated clusters, deterministically") {
+    // three tight blobs far apart in 3-space
+    val blobs = Seq(
+      (0L, Array(10f, 0f, 0f)), (1L, Array(10.1f, 0.1f, 0f)),
+      (2L, Array(9.9f, -0.1f, 0f)),
+      (10L, Array(0f, 10f, 0f)), (11L, Array(0.1f, 10.1f, 0f)),
+      (20L, Array(0f, 0f, 10f)), (21L, Array(-0.1f, 0f, 9.9f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.kmeansAssign(blobs, "vec_id", "embedding",
+        k = 3, iters = 4)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    // same blob => same cluster, different blobs => different clusters
+    assert(got(0L) == got(1L) && got(1L) == got(2L))
+    assert(got(10L) == got(11L) && got(20L) == got(21L))
+    assert(Set(got(0L), got(10L), got(20L)).size == 3)
+    // deterministic under repartition and re-run
+    val again = VectorOps.kmeansAssign(blobs.repartition(7), "vec_id",
+        "embedding", k = 3, iters = 4)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got == again)
+  }
 }
 
 class EventsSpec extends SparkSpec {
