@@ -238,8 +238,25 @@ object VectorOps {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
-    require(k > 0 && iters > 0)
+      iters: Int): DataFrame =
+    kmeansCore(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("cluster"), col("dist2"))
+
+  /** k-means keeping the quantized vector per row — the internal shape
+    * composed ops (semanticDedup) build on: (id, q, cluster, dist2, crk).
+    * Lloyd updates always use the single nearest centroid; `nAssign > 1`
+    * additionally emits each point's 2nd..nth nearest clusters in the FINAL
+    * assignment (crk = closeness rank), the multi-probe trick that lets
+    * downstream within-cluster ops catch boundary-straddling neighbors.
+    */
+  private def kmeansCore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      nAssign: Int = 1): DataFrame = {
+    require(k > 0 && iters > 0 && nAssign > 0)
     val spark = df.sparkSession
     import spark.implicits._
     val c = spread(df)
@@ -253,7 +270,7 @@ object VectorOps {
       .select("q").as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i, v.toArray) }
 
-    def assign(): DataFrame = {
+    def assign(n: Int): DataFrame = {
       val centDf = broadcast(
         cents.toSeq.map { case (i, v) =>
           (i, v, v.map(x => x * x).sum)
@@ -263,13 +280,13 @@ object VectorOps {
         .select(col("id"), col("q"), col("cluster"),
           (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
             .as("dist2"))
-        .withColumn("rk", row_number().over(aw))
-        .filter(col("rk") === 1)
-        .select(col("id"), col("q"), col("cluster"), col("dist2"))
+        .withColumn("crk", row_number().over(aw))
+        .filter(col("crk") <= n)
+        .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
     }
 
     for (_ <- 1 to iters) {
-      val sums = assign()
+      val sums = assign(1)
         .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -289,6 +306,48 @@ object VectorOps {
         }
       }
     }
-    assign().select(col("id"), col("cluster"), col("dist2"))
+    assign(nAssign)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with k-means, then find cosine-duplicate
+    * pairs ONLY within each cluster and greedily keep the lowest id among
+    * direct duplicates. Returns (id, keep) for every input row.
+    *
+    * Scale shape: the all-pairs comparison that is O(N²) in [[cosinePairs]]
+    * becomes Σ_c |cluster_c|² — with k sized to corpus/target-cluster-size
+    * (k ≈ N/5000 in the paper's regime) the per-cluster quadratic term is a
+    * constant. The cluster self-join shuffles (id, q, n2, cluster) rows
+    * hash-partitioned by cluster id — each task handles whole clusters and
+    * nothing else; the pair cosine runs on the codegen'd `graft_dot`.
+    * Approximate by construction (cross-cluster duplicates are unseen —
+    * recall gated in RecallSpec against the exact pair set), deterministic
+    * by construction (quantized integer arithmetic end to end).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      tau: Double,
+      nAssign: Int = 2): DataFrame = {
+    // nAssign=2: each point also probes its 2nd-nearest cluster, so a
+    // duplicate pair is compared unless it straddles BOTH points' two
+    // nearest centroids — the same recall/cost dial as IVF's nProbe
+    // (work multiplies by ≤ nAssign², recall measured in RecallSpec)
+    val assigned = kmeansCore(df, idCol, vecCol, k, iters, nAssign)
+      .select(col("id"), col("q"), col("cluster"), col("crk"))
+      .withColumn("n2", norm2(col("q")))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(cosine(dot(col("a.q"), col("b.q")),
+        col("a.n2"), col("b.n2")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    assigned.filter(col("crk") === 1).select(col("id"))
+      .join(dropped.withColumn("dup", lit(1)), Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))
   }
 }

@@ -135,6 +135,18 @@ object PipelinePack {
       .orderBy("vec_id"),
     None) // float centroids -> rows-only
 
+  private val d10 = Q(
+    "d10_dedup_semantic",
+    // SemDeDup (cluster-then-pairs): the O(N²) cosine dedup of d05
+    // restricted to within-k-means-cluster pairs — Σ|cluster|² work.
+    // Approximate (cross-cluster dups unseen) -> rows-only; RecallSpec
+    // gates drops ⊆ exact drops (precision 1 by construction) + recall.
+    (s, dir) => VectorOps.semanticDedup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 10, iters = 3, tau = 0.4)
+      .select(col("id").as("vec_id"), col("keep"))
+      .orderBy("vec_id"),
+    None)
+
   private val s02 = Q(
     "s02_knn_lsh",
     (s, dir) => {
@@ -444,7 +456,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, s01, s02, s03, s04,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09,
     m01, m02)
 }

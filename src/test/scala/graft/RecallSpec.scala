@@ -16,6 +16,7 @@ import graft.ops.Dedup
   *  - d02 with maxGramDf=25 (prunes 77% of the inverted index) = uncapped
   *  - s02 knnLsh recall@10 vs brute force (see assertion)
   *  - s03 knnIvf recall@10 vs brute force (see assertion)
+  *  - d10 semanticDedup drop recall 0.755 with nAssign=2 (0.472 with 1)
   */
 class RecallSpec extends SparkSpec {
 
@@ -65,6 +66,23 @@ class RecallSpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     info(f"s03 recall@10 = $recall%.3f (${(brute & ivf).size}/${brute.size})")
     assert(recall >= 0.40, f"recall regressed: $recall%.3f < 0.40")
+  }
+
+  test("d10: semantic-dedup drops ⊆ exact drops, recall gated (sf0.01)") {
+    // exact baseline: same greedy min-id policy over the FULL cosine pair
+    // set (d05's exact all-pairs at the same tau)
+    val exactDrops = pairSet(SparkEntry.queries("d05_dedup_embedding")(spark, dir))
+      .map(_._2)
+    val semDrops = SparkEntry.queries("d10_dedup_semantic")(spark, dir)
+      .filter("keep = 0").collect().map(_.getLong(0)).toSet
+    assert(exactDrops.nonEmpty)
+    // a within-cluster pair is an exact pair (same arithmetic, same tau),
+    // so false drops are impossible — assert it
+    assert((semDrops -- exactDrops).isEmpty,
+      s"spurious drops: ${semDrops -- exactDrops}")
+    val recall = (semDrops & exactDrops).size.toDouble / exactDrops.size
+    info(f"d10 drop recall = $recall%.3f (${(semDrops & exactDrops).size}/${exactDrops.size})")
+    assert(recall >= 0.55, f"recall regressed: $recall%.3f < 0.55")
   }
 
   test("s04: k-means distortion is monotone in iterations (sf0.01)") {
