@@ -410,6 +410,66 @@ object Relational {
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY 1, 2"""))
 
+  // Correlated scalar subqueries: parts priced strictly above their type's
+  // average. Written as SQL against the session catalog — this exercises
+  // Catalyst's decorrelation (RewriteCorrelatedScalarSubquery): both
+  // subqueries collapse into ONE per-type partial aggregation joined back,
+  // never a per-row re-scan (the nested-loop a naive engine would run).
+  // Exactness: the avg comparison is cross-multiplied into decimal
+  // price*count > sum — no division, no float divergence.
+  private val q22 = Q(
+    "q22_scalar_subquery",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql("""SELECT p.p_partkey, p.p_type, p.p_retailprice
+               FROM part p
+               WHERE CAST(p.p_retailprice AS DECIMAL(18,6))
+                     * (SELECT COUNT(*) FROM part p2
+                        WHERE p2.p_type = p.p_type)
+                   > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(18,6)))
+                      FROM part p2 WHERE p2.p_type = p.p_type)
+               ORDER BY p.p_partkey""")
+    },
+    Some("""SELECT p.p_partkey, p.p_type, p.p_retailprice
+            FROM part p
+            WHERE CAST(p.p_retailprice AS DECIMAL(18,6))
+                  * (SELECT COUNT(*) FROM part p2
+                     WHERE p2.p_type = p.p_type)
+                > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(18,6)))
+                   FROM part p2 WHERE p2.p_type = p.p_type)
+            ORDER BY p.p_partkey"""))
+
+  // Aggregate window FRAME (q16 covers ranking): 3-row moving sum of each
+  // customer's order totals in date order. One exchange on o_custkey, one
+  // sort within partitions; the frame is a running scan, not a self-join.
+  // o_orderdate is ms-precision parquet — exact in both engines; the
+  // orderkey tiebreak makes the frame contents (hence sums) deterministic.
+  private val q23 = Q(
+    "q23_moving_window",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate")).as("order_ms"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("mov_sum3"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy("o_custkey", "o_orderkey", "order_ms", "mov_sum3",
+          "n_in_frame")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              epoch_ms(o_orderdate) AS order_ms,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+                   AS DOUBLE) AS mov_sum3,
+              COUNT(*) OVER w AS n_in_frame
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey, order_ms, mov_sum3, n_in_frame"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21)
+    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }
