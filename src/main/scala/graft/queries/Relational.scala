@@ -442,8 +442,10 @@ object Relational {
   // Aggregate window FRAME (q16 covers ranking): 3-row moving sum of each
   // customer's order totals in date order. One exchange on o_custkey, one
   // sort within partitions; the frame is a running scan, not a self-join.
-  // o_orderdate is ms-precision parquet — exact in both engines; the
-  // orderkey tiebreak makes the frame contents (hence sums) deterministic.
+  // o_orderdate is ms-precision TIMESTAMP_NTZ parquet; unix_millis needs
+  // TIMESTAMP, and the session TZ is pinned UTC in Bench/Verify so the
+  // NTZ→TZ cast is a stable identity on the epoch value. The orderkey
+  // tiebreak makes the frame contents (hence sums) deterministic.
   private val q23 = Q(
     "q23_moving_window",
     (s, dir) => {
@@ -452,7 +454,7 @@ object Relational {
         .rowsBetween(-2, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          unix_millis(col("o_orderdate")).as("order_ms"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
           sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
             .cast("double").as("mov_sum3"),
           count(lit(1)).over(w).as("n_in_frame"))
