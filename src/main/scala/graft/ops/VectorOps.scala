@@ -323,6 +323,19 @@ object VectorOps {
     * Approximate by construction (cross-cluster duplicates are unseen —
     * recall gated in RecallSpec against the exact pair set), deterministic
     * by construction (quantized integer arithmetic end to end).
+    *
+    * Hot-cluster guard (`maxClusterSize`, the sibling of LSH's
+    * maxBucketSize): a boilerplate-heavy corpus can collapse into one
+    * mega-cluster and make its pair self-join quadratic in ONE task.
+    * Clusters above the cap are split into rank bands: rows ranked within
+    * the cluster by (dist2-to-centroid, id), chunked by `cap`, and each row
+    * emitted into its own chunk AND the next one — every pair within `cap`
+    * ranks still meets in some cell, per-row fanout is ≤ 2, and per-cluster
+    * pair work drops from |c|² to ≤ 4·|c|·cap (linear). Near-duplicate
+    * vectors have near-equal dist2 to any fixed centroid, so rank locality
+    * is exactly duplicate locality: an all-identical mega-cluster still
+    * drops everything but the global min id (asserted in RecallSpec).
+    * Clusters at or under the cap are untouched (single cell 0).
     */
   def semanticDedup(
       df: DataFrame,
@@ -331,17 +344,29 @@ object VectorOps {
       k: Int,
       iters: Int,
       tau: Double,
-      nAssign: Int = 2): DataFrame = {
+      nAssign: Int = 2,
+      maxClusterSize: Int = 20000): DataFrame = {
+    require(maxClusterSize > 1)
     // nAssign=2: each point also probes its 2nd-nearest cluster, so a
     // duplicate pair is compared unless it straddles BOTH points' two
     // nearest centroids — the same recall/cost dial as IVF's nProbe
     // (work multiplies by ≤ nAssign², recall measured in RecallSpec)
     val assigned = kmeansCore(df, idCol, vecCol, k, iters, nAssign)
-      .select(col("id"), col("q"), col("cluster"), col("crk"))
+      .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
       .withColumn("n2", norm2(col("q")))
-    val a = assigned.as("a"); val b = assigned.as("b")
+    val cw = Window.partitionBy("cluster")
+    val rw = cw.orderBy(col("dist2").asc, col("id").asc)
+    val celled = assigned
+      .withColumn("csize", count(lit(1)).over(cw))
+      .withColumn("chunk",
+        floor((row_number().over(rw) - lit(1)) / lit(maxClusterSize)))
+      .select(col("id"), col("q"), col("n2"), col("cluster"),
+        explode(when(col("csize") <= maxClusterSize, array(lit(0L)))
+          .otherwise(array(col("chunk"), col("chunk") + lit(1)))).as("cell"))
+    val a = celled.as("a"); val b = celled.as("b")
     val dropped = a.join(b,
-        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        col("a.cluster") === col("b.cluster") &&
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(cosine(dot(col("a.q"), col("b.q")),
         col("a.n2"), col("b.n2")) >= tau)
       .select(col("b.id").as("id")).distinct()

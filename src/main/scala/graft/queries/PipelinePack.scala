@@ -141,8 +141,11 @@ object PipelinePack {
     // restricted to within-k-means-cluster pairs — Σ|cluster|² work.
     // Approximate (cross-cluster dups unseen) -> rows-only; RecallSpec
     // gates drops ⊆ exact drops (precision 1 by construction) + recall.
+    // nAssign=3: recall 0.472/0.755/0.981 at nAssign=1/2/3 (sf0.01,
+    // RecallSpec curve) for ≤ (3/2)² the pair work of nAssign=2 — and the
+    // maxClusterSize rank-band cap bounds every cluster's work linearly
     (s, dir) => VectorOps.semanticDedup(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 10, iters = 3, tau = 0.4)
+        "vec_id", "embedding", k = 10, iters = 3, tau = 0.4, nAssign = 3)
       .select(col("id").as("vec_id"), col("keep"))
       .orderBy("vec_id"),
     None)

@@ -16,7 +16,8 @@ import graft.ops.Dedup
   *  - d02 with maxGramDf=25 (prunes 77% of the inverted index) = uncapped
   *  - s02 knnLsh recall@10 vs brute force (see assertion)
   *  - s03 knnIvf recall@10 vs brute force (see assertion)
-  *  - d10 semanticDedup drop recall 0.755 with nAssign=2 (0.472 with 1)
+  *  - d10 semanticDedup drop recall 0.981 with nAssign=3 (0.472/0.755
+  *    with nAssign=1/2 — curve printed by the test)
   */
 class RecallSpec extends SparkSpec {
 
@@ -80,9 +81,46 @@ class RecallSpec extends SparkSpec {
     // so false drops are impossible — assert it
     assert((semDrops -- exactDrops).isEmpty,
       s"spurious drops: ${semDrops -- exactDrops}")
+    // cost/recall curve across the nAssign multi-probe dial (work scales
+    // ≤ nAssign² per cluster) — info only; the floor gates the shipped dial
+    val emb = Tables.load(spark, dir, "embeddings")
+    (1 to 3).foreach { n =>
+      val d = graft.ops.VectorOps.semanticDedup(emb, "vec_id", "embedding",
+          k = 10, iters = 3, tau = 0.4, nAssign = n)
+        .filter("keep = 0").collect().map(_.getLong(0)).toSet
+      info(f"d10 nAssign=$n recall = ${(d & exactDrops).size.toDouble / exactDrops.size}%.3f")
+    }
     val recall = (semDrops & exactDrops).size.toDouble / exactDrops.size
     info(f"d10 drop recall = $recall%.3f (${(semDrops & exactDrops).size}/${exactDrops.size})")
-    assert(recall >= 0.55, f"recall regressed: $recall%.3f < 0.55")
+    assert(recall >= 0.85, f"recall regressed: $recall%.3f < 0.85")
+  }
+
+  test("d10: cluster-size cap inactive at sf0.01 (rows identical to uncapped)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def drops(cap: Int): Set[Long] =
+      graft.ops.VectorOps.semanticDedup(emb, "vec_id", "embedding",
+          k = 10, iters = 3, tau = 0.4, maxClusterSize = cap)
+        .filter("keep = 0").collect().map(_.getLong(0)).toSet
+    assert(drops(20000) == drops(Int.MaxValue),
+      "default cap changed results at test SF")
+  }
+
+  test("d10: mega-cluster rank-band cap still drops all but the min id") {
+    import spark.implicits._
+    // 300 identical vectors, k=1 -> one cluster of 300; cap=32 forces the
+    // rank-band split (10 chunks). Exact greedy min-id keeps exactly one
+    // row; the banded plan must agree because every row shares a cell with
+    // a smaller id (identical dist2 -> rank order IS id order).
+    val n = 300
+    val mega = (0 until n).map(i => (i.toLong, Seq.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val res = graft.ops.VectorOps.semanticDedup(mega, "vec_id", "embedding",
+        k = 1, iters = 1, tau = 0.9, nAssign = 1, maxClusterSize = 32)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res.size == n)
+    assert(res(0L) == 1, "min id must be kept")
+    assert(res.count(_._2 == 0) == n - 1,
+      s"expected ${n - 1} drops, got ${res.count(_._2 == 0)}")
   }
 
   test("s04: k-means distortion is monotone in iterations (sf0.01)") {
