@@ -73,19 +73,29 @@ object Clusters {
       val stepped = labels.join(s, labels("comp") === s("t"), "left")
         .select(col("id"), coalesce(col("st"), col("comp")).as("comp"))
         .localCheckpoint()
+      val oldLabels = labels
       labels = stepped.as("x")
         .join(stepped.select(col("id").as("t"), col("comp").as("tc")).as("y"),
           col("x.comp") === col("y.t"))
         .select(col("x.id").as("id"), col("y.tc").as("comp"))
         .localCheckpoint()
+      // each localCheckpoint is eager, so once a round's frames have
+      // materialized their inputs' cached blocks are dead — free them NOW
+      // instead of waiting on GC/ContextCleaner: in a long-lived JVM the
+      // deferred cleanup showed up as a 72 s bench spread on this op (r4)
+      freeCheckpoint(stepped)
+      freeCheckpoint(oldLabels)
       // 3. contract: remap edge endpoints through the advanced labels
       val byId = labels.select(col("id"), col("comp"))
+      val oldE = e
       e = e.join(byId.select(col("id").as("u"), col("comp").as("cu")), "u")
         .join(byId.select(col("id").as("v"), col("comp").as("cv")), "v")
         .select(col("cu").as("u"), col("cv").as("v"))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      freeCheckpoint(oldE)
       remaining = e.count()
     }
+    freeCheckpoint(e) // empty by now; drop its blocks too
     // The single jump per round lets labels lag one hop behind the
     // contraction (a comp can name a node that itself merged later), so
     // edges hitting zero does NOT mean labels are final: jump to fixpoint.
@@ -96,15 +106,30 @@ object Clusters {
     var prev = sum + 1
     while (sum != prev) {
       prev = sum
+      val oldLabels = labels
       labels = labels.as("x")
         .join(labels.select(col("id").as("t"), col("comp").as("tc")).as("y"),
           col("x.comp") === col("y.t"))
         .select(col("x.id").as("id"), col("y.tc").as("comp"))
         .localCheckpoint()
+      freeCheckpoint(oldLabels)
       sum = labelSum(labels)
     }
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
+
+  /** Unpersist the cached blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only touches cache-manager entries; a local
+    * checkpoint's storage lives on the checkpointed RDD inside the
+    * resulting LogicalRDD plan, and is otherwise only reclaimed when the
+    * ContextCleaner notices the RDD got GC'd.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   private def labelSum(labels: DataFrame): Long =
     labels.agg(sum("comp")).head().getAs[Any](0) match {
