@@ -98,6 +98,91 @@ object Events {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Skew-safe as-of join, result-identical to [[asofJoin]] (for
+    * non-negative integer `timeCol`, e.g. epoch µs).
+    *
+    * [[asofJoin]]'s single window puts one key's ENTIRE history in one
+    * task — the same hot-key straggler sessionize had before
+    * [[sessionizeSalted]]. Same cure, adapted to as-of semantics:
+    *
+    *  1. local pass — the union+running-`last` fill windowed over
+    *     (key, chunk), chunk = timeCol div chunkUs: a left row whose chunk
+    *     contains an earlier right row is filled here. Parallelism =
+    *     keys × chunks; no task sees more than one chunk of one key.
+    *  2. carry pass — per (key, chunk) the chunk's LAST non-null payload
+    *     (one summary row, taken from the same phase-1 window at the
+    *     chunk's final right row), then a running `last` over summary and
+    *     probe rows per key: a summary for chunk c sorts at c+1 so a probe
+    *     (left chunk) at c sees exactly the chunks BEFORE it — strictly
+    *     earlier chunks, never its own (phase 1 already decided those).
+    *     Rows per key here = distinct chunks, bounded by time-range /
+    *     chunkUs, independent of event counts.
+    *
+    * Per-column `coalesce(local, carry)` is exact: the latest non-null
+    * at-or-before payload lives in the left row's own chunk iff phase 1
+    * found it, else in the latest earlier chunk with one — which is what
+    * the carry chain holds (null chunk summaries are skipped by
+    * ignoreNulls, preserving [[asofJoin]]'s null-payload-invisible rule).
+    */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightPayload: Seq[String],
+      chunkUs: Long): DataFrame = {
+    require(chunkUs > 0, "chunkUs must be positive")
+    val r0 = right.select(
+      col(keyCol) +: col(timeCol) +:
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("__side", lit(0))
+    val l0 = left.withColumn("__side", lit(1))
+    val u = l0.unionByName(r0, allowMissingColumns = true)
+      .withColumn("__chunk", expr(s"$timeCol div ${chunkUs}L"))
+    val wLocal = Window.partitionBy(keyCol, "__chunk")
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localFilled = rightPayload.foldLeft(u) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(wLocal))
+    }
+    // chunk summaries: the phase-1 running value AT the chunk's last right
+    // row is the chunk's last non-null payload (left rows contribute only
+    // ignored nulls)
+    val summaries = localFilled.filter(col("__side") === 0)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCol, "__chunk").orderBy(col(timeCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol) +: col("__chunk") +:
+        rightPayload.map(c => col(s"asof_$c")): _*)
+    val probes = l0
+      .select(col(keyCol), expr(s"$timeCol div ${chunkUs}L").as("__chunk"))
+      .distinct()
+      .withColumn("__sk", col("__chunk")).withColumn("__cside", lit(1))
+    val shifted = summaries
+      .withColumn("__sk", col("__chunk") + 1).withColumn("__cside", lit(0))
+      .drop("__chunk")
+    val wCarry = Window.partitionBy(keyCol)
+      .orderBy(col("__sk"), col("__cside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = rightPayload.foldLeft(
+        probes.unionByName(shifted, allowMissingColumns = true)) { (df, c) =>
+        df.withColumn(s"__carry_$c",
+          last(col(s"asof_$c"), ignoreNulls = true).over(wCarry))
+      }
+      .filter(col("__cside") === 1)
+      .select(col(keyCol) +: col("__chunk") +:
+        rightPayload.map(c => col(s"__carry_$c")): _*)
+    val joined = localFilled.filter(col("__side") === 1)
+      .join(carry, Seq(keyCol, "__chunk"), "left")
+    rightPayload.foldLeft(joined) { (df, c) =>
+        df.withColumn(s"asof_$c",
+          coalesce(col(s"asof_$c"), col(s"__carry_$c")))
+      }
+      .drop(rightPayload.map(c => s"__carry_$c"): _*)
+      .drop("__side", "__chunk")
+  }
+
   /** Per-left-row count of `right` rows with time in
     * `(left.time - windowUs, left.time]` under the same key — the funnel
     * question ("views in the hour before each purchase") and the general

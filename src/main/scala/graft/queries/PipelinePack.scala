@@ -315,6 +315,29 @@ object PipelinePack {
               ON p.user_id = v.user_id AND v.us <= p.us
             ORDER BY purchase_id"""))
 
+  private val e10 = Q(
+    "e10_asof_salted",
+    // skew-safe two-phase as-of join: identical answer to e04 by
+    // construction (local chunk fill + bounded carry pass), so it shares
+    // e04's oracle SQL verbatim — the DuckDB ASOF JOIN answer
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("us"), col("us").as("vus"))
+      Events.asofJoinSalted(purchases, views, "user_id", "us",
+          Seq("event_id", "vus"), chunkUs = 86400L * 1000000L)
+        .filter(col("asof_event_id").isNotNull) // inner as-of
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("asof_event_id").as("view_id"),
+          (col("us") - col("asof_vus")).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    e04.oracle)
+
   private val e05 = Q(
     "e05_funnel_count",
     (s, dir) => {
@@ -460,6 +483,6 @@ object PipelinePack {
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09,
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     m01, m02)
 }

@@ -197,6 +197,32 @@ class EventsSpec extends SparkSpec {
     assert(out(12L).isEmpty)       // key with no right rows at all
   }
 
+  test("asofJoinSalted == asofJoin on boundaries, multi-chunk gaps, nulls") {
+    // chunkUs=100: rows sit exactly on chunk boundaries, probe chunks with
+    // no right rows (carry must reach back >1 chunk), equal-time ties, a
+    // null payload (invisible per ignoreNulls), and a right-only chunk
+    // AFTER every left row
+    val l = Seq((1L, 100L, 10L), (1L, 305L, 11L), (1L, 99L, 12L),
+      (2L, 710L, 13L), (2L, 55L, 14L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 100L, Some(20L)), (1L, 40L, Some(21L)),
+      (1L, 120L, None), (1L, 900L, Some(22L)),
+      (2L, 60L, Some(23L)), (2L, 200L, Some(24L)))
+      .toDF("k", "t", "rid")
+    def res(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    val plain = res(Events.asofJoin(l, r, "k", "t", Seq("rid")))
+    val salted = res(Events.asofJoinSalted(l, r, "k", "t", Seq("rid"),
+      chunkUs = 100L))
+    assert(plain == salted, s"plain=$plain salted=$salted")
+    // spot-check the interesting ones against hand-computed truth
+    assert(plain == Map(10L -> Some(20L), // equal-time tie, same chunk
+      11L -> Some(20L), // null rid at 120 skipped; carry reaches chunk 1
+      12L -> Some(21L), // earlier row in same chunk 0
+      13L -> Some(24L), // carry over 5 empty chunks
+      14L -> None))     // right row at 60 is after 55
+  }
+
   test("rangeCountJoin counts the half-open lookback window exactly") {
     val l = Seq((1L, 1000L, 10L), (1L, 2000L, 11L), (2L, 500L, 12L))
       .toDF("k", "t", "lid")
