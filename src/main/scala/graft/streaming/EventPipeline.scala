@@ -71,6 +71,58 @@ object EventPipeline {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) event-time windows with a watermark — the streaming
+    * analog of the e07 batch query, same native `window(ts, size, hop)`
+    * expression: Spark plans the size/hop-per-event Expand ahead of a
+    * streaming partial aggregation, no self-join. State is keyed
+    * (window, event_type) and reclaimed as the watermark passes each
+    * window's end; a row holds size/hop concurrent windows at most.
+    */
+  def hoppingCounts(
+      events: DataFrame,
+      size: String = "1 hour",
+      hop: String = "15 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, hop), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class PropEvent(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double,
+      props: String)
+
+  /** Semi-structured payload extraction on a stream — the e08 batch shape
+    * with a window for bounded append-mode state: `get_json_object` pulls
+    * the typed field in the scan stage (one parse per row, no UDF) BEFORE
+    * the watermark/aggregation, so the stateful operator only ever sees
+    * (window, type) keys and four numeric aggregates.
+    */
+  def jsonPropStats(
+      events: DataFrame,
+      jsonPath: String = "$.k",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), jsonPath).cast("long"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_with_k"), col("sum_k"),
+        col("min_k"), col("max_k"))
+
   /** Streaming exact deduplication on a key column — the ingest-time
     * analog of Dedup.exact for an unbounded source (at-least-once
     * upstreams re-deliver events; this makes the pipeline effectively

@@ -209,6 +209,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hoppingCounts: stream agrees with the batch hopping-window answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val events = Seq(
+      ev(0, 10, 1, "click", 1.5), ev(1, 800, 1, "click", 2.25),
+      ev(2, 950, 2, "view", 5.0), ev(3, 3700, 2, "view", 0.75),
+      ev(4, 1700, 3, "click", 4.0))
+    // batch reference: the exact e07 expression on the same rows
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val src = MemoryStream[Event]
+    val q = EventPipeline.hoppingCounts(src.toDF(), "1 hour", "15 minutes",
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(events: _*)
+      q.processAllAvailable()
+      val stream = spark.table("hopping").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batch.nonEmpty && stream == batch,
+        s"missing=${batch -- stream} extra=${stream -- batch}")
+    } finally q.stop()
+  }
+
+  private def pev(id: Long, sec: Long, user: Long, typ: String, v: Double,
+      props: String) =
+    EventPipeline.PropEvent(id, new Timestamp(sec * 1000L), user, typ, v, props)
+
+  test("jsonPropStats: stream agrees with the batch JSON-extract answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      pev(0, 10, 1, "click", 1.0, """{"k": 7, "x": "a"}"""),
+      pev(1, 700, 1, "click", 2.0, """{"x": "no k here"}"""),
+      pev(2, 900, 2, "view", 3.0, """{"k": -2}"""),
+      pev(3, 3700, 2, "view", 4.0, """{"k": 11}"""),
+      pev(4, 3800, 3, "click", 5.0, "not json at all"))
+    val batch = events.toDF()
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_with_k"), col("sum_k"),
+        col("min_k"), col("max_k"))
+      .collect().map(r => r.toSeq).toSet
+    val src = MemoryStream[EventPipeline.PropEvent]
+    val q = EventPipeline.jsonPropStats(src.toDF(), "$.k", lateness = "1 hour")
+      .writeStream.format("memory").queryName("json_props")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(events: _*)
+      q.processAllAvailable()
+      val stream = spark.table("json_props").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && stream == batch,
+        s"missing=${batch -- stream} extra=${stream -- batch}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-delivered keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
