@@ -47,7 +47,24 @@ object Tables {
     * of the reference's `.stat` files (src/qp/optimizer/PlanCost.java) used
     * for join ordering. Cheap: reads only file metadata.
     */
-  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    footerSum(spark, dir, name)(_.getRecordCount)
+
+  /** UNCOMPRESSED byte size from parquet footers (sum of row-group
+    * `totalByteSize` — what the data costs once decoded, which is what a
+    * broadcast costs in executor memory; on-disk compressed size can be
+    * 10x smaller on repetitive columns and would under-gate). Row counts
+    * alone mis-size relations with wide rows: 500k rows of 2 ints
+    * broadcast fine, 500k rows of 4 KB strings are 2 GB.
+    */
+  def uncompressedBytes(spark: SparkSession, dir: String, name: String): Long = {
+    import scala.jdk.CollectionConverters._
+    footerSum(spark, dir, name)(
+      _.getFooter.getBlocks.asScala.map(_.getTotalByteSize).sum)
+  }
+
+  private def footerSum(spark: SparkSession, dir: String, name: String)(
+      f: org.apache.parquet.hadoop.ParquetFileReader => Long): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new Path(s"$dir/$name.parquet")
@@ -57,7 +74,7 @@ object Tables {
     fileSeq.map { st =>
       val in = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-      try in.getRecordCount finally in.close()
+      try f(in) finally in.close()
     }.sum
   }
 }

@@ -35,10 +35,21 @@ object SpjCompiler {
   /** Rows below which a join side gets an explicit broadcast hint. */
   val BroadcastRows = 500000L
 
+  /** UNCOMPRESSED bytes above which a side is never hinted, whatever its
+    * row count: the broadcast lives materialized on the driver and every
+    * executor, so byte width — not row count — is the real budget (500k
+    * rows of wide strings can be gigabytes). 64 MB decoded keeps the
+    * relation comfortably inside executor broadcast memory at any
+    * realistic parallelism; AQE may still broadcast larger sides at
+    * runtime if its own measured size allows.
+    */
+  val BroadcastBytes = 64L << 20
+
   def compile(
       q: SpjQuery,
       catalog: Map[String, DataFrame],
-      stats: Map[String, Long] = Map.empty): DataFrame = {
+      stats: Map[String, Long] = Map.empty,
+      byteStats: Map[String, Long] = Map.empty): DataFrame = {
 
     def lookup(name: String): DataFrame =
       catalog.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
@@ -46,6 +57,14 @@ object SpjCompiler {
     def rowsOf(name: String): Long =
       stats.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
         .getOrElse(Long.MaxValue)
+    // unknown byte size (no footer available) falls back to the row gate
+    // alone — pre-byte-stats behavior
+    def bytesOf(name: String): Long =
+      byteStats.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+        .getOrElse(-1L)
+    def broadcastable(name: String): Boolean =
+      rowsOf(name) <= BroadcastRows &&
+        (bytesOf(name) < 0L || bytesOf(name) <= BroadcastBytes)
 
     // Qualify every column as table_column so multi-table plans can't
     // collide; resolution below is case-insensitive on the column name.
@@ -127,7 +146,7 @@ object SpjCompiler {
         val conds = joinCondsBetween(joined, nextT)
         val rightRaw = rels(nextT)
         val right =
-          if (rowsOf(nextT) <= BroadcastRows) broadcast(rightRaw) else rightRaw
+          if (broadcastable(nextT)) broadcast(rightRaw) else rightRaw
         val env = (joined.map(t => t -> plan) + (nextT -> rightRaw)).toMap
         plan =
           if (conds.isEmpty) plan.crossJoin(right)
@@ -214,6 +233,7 @@ object SpjCompiler {
     val names = q.from.map(_.toLowerCase).distinct
     val catalog = names.map(n => n -> Tables.load(spark, dir, n)).toMap
     val stats = names.map(n => n -> Tables.rowCount(spark, dir, n)).toMap
-    compile(q, catalog, stats)
+    val bytes = names.map(n => n -> Tables.uncompressedBytes(spark, dir, n)).toMap
+    compile(q, catalog, stats, bytes)
   }
 }

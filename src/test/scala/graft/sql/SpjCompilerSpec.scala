@@ -90,6 +90,42 @@ class SpjCompilerSpec extends SparkSpec {
     assert(df.queryExecution.sparkPlan.toString.contains("Broadcast"))
   }
 
+  test("wide-row side (few rows, many bytes) loses the broadcast hint") {
+    // few rows -> passes the row gate; byte stats say 1 GiB uncompressed
+    // (the 500k-wide-strings case) -> the hint must NOT be emitted.
+    // Auto-broadcast is disabled so any Broadcast in the plan could only
+    // come from the compiler's own hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sql = """SELECT CUSTOMER.cid, CART.cartid FROM CUSTOMER, CART
+                  |WHERE CUSTOMER.cid = CART.cid""".stripMargin
+      def plan(byteStats: Map[String, Long]): String =
+        SpjCompiler.compile(SpjParser.parse(sql), catalog, stats, byteStats)
+          .queryExecution.sparkPlan.toString
+      assert(!plan(Map("CUSTOMER" -> (1L << 30), "CART" -> (1L << 30)))
+        .contains("Broadcast"))
+      // control: the same query with small byte stats still hints
+      assert(plan(Map("CUSTOMER" -> 1000L, "CART" -> 1000L))
+        .contains("Broadcast"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("uncompressedBytes reads footer sizes that track row width") {
+    import graft.Tables
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bytes").toString
+    val narrow = Seq.tabulate(100)(i => (i.toLong, "x"))
+      .toDF("id", "s")
+    val wide = Seq.tabulate(100)(i => (i.toLong, "x" * 10000 + i))
+      .toDF("id", "s")
+    narrow.coalesce(1).write.parquet(s"$tmp/narrow.parquet")
+    wide.coalesce(1).write.parquet(s"$tmp/wide.parquet")
+    val nb = Tables.uncompressedBytes(spark, tmp, "narrow")
+    val wb = Tables.uncompressedBytes(spark, tmp, "wide")
+    assert(nb > 0 && wb > nb * 10,
+      s"expected wide ($wb) >> narrow ($nb)")
+  }
+
   test("TIME literals coerce to the timestamp column type (reference .det TIME)") {
     import java.sql.Timestamp
     val evts = Seq(
