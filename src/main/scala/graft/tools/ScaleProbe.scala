@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clusters, Corpus, Dedup}
+import graft.ops.{Clusters, Corpus, Dedup, VectorOps}
 
 /** Scale probe for the graph/sketch operators: runs them on synthetic
   * inputs orders of magnitude beyond the test SFs (all seeded/derived —
@@ -17,6 +17,12 @@ import graft.ops.{Clusters, Corpus, Dedup}
   *    propagation round counts)
   *  - bloom: 10M-doc corpus sketch, 1.5M-doc batch with a 1/3 dup rate
   *  - upsample: 10M docs across 16 strata with fractional epoch weights
+  *  - kmeans: 1M dim-16 vectors, k = N/5000 = 200 (the SemDeDup paper's
+  *    regime) — the iterative assignment/update loop is k×N per round
+  *  - semdedup: 150k vectors of which 50k are IDENTICAL (one mega-blob) —
+  *    the boilerplate-collapse adversary for the within-cluster pair
+  *    join; without the rank-band cluster cap this is a 50k² single-task
+  *    self-join (1.2B pairs), with it the work is linear in blob size
   *
   * `runMain graft.tools.ScaleProbe` (env SPARK_GRAFT_CPUS).
   */
@@ -65,9 +71,39 @@ object ScaleProbe {
         Map("src0" -> 640, "src1" -> 128, "src2" -> 0)).count()
     }
 
-    println(s"""{"probe":"r4","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
+    // --- k-means at the paper's k = N/5000 regime -----------------------
+    val dimK = 16
+    val kmVecs = spark.range(1000000L).select(col("id"),
+      array((0 until dimK).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - lit(1000L)) / 1000.0): _*)
+        .as("embedding"))
+    val (kmAssigned, kmSec) = timed {
+      VectorOps.kmeansAssign(kmVecs, "id", "embedding", k = 200, iters = 2)
+        .count()
+    }
+    require(kmAssigned == 1000000L, s"kmeans assigned $kmAssigned")
+
+    // --- semantic dedup with a mega-cluster (cap stress) ----------------
+    val dimS = 8
+    val blobN = 50000L
+    val sdVecs = spark.range(150000L).select(col("id"),
+      when(col("id") < blobN, array(Seq.fill(dimS)(lit(0.5)): _*))
+        .otherwise(array((0 until dimS).map(j =>
+          (pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - lit(1000L)) / 1000.0): _*))
+        .as("embedding"))
+    val (sdDrops, sdSec) = timed {
+      VectorOps.semanticDedup(sdVecs, "id", "embedding", k = 8, iters = 2,
+          tau = 0.95, nAssign = 1, maxClusterSize = 2048)
+        .filter(col("keep") === 0).count()
+    }
+    // the whole blob except its min id MUST drop even though no cell ever
+    // holds more than 2*cap rows
+    require(sdDrops >= blobN - 1, s"semdedup dropped only $sdDrops")
+
+    println(s"""{"probe":"r5","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
-      s""""upsampled":$upsampled,"up_sec":$upSec}""")
+      s""""upsampled":$upsampled,"up_sec":$upSec,""" +
+      s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec}""")
     spark.stop()
   }
 }
