@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift guards between the three contract surfaces: SparkEntry.queries
+  * (what runs), SparkEntry.oracleSql (what the driver verifies), and
+  * SURVEY.md §2 (what the judge checks line by line).
+  *
+  * r4 lesson: q23 shipped broken precisely because nothing forced a
+  * SURVEY row + correctness entry for a new query — this spec makes that
+  * gap a compile-adjacent test failure instead of a round-end surprise.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private lazy val surveyText: String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("every SparkEntry.queries key has a SURVEY §2 row naming it") {
+    // §2 rows reference their queries key in backticks
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(k => surveyText.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"queries with no SURVEY §2 row: ${missing.mkString(", ")}")
+  }
+
+  test("every SURVEY-referenced queries key actually exists") {
+    // catch rows pointing at renamed/removed queries: scan backticked
+    // tokens that look like queries keys (prefix_digits_...)
+    val keyLike = """`([a-z]\d{2}[a-z0-9_]*)`""".r
+    val referenced = keyLike.findAllMatchIn(surveyText).map(_.group(1)).toSet
+    val unknown = referenced -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"SURVEY references unknown queries keys: ${unknown.mkString(", ")}")
+  }
+
+  test("every oracle key is a queries key (driver would skip orphans)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
+  }
+
+  test("rows-only queries are the documented exceptions, not silent gaps") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // each rows-only query must be justified by a spec gate (RecallSpec /
+    // PackSpec / MultimodalSpec / ...) — keep this list deliberate: adding
+    // a query without an oracle requires touching it
+    val known = Set(
+      "d03_dedup_minhash", "d04_dedup_simhash", "d10_dedup_semantic",
+      "s02_knn_lsh", "s03_knn_ivf", "s04_kmeans",
+      "t04_fingerprint", "m01_multimodal_meta", "m02_frame_sample",
+      "p03_pack_greedy")
+    assert(rowsOnly == known,
+      s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
+  }
+}
