@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dot product of two double arrays.
   *
@@ -146,6 +146,87 @@ object SignPack {
   }
 }
 
+/** Nearest-centroid index by squared L2, over a centroid matrix baked into
+  * the expression (ties → lowest index). One fused loop per row inside
+  * WholeStageCodegen — the k-means assignment step as a PURE MAP.
+  *
+  * The alternative (corpus crossJoin broadcast(k centroids) + window
+  * argmin) materializes and shuffles N×k rows carrying the vector per
+  * iteration; at 1M×k=200 that is 200M wide rows through an exchange
+  * per Lloyd round. This expression reads each vector once and emits one
+  * int — no join, no shuffle, no row blow-up. Exactness: inputs are
+  * integer-quantized doubles, so dist² = \|q\|² − 2q·c + \|c\|² compares
+  * identically to the window path's (\|q\|² is row-constant and drops out
+  * of the argmin; the remaining terms are the same exact doubles).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  // per-centroid |c|^2, computed once per expression instance
+  @transient private lazy val cn2s: Array[Double] =
+    centroids.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestScore = Double.PositiveInfinity
+    var ci = 0
+    while (ci < centroids.length) {
+      val cv = centroids(ci)
+      val n = math.min(q.numElements(), cv.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += q.getDouble(i) * cv(i); i += 1 }
+      val score = cn2s(ci) - 2.0 * dot
+      if (score < bestScore) { bestScore = score; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val cn2 = ctx.addReferenceObj("cn2s", cn2s, "double[]")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val ci = ctx.freshName("ci")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val score = ctx.freshName("score")
+      s"""
+         |int $best = 0;
+         |double $bestScore = Double.POSITIVE_INFINITY;
+         |for (int $ci = 0; $ci < $cents.length; $ci++) {
+         |  double[] $cv = $cents[$ci];
+         |  int $n = java.lang.Math.min($q.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $q.getDouble($i) * $cv[$i];
+         |  }
+         |  double $score = $cn2[$ci] - 2.0d * $dot;
+         |  if ($score < $bestScore) { $bestScore = $score; $best = $ci; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
@@ -154,4 +235,10 @@ object VectorExpressions {
   /** Codegen'd packed-sign LSH bucket of an ArrayType(DoubleType) column. */
   def signPack(v: Column, planes: Int): Column =
     Bridge.column(SignPack(Bridge.expression(v), planes))
+
+  /** Codegen'd nearest-centroid argmin of an ArrayType(DoubleType) column
+    * against a fixed centroid matrix (row index = cluster id).
+    */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
 }

@@ -275,19 +275,42 @@ object VectorOps {
         cents.toSeq.map { case (i, v) =>
           (i, v, v.map(x => x * x).sum)
         }.toDF("cluster", "cvec", "cn2"))
-      val aw = Window.partitionBy("id").orderBy(col("dist2").asc, col("cluster").asc)
-      c.crossJoin(centDf)
-        .select(col("id"), col("q"), col("cluster"),
-          (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
-            .as("dist2"))
-        .withColumn("crk", row_number().over(aw))
-        .filter(col("crk") <= n)
-        .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
+      if (n == 1) {
+        // single assignment is a PURE MAP: codegen'd argmin over the
+        // centroid matrix (graft_nearest_centroid) — no N×k crossJoin, no
+        // window shuffle. dist2 comes from one broadcast join against the
+        // k-row centroid table with the same exact arithmetic, so the
+        // result is bit-identical to the window path below (|q|² drops
+        // out of the argmin; ties break to the lowest cluster id both
+        // ways).
+        c.withColumn("cluster",
+            graft.functions.VectorExpressions.nearestCentroid(
+              col("q"), cents.map(_._2)))
+          .join(centDf, "cluster")
+          .select(col("id"), col("q"), col("cluster"),
+            (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
+              .as("dist2"), lit(1).as("crk"))
+      } else {
+        // multi-probe (crk <= n) needs the n smallest per id: the one
+        // place the N×k scoring join + window argsort is still the plan
+        val aw = Window.partitionBy("id").orderBy(col("dist2").asc, col("cluster").asc)
+        c.crossJoin(centDf)
+          .select(col("id"), col("q"), col("cluster"),
+            (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
+              .as("dist2"))
+          .withColumn("crk", row_number().over(aw))
+          .filter(col("crk") <= n)
+          .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
+      }
     }
 
     for (_ <- 1 to iters) {
-      val sums = assign(1)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+      // Lloyd update: only (cluster, q) matter — assignment via the fused
+      // argmin map, sums via posexplode + map-side partial aggregation
+      val sums = c
+        .select(graft.functions.VectorExpressions.nearestCentroid(
+            col("q"), cents.map(_._2)).as("cluster"),
+          posexplode(col("q")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
         .agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
