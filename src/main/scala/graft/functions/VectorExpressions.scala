@@ -227,6 +227,101 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** The `nAssign` nearest centroid indices by squared L2, closest first
+  * (ties → lowest index), as array<int> — the multi-probe variant of
+  * [[NearestCentroid]]: each row emits n indices instead of joining k
+  * scored copies of itself through a window sort. A small insertion sort
+  * over (score, index) runs inside the per-row loop; n is tiny (2–4) so
+  * the sort is a handful of compares per centroid.
+  */
+case class NearestCentroids(
+    child: Expression, centroids: Array[Array[Double]], nAssign: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nAssign >= 1 && nAssign <= centroids.length,
+    "nAssign must be in [1, k]")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  @transient private lazy val cn2s: Array[Double] =
+    centroids.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      s
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val bestIdx = new Array[Int](nAssign)
+    val bestScore = Array.fill(nAssign)(Double.PositiveInfinity)
+    var ci = 0
+    while (ci < centroids.length) {
+      val cv = centroids(ci)
+      val n = math.min(q.numElements(), cv.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += q.getDouble(i) * cv(i); i += 1 }
+      val score = cn2s(ci) - 2.0 * dot
+      // insertion: strict < keeps earlier (lower) index on ties
+      var j = nAssign - 1
+      if (score < bestScore(j)) {
+        while (j > 0 && score < bestScore(j - 1)) {
+          bestScore(j) = bestScore(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestScore(j) = score; bestIdx(j) = ci
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val cn2 = ctx.addReferenceObj("cn2s", cn2s, "double[]")
+      val bestIdx = ctx.freshName("bestIdx")
+      val bestScore = ctx.freshName("bestScore")
+      val ci = ctx.freshName("ci")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val score = ctx.freshName("score")
+      s"""
+         |int[] $bestIdx = new int[$nAssign];
+         |double[] $bestScore = new double[$nAssign];
+         |java.util.Arrays.fill($bestScore, Double.POSITIVE_INFINITY);
+         |for (int $ci = 0; $ci < $cents.length; $ci++) {
+         |  double[] $cv = $cents[$ci];
+         |  int $n = java.lang.Math.min($q.numElements(), $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $q.getDouble($i) * $cv[$i];
+         |  }
+         |  double $score = $cn2[$ci] - 2.0d * $dot;
+         |  int $j = $nAssign - 1;
+         |  if ($score < $bestScore[$j]) {
+         |    while ($j > 0 && $score < $bestScore[$j - 1]) {
+         |      $bestScore[$j] = $bestScore[$j - 1];
+         |      $bestIdx[$j] = $bestIdx[$j - 1];
+         |      $j--;
+         |    }
+         |    $bestScore[$j] = $score;
+         |    $bestIdx[$j] = $ci;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bestIdx);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
@@ -241,4 +336,11 @@ object VectorExpressions {
     */
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
+
+  /** Codegen'd top-n nearest centroid indices (closest first) — the
+    * multi-probe assignment as a per-row map.
+    */
+  def nearestCentroids(
+      v: Column, centroids: Array[Array[Double]], nAssign: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(v), centroids, nAssign))
 }

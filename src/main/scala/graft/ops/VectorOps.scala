@@ -291,16 +291,17 @@ object VectorOps {
             (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
               .as("dist2"), lit(1).as("crk"))
       } else {
-        // multi-probe (crk <= n) needs the n smallest per id: the one
-        // place the N×k scoring join + window argsort is still the plan
-        val aw = Window.partitionBy("id").orderBy(col("dist2").asc, col("cluster").asc)
-        c.crossJoin(centDf)
+        // multi-probe: the top-n variant of the same fused argmin — each
+        // row emits its n nearest indices (closest first), so the plan is
+        // a map + posexplode to n rows + one broadcast join for dist2,
+        // never the N×k scored self-blow-up through a window sort
+        c.select(col("id"), col("q"), col("n2"),
+            posexplode(graft.functions.VectorExpressions.nearestCentroids(
+              col("q"), cents.map(_._2), n)).as(Seq("crk0", "cluster")))
+          .join(centDf, "cluster")
           .select(col("id"), col("q"), col("cluster"),
             (col("n2") - lit(2.0) * dot(col("q"), col("cvec")) + col("cn2"))
-              .as("dist2"))
-          .withColumn("crk", row_number().over(aw))
-          .filter(col("crk") <= n)
-          .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
+              .as("dist2"), (col("crk0") + 1).as("crk"))
       }
     }
 

@@ -62,6 +62,30 @@ class FunctionsSpec extends SparkSpec {
     viaCodegen.foreach(b => assert(b >= 0 && b < 4096))
   }
 
+  test("NearestCentroid(s) match a brute-force argsort with low-index ties") {
+    // deterministic pseudo-random vectors + centroids, including exact
+    // ties (duplicate centroids) to pin the lowest-index tie rule
+    def vec(seed: Int, dim: Int): Array[Double] =
+      Array.tabulate(dim)(j => ((seed * 31 + j * 7) % 13 - 6).toDouble)
+    val cents: Array[Array[Double]] =
+      Array.tabulate(6)(i => vec(i, 5)) :+ vec(2, 5) // index 6 == index 2
+    val rows = (0 until 50).map(i => Tuple1(vec(i + 100, 5)))
+    val df = rows.toDF("v")
+    def brute(q: Array[Double], n: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        val d2 = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, i)
+      }.sortBy(identity).take(n).map(_._2).toSeq
+    val got = df.select(
+        VectorExpressions.nearestCentroid(col("v"), cents).as("one"),
+        VectorExpressions.nearestCentroids(col("v"), cents, 3).as("three"))
+      .collect()
+    rows.map(_._1).zip(got).foreach { case (q, r) =>
+      assert(r.getInt(0) == brute(q, 1).head)
+      assert(r.getSeq[Int](1).toSeq == brute(q, 3))
+    }
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate returns the suite's existing session (withExtensions only
     // affects newly-built sessions), so use runtime registration
