@@ -218,4 +218,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Join")) // intersect/except lowered to semi/anti joins
   }
+
+  test("e10: salted as-of join stays windows + equi joins (no range loop)") {
+    val p = plan("e10_asof_salted")
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("s04/d10: k-means assignment is a fused map, never an N×k loop join") {
+    // r5: graft_nearest_centroid(s) replaced the corpus × broadcast(k)
+    // scoring join + per-id window argsort — the plan must contain the
+    // fused expression and no nested-loop/cartesian row blow-up
+    Seq("s04_kmeans", "d10_dedup_semantic").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft_nearest_centroid"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), q)
+    }
+  }
 }
