@@ -114,12 +114,18 @@ object VectorOps {
     *
     * Query: each probe scores the same centroid set, keeps its `nProbe`
     * nearest lists, and exact cosine top-k runs over the union of those
-    * inverted lists. The corpus-side join key is the centroid id — the
+    * inverted lists. The corpus-side join key is the list index — the
     * shuffle is (probe x candidate-lists), never probe x corpus.
     *
-    * Scale: corpus side does one pass to build assignments (nCentroids
-    * dots per vector, all inside codegen via graft_dot); at query time work
-    * is sum of probed list sizes ~= corpus * nProbe / nCentroids.
+    * Scale: the centroid set is collected once as driver-side model state
+    * (nCentroids × dim doubles — the kmeans pattern) and NORMALIZED, so
+    * squared-L2 argmin over unit centroids equals cosine argmax; corpus
+    * assignment is then one fused `graft_nearest_centroid` map per row
+    * (r5; previously a corpus × broadcast(centroids) scoring join + a
+    * per-vector window argsort — an N×nCentroids row blow-up through an
+    * exchange). Probe-side list selection is the same expression's top-n
+    * variant. Work at query time is sum of probed list sizes
+    * ~= corpus * nProbe / nCentroids.
     */
   def knnIvf(
       probes: DataFrame,
@@ -132,33 +138,29 @@ object VectorOps {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
-    // deterministic "sample": nCentroids corpus vectors in xxhash64-id order
-    val centroids = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+    // deterministic "sample": nCentroids corpus vectors in xxhash64-id
+    // order, collected sorted by id so matrix-index ties == lowest-id ties
+    val centRows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
       .limit(nCentroids)
-      .select(col("corpus_id").as("cent_id"), col("cq").as("cvec"),
-        col("cn2").as("cn2c"))
-    // assignment: nearest centroid per corpus vector (ties -> lowest cent_id)
-    val assignW = Window.partitionBy("corpus_id")
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select(col("corpus_id"), col("cq"), col("cn2"), col("cent_id"),
-        cosine(dot(col("cq"), col("cvec")), col("cn2"), col("cn2c")).as("ccos"))
-      .withColumn("crk", row_number().over(assignW))
-      .filter(col("crk") === 1)
-      .select(col("corpus_id"), col("cq"), col("cn2"), col("cent_id"))
-    // probe: nProbe nearest lists per probe
-    val probeW = Window.partitionBy("probe_id")
-      .orderBy(col("pcos").desc, col("cent_id").asc)
+      .select(col("corpus_id"), col("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val mat: Array[Array[Double]] = centRows.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // assignment: nearest (by cosine) centroid index per corpus vector
+    val assigned = c.withColumn("list",
+      graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
+    // probe: nProbe nearest list indices per probe, one fused map
     val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
-    val probeLists = p.crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id"),
-        cosine(dot(col("pq"), col("cvec")), col("pn2"), col("cn2c")).as("pcos"))
-      .withColumn("prk", row_number().over(probeW))
-      .filter(col("prk") <= nProbe)
-      .select(col("probe_id"), col("pq"), col("pn2"), col("cent_id"))
+    val probeLists = p.select(col("probe_id"), col("pq"), col("pn2"),
+      explode(graft.functions.VectorExpressions.nearestCentroids(
+        col("pq"), mat, nProbe)).as("list"))
     // exact cosine over the probed lists' union
-    val scored = assigned.join(broadcast(probeLists), "cent_id")
+    val scored = assigned.join(broadcast(probeLists), "list")
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))

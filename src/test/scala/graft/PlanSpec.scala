@@ -230,7 +230,7 @@ class PlanSpec extends SparkSpec {
     // r5: graft_nearest_centroid(s) replaced the corpus × broadcast(k)
     // scoring join + per-id window argsort — the plan must contain the
     // fused expression and no nested-loop/cartesian row blow-up
-    Seq("s04_kmeans", "d10_dedup_semantic").foreach { q =>
+    Seq("s04_kmeans", "d10_dedup_semantic", "s03_knn_ivf").foreach { q =>
       val p = plan(q)
       assert(p.contains("graft_nearest_centroid"), q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
