@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level analysis and dataset-preparation operators for
@@ -205,6 +206,64 @@ object Corpus {
         when(col(strataCol) === stratum, keep(k)).otherwise(els)
     }
     df.filter(cond)
+  }
+
+  /** Exact per-stratum QUOTA sampling: exactly `quotas(stratum)` rows per
+    * stratum (all of them if the stratum is smaller), chosen
+    * deterministically as the quota-smallest (md5(id), id) keys — "give me
+    * 5k eval docs per language" where [[stratifiedSample]]'s rates give
+    * proportions, not counts. Content-independent and stable under
+    * retries, growth reshuffles nothing already chosen out.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY stratum ORDER
+    * BY hash)` sorts the WHOLE corpus through one task per stratum. Here
+    * phase 1 keeps each input partition's quota-smallest keys per stratum
+    * in a bounded heap (mapPartitions, NO shuffle, memory =
+    * strata × quota per task) — every global winner is necessarily one of
+    * its partition's local winners — and phase 2 ranks only the
+    * ≤ partitions × quota survivors per stratum. The full-corpus window
+    * never happens.
+    */
+  def quotaSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      quotas: Map[String, Int],
+      defaultQuota: Int = 0): DataFrame = {
+    require((quotas.values ++ Seq(defaultQuota)).forall(_ >= 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      col(strataCol).cast("string").as("stratum"),
+      md5(col(idCol).cast("string")).as("h"))
+    val quotaMap = quotas // stable closure capture
+    val dflt = defaultQuota
+    val local = hashed.as[(Long, String, String)].mapPartitions { it =>
+      val ord = Ordering[(String, Long)] // max-heap: root = worst kept key
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+      it.foreach { case (id, s, h) =>
+        val q = quotaMap.getOrElse(s, dflt)
+        if (q > 0) {
+          val heap = heaps.getOrElseUpdate(s,
+            scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord))
+          if (heap.size < q) heap.enqueue((h, id))
+          else if (ord.lt((h, id), heap.head)) {
+            heap.dequeue(); heap.enqueue((h, id))
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (s, heap) =>
+        heap.iterator.map { case (h, id) => (id, s, h) }
+      }
+    }.toDF("id", "stratum", "h")
+    val w = Window.partitionBy("stratum").orderBy(col("h"), col("id"))
+    val qCol = quotas.foldLeft(lit(defaultQuota)) {
+      case (els, (s, q)) => when(col("stratum") === s, q).otherwise(els)
+    }
+    local.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= qCol)
+      .select(col("id").as(idCol), col("stratum").as(strataCol))
   }
 
   /** Deterministic mixture upsampling: replicate each document

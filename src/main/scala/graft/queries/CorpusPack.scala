@@ -310,6 +310,25 @@ object CorpusPack {
               ELSE TRUE END
             ORDER BY doc_id"""))
 
+  private val p06 = Q(
+    "p06_quota_sample",
+    // exact per-stratum quotas (counts, where p04 gives rates): the
+    // quota-smallest (md5(id), id) keys per language — phase 1 is
+    // shuffle-free bounded heaps per partition, phase 2 ranks only the
+    // survivors, so the full corpus is never window-sorted
+    (s, dir) => Corpus.quotaSample(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 20, "zh" -> 10), defaultQuota = 5)
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 10
+                                  ELSE 5 END
+            ORDER BY doc_id"""))
+
   private val p05 = Q(
     "p05_mixture_upsample",
     // src0 at 2.5 epochs, src1 at 0.5, src2 dropped, everything else 1.0
@@ -344,5 +363,5 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11,
-      p01, p02, p03, p04, p05, d06, d07, d08, d09)
+      p01, p02, p03, p04, p05, p06, d06, d07, d08, d09)
 }

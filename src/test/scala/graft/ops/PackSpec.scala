@@ -141,6 +141,23 @@ class PackSpec extends SparkSpec {
     assert(once == again && once.nonEmpty && once.size < 100)
   }
 
+  test("quotaSample: exact counts per stratum, partition-independent") {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    def res(parts: Int): Set[(Long, String)] =
+      Corpus.quotaSample(df.repartition(parts), "doc_id", "lang",
+          Map("en" -> 7, "fr" -> 11), defaultQuota = 0)
+        .as[(Long, String)].collect().toSet
+    val one = res(1)
+    assert(one.count(_._2 == "en") == 7 && one.count(_._2 == "fr") == 11)
+    // the bounded-heap phase must not depend on how rows are partitioned
+    assert(res(7) == one && res(32) == one)
+    // quota above stratum size -> whole stratum; unlisted stratum dropped
+    val big = Corpus.quotaSample(df, "doc_id", "lang", Map("en" -> 1000))
+      .as[(Long, String)].collect()
+    assert(big.count(_._2 == "en") == 100 && !big.exists(_._2 == "fr"))
+  }
+
   test("mixtureUpsample: whole epochs exact, fractional epochs stable") {
     val df = (0L until 400L)
       .map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
