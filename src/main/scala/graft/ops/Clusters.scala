@@ -118,6 +118,52 @@ object Clusters {
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into an
+    * existing min-id labeling without re-running the contraction loop
+    * over the standing corpus — the continuous-ingest companion of
+    * [[connectedComponents]] (the graph analog of d06/d09's incremental
+    * dedup).
+    *
+    * Plan: new-edge endpoints are remapped through their old labels
+    * (one narrow join), so the loop runs on the CONTRACTED graph whose
+    * nodes are touched old-cluster representatives plus brand-new ids —
+    * proportional to the BATCH, never the corpus. Old labels then
+    * compose through the supernode labeling with one more join.
+    *
+    * Exactness (asserted in ClustersSpec and by d11 sharing d08's full
+    * recompute oracle): every old cluster id is the MIN of its cluster,
+    * so the min supernode id of a merged super-component IS the global
+    * min doc id of the merged component — min-id labels compose.
+    * Output covers every node in `labels` or `newEdges`.
+    */
+  def incrementalComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("comp"))
+    val remapped = newEdges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .join(lab.select(col("id").as("u"), col("comp").as("cu")), Seq("u"), "left")
+      .join(lab.select(col("id").as("v"), col("comp").as("cv")), Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("u"),
+        coalesce(col("cv"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val superCC = connectedComponents(remapped, "u", "v")
+      .select(col("id").as("snode"), col("cluster_id").as("scomp"))
+    // old nodes: follow the cluster representative's new label, if any
+    val updatedOld = lab
+      .join(superCC.withColumnRenamed("snode", "comp"), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("scomp"), col("comp")).as("cluster_id"))
+    // brand-new nodes: supernodes that never had a label (old cluster
+    // representatives always label themselves, so they ARE in `labels`)
+    val newNodes = superCC
+      .join(lab, superCC("snode") === lab("id"), "left_anti")
+      .select(col("snode").as("id"), col("scomp").as("cluster_id"))
+    updatedOld.unionByName(newNodes)
+  }
+
   /** Unpersist the cached blocks behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only touches cache-manager entries; a local
     * checkpoint's storage lives on the checkpointed RDD inside the

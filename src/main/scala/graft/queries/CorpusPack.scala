@@ -193,6 +193,29 @@ object CorpusPack {
                CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
              FROM comp ORDER BY doc_id"""))
 
+  private val d11 = Q(
+    "d11_cc_incremental",
+    // continuous-ingest cluster maintenance: label the "standing corpus"
+    // (pairs wholly under a doc-id cutoff) with the full CC loop, then
+    // FOLD the remaining pairs in incrementally — the loop reruns only on
+    // touched cluster reps + new ids, never the corpus. Min-id labels
+    // compose, so the result equals d08's full recompute and shares its
+    // recursive-CTE oracle verbatim.
+    (s, dir) => {
+      val pairs = Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 2)
+        .select("id_a", "id_b").localCheckpoint()
+      val isOld = col("id_a") <= 250 && col("id_b") <= 250
+      val labels0 = Clusters.connectedComponents(
+        pairs.filter(isOld), "id_a", "id_b")
+      Clusters.incrementalComponents(labels0, pairs.filter(!isOld),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          when(col("id") === col("cluster_id"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+    d08.oracle)
+
   private val t07 = Q(
     "t07_top_tokens_per_lang",
     (s, dir) => Corpus.topTokensPerGroup(
@@ -363,5 +386,5 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11,
-      p01, p02, p03, p04, p05, p06, d06, d07, d08, d09)
+      p01, p02, p03, p04, p05, p06, d06, d07, d08, d09, d11)
 }

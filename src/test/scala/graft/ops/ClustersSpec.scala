@@ -27,6 +27,30 @@ class ClustersSpec extends SparkSpec {
       Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("incrementalComponents == full recompute across adversarial batches") {
+    // old graph: {1,2,3}, {10,11}, singleton-free node 20 via (20,21)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // new batch: merges the two big clusters through non-representative
+    // members (3-11), attaches a brand-new node to an old cluster (11-40),
+    // adds a purely-new cluster (50-51), an intra-cluster no-op edge
+    // (1-3), and a new node bridging to the third cluster (21-45)
+    val newEdges = Seq((3L, 11L), (11L, 40L), (50L, 51L), (1L, 3L), (21L, 45L))
+    val labels0 = Clusters.connectedComponents(
+      oldEdges.toDF("a", "b"), "a", "b")
+    val inc = Clusters.incrementalComponents(
+        labels0, newEdges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val full = cc(oldEdges ++ newEdges: _*)
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(full(40L) == 1L && full(11L) == 1L && full(50L) == 50L &&
+      full(45L) == 20L)
+    // empty batch: labeling unchanged
+    val same = Clusters.incrementalComponents(labels0,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(same == labels0.as[(Long, Long)].collect().toMap)
+  }
+
   test("dedupClusters marks exactly one canonical doc per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val got = Clusters.dedupClusters(pairs, "id_a", "id_b")
