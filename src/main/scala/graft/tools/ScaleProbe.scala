@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clusters, Corpus, Dedup, VectorOps}
+import graft.ops.{Clusters, Corpus, Dedup, Events, VectorOps}
 
 /** Scale probe for the graph/sketch operators: runs them on synthetic
   * inputs orders of magnitude beyond the test SFs (all seeded/derived —
@@ -23,6 +23,9 @@ import graft.ops.{Clusters, Corpus, Dedup, VectorOps}
   *    the boilerplate-collapse adversary for the within-cluster pair
   *    join; without the rank-band cluster cap this is a 50k² single-task
   *    self-join (1.2B pairs), with it the work is linear in blob size
+  *  - asof: 10M right rows + 1M probes with HALF of everything on ONE
+  *    key — the hot-key adversary the salted two-phase as-of exists for
+  *    (the plain union+window would put 5.5M rows in one task)
   *
   * `runMain graft.tools.ScaleProbe` (env SPARK_GRAFT_CPUS).
   */
@@ -100,10 +103,29 @@ object ScaleProbe {
     // holds more than 2*cap rows
     require(sdDrops >= blobN - 1, s"semdedup dropped only $sdDrops")
 
+    // --- salted as-of join under one-hot-key skew -----------------------
+    // keys: id%2==0 -> key 0 (the bot account), else spread over 100k keys
+    def keyed(n: Long, offset: Long) = spark.range(n).select(
+      (col("id") + offset).as("rid"),
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("k"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(86400000000L)) +
+        (col("id") % 30) * 86400000000L).as("t"))
+    val right = keyed(10000000L, 0L).select(col("k"), col("t"),
+      col("rid").as("payload"))
+    val probesDf = keyed(1000000L, 100000000L)
+      .select(col("k"), col("t"), col("rid"))
+    val (asofRows, asofSec) = timed {
+      Events.asofJoinSalted(probesDf, right, "k", "t", Seq("payload"),
+        chunkUs = 86400000000L).count()
+    }
+    require(asofRows == 1000000L, s"asof emitted $asofRows")
+
     println(s"""{"probe":"r5","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
-      s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec}""")
+      s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
+      s""""asof_sec":$asofSec}""")
     spark.stop()
   }
 }
