@@ -46,6 +46,14 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed on $dir: ${e.getMessage}")
           false
+      } finally {
+        // queries that localCheckpoint (CC loops, d11's pair list) leave
+        // persisted RDD blocks behind after their action completes;
+        // across 60+ queries × reps that debt skews later timings (r4:
+        // d08 spread 72 s). Nothing references them once the query's
+        // action is done — drop them eagerly.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 
