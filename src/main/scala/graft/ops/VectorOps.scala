@@ -221,10 +221,10 @@ object VectorOps {
     * domain discovery, diversity balancing).
     *
     * Scale + determinism shape:
-    *  - assignment pass: corpus × broadcast(k centroids), squared-L2 via
-    *    the codegen'd `graft_dot` (dist² = |x|² − 2x·c + |c|²), argmin by
-    *    window with id tiebreak — embarrassingly parallel, no corpus
-    *    shuffle beyond the argmin's narrow rows.
+    *  - assignment pass: ONE fused codegen'd `graft_nearest_centroid`
+    *    argmin per row against the centroid matrix (dist² = |x|² − 2x·c
+    *    + |c|², lowest-index ties) — a pure map, no N×k join or window
+    *    shuffle (r5; 1M×k=200 probe 212→18 s, bit-identical).
     *  - update pass: elementwise centroid sums via posexplode →
     *    (cluster, dim) aggregation. Inputs are integer-valued doubles
     *    (quantized), so the sums are EXACT in any partial-aggregation
