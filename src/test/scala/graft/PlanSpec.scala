@@ -219,6 +219,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join")) // intersect/except lowered to semi/anti joins
   }
 
+  test("q23: aggregate window frame is one running scan, not a self-join") {
+    val p = plan("q23_moving_window")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "frame aggregates must not plan as a join")
+    // one exchange partitions by o_custkey, one serves the final sort
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("p06: quota sampling never window-sorts the full corpus") {
+    val p = plan("p06_quota_sample")
+    // phase 1 is partition-local (mapPartitions): at most two exchanges
+    // remain — survivors into the per-stratum rank, then the final sort
+    assert(p.contains("MapPartitions"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("e10: salted as-of join stays windows + equi joins (no range loop)") {
     val p = plan("e10_asof_salted")
     assert(p.contains("Window"))
