@@ -47,7 +47,22 @@ object Clusters {
     * full corpus labeled).
     */
   def connectedComponents(
-      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol, driverFinishEdges = 100000)
+
+  /** As [[connectedComponents]], with the small-remnant finish exposed:
+    * once the contracted edge list fits under `driverFinishEdges`, the
+    * remaining rounds collapse into ONE collect + min-label union-find +
+    * relabel join. Each distributed round costs ~6 scheduled jobs
+    * regardless of size — on a contracted graph of a few thousand rows
+    * that is pure scheduling overhead, and the contraction reaches that
+    * regime after the first round or two on any supercritical graph. The
+    * driver holds ≤ 2·driverFinishEdges longs (sub-MB at the default).
+    * Pass 0 to keep every round distributed.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      driverFinishEdges: Int): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     // undirected: keep both directions; distinct so parallel edges don't
@@ -62,7 +77,7 @@ object Clusters {
 
     var remaining = e.count()
     var rounds = 0
-    while (remaining > 0) {
+    while (remaining > driverFinishEdges.toLong.max(0L)) {
       rounds += 1
       require(rounds <= 64, "connectedComponents failed to converge") // 2^64 ids
       // 1. merge map over the current super-graph
@@ -95,7 +110,37 @@ object Clusters {
       freeCheckpoint(oldE)
       remaining = e.count()
     }
-    freeCheckpoint(e) // empty by now; drop its blocks too
+    if (remaining > 0) {
+      // small-remnant finish: one union-find over the collected contracted
+      // graph replaces the remaining O(log) distributed rounds
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.select(col("u"), col("v")).collect().foreach { row =>
+        val ru = find(row.getLong(0)); val rv = find(row.getLong(1))
+        if (ru != rv) { // min root wins -> root stays the component minimum
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val relabel = parent.keys.toSeq.map(k => (k, find(k)))
+        .filter { case (k, r) => k != r }
+      if (relabel.nonEmpty) {
+        val spark = labels.sparkSession
+        import spark.implicits._
+        val m = broadcast(relabel.toDF("t", "tc"))
+        val oldLabels = labels
+        labels = labels.join(m, labels("comp") === m("t"), "left")
+          .select(col("id"), coalesce(col("tc"), col("comp")).as("comp"))
+          .localCheckpoint()
+        freeCheckpoint(oldLabels)
+      }
+    }
+    freeCheckpoint(e) // drained (or driver-finished); drop its blocks
     // The single jump per round lets labels lag one hop behind the
     // contraction (a comp can name a node that itself merged later), so
     // edges hitting zero does NOT mean labels are final: jump to fixpoint.

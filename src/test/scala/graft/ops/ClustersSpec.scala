@@ -5,9 +5,17 @@ import graft.SparkSpec
 class ClustersSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: (Long, Long)*): Map[Long, Long] =
-    Clusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  // every case runs BOTH the pure distributed loop (driverFinishEdges=0)
+  // and the hybrid small-remnant finish, and they must agree exactly
+  private def cc(edges: (Long, Long)*): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val dist = Clusters.connectedComponents(df, "a", "b", driverFinishEdges = 0)
       .as[(Long, Long)].collect().toMap
+    val hybrid = Clusters.connectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(dist == hybrid, s"driver finish diverged: dist=$dist hybrid=$hybrid")
+    hybrid
+  }
 
   test("two disjoint clusters resolve to their min ids") {
     val got = cc((1L, 2L), (2L, 3L), (10L, 11L))
