@@ -50,10 +50,25 @@ object ScaleProbe {
     val edges = spark.range(5000000L).select(
       pmod(xxhash64(col("id"), lit(0)), lit(n)).as("a"),
       pmod(xxhash64(col("id"), lit(1)), lit(n)).as("b"))
-    val (nClusters, ccSec) = timed {
-      Clusters.connectedComponents(edges, "a", "b")
+    val t0cc = System.nanoTime()
+    val labels0 = Clusters.connectedComponents(edges, "a", "b")
+      .localCheckpoint()
+    val nClusters = labels0.agg(count_distinct(col("cluster_id")))
+      .head().getLong(0)
+    val ccSec = (System.nanoTime() - t0cc) / 1e9
+
+    // --- incremental CC: fold a 100k-edge batch into the standing labels;
+    // cost must track the BATCH (the d11 claim), not the 5M-edge corpus
+    val newEdges = spark.range(5000000L, 5100000L).select(
+      pmod(xxhash64(col("id"), lit(0)), lit(n)).as("a"),
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("b"))
+    val (nIncClusters, incSec) = timed {
+      Clusters.incrementalComponents(labels0, newEdges, "a", "b")
         .agg(count_distinct(col("cluster_id"))).head().getLong(0)
     }
+    // same node universe: new edges can only MERGE existing clusters
+    require(nIncClusters <= nClusters,
+      s"incremental produced $nIncClusters > $nClusters clusters")
 
     // --- bloom incremental dedup ----------------------------------------
     val corpus = spark.range(10000000L)
@@ -122,6 +137,7 @@ object ScaleProbe {
     require(asofRows == 1000000L, s"asof emitted $asofRows")
 
     println(s"""{"probe":"r5","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
+      s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
