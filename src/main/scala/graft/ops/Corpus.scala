@@ -306,6 +306,115 @@ object Corpus {
       .select(col(idCol), col(strataCol), col("e").cast("long").as("epoch"))
   }
 
+  /** Contiguous 0-based global row numbering in `idCol` order — the dense
+    * offset assignment that gives a corpus stable sample ids for sharding,
+    * packing, and shard-file naming.
+    *
+    * Scale shape: the obvious `row_number() OVER (ORDER BY id)` collapses
+    * the whole corpus into ONE window task. Here the corpus is
+    * range-partitioned and locally sorted (the same sampled-boundary
+    * mechanism `orderBy` uses), each partition numbers its own rows with a
+    * plain counter (mapPartitions — no further shuffle), and only the
+    * per-partition row COUNTS (numPartitions longs) go through a prefix-sum
+    * window before broadcasting back as exclusive offsets. The output is
+    * identical for ANY sampled boundary placement: range partitions are
+    * totally ordered, so offset(partition) + local index IS the global
+    * rank — no recompute-sensitivity, no single-task sort of the data.
+    */
+  def contiguousIds(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.select(col(idCol).cast("long").as("id"))
+      .repartitionByRange(n, col("id"))
+      .sortWithinPartitions("id")
+      .as[Long]
+    // checkpoint: counts pass + assignment pass share one materialization
+    val local = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = -1L
+      it.map { id => i += 1; (pid, i, id) }
+    }.toDF("pid", "local_idx", "id").localCheckpoint()
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    // prefix sum over numPartitions rows — tiny by construction, so the
+    // single-task window here is fine at any corpus size
+    val w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum("cnt").over(w), lit(0L)))
+    local.join(broadcast(offsets.select("pid", "offset")), "pid")
+      .select(col("id").as(idCol),
+        (col("offset") + col("local_idx")).as("rid"))
+  }
+
+  /** Per-group unigram-distribution drift between two splits: the
+    * total-variation distance `0.5 * Σ_w |P_a(w) - P_b(w)|` between split
+    * `a` and split `b` token distributions — the monitor that catches a
+    * val/test set drifting away from (or collapsing into) its train split
+    * after sampling, mixing, or decontamination rewrites the corpus.
+    *
+    * Exactness: each term is the integer cross-multiplication
+    * `|c_a*N_b - c_b*N_a|`, summed as longs, with ONE double division by
+    * `2*N_a*N_b` at the end — no per-token float accumulation, so the
+    * DuckDB oracle matches bit-for-bit. Longs hold while
+    * tokens_per_group² < 2^63 (~3e9 tokens per group); beyond that,
+    * pre-divide per term (monotone, no longer oracle-exact).
+    *
+    * Shape: one (group, token) count with map-side partials — the only
+    * string-carrying shuffle — then narrow rollups of those counts.
+    */
+  def splitDrift(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      splitA: String = "train",
+      splitB: String = "test"): DataFrame = {
+    val cnt = df
+      .select(col(groupCol), splitLabel(col(idCol)).as("split"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("split").isin(splitA, splitB))
+      .groupBy(groupCol, "token")
+      .agg(sum(when(col("split") === splitA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("split") === splitB, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy(groupCol)
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cnt.join(tot, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(max("na").as("n_a_tokens"), max("nb").as("n_b_tokens"),
+        count(lit(1)).as("vocab_union"),
+        (sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).cast("double")
+          / (lit(2) * max("na") * max("nb")).cast("double")).as("tv_dist"))
+  }
+
+  /** Global quality-quartile bucketing: assign each document a bucket
+    * 0..3 by its [[TextOps.qualityScore]] against the corpus-wide exact
+    * quartile boundaries — the curriculum/quality-binning step before
+    * mixing ("train on top-quartile first", "drop the bottom bucket").
+    *
+    * Scale shape: a global `ntile(4)` window is one task sorting the
+    * corpus. Here the three boundaries are computed by the distributed
+    * exact percentile aggregate (one partial-agg pass; swap in
+    * `approx_percentile`'s mergeable t-digest at extreme scale), broadcast
+    * as a single row, and bucket assignment is a pure map — no global
+    * sort ever happens. Value-based bucketing is also STABLE: a
+    * document's bucket depends on its score and the boundaries, not on
+    * how ties land in a sort.
+    */
+  def qualityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = df.select(col(idCol),
+      TextOps.qualityScore(col(textCol)).as("score"))
+    val qs = scored.agg(
+      percentile(col("score"), lit(0.25)).as("q1"),
+      percentile(col("score"), lit(0.5)).as("q2"),
+      percentile(col("score"), lit(0.75)).as("q3"))
+    scored.crossJoin(broadcast(qs))
+      .select(col(idCol), col("score"),
+        when(col("score") <= col("q1"), 0)
+          .when(col("score") <= col("q2"), 1)
+          .when(col("score") <= col("q3"), 2)
+          .otherwise(3).as("bucket"))
+  }
+
   /** Train/eval contamination pairs: (train_id, test_id, jaccard) where a
     * train document's bigram-set similarity to a test document reaches
     * tau — the leakage check every eval set needs before results are

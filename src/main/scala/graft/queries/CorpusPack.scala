@@ -375,6 +375,97 @@ object CorpusPack {
               unnest(generate_series(1, reps)) AS epoch
             FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""))
 
+  private val p07 = Q(
+    "p07_global_ids",
+    // contiguous 0-based corpus offsets WITHOUT a single-task global
+    // window: range partition + local counters + broadcast prefix offsets
+    (s, dir) => Corpus.contiguousIds(
+        Tables.load(s, dir, "documents"), "doc_id")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
+            FROM documents ORDER BY doc_id"""))
+
+  private val p08 = Q(
+    "p08_quality_buckets",
+    // corpus-wide exact quartile boundaries (broadcast single row) ->
+    // bucket assignment as a pure map; summarized per bucket
+    (s, dir) => Corpus.qualityBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("bucket"),
+    Some("""WITH c AS (
+              SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to')))
+                  AS n_stopwords,
+                length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS n_punct,
+                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS n_upper,
+                length(text) AS n_chars
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CAST(n_stopwords AS DOUBLE)
+                         / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+                + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                               / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                               / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                AS score
+              FROM c),
+            qs AS (SELECT quantile_cont(score, 0.25) q1,
+                     quantile_cont(score, 0.5) q2,
+                     quantile_cont(score, 0.75) q3
+                   FROM scored)
+            SELECT CASE WHEN score <= q1 THEN 0
+                        WHEN score <= q2 THEN 1
+                        WHEN score <= q3 THEN 2
+                        ELSE 3 END AS bucket,
+              COUNT(*) AS n_docs,
+              MIN(score) AS min_score, MAX(score) AS max_score
+            FROM scored, qs
+            GROUP BY 1 ORDER BY 1"""))
+
+  private val t12 = Q(
+    "t12_split_drift",
+    // per-lang train-vs-test unigram TV distance; exact integer
+    // cross-multiplication, one double division (oracle bit-stable)
+    (s, dir) => Corpus.splitDrift(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("lang"),
+    Some("""WITH tok AS (
+              SELECT lang,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                       IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                     THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                       IN ('c','d')
+                     THEN 'val' ELSE 'test' END AS split,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+              FROM documents),
+            cnt AS (SELECT lang, token,
+                      SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+                      SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+                    FROM tok WHERE split IN ('train', 'test')
+                    GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(SUM(ca) AS BIGINT) AS na,
+                      CAST(SUM(cb) AS BIGINT) AS nb
+                    FROM cnt GROUP BY 1)
+            SELECT c.lang, t.na AS n_a_tokens, t.nb AS n_b_tokens,
+              COUNT(*) AS vocab_union,
+              CAST(SUM(ABS(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+                / CAST(2 * t.na * t.nb AS DOUBLE) AS tv_dist
+            FROM cnt c JOIN tot t USING (lang)
+            GROUP BY c.lang, t.na, t.nb ORDER BY c.lang"""))
+
   private val p03 = Q(
     "p03_pack_greedy",
     (s, dir) => Packing.greedyPack(s, Tables.load(s, dir, "documents"),
@@ -385,6 +476,6 @@ object CorpusPack {
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11,
-      p01, p02, p03, p04, p05, p06, d06, d07, d08, d09, d11)
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12,
+      p01, p02, p03, p04, p05, p06, p07, p08, d06, d07, d08, d09, d11)
 }

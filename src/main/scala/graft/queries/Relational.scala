@@ -472,6 +472,67 @@ object Relational {
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY o_custkey, o_orderkey, order_ms, mov_sum3, n_in_frame"""))
 
+  // NOT IN over a nullable subquery — null-aware anti join. q15's left_anti
+  // is the two-valued version; NOT IN carries SQL's three-valued logic: one
+  // NULL in the subquery empties the result, a NULL outer key never
+  // qualifies. Spark plans the single-column case as a broadcast hash join
+  // in null-aware mode (NAAJ) — semantics spec'd on tiny data in OpsSpec,
+  // plan shape asserted in PlanSpec. o_custkey holds no NULLs here, so the
+  // result is the anti-join answer — but the ENGINE can't know that
+  // (parquet fields are nullable) and must run the null-aware plan.
+  private val q24 = Q(
+    "q24_not_in_null",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM orders
+                  WHERE o_totalprice > 450000.0)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders
+               WHERE o_totalprice > 450000.0)
+            ORDER BY c_custkey"""))
+
+  // PIVOT: per-day event counts spread into one column per event type.
+  // The pivot VALUES are given explicitly, so Spark skips the extra
+  // distinct-values discovery job and plans ONE partial-aggregated
+  // groupBy(day) — each pivot cell is a filtered count, exactly the
+  // CASE-sum formulation the oracle uses. Absent (day, type) cells are
+  // NULL from pivot-count; coalesced to 0 on both engines.
+  private val q25 = Q(
+    "q25_pivot",
+    (s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      t(s, dir, "events")
+        // day as yyyy-MM-dd STRING: a DATE column round-trips differently
+        // through the two engines' result frames (date vs midnight
+        // datetime), and the hash compare is textual
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(tp =>
+          coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy("day")
+    },
+    Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+            FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }

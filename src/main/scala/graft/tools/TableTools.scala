@@ -88,6 +88,45 @@ object TableTools {
     */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Compact a parquet directory into files of roughly `targetBytes`
+    * each (input-compressed size; default 128 MiB) — the small-file
+    * remediation every long-lived ingest pipeline needs. Streaming sinks,
+    * per-batch appends, and over-parallel writers leave thousands of tiny
+    * files whose per-file open/footer costs dominate scans and whose
+    * listing stalls planning; compaction restores scan-sized files.
+    *
+    * Target count comes from the actual on-disk byte total (file status,
+    * no data read). The rewrite is ONE distributed pass: coalesce when
+    * shrinking (no shuffle — partitions concatenate) and a round-robin
+    * repartition only when the input has fewer partitions than targets.
+    * Writes to `outPath` then returns (files_before, files_after): never
+    * compact in place — a failed in-place rewrite loses data.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(inPath != outPath, "never compact in place")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def partFiles(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val parts = partFiles(inPath)
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val sized =
+      if (df.rdd.getNumPartitions >= nOut) df.coalesce(nOut)
+      else df.repartition(nOut)
+    sized.write.mode("overwrite").parquet(outPath)
+    (parts.length, partFiles(outPath).length)
+  }
 }
 
 /** `runMain graft.tools.RandomTableGen <schemaSpec> <rows> <outDir> [seed]`

@@ -253,4 +253,23 @@ class PlanSpec extends SparkSpec {
         !p.contains("CartesianProduct"), q)
     }
   }
+
+  test("q24: NOT IN runs as a null-aware broadcast anti join, not a loop") {
+    val p = plan("q24_not_in_null")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    // the second flag of HashedRelationBroadcastMode is isNullAware — the
+    // 3VL machinery lives in the hashed relation, not a nested loop
+    assert("HashedRelationBroadcastMode\\(List\\([^)]*\\),true\\)".r
+      .findFirstIn(p).isDefined)
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("p07: the only window runs over per-partition COUNTS, not the corpus") {
+    val p = plan("p07_global_ids")
+    // exactly one Window node, and it consumes the numPartitions-row
+    // count aggregate (input = pid/cnt), broadcast back to the data —
+    // the corpus itself is never globally sorted through one task
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1)
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the r5 corpus additions: contiguous global ids, split
+  * drift, quality bucketing — plus NOT IN's three-valued logic (q24's
+  * capability), which is easy to get silently wrong with a plain anti
+  * join.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5nib(id: Long): Char = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    f"${new java.math.BigInteger(1, d)}%032x".charAt(31)
+  }
+
+  // ids whose md5 last nibble lands them in train (0-9ab) / test (ef)
+  private def idsFor(split: String, n: Int): Seq[Long] =
+    LazyList.from(0).map(_.toLong).filter { id =>
+      val nib = md5nib(id)
+      split match {
+        case "train" => "0123456789ab".contains(nib)
+        case "val"   => "cd".contains(nib)
+        case _       => "ef".contains(nib)
+      }
+    }.take(n).toList
+
+  test("contiguousIds: dense 0..n-1 in key order across shuffled partitions") {
+    val ids = scala.util.Random.shuffle((0L until 500L).map(_ * 7 + 3).toList)
+    val df = ids.toDF("doc_id").repartition(13)
+    val got = Corpus.contiguousIds(df, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = ids.sorted.zipWithIndex.map { case (id, i) => id -> i.toLong }
+    assert(got == expect.toMap)
+  }
+
+  test("contiguousIds: survives more partitions than rows (empty ranges)") {
+    val df = Seq(42L, 7L, 99L).toDF("doc_id").repartition(8)
+    val got = Corpus.contiguousIds(df, "doc_id")
+      .orderBy("rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((7L, 0L), (42L, 1L), (99L, 2L)))
+  }
+
+  test("splitDrift: identical unigram distributions give tv 0") {
+    val docs = (idsFor("train", 4) ++ idsFor("test", 2))
+      .map(id => (id, "x y", "en")).toDF("doc_id", "text", "lang")
+    val r = Corpus.splitDrift(docs, "doc_id", "text", "lang").collect().head
+    assert(r.getAs[Double]("tv_dist") == 0.0)
+    assert(r.getAs[Long]("vocab_union") == 2L)
+  }
+
+  test("splitDrift: disjoint vocabularies give tv 1") {
+    val tr = idsFor("train", 3).map(id => (id, "aa aa", "en"))
+    val te = idsFor("test", 2).map(id => (id, "bb", "en"))
+    val r = Corpus.splitDrift((tr ++ te).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang").collect().head
+    assert(r.getAs[Double]("tv_dist") == 1.0)
+    assert(r.getAs[Long]("n_a_tokens") == 6L)
+    assert(r.getAs[Long]("n_b_tokens") == 2L)
+  }
+
+  test("splitDrift: hand-computed mixed case") {
+    // train: x x x y (Na=4); test: x y (Nb=2)
+    // terms: x |3*2-1*4| = 2 ; y |1*2-1*4| = 2 ; tv = 4/(2*4*2) = 0.25
+    val tr = idsFor("train", 1).map(id => (id, "x x x y", "en"))
+    val te = idsFor("test", 1).map(id => (id, "x y", "en"))
+    val r = Corpus.splitDrift((tr ++ te).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang").collect().head
+    assert(r.getAs[Double]("tv_dist") == 0.25)
+  }
+
+  test("qualityBuckets: quartile boundaries split an ordered corpus 2/2/2/2") {
+    // strictly increasing scores: k+1 lowercase tokens, no punct/upper
+    val docs = (0 until 8)
+      .map(k => (k.toLong, Seq.fill(k + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.qualityBuckets(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Int]("bucket")).toSeq
+    assert(got == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+  }
+
+  test("NOT IN three-valued logic: a NULL in the subquery empties the result") {
+    Seq(1, 2, 3).toDF("x").createOrReplaceTempView("naaj_outer")
+    Seq(Some(1), None).toDF("k").createOrReplaceTempView("naaj_sub")
+    assert(spark.sql(
+      "SELECT x FROM naaj_outer WHERE x NOT IN (SELECT k FROM naaj_sub)")
+      .count() == 0)
+  }
+
+  test("NOT IN three-valued logic: a NULL outer key never qualifies") {
+    Seq[Option[Int]](Some(5), None).toDF("x")
+      .createOrReplaceTempView("naaj_outer2")
+    Seq(1, 2).toDF("k").createOrReplaceTempView("naaj_sub2")
+    val got = spark.sql(
+      "SELECT x FROM naaj_outer2 WHERE x NOT IN (SELECT k FROM naaj_sub2)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(5))
+  }
+}

@@ -51,6 +51,28 @@ class TableToolsSpec extends SparkSpec {
     assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
   }
 
+  test("compact: shrinks a many-small-file table, preserves every row") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toFile
+    val in = new java.io.File(base, "in").getAbsolutePath
+    val out = new java.io.File(base, "out").getAbsolutePath
+    // 64 tiny files — the streaming-sink debris shape
+    (1L to 2000L).toDF("id").repartition(64).write.parquet(in)
+    val (before, after) = TableTools.compact(spark, in, out,
+      targetBytes = 1L << 20)
+    assert(before == 64)
+    assert(after < before)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2000)
+    assert(got.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect().head.getLong(0) == 2000L * 2001 / 2)
+  }
+
+  test("compact: refuses in-place rewrites") {
+    assertThrows[IllegalArgumentException](
+      TableTools.compact(spark, "/tmp/x", "/tmp/x"))
+  }
+
   test("jsonl: inferred schema round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl2").toFile
     val f = new java.io.File(dir, "t.jsonl")
