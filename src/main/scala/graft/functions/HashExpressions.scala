@@ -223,6 +223,72 @@ object BigramSetExpr {
   }
 }
 
+/** Distinct word-n-gram HASH set of a document — [[BigramSetExpr]]
+  * generalized to any shingle width, emitting `xxhash64(gram)` (seed 42,
+  * identical to the builtin `xxhash64` on the space-joined gram string)
+  * instead of the gram text. One fused loop in the scan stage: tokenize,
+  * slide an n-window, hash, dedupe — no gram string ever becomes a row,
+  * so the downstream inverted-index join shuffles fixed-width longs only
+  * (SURVEY §5). This is the candidate generator for exact n-gram-overlap
+  * contamination checks (the 13-gram standard from GPT-3-style
+  * decontamination) where Jaccard similarity is the wrong question:
+  * one shared long n-gram IS the leak, however dissimilar the docs.
+  */
+case class NGramHashSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_hash_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramHashSet.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NGramHashSet.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashSet =
+    copy(child = newChild)
+}
+
+object NGramHashSet {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val tokens = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        tokens.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var t = 0
+    while (t + n <= tokens.size()) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.get(t + j); j += 1 }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      seen.add(XXH64.hashUnsafeBytes(
+        gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L))
+      t += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Membership probe against a pre-built Bloom filter sketch, usable as a
   * scan-stage prefilter: `mightContainLong` is a few XXH64 rounds against
   * a bit array — no join, no shuffle. False positives only (callers verify
@@ -265,6 +331,10 @@ object HashExpressions {
   /** Codegen'd distinct word-bigram set of a string column. */
   def bigramSet(text: Column): Column =
     Bridge.column(BigramSetExpr(Bridge.expression(text)))
+
+  /** Codegen'd distinct word-n-gram xxhash64 set of a string column. */
+  def ngramHashSet(text: Column, n: Int): Column =
+    Bridge.column(NGramHashSet(Bridge.expression(text), n))
 
   /** Codegen'd Bloom-filter membership probe over a long column. */
   def bloomMightContain(

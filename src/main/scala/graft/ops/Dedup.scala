@@ -203,6 +203,40 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Cross-relation EXACT n-gram overlap: (id_a, id_b, n_shared) for every
+    * left/right pair sharing at least `minShared` distinct word-n-grams.
+    * This is the contamination question [[crossJaccard]] does NOT answer:
+    * an eval answer pasted into one corner of a long train document has
+    * tiny Jaccard similarity, but a single shared 13-gram is the leak
+    * (the GPT-3-style decontamination standard; `n` is caller-sized
+    * because the right width tracks the tokenizer and eval format).
+    *
+    * Shape: one fused codegen'd [[graft.functions.NGramHashSet]] per
+    * document in the scan stage (no gram strings ever become rows) →
+    * inverted-index equi-join on 64-bit gram hashes → pair count. All
+    * shuffled rows are fixed-width (id, hash) longs. Long n-grams are
+    * near-unique at corpus scale, so per-gram df stays tiny and the join
+    * cost tracks the true overlap, not a cross product.
+    */
+  def crossNGramOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minShared: Long = 1L): DataFrame = {
+    def grams(df: DataFrame) = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.HashExpressions.ngramHashSet(
+          col(textCol), n)).as("gh"))
+    grams(left).as("a")
+      .join(grams(right).as("b"), col("a.gh") === col("b.gh"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
     * h*a + b stays far from long overflow under ANSI arithmetic).
     */

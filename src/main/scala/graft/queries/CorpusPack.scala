@@ -170,6 +170,54 @@ object CorpusPack {
                               WHERE c.doc_id <= thr.t AND c.text = b.text)
             ORDER BY 1"""))
 
+  private val d12 = Q(
+    "d12_ngram_decontaminate",
+    // exact 5-gram overlap between train and test splits — the "one
+    // shared long n-gram IS the leak" check, complementing d07's
+    // whole-document Jaccard similarity
+    (s, dir) => {
+      val labeled = Tables.load(s, dir, "documents")
+        .withColumn("split", Corpus.splitLabel(col("doc_id")))
+      Dedup.crossNGramOverlap(
+          labeled.filter(col("split") === "train"),
+          labeled.filter(col("split") === "test"),
+          "text", "doc_id", n = 5)
+        .withColumnRenamed("id_a", "train_id")
+        .withColumnRenamed("id_b", "test_id")
+        .orderBy("train_id", "test_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+                       FROM documents),
+              raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+                      FROM t),
+              tok AS (SELECT doc_id, w,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+                      FROM raw WHERE w <> ''),
+              g5 AS (SELECT doc_id,
+                       w || ' ' || LEAD(w, 1) OVER win
+                         || ' ' || LEAD(w, 2) OVER win
+                         || ' ' || LEAD(w, 3) OVER win
+                         || ' ' || LEAD(w, 4) OVER win AS g,
+                       LEAD(w, 4) OVER win AS tail
+                     FROM tok
+                     WINDOW win AS (PARTITION BY doc_id ORDER BY rn)),
+              gd AS (SELECT DISTINCT doc_id, g FROM g5 WHERE tail IS NOT NULL),
+              lab AS (SELECT doc_id,
+                        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                               IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                             THEN 'train'
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                               IN ('c','d')
+                             THEN 'val' ELSE 'test' END AS split
+                      FROM documents)
+            SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+              COUNT(*) AS n_shared
+            FROM gd a JOIN lab la ON a.doc_id = la.doc_id
+                      JOIN gd b ON a.g = b.g
+                      JOIN lab lb ON b.doc_id = lb.doc_id
+            WHERE la.split = 'train' AND lb.split = 'test'
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val d08 = Q(
     "d08_dedup_clusters",
     // pair finding (d02's exact inverted-index jaccard) -> transitive
@@ -477,5 +525,5 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12,
-      p01, p02, p03, p04, p05, p06, p07, p08, d06, d07, d08, d09, d11)
+      p01, p02, p03, p04, p05, p06, p07, p08, d06, d07, d08, d09, d11, d12)
 }

@@ -123,6 +123,31 @@ object EventPipeline {
         col("event_type"), col("n_with_k"), col("sum_k"),
         col("min_k"), col("max_k"))
 
+  /** Stream-static enrichment join + windowed aggregation: events stream
+    * joined to a STATIC dimension (user/customer attributes re-read from
+    * storage per micro-batch, broadcast when small) before the stateful
+    * aggregation. This is the standard "attach the dim, then aggregate"
+    * ingest shape; the join is stateless — only the post-join windowed
+    * aggregate holds state, keyed (window, dim attribute), reclaimed by
+    * the watermark. Inner join semantics: stream rows without a dim match
+    * drop (use left_outer + coalesce for keep-and-bucket-unknown).
+    */
+  def enrichedCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      dimKey: String,
+      dimAttr: String,
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(broadcast(dim.select(col(dimKey).as("user_id"),
+        col(dimAttr).as("dim_attr"))), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("dim_attr"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("dim_attr"), col("n_events"))
+
   /** Streaming exact deduplication on a key column — the ingest-time
     * analog of Dedup.exact for an unbounded source (at-least-once
     * upstreams re-deliver events; this makes the pipeline effectively

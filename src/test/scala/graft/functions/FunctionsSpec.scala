@@ -86,6 +86,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NGramHashSet: hashes equal builtin xxhash64 of the joined grams") {
+    val df = Seq("a b c d", "x x x").toDF("text")
+    val got = df.select(
+      explode(HashExpressions.ngramHashSet(col("text"), 2)).as("h"))
+      .collect().map(_.getLong(0)).toSet
+    // reference: explicit bigram strings through the builtin xxhash64
+    val ref = df.select(explode(graft.ops.TextOps.bigramSet(col("text"))).as("g"))
+      .select(xxhash64(col("g"))).collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+  }
+
+  test("NGramHashSet: distinct set, window wider than doc is empty") {
+    val one = Seq("p q p q p q").toDF("text")
+    // bigrams: "p q" and "q p" only — repeats deduped
+    assert(one.select(size(HashExpressions.ngramHashSet(col("text"), 2)))
+      .collect().head.getInt(0) == 2)
+    assert(Seq("a b").toDF("text")
+      .select(size(HashExpressions.ngramHashSet(col("text"), 3)))
+      .collect().head.getInt(0) == 0)
+    // n=1 is the distinct-token hash set
+    assert(one.select(size(HashExpressions.ngramHashSet(col("text"), 1)))
+      .collect().head.getInt(0) == 2)
+  }
+
+  test("crossNGramOverlap: finds the planted shared 5-gram, counts exactly") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words here entirely")).toDF("id", "text")
+    val right = Seq(
+      (10L, "prefix words then the quick brown fox jumps again"),
+      (11L, "no overlap at all in this one")).toDF("id", "text")
+    val got = graft.ops.Dedup.crossNGramOverlap(left, right, "text", "id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly one shared 5-gram: "the quick brown fox jumps"
+    assert(got == Seq((1L, 10L, 1L)))
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate returns the suite's existing session (withExtensions only
     // affects newly-built sessions), so use runtime registration

@@ -242,6 +242,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedCounts: stream-static join agrees with the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val events = Seq(
+      ev(0, 10, 1, "click", 1.0), ev(1, 800, 2, "view", 2.0),
+      ev(2, 950, 3, "view", 3.0), ev(3, 3700, 1, "click", 4.0),
+      ev(4, 1700, 9, "view", 5.0)) // user 9 has no dim row -> drops
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "gold"))
+      .toDF("cust_id", "tier")
+    val batch = events.toDF()
+      .join(dim.select(col("cust_id").as("user_id"), col("tier").as("dim_attr")),
+        Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("dim_attr"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("dim_attr"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val src = MemoryStream[Event]
+    val q = EventPipeline.enrichedCounts(src.toDF(), dim, "cust_id", "tier",
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(events: _*)
+      q.processAllAvailable()
+      val stream = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty && stream == batch,
+        s"missing=${batch -- stream} extra=${stream -- batch}")
+    } finally q.stop()
+  }
+
   private def pev(id: Long, sec: Long, user: Long, typ: String, v: Double,
       props: String) =
     EventPipeline.PropEvent(id, new Timestamp(sec * 1000L), user, typ, v, props)
