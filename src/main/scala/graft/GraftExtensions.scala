@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramSetExpr, DotProduct, RollingHash, SignPack, SimHash64, TokenStatsExpr}
+import graft.functions.{BigramSetExpr, DotProduct, NGramHashSet, RollingHash, SignPack, SimHash64, TokenStatsExpr}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works anywhere
@@ -70,6 +70,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_token_stats(text)")
         TokenStatsExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_ngram_hash_set"),
+      new ExpressionInfo(classOf[NGramHashSet].getName, "graft_ngram_hash_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ngram_hash_set(text, nLiteral)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_ngram_hash_set n must be an integer literal, got $other")
+        }
+        NGramHashSet(children.head, n)
       }))
 
   /** Registers graft's SQL functions on an already-running session (the

@@ -136,12 +136,51 @@ object ScaleProbe {
     }
     require(asofRows == 1000000L, s"asof emitted $asofRows")
 
+    // --- contiguous ids at 50M rows -------------------------------------
+    // linear op, but the failure mode it exists to avoid is structural
+    // (one-task global window): verify the range+offsets path stays flat
+    // and correct at ids far beyond the test SFs. Sparse shuffled ids;
+    // spot-check = the global sum of ranks must be exactly n*(n-1)/2 and
+    // max rank n-1 (dense, no gaps, no dups).
+    val idN = 50000000L
+    val sparseIds = spark.range(idN)
+      .select((col("id") * 37 + 11).as("doc_id"))
+      .repartition(64)
+    val (ridChecksum, ridSec) = timed {
+      val r = Corpus.contiguousIds(sparseIds, "doc_id")
+      val row = r.agg(sum("rid"), max("rid")).collect().head
+      require(row.getLong(1) == idN - 1, s"max rid ${row.getLong(1)}")
+      row.getLong(0)
+    }
+    require(ridChecksum == idN * (idN - 1) / 2, s"rank sum $ridChecksum")
+
+    // --- n-gram overlap: 1M x 100k docs, planted leaks ------------------
+    // every doc is a distinct 8-token window over a shared id-derived
+    // token stream EXCEPT 1/64 of the batch, which replays a corpus doc's
+    // exact text: realistic near-unique gram dfs plus a known leak count.
+    def streamDoc(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 8).map(j => pmod(xxhash64(idCol * 8 + j), lit(4096L))
+        .cast("string")): _*)
+    val corpusDocs = spark.range(1000000L)
+      .select(col("id"), streamDoc(col("id")).as("text"))
+    val batchDocs = spark.range(100000L).select(
+      (col("id") + 10000000L).as("id"),
+      when(col("id") % 64 === 0, streamDoc(col("id") % 1000000L))
+        .otherwise(streamDoc(col("id") + 20000000L)).as("text"))
+    val (leaks, ngSec) = timed {
+      Dedup.crossNGramOverlap(batchDocs, corpusDocs, "text", "id", n = 5)
+        .count()
+    }
+    // each replayed doc shares all 4 of its 5-grams with its source
+    require(leaks >= 100000L / 64, s"found only $leaks leak pairs")
+
     println(s"""{"probe":"r5","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
-      s""""asof_sec":$asofSec}""")
+      s""""asof_sec":$asofSec,"rid_sec":$ridSec,""" +
+      s""""ngram_leaks":$leaks,"ngram_sec":$ngSec}""")
     spark.stop()
   }
 }

@@ -143,5 +143,10 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_simhash64(array('tok')) AS h, graft_simhash64(array('tok')) AS h2")
       .collect().head
     assert(sh.getLong(0) == sh.getLong(1)) // deterministic
+    // n-gram hash set agrees with the builtin hash of the gram string
+    val ng = s2.sql(
+      "SELECT graft_ngram_hash_set('a b c', 3) AS g, xxhash64('a b c') AS r")
+      .collect().head
+    assert(ng.getSeq[Long](0) == Seq(ng.getLong(1)))
   }
 }
