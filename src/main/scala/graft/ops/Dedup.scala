@@ -203,6 +203,34 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as `added` (only in new), `removed` (only in old),
+    * `changed` (both, different text), or `unchanged` — the dataset-
+    * versioning primitive behind incremental re-processing ("run the
+    * pipeline only on added+changed") and release audits.
+    *
+    * Shape: content hashes are computed IN THE SCAN STAGE (the d01
+    * lesson — the join/shuffle carries (id, 16-byte md5), never text),
+    * then one full outer equi-join on id. At 100 TB both sides shuffle
+    * fixed-width rows; with both snapshots bucketed by id
+    * (TableTools.writeBucketed) the join plans with no Exchange at all.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h))
+    hashed(oldDf, "old_hash")
+      .join(hashed(newDf, "new_hash"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Cross-relation EXACT n-gram overlap: (id_a, id_b, n_shared) for every
     * left/right pair sharing at least `minShared` distinct word-n-grams.
     * This is the contamination question [[crossJaccard]] does NOT answer:

@@ -218,6 +218,34 @@ object CorpusPack {
             WHERE la.split = 'train' AND lb.split = 'test'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val d13 = Q(
+    "d13_snapshot_diff",
+    // two deterministic synthetic releases of the corpus: ids %13==3 are
+    // new in v2 (absent from v1), %13==7 were dropped, and %5==0 got an
+    // edit — the diff classifies every id for incremental re-processing
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 13 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 13 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 13 <> 3),
+              v2 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                            ELSE text END AS text
+                     FROM documents WHERE doc_id % 13 <> 7)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text = n.text THEN 'unchanged'
+                   ELSE 'changed' END AS status
+            FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+            ORDER BY 1"""))
+
   private val d08 = Q(
     "d08_dedup_clusters",
     // pair finding (d02's exact inverted-index jaccard) -> transitive
@@ -525,5 +553,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12,
-      p01, p02, p03, p04, p05, p06, p07, p08, d06, d07, d08, d09, d11, d12)
+      p01, p02, p03, p04, p05, p06, p07, p08,
+      d06, d07, d08, d09, d11, d12, d13)
 }
