@@ -84,6 +84,34 @@ object TextOps {
     size(filter(tokens(text),
       w => w.isInCollection(Seq("the", "a", "of", "and", "is", "in", "to"))))
 
+  /** PII redaction patterns: plain character classes and bounded
+    * quantifiers only — linear-scan regexes with no backtracking blowup
+    * (a pathological pattern at 100 TB is a denial of service on your own
+    * cluster), and a syntax subset that Java regex and RE2-family engines
+    * (the DuckDB oracle) interpret identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** Replace emails then phone numbers with typed placeholder tags — the
+    * scrubbing pass (Dolma/FineWeb-style) that runs after quality
+    * filtering and before packing. Pure per-row projection in the scan
+    * stage; order is fixed (emails first) so the two engines' rewrites
+    * compose identically.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Email / phone match counts on the PRE-redaction text (the audit
+    * numbers a scrub run reports).
+    */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
   /** Composite quality score in [0,1]: integer counts combined with double
     * divisions in a FIXED expression shape (mirrored in the oracle SQL).
     */

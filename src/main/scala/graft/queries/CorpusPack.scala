@@ -542,6 +542,44 @@ object CorpusPack {
             FROM cnt c JOIN tot t USING (lang)
             GROUP BY c.lang, t.na, t.nb ORDER BY c.lang"""))
 
+  private val t13 = Q(
+    "t13_redact_pii",
+    // PII scrub audit: a deterministic slice of docs (ids %11==0) gets an
+    // email + phone planted, the redactor strips them, and the audit
+    // reports per-doc match counts plus the md5 of the redacted text —
+    // which also proves untouched docs pass through byte-identical
+    (s, dir) => {
+      val injected = Tables.load(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" mail user"),
+              col("doc_id").cast("string"),
+              lit("@corp.example.com or 555-123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      injected.select(col("doc_id"),
+          TextOps.emailCount(col("text")).as("n_emails"),
+          TextOps.phoneCount(col("text")).as("n_phones"),
+          md5(TextOps.redactPii(col("text"))).as("red_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0
+                THEN text || ' mail user' || CAST(doc_id AS VARCHAR)
+                  || '@corp.example.com or 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text,
+                '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+              md5(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS red_md5
+            FROM inj ORDER BY doc_id"""))
+
   private val p03 = Q(
     "p03_pack_greedy",
     (s, dir) => Packing.greedyPack(s, Tables.load(s, dir, "documents"),
@@ -552,7 +590,7 @@ object CorpusPack {
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
       p01, p02, p03, p04, p05, p06, p07, p08,
       d06, d07, d08, d09, d11, d12, d13)
 }

@@ -533,6 +533,25 @@ object Relational {
                 AS BIGINT) AS n_error
             FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // Pattern-match selection: LIKE prefix / contains / negated prefix.
+  // Spark pushes StartsWith and StringContains into the parquet scan
+  // (PlanSpec-asserted) — at 100 TB a prefix predicate prunes row groups
+  // via min/max stats exactly like a range predicate, so LIKE 'x%' is a
+  // scan-level filter, not a post-scan regex pass.
+  private val q26 = Q(
+    "q26_like_prefix",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_type").like("STAND%") &&
+          col("p_name").like("%bolt%") && !col("p_name").like("red%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_type FROM part
+            WHERE p_type LIKE 'STAND%' AND p_name LIKE '%bolt%'
+              AND p_name NOT LIKE 'red%'
+            ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26)
 }

@@ -264,6 +264,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q26: LIKE prefix and contains are pushed into the parquet scan") {
+    val p = plan("q26_like_prefix")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("StringStartsWith(p_type,STAND"))
+    assert(pushed.contains("StringContains(p_name,bolt"))
+  }
+
   test("p07: the only window runs over per-partition COUNTS, not the corpus") {
     val p = plan("p07_global_ids")
     // exactly one Window node, and it consumes the numPartitions-row

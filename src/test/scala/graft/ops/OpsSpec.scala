@@ -35,6 +35,17 @@ class TextOpsSpec extends SparkSpec {
     assert(one("hello world42 x!", TextOps.bpeTokenCount(col("text"))) == 6)
   }
 
+  test("redactPii strips emails and phones, counts them, keeps clean text") {
+    val t = "write bob.smith+x@ex-ample.co.uk or call 555-123-4567 now"
+    assert(one(t, TextOps.redactPii(col("text"))) ==
+      "write <EMAIL> or call <PHONE> now")
+    assert(one(t, TextOps.emailCount(col("text"))) == 1)
+    assert(one(t, TextOps.phoneCount(col("text"))) == 1)
+    val clean = "no personal data here"
+    assert(one(clean, TextOps.redactPii(col("text"))) == clean)
+    assert(one(clean, TextOps.emailCount(col("text"))) == 0)
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     import graft.functions.TextExpressions.fingerprint
     val a = one("abc", fingerprint(col("text")))
