@@ -148,6 +148,38 @@ object EventPipeline {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("dim_attr"), col("n_events"))
 
+  /** Watermarked stream-STREAM interval join: attribute each purchase to
+    * the views by the same user in the preceding `horizon` — both sides
+    * unbounded, so this is the stateful join (stream-static covers only a
+    * fixed dim). State is bounded by construction: the interval condition
+    * `v_ts ∈ [p_ts - horizon, p_ts]` plus both watermarks tells Spark
+    * exactly when a buffered view can never match a future purchase and
+    * is evicted — without the time bound the join would buffer both
+    * streams forever. Inner join in append mode: a row emits once both
+    * sides' watermarks pass its window.
+    */
+  def attributionJoin(
+      views: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame = {
+    val v = views
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases
+      .withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_timestamp(col("v_ts")).as("view_epoch"),
+        unix_timestamp(col("p_ts")).as("purchase_epoch"))
+  }
+
   /** Streaming exact deduplication on a key column — the ingest-time
     * analog of Dedup.exact for an unbounded source (at-least-once
     * upstreams re-deliver events; this makes the pipeline effectively

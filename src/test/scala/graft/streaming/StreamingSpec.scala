@@ -275,6 +275,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val views = Seq(
+      ev(100, 10, 1, "view", 0), ev(101, 500, 1, "view", 0),
+      ev(102, 20, 2, "view", 0), ev(103, 8000, 3, "view", 0))
+    val purchases = Seq(
+      ev(200, 600, 1, "purchase", 9),  // views 100+101 in the hour before
+      ev(201, 4000, 2, "purchase", 9), // view 102 too old (3980s > 1h? no: 3980s > 3600)
+      ev(202, 8100, 3, "purchase", 9)) // view 103 in window
+    val batch = views.toDF().select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .join(purchases.toDF().select(col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("event_id").as("purchase_id")),
+        col("user_id") === col("p_user") && col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 hour"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 100L, 200L), (1L, 101L, 200L), (3L, 103L, 202L)))
+    val vs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = EventPipeline.attributionJoin(vs.toDF(), ps.toDF(),
+        horizon = "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      vs.addData(views: _*)
+      ps.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks far past every window so all matches emit
+      // (distinct users so the advancer rows cannot join each other)
+      vs.addData(ev(900, 90000, 8, "view", 0))
+      ps.addData(ev(901, 90000, 9, "purchase", 0))
+      q.processAllAvailable()
+      val stream = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stream == batch, s"missing=${batch -- stream} extra=${stream -- batch}")
+    } finally q.stop()
+  }
+
   private def pev(id: Long, sec: Long, user: Long, typ: String, v: Double,
       props: String) =
     EventPipeline.PropEvent(id, new Timestamp(sec * 1000L), user, typ, v, props)
