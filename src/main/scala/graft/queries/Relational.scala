@@ -551,7 +551,98 @@ object Relational {
               AND p_name NOT LIKE 'red%'
             ORDER BY p_partkey"""))
 
+  // CUBE: all 2^k grouping-set combinations in the same one-Expand-one-
+  // aggregation plan as q21's ROLLUP (4 sets here vs rollup's 3) — the
+  // missing combination is the (NULL, linestatus) marginal. Same sentinel
+  // coalescing for NULL-ordering stability.
+  private val q27 = Q(
+    "q27_cube",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              COALESCE(l_linestatus, 'ALL') AS ls,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY 1, 2"""))
+
+  // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+  // (q19/q20 are set-semantics). Spark plans both as a count-compare over
+  // ONE aggregation + generate (replicate min/diff counts) — no join of
+  // the raw rows, no distinct collapse. Oracle: DuckDB's native ALL ops.
+  private val q28 = Q(
+    "q28_bag_setops",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") <= 30.0).select("l_suppkey")
+      val b = li.filter(col("l_quantity") >= 20.0).select("l_suppkey")
+      a.exceptAll(b).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_except"))
+        .join(
+          a.intersectAll(b).groupBy("l_suppkey")
+            .agg(count(lit(1)).as("n_intersect")),
+          Seq("l_suppkey"), "full_outer")
+        .select(col("l_suppkey"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 30.0),
+              b AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 20.0),
+              e AS (SELECT l_suppkey, COUNT(*) AS n_except
+                    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+                    GROUP BY 1),
+              i AS (SELECT l_suppkey, COUNT(*) AS n_intersect
+                    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                    GROUP BY 1)
+            SELECT COALESCE(e.l_suppkey, i.l_suppkey) AS l_suppkey,
+              COALESCE(n_except, 0) AS n_except,
+              COALESCE(n_intersect, 0) AS n_intersect
+            FROM e FULL OUTER JOIN i ON e.l_suppkey = i.l_suppkey
+            ORDER BY 1"""))
+
+  // Value-based RANGE window frame (q23's ROWS frame counts rows; RANGE
+  // bounds by ORDER-key VALUE): each order's trailing-7-day spend per
+  // customer. Value-based frames are tie-insensitive — every row with the
+  // same key gets the same frame, so no tiebreak column is needed for
+  // determinism. Same single exchange + in-partition sort shape as q23.
+  private val q29 = Q(
+    "q29_range_window",
+    (s, dir) => {
+      val day = unix_millis(col("o_orderdate").cast("timestamp"))
+        .divide(lit(86400000L)).cast("long")
+      val w = Window.partitionBy("o_custkey").orderBy("order_day")
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), day.as("order_day"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_day"),
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+            .cast("double").as("spend_7d"),
+          count(lit(1)).over(w).as("n_orders_7d"))
+        .orderBy("o_custkey", "o_orderkey", "order_day", "spend_7d",
+          "n_orders_7d")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              epoch_ms(o_orderdate) // 86400000 AS order_day,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+                   AS DOUBLE) AS spend_7d,
+              COUNT(*) OVER w AS n_orders_7d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY
+                           epoch_ms(o_orderdate) // 86400000
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey, order_day, spend_7d,
+              n_orders_7d"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26)
+    q26, q27, q28, q29)
 }
