@@ -321,30 +321,60 @@ object Corpus {
     * totally ordered, so offset(partition) + local index IS the global
     * rank — no recompute-sensitivity, no single-task sort of the data.
     */
-  def contiguousIds(df: DataFrame, idCol: String): DataFrame = {
+  def contiguousIds(df: DataFrame, idCol: String): DataFrame =
+    contiguousIdsBy(df.select(col(idCol).cast("long").as(idCol)),
+      Seq(idCol), "rid")
+
+  /** General form of [[contiguousIds]]: dense 0-based positions in the
+    * lexicographic order of `orderCols` (all kept columns pass through).
+    * Same scale shape — range partition on the order key, partition-local
+    * counters, prefix-summed COUNTS broadcast back — which is what makes
+    * multi-key orderings (curriculum order: quality bucket, then shuffle
+    * hash) assignable without a one-task global window.
+    */
+  def contiguousIdsBy(
+      df: DataFrame, orderCols: Seq[String], out: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     val spark = df.sparkSession
-    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(col(idCol).cast("long").as("id"))
-      .repartitionByRange(n, col("id"))
-      .sortWithinPartitions("id")
-      .as[Long]
+    val keys = orderCols.map(col)
+    val ranged = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val enc = org.apache.spark.sql.Encoders.row(
+      df.schema.add("__pid", IntegerType).add("__lidx", LongType))
     // checkpoint: counts pass + assignment pass share one materialization
     val local = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var i = -1L
-      it.map { id => i += 1; (pid, i, id) }
-    }.toDF("pid", "local_idx", "id").localCheckpoint()
-    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
+    }(enc).localCheckpoint()
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("cnt"))
     // prefix sum over numPartitions rows — tiny by construction, so the
     // single-task window here is fine at any corpus size
-    val w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
-      .withColumn("offset", coalesce(sum("cnt").over(w), lit(0L)))
-    local.join(broadcast(offsets.select("pid", "offset")), "pid")
-      .select(col("id").as(idCol),
-        (col("offset") + col("local_idx")).as("rid"))
+      .withColumn("__off", coalesce(sum("cnt").over(w), lit(0L)))
+    local.join(broadcast(offsets.select("__pid", "__off")), "__pid")
+      .withColumn(out, col("__off") + col("__lidx"))
+      .drop("__pid", "__lidx", "__off")
   }
+
+  /** Curriculum training order: highest quality bucket first, a
+    * deterministic hash shuffle within each bucket (no RNG — stable under
+    * retries), dense 0-based positions via [[contiguousIdsBy]]. This is
+    * the materialized read order a curriculum/annealing schedule consumes;
+    * bucket-major order also means "train on the top bucket only" is a
+    * position-range predicate, not a re-shuffle.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    contiguousIdsBy(
+      qualityBuckets(df, idCol, textCol)
+        .select(col(idCol), col("bucket"),
+          (lit(3) - col("bucket")).as("bucket_rank"),
+          md5(col(idCol).cast("string")).as("shuffle_key")),
+      Seq("bucket_rank", "shuffle_key", idCol), "train_pos")
+      .select(col(idCol), col("bucket"), col("train_pos"))
 
   /** Per-group unigram-distribution drift between two splits: the
     * total-variation distance `0.5 * Σ_w |P_a(w) - P_b(w)|` between split

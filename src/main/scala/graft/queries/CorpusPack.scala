@@ -542,6 +542,53 @@ object CorpusPack {
             FROM cnt c JOIN tot t USING (lang)
             GROUP BY c.lang, t.na, t.nb ORDER BY c.lang"""))
 
+  private val p09 = Q(
+    "p09_curriculum_order",
+    // materialized training order: best quality bucket first, hash-shuffled
+    // within bucket, dense 0-based positions without a one-task window
+    (s, dir) => Corpus.curriculumOrder(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH c AS (
+              SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to')))
+                  AS n_stopwords,
+                length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS n_punct,
+                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS n_upper,
+                length(text) AS n_chars
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CAST(n_stopwords AS DOUBLE)
+                         / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+                + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                               / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                               / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                AS score
+              FROM c),
+            qs AS (SELECT quantile_cont(score, 0.25) q1,
+                     quantile_cont(score, 0.5) q2,
+                     quantile_cont(score, 0.75) q3
+                   FROM scored),
+            bucketed AS (
+              SELECT doc_id,
+                CASE WHEN score <= q1 THEN 0
+                     WHEN score <= q2 THEN 1
+                     WHEN score <= q3 THEN 2
+                     ELSE 3 END AS bucket
+              FROM scored, qs)
+            SELECT doc_id, bucket,
+              ROW_NUMBER() OVER (ORDER BY 3 - bucket,
+                md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS train_pos
+            FROM bucketed ORDER BY doc_id"""))
+
   private val t13 = Q(
     "t13_redact_pii",
     // PII scrub audit: a deterministic slice of docs (ids %11==0) gets an
@@ -591,6 +638,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      p01, p02, p03, p04, p05, p06, p07, p08,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09,
       d06, d07, d08, d09, d11, d12, d13)
 }

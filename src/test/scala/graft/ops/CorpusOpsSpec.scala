@@ -45,6 +45,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((7L, 0L), (42L, 1L), (99L, 2L)))
   }
 
+  test("contiguousIdsBy: multi-key ordering, pass-through columns kept") {
+    val df = scala.util.Random.shuffle((0L until 60L).toList)
+      .map(id => (id, (id % 3).toInt)).toDF("doc_id", "grp").repartition(7)
+    val got = Corpus.contiguousIdsBy(df, Seq("grp", "doc_id"), "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val expect = (0L until 60L).map(id => (id, (id % 3).toInt))
+      .sortBy { case (id, g) => (g, id) }
+      .zipWithIndex.map { case ((id, g), i) => (id, g, i.toLong) }.toSet
+    assert(got.toSet == expect)
+  }
+
   test("splitDrift: identical unigram distributions give tv 0") {
     val docs = (idsFor("train", 4) ++ idsFor("test", 2))
       .map(id => (id, "x y", "en")).toDF("doc_id", "text", "lang")
