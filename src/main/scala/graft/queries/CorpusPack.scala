@@ -292,6 +292,24 @@ object CorpusPack {
     },
     d08.oracle)
 
+  private val d14 = Q(
+    "d14_fuzzy_pipeline",
+    // the production fuzzy-dedup pipeline at its 100 TB shape: MinHash
+    // LSH banding for candidates (NO exact inverted index — candidate
+    // cost is banding buckets, not sum df(g)^2) -> exact-jaccard verify
+    // of candidates only -> connected components -> canonical min-id
+    // keep. Shares d08's recursive-CTE oracle: the verify stage keeps
+    // only true tau-pairs (output edges ⊆ exact edges), and RecallSpec
+    // proves this banding config recovers the exact pair set at test SFs,
+    // so the clusters equal the exact pipeline's deterministically.
+    (s, dir) => Clusters.dedupClusters(
+        Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+          "text", "doc_id", bands = 32, rowsPerBand = 4,
+          tauNum = 1, tauDen = 2),
+        "id_a", "id_b")
+      .orderBy("doc_id"),
+    d08.oracle)
+
   private val t07 = Q(
     "t07_top_tokens_per_lang",
     (s, dir) => Corpus.topTokensPerGroup(
@@ -639,5 +657,5 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
       p01, p02, p03, p04, p05, p06, p07, p08, p09,
-      d06, d07, d08, d09, d11, d12, d13)
+      d06, d07, d08, d09, d11, d12, d13, d14)
 }
