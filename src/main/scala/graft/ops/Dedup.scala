@@ -41,6 +41,23 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Inverted-index rows (id, n, gh): one row per (doc, distinct bigram),
+    * where `n` is the doc's gram-set size and `gh` the gram's 64-bit hash.
+    * BOTH come from the scan stage: `n` is `size()` of the fused bigram
+    * set and rides along through the explode — no groupBy-and-join of the
+    * gram index back onto itself (late r5; that shape re-exchanged every
+    * gram row just to attach a per-doc constant). Catalyst keeps ONE
+    * evaluation of the set expression: CollapseProject refuses to inline
+    * a non-trivial alias referenced twice (size + explode).
+    */
+  private def gramsWithSizes(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("g"))
+      .select(col("id"), col("n"), xxhash64(col("g")).as("gh"))
+
   /** Exact n-gram (word-bigram) Jaccard pairs with similarity >= tau.
     *
     * Inverted-index plan: explode each doc's distinct bigram set, self-join
@@ -74,17 +91,13 @@ object Dedup {
       tauNum: Int,
       tauDen: Int,
       maxGramDf: Int = Int.MaxValue): DataFrame = {
-    val grams = df
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(col(idCol).as("id"),
-        explode(TextOps.bigramSet(col(textCol))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n"))
-    // carry each doc's set size on its gram rows so the length-ratio
+    // each gram row carries its doc's set size so the length-ratio
     // prefilter (|A| >= tau*|B| and vice versa — necessary for
     // jaccard >= tau) prunes candidate rows INSIDE the join, before the
-    // expensive pair-count aggregation
-    val withN = grams.join(sizes, "id")
+    // expensive pair-count aggregation. n comes from size(set) in the
+    // SCAN stage — late-r5: this replaced a groupBy+join of the whole
+    // gram index back onto itself (an extra exchange of every gram row)
+    val withN = gramsWithSizes(df, textCol, idCol)
     def lengthOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
       col("b.n") * tauNum <= col("a.n") * tauDen
     if (maxGramDf == Int.MaxValue) {
@@ -102,7 +115,7 @@ object Dedup {
       // capped: prune hot grams from the index, generate candidates, then
       // verify exactly against the full gram sets (same shape as
       // minHashLsh's verification stage)
-      val coldGrams = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+      val coldGrams = withN.groupBy("gh").agg(count(lit(1)).as("gdf"))
         .filter(col("gdf") <= maxGramDf).select("gh")
       val idx = withN.join(coldGrams, "gh")
       val a = idx.as("a"); val b = idx.as("b")
@@ -180,17 +193,8 @@ object Dedup {
       idCol: String,
       tauNum: Int,
       tauDen: Int): DataFrame = {
-    def grams(df: DataFrame) = df
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(col(idCol).as("id"),
-        explode(TextOps.bigramSet(col(textCol))).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("gh"))
-    def withSizes(df: DataFrame) = {
-      val g = grams(df)
-      g.join(g.groupBy("id").agg(count(lit(1)).as("n")), "id")
-    }
-    val a = withSizes(left).as("a")
-    val b = withSizes(right).as("b")
+    val a = gramsWithSizes(left, textCol, idCol).as("a")
+    val b = gramsWithSizes(right, textCol, idCol).as("b")
     val lengthOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
       col("b.n") * tauNum <= col("a.n") * tauDen
     a.join(b, col("a.gh") === col("b.gh") && lengthOk)
