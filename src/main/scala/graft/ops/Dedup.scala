@@ -207,6 +207,22 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Normalization applied before near-exact dedup: lowercase, collapse
+    * whitespace runs, trim. Catches the re-encodes and copy-paste
+    * variants (case flips, double spaces, trailing blanks) that exact
+    * content hashing misses while staying a pure per-row projection —
+    * the standard first rung on the dedup ladder between exact (d01) and
+    * n-gram similarity (d02).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** [[exact]] over the normalized text: one (norm-hash, id) shuffle with
+    * map-side partials, keep-min-id per normalization class.
+    */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn(textCol, normalizeText(col(textCol))), textCol, idCol)
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (only in new), `removed` (only in old),
     * `changed` (both, different text), or `unchanged` — the dataset-

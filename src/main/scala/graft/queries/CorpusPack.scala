@@ -218,6 +218,33 @@ object CorpusPack {
             WHERE la.split = 'train' AND lb.split = 'test'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val d15 = Q(
+    "d15_dedup_normalized",
+    // near-exact dedup: normalize (lowercase, collapse whitespace, trim)
+    // then hash — catches re-encode/copy-paste variants exact hashing
+    // misses. A deterministic slice of uppercased double-spaced variants
+    // is unioned in so the normalization classes are non-trivial; each
+    // variant must fold into its base doc's class (n_copies = 2)
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 16 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit("  ")).as("text"))
+      Dedup.exactNormalized(docs.unionByName(variants), "text", "doc_id")
+        .orderBy("content_hash")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, upper(text) || '  ' AS text
+              FROM documents WHERE doc_id % 16 = 1),
+            n AS (SELECT doc_id,
+                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                      AS content_hash
+                  FROM corpus)
+            SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM n GROUP BY 1 ORDER BY 1"""))
+
   private val d13 = Q(
     "d13_snapshot_diff",
     // two deterministic synthetic releases of the corpus: ids %13==3 are
@@ -657,5 +684,5 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
       p01, p02, p03, p04, p05, p06, p07, p08, p09,
-      d06, d07, d08, d09, d11, d12, d13, d14)
+      d06, d07, d08, d09, d11, d12, d13, d14, d15)
 }

@@ -642,7 +642,26 @@ object Relational {
             ORDER BY o_custkey, o_orderkey, order_day, spend_7d,
               n_orders_7d"""))
 
+  // Top-k selection: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+  // each partition keeps only k rows and the driver merges partition
+  // winners, so no global sort of the input ever materializes (the same
+  // plan shape t06's heavy hitters relies on, here as the bare
+  // relational capability). Deterministic under ties via the full
+  // key (price, orderkey, linenumber).
+  private val q30 = Q(
+    "q30_topk",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(20),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29)
+    q26, q27, q28, q29, q30)
 }

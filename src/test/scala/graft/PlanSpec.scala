@@ -264,6 +264,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q30: top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q30_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q26: LIKE prefix and contains are pushed into the parquet scan") {
     val p = plan("q26_like_prefix")
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).get

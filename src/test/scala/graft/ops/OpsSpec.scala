@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different words entirely here now")
   ).toDF("doc_id", "text")
 
+  test("exactNormalized folds case and whitespace variants into one class") {
+    val v = Seq(
+      (1L, "Spark  Makes big DATA small "),
+      (2L, "spark makes big data small"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val r = Dedup.exactNormalized(v, "text", "doc_id")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 2L), (3L, 1L))) // (keep_id, n_copies)
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id").collect()
     assert(r.length == 3)
