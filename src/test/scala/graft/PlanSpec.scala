@@ -264,6 +264,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d02/d07: every equi-join keys on gram hashes (no sizes join on id)") {
+    // late r5: gram-set sizes come from size() in the scan stage; the old
+    // shape aggregated the exploded index by id and joined it back,
+    // re-exchanging every gram row (d07 5.74 -> 0.94 s). Guard: the only
+    // equi-joins left key on the gram hash, never bare id.
+    Seq("d02_dedup_jaccard", "d07_decontaminate").foreach { q =>
+      val p = plan(q)
+      val keyLines = p.linesIterator.filter(_.startsWith("Left keys")).toSeq
+      assert(keyLines.nonEmpty, q)
+      assert(keyLines.forall(_.contains("gh")), s"$q: $keyLines")
+    }
+  }
+
   test("q30: top-k is TakeOrderedAndProject, never a global sort") {
     val p = plan("q30_topk")
     assert(p.contains("TakeOrderedAndProject"))
