@@ -43,6 +43,18 @@ object StreamVerify {
     val nSess = spark.table("drive_sessions").count()
     println(s"STREAM_SESSIONS rows=$nSess")
     q2.stop()
+
+    // stream-stream interval join: purchases attributed to prior views
+    val stream = EventPipeline.readEventStream(spark, dir)
+    val q3 = EventPipeline.attributionJoin(
+        stream.filter($"event_type" === "view"),
+        stream.filter($"event_type" === "purchase"),
+        horizon = "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("drive_attrib")
+      .outputMode("append").start()
+    q3.processAllAvailable()
+    println(s"STREAM_ATTRIB rows=${spark.table("drive_attrib").count()}")
+    q3.stop()
     spark.stop()
   }
 }

@@ -174,13 +174,24 @@ object ScaleProbe {
     // each replayed doc shares all 4 of its 5-grams with its source
     require(leaks >= 100000L / 64, s"found only $leaks leak pairs")
 
+    // --- cross-relation Jaccard on the same planted corpus -------------
+    // the d06/d07 shape (incremental-ingest dedup / decontamination) at
+    // 1M x 100k: replayed docs have jaccard 1.0 with their source, the
+    // rest share few grams on a realistically sparse gram space
+    val (contaminated, cjSec) = timed {
+      Dedup.crossJaccard(batchDocs, corpusDocs, "text", "id",
+        tauNum = 1, tauDen = 2).count()
+    }
+    require(contaminated >= 100000L / 64, s"found only $contaminated pairs")
+
     println(s"""{"probe":"r5","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
       s""""asof_sec":$asofSec,"rid_sec":$ridSec,""" +
-      s""""ngram_leaks":$leaks,"ngram_sec":$ngSec}""")
+      s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
+      s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec}""")
     spark.stop()
   }
 }
