@@ -170,6 +170,95 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Product-quantization (PQ) approximate top-k with asymmetric distance
+    * computation (ADC) and exact re-rank.
+    *
+    * Index: the vector is split into `m` subspaces; each subspace gets a
+    * `codebookSize`-entry codebook (deterministic hash-order sample of
+    * corpus subvectors — reproducible, no stored model; swap in per-
+    * subspace k-means when codebook quality matters more than build
+    * cost). Every corpus vector is ENCODED as m small codes — one fused
+    * `graft_nearest_centroid` L2-argmin per subspace over the sliced
+    * vector, a pure map in the scan stage. The encoded corpus is m
+    * integers per vector instead of dim floats: at 100 TB this is the
+    * memory-traffic op — a 64-dim float corpus compresses ~64×, and scan
+    * bandwidth (the ADC bottleneck) shrinks with it.
+    *
+    * Query (ADC): each probe precomputes one lookup table per subspace —
+    * dot(probe subvector, codeword) for every codeword, m×codebookSize
+    * codegen'd dots against literal codewords — and scores a corpus row
+    * as the SUM of m table lookups on its codes (no vector math per
+    * pair). Top-`refine` by approximate score, then exact cosine re-rank
+    * of those candidates only. ADC is still a linear scan (combine with
+    * [[knnIvf]]'s lists for sub-linear candidates); the win is bytes per
+    * row and per-pair cost.
+    */
+  def knnPq(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      refine: Int = 64): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    // deterministic hash-order sample as codebook source rows
+    val sampleRows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+      .limit(codebookSize)
+      .select(col("corpus_id"), col("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    val dim = sampleRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // codebooks(j) = codebookSize × sub matrix for subspace j
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => sampleRows.map(_.slice(j * sub, (j + 1) * sub)))
+    // encode: m fused argmin maps over sliced subvectors
+    val encoded = (0 until m).foldLeft(c) { (df, j) =>
+      df.withColumn(s"code$j",
+        graft.functions.VectorExpressions.nearestCentroid(
+          slice(col("cq"), j * sub + 1, sub), codebooks(j)))
+    }
+    // probe LUTs: dot(probe subvector, codeword) per (subspace, codeword)
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val withLuts = (0 until m).foldLeft(p) { (df, j) =>
+      df.withColumn(s"lut$j", array(codebooks(j).map(cw =>
+        dot(slice(col("pq"), j * sub + 1, sub),
+          typedlit(cw.toSeq))): _*))
+    }
+    // ADC score = sum of m table lookups on the corpus row's codes,
+    // divided by the row's exact norm: the LUT sum approximates the DOT
+    // product, but the ranking target is cosine — without the norm the
+    // candidate order biases toward long vectors (probe norm is constant
+    // within each probe's window, so only the corpus norm matters)
+    val approx = (0 until m).map(j =>
+      element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _) /
+      sqrt(col("cn2"))
+    val scored = encoded.join(broadcast(withLuts), lit(true))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .withColumn("approx", approx)
+    val wa = Window.partitionBy("probe_id")
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = scored.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= refine)
+    // exact cosine re-rank of the refine-set only
+    val wk = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    candidates
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe
     * their own bucket plus every bucket within `maxFlips` sign-bit flips
     * (Lv et al.'s multi-probe LSH: near neighbors that straddle a few

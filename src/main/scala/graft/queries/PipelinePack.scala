@@ -162,6 +162,20 @@ object PipelinePack {
     },
     None) // approximate -> rows-only
 
+  private val s05 = Q(
+    "s05_knn_pq",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // dim 64 split 8x8, 32 codewords/subspace: the corpus compresses to
+      // 8 codes/vector; refine=128 caps the exact re-rank per probe. At
+      // cluster scale codebookSize grows to 256 (one byte per code) and
+      // the ADC scan composes with IVF lists for sub-linearity.
+      VectorOps.knnPq(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, m = 8, codebookSize = 32,
+        refine = 128).orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only (RecallSpec gates vs s01)
+
   // ---- text analysis ----------------------------------------------------
 
   private def langIdOracle: String = {
@@ -482,7 +496,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
     m01, m02)
 }

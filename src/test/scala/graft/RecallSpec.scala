@@ -69,6 +69,14 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.40, f"recall regressed: $recall%.3f < 0.40")
   }
 
+  test("s05: knnPq ADC+refine recall@10 vs brute force (sf0.01)") {
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    val pq = topkSet(SparkEntry.queries("s05_knn_pq")(spark, dir))
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"s05 recall@10 = $recall%.3f (${(brute & pq).size}/${brute.size})")
+    assert(recall >= 0.80, f"recall regressed: $recall%.3f < 0.80")
+  }
+
   test("d10: semantic-dedup drops ⊆ exact drops, recall gated (sf0.01)") {
     // exact baseline: same greedy min-id policy over the FULL cosine pair
     // set (d05's exact all-pairs at the same tau)
