@@ -31,6 +31,36 @@ object Events {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Per-type z-scores of the hourly event-count series — the volume
+    * anomaly monitor ("which hours are statistical outliers for this
+    * event type") every ingest pipeline alerts on. Two aggregations:
+    * the (type, hour) count (map-side partial over raw events, the only
+    * big reduction) and tiny per-type moment rollups of THOSE counts,
+    * joined back broadcast.
+    *
+    * Exactness: moments stay exact integers (count, sum, sum of squares)
+    * and the z-score is ONE fixed double expression
+    * `(n*c - s) / (c * sqrt((q*c - s²) / (c*(c-1))))` — algebraically
+    * var_samp, but free of the engine-specific accumulation order a
+    * built-in variance would introduce (sqrt and division are IEEE
+    * correctly-rounded, so both engines agree bit-for-bit). Integer
+    * moments hold while hours·max(n)² < 2^63.
+    */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("q"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_epoch"), col("n"),
+        ((col("n") * col("c") - col("s")).cast("double") /
+          (col("c") * sqrt((col("q") * col("c") - col("s") * col("s"))
+            .cast("double") / (col("c") * (col("c") - 1))))).as("z"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Classic lag+cumsum over a per-user window —
     * one shuffle on user_id. For hot-key skew (one user = one giant task),

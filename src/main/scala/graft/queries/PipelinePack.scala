@@ -446,6 +446,28 @@ object PipelinePack {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
+  private val e11 = Q(
+    "e11_hourly_anomaly",
+    // volume-anomaly monitor: z-score of each hour's count within its
+    // event type's hourly series; exact integer moments, one fixed
+    // double expression (no engine-accumulated variance)
+    (s, dir) => Events.hourlyAnomaly(Tables.load(s, dir, "events"))
+      .orderBy("event_type", "hour_epoch"),
+    Some("""WITH h AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, COUNT(*) AS c,
+                     CAST(SUM(n) AS BIGINT) AS s,
+                     CAST(SUM(n * n) AS BIGINT) AS q
+                   FROM h GROUP BY 1)
+            SELECT h.event_type, hour_epoch, n,
+              CAST(n * c - s AS DOUBLE)
+                / (c * sqrt(CAST(q * c - s * s AS DOUBLE) / (c * (c - 1))))
+                AS z
+            FROM h JOIN st USING (event_type)
+            ORDER BY event_type, hour_epoch"""))
+
   private val e09 = Q(
     "e09_funnel_stages",
     (s, dir) => Events.funnelStages(Tables.load(s, dir, "events"),
@@ -497,6 +519,6 @@ object PipelinePack {
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10,
+    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     m01, m02)
 }
