@@ -259,6 +259,88 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** IVF + PQ composed (the FAISS-style IVFPQ shape): [[knnIvf]]'s
+    * inverted lists make the candidate set sub-linear (only `nProbe`
+    * lists per probe are touched) and [[knnPq]]'s codes make scanning
+    * those candidates memory-cheap (m table lookups per pair instead of
+    * a dim-float dot). Codebooks quantize raw vectors (classic IVFPQ
+    * encodes residuals v − centroid for tighter cells — the raw-vector
+    * variant keeps ONE codebook set shared across lists, which is the
+    * right trade until codebook fidelity, not list balance, limits
+    * recall). Exact cosine re-rank of the top-`refine` per probe.
+    */
+  def knnIvfPq(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 32,
+      nProbe: Int = 8,
+      m: Int = 8,
+      codebookSize: Int = 32,
+      refine: Int = 128): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    val sampleRows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+      .limit(math.max(nCentroids, codebookSize))
+      .select(col("corpus_id"), col("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    val dim = sampleRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // IVF centroids: normalized so L2-argmin = cosine-argmax (knnIvf)
+    val ivfMat: Array[Array[Double]] = sampleRows.take(nCentroids).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // PQ codebooks: raw subvectors (knnPq)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      sampleRows.take(codebookSize).map(_.slice(j * sub, (j + 1) * sub)))
+    val encoded = (0 until m).foldLeft(
+      c.withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
+    ) { (df, j) =>
+      df.withColumn(s"code$j",
+        graft.functions.VectorExpressions.nearestCentroid(
+          slice(col("cq"), j * sub + 1, sub), codebooks(j)))
+    }
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val withLuts = (0 until m).foldLeft(p) { (df, j) =>
+      df.withColumn(s"lut$j", array(codebooks(j).map(cw =>
+        dot(slice(col("pq"), j * sub + 1, sub),
+          typedlit(cw.toSeq))): _*))
+    }
+    val probeLists = withLuts.select(
+      (col("probe_id") +: col("pq") +: col("pn2") +:
+        (0 until m).map(j => col(s"lut$j"))) :+
+        explode(graft.functions.VectorExpressions.nearestCentroids(
+          col("pq"), ivfMat, nProbe)).as("list"): _*)
+    val approx = (0 until m).map(j =>
+      element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _) /
+      sqrt(col("cn2"))
+    val scored = encoded.join(broadcast(probeLists), "list")
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .withColumn("approx", approx)
+    val wa = Window.partitionBy("probe_id")
+      .orderBy(col("approx").desc, col("corpus_id").asc)
+    val candidates = scored.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= refine)
+    val wk = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    candidates
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe
     * their own bucket plus every bucket within `maxFlips` sign-bit flips
     * (Lv et al.'s multi-probe LSH: near neighbors that straddle a few

@@ -176,6 +176,20 @@ object PipelinePack {
     },
     None) // approximate -> rows-only (RecallSpec gates vs s01)
 
+  private val s06 = Q(
+    "s06_knn_ivfpq",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // IVF lists bound the candidate set (~nProbe/nCentroids of the
+      // corpus), PQ codes make scanning it memory-cheap: the composition
+      // that serves ANN at corpus sizes where even one full-vector scan
+      // per probe is too much bandwidth
+      VectorOps.knnIvfPq(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 8,
+        m = 8, codebookSize = 32, refine = 128).orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only (RecallSpec gates vs s01)
+
   // ---- text analysis ----------------------------------------------------
 
   private def langIdOracle: String = {
@@ -518,7 +532,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     m01, m02)
 }

@@ -77,6 +77,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.80, f"recall regressed: $recall%.3f < 0.80")
   }
 
+  test("s06: knnIvfPq composed recall@10 vs brute force (sf0.01)") {
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    val ivfpq = topkSet(SparkEntry.queries("s06_knn_ivfpq")(spark, dir))
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    info(f"s06 recall@10 = $recall%.3f (${(brute & ivfpq).size}/${brute.size})")
+    // bounded above by the IVF list recall (s03's gate): candidates are
+    // restricted to the probed lists before ADC ever sees them
+    assert(recall >= 0.40, f"recall regressed: $recall%.3f < 0.40")
+  }
+
   test("d10: semantic-dedup drops ⊆ exact drops, recall gated (sf0.01)") {
     // exact baseline: same greedy min-id policy over the FULL cosine pair
     // set (d05's exact all-pairs at the same tau)
