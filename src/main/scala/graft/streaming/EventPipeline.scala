@@ -162,7 +162,8 @@ object EventPipeline {
       views: DataFrame,
       purchases: DataFrame,
       horizon: String = "1 hour",
-      lateness: String = "2 hours"): DataFrame = {
+      lateness: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .withWatermark("ts", lateness)
       .select(col("user_id"), col("ts").as("v_ts"),
@@ -171,10 +172,15 @@ object EventPipeline {
       .withWatermark("ts", lateness)
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
+    // leftOuter: an unmatched view emits null-extended ONCE its watermark
+    // window closes (Spark proves no future purchase can still match) —
+    // the "views that never converted" stream, impossible to get from the
+    // inner join without a second batch pass
     v.join(p,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"))
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         unix_timestamp(col("v_ts")).as("view_epoch"),
         unix_timestamp(col("p_ts")).as("purchase_epoch"))

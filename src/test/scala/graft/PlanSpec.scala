@@ -277,6 +277,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q25: explicit pivot values keep the two-level aggregate shape") {
+    val p = plan("q25_pivot")
+    // pivot rewrites to an inner (day, type) count + an outer PivotFirst
+    // — 2 logical aggregates = 4 physical (partial+final each), ONE raw
+    // data pass. Explicit values also mean no distinct-discovery job runs
+    // before planning (that job is invisible to the plan, but a values
+    // regression would show as extra aggregates here).
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) HashAggregate")) == 4)
+    assert(p.contains("pivotfirst"))
+  }
+
+  test("q27: cube expands grouping sets before ONE partial aggregation") {
+    val p = plan("q27_cube")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Expand")) == 1)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Exchange")) <= 2)
+  }
+
   test("q30: top-k is TakeOrderedAndProject, never a global sort") {
     val p = plan("q30_topk")
     assert(p.contains("TakeOrderedAndProject"))

@@ -315,6 +315,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin leftOuter: unconverted views emit null-extended") {
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = EventPipeline.attributionJoin(vs.toDF(), ps.toDF(),
+        horizon = "1 hour", lateness = "1 hour", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      vs.addData(ev(100, 10, 1, "view", 0),   // converts
+        ev(101, 20, 2, "view", 0))            // never converts
+      ps.addData(ev(200, 600, 1, "purchase", 9))
+      q.processAllAvailable()
+      // push both watermarks far past view 101's match window
+      vs.addData(ev(900, 90000, 8, "view", 0))
+      ps.addData(ev(901, 90000, 9, "purchase", 0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(rows.contains((100L, 200L)), s"matched pair missing: $rows")
+      assert(rows.contains((101L, -1L)),
+        s"unconverted view not null-extended: $rows")
+    } finally q.stop()
+  }
+
   private def pev(id: Long, sec: Long, user: Long, typ: String, v: Double,
       props: String) =
     EventPipeline.PropEvent(id, new Timestamp(sec * 1000L), user, typ, v, props)
