@@ -672,6 +672,43 @@ object CorpusPack {
                 '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS red_md5
             FROM inj ORDER BY doc_id"""))
 
+  private val p10 = Q(
+    "p10_token_budget",
+    // the pre-launch planning query: mixture weights (p05's exact
+    // 256ths-of-epoch semantics) x per-doc token counts = the actual
+    // training token budget each source contributes. Replicated rows
+    // carry only (doc_id, source); token counts join in narrow.
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      Corpus.mixtureUpsample(docs, "doc_id", "source",
+          Map("src0" -> 640, "src1" -> 128, "src2" -> 0))
+        .join(toks, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_epoch_docs"),
+          sum("n_tok").as("n_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 640 WHEN 'src1' THEN 128
+                            WHEN 'src2' THEN 0 ELSE 256 END AS w256,
+                (instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 16
+                + (instr('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) AS hb,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents),
+              r AS (SELECT doc_id, source, n_tok,
+                      w256 // 256
+                        + CASE WHEN hb < w256 % 256 THEN 1 ELSE 0 END AS reps
+                    FROM w)
+            SELECT source, CAST(SUM(reps) AS BIGINT) AS n_epoch_docs,
+              CAST(SUM(reps * n_tok) AS BIGINT) AS n_tokens
+            FROM r WHERE reps > 0
+            GROUP BY source ORDER BY source"""))
+
   private val p03 = Q(
     "p03_pack_greedy",
     (s, dir) => Packing.greedyPack(s, Tables.load(s, dir, "documents"),
@@ -683,6 +720,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
       d06, d07, d08, d09, d11, d12, d13, d14, d15)
 }
