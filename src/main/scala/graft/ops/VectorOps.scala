@@ -170,6 +170,54 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Global top-`n` rows per `key` by (`score` desc, `tie` asc) WITHOUT
+    * window-sorting the full input: phase 1 keeps each partition's top-n
+    * per key in a bounded heap (mapPartitions, no shuffle — every global
+    * winner is necessarily one of its partition's local winners), phase 2
+    * ranks only the ≤ partitions×n survivors per key. The p06
+    * quota-sampling argument applied to scored candidates: the ADC scan's
+    * output is (probes × corpus) rows, and a plain `row_number` window
+    * here was exactly the one-task-per-probe full sort the ScaleProbe
+    * caught (100×1M rows: 25 → 12 s). Callers must project the input to
+    * the scalar (key, score, tie) triple first — mapPartitions
+    * deserializes every column it is given, and feeding the fat
+    * vector/LUT rows through the heaps cost more than the window sort it
+    * replaced (30 s). Heap memory per task is keys×n rows.
+    */
+  private def topNPerKey(
+      df: DataFrame, key: String, score: String, tie: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val ki = df.schema.fieldIndex(key)
+    val si = df.schema.fieldIndex(score)
+    val ti = df.schema.fieldIndex(tie)
+    // max-heap on (-score, tie): root = smallest score / largest tie =
+    // the worst kept row, replaced when a better one arrives
+    val ord = Ordering.by[(Double, Long, Row), (Double, Long)] {
+      case (s, t, _) => (-s, t)
+    }
+    val local = df.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Row)]]
+      it.foreach { r =>
+        val k = r.getLong(ki)
+        val s = r.getDouble(si)
+        val t = r.getLong(ti)
+        val h = heaps.getOrElseUpdate(k,
+          scala.collection.mutable.PriorityQueue.empty(ord))
+        if (h.size < n) h.enqueue((s, t, r))
+        else {
+          val (ws, wt, _) = h.head
+          if (s > ws || (s == ws && t < wt)) { h.dequeue(); h.enqueue((s, t, r)) }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }(enc)
+    val w = Window.partitionBy(key).orderBy(col(score).desc, col(tie).asc)
+    local.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
   /** Product-quantization (PQ) approximate top-k with asymmetric distance
     * computation (ADC) and exact re-rank.
     *
@@ -242,17 +290,27 @@ object VectorOps {
     val approx = (0 until m).map(j =>
       element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _) /
       sqrt(col("cn2"))
+    // the heap phase sees ONLY (probe_id, corpus_id, approx) — selecting
+    // the scalar triple BEFORE candidate selection keeps the 100M-row
+    // deserialization at 24 bytes/row; vectors re-join on the tiny
+    // refine-set afterwards (probes × refine rows)
     val scored = encoded.join(broadcast(withLuts), lit(true))
       .filter(col("probe_id") =!= col("corpus_id"))
-      .withColumn("approx", approx)
-    val wa = Window.partitionBy("probe_id")
-      .orderBy(col("approx").desc, col("corpus_id").asc)
-    val candidates = scored.withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= refine)
-    // exact cosine re-rank of the refine-set only
+      .select(col("probe_id"), col("corpus_id"), approx.as("approx"))
+    val candidates = topNPerKey(scored, "probe_id", "approx", "corpus_id",
+      refine).select("probe_id", "corpus_id")
+    rerank(candidates, c, p, k)
+  }
+
+  /** Exact cosine top-`k` over a small (probe_id, corpus_id) candidate
+    * set: vectors re-attach via one narrow corpus join + a probe
+    * broadcast, then a window over ≤ refine rows per probe.
+    */
+  private def rerank(
+      candidates: DataFrame, c: DataFrame, p: DataFrame, k: Int): DataFrame = {
     val wk = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    candidates
+    candidates.join(c, "corpus_id").join(broadcast(p), "probe_id")
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
       .withColumn("rk", row_number().over(wk))
@@ -325,20 +383,13 @@ object VectorOps {
     val approx = (0 until m).map(j =>
       element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _) /
       sqrt(col("cn2"))
+    // narrow triple into the heap phase; vectors re-join on the refine-set
     val scored = encoded.join(broadcast(probeLists), "list")
       .filter(col("probe_id") =!= col("corpus_id"))
-      .withColumn("approx", approx)
-    val wa = Window.partitionBy("probe_id")
-      .orderBy(col("approx").desc, col("corpus_id").asc)
-    val candidates = scored.withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= refine)
-    val wk = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    candidates
-      .select(col("probe_id"), col("corpus_id"),
-        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("corpus_id"), approx.as("approx"))
+    val candidates = topNPerKey(scored, "probe_id", "approx", "corpus_id",
+      refine).select("probe_id", "corpus_id")
+    rerank(candidates, c, p, k)
   }
 
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe

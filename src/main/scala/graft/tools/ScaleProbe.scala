@@ -101,6 +101,17 @@ object ScaleProbe {
     }
     require(kmAssigned == 1000000L, s"kmeans assigned $kmAssigned")
 
+    // --- PQ/ADC top-k over the same 1M vectors --------------------------
+    // 100 probes × 1M codes: the ADC scan is the new heavy stage (m table
+    // lookups per pair after the encode maps); top-refine then exact
+    // re-rank. IVFPQ strictly reduces this by the list fraction.
+    val pqProbes = kmVecs.filter(col("id") < 100)
+    val (pqRows, pqSec) = timed {
+      VectorOps.knnPq(pqProbes, kmVecs, "id", "embedding",
+        k = 10, m = 4, codebookSize = 32, refine = 64).count()
+    }
+    require(pqRows == 100L * 10, s"pq emitted $pqRows")
+
     // --- semantic dedup with a mega-cluster (cap stress) ----------------
     val dimS = 8
     val blobN = 50000L
@@ -191,7 +202,8 @@ object ScaleProbe {
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
       s""""asof_sec":$asofSec,"rid_sec":$ridSec,""" +
       s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
-      s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec}""")
+      s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
+      s""""pq_sec":$pqSec}""")
     spark.stop()
   }
 }
