@@ -642,6 +642,38 @@ object Relational {
             ORDER BY o_custkey, o_orderkey, order_day, spend_7d,
               n_orders_7d"""))
 
+  // Correlated EXISTS / NOT EXISTS predicate subqueries in SQL — q15/q17
+  // are the DataFrame-level semi/anti joins; this is the SQL spelling,
+  // decorrelated by Catalyst (RewritePredicateSubquery) into ONE semi and
+  // ONE anti join against a shared filtered orders scan — never a per-row
+  // re-scan. The correlated predicate carries an inequality
+  // (o_totalprice > c_acctbal * 2) on top of the key equality, so the
+  // rewrite must fold a non-equi conjunct into the join condition.
+  private val q31 = Q(
+    "q31_exists_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > c.c_acctbal * 2)
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT'
+                                   AND o.o_totalprice > 400000.0)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > c.c_acctbal * 2)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT'
+                                AND o.o_totalprice > 400000.0)
+            ORDER BY c_custkey"""))
+
   // Top-k selection: ORDER BY + LIMIT plans as TakeOrderedAndProject —
   // each partition keeps only k rows and the driver merges partition
   // winners, so no global sort of the input ever materializes (the same
@@ -663,5 +695,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30)
+    q26, q27, q28, q29, q30, q31)
 }

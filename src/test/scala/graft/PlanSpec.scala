@@ -294,6 +294,14 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Exchange")) <= 2)
   }
 
+  test("q31: EXISTS/NOT EXISTS decorrelate to one semi + one anti join") {
+    val p = plan("q31_exists_subquery")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    // the correlated non-equi conjunct folds into the join condition
+    // instead of forcing a per-row re-scan or nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q30: top-k is TakeOrderedAndProject, never a global sort") {
     val p = plan("q30_topk")
     assert(p.contains("TakeOrderedAndProject"))
