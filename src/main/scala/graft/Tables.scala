@@ -36,8 +36,23 @@ object Tables {
     * prefer plain [[load]] when the source is already well-partitioned.
     */
   def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(spark, dir, name).repartition(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    spreadIfNarrow(load(spark, dir, name))
+
+  /** Repartition `df` to the session's shuffle parallelism ONLY when its
+    * scan would produce fewer partitions than that — the guard every
+    * per-row-expensive operator preamble uses. A single-file local table
+    * (one scan partition) gets spread so fused signature/vector work isn't
+    * serialized onto one core; a 100 TB table (thousands of scan
+    * partitions) passes through untouched, because an unconditional
+    * `repartition()` there would exchange the full text/vector payload
+    * before work the fused-expression design exists to keep in the scan
+    * stage. Partition count comes from the physical plan without running
+    * it (the inputs here are scans/projections — no query stages execute).
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** All tables as a map — handy for the SPJ compiler's catalog. */
   def catalog(spark: SparkSession, dir: String): Map[String, DataFrame] =

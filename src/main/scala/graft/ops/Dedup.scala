@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * explode + statically-unrolled aggregates, which whole-stage-codegen;
   * lambda higher-order functions appear only in cheap per-document
   * expressions, because Spark evaluates them interpreted
-  * (CodegenFallback). Inputs are repartitioned to the session's shuffle
-  * parallelism first, so a single-file source can't serialize the work.
+  * (CodegenFallback). Narrow (few-partition) inputs are spread to the
+  * session's shuffle parallelism first so a single-file source can't
+  * serialize the work; already-wide scans pass through with no exchange
+  * ([[graft.Tables.spreadIfNarrow]]).
   */
 object Dedup {
 
@@ -52,7 +54,7 @@ object Dedup {
     */
   private def gramsWithSizes(
       df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("arr"))
       .select(col("id"), size(col("arr")).cast("long").as("n"),
         explode(col("arr")).as("g"))
@@ -123,8 +125,7 @@ object Dedup {
           col("a.id") < col("b.id") && lengthOk)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      val sets = df
-        .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      val sets = graft.Tables.spreadIfNarrow(df)
         .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
       val c = size(array_intersect(col("ga"), col("gb")))
       cand
@@ -273,8 +274,7 @@ object Dedup {
       idCol: String,
       n: Int,
       minShared: Long = 1L): DataFrame = {
-    def grams(df: DataFrame) = df
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    def grams(df: DataFrame) = graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"),
         explode(graft.functions.HashExpressions.ngramHashSet(
           col(textCol), n)).as("gh"))
@@ -307,16 +307,18 @@ object Dedup {
     * transform/array_min stack would be worse still: CodegenFallback,
     * interpreted. Signatures are bit-identical across all three.)
     * Docs with an empty gram set produce no row (matching the aggregate
-    * formulation, where explode dropped them). The repartition spreads
-    * per-doc signature work when the source is a single local file; at
-    * cluster scale the scan is already partitioned and it can be dropped.
+    * formulation, where explode dropped them). Narrow (few-partition,
+    * e.g. single local file) sources are spread first so signature work
+    * isn't serialized; an already-partitioned cluster-scale scan passes
+    * through with NO exchange (Tables.spreadIfNarrow — plan-asserted in
+    * PlanSpec).
     */
   def minHashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("id"), graft.functions.HashExpressions
@@ -373,8 +375,7 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // exact verification on the candidate set only
-    val grams = df
-      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val grams = graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("gid"),
         TextOps.bigramSet(col(textCol)).as("grams"))
     val c = size(array_intersect(col("ga"), col("gb")))
@@ -397,11 +398,11 @@ object Dedup {
     * NO SHUFFLE, no 64-wide aggregation state (previous shape: explode +
     * 64 statically-unrolled conditional SUMs + exchange; bit-identical
     * output). Documents with no tokens produce no row, matching the
-    * aggregate formulation. Repartition: same single-local-file note as
-    * [[minHashSignatures]].
+    * aggregate formulation. Narrow sources spread, wide scans untouched:
+    * same [[graft.Tables.spreadIfNarrow]] note as [[minHashSignatures]].
     */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("id"),

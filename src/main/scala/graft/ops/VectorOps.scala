@@ -33,13 +33,14 @@ object VectorOps {
   /** Squared L2 norm of a quantized vector. */
   def norm2(v: Column): Column = dot(v, v)
 
-  /** Spread rows across the session's shuffle parallelism: similarity
-    * inputs are often a single small parquet file (one scan partition),
-    * which would serialize all per-row vector math onto one core.
+  /** Spread rows across the session's shuffle parallelism ONLY when the
+    * source scans narrower than it: a single small parquet file (one scan
+    * partition) would serialize all per-row vector math onto one core,
+    * while a cluster-scale table is already partitioned and must NOT pay
+    * a full-vector exchange here (Tables.spreadIfNarrow).
     */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get(
-      "spark.sql.shuffle.partitions").toInt)
+    graft.Tables.spreadIfNarrow(df)
 
   /** Cosine similarity from quantized vectors + precomputed squared norms. */
   def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
@@ -573,17 +574,35 @@ object VectorOps {
     * by construction (quantized integer arithmetic end to end).
     *
     * Hot-cluster guard (`maxClusterSize`, the sibling of LSH's
-    * maxBucketSize): a boilerplate-heavy corpus can collapse into one
-    * mega-cluster and make its pair self-join quadratic in ONE task.
-    * Clusters above the cap are split into rank bands: rows ranked within
-    * the cluster by (dist2-to-centroid, id), chunked by `cap`, and each row
-    * emitted into its own chunk AND the next one — every pair within `cap`
-    * ranks still meets in some cell, per-row fanout is ≤ 2, and per-cluster
-    * pair work drops from |c|² to ≤ 4·|c|·cap (linear). Near-duplicate
-    * vectors have near-equal dist2 to any fixed centroid, so rank locality
-    * is exactly duplicate locality: an all-identical mega-cluster still
-    * drops everything but the global min id (asserted in RecallSpec).
-    * Clusters at or under the cap are untouched (single cell 0).
+    * maxBucketSize), in two layers — both pure maps/aggregations, no
+    * per-cluster window task (r6; the r5 shape ranked each cluster with
+    * `row_number() OVER (PARTITION BY cluster)`, which sorts a mega-
+    * cluster in ONE task):
+    *
+    *  1. EXACT-VECTOR COLLAPSE: the mass of any real mega-cluster is
+    *     byte-identical boilerplate. Rows group by a 128-bit vector hash
+    *     (two independent xxhash64s — collision odds are d01-md5-class);
+    *     every non-min member of a class is by definition a duplicate of
+    *     the min (cos = 1 ≥ τ; for the degenerate zero-vector class,
+    *     cos = NaN which Spark's `>= τ` also admits — matching what the
+    *     pair join produced for identical rows) and drops immediately.
+    *     Only class representatives enter the pair join, so an N-row
+    *     identical blob costs one hash-groupBy, never N² pairs. Drop-set
+    *     equivalence: a rep r carries the class min id and identical
+    *     cluster/dist2/cell assignments, so any pair (member, x) that the
+    *     full join would test survives as (r, x) with id_r ≤ id_member.
+    *  2. VALUE-BANDED CELLS for distinct near-identical vectors: a
+    *     cluster still above the cap splits by `floor((dist2 − d0) /
+    *     width)` with width = (d1 − d0) / ⌈|c|/cap⌉ from a tiny
+    *     per-cluster (min, max, count) aggregate broadcast back — a pure
+    *     map, no sort. Each row lands in its own band AND the next, so
+    *     any pair whose dist2 gap is under one band width still meets;
+    *     near-duplicate vectors have near-equal dist2 to any fixed
+    *     centroid, so band locality is duplicate locality (recall gated
+    *     in RecallSpec). Per-row fanout is ≤ 2; bands are quadratic only
+    *     if the dist2 DISTRIBUTION piles distinct vectors onto one value,
+    *     which layer 1 has already ruled out for the identical-vector
+    *     case. Clusters at or under the cap are untouched (single cell).
     */
   def semanticDedup(
       df: DataFrame,
@@ -602,22 +621,43 @@ object VectorOps {
     val assigned = kmeansCore(df, idCol, vecCol, k, iters, nAssign)
       .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
       .withColumn("n2", norm2(col("q")))
-    val cw = Window.partitionBy("cluster")
-    val rw = cw.orderBy(col("dist2").asc, col("id").asc)
-    val celled = assigned
-      .withColumn("csize", count(lit(1)).over(cw))
-      .withColumn("chunk",
-        floor((row_number().over(rw) - lit(1)) / lit(maxClusterSize)))
+    // layer 1: exact-vector collapse (identical vectors → min-id rep).
+    // The class join keys on the narrow (h1, h2) pair; identical vectors
+    // share every crk assignment, so rep rows keep the full multi-probe
+    // cell structure.
+    val keyed = assigned
+      .withColumn("h1", xxhash64(col("q")))
+      .withColumn("h2", xxhash64(lit(42L), col("q")))
+    val reps = keyed.filter(col("crk") === 1)
+      .groupBy("h1", "h2").agg(min(col("id")).as("rep_id"))
+    val tagged = keyed.join(reps, Seq("h1", "h2"))
+    val exactDropped = tagged
+      .filter(col("crk") === 1 && col("id") =!= col("rep_id"))
+      .select(col("id"))
+    val repRows = tagged.filter(col("id") === col("rep_id"))
+      .select(col("id"), col("q"), col("n2"), col("cluster"), col("dist2"))
+    // layer 2: value-banded cells from per-cluster stats (≤ k·nAssign
+    // rows — broadcast), then the within-cell pair join
+    val stats = repRows.groupBy("cluster").agg(
+      count(lit(1)).as("csize"),
+      min(col("dist2")).as("d0"), max(col("dist2")).as("d1"))
+    val nBands = ceil(col("csize") / lit(maxClusterSize.toDouble))
+    val width = (col("d1") - col("d0")) / nBands
+    val band = when(width > 0,
+      least(floor((col("dist2") - col("d0")) / width), nBands - 1))
+      .otherwise(lit(0L))
+    val celled = repRows.join(broadcast(stats), "cluster")
       .select(col("id"), col("q"), col("n2"), col("cluster"),
         explode(when(col("csize") <= maxClusterSize, array(lit(0L)))
-          .otherwise(array(col("chunk"), col("chunk") + lit(1)))).as("cell"))
+          .otherwise(array(band, band + lit(1L)))).as("cell"))
     val a = celled.as("a"); val b = celled.as("b")
     val dropped = a.join(b,
         col("a.cluster") === col("b.cluster") &&
           col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(cosine(dot(col("a.q"), col("b.q")),
         col("a.n2"), col("b.n2")) >= tau)
-      .select(col("b.id").as("id")).distinct()
+      .select(col("b.id").as("id"))
+      .unionByName(exactDropped).distinct()
     assigned.filter(col("crk") === 1).select(col("id"))
       .join(dropped.withColumn("dup", lit(1)), Seq("id"), "left_outer")
       .select(col("id"),

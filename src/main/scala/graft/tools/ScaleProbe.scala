@@ -19,10 +19,11 @@ import graft.ops.{Clusters, Corpus, Dedup, Events, VectorOps}
   *  - upsample: 10M docs across 16 strata with fractional epoch weights
   *  - kmeans: 1M dim-16 vectors, k = N/5000 = 200 (the SemDeDup paper's
   *    regime) — the iterative assignment/update loop is k×N per round
-  *  - semdedup: 150k vectors of which 50k are IDENTICAL (one mega-blob) —
+  *  - semdedup: 1.15M vectors of which 1M are IDENTICAL (one mega-blob) —
   *    the boilerplate-collapse adversary for the within-cluster pair
-  *    join; without the rank-band cluster cap this is a 50k² single-task
-  *    self-join (1.2B pairs), with it the work is linear in blob size
+  *    join; unguarded this is a 10^12-pair single-task self-join, with
+  *    the r6 exact-vector collapse the blob costs one hash-groupBy and
+  *    the value-banded cells bound the remaining pair work
   *  - asof: 10M right rows + 1M probes with HALF of everything on ONE
   *    key — the hot-key adversary the salted two-phase as-of exists for
   *    (the plain union+window would put 5.5M rows in one task)
@@ -114,8 +115,8 @@ object ScaleProbe {
 
     // --- semantic dedup with a mega-cluster (cap stress) ----------------
     val dimS = 8
-    val blobN = 50000L
-    val sdVecs = spark.range(150000L).select(col("id"),
+    val blobN = 1000000L
+    val sdVecs = spark.range(1150000L).select(col("id"),
       when(col("id") < blobN, array(Seq.fill(dimS)(lit(0.5)): _*))
         .otherwise(array((0 until dimS).map(j =>
           (pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - lit(1000L)) / 1000.0): _*))
@@ -125,8 +126,8 @@ object ScaleProbe {
           tau = 0.95, nAssign = 1, maxClusterSize = 2048)
         .filter(col("keep") === 0).count()
     }
-    // the whole blob except its min id MUST drop even though no cell ever
-    // holds more than 2*cap rows
+    // the whole blob except its min id MUST drop — resolved entirely by
+    // the exact-vector collapse, never by pair-join rows
     require(sdDrops >= blobN - 1, s"semdedup dropped only $sdDrops")
 
     // --- salted as-of join under one-hot-key skew -----------------------

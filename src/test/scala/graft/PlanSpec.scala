@@ -314,6 +314,30 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("StringContains(p_name,bolt"))
   }
 
+  test("spreadIfNarrow: already-wide inputs pass through with NO exchange") {
+    // r6 (r5 verdict #1): the dedup/vector preambles must spread only
+    // narrow sources — a pre-partitioned (cluster-scale) input must not
+    // pay a full-text exchange before the fused signature projection.
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wide = Tables.load(spark, dir, "documents").repartition(target)
+    // identity, not a new plan node:
+    assert(graft.Tables.spreadIfNarrow(wide) eq wide)
+    // whole-plan check: the only Exchange is the input's own repartition —
+    // the signature op itself adds none below the gram/sig projection
+    Seq(
+      graft.ops.Dedup.minHashSignatures(wide, "text", "doc_id", 8),
+      graft.ops.Dedup.simHashes(wide, "text", "doc_id")
+    ).foreach { sig =>
+      val p = sig.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    }
+    // and a narrow (single-file, one-partition) source still gets spread
+    val narrow = Tables.load(spark, dir, "documents")
+    assert(narrow.rdd.getNumPartitions < target)
+    assert(Tables.spreadIfNarrow(narrow).rdd.getNumPartitions == target)
+  }
+
   test("p07: the only window runs over per-partition COUNTS, not the corpus") {
     val p = plan("p07_global_ids")
     // exactly one Window node, and it consumes the numPartitions-row

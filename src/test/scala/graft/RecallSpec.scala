@@ -123,12 +123,12 @@ class RecallSpec extends SparkSpec {
       "default cap changed results at test SF")
   }
 
-  test("d10: mega-cluster rank-band cap still drops all but the min id") {
+  test("d10: identical mega-blob drops all but the min id (collapse layer)") {
     import spark.implicits._
-    // 300 identical vectors, k=1 -> one cluster of 300; cap=32 forces the
-    // rank-band split (10 chunks). Exact greedy min-id keeps exactly one
-    // row; the banded plan must agree because every row shares a cell with
-    // a smaller id (identical dist2 -> rank order IS id order).
+    // 300 identical vectors, k=1 -> one cluster of 300; cap=32 keeps the
+    // guard active. r6: the exact-vector collapse resolves the whole blob
+    // with one hash-groupBy (no pair join rows at all) — exact greedy
+    // min-id semantics must still hold: exactly one row kept.
     val n = 300
     val mega = (0 until n).map(i => (i.toLong, Seq.fill(8)(0.5f)))
       .toDF("vec_id", "embedding")
@@ -139,6 +139,28 @@ class RecallSpec extends SparkSpec {
     assert(res(0L) == 1, "min id must be kept")
     assert(res.count(_._2 == 0) == n - 1,
       s"expected ${n - 1} drops, got ${res.count(_._2 == 0)}")
+  }
+
+  test("d10: active value-band cap loses little on real data (sf0.01)") {
+    // r6: cap=24 forces multi-band splits of every cluster (500 rows /
+    // k=10 ≈ 50 per cluster × nAssign=2) on DISTINCT vectors — the layer
+    // the identical-blob case can't reach. Banded pairs ⊆ unbanded pairs
+    // by construction (same cluster, narrower cells), so drops must be a
+    // subset; near-dups have near-equal dist2, so recall should stay
+    // high (measured 0.925 at gate-lock; floor leaves slack for
+    // parameter drift).
+    val emb = Tables.load(spark, dir, "embeddings")
+    def drops(cap: Int): Set[Long] =
+      graft.ops.VectorOps.semanticDedup(emb, "vec_id", "embedding",
+          k = 10, iters = 3, tau = 0.4, maxClusterSize = cap)
+        .filter("keep = 0").collect().map(_.getLong(0)).toSet
+    val unbanded = drops(Int.MaxValue)
+    val banded = drops(24)
+    assert(unbanded.nonEmpty)
+    assert((banded -- unbanded).isEmpty, s"spurious drops: ${banded -- unbanded}")
+    val recall = (banded & unbanded).size.toDouble / unbanded.size
+    info(f"d10 banded(cap=24) drop recall vs unbanded = $recall%.3f")
+    assert(recall >= 0.80, f"banding recall regressed: $recall%.3f < 0.80")
   }
 
   test("s04: k-means distortion is monotone in iterations (sf0.01)") {
