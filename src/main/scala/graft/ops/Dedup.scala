@@ -241,14 +241,18 @@ object Dedup {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    def hashed(df: DataFrame, h: String) =
-      df.select(col(idCol), md5(col(textCol)).as(h))
-    hashed(oldDf, "old_hash")
-      .join(hashed(newDf, "new_hash"), Seq(idCol), "full_outer")
+    // presence is a non-null marker per side, NOT hash null-ness (r6,
+    // advisor find): md5(NULL text) is NULL, so a null-text doc present
+    // in both snapshots would otherwise misreport as added/removed; the
+    // null-safe <=> makes null-text-in-both compare 'unchanged'
+    def hashed(df: DataFrame, h: String, pres: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h), lit(true).as(pres))
+    hashed(oldDf, "old_hash", "in_old")
+      .join(hashed(newDf, "new_hash", "in_new"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") === col("new_hash"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("old_hash") <=> col("new_hash"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -54,11 +54,18 @@ object Events {
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("c"), sum("n").as("s"),
         sum(col("n") * col("n")).as("q"))
+    // degenerate series guard (r6, advisor find): a type with a single
+    // hour bucket (c=1) or a constant count series (zero variance) has no
+    // defined z-score — emit NULL instead of NaN/Inf, whose rendering
+    // Spark and DuckDB disagree on
+    val varNum = col("q") * col("c") - col("s") * col("s")
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("hour_epoch"), col("n"),
-        ((col("n") * col("c") - col("s")).cast("double") /
-          (col("c") * sqrt((col("q") * col("c") - col("s") * col("s"))
-            .cast("double") / (col("c") * (col("c") - 1))))).as("z"))
+        when(col("c") > 1 && varNum > 0,
+          (col("n") * col("c") - col("s")).cast("double") /
+            (col("c") * sqrt(varNum.cast("double") /
+              (col("c") * (col("c") - 1)))))
+          .otherwise(lit(null).cast("double")).as("z"))
   }
 
   /** Gap-based sessionization: a new session starts when a user is idle

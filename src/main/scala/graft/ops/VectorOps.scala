@@ -46,6 +46,87 @@ object VectorOps {
   def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
     dotAb / sqrt(n2a * n2b)
 
+  /** Rows the ANN model-training sample is drawn from / the cap on
+    * driver-held training data: the FAISS `train()` shape — centroids and
+    * codebooks are fit on a bounded deterministic sample, never the
+    * corpus, so driver model state stays ≤ TrainSample × dim doubles at
+    * any corpus size.
+    */
+  private val TrainSample = 4096
+  private val TrainIters = 5
+
+  /** Deterministic training sample: up to `n` quantized vectors in
+    * xxhash64-order (then id-sorted, so downstream index ties are
+    * lowest-id ties). Expects the internal (corpus_id, cq) projection.
+    */
+  private def sampleVecs(c: DataFrame, n: Int): Array[Array[Double]] = {
+    val rows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
+      .limit(n)
+      .select(col("corpus_id"), col("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    require(rows.nonEmpty,
+      "ANN index training needs a non-empty corpus (0 sample vectors)")
+    rows
+  }
+
+  /** Driver-side Lloyd's k-means over a bounded sample — the trainer
+    * behind IVF centroids and PQ codebooks (r6; previously both used raw
+    * hash-order sample rows, which cost recall). Plain sequential Scala:
+    * deterministic (no partial-aggregation order, no RNG), zero Spark
+    * jobs per iteration, and legitimate driver state because the input is
+    * already capped at [[TrainSample]] rows. Same semantics as the
+    * distributed kmeansCore: squared-L2 argmin with lowest-index ties,
+    * mean = sum/count, empty clusters keep their previous centroid. `k`
+    * silently shrinks to the sample size when the corpus is smaller than
+    * the requested codebook/centroid count (the small-corpus case — every
+    * vector becomes its own centroid and the index is exact).
+    */
+  private def lloydLocal(
+      samples: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val kEff = math.min(k, samples.length)
+    val dim = samples.head.length
+    var cents = samples.take(kEff).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      samples.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < kEff) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cents(i)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kEff) { i =>
+        if (counts(i) == 0L) cents(i)
+        else {
+          val mean = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { mean(j) = sums(i)(j) / counts(i); j += 1 }
+          mean
+        }
+      }
+    }
+    cents
+  }
+
+  /** L2-normalize trained centroids so squared-L2 argmin over them equals
+    * cosine argmax (the knnIvf list-assignment trick).
+    */
+  private def normalized(cents: Array[Array[Double]]): Array[Array[Double]] =
+    cents.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this
@@ -105,28 +186,29 @@ object VectorOps {
 
   /** IVF (inverted-file) approximate top-k.
     *
-    * Index: `nCentroids` corpus vectors chosen by a deterministic hash
-    * order (a seeded sample — "k-means-lite": centroid quality matters far
-    * less than list balance at this corpus density, and a hash sample is
-    * reproducible with no stored model). Every corpus vector is assigned to
-    * its nearest centroid (one broadcast of the tiny centroid set; argmin
-    * via window over nCentroids scored rows per vector — the classic IVF
-    * build, embarrassingly parallel over the corpus).
+    * Index: `nCentroids` list centroids trained by driver-side Lloyd's
+    * over a bounded deterministic sample ([[lloydLocal]]; r6 — hash-order
+    * sample ROWS as centroids cost recall) and NORMALIZED, so squared-L2
+    * argmin over unit centroids equals cosine argmax. Every corpus vector
+    * is assigned to its nearest centroid via one fused
+    * `graft_nearest_centroid` map per row (no N×nCentroids scoring join).
     *
-    * Query: each probe scores the same centroid set, keeps its `nProbe`
-    * nearest lists, and exact cosine top-k runs over the union of those
-    * inverted lists. The corpus-side join key is the list index — the
-    * shuffle is (probe x candidate-lists), never probe x corpus.
-    *
-    * Scale: the centroid set is collected once as driver-side model state
-    * (nCentroids × dim doubles — the kmeans pattern) and NORMALIZED, so
-    * squared-L2 argmin over unit centroids equals cosine argmax; corpus
-    * assignment is then one fused `graft_nearest_centroid` map per row
-    * (r5; previously a corpus × broadcast(centroids) scoring join + a
-    * per-vector window argsort — an N×nCentroids row blow-up through an
-    * exchange). Probe-side list selection is the same expression's top-n
-    * variant. Work at query time is sum of probed list sizes
+    * Query: each probe keeps its `nProbe` nearest lists (the same fused
+    * expression's top-n variant), and exact cosine top-k runs over the
+    * union of those inverted lists. The corpus-side join key is the list
+    * index — the shuffle is (probe x candidate-lists), never
+    * probe x corpus. Work at query time is sum of probed list sizes
     * ~= corpus * nProbe / nCentroids.
+    *
+    * `broadcastProbes` picks the physical shape for the list join (r6):
+    *  - true (query mode, the default): the probe set is small — it
+    *    broadcasts, and the top-k window groups few keys. Wrong for
+    *    millions of probes (exceeds broadcast budgets silently).
+    *  - false (batch mode — corpus-vs-corpus retrieval): probes are a
+    *    large relation — shuffled equi-join on `list`, and the top-k
+    *    window distributes fine because rows-per-probe is bounded by the
+    *    probed list sizes. Results are identical (spec-asserted); only
+    *    the physical plan changes.
     */
   def knnIvf(
       probes: DataFrame,
@@ -135,33 +217,26 @@ object VectorOps {
       vecCol: String,
       k: Int,
       nCentroids: Int = 32,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8,
+      broadcastProbes: Boolean = true): DataFrame = {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
-    // deterministic "sample": nCentroids corpus vectors in xxhash64-id
-    // order, collected sorted by id so matrix-index ties == lowest-id ties
-    val centRows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
-      .limit(nCentroids)
-      .select(col("corpus_id"), col("cq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val mat: Array[Array[Double]] = centRows.map { case (_, v) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
+    val mat = normalized(lloydLocal(
+      sampleVecs(c, math.max(TrainSample, nCentroids)), nCentroids, TrainIters))
     // assignment: nearest (by cosine) centroid index per corpus vector
     val assigned = c.withColumn("list",
       graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
     // probe: nProbe nearest list indices per probe, one fused map
-    val p = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
     val probeLists = p.select(col("probe_id"), col("pq"), col("pn2"),
       explode(graft.functions.VectorExpressions.nearestCentroids(
         col("pq"), mat, nProbe)).as("list"))
     // exact cosine over the probed lists' union
-    val scored = assigned.join(broadcast(probeLists), "list")
+    val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
+    val scored = assigned.join(probeSide, "list")
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
@@ -197,7 +272,13 @@ object VectorOps {
     val ord = Ordering.by[(Double, Long, Row), (Double, Long)] {
       case (s, t, _) => (-s, t)
     }
-    val local = df.mapPartitions { it =>
+    // non-finite scores (a zero-norm corpus vector makes the ADC approx
+    // NaN/±Inf) break heap ordering — NaN fails both `s > ws` and
+    // `s == ws`, so such a row would squat in an underfull heap forever.
+    // One predicate excludes NaN and both infinities (NaN compares
+    // greater than everything in Spark, so `abs(s) < +Inf` is false).
+    val finite = df.filter(abs(col(score)) < lit(Double.PositiveInfinity))
+    val local = finite.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Row)]]
       it.foreach { r =>
@@ -223,10 +304,10 @@ object VectorOps {
     * computation (ADC) and exact re-rank.
     *
     * Index: the vector is split into `m` subspaces; each subspace gets a
-    * `codebookSize`-entry codebook (deterministic hash-order sample of
-    * corpus subvectors — reproducible, no stored model; swap in per-
-    * subspace k-means when codebook quality matters more than build
-    * cost). Every corpus vector is ENCODED as m small codes — one fused
+    * `codebookSize`-entry codebook trained by per-subspace Lloyd's over a
+    * bounded deterministic sample ([[lloydLocal]]; r6 — raw sample rows
+    * as codewords cost recall). Every corpus vector is ENCODED as m small
+    * codes — one fused
     * `graft_nearest_centroid` L2-argmin per subspace over the sliced
     * vector, a pure map in the scan stage. The encoded corpus is m
     * integers per vector instead of dim floats: at 100 TB this is the
@@ -240,7 +321,12 @@ object VectorOps {
     * pair). Top-`refine` by approximate score, then exact cosine re-rank
     * of those candidates only. ADC is still a linear scan (combine with
     * [[knnIvf]]'s lists for sub-linear candidates); the win is bytes per
-    * row and per-pair cost.
+    * row and per-pair cost. QUERY-MODE ONLY: the probe set broadcasts
+    * (LUTs are m×codebookSize doubles per probe), so it must stay within
+    * broadcast budget — ~thousands of probes. A large probe relation
+    * belongs on [[knnIvfPq]] with `broadcastProbes = false`, where the
+    * list key gives the shuffled join something to hash on; a batch ADC
+    * scan without lists would be a genuine all-pairs cartesian.
     */
   def knnPq(
       probes: DataFrame,
@@ -254,20 +340,15 @@ object VectorOps {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
-    // deterministic hash-order sample as codebook source rows
-    val sampleRows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
-      .limit(codebookSize)
-      .select(col("corpus_id"), col("cq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-      .map(_._2)
+    val sampleRows = sampleVecs(c, TrainSample)
     val dim = sampleRows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    // codebooks(j) = codebookSize × sub matrix for subspace j
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(j => sampleRows.map(_.slice(j * sub, (j + 1) * sub)))
+    // codebooks(j) = (≤ codebookSize) × sub matrix for subspace j,
+    // k-means-trained on the sample's subvectors
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      lloydLocal(sampleRows.map(_.slice(j * sub, (j + 1) * sub)),
+        codebookSize, TrainIters))
     // encode: m fused argmin maps over sliced subvectors
     val encoded = (0 until m).foldLeft(c) { (df, j) =>
       df.withColumn(s"code$j",
@@ -304,14 +385,17 @@ object VectorOps {
   }
 
   /** Exact cosine top-`k` over a small (probe_id, corpus_id) candidate
-    * set: vectors re-attach via one narrow corpus join + a probe
-    * broadcast, then a window over ≤ refine rows per probe.
+    * set: vectors re-attach via one narrow corpus join + a probe join
+    * (broadcast in query mode, shuffled when the probe set is a large
+    * relation), then a window over ≤ refine rows per probe.
     */
   private def rerank(
-      candidates: DataFrame, c: DataFrame, p: DataFrame, k: Int): DataFrame = {
+      candidates: DataFrame, c: DataFrame, p: DataFrame, k: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     val wk = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    candidates.join(c, "corpus_id").join(broadcast(p), "probe_id")
+    val probeSide = if (broadcastProbes) broadcast(p) else p
+    candidates.join(c, "corpus_id").join(probeSide, "probe_id")
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
       .withColumn("rk", row_number().over(wk))
@@ -326,7 +410,11 @@ object VectorOps {
     * encodes residuals v − centroid for tighter cells — the raw-vector
     * variant keeps ONE codebook set shared across lists, which is the
     * right trade until codebook fidelity, not list balance, limits
-    * recall). Exact cosine re-rank of the top-`refine` per probe.
+    * recall). Centroids and codebooks are k-means-trained on a bounded
+    * sample ([[lloydLocal]]). Exact cosine re-rank of the top-`refine`
+    * per probe. `broadcastProbes = false` is the batch (corpus-vs-corpus
+    * retrieval) mode: see [[knnIvf]] — shuffled list join + distributed
+    * window selection instead of probe broadcast + bounded heaps.
     */
   def knnIvfPq(
       probes: DataFrame,
@@ -338,28 +426,23 @@ object VectorOps {
       nProbe: Int = 8,
       m: Int = 8,
       codebookSize: Int = 32,
-      refine: Int = 128): DataFrame = {
+      refine: Int = 128,
+      broadcastProbes: Boolean = true): DataFrame = {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
-    val sampleRows = c.orderBy(xxhash64(col("corpus_id")), col("corpus_id"))
-      .limit(math.max(nCentroids, codebookSize))
-      .select(col("corpus_id"), col("cq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-      .map(_._2)
+    val sampleRows = sampleVecs(c, TrainSample)
     val dim = sampleRows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    // IVF centroids: normalized so L2-argmin = cosine-argmax (knnIvf)
-    val ivfMat: Array[Array[Double]] = sampleRows.take(nCentroids).map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    // PQ codebooks: raw subvectors (knnPq)
+    // IVF centroids: k-means-trained, normalized so L2-argmin =
+    // cosine-argmax (knnIvf)
+    val ivfMat: Array[Array[Double]] =
+      normalized(lloydLocal(sampleRows, nCentroids, TrainIters))
+    // PQ codebooks: per-subspace k-means on raw subvectors (knnPq)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
-      sampleRows.take(codebookSize).map(_.slice(j * sub, (j + 1) * sub)))
+      lloydLocal(sampleRows.map(_.slice(j * sub, (j + 1) * sub)),
+        codebookSize, TrainIters))
     val encoded = (0 until m).foldLeft(
       c.withColumn("list",
         graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
@@ -384,13 +467,28 @@ object VectorOps {
     val approx = (0 until m).map(j =>
       element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _) /
       sqrt(col("cn2"))
-    // narrow triple into the heap phase; vectors re-join on the refine-set
-    val scored = encoded.join(broadcast(probeLists), "list")
+    // narrow triple into candidate selection; vectors re-join on the
+    // refine-set. Query mode (broadcastProbes): LUT rows broadcast and
+    // candidates come from partition-local bounded heaps (few keys —
+    // heap state is keys×refine rows per task). Batch mode: probes are a
+    // large relation — shuffled equi-join on `list`, and candidate
+    // selection is a row_number window, which distributes because
+    // rows-per-probe is bounded by the probed list sizes while heap
+    // state would be millions of keys per task.
+    val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
+    val scored = encoded.join(probeSide, "list")
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"), approx.as("approx"))
-    val candidates = topNPerKey(scored, "probe_id", "approx", "corpus_id",
-      refine).select("probe_id", "corpus_id")
-    rerank(candidates, c, p, k)
+    val candidates = (if (broadcastProbes) {
+      topNPerKey(scored, "probe_id", "approx", "corpus_id", refine)
+    } else {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("approx").desc, col("corpus_id").asc)
+      scored.filter(abs(col("approx")) < lit(Double.PositiveInfinity))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= refine)
+    }).select("probe_id", "corpus_id")
+    rerank(candidates, c, p, k, broadcastProbes)
   }
 
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe
@@ -403,6 +501,9 @@ object VectorOps {
     * bucket, broadcast). Recall/cost dial: planes sets bucket granularity
     * (2^planes buckets), maxFlips sets probe coverage
     * (sum of C(planes, f) for f <= maxFlips buckets per probe).
+    * Query-mode probe broadcast (× the mask fanout) — a large probe
+    * relation would swap `broadcast(p)` for a shuffled bucket join,
+    * exactly the [[knnIvf]] `broadcastProbes = false` shape.
     */
   def knnLsh(
       probes: DataFrame,

@@ -268,7 +268,7 @@ object CorpusPack {
             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'
                    WHEN n.doc_id IS NULL THEN 'removed'
-                   WHEN o.text = n.text THEN 'unchanged'
+                   WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
                    ELSE 'changed' END AS status
             FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
             ORDER BY 1"""))

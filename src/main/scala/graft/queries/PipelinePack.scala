@@ -476,9 +476,10 @@ object PipelinePack {
                      CAST(SUM(n * n) AS BIGINT) AS q
                    FROM h GROUP BY 1)
             SELECT h.event_type, hour_epoch, n,
-              CAST(n * c - s AS DOUBLE)
-                / (c * sqrt(CAST(q * c - s * s AS DOUBLE) / (c * (c - 1))))
-                AS z
+              CASE WHEN c > 1 AND q * c - s * s > 0 THEN
+                CAST(n * c - s AS DOUBLE)
+                  / (c * sqrt(CAST(q * c - s * s AS DOUBLE) / (c * (c - 1))))
+              ELSE NULL END AS z
             FROM h JOIN st USING (event_type)
             ORDER BY event_type, hour_epoch"""))
 

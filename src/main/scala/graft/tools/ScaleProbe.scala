@@ -27,6 +27,9 @@ import graft.ops.{Clusters, Corpus, Dedup, Events, VectorOps}
   *  - asof: 10M right rows + 1M probes with HALF of everything on ONE
   *    key — the hot-key adversary the salted two-phase as-of exists for
   *    (the plain union+window would put 5.5M rows in one task)
+  *  - batch ANN: 1M probes × 200k corpus through knnIvf's
+  *    broadcastProbes=false shuffled-list-join path (r6) — the
+  *    corpus-vs-corpus retrieval mode a probe broadcast can't serve
   *
   * `runMain graft.tools.ScaleProbe` (env SPARK_GRAFT_CPUS).
   */
@@ -113,6 +116,23 @@ object ScaleProbe {
     }
     require(pqRows == 100L * 10, s"pq emitted $pqRows")
 
+    // --- batch ANN: 1M probes against 200k corpus (r6) -------------------
+    // the broadcastProbes=false path: probes are a LARGE relation, so the
+    // list join shuffles instead of broadcasting and top-k selection is a
+    // distributed window (rows-per-probe bounded by probed list sizes).
+    // 1024 trained lists, nProbe=1 → ~195M candidate rows through the
+    // shuffle — the corpus-vs-corpus retrieval shape at rehearsal scale.
+    val batchCorpus = kmVecs.filter(col("id") < 200000L)
+    val (batchRows, batchAnnSec) = timed {
+      VectorOps.knnIvf(kmVecs, batchCorpus, "id", "embedding",
+        k = 10, nCentroids = 1024, nProbe = 1, broadcastProbes = false)
+        .count()
+    }
+    // every probe with ≥ 11 rows in its probed list emits k rows; allow
+    // slack for small trained lists
+    require(batchRows >= 9000000L, s"batch ANN emitted only $batchRows")
+    require(batchAnnSec < 900, f"batch ANN took $batchAnnSec%.0f s")
+
     // --- semantic dedup with a mega-cluster (cap stress) ----------------
     val dimS = 8
     val blobN = 1000000L
@@ -196,7 +216,7 @@ object ScaleProbe {
     }
     require(contaminated >= 100000L / 64, s"found only $contaminated pairs")
 
-    println(s"""{"probe":"r5","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
+    println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
@@ -204,7 +224,8 @@ object ScaleProbe {
       s""""asof_sec":$asofSec,"rid_sec":$ridSec,""" +
       s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
       s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
-      s""""pq_sec":$pqSec}""")
+      s""""pq_sec":$pqSec,"batch_ann_rows":$batchRows,""" +
+      s""""batch_ann_sec":$batchAnnSec}""")
     spark.stop()
   }
 }

@@ -110,14 +110,32 @@ object TableTools {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     require(inPath != outPath, "never compact in place")
     val conf = spark.sparkContext.hadoopConfiguration
+    // RECURSIVE data-file listing (r6, advisor find): a top-level-only
+    // listStatus saw zero files under any nested layout, so totalBytes=0
+    // silently coalesced arbitrarily large data into ONE task/file
     def partFiles(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) buf += s
+        }
+        buf.result()
+      }
     }
     val parts = partFiles(inPath)
+    require(parts.nonEmpty, s"compact: no parquet data files under $inPath")
+    // a hive-partitioned table must be compacted per partition directory —
+    // one flat rewrite would silently destroy the pruning layout
+    val rootPath = new org.apache.hadoop.fs.Path(inPath)
+    val qualifiedRoot = rootPath.getFileSystem(conf).makeQualified(rootPath)
+    require(parts.forall(_.getPath.getParent == qualifiedRoot),
+      s"compact: $inPath has a nested (partitioned) layout — compact each " +
+        "partition directory separately to keep directory pruning intact")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)

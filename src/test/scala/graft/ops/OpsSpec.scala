@@ -120,6 +120,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("snapshotDiff: null text classifies by id presence, not hash nulls") {
+    // r6 advisor find: md5(NULL) is NULL — presence must come from a
+    // per-side marker, and null-text-in-both must compare 'unchanged'
+    val v1 = Seq((1L, null: String), (2L, "same"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, null: String), (2L, "same"), (3L, "now text"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("simHash: identical texts collide, distinct texts differ") {
     val h = Dedup.simHashes(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -204,6 +217,27 @@ class EventsSpec extends SparkSpec {
     assert(s1.getAs[Long]("start_epoch") == 0L &&
       s1.getAs[Long]("end_epoch") == 60L &&
       s1.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("hourlyAnomaly: degenerate series yield NULL z, never NaN/Inf") {
+    // r6 advisor find: c=1 (single hour) divides by zero; a constant
+    // series has zero variance — both must emit NULL, not NaN/Inf whose
+    // rendering the oracle comparison can't match
+    val ev = Seq(
+      (0L, ts(100), 1L, "solo", 1.0),            // one hour bucket only
+      (1L, ts(0), 1L, "flat", 1.0),              // two hours, equal counts
+      (2L, ts(3600), 1L, "flat", 1.0),
+      (3L, ts(0), 1L, "vary", 1.0),              // two hours, 2-vs-1 counts
+      (4L, ts(10), 1L, "vary", 1.0),
+      (5L, ts(3600), 1L, "vary", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val z = Events.hourlyAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(z(("solo", 0L)).isEmpty)
+    assert(z(("flat", 0L)).isEmpty && z(("flat", 3600L)).isEmpty)
+    assert(z(("vary", 0L)).exists(v => v.isFinite && v > 0))
+    assert(z(("vary", 3600L)).exists(v => v.isFinite && v < 0))
   }
 
   test("asofJoin matches the latest right row at-or-before, left-outer") {

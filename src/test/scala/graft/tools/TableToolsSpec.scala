@@ -73,6 +73,32 @@ class TableToolsSpec extends SparkSpec {
       TableTools.compact(spark, "/tmp/x", "/tmp/x"))
   }
 
+  test("compact: fails loudly on empty and on hive-partitioned layouts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact2").toFile
+    // empty input: must error, never default to a 1-file coalesce of
+    // whatever a later read finds
+    val empty = new java.io.File(base, "empty")
+    empty.mkdirs()
+    assertThrows[IllegalArgumentException](TableTools.compact(
+      spark, empty.getAbsolutePath, new java.io.File(base, "o1").getAbsolutePath))
+    // partitioned layout: a flat rewrite would drop directory pruning —
+    // refuse and tell the caller to compact per partition
+    val part = new java.io.File(base, "part").getAbsolutePath
+    (1L to 100L).toDF("id")
+      .withColumn("p", org.apache.spark.sql.functions.col("id") % 2)
+      .write.partitionBy("p").parquet(part)
+    assertThrows[IllegalArgumentException](TableTools.compact(
+      spark, part, new java.io.File(base, "o2").getAbsolutePath))
+    // but each partition directory compacts fine (recursive listing sees
+    // the files; the layout under one partition is flat)
+    val (before, after) = TableTools.compact(spark, s"$part/p=0",
+      new java.io.File(base, "o3").getAbsolutePath, targetBytes = 1L << 20)
+    assert(before >= 1 && after >= 1)
+    assert(spark.read.parquet(new java.io.File(base, "o3").getAbsolutePath)
+      .count() == 50)
+  }
+
   test("jsonl: inferred schema round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl2").toFile
     val f = new java.io.File(dir, "t.jsonl")
