@@ -82,9 +82,20 @@ object Bench {
     def js(kvs: Seq[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       js(results.map(r => r._1 -> r._2))},"spread":${
-      js(results.map(r => r._1 -> r._3))},"reps":$reps,"sf":"$sfDir"}""")
+      js(results.map(r => r._1 -> r._3))},"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line as a machine-readable artifact (r6): stdout
+    // capture has truncated mid-dict before, and round-over-round
+    // comparison should never depend on it. SPARK_GRAFT_BENCH_OUT
+    // overrides; empty disables.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    if (outPath.nonEmpty) {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+        line + "\n")
+      System.err.println(s"[bench] wrote $outPath")
+    }
     spark.stop()
   }
 }

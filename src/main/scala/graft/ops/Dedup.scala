@@ -289,6 +289,48 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** C4-style repeated-line scrub: remove every line that occurs in more
+    * than `maxLineDf` distinct documents (navigation chrome, cookie
+    * banners, boilerplate footers — the intra-corpus repetition that
+    * whole-doc dedup can't see), returning (id, text) with surviving
+    * lines in original order. Documents whose every line is boilerplate
+    * disappear (C4 drops empty docs).
+    *
+    * Shape: the line index is (id, pos, xxhash64(line)) — fixed-width
+    * rows; line TEXT never enters the df count or the anti-join. Per-doc
+    * distinct line hashes feed a (hash → df) count with map-side
+    * partials; surviving positions fold back to one sorted int array per
+    * doc, and reconstruction is a pure per-row expression over a second
+    * scan of the source (filter-by-index over split — the lambda is
+    * per-document-cheap, §5). The only text-bearing exchange is the
+    * docs-side join to its position mask, keyed on id — the doc-rewrite
+    * shuffle this op fundamentally is; with id-bucketed storage it plans
+    * with no Exchange at all.
+    */
+  def scrubRepeatedLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxLineDf: Long): DataFrame = {
+    val lines = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), xxhash64(col("line")).as("lh"))
+    // df counts DOCUMENTS (a line repeated within one doc counts once)
+    val hot = lines.select(col("id"), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("ldf"))
+      .filter(col("ldf") > maxLineDf)
+      .select("lh")
+    val keptPos = lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(keptPos, "id")
+      .select(col("id").as(idCol),
+        concat_ws("\n", filter(split(col("__text"), "\n"),
+          (_, i) => array_contains(col("keep_pos"), i))).as(textCol))
+  }
+
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
     * h*a + b stays far from long overflow under ANSI arithmetic).
     */

@@ -245,6 +245,45 @@ object CorpusPack {
             SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM n GROUP BY 1 ORDER BY 1"""))
 
+  private val d16 = Q(
+    "d16_scrub_lines",
+    // C4-style repeated-line removal: the corpus text (one unique long
+    // line per doc) is wrapped in synthetic boilerplate — a banner on
+    // every doc (df=500), a notice on 1/3 of docs (df≈167), a 7-variant
+    // footer (df≈71) — plus a per-doc unique tail. maxLineDf=10 scrubs
+    // all three boilerplate lines and keeps the two unique ones, in order
+    (s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("subscribe to our newsletter"),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("all rights reserved")),
+          concat(lit("footer variant "), (col("doc_id") % 7).cast("string")),
+          concat(lit("unique tail "), col("doc_id").cast("string")))
+          .as("text"))
+      Dedup.scrubRepeatedLines(src, "text", "doc_id", maxLineDf = 10)
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (
+              SELECT doc_id, concat_ws(chr(10),
+                'subscribe to our newsletter',
+                text,
+                CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved' END,
+                'footer variant ' || CAST(doc_id % 7 AS VARCHAR),
+                'unique tail ' || CAST(doc_id AS VARCHAR)) AS text
+              FROM documents),
+            l AS (SELECT doc_id,
+                    unnest(string_split(text, chr(10))) AS line,
+                    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                  FROM src),
+            hot AS (SELECT line FROM (
+                      SELECT line, COUNT(DISTINCT doc_id) AS d
+                      FROM l GROUP BY 1)
+                    WHERE d > 10)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM l WHERE line NOT IN (SELECT line FROM hot)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   private val d13 = Q(
     "d13_snapshot_diff",
     // two deterministic synthetic releases of the corpus: ids %13==3 are
@@ -721,5 +760,5 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-      d06, d07, d08, d09, d11, d12, d13, d14, d15)
+      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16)
 }

@@ -120,6 +120,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("scrubRepeatedLines: drops hot lines, keeps order, counts df per doc") {
+    val corpus = Seq(
+      (1L, "keep me one\nBOILER\nkeep me two"),
+      (2L, "BOILER\nunique line\nBOILER"), // repeated within ONE doc: df=3 not 4
+      (3L, "BOILER\nanother unique"),
+      (4L, "BOILER")                        // nothing survives -> doc dropped
+    ).toDF("doc_id", "text")
+    // BOILER df = 4 docs (doc 2's repeat counts ONCE) > 2 -> scrubbed;
+    // everything else df=1
+    val got = Dedup.scrubRepeatedLines(corpus, "text", "doc_id", maxLineDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "keep me one\nkeep me two",
+      2L -> "unique line",
+      3L -> "another unique"))
+    // df counts DOCUMENTS: 5 occurrences across 4 docs is df=4, so with
+    // maxLineDf = 4 the within-doc repeat does not tip BOILER over the
+    // cap and every line survives
+    val loose = Dedup.scrubRepeatedLines(corpus, "text", "doc_id", maxLineDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(2L) == "BOILER\nunique line\nBOILER" && loose.size == 4)
+  }
+
   test("snapshotDiff: null text classifies by id presence, not hash nulls") {
     // r6 advisor find: md5(NULL) is NULL — presence must come from a
     // per-side marker, and null-text-in-both must compare 'unchanged'
