@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
   *  - each query runs SPARK_GRAFT_REPS times (default 3); reported seconds
   *    are the MEDIAN, with per-query max-min in "spread" — single-shot
   *    timings in a shared JVM swing 2x on GC/compilation debt and cannot
-  *    distinguish a regression from noise.
+  *    distinguish a regression from noise;
+  *  - a fixed seeded CALIBRATION workload (30M-row hash + 1M-key groupBy,
+  *    no file I/O, independent of SF) runs in the same session and its
+  *    median lands in "calibration_sec" — round-over-round totals are only
+  *    comparable after normalizing by it, because the sandbox the bench
+  *    runs on drifts 2–8× between rounds (r6 burned a day proving an
+  *    apparent 1.35× "regression" was entirely the host).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,6 +63,21 @@ object Bench {
       }
     }
 
+    // calibration: fixed CPU+shuffle work whose true cost is host-invariant;
+    // median of 3 after one warm rep
+    def calibrationOnce(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 30000000L, 1L, cpus.toInt * 4)
+        .selectExpr("xxhash64(id) AS h", "pmod(xxhash64(id, 7), 1000000) AS k")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.max("h"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // SPARK_GRAFT_ONLY=q01,d02 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -79,12 +100,18 @@ object Bench {
       val spread = if (good.isEmpty) -1.0 else good.last - good.head
       (name, median, spread)
     }
+    calibrationOnce() // warm (codegen for the calibration plan itself)
+    val calib = Seq(calibrationOnce(), calibrationOnce(), calibrationOnce())
+      .sorted.apply(1)
+    System.err.println(f"[bench] calibration_sec = $calib%.3f")
+
     def js(kvs: Seq[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       js(results.map(r => r._1 -> r._2))},"spread":${
-      js(results.map(r => r._1 -> r._3))},"reps":$reps,"sf":"$sfDir"}"""
+      js(results.map(r => r._1 -> r._3))},"reps":$reps,"calibration_sec":${
+      f"$calib%.3f"},"sf":"$sfDir"}"""
     println(line)
     // also persist the line as a machine-readable artifact (r6): stdout
     // capture has truncated mid-dict before, and round-over-round

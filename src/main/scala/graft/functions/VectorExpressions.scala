@@ -322,6 +322,110 @@ case class NearestCentroids(
     copy(child = newChild)
 }
 
+/** dot(vec, centroids[idx]) with the centroid matrix baked into the
+  * expression — the per-(probe, list) first-order term of residual-encoded
+  * IVFPQ's ADC score (dot(p, v) = dot(p, c_list) + dot(p, residual), the
+  * second term approximated by the LUT sum). A broadcast join against a
+  * k-row centroid table would compute the same value; this keeps the
+  * probe fanout a pure map inside WholeStageCodegen.
+  */
+case class CentroidDot(
+    left: Expression, right: Expression, centroids: Array[Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_centroid_dot"
+
+  override protected def nullSafeEval(v: Any, idx: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val cv = centroids(idx.asInstanceOf[Int])
+    val n = math.min(q.numElements(), cv.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += q.getDouble(i) * cv(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, idx) => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $cv = $cents[$idx];
+         |int $n = java.lang.Math.min($q.numElements(), $cv.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $q.getDouble($i) * $cv[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** vec − centroids[idx] elementwise, matrix baked in — the residual a
+  * corpus vector carries into residual-encoded PQ (FAISS IVFPQ's
+  * by_residual): each vector is PQ-coded relative to its list centroid,
+  * so codewords only need to cover the within-cell spread, not the whole
+  * space. One fused loop per row; the zip_with formulation would be
+  * CodegenFallback on the corpus-scan hot path.
+  */
+case class CentroidResidual(
+    left: Expression, right: Expression, centroids: Array[Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_residual"
+
+  override protected def nullSafeEval(v: Any, idx: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val cv = centroids(idx.asInstanceOf[Int])
+    val n = q.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = q.getDouble(i) - (if (i < cv.length) cv(i) else 0.0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, idx) => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $cv = $cents[$idx];
+         |int $n = $q.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $q.getDouble($i) - ($i < $cv.length ? $cv[$i] : 0.0d);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
@@ -343,4 +447,16 @@ object VectorExpressions {
   def nearestCentroids(
       v: Column, centroids: Array[Array[Double]], nAssign: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(v), centroids, nAssign))
+
+  /** Codegen'd dot(v, centroids[idx]) against a fixed centroid matrix. */
+  def centroidDot(
+      v: Column, idx: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(CentroidDot(
+      Bridge.expression(v), Bridge.expression(idx), centroids))
+
+  /** Codegen'd v − centroids[idx] elementwise (residual encoding). */
+  def centroidResidual(
+      v: Column, idx: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(CentroidResidual(
+      Bridge.expression(v), Bridge.expression(idx), centroids))
 }

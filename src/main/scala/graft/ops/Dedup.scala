@@ -296,13 +296,19 @@ object Dedup {
     * lines in original order. Documents whose every line is boilerplate
     * disappear (C4 drops empty docs).
     *
-    * Shape: the line index is (id, pos, xxhash64(line)) — fixed-width
-    * rows; line TEXT never enters the df count or the anti-join. Per-doc
-    * distinct line hashes feed a (hash → df) count with map-side
-    * partials; surviving positions fold back to one sorted int array per
-    * doc, and reconstruction is a pure per-row expression over a second
-    * scan of the source (filter-by-index over split — the lambda is
-    * per-document-cheap, §5). The only text-bearing exchange is the
+    * Shape: the line index is (id, pos, h1, h2) with TWO independent
+    * 64-bit xxhash64s identifying each line — fixed-width rows; line TEXT
+    * never enters the df count or the anti-join. A single 64-bit key
+    * invites a birthday collision at the 100 TB target (billions of
+    * distinct lines), where a unique line colliding with a hot line would
+    * silently scrub the wrong text; the 128-bit pair puts collision odds
+    * in the md5 class (same convention as semanticDedup's exact-vector
+    * collapse). Per-doc distinct line pairs feed a ((h1,h2) → df) count
+    * with map-side partials; surviving positions fold back to one sorted
+    * int array per doc, and reconstruction is a LINEAR per-row gather —
+    * `transform(keep_pos, p -> lines[p])` — O(kept) array indexing, not
+    * the O(lines²) membership scan a filter-by-`array_contains` would
+    * cost a 50k-line document. The only text-bearing exchange is the
     * docs-side join to its position mask, keyed on id — the doc-rewrite
     * shuffle this op fundamentally is; with id-bucketed storage it plans
     * with no Exchange at all.
@@ -315,20 +321,22 @@ object Dedup {
     val lines = graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .select(col("id"), col("pos"), xxhash64(col("line")).as("lh"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("line")).as("h1"),
+        xxhash64(lit(0x5bd1e995L), col("line")).as("h2"))
     // df counts DOCUMENTS (a line repeated within one doc counts once)
-    val hot = lines.select(col("id"), col("lh")).distinct()
-      .groupBy("lh").agg(count(lit(1)).as("ldf"))
+    val hot = lines.select(col("id"), col("h1"), col("h2")).distinct()
+      .groupBy("h1", "h2").agg(count(lit(1)).as("ldf"))
       .filter(col("ldf") > maxLineDf)
-      .select("lh")
-    val keptPos = lines.join(hot, Seq("lh"), "left_anti")
+      .select("h1", "h2")
+    val keptPos = lines.join(hot, Seq("h1", "h2"), "left_anti")
       .groupBy("id")
       .agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
-    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__lines"))
       .join(keptPos, "id")
       .select(col("id").as(idCol),
-        concat_ws("\n", filter(split(col("__text"), "\n"),
-          (_, i) => array_contains(col("keep_pos"), i))).as(textCol))
+        concat_ws("\n", transform(col("keep_pos"),
+          p => element_at(col("__lines"), p + 1))).as(textCol))
   }
 
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that

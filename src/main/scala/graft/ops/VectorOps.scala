@@ -55,6 +55,17 @@ object VectorOps {
   private val TrainSample = 4096
   private val TrainIters = 5
 
+  /** Training-sample size for a model with `modelSizes` centroids /
+    * codewords: at least [[TrainSample]], and at least 64 points per
+    * fitted centroid (FAISS warns below ~39 points/centroid — a 4096-row
+    * sample is far too thin for a 1024-centroid model, and silently
+    * DROPPING centroids when the sample is smaller than the model, as a
+    * bare `min(k, sample)` does, is worse still). Still driver-bounded:
+    * the largest realistic model (1024 centroids) collects 64k rows.
+    */
+  private def trainSampleSize(modelSizes: Int*): Int =
+    math.max(TrainSample, 64 * modelSizes.max)
+
   /** Deterministic training sample: up to `n` quantized vectors in
     * xxhash64-order (then id-sorted, so downstream index ties are
     * lowest-id ties). Expects the internal (corpus_id, cq) projection.
@@ -223,7 +234,7 @@ object VectorOps {
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
     val mat = normalized(lloydLocal(
-      sampleVecs(c, math.max(TrainSample, nCentroids)), nCentroids, TrainIters))
+      sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters))
     // assignment: nearest (by cosine) centroid index per corpus vector
     val assigned = c.withColumn("list",
       graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
@@ -236,10 +247,16 @@ object VectorOps {
         col("pq"), mat, nProbe)).as("list"))
     // exact cosine over the probed lists' union
     val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
+    // drop non-finite cosines (zero-norm corpus vector → NaN, which Spark
+    // sorts as LARGEST — it would squat at the top of every probed list's
+    // top-k) so all ANN ops agree on degenerate vectors; same predicate in
+    // both modes, keeping batch/query equivalence (knnPq/knnIvfPq apply
+    // the identical exclusion in topNPerKey / their batch window)
     val scored = assigned.join(probeSide, "list")
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+      .filter(abs(col("cos")) < lit(Double.PositiveInfinity))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -340,7 +357,7 @@ object VectorOps {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
-    val sampleRows = sampleVecs(c, TrainSample)
+    val sampleRows = sampleVecs(c, trainSampleSize(codebookSize))
     val dim = sampleRows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -406,13 +423,26 @@ object VectorOps {
     * inverted lists make the candidate set sub-linear (only `nProbe`
     * lists per probe are touched) and [[knnPq]]'s codes make scanning
     * those candidates memory-cheap (m table lookups per pair instead of
-    * a dim-float dot). Codebooks quantize raw vectors (classic IVFPQ
-    * encodes residuals v − centroid for tighter cells — the raw-vector
-    * variant keeps ONE codebook set shared across lists, which is the
-    * right trade until codebook fidelity, not list balance, limits
-    * recall). Centroids and codebooks are k-means-trained on a bounded
-    * sample ([[lloydLocal]]). Exact cosine re-rank of the top-`refine`
-    * per probe. `broadcastProbes = false` is the batch (corpus-vs-corpus
+    * a dim-float dot).
+    *
+    * `residual = true` (default; FAISS IVFPQ's by_residual) PQ-codes each
+    * vector RELATIVE to its list centroid: r = v − c_list. Codewords then
+    * only have to cover the within-cell spread rather than the whole
+    * space, so at equal codebook size the ADC approximation is tighter
+    * and the refine set misses fewer true neighbors (measured in
+    * RecallSpec). The score decomposes exactly:
+    * dot(p, v) = dot(p, c_list) + dot(p, r) — the first term is one
+    * codegen'd [[graft.functions.CentroidDot]] per (probe, probed list),
+    * the second the usual m LUT lookups on the residual codes. Codebooks
+    * stay SHARED across lists (per-list codebooks would multiply model
+    * size by nCentroids; FAISS shares too). `residual = false` keeps the
+    * cheaper raw-vector path (no residual column on the corpus encode).
+    *
+    * Centroids and codebooks are k-means-trained on a bounded sample
+    * ([[lloydLocal]]); in residual mode the codebooks train on the
+    * sample's residuals vs its trained centroids — matching what the
+    * encode pass computes. Exact cosine re-rank of the top-`refine` per
+    * probe. `broadcastProbes = false` is the batch (corpus-vs-corpus
     * retrieval) mode: see [[knnIvf]] — shuffled list join + distributed
     * window selection instead of probe broadcast + bounded heaps.
     */
@@ -427,30 +457,62 @@ object VectorOps {
       m: Int = 8,
       codebookSize: Int = 32,
       refine: Int = 128,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      residual: Boolean = true): DataFrame = {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
-    val sampleRows = sampleVecs(c, TrainSample)
+    val sampleRows = sampleVecs(c, trainSampleSize(nCentroids, codebookSize))
     val dim = sampleRows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    // IVF centroids: k-means-trained, normalized so L2-argmin =
-    // cosine-argmax (knnIvf)
-    val ivfMat: Array[Array[Double]] =
-      normalized(lloydLocal(sampleRows, nCentroids, TrainIters))
-    // PQ codebooks: per-subspace k-means on raw subvectors (knnPq)
+    // IVF centroids: k-means-trained. Assignment uses the NORMALIZED
+    // matrix (L2-argmin over unit centroids = cosine-argmax, knnIvf);
+    // residuals subtract the UN-normalized Lloyd mean — the centroid at
+    // the DATA's scale. (Subtracting the unit-normalized centroid would
+    // be a no-op: quantized vectors have ~1000× its magnitude, so
+    // v − ĉ ≈ v and the "residual" codebooks would just re-learn the raw
+    // ones — measured: bit-identical recall.)
+    val rawCents: Array[Array[Double]] =
+      lloydLocal(sampleRows, nCentroids, TrainIters)
+    val ivfMat: Array[Array[Double]] = normalized(rawCents)
+    // codebook training input: raw subvectors, or residuals vs the
+    // trained means — assignment replicated with the same
+    // lowest-index-tie semantics as the NearestCentroid expression
+    val pqTrainRows: Array[Array[Double]] =
+      if (!residual) sampleRows
+      else sampleRows.map { v =>
+        var best = 0; var bestScore = Double.PositiveInfinity
+        var ci = 0
+        while (ci < ivfMat.length) {
+          val cv = ivfMat(ci)
+          var dotpc = 0.0; var n2c = 0.0; var i = 0
+          while (i < cv.length) {
+            dotpc += v(i) * cv(i); n2c += cv(i) * cv(i); i += 1
+          }
+          val score = n2c - 2.0 * dotpc
+          if (score < bestScore) { bestScore = score; best = ci }
+          ci += 1
+        }
+        val cv = rawCents(best)
+        Array.tabulate(v.length)(i => v(i) - cv(i))
+      }
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
-      lloydLocal(sampleRows.map(_.slice(j * sub, (j + 1) * sub)),
+      lloydLocal(pqTrainRows.map(_.slice(j * sub, (j + 1) * sub)),
         codebookSize, TrainIters))
-    val encoded = (0 until m).foldLeft(
-      c.withColumn("list",
-        graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
-    ) { (df, j) =>
+    val assigned = c.withColumn("list",
+      graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
+    // encode target: the raw vector, or its residual vs the list centroid
+    val encBase =
+      if (residual) assigned.withColumn("rq",
+        graft.functions.VectorExpressions.centroidResidual(
+          col("cq"), col("list"), rawCents))
+      else assigned.withColumn("rq", col("cq"))
+    val encoded = (0 until m).foldLeft(encBase) { (df, j) =>
       df.withColumn(s"code$j",
         graft.functions.VectorExpressions.nearestCentroid(
-          slice(col("cq"), j * sub + 1, sub), codebooks(j)))
-    }
+          slice(col("rq"), j * sub + 1, sub), codebooks(j)))
+    }.drop("rq")
     val p = spread(probes)
       .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
@@ -459,13 +521,19 @@ object VectorOps {
         dot(slice(col("pq"), j * sub + 1, sub),
           typedlit(cw.toSeq))): _*))
     }
-    val probeLists = withLuts.select(
+    val probeLists0 = withLuts.select(
       (col("probe_id") +: col("pq") +: col("pn2") +:
         (0 until m).map(j => col(s"lut$j"))) :+
         explode(graft.functions.VectorExpressions.nearestCentroids(
           col("pq"), ivfMat, nProbe)).as("list"): _*)
-    val approx = (0 until m).map(j =>
-      element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _) /
+    // residual mode's first-order term: dot(probe, c_list) per probed list
+    val probeLists =
+      if (residual) probeLists0.withColumn("pcdot",
+        graft.functions.VectorExpressions.centroidDot(
+          col("pq"), col("list"), rawCents))
+      else probeLists0.withColumn("pcdot", lit(0.0))
+    val approx = (col("pcdot") + (0 until m).map(j =>
+      element_at(col(s"lut$j"), col(s"code$j") + 1)).reduce(_ + _)) /
       sqrt(col("cn2"))
     // narrow triple into candidate selection; vectors re-join on the
     // refine-set. Query mode (broadcastProbes): LUT rows broadcast and
@@ -501,9 +569,15 @@ object VectorOps {
     * bucket, broadcast). Recall/cost dial: planes sets bucket granularity
     * (2^planes buckets), maxFlips sets probe coverage
     * (sum of C(planes, f) for f <= maxFlips buckets per probe).
-    * Query-mode probe broadcast (× the mask fanout) — a large probe
-    * relation would swap `broadcast(p)` for a shuffled bucket join,
-    * exactly the [[knnIvf]] `broadcastProbes = false` shape.
+    *
+    * `broadcastProbes` picks the physical shape for the bucket join
+    * (mirrors [[knnIvf]]):
+    *  - true (query mode, default): the probe set × mask fanout is small
+    *    enough to broadcast; wrong for millions of probes.
+    *  - false (batch mode — corpus-vs-corpus retrieval): probes are a
+    *    large relation — shuffled equi-join on the bucket id; the top-k
+    *    window distributes because rows-per-probe is bounded by the
+    *    probed bucket sizes. Results are identical (spec-asserted).
     */
   def knnLsh(
       probes: DataFrame,
@@ -512,12 +586,14 @@ object VectorOps {
       vecCol: String,
       k: Int,
       planes: Int = 12,
-      maxFlips: Int = 2): DataFrame = {
+      maxFlips: Int = 2,
+      broadcastProbes: Boolean = true): DataFrame = {
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
       .withColumn("bucket", lshBucket(col("cq"), planes))
-    val p0 = probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+    val p0 = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
       .withColumn("b0", lshBucket(col("pq"), planes))
     // all XOR masks with at most maxFlips bits set (statically enumerated
@@ -528,11 +604,14 @@ object VectorOps {
     val p = p0.select(col("probe_id"), col("pq"), col("pn2"),
       explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
-    val scored = c.join(broadcast(p), "bucket")
+    val probeSide = if (broadcastProbes) broadcast(p) else p
+    // non-finite cosines excluded before the window — see knnIvf
+    val scored = c.join(probeSide, "bucket")
       .filter(col("probe_id") =!= col("corpus_id"))
       .dropDuplicates("probe_id", "corpus_id")
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+      .filter(abs(col("cos")) < lit(Double.PositiveInfinity))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -744,9 +823,19 @@ object VectorOps {
       min(col("dist2")).as("d0"), max(col("dist2")).as("d1"))
     val nBands = ceil(col("csize") / lit(maxClusterSize.toDouble))
     val width = (col("d1") - col("d0")) / nBands
+    // width == 0 with csize > cap means every distinct vector in an
+    // over-cap cluster is EQUIDISTANT from the centroid (points on a
+    // sphere) — value bands would put the whole cluster into bands
+    // {0, 1}, restoring exactly the quadratic single-cell join layer 1
+    // can't prevent (it only collapses byte-identical vectors). Fall back
+    // to a hash band over the vector bytes: fanout stays ≤ 2 and each
+    // cell is ~csize/nBands, at the cost of recall on that degenerate
+    // distribution (a hash band has no duplicate locality — the
+    // documented trade; natural corpora never put an over-cap cluster
+    // exactly on a sphere).
     val band = when(width > 0,
       least(floor((col("dist2") - col("d0")) / width), nBands - 1))
-      .otherwise(lit(0L))
+      .otherwise(pmod(xxhash64(col("q")), nBands.cast("long")))
     val celled = repRows.join(broadcast(stats), "cluster")
       .select(col("id"), col("q"), col("n2"), col("cluster"),
         explode(when(col("csize") <= maxClusterSize, array(lit(0L)))

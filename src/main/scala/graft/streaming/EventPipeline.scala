@@ -204,6 +204,38 @@ object EventPipeline {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap sessionization via Spark's NATIVE `session_window` aggregation —
+    * the declarative twin of [[sessionize]]: the engine owns the session
+    * state (merge-on-arrival, watermark-driven emission in append mode),
+    * so there is no custom state machine to maintain, and the planner can
+    * apply its streaming-aggregation optimizations. Emits one row per
+    * CLOSED session: (user_id, n_events, start_epoch, end_epoch,
+    * sum_value), where end_epoch is the LAST EVENT's time — Spark defines
+    * the session window's end as last-event + gap, so the gap is
+    * subtracted back out to match [[sessionize]]/Events.sessionize.
+    *
+    * What the custom machine still buys over this (why both exist):
+    * cumulative per-user session NUMBERING across sessions (session_idx —
+    * aggregation output can't see previous windows), tombstone-TTL state
+    * control, and emit-on-next-event without a watermark. Use this one
+    * when those aren't needed: less code, engine-owned state. Parity on
+    * the shared columns is spec-asserted (StreamingSpec).
+    */
+  def sessionizeNative(
+      events: DataFrame,
+      gapSeconds: Long,
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("n_events"),
+        unix_timestamp(col("session_window.start")).as("start_epoch"),
+        (unix_timestamp(col("session_window.end")) - gapSeconds).as("end_epoch"),
+        col("sum_value"))
+
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
     * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when

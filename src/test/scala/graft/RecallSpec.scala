@@ -111,6 +111,39 @@ class RecallSpec extends SparkSpec {
     val ivfpqB = rows(graft.ops.VectorOps.knnIvfPq(
       probes, emb, "vec_id", "embedding", k = 10, broadcastProbes = false))
     assert(ivfpqQ == ivfpqB && ivfpqQ.nonEmpty)
+    // r7: knnLsh grew the same physical switch
+    val lshQ = rows(graft.ops.VectorOps.knnLsh(
+      probes, emb, "vec_id", "embedding", k = 10))
+    val lshB = rows(graft.ops.VectorOps.knnLsh(
+      probes, emb, "vec_id", "embedding", k = 10, broadcastProbes = false))
+    assert(lshQ == lshB && lshQ.nonEmpty)
+  }
+
+  test("s06: residual encoding beats raw shared codebooks at small refine") {
+    // r7: residual=true PQ-codes v − c_list, so at equal codebook size the
+    // ADC approximation is tighter. The effect is invisible at the shipped
+    // refine=128 (both reach the IVF list bound — candidates are confined
+    // to the probed lists regardless of encoding); a SMALL refine stresses
+    // ADC fidelity, where the tighter cells must not lose MORE of the true
+    // top-k than raw coding. nProbe=nCentroids removes the list bound so
+    // the measured difference is purely the PQ stage.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter("vec_id < 8") // s01's probe set
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    def recallOf(res: Boolean): Double = {
+      val got = topkSet(graft.ops.VectorOps.knnIvfPq(
+        probes, emb, "vec_id", "embedding", k = 10,
+        nCentroids = 32, nProbe = 32, refine = 12, residual = res))
+      (brute & got).size.toDouble / brute.size
+    }
+    val raw = recallOf(res = false)
+    val resid = recallOf(res = true)
+    info(f"s06 refine=12 recall: raw=$raw%.3f residual=$resid%.3f")
+    // measured at gate-lock (sf0.01): raw 0.413, residual 0.663 — the
+    // margin is the point; floors leave slack for parameter drift
+    assert(resid >= raw + 0.10,
+      f"residual encoding no longer beats raw: $resid%.3f vs $raw%.3f")
+    assert(resid >= 0.60, f"residual refine-12 recall too low: $resid%.3f")
   }
 
   test("d10: semantic-dedup drops ⊆ exact drops, recall gated (sf0.01)") {

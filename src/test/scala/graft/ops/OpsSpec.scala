@@ -143,6 +143,25 @@ class DedupSpec extends SparkSpec {
     assert(loose(2L) == "BOILER\nunique line\nBOILER" && loose.size == 4)
   }
 
+  test("scrubRepeatedLines: many-line doc reconstructs linearly and exactly") {
+    // r7: reconstruction is a gather — transform(keep_pos, p -> lines[p]),
+    // O(kept) array indexing — replacing a per-line array_contains scan
+    // that cost O(lines²) per document. This case makes a 20k-line doc
+    // (4e8 comparisons under the old shape) cheap, and pins exactness:
+    // alternating hot/unique lines must keep exactly the unique ones in
+    // original order.
+    val n = 20000
+    val big = (0 until n).map(i =>
+      if (i % 2 == 0) "HOT" else s"unique line $i").mkString("\n")
+    val corpus = Seq((1L, big), (2L, "HOT"), (3L, "HOT\nalso unique"))
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedLines(corpus, "text", "doc_id", maxLineDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected1 = (0 until n).filter(_ % 2 == 1)
+      .map(i => s"unique line $i").mkString("\n")
+    assert(got == Map(1L -> expected1, 3L -> "also unique"))
+  }
+
   test("snapshotDiff: null text classifies by id presence, not hash nulls") {
     // r6 advisor find: md5(NULL) is NULL — presence must come from a
     // per-side marker, and null-text-in-both must compare 'unchanged'

@@ -209,6 +209,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeNative: session_window agrees with batch and the state machine") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(0, 100, 1, "click", 1.0), ev(1, 160, 1, "click", 2.0),
+      ev(2, 4000, 1, "view", 3.0),  // user 1: two sessions
+      ev(3, 110, 2, "click", 4.0), ev(4, 1000, 2, "view", 0.5)) // one session
+    // batch reference on the shared columns (session_idx is the state
+    // machine's extra — session_window can't see previous windows)
+    val batch = graft.ops.Events.sessionize(events.toDF(), 1800L)
+      .select("user_id", "n_events", "start_epoch", "end_epoch", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val src = MemoryStream[Event]
+    val q = EventPipeline.sessionizeNative(src.toDF(), 1800L,
+        lateness = "10 seconds")
+      .writeStream.format("memory").queryName("sessions_native")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(events: _*)
+      q.processAllAvailable()
+      // drive the watermark past every session's end + gap so append mode
+      // emits them all; the flusher's own session stays open and unemitted
+      src.addData(ev(99, 1000000, 9, "end", 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sessions_native").collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty && stream == batch,
+        s"missing=${batch -- stream} extra=${stream -- batch}")
+      // and against the custom state machine on the same rows (its own
+      // batch parity is proven in the sessions_cmp case — this closes the
+      // triangle directly)
+      val src2 = MemoryStream[Event]
+      val q2 = EventPipeline.sessionize(
+          src2.toDS().withWatermark("ts", "10 seconds"),
+          gapSeconds = 1800L, flushOnWatermark = true)
+        .writeStream.format("memory").queryName("sessions_native_cmp")
+        .outputMode(OutputMode.Append).start()
+      try {
+        src2.addData(events: _*)
+        q2.processAllAvailable()
+        src2.addData(ev(99, 1000000, 9, "end", 0.0))
+        q2.processAllAvailable()
+        src2.addData(ev(100, 1000001, 9, "end", 0.0)) // trigger the timeouts
+        q2.processAllAvailable()
+        val machine = spark.table("sessions_native_cmp")
+          .select("user_id", "n_events", "start_epoch", "end_epoch", "sum_value")
+          .collect().map(_.toSeq).toSet
+        assert(machine == stream,
+          s"machine=${machine -- stream} native=${stream -- machine}")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("hoppingCounts: stream agrees with the batch hopping-window answer") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
