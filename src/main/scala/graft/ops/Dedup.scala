@@ -186,6 +186,15 @@ object Dedup {
     * batch vs existing corpus) and train/eval decontamination need. Shuffled
     * rows are fixed-width (id, hash, n) longs on both sides; text stays in
     * the scan stage.
+    *
+    * `maxGramDf` mirrors [[nGramJaccard]]'s hot-gram guard (r7; the 10×
+    * smoke showed cross-index work is Σ df_a·df_b per gram — unbounded
+    * when boilerplate grams are hot on BOTH sides): grams whose COMBINED
+    * document frequency exceeds the cap are dropped from candidate
+    * generation only, and surviving candidates re-verify against the full
+    * gram sets — every reported jaccard stays exact; only a pair whose
+    * shared grams are ALL hotter than the cap can be missed. Default
+    * (no cap) is the oracle-exact configuration.
     */
   def crossJaccard(
       left: DataFrame,
@@ -193,19 +202,47 @@ object Dedup {
       textCol: String,
       idCol: String,
       tauNum: Int,
-      tauDen: Int): DataFrame = {
+      tauDen: Int,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
     val a = gramsWithSizes(left, textCol, idCol).as("a")
     val b = gramsWithSizes(right, textCol, idCol).as("b")
     val lengthOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
       col("b.n") * tauNum <= col("a.n") * tauDen
-    a.join(b, col("a.gh") === col("b.gh") && lengthOk)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") * tauDen >= (col("na") + col("nb") - col("c")) * tauNum)
-      .select(col("id_a"), col("id_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .as("jaccard"))
+    if (maxGramDf == Int.MaxValue) {
+      a.join(b, col("a.gh") === col("b.gh") && lengthOk)
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") * tauDen >= (col("na") + col("nb") - col("c")) * tauNum)
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+    } else {
+      // combined-df cold grams -> candidates -> exact re-verify (the
+      // nGramJaccard capped shape, across two relations)
+      val coldGrams = a.select(col("a.gh").as("gh"))
+        .unionByName(b.select(col("b.gh").as("gh")))
+        .groupBy("gh").agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= maxGramDf).select("gh")
+      val ai = gramsWithSizes(left, textCol, idCol)
+        .join(coldGrams, Seq("gh")).as("a")
+      val bi = gramsWithSizes(right, textCol, idCol)
+        .join(coldGrams, Seq("gh")).as("b")
+      val cand = ai.join(bi, col("a.gh") === col("b.gh") && lengthOk)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      def sets(df: DataFrame) = graft.Tables.spreadIfNarrow(df)
+        .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
+      val c = size(array_intersect(col("ga"), col("gb")))
+      cand
+        .join(sets(left).select(col("sid").as("id_a"), col("gs").as("ga")), "id_a")
+        .join(sets(right).select(col("sid").as("id_b"), col("gs").as("gb")), "id_b")
+        .withColumn("c", c)
+        .withColumn("u", size(col("ga")) + size(col("gb")) - col("c"))
+        .filter(col("c") * tauDen >= col("u") * tauNum)
+        .select(col("id_a"), col("id_b"),
+          (col("c").cast("double") / col("u")).as("jaccard"))
+    }
   }
 
   /** Normalization applied before near-exact dedup: lowercase, collapse

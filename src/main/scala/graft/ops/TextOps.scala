@@ -75,6 +75,16 @@ object TextOps {
 
   /** BPE-ish token count: alpha runs, single digits, and single
     * non-alphanumeric glyphs each count as one token.
+    *
+    * Fidelity vs a REAL corpus-trained BPE (measured, BpeFidelitySpec —
+    * reference trainer + greedy rank encoder on the synthetic corpus):
+    * mean relative divergence 0.82 with 0 merges (character regime),
+    * 0.000 once the merge table covers the corpus vocabulary (≥150
+    * merges here; gate at ≤0.02). I.e. the heuristic equals
+    * 1-token-per-in-vocabulary-word BPE and UNDERCOUNTS by the subword
+    * fan-out of out-of-vocabulary words — fine for quality ratios and
+    * budget estimates on natural text, not a substitute for the real
+    * tokenizer's counts when packing to an exact context length.
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))

@@ -216,6 +216,24 @@ object ScaleProbe {
     }
     require(contaminated >= 100000L / 64, s"found only $contaminated pairs")
 
+    // --- standing-corpus fold: admit → link → relabel → audit ----------
+    // CorpusMaintain.foldBatch on the same 1M corpus / 100k batch: the
+    // 1563 exact replays (id%64==0) must be REJECTED by the admit stage,
+    // the rest flow through linking (near-unique grams → edges ≈ 0 here),
+    // the contracted CC relabel, and the snapshot-diff audit. Standing
+    // labels are computed untimed (the fold's cost claim is about the
+    // BATCH, not corpus bootstrap).
+    val labels0m = Clusters.connectedComponents(
+        Dedup.nGramJaccard(corpusDocs, "text", "id", 1, 2), "id_a", "id_b")
+      .localCheckpoint()
+    val (foldAdded, foldSec) = timed {
+      val f = CorpusMaintain.foldBatch(corpusDocs, labels0m, batchDocs,
+        "text", "id", expectedItems = 1000000L)
+      f.labels.count() // drive the relabel path
+      f.diff.filter(col("status") === "added").count()
+    }
+    require(foldAdded == 98437L, s"fold admitted $foldAdded (want 98437)")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -225,7 +243,8 @@ object ScaleProbe {
       s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
       s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
       s""""pq_sec":$pqSec,"batch_ann_rows":$batchRows,""" +
-      s""""batch_ann_sec":$batchAnnSec}""")
+      s""""batch_ann_sec":$batchAnnSec,""" +
+      s""""fold_added":$foldAdded,"fold_sec":$foldSec}""")
     spark.stop()
   }
 }

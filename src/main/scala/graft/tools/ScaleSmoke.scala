@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scaling smoke of the FULL dedup tier (d01–d16): generates a
+  * seeded synthetic corpus at two scales from the SAME generator —
+  * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
+  * runs every d-tier query from SparkEntry at both, and FAILS if an
+  * op's time grows super-linearly beyond its declared class bound.
+  * The fixed-SF bench cannot see super-linear behavior (it never
+  * changes N); ScaleProbe stresses single ops at density extremes;
+  * this smoke covers the tier end-to-end at a controlled 10× step —
+  * the "would a real scale-up survive" rehearsal.
+  *
+  * Corpus shape (all xxhash64-derived, deterministic):
+  *  - multi-line docs (2–7 lines × 10 tokens) over a 4096-token vocab,
+  *    so gram/line document frequencies stay ~constant as N grows
+  *    (Heaps-law-ish vocab growth is what real corpora do; a FIXED tiny
+  *    vocab would make inverted-index work grow ~N² by density alone —
+  *    ScaleProbe's job, not this one);
+  *  - every 17th doc replays another doc's text (exact dups for
+  *    d01/d13/d15 and pair seeds for the similarity ladder);
+  *  - every 10th doc opens with one of 5 hot banner lines (d16's prey —
+  *    rate chosen so hot-gram df² pair work doesn't drown the structural
+  *    signal this smoke exists for; gram-density extremes are
+  *    ScaleProbe's job and the capped operators' own guards);
+  *  - every 19th vector duplicates another (d05/d10 pairs).
+  *
+  * Class bounds for time(x10)/time(base) — 10× data, slack for fixed
+  * overheads and timing noise:
+  *  - LINEAR ops (hash/scan/groupBy shapes): ≤ 15×
+  *  - CANDIDATE ops (pair-driven: work tracks candidate count, which
+  *    this corpus scales ~linearly but with join/agg constants): ≤ 60×
+  *  - QUADRATIC BASELINES (d05 exact all-pairs by contract; d10 at the
+  *    query-pinned k=10, so cluster size grows with N): report-only,
+  *    wall-capped — their growth is the documented cost of exactness,
+  *    and the scale path is the ANN/banded ladder.
+  *
+  * `runMain graft.tools.ScaleSmoke [workDir]` (env SPARK_GRAFT_CPUS) —
+  * prints one JSON line with per-op (base, x10, ratio).
+  */
+object ScaleSmoke {
+
+  private val Linear = Set("d01_dedup_exact",
+    "d09_dedup_bloom", "d12_ngram_decontaminate", "d13_snapshot_diff",
+    "d15_dedup_normalized", "d16_scrub_lines")
+  // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
+  // pair-driven like d02 — the first smoke run misfiled it as linear and
+  // correctly failed at 57× on a banner-heavy corpus
+  private val Candidate = Set("d02_dedup_jaccard", "d03_dedup_minhash",
+    "d04_dedup_simhash", "d06_dedup_incremental", "d07_decontaminate",
+    "d08_dedup_clusters", "d11_cc_incremental", "d14_fuzzy_pipeline")
+  private val QuadBaseline = Set("d05_dedup_embedding", "d10_dedup_semantic")
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse("/tmp/graft_scalesmoke")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, s"$workDir/base", nDocs = 5000L, nVecs = 2000L)
+    generate(spark, s"$workDir/x10", nDocs = 50000L, nVecs = 20000L)
+
+    val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
+      .sorted
+    require(dTier.size == 16, s"expected 16 d-tier queries, got $dTier")
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = dTier.map { name =>
+      run(name, s"$workDir/base") // codegen + JIT warm, untimed
+      val base = run(name, s"$workDir/base")
+      val big = run(name, s"$workDir/x10")
+      val ratio = big / math.max(base, 0.05) // floor: sub-50ms bases are noise
+      val bound =
+        if (Linear(name)) 15.0
+        else if (Candidate(name)) 60.0
+        else Double.PositiveInfinity // quadratic baselines: report-only
+      System.err.println(
+        f"[scalesmoke] $name base=$base%.2fs x10=$big%.2fs ratio=$ratio%.1f" +
+          (if (bound.isInfinity) " (baseline, unbounded)" else f" bound=$bound%.0f"))
+      require(ratio <= bound,
+        f"$name scales super-linearly: $ratio%.1fx > $bound%.0fx at 10x data")
+      require(big < 300.0, f"$name wall cap: $big%.0fs at x10 scale")
+      (name, base, big, ratio)
+    }
+
+    val js = rows.map { case (n, b, x, r) =>
+      f""""$n":{"base":$b%.2f,"x10":$x%.2f,"ratio":$r%.1f}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"probe":"sf1_smoke","cpus":$cpus,"ops":$js}""")
+    spark.stop()
+  }
+
+  /** Seeded synthetic documents + embeddings at the requested scale —
+    * same distributions at every N (see object doc).
+    */
+  private def generate(
+      spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
+    def tok(seed: Column): Column =
+      concat(lit("w"), pmod(xxhash64(seed), lit(4096L)).cast("string"))
+    val banners = array((0 until 5).map(b =>
+      lit(s"accept cookies banner $b terms and conditions apply")): _*)
+
+    // every 17th doc replays an earlier doc's seed -> exact text dup
+    val docs = spark.range(nDocs)
+      .withColumn("seed",
+        when(col("id") % 17 === 0 && col("id") > 0, (col("id") / 17) * 3 + 1)
+          .otherwise(col("id")))
+      .withColumn("n_lines", (pmod(xxhash64(col("seed"), lit(5)), lit(6)) + 2).cast("int"))
+      .withColumn("all_lines", array((0 until 8).map(j =>
+        concat_ws(" ", (0 until 10).map(t =>
+          tok(col("seed") * 997 + lit(j * 31 + t))): _*)): _*))
+      .withColumn("body", slice(col("all_lines"), lit(1), col("n_lines")))
+      .withColumn("lines",
+        when(col("seed") % 10 === 0,
+          concat(array(element_at(banners,
+            (pmod(xxhash64(col("seed"), lit(9)), lit(5)) + 1).cast("int"))),
+            col("body")))
+          .otherwise(col("body")))
+      .select(
+        col("id").as("doc_id"),
+        concat_ws("\n", col("lines")).as("text"),
+        element_at(array(Seq("en", "de", "fr", "es", "zh").map(lit): _*),
+          (pmod(xxhash64(col("seed"), lit(1)), lit(5)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(xxhash64(col("seed"), lit(2)), lit(20))
+          .cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // every 19th vector duplicates another -> cosine-1 pairs for d05/d10
+    val vecs = spark.range(nVecs)
+      .withColumn("seed",
+        when(col("id") % 19 === 0 && col("id") > 0, (col("id") / 19) * 5 + 1)
+          .otherwise(col("id")))
+      .select(
+        col("id").as("vec_id"),
+        array((0 until 64).map(j =>
+          ((pmod(xxhash64(col("seed"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+            .cast("float")): _*).as("embedding"),
+        pmod(xxhash64(col("seed"), lit(99)), lit(5L)).cast("int").as("label"))
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+}

@@ -74,6 +74,14 @@ class PlanSpec extends SparkSpec {
       l.contains("LessThan(o_totalprice")))
   }
 
+  test("q32: compiled 4-way SPJ chain broadcasts dims and pushes the range") {
+    val p = plan("q32_spj_chain")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("GreaterThan(o_totalprice")))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d02: inverted-index jaccard has no cartesian product") {
     val p = plan("d02_dedup_jaccard")
     assert(!p.contains("CartesianProduct"))

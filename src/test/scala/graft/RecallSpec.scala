@@ -54,6 +54,23 @@ class RecallSpec extends SparkSpec {
       s"missed=${(uncapped -- capped).size} spurious=${(capped -- uncapped).size}")
   }
 
+  test("d06: crossJaccard active df-cap loses nothing (sf0.01)") {
+    // r7: the cross-relation twin of d02's cap — combined-df pruning of
+    // candidate generation + exact re-verify; same zero-loss bar on real
+    // data with the cap genuinely active
+    val docs = Tables.load(spark, dir, "documents")
+    val left = docs.filter("doc_id < 250")
+    val right = docs.filter("doc_id >= 250")
+    def pairs(cap: Int) =
+      Dedup.crossJaccard(left, right, "text", "doc_id", 1, 2, maxGramDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(25)
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped,
+      s"missed=${(uncapped -- capped).size} spurious=${(capped -- uncapped).size}")
+  }
+
   test("s02: knnLsh multi-probe recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val lsh = topkSet(SparkEntry.queries("s02_knn_lsh")(spark, dir))
@@ -220,6 +237,33 @@ class RecallSpec extends SparkSpec {
     val recall = (banded & unbanded).size.toDouble / unbanded.size
     info(f"d10 banded(cap=24) drop recall vs unbanded = $recall%.3f")
     assert(recall >= 0.80, f"banding recall regressed: $recall%.3f < 0.80")
+  }
+
+  test("d10: equidistant over-cap cluster falls back to hash bands (width=0)") {
+    import spark.implicits._
+    // 120 one-hot vectors cycling over 8 axes: all are EQUIDISTANT from
+    // any centroid (equal norms, k=1 → one cluster, every dist2 equal →
+    // value-band width = 0). The r7 fallback must still split the
+    // over-cap cluster by hash bands instead of restoring one quadratic
+    // cell; same-axis vectors are byte-identical, so the collapse layer
+    // must resolve each axis class to its min id regardless of banding.
+    val n = 120
+    val distinct = (0 until n).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i % 8) 1.0f else 0.0f)))
+    val dupes = (0 until 40).map(i => ((n + i).toLong,
+      Seq.tabulate(8)(j => if (j == 0) 1.0f else 0.0f)))
+    val df = (distinct ++ dupes).toDF("vec_id", "embedding")
+    val res = graft.ops.VectorOps.semanticDedup(df, "vec_id", "embedding",
+        k = 1, iters = 1, tau = 0.99, nAssign = 1, maxClusterSize = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res.size == n + 40)
+    // every vector on axis 0 (ids 0, 8, 16, ... and all 40 dupes) is an
+    // exact duplicate class with min id 0 -> only id 0 keeps among them
+    val axis0 = (0 until n by 8).map(_.toLong).toSet ++
+      (0 until 40).map(i => (n + i).toLong).toSet
+    assert(res(0L) == 1)
+    assert(axis0.count(id => res(id) == 0) == axis0.size - 1,
+      "exact-dup axis-0 class must collapse to min id even at width=0")
   }
 
   test("s04: k-means distortion is monotone in iterations (sf0.01)") {

@@ -86,6 +86,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CentroidDot / CentroidResidual match manual math per selected row") {
+    def vec(seed: Int, dim: Int): Array[Double] =
+      Array.tabulate(dim)(j => ((seed * 31 + j * 7) % 13 - 6).toDouble)
+    val cents: Array[Array[Double]] = Array.tabulate(4)(i => vec(i, 5))
+    val rows = (0 until 20).map(i => (vec(i + 100, 5), i % 4))
+    val df = rows.toDF("v", "idx")
+    val got = df.select(
+        VectorExpressions.centroidDot(col("v"), col("idx"), cents).as("d"),
+        VectorExpressions.centroidResidual(col("v"), col("idx"), cents).as("r"))
+      .collect()
+    rows.zip(got).foreach { case ((q, i), r) =>
+      val c = cents(i)
+      assert(r.getDouble(0) == q.zip(c).map { case (a, b) => a * b }.sum)
+      assert(r.getSeq[Double](1).toSeq ==
+        q.zip(c).map { case (a, b) => a - b }.toSeq)
+    }
+    // null-safe: null vector or index yields null, not a crash
+    val nulls = Seq((null: Seq[Double], 0)).toDF("v", "idx")
+      .select(VectorExpressions.centroidDot(col("v"), col("idx"), cents))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("NGramHashSet: hashes equal builtin xxhash64 of the joined grams") {
     val df = Seq("a b c d", "x x x").toDF("text")
     val got = df.select(

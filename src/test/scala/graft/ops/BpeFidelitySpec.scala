@@ -1,0 +1,132 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Fidelity bound for [[TextOps.bpeTokenCount]] (the "BPE-ish" heuristic:
+  * every alpha run = 1 token, every digit / non-alphanumeric glyph = 1):
+  * measured against a REAL byte-pair-encoding tokenization (Sennrich et
+  * al. 2016 — train merges on the corpus word-frequency table, encode
+  * greedily by merge rank) on the synthetic documents table. The
+  * heuristic is exact when the trained vocabulary covers every corpus
+  * word (each word encodes to one symbol) and UNDERCOUNTS by the subword
+  * fan-out of out-of-vocabulary words otherwise; the test prints the
+  * divergence curve across merge budgets and gates the bound the
+  * operator's scaladoc records.
+  */
+class BpeFidelitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  // ---- reference BPE (driver-side; the corpus fits trivially) ----------
+
+  private type Syms = Vector[String]
+
+  private def applyMerge(w: Syms, a: String, b: String): Syms = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += w(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Most-frequent-pair merges (deterministic lexicographic tie-break). */
+  private def trainBpe(
+      wordFreq: Map[Syms, Long], nMerges: Int): Seq[(String, String)] = {
+    var vocab = wordFreq
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val pairs = mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val p = (syms(j), syms(j + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), _) = pairs.maxBy { case ((x, y), c) => (c, x, y) }
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) => applyMerge(syms, a, b) -> f }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def encode(word: String, rank: Map[(String, String), Int]): Int = {
+    var syms: Syms = word.map(_.toString).toVector :+ "</w>"
+    var continue = true
+    while (continue && syms.length > 1) {
+      // greedy: apply the lowest-rank (earliest-trained) adjacent pair
+      var best = -1; var bestRank = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        rank.get((syms(j), syms(j + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; best = j }
+        }
+        j += 1
+      }
+      if (best < 0) continue = false
+      else syms = applyMerge(syms, syms(best), syms(best + 1))
+    }
+    syms.length
+  }
+
+  test("bpeTokenCount divergence vs trained BPE is bounded (sf0.01)") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextOps.bpeTokenCount(col("text")).as("heuristic"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(docs.length == 500)
+
+    // the heuristic's own segmentation: alpha runs / digits / glyphs —
+    // BPE applies to the alpha words, digits and glyphs are 1 byte-token
+    // each in both counts, so divergence isolates subword fan-out
+    val wordRe = "[A-Za-z]+".r
+    val restRe = "[0-9]|[^A-Za-z0-9 ]".r
+    val wordFreq = docs.toSeq
+      .flatMap { case (t, _) => wordRe.findAllIn(t) }
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+      .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+
+    def divergenceAt(nMerges: Int): Double = {
+      val rank = trainBpe(wordFreq, nMerges).zipWithIndex.toMap
+      val errs = docs.map { case (t, heuristic) =>
+        val bpe = wordRe.findAllIn(t).map(encode(_, rank)).sum +
+          restRe.findAllIn(t).size
+        math.abs(bpe - heuristic).toDouble / math.max(bpe, 1)
+      }
+      errs.sum / errs.length
+    }
+
+    val curve = Seq(0, 50, 150, 400).map(m => m -> divergenceAt(m))
+    curve.foreach { case (m, d) =>
+      info(f"merges=$m%4d  mean relative divergence = $d%.4f")
+    }
+    // untrained BPE = character tokenization: the heuristic undercounts
+    // by ~the mean word length — sanity-check the measurement itself sees
+    // that regime before trusting the converged bound
+    assert(curve.head._2 > 0.5, "merges=0 should diverge heavily (chars)")
+    // converged regime: vocabulary covers the corpus words -> the
+    // heuristic's 1-token-per-word assumption holds almost exactly.
+    // Measured at gate-lock: 0.0 at 400 merges (36-word synthetic vocab
+    // is fully learned); the 0.02 floor leaves room for corpus drift.
+    // TextOps.bpeTokenCount's scaladoc records this bound.
+    val converged = curve.last._2
+    assert(converged <= 0.02,
+      f"bpeTokenCount diverges $converged%.3f from a corpus-trained BPE")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.ops.{Clusters, Dedup}
+
+class CorpusMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word-bigram jaccard at tau = 1/2: "a b c d" ~ "a b c e" (2/4)
+  private def corpus0: DataFrame = Seq(
+    (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+    .toDF("doc_id", "text")
+
+  private def labels0: DataFrame =
+    Clusters.connectedComponents(
+      Dedup.nGramJaccard(corpus0, "text", "doc_id", 1, 2), "id_a", "id_b")
+
+  private def batch: DataFrame = Seq(
+    (10L, "x y z w"),   // exact dup of corpus doc 3 -> rejected
+    (11L, "a b c d"),   // exact dup of corpus doc 1 -> rejected
+    (12L, "q r s t"),   // internal dup pair: min id admitted...
+    (13L, "q r s t"),   // ...this one rejected
+    (14L, "a b c f"),   // near-dup of docs 1/2 -> admitted, joins cluster 1
+    (15L, "m n o p"))   // fresh -> admitted, untouched by any pair
+    .toDF("doc_id", "text")
+
+  private def fold(): CorpusMaintain.Fold =
+    CorpusMaintain.foldBatch(corpus0, labels0, batch,
+      "text", "doc_id", expectedItems = 100L)
+
+  test("fold admits exactly the new-content min-id representatives") {
+    val admitted = fold().admitted.collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(12L, 14L, 15L))
+  }
+
+  test("incremental labels equal a full recompute over the merged corpus") {
+    val f = fold()
+    val incremental = f.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Clusters.connectedComponents(
+        Dedup.nGramJaccard(f.corpus, "text", "doc_id", 1, 2), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental == full && full == Map(1L -> 1L, 2L -> 1L, 14L -> 1L))
+  }
+
+  test("diff reports admitted ids as added, standing ids as unchanged") {
+    val d = fold().diff.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "unchanged",
+      12L -> "added", 14L -> "added", 15L -> "added"))
+  }
+
+  test("re-folding the same batch is a no-op (exactly-once maintenance)") {
+    val f1 = fold()
+    val f2 = CorpusMaintain.foldBatch(f1.corpus, f1.labels, batch,
+      "text", "doc_id", expectedItems = 100L)
+    assert(f2.admitted.isEmpty)
+    val l1 = f1.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l2 = f2.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == l2)
+    assert(f2.diff.filter("status != 'unchanged'").isEmpty)
+  }
+}
