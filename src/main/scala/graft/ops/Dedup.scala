@@ -376,6 +376,75 @@ object Dedup {
           p => element_at(col("__lines"), p + 1))).as(textCol))
   }
 
+  /** ExactSubstr-style repeated token-SPAN scrub (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated at fixed window granularity): remove every token that
+    * lies inside an `n`-token window occurring in more than `maxSpanDf`
+    * distinct documents, returning (id, text) with surviving tokens in
+    * original order. This is the sub-line boilerplate [[scrubRepeatedLines]]
+    * cannot see — a hot phrase pasted MID-sentence (cookie banners inside
+    * prose, share-this chrome, templated intros) never aligns to a line
+    * boundary, but every n-token window fully inside it is corpus-hot,
+    * so the union of hot-window hits covers exactly the repeated span
+    * while windows straddling into unique neighbors stay cold and the
+    * surrounding prose survives.
+    *
+    * Shape mirrors d16's, one level finer: the window index is
+    * (id, pos, h1, h2) — two independent xxhash64s of each n-token
+    * window, fixed-width rows; window TEXT exists only inside the scan
+    * stage (hashing happens in the same projection as the posexplode —
+    * no text-bearing exchange). Per-doc-distinct pairs feed the df count
+    * (a window repeated within one doc counts once) with map-side
+    * partials. Hot hits explode to ≤ n removed positions each —
+    * bounded by hit count, not document size — and fold to one int-array
+    * set per doc; reconstruction is `array_except(sequence, removed)`
+    * (hash-set membership, O(tokens + removed) per doc — LINEAR) then
+    * the same gather `transform(keep_pos, p -> tokens[p])` as d16.
+    * Documents reduced to zero tokens disappear (C4 drops empty docs);
+    * null-text docs likewise. The only text-bearing exchange is the
+    * docs-side join to its removal mask, keyed on id — none with
+    * id-bucketed storage.
+    */
+  def scrubRepeatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxSpanDf: Long): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    val toks = split(col(textCol), " ")
+    val wins = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"), toks.as("t"))
+      .select(col("id"), posexplode(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            p => concat_ws(" ", slice(col("t"), p + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"),
+        xxhash64(col("w")).as("h1"),
+        xxhash64(lit(0x5bd1e995L), col("w")).as("h2"))
+    // df counts DOCUMENTS (a span repeated within one doc counts once)
+    val hot = wins.select(col("id"), col("h1"), col("h2")).distinct()
+      .groupBy("h1", "h2").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") > maxSpanDf)
+      .select("h1", "h2")
+    val removed = wins.join(hot, Seq("h1", "h2"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("rp"))
+      .distinct()
+      .groupBy("id").agg(collect_list(col("rp")).as("removed"))
+    df.select(col(idCol).as("id"), toks.as("t"))
+      .join(removed, Seq("id"), "left")
+      .withColumn("keep_pos",
+        when(col("removed").isNull, sequence(lit(0), size(col("t")) - 1))
+          .otherwise(array_except(
+            sequence(lit(0), size(col("t")) - 1), col("removed"))))
+      .filter(size(col("keep_pos")) > 0)
+      .select(col("id").as(idCol),
+        concat_ws(" ", transform(col("keep_pos"),
+          p => element_at(col("t"), p + 1))).as(textCol))
+  }
+
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
     * h*a + b stays far from long overflow under ANSI arithmetic).
     */

@@ -376,6 +376,43 @@ object Events {
     staged.groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user ordered training sequences: each user's event history as
+    * one time-ordered token string, truncated to the LAST `maxLen`
+    * events (the recent-history window sequence models train on), plus
+    * the untruncated history length for downstream length-bucketing.
+    * This is the events→training-example bridge: sessionize/funnel
+    * aggregate history, this op SERIALIZES it.
+    *
+    * Order is (event time in µs, event_id) — total, deterministic, and
+    * identical to the DuckDB oracle's (ns timestamps truncate to µs at
+    * the scan, the e02 convention). Scale shape: the per-user state that
+    * reaches the aggregation is BOUNDED — a `row_number` window filter
+    * keeps only the newest `maxLen` rows per user first, so the
+    * collect_list buffer holds ≤ maxLen fixed-width structs regardless
+    * of how hot a bot user's history is (collecting THEN truncating
+    * would build an unbounded array in one agg buffer). The window sort
+    * itself is Spark's distributed per-key sort — spillable, and the
+    * same per-user-history cost every op in this tier pays; a
+    * pathological single user can further be bounded by a time-chunk
+    * pre-filter (the e05 bucketization) before sequencing.
+    */
+  def userSequences(events: DataFrame, maxLen: Int): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val recent = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val whole = Window.partitionBy("user_id")
+    e.withColumn("rn", row_number().over(recent))
+      .withColumn("n_events", count(lit(1)).over(whole))
+      .filter(col("rn") <= maxLen)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        concat_ws(",", transform(
+          sort_array(collect_list(
+            struct(col("us"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type"))).as("seq"))
+  }
+
   def retentionCohorts(events: DataFrame, epochDate: String): DataFrame = {
     val act = events
       .select(col("user_id"), datediff(to_date(col("ts")),

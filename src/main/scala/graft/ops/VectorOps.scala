@@ -184,6 +184,42 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * probe, the k most cosine-similar corpus vectors whose `labelCol`
+    * DIFFERS from the probe's — the "looks the same, is not" pairs that
+    * carry the gradient signal. The label inequality is a JOIN predicate
+    * (it references both sides), unlike [[knnIvf]]'s row-local
+    * `corpusFilter`, so it composes inside the scoring join; the exact
+    * path is the [[knnBrute]] shape with the label threaded through.
+    * At scale the candidate set is bounded the same way as any other
+    * probe-side search: run it over IVF-probed lists (the label filter
+    * then applies post-join) — at the shipped SFs the exact pair space
+    * is the declared baseline, matching s01/s07.
+    */
+  def hardNegatives(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("p_label"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val c = spread(corpus).select(col(idCol).as("corpus_id"),
+      col(labelCol).as("c_label"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("corpus_id") &&
+        !(col("p_label") <=> col("c_label")))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Plane p's normal has pseudo-random +-1 components derived from a
     * splitmix64 finalizer over (p, i) — deterministic, no stored model.
@@ -229,15 +265,28 @@ object VectorOps {
       k: Int,
       nCentroids: Int = 32,
       nProbe: Int = 8,
-      broadcastProbes: Boolean = true): DataFrame = {
-    val c = spread(corpus)
+      broadcastProbes: Boolean = true,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    val cSrc = spread(corpus)
+    val c = cSrc
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
+    // the index (centroids) is trained on the FULL corpus — the standing
+    // shared structure a per-query metadata predicate must not rebuild
     val mat = normalized(lloydLocal(
       sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters))
-    // assignment: nearest (by cosine) centroid index per corpus vector
-    val assigned = c.withColumn("list",
-      graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
+    // filtered search (`corpusFilter`, r7): the predicate is row-local
+    // metadata, so filter-then-assign ≡ assign-then-filter — applying it
+    // BEFORE assignment pushes it into the corpus scan (PlanSpec-asserted
+    // PushedFilters) and only surviving rows pay the fused argmin map.
+    // Selective predicates thin each inverted list's matching density, so
+    // callers raise nProbe to hold recall (RecallSpec gates the shipped
+    // parameters against the filtered exact baseline)
+    val assigned = cSrc.filter(corpusFilter)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+      .withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
     // probe: nProbe nearest list indices per probe, one fused map
     val p = spread(probes)
       .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))

@@ -284,6 +284,55 @@ object CorpusPack {
             FROM l WHERE line NOT IN (SELECT line FROM hot)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val d17 = Q(
+    "d17_scrub_spans",
+    // ExactSubstr-style repeated token-SPAN removal — the sub-line
+    // boilerplate d16 can't see: a hot phrase is spliced MID-token-stream
+    // between each doc's unique text and a unique tail token (plus a
+    // second phrase on 1/3 of docs), never on a line boundary. n=5,
+    // maxSpanDf=10: every 5-window fully inside a phrase is corpus-hot
+    // (df=500 / ≈167) and its token span is scrubbed; windows straddling
+    // into unique neighbors stay cold, so the surrounding text survives
+    (s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ",
+          lit("begin"), col("text"),
+          lit("click here to accept cookies and continue reading"),
+          when(col("doc_id") % 3 === 0,
+            lit("share this story on your favorite social network")),
+          concat(lit("tail"), col("doc_id").cast("string"))).as("text"))
+      Dedup.scrubRepeatedSpans(src, "text", "doc_id", n = 5, maxSpanDf = 10)
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (
+              SELECT doc_id, concat_ws(' ',
+                'begin', text,
+                'click here to accept cookies and continue reading',
+                CASE WHEN doc_id % 3 = 0
+                  THEN 'share this story on your favorite social network' END,
+                'tail' || CAST(doc_id AS VARCHAR)) AS text
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
+            tok AS (SELECT doc_id, unnest(t) AS tokstr,
+                           unnest(range(len(t))) AS p
+                    FROM toks),
+            wins AS (SELECT doc_id,
+                       unnest(range(greatest(len(t) - 4, 0))) AS p,
+                       unnest(list_transform(range(greatest(len(t) - 4, 0)),
+                         i -> array_to_string(t[i+1:i+5], ' '))) AS w
+                     FROM toks),
+            hot AS (SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS d
+                                   FROM wins GROUP BY 1) WHERE d > 10),
+            removed AS (SELECT DISTINCT wins.doc_id, wins.p + offs.o AS rp
+                        FROM wins JOIN hot USING (w)
+                        CROSS JOIN (SELECT unnest(range(5)) AS o) offs),
+            kept AS (SELECT tok.doc_id, tok.p, tok.tokstr
+                     FROM tok LEFT JOIN removed
+                       ON tok.doc_id = removed.doc_id AND tok.p = removed.rp
+                     WHERE removed.doc_id IS NULL)
+            SELECT doc_id, string_agg(tokstr, ' ' ORDER BY p) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
   private val d13 = Q(
     "d13_snapshot_diff",
     // two deterministic synthetic releases of the corpus: ids %13==3 are
@@ -760,5 +809,5 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16)
+      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17)
 }

@@ -176,6 +176,71 @@ object PipelinePack {
     },
     None) // approximate -> rows-only (RecallSpec gates vs s01)
 
+  private val s07 = Q(
+    "s07_knn_filtered",
+    // metadata-filtered vector search ("nearest neighbors in category
+    // 2"): exact baseline — the corpus predicate composes BEFORE the
+    // scoring join, so it reaches the parquet scan (PushedFilters,
+    // PlanSpec) and the pair space shrinks to probes × matching rows.
+    // The scale path is knnIvf's corpusFilter (shared full-corpus index,
+    // filtered list scan) — RecallSpec gates it against this baseline
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.knnBrute(emb.filter(col("vec_id") < 8),
+        emb.filter(col("label") === 2),
+        "vec_id", "embedding", k = 10).orderBy("probe_id", "rk")
+    },
+    Some("""WITH q AS (SELECT vec_id, label,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                       FROM q p JOIN q c ON p.i = c.i
+                       WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                         AND c.label = 2
+                       GROUP BY 1, 2),
+              scored AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                         FROM dotp JOIN nrm np ON pid = np.vec_id
+                                   JOIN nrm nc ON cid = nc.vec_id),
+              ranked AS (SELECT pid, cid, cos,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY cos DESC, cid ASC) rk
+                         FROM scored)
+            SELECT pid AS probe_id, cid AS corpus_id, cos, rk
+            FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk"""))
+
+  private val s08 = Q(
+    "s08_hard_negatives",
+    // contrastive-training data: for each probe, the most similar
+    // corpus vectors with a DIFFERENT label — the label inequality is a
+    // join predicate (both sides), so it lives inside the scoring join,
+    // not the scan
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.hardNegatives(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", k = 10).orderBy("probe_id", "rk")
+    },
+    Some("""WITH q AS (SELECT vec_id, label,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                       FROM q p JOIN q c ON p.i = c.i
+                       WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                         AND p.label IS DISTINCT FROM c.label
+                       GROUP BY 1, 2),
+              scored AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                         FROM dotp JOIN nrm np ON pid = np.vec_id
+                                   JOIN nrm nc ON cid = nc.vec_id),
+              ranked AS (SELECT pid, cid, cos,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY cos DESC, cid ASC) rk
+                         FROM scored)
+            SELECT pid AS probe_id, cid AS corpus_id, cos, rk
+            FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk"""))
+
   private val s06 = Q(
     "s06_knn_ivfpq",
     (s, dir) => {
@@ -510,6 +575,26 @@ object PipelinePack {
                      LEFT JOIN r3 USING (user_id))
             GROUP BY 1 ORDER BY 1"""))
 
+  private val e12 = Q(
+    "e12_user_sequences",
+    // events -> training examples: each user's recent history as one
+    // time-ordered token string (last 64 events), plus the untruncated
+    // length for length-bucketing
+    (s, dir) => Events.userSequences(Tables.load(s, dir, "events"),
+        maxLen = 64)
+      .orderBy("user_id"),
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
+              ranked AS (SELECT *,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY us DESC, event_id DESC) AS rn,
+                COUNT(*) OVER (PARTITION BY user_id) AS n_events
+              FROM ev)
+            SELECT user_id, MAX(n_events) AS n_events,
+              string_agg(event_type, ',' ORDER BY us, event_id) AS seq
+            FROM ranked WHERE rn <= 64
+            GROUP BY user_id ORDER BY user_id"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -533,7 +618,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06, s07, s08,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    m01, m02)
+    e12, m01, m02)
 }

@@ -44,7 +44,7 @@ object ScaleSmoke {
 
   private val Linear = Set("d01_dedup_exact",
     "d09_dedup_bloom", "d12_ngram_decontaminate", "d13_snapshot_diff",
-    "d15_dedup_normalized", "d16_scrub_lines")
+    "d15_dedup_normalized", "d16_scrub_lines", "d17_scrub_spans")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
@@ -69,7 +69,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 16, s"expected 16 d-tier queries, got $dTier")
+    require(dTier.size == 17, s"expected 17 d-tier queries, got $dTier")
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

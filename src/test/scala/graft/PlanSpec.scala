@@ -82,6 +82,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s07: the metadata predicate of filtered search reaches the scan") {
+    val p = plan("s07_knn_filtered")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("EqualTo(label,2)")))
+  }
+
+  test("e12: both windows and the final agg share ONE user_id exchange") {
+    // row_number + count windows and the groupBy all key on user_id —
+    // the truncation filter must not cost a second shuffle. Expect
+    // exactly 2 Exchanges: the shared hashpartitioning(user_id) and the
+    // final presentation orderBy's rangepartitioning
+    val p = plan("e12_user_sequences")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+  }
+
   test("d02: inverted-index jaccard has no cartesian product") {
     val p = plan("d02_dedup_jaccard")
     assert(!p.contains("CartesianProduct"))

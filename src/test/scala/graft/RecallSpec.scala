@@ -88,6 +88,30 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
   }
 
+  test("s07: filtered knnIvf recall@10 vs the filtered exact baseline (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    // shared full-corpus index, label predicate filters the list scan;
+    // precision must be exact (every hit satisfies the predicate — it is
+    // applied corpus-side before scoring), recall gated vs s07's oracle-
+    // checked brute force. nProbe=20 (vs s03's 8): the predicate thins
+    // each list's matching density ~5x, so the filtered top-10 sits
+    // deeper in centroid order and holding recall needs a wider probe
+    // (measured r7: 0.600 at nProbe=12, 0.688 at 16, 0.850 at 20)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val brute = topkSet(SparkEntry.queries("s07_knn_filtered")(spark, dir))
+    val ivf = graft.ops.VectorOps.knnIvf(emb.filter(col("vec_id") < 8), emb,
+      "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 20,
+      corpusFilter = col("label") === 2)
+    val ivfSet = topkSet(ivf)
+    val validIds = emb.filter(col("label") === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivfSet.forall(p => validIds(p._2)),
+      "filtered IVF returned a corpus id outside the predicate")
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    info(f"s07 recall@10 = $recall%.3f (${(brute & ivfSet).size}/${brute.size})")
+    assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
+  }
+
   test("s05: knnPq ADC+refine recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val pq = topkSet(SparkEntry.queries("s05_knn_pq")(spark, dir))

@@ -162,6 +162,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> expected1, 3L -> "also unique"))
   }
 
+  test("scrubRepeatedSpans: hot mid-stream spans scrubbed, neighbors survive") {
+    val corpus = Seq(
+      (1L, "x1 A B C y1"),        // phrase mid-stream: only it goes
+      (2L, "x2 A B C y2"),
+      (3L, "A B C"),              // nothing survives -> doc dropped
+      (4L, "A B C A B C z"),      // within-doc repeat: df counts doc4 ONCE
+      (5L, "p q"),                // shorter than the window -> untouched
+      (6L, "x1 A B"),             // partial phrase: its windows stay cold
+      (7L, null: String)          // null text -> dropped (matches d16)
+    ).toDF("doc_id", "text")
+    // df("A B C") = 4 docs > 2 -> hot; straddle windows like "x1 A B"
+    // (docs 1 and 6, df=2) and rotations "B C A"/"C A B" (doc 4 only)
+    // stay at or under the cap -> cold
+    val got = Dedup.scrubRepeatedSpans(corpus, "text", "doc_id",
+        n = 3, maxSpanDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "x1 y1",
+      2L -> "x2 y2",
+      4L -> "z",
+      5L -> "p q",
+      6L -> "x1 A B"))
+  }
+
   test("snapshotDiff: null text classifies by id presence, not hash nulls") {
     // r6 advisor find: md5(NULL) is NULL — presence must come from a
     // per-side marker, and null-text-in-both must compare 'unchanged'
@@ -259,6 +283,18 @@ class EventsSpec extends SparkSpec {
     assert(s1.getAs[Long]("start_epoch") == 0L &&
       s1.getAs[Long]("end_epoch") == 60L &&
       s1.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("userSequences: last-maxLen truncation, ascending emit, exact length") {
+    val ev = (0 until 10).map(i =>
+      (i.toLong, ts(1000L + i), 1L, s"t$i", 0.0)) :+
+      ((99L, ts(500L), 2L, "solo", 0.0))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.userSequences(df, maxLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // user 1: 10 events, keep the LAST 4 in ascending time order;
+    // n_events reports the untruncated history length
+    assert(got == Set((1L, 10L, "t6,t7,t8,t9"), (2L, 1L, "solo")))
   }
 
   test("hourlyAnomaly: degenerate series yield NULL z, never NaN/Inf") {
