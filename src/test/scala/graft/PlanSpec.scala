@@ -88,6 +88,22 @@ class PlanSpec extends SparkSpec {
       l.contains("EqualTo(label,2)")))
   }
 
+  test("d17: window strings never shuffle (hashes in the scan stage)") {
+    // the span index shuffles (id, pos, h1, h2) fixed-width rows; the
+    // n-token window text must be consumed by xxhash64 inside the scan
+    // stage and appear in NO exchange input
+    val lines = plan("d17_scrub_spans").linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty)
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("w#"), s"exchange shuffles window text: $in")
+    }
+  }
+
   test("e12: both windows and the final agg share ONE user_id exchange") {
     // row_number + count windows and the groupBy all key on user_id —
     // the truncation filter must not cost a second shuffle. Expect

@@ -186,6 +186,26 @@ class DedupSpec extends SparkSpec {
       6L -> "x1 A B"))
   }
 
+  test("scrubRepeatedSpans: huge doc reconstructs linearly and exactly") {
+    // reconstruction is array_except(sequence, removed) — hash-set
+    // membership, O(tokens + removed) — then a gather; this case makes a
+    // 60k-token doc with 10k scattered hot hits cheap and pins exactness:
+    // the hot 3-gram repeats every 6 tokens, surrounded by unique tokens
+    val reps = 10000
+    val big = (0 until reps).map(i => s"u${2 * i} HOT SPAN X u${2 * i + 1}")
+      .mkString(" ")
+    val corpus = Seq((1L, big), (2L, "HOT SPAN X"), (3L, "HOT SPAN X end4 end5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(corpus, "text", "doc_id",
+        n = 3, maxSpanDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // windows touching the unique u-tokens are cold, so exactly the
+    // HOT SPAN X triples vanish; doc 2 is all-hot and drops
+    val expected1 = (0 until reps).map(i => s"u${2 * i} u${2 * i + 1}")
+      .mkString(" ")
+    assert(got == Map(1L -> expected1, 3L -> "end4 end5"))
+  }
+
   test("snapshotDiff: null text classifies by id presence, not hash nulls") {
     // r6 advisor find: md5(NULL) is NULL — presence must come from a
     // per-side marker, and null-text-in-both must compare 'unchanged'
