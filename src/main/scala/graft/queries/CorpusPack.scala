@@ -806,8 +806,120 @@ object CorpusPack {
       .orderBy("shard", "bin_idx"),
     None) // sequential first-fit loop -> rows-only (gates in PackSpec)
 
+  /** DuckDB mirror of [[TextOps.langId]]'s argmax CASE over a relation
+    * exposing a `text` column (the t01 oracle's generator, reusable in
+    * composed pipelines).
+    */
+  private def langCaseSql: String = {
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(list_distinct(list_filter(string_split(text, ' '), " +
+        s"x -> x <> '')), x -> x IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    val scores = TextOps.langMarkers.map { case (l, ms) => l -> hits(ms) }
+    val branches = scores.zipWithIndex.init.map { case ((l, sc), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      s"WHEN ${rest.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  private val p12 = Q(
+    "p12_curation_pipeline",
+    // the whole curation chain as ONE declarative plan — the composition
+    // the single-op queries exist for: boilerplate-injected corpus (plus
+    // exact-replica docs) → span scrub (d17) → lang-ID (t01) + quality
+    // (t02) gates on the CLEAN text → exact dedup keeping the min-id
+    // canonical (d01) → deterministic split assignment (p01). Catalyst
+    // optimizes ACROSS the op boundaries (one scan feeds the scrub index
+    // and the rebuild; the gates run in the rebuild's projection); every
+    // stage's semantics is pinned by its own oracle-checked query, and
+    // this one pins their composition
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val replicas = docs.filter(col("doc_id") % 16 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val src = docs.select(col("doc_id"), col("text"))
+        .unionByName(replicas)
+        .select(col("doc_id"), concat_ws(" ", lit("begin"), col("text"),
+          lit("click here to accept cookies and continue reading"))
+          .as("text"))
+      val clean = Dedup.scrubRepeatedSpans(src, "text", "doc_id",
+        n = 5, maxSpanDf = 10)
+      val scored = clean.select(col("doc_id"), col("text"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenCount(col("text")).as("n_tok"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      val keep = Dedup.exact(scored, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      scored.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("n_tok"),
+          Corpus.splitLabel(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 16 = 1),
+            src AS (
+              SELECT doc_id, concat_ws(' ', 'begin', text,
+                'click here to accept cookies and continue reading') AS text
+              FROM base),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
+            tok AS (SELECT doc_id, unnest(t) AS tokstr,
+                           unnest(range(len(t))) AS p FROM toks),
+            wins AS (SELECT doc_id,
+                       unnest(range(greatest(len(t) - 4, 0))) AS p,
+                       unnest(list_transform(range(greatest(len(t) - 4, 0)),
+                         i -> array_to_string(t[i+1:i+5], ' '))) AS w
+                     FROM toks),
+            hot AS (SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS d
+                                   FROM wins GROUP BY 1) WHERE d > 10),
+            removed AS (SELECT DISTINCT wins.doc_id, wins.p + offs.o AS rp
+                        FROM wins JOIN hot USING (w)
+                        CROSS JOIN (SELECT unnest(range(5)) AS o) offs),
+            kept AS (SELECT tok.doc_id, tok.p, tok.tokstr
+                     FROM tok LEFT JOIN removed
+                       ON tok.doc_id = removed.doc_id AND tok.p = removed.rp
+                     WHERE removed.doc_id IS NULL),
+            clean AS (SELECT doc_id, string_agg(tokstr, ' ' ORDER BY p) AS text
+                      FROM kept GROUP BY doc_id),
+            feat AS (SELECT doc_id, text,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to'))) AS n_stop,
+                length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS n_punct,
+                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS n_upper,
+                length(text) AS n_chars,
+                $langCaseSql AS lang_pred
+              FROM clean),
+            passed AS (SELECT * FROM (
+                SELECT doc_id, text, n_tok,
+                  0.4 * least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+                  + 0.3 * (CAST(n_stop AS DOUBLE)
+                           / greatest(CAST(n_tok AS DOUBLE), 1.0))
+                  + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                                 / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                  + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                                 / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                    AS quality
+                FROM feat WHERE lang_pred = 'en')
+              WHERE quality >= 0.5),
+            keep AS (SELECT MIN(doc_id) AS doc_id FROM passed GROUP BY text)
+            SELECT p.doc_id, p.quality, p.n_tok,
+              CASE WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 32, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                   THEN 'train'
+                   WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 32, 1)
+                     IN ('c','d') THEN 'val'
+                   ELSE 'test' END AS split
+            FROM passed p JOIN keep USING (doc_id)
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17)
 }
