@@ -849,9 +849,16 @@ object CorpusPack {
           TextOps.qualityScore(col("text")).as("quality"),
           TextOps.tokenCount(col("text")).as("n_tok"))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
-      val keep = Dedup.exact(scored, "text", "doc_id")
-        .select(col("keep_id").as("doc_id"))
-      scored.join(keep, Seq("doc_id"))
+      // exact dedup INLINE as a window-min over the content hash (d01's
+      // semantics): joining back to Dedup.exact would re-derive the whole
+      // scrub pipeline a second time (Catalyst has no cross-branch CSE) —
+      // here the one derivation flows through a single narrow exchange of
+      // (hash, id, quality, n_tok) rows
+      val wMin = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      scored.select(col("doc_id"), col("quality"), col("n_tok"),
+          md5(col("text")).as("h"))
+        .withColumn("keep_id", min("doc_id").over(wMin))
+        .filter(col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("quality"), col("n_tok"),
           Corpus.splitLabel(col("doc_id")).as("split"))
         .orderBy("doc_id")
