@@ -236,6 +236,69 @@ object EventPipeline {
         (unix_timestamp(col("session_window.end")) - gapSeconds).as("end_epoch"),
         col("sum_value"))
 
+  /** Per-user recent-history state for [[sequenceStream]]: total events
+    * seen and the newest `maxLen` (micros, event_id, event_type) triples
+    * sorted ascending — a fixed-size ring, never the full history.
+    */
+  final case class SeqState(nEvents: Long, items: List[(Long, Long, String)])
+
+  /** One emitted training sequence (the streaming row shape of
+    * [[graft.ops.Events.userSequences]]).
+    */
+  final case class UserSeq(user_id: Long, n_events: Long, seq: String)
+
+  /** Streaming twin of [[graft.ops.Events.userSequences]]: maintains each
+    * user's newest `maxLen` events and EMITS the serialized sequence when
+    * the user goes idle for `idleSeconds` (event-time timeout) — online
+    * training-example generation: an example becomes final exactly when
+    * the history it serializes provably can't grow (same closure rule as
+    * session emission). Requires `withWatermark` upstream.
+    *
+    * State per user is BOUNDED: `maxLen` fixed-width triples plus a
+    * count — the streaming mirror of the batch operator's
+    * truncate-before-collect argument, and it drops to zero at emit
+    * (state.remove; a returning user starts a fresh sequence, the
+    * streaming analog of one example per idle-delimited episode).
+    * Batch parity on a closed episode is spec-asserted: merge-sort by
+    * (µs, event_id) then keep-newest equals the batch window's
+    * row_number truncation.
+    */
+  def sequenceStream(
+      events: Dataset[Event],
+      maxLen: Int,
+      idleSeconds: Long): Dataset[UserSeq] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, UserSeq](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              UserSeq(userId, s.nEvents, s.items.map(_._3).mkString(",")))
+            state.remove()
+            out.iterator
+          } else {
+            val batch = it.toArray
+            if (batch.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption.getOrElse(SeqState(0L, Nil))
+              val merged = (prev.items ++
+                batch.map(e => (micros(e.ts), e.event_id, e.event_type)))
+                .sortBy(x => (x._1, x._2))
+                .takeRight(maxLen)
+              state.update(SeqState(prev.nEvents + batch.length, merged))
+              state.setTimeoutTimestamp(math.max(
+                merged.last._1 / 1000L + idleSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
     * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when

@@ -181,6 +181,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequenceStream: idle close emits the batch userSequences row") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: six events split across two micro-batches (second batch
+    // arrives out of order); maxLen=4 keeps the newest four
+    val all = Seq(
+      ev(0, 100, 1, "a", 0.0), ev(1, 200, 1, "b", 0.0),
+      ev(2, 300, 1, "c", 0.0))
+    val late = Seq(ev(4, 500, 1, "e", 0.0), ev(3, 400, 1, "d", 0.0),
+      ev(5, 600, 1, "f", 0.0))
+    val src = MemoryStream[Event]
+    val q = EventPipeline.sequenceStream(
+        src.toDS().withWatermark("ts", "10 seconds"),
+        maxLen = 4, idleSeconds = 1000L)
+      .writeStream.format("memory").queryName("seqs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(all: _*)
+      q.processAllAvailable()
+      src.addData(late: _*)
+      q.processAllAvailable()
+      assert(spark.table("seqs").count() == 0) // user still active
+      // another user drives the watermark past 600 + 1000, next trigger fires
+      src.addData(ev(6, 5000, 2, "x", 0.0))
+      q.processAllAvailable()
+      src.addData(ev(7, 5001, 2, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("seqs").as[EventPipeline.UserSeq].collect()
+        .filter(_.user_id == 1L)
+      // batch reference on the same closed episode
+      val batch = graft.ops.Events.userSequences(
+          (all ++ late).toDF(), maxLen = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .filter(_._1 == 1L).head
+      assert(got.map(s => (s.user_id, s.n_events, s.seq)).toSeq ==
+        Seq((batch._1, batch._2, batch._3)))
+      assert(got.head.seq == "c,d,e,f" && got.head.n_events == 6L)
+    } finally q.stop()
+  }
+
   test("sessionize matches the batch operator on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
