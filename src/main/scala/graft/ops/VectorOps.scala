@@ -507,10 +507,17 @@ object VectorOps {
       codebookSize: Int = 32,
       refine: Int = 128,
       broadcastProbes: Boolean = true,
-      residual: Boolean = true): DataFrame = {
-    val c = spread(corpus)
+      residual: Boolean = true,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    val cSrc = spread(corpus)
+    val c = cSrc
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
+    // models (centroids + codebooks) train on the FULL corpus — the
+    // standing shared index; `corpusFilter` (r7, the knnIvf convention)
+    // is a row-local metadata predicate applied before assignment/encode,
+    // so only matching rows are scanned and scored; raise nProbe to hold
+    // recall under selective predicates (RecallSpec)
     val sampleRows = sampleVecs(c, trainSampleSize(nCentroids, codebookSize))
     val dim = sampleRows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -549,8 +556,11 @@ object VectorOps {
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       lloydLocal(pqTrainRows.map(_.slice(j * sub, (j + 1) * sub)),
         codebookSize, TrainIters))
-    val assigned = c.withColumn("list",
-      graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
+    val assigned = cSrc.filter(corpusFilter)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+      .withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
     // encode target: the raw vector, or its residual vs the list centroid
     val encBase =
       if (residual) assigned.withColumn("rq",

@@ -112,6 +112,27 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
   }
 
+  test("s07b: filtered knnIvfPq recall@10 vs the filtered exact baseline (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    // the composed-ladder twin of the s07 gate: same shared full-corpus
+    // models, label predicate filters assignment+encode; candidates are
+    // PQ-scored within the probed lists then exactly re-ranked
+    val emb = Tables.load(spark, dir, "embeddings")
+    val brute = topkSet(SparkEntry.queries("s07_knn_filtered")(spark, dir))
+    val ivfpq = graft.ops.VectorOps.knnIvfPq(emb.filter(col("vec_id") < 8),
+      emb, "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 20,
+      m = 8, codebookSize = 32, refine = 128,
+      corpusFilter = col("label") === 2)
+    val got = topkSet(ivfpq)
+    val validIds = emb.filter(col("label") === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall(p => validIds(p._2)),
+      "filtered IVFPQ returned a corpus id outside the predicate")
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"s07b recall@10 = $recall%.3f (${(brute & got).size}/${brute.size})")
+    assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
+  }
+
   test("s05: knnPq ADC+refine recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val pq = topkSet(SparkEntry.queries("s05_knn_pq")(spark, dir))
