@@ -104,6 +104,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p12: composed pipeline has no cartesian and dedups via ONE window") {
+    val p = plan("p12_curation_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    // the inline exact-dedup: exactly one Window node (the content-hash
+    // min), not a join back to a re-derived pipeline branch
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+  }
+
   test("e12: both windows and the final agg share ONE user_id exchange") {
     // row_number + count windows and the groupBy all key on user_id —
     // the truncation filter must not cost a second shuffle. Expect
