@@ -376,6 +376,24 @@ object Corpus {
       Seq("bucket_rank", "shuffle_key", idCol), "train_pos")
       .select(col(idCol), col("bucket"), col("train_pos"))
 
+  /** Deterministic global training shuffle: a seeded pseudo-random
+    * permutation of the corpus as dense 0-based positions. Epoch ordering
+    * must be (a) uniform — md5 of seed:id is as good as an RNG draw,
+    * (b) reproducible under task retries — no `rand()`, the key is a pure
+    * function of (seed, id), and (c) re-seedable per epoch — a new seed
+    * string is a fresh permutation with no data movement beyond the sort.
+    * Scale shape is [[contiguousIdsBy]]'s: range partition on the hash
+    * key + local counters + broadcast prefix offsets; only (id, 32-byte
+    * key) rows shuffle, never text.
+    */
+  def seededShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    contiguousIdsBy(
+      df.select(col(idCol),
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+          .as("shuffle_key")),
+      Seq("shuffle_key", idCol), "train_pos")
+      .select(col(idCol), col("train_pos"))
+
   /** Per-group unigram-distribution drift between two splits: the
     * total-variation distance `0.5 * Σ_w |P_a(w) - P_b(w)|` between split
     * `a` and split `b` token distributions — the monitor that catches a

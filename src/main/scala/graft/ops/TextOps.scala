@@ -122,6 +122,74 @@ object TextOps {
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  // ---- Gopher-style hard quality rules (Rae et al. 2021, appendix A) ---
+  // Each stat is an integer count combined with ONE double division so the
+  // DuckDB oracle matches bit-for-bit; the pass flag composes threshold
+  // comparisons on those exact doubles. All pure scan-stage projections.
+
+  /** Mean characters per whitespace token (0 tokens → 0 via the guard). */
+  def meanWordLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** (`#` + `...` occurrences) / words — Gopher's symbol-to-word ratio.
+    * `...` counted as non-overlapping regex matches (same leftmost
+    * semantics in Java regex and RE2), `#` by character removal.
+    */
+  def symbolRatio(text: Column): Column =
+    ((length(text) - length(translate(text, "#", ""))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
+      .cast("double") / greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  private def lines(text: Column): Column = split(text, "\n")
+
+  /** Fraction of lines starting with a bullet glyph. `split` yields ≥1
+    * line, so the denominator guard only covers the empty-string doc.
+    */
+  def bulletLineFrac(text: Column): Column =
+    size(filter(lines(text), l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / greatest(size(lines(text)).cast("double"), lit(1.0))
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column =
+    size(filter(lines(text), l => l.endsWith("...")))
+      .cast("double") / greatest(size(lines(text)).cast("double"), lit(1.0))
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFrac(text: Column): Column =
+    size(filter(tokens(text), w => w.rlike("[A-Za-z]")))
+      .cast("double") / greatest(tokenCount(text).cast("double"), lit(1.0))
+
+  /** Gopher's required-stopword list: how many of the 8 appear as tokens. */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def requiredStopwordHits(text: Column): Column = {
+    val toks = tokens(text)
+    RequiredStopwords
+      .map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+  }
+
+  /** The composite keep/drop flag. Word-count bounds and the
+    * required-stopword floor are parameters (the published 50..100k / ≥2
+    * is tuned for English web pages; a caller filtering other corpora
+    * re-tunes); the remaining thresholds are Gopher's.
+    */
+  def gopherPass(text: Column, minWords: Int, maxWords: Int,
+      minStops: Int = 2): Column = {
+    val nw = tokenCount(text)
+    val mwl = meanWordLen(text)
+    nw.geq(minWords) && nw.leq(maxWords) &&
+      mwl.geq(lit(3.0)) && mwl.leq(lit(10.0)) &&
+      symbolRatio(text) < lit(0.1) &&
+      bulletLineFrac(text).leq(lit(0.1)) &&
+      ellipsisLineFrac(text).leq(lit(0.3)) &&
+      alphaWordFrac(text).geq(lit(0.8)) &&
+      requiredStopwordHits(text).geq(lit(minStops))
+  }
+
   /** Composite quality score in [0,1]: integer counts combined with double
     * divisions in a FIXED expression shape (mirrored in the oracle SQL).
     */

@@ -760,6 +760,84 @@ object CorpusPack {
                 '[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS red_md5
             FROM inj ORDER BY doc_id"""))
 
+  private val t14 = Q(
+    "t14_gopher_rules",
+    // Gopher-style hard quality rules (Rae et al. 2021): per-doc stats
+    // plus the composite keep flag, every stat an integer count with one
+    // double division. Word-count bounds adapted to this corpus's short
+    // synthetic docs (10..100k words, stopword floor 1 — the tech-word
+    // vocabulary only ever hits 'the'); the line/symbol rules are
+    // degenerate here (single-line, letters-only docs) and get their
+    // non-trivial coverage from OpsSpec's crafted docs.
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_words"),
+        TextOps.meanWordLen(col("text")).as("mean_word_len"),
+        TextOps.symbolRatio(col("text")).as("symbol_ratio"),
+        TextOps.bulletLineFrac(col("text")).as("bullet_frac"),
+        TextOps.ellipsisLineFrac(col("text")).as("ellipsis_frac"),
+        TextOps.alphaWordFrac(col("text")).as("alpha_frac"),
+        TextOps.requiredStopwordHits(col("text")).as("req_stops"),
+        TextOps.gopherPass(col("text"), 10, 100000, minStops = 1)
+          .as("pass"))
+      .orderBy("doc_id"),
+    Some("""WITH c AS (
+              SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS words,
+                string_split(text, chr(10)) AS ls,
+                (length(text) - length(replace(text, '#', '')))
+                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                CAST(list_sum(list_transform(words, x -> length(x)))
+                     AS DOUBLE)
+                  / greatest(CAST(len(words) AS DOUBLE), 1.0)
+                  AS mean_word_len,
+                CAST(n_sym AS DOUBLE)
+                  / greatest(CAST(len(words) AS DOUBLE), 1.0)
+                  AS symbol_ratio,
+                CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+                      OR starts_with(x, '* ') OR starts_with(x, '• ')))
+                     AS DOUBLE)
+                  / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
+                CAST(len(list_filter(ls, x -> ends_with(x, '...')))
+                     AS DOUBLE)
+                  / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
+                CAST(len(list_filter(words,
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / greatest(CAST(len(words) AS DOUBLE), 1.0) AS alpha_frac,
+                CAST(list_contains(words, 'the') AS INT)
+                + CAST(list_contains(words, 'be') AS INT)
+                + CAST(list_contains(words, 'to') AS INT)
+                + CAST(list_contains(words, 'of') AS INT)
+                + CAST(list_contains(words, 'and') AS INT)
+                + CAST(list_contains(words, 'that') AS INT)
+                + CAST(list_contains(words, 'have') AS INT)
+                + CAST(list_contains(words, 'with') AS INT) AS req_stops
+              FROM c)
+            SELECT *,
+              n_words >= 10 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio < 0.1
+              AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+              AND alpha_frac >= 0.8 AND req_stops >= 1 AS pass
+            FROM s ORDER BY doc_id"""))
+
+  private val p13 = Q(
+    "p13_seeded_shuffle",
+    // deterministic per-epoch training shuffle: md5(seed:id) permutation
+    // with dense positions via the same no-global-window machinery as p07
+    (s, dir) => Corpus.seededShuffle(
+        Tables.load(s, dir, "documents"), "doc_id", "epoch0")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              ROW_NUMBER() OVER (
+                ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+              - 1 AS train_pos
+            FROM documents ORDER BY doc_id"""))
+
   private val p10 = Q(
     "p10_token_budget",
     // the pre-launch planning query: mixture weights (p05's exact
@@ -926,7 +1004,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17)
 }

@@ -56,6 +56,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSet == expect)
   }
 
+  test("seededShuffle: valid permutation, seed-sensitive, retry-stable") {
+    val ids = (0L until 300L).map(_ * 3 + 1).toList
+    val df = ids.toDF("doc_id").repartition(11)
+    def order(seed: String): Seq[Long] =
+      Corpus.seededShuffle(df, "doc_id", seed)
+        .orderBy("train_pos").collect().map(_.getLong(0)).toSeq
+    val e0 = order("epoch0")
+    // dense permutation of exactly the input ids
+    assert(e0.sorted == ids.sorted && e0.distinct.size == ids.size)
+    // not the identity order, and a different seed is a fresh permutation
+    assert(e0 != ids.sorted && order("epoch1") != e0)
+    // pure function of (seed, id): a re-run reproduces byte-identically
+    assert(order("epoch0") == e0)
+    // matches the oracle formulation: sort by md5("seed:id") hex string
+    val expect = ids.sortBy { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch0:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(e0 == expect)
+  }
+
   test("splitDrift: identical unigram distributions give tv 0") {
     val docs = (idsFor("train", 4) ++ idsFor("test", 2))
       .map(id => (id, "x y", "en")).toDF("doc_id", "text", "lang")

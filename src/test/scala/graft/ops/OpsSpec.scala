@@ -60,6 +60,41 @@ class TextOpsSpec extends SparkSpec {
       TextOps.qualityScore(col("text"))).asInstanceOf[Double]
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("gopher rules: each stat trips on its crafted pathological doc") {
+    def stats(t: String) = (
+      one(t, TextOps.meanWordLen(col("text"))).asInstanceOf[Double],
+      one(t, TextOps.symbolRatio(col("text"))).asInstanceOf[Double],
+      one(t, TextOps.bulletLineFrac(col("text"))).asInstanceOf[Double],
+      one(t, TextOps.ellipsisLineFrac(col("text"))).asInstanceOf[Double],
+      one(t, TextOps.alphaWordFrac(col("text"))).asInstanceOf[Double],
+      one(t, TextOps.requiredStopwordHits(col("text"))).asInstanceOf[Int])
+
+    // clean multi-line prose: passes every per-stat threshold
+    val clean = "the cat sat with the dog\nand that was all they have seen"
+    val (mwl, sym, bul, ell, alp, stp) = stats(clean)
+    assert(mwl >= 3.0 && mwl <= 10.0 && sym < 0.1 && bul == 0.0 &&
+      ell == 0.0 && alp == 1.0 && stp >= 2)
+    assert(one(clean, TextOps.gopherPass(col("text"), 5, 100))
+      .asInstanceOf[Boolean])
+
+    // bullet-list boilerplate: 3 of 4 lines bulleted
+    assert(stats("intro line\n- item one\n* item two\n• item three")._3
+      == 0.75)
+    // truncation spam: both lines end in ellipsis ('....' counts one)
+    assert(stats("read more...\nclick here....")._4 == 1.0)
+    // symbol soup: 2 hashes + 1 ellipsis over 3 words
+    assert(stats("## trending now...")._2 == 1.0)
+    // digit table: no word has a letter
+    assert(stats("12 34 56 78")._5 == 0.0)
+    // repeated stopword counts once; the composite then fails on hits<2
+    assert(stats("the the the the")._6 == 1)
+    assert(!one("the the the the", TextOps.gopherPass(col("text"), 1, 100))
+      .asInstanceOf[Boolean])
+    // word-count bounds are caller-tunable
+    assert(!one(clean, TextOps.gopherPass(col("text"), 50, 100))
+      .asInstanceOf[Boolean])
+  }
 }
 
 class DedupSpec extends SparkSpec {
