@@ -239,4 +239,28 @@ object Clusters {
     connectedComponents(pairs, aCol, bCol)
       .select(col("id").as("doc_id"), col("cluster_id"),
         when(col("id") === col("cluster_id"), 1).otherwise(0).as("keep"))
+
+  /** Canonical pick by QUALITY: production near-dup pipelines keep each
+    * cluster's best-scoring member, not its min id (the duplicates of a
+    * good page are often truncated/mangled variants). `scored` maps
+    * `idCol` to a totally-ordered `scoreCol`; ties break to the min id.
+    *
+    * Scale shape: cluster labels join to (id, score) narrow rows, then
+    * ONE hash aggregation computes the per-cluster argmax via
+    * `max(struct(score, -id))` — partial-agg-merge friendly, never a
+    * per-cluster sort or window, so a pathological mega-cluster costs a
+    * two-level merge of fixed-width structs (the d10 lesson applied).
+    */
+  def keepBestPerCluster(pairs: DataFrame, aCol: String, bCol: String,
+      scored: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_id"))
+      .join(scored.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol), negate(col(idCol)).as("nid"))).as("m"))
+      .select(col("cluster_id"),
+        negate(col("m.nid")).as("keep_doc"),
+        col("m." + scoreCol).as("keep_score"),
+        col("n_members"))
 }

@@ -384,6 +384,61 @@ object CorpusPack {
                CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
              FROM comp ORDER BY doc_id"""))
 
+  private val d18 = Q(
+    "d18_cluster_keep_best",
+    // d08's clusters with the production canonical pick: keep each
+    // cluster's highest-QUALITY member (t02's exact score), ties to min
+    // id — one hash-agg argmax, no per-cluster sort/window
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Clusters.keepBestPerCluster(
+          Dedup.nGramJaccard(docs, "text", "doc_id", tauNum = 1, tauDen = 2),
+          "id_a", "id_b",
+          docs.select(col("doc_id"),
+            TextOps.qualityScore(col("text")).as("quality")),
+          "doc_id", "quality")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCte,
+               edges AS (SELECT ia AS u, ib AS v FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                        FROM reach GROUP BY u),
+               qc AS (SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens,
+                 len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','is','in','to')))
+                   AS n_stopwords,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+                 length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                   AS n_upper,
+                 length(text) AS n_chars
+                 FROM documents),
+               scoredq AS (SELECT doc_id,
+                 0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * (CAST(n_stopwords AS DOUBLE)
+                          / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+                 + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                                / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                 + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                                / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                 AS quality
+                 FROM qc),
+               ranked AS (SELECT c.cluster_id, c.doc_id, s.quality,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY s.quality DESC, c.doc_id) AS rn
+                 FROM comp c JOIN scoredq s USING (doc_id))
+             SELECT cluster_id, doc_id AS keep_doc, quality AS keep_score,
+               n_members
+             FROM ranked WHERE rn = 1 ORDER BY cluster_id"""))
+
   private val d11 = Q(
     "d11_cc_incremental",
     // continuous-ingest cluster maintenance: label the "standing corpus"
@@ -1006,5 +1061,5 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13,
-      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17)
+      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -66,4 +66,18 @@ class ClustersSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
       (7L, 7L, 1), (8L, 7L, 0)))
   }
+
+  test("keepBestPerCluster picks max score, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    // cluster {1,2,3}: 2 wins on score; {7,8}: tie -> 7; {10,11}: 11 wins
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9 - 1e-12),
+      (7L, 0.4), (8L, 0.4), (10L, 0.1), (11L, 0.2))
+      .toDF("doc_id", "quality")
+    val got = Clusters.keepBestPerCluster(pairs, "id_a", "id_b",
+        scored, "doc_id", "quality")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0.9, 3L), (7L, 7L, 0.4, 2L),
+      (10L, 11L, 0.2, 2L)))
+  }
 }
