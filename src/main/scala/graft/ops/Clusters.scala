@@ -246,10 +246,11 @@ object Clusters {
     * `idCol` to a totally-ordered `scoreCol`; ties break to the min id.
     *
     * Scale shape: cluster labels join to (id, score) narrow rows, then
-    * ONE hash aggregation computes the per-cluster argmax via
-    * `max(struct(score, -id))` — partial-agg-merge friendly, never a
-    * per-cluster sort or window, so a pathological mega-cluster costs a
-    * two-level merge of fixed-width structs (the d10 lesson applied).
+    * ONE aggregation computes the per-cluster argmax via
+    * `max(struct(score, -id))` (lowered to a two-level SortAggregate:
+    * partial_max below the exchange means each cluster crosses the wire
+    * as one fixed-width row per map partition) — never a per-cluster
+    * sort or window over the members (the d10 lesson applied).
     */
   def keepBestPerCluster(pairs: DataFrame, aCol: String, bCol: String,
       scored: DataFrame, idCol: String, scoreCol: String): DataFrame =

@@ -394,4 +394,29 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1)
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("p13: seeded shuffle inherits p07's no-global-window shape") {
+    val p = plan("p13_seeded_shuffle")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("t14: gopher stats are one scan-stage projection, no shuffle agg") {
+    val p = plan("t14_gopher_rules")
+    // only the final orderBy exchanges; the stats never group or join
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("text") && !read.contains("source"))
+  }
+
+  test("d18: per-cluster argmax is a two-level agg, never a window") {
+    val p = plan("d18_cluster_keep_best")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 0, p)
+    assert(!p.contains("CartesianProduct"))
+    // max(struct) lowers to SortAggregate — fine: what matters for a
+    // mega-cluster is the PARTIAL level below the exchange, so each
+    // cluster crosses the wire as one fixed-width row per map partition
+    assert(p.contains("partial_max"), p)
+  }
 }
