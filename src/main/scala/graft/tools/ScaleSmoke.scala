@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scaling smoke of the FULL dedup tier (d01–d16): generates a
+/** 10× scaling smoke of the FULL dedup tier (d01–d18): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
   * runs every d-tier query from SparkEntry at both, and FAILS if an
@@ -50,7 +50,8 @@ object ScaleSmoke {
   // correctly failed at 57× on a banner-heavy corpus
   private val Candidate = Set("d02_dedup_jaccard", "d03_dedup_minhash",
     "d04_dedup_simhash", "d06_dedup_incremental", "d07_decontaminate",
-    "d08_dedup_clusters", "d11_cc_incremental", "d14_fuzzy_pipeline")
+    "d08_dedup_clusters", "d11_cc_incremental", "d14_fuzzy_pipeline",
+    "d18_cluster_keep_best")
   private val QuadBaseline = Set("d05_dedup_embedding", "d10_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
@@ -69,7 +70,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 17, s"expected 17 d-tier queries, got $dTier")
+    require(dTier.size == 18, s"expected 18 d-tier queries, got $dTier")
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
