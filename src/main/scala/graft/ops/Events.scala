@@ -413,6 +413,31 @@ object Events {
           s => s.getField("event_type"))).as("seq"))
   }
 
+  /** Cadence-based bot screen — the first hygiene pass before event
+    * streams become training data: per user, event count, active span,
+    * mean inter-event gap, and a flag for "many events at machine-tight
+    * cadence". The flag compares exact INTEGERS —
+    * `(n−1)·maxMeanGapSec > span ⇔ mean gap < maxMeanGapSec` — so no
+    * float threshold ever decides a row (oracle bit-stability, and at
+    * 100 TB a re-run classifies identically however partitions move).
+    * Second granularity by the e02 truncation convention. One groupBy
+    * with fixed-width agg state: skew-immune, a million-event bot user
+    * costs its partial aggregates, never a buffer.
+    */
+  def cadenceFlags(events: DataFrame, minEvents: Long,
+      maxMeanGapSec: Long): DataFrame =
+    events
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("sec") - min("sec")).as("span_s"))
+      .withColumn("mean_gap_s",
+        col("span_s").cast("double") /
+          greatest(col("n_events") - 1, lit(1L)).cast("double"))
+      .withColumn("bot",
+        col("n_events") >= minEvents &&
+          col("span_s") < (col("n_events") - 1) * maxMeanGapSec)
+
   def retentionCohorts(events: DataFrame, epochDate: String): DataFrame = {
     val act = events
       .select(col("user_id"), datediff(to_date(col("ts")),

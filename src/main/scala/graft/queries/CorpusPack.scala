@@ -101,6 +101,52 @@ object CorpusPack {
                           JOIN sz sb ON ib = sb.doc_id
                  WHERE c * 2 >= (sa.n + sb.n - c) * 1)"""
 
+  /** Shared per-doc gopher-stat mirror (t14 + t15): `gp` carries doc_id,
+    * source, lang, n_chars, the six stats, req_stops, and the pass flag
+    * at the corpus-adapted thresholds (minWords=10, minStops=1).
+    */
+  private val gopherCte =
+    """gc AS (
+         SELECT doc_id, source, lang, length(text) AS n_chars,
+           list_filter(string_split(text, ' '), x -> x <> '') AS words,
+           string_split(text, chr(10)) AS ls,
+           (length(text) - length(replace(text, '#', '')))
+             + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+         FROM documents),
+       gs AS (
+         SELECT doc_id, source, lang, n_chars,
+           len(words) AS n_words,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+             / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len,
+           CAST(n_sym AS DOUBLE)
+             / greatest(CAST(len(words) AS DOUBLE), 1.0) AS symbol_ratio,
+           CAST(len(list_filter(ls, x -> starts_with(x, '- ')
+                 OR starts_with(x, '* ') OR starts_with(x, '• ')))
+                AS DOUBLE)
+             / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
+           CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS DOUBLE)
+             / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
+           CAST(len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             / greatest(CAST(len(words) AS DOUBLE), 1.0) AS alpha_frac,
+           CAST(list_contains(words, 'the') AS INT)
+           + CAST(list_contains(words, 'be') AS INT)
+           + CAST(list_contains(words, 'to') AS INT)
+           + CAST(list_contains(words, 'of') AS INT)
+           + CAST(list_contains(words, 'and') AS INT)
+           + CAST(list_contains(words, 'that') AS INT)
+           + CAST(list_contains(words, 'have') AS INT)
+           + CAST(list_contains(words, 'with') AS INT) AS req_stops
+         FROM gc),
+       gp AS (
+         SELECT *,
+           n_words >= 10 AND n_words <= 100000
+           AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           AND symbol_ratio < 0.1
+           AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+           AND alpha_frac >= 0.8 AND req_stops >= 1 AS pass
+         FROM gs)"""
+
   private val d06 = Q(
     "d06_dedup_incremental",
     (s, dir) => {
@@ -836,49 +882,44 @@ object CorpusPack {
         TextOps.gopherPass(col("text"), 10, 100000, minStops = 1)
           .as("pass"))
       .orderBy("doc_id"),
-    Some("""WITH c AS (
-              SELECT doc_id,
-                list_filter(string_split(text, ' '), x -> x <> '') AS words,
-                string_split(text, chr(10)) AS ls,
-                (length(text) - length(replace(text, '#', '')))
-                  + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
-              FROM documents),
-            s AS (
-              SELECT doc_id,
-                len(words) AS n_words,
-                CAST(list_sum(list_transform(words, x -> length(x)))
-                     AS DOUBLE)
-                  / greatest(CAST(len(words) AS DOUBLE), 1.0)
-                  AS mean_word_len,
-                CAST(n_sym AS DOUBLE)
-                  / greatest(CAST(len(words) AS DOUBLE), 1.0)
-                  AS symbol_ratio,
-                CAST(len(list_filter(ls, x -> starts_with(x, '- ')
-                      OR starts_with(x, '* ') OR starts_with(x, '• ')))
-                     AS DOUBLE)
-                  / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
-                CAST(len(list_filter(ls, x -> ends_with(x, '...')))
-                     AS DOUBLE)
-                  / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
-                CAST(len(list_filter(words,
-                      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                  / greatest(CAST(len(words) AS DOUBLE), 1.0) AS alpha_frac,
-                CAST(list_contains(words, 'the') AS INT)
-                + CAST(list_contains(words, 'be') AS INT)
-                + CAST(list_contains(words, 'to') AS INT)
-                + CAST(list_contains(words, 'of') AS INT)
-                + CAST(list_contains(words, 'and') AS INT)
-                + CAST(list_contains(words, 'that') AS INT)
-                + CAST(list_contains(words, 'have') AS INT)
-                + CAST(list_contains(words, 'with') AS INT) AS req_stops
-              FROM c)
-            SELECT *,
-              n_words >= 10 AND n_words <= 100000
-              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-              AND symbol_ratio < 0.1
-              AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
-              AND alpha_frac >= 0.8 AND req_stops >= 1 AS pass
-            FROM s ORDER BY doc_id"""))
+    Some(s"""WITH $gopherCte
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+              bullet_frac, ellipsis_frac, alpha_frac, req_stops, pass
+            FROM gp ORDER BY doc_id"""))
+
+  private val t15 = Q(
+    "t15_corpus_card",
+    // per-(source, lang) dataset card: doc/token/char totals and gopher
+    // pass counts as exact integer sums; ratio columns derive from ONE
+    // division of those longs (a sum of per-doc doubles would be
+    // order-sensitive across partitions and break the bit-exact compare)
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("nc"),
+        TextOps.gopherPass(col("text"), 10, 100000, minStops = 1)
+          .cast("long").as("p"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("nc").as("n_chars"),
+        sum("p").as("n_pass"))
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_doc_tokens",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source", "lang"),
+    Some(s"""WITH $gopherCte
+            SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pass,
+              CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS pass_rate,
+              CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS mean_doc_tokens
+            FROM gp GROUP BY source, lang ORDER BY source, lang"""))
 
   private val p13 = Q(
     "p13_seeded_shuffle",
@@ -1059,7 +1100,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -595,6 +595,26 @@ object PipelinePack {
             FROM ranked WHERE rn <= 64
             GROUP BY user_id ORDER BY user_id"""))
 
+  private val e13 = Q(
+    "e13_bot_flags",
+    // cadence-based bot screen ahead of events->training-data use:
+    // thresholds adapted to this corpus (median user: 66 events, mean
+    // gap ~32000 s) so the flag actually splits the population
+    (s, dir) => Events.cadenceFlags(Tables.load(s, dir, "events"),
+        minEvents = 67, maxMeanGapSec = 31000L)
+      .orderBy("user_id"),
+    Some("""WITH ev AS (SELECT user_id,
+                CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+              FROM events),
+            g AS (SELECT user_id, COUNT(*) AS n_events,
+                MAX(sec) - MIN(sec) AS span_s
+              FROM ev GROUP BY user_id)
+            SELECT user_id, n_events, span_s,
+              CAST(span_s AS DOUBLE)
+                / CAST(greatest(n_events - 1, 1) AS DOUBLE) AS mean_gap_s,
+              n_events >= 67 AND span_s < (n_events - 1) * 31000 AS bot
+            FROM g ORDER BY user_id"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -620,5 +640,5 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06, s07, s08,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, m01, m02)
+    e12, e13, m01, m02)
 }

@@ -352,6 +352,23 @@ class EventsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, "t6,t7,t8,t9"), (2L, 1L, "solo")))
   }
 
+  test("cadenceFlags: exact-integer flag, single-event span 0, gap guard") {
+    val ev = ((0 until 40).map(i => (i.toLong, ts(i.toLong), 1L, "c", 0.0)) ++
+      (0 until 40).map(i => (100L + i, ts(i * 3600L), 2L, "c", 0.0)) :+
+      ((999L, ts(7L), 3L, "c", 0.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.cadenceFlags(ev, minEvents = 30, maxMeanGapSec = 2L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("span_s"),
+          r.getAs[Double]("mean_gap_s"), r.getAs[Boolean]("bot")))).toMap
+    // user 1: 40 events over 39 s -> mean gap 1 s -> bot
+    assert(got(1L) == ((40L, 39L, 1.0, true)))
+    // user 2: same count, hourly cadence -> human
+    assert(got(2L) == ((40L, 39L * 3600L, 3600.0, false)))
+    // user 3: one event -> span 0, gap guard divides by 1, under minEvents
+    assert(got(3L) == ((1L, 0L, 0.0, false)))
+  }
+
   test("hourlyAnomaly: degenerate series yield NULL z, never NaN/Inf") {
     // r6 advisor find: c=1 (single hour) divides by zero; a constant
     // series has zero variance — both must emit NULL, not NaN/Inf whose
