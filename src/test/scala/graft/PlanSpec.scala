@@ -410,6 +410,18 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("text") && !read.contains("source"))
   }
 
+  test("t15/e13: card and cadence rollups are one partial-agg shuffle") {
+    for (q <- Seq("t15_corpus_card", "e13_bot_flags")) {
+      val p = plan(q)
+      // map-side partial aggregation, exactly one hash exchange (the
+      // groupBy; the sort is range, the read preamble round-robin),
+      // no join, no window
+      assert(p.contains("partial_"), q)
+      assert("hashpartitioning\\(".r.findAllIn(p).size == 1, s"$q:\n$p")
+      assert(!p.contains("Join") && !p.contains(") Window"), q)
+    }
+  }
+
   test("d18: per-cluster argmax is a two-level agg, never a window") {
     val p = plan("d18_cluster_keep_best")
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 0, p)
