@@ -47,6 +47,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cadenceFlags runs unchanged as an Update-mode streaming agg") {
+    // the batch operator is algebraic (count/min/max are commutative
+    // monoids), so Spark's native incremental aggregation IS its
+    // streaming twin — no custom state machine. Feed the same events in
+    // two batches; the final Update rows must equal the batch result.
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val all = (0 until 40).map(i => ev(i, i, 1, "c", 0.0)) ++
+      (0 until 40).map(i => ev(100 + i, i * 3600L, 2, "c", 0.0))
+    val q = graft.ops.Events.cadenceFlags(src.toDF(),
+        minEvents = 30, maxMeanGapSec = 2L)
+      .writeStream.format("memory").queryName("cadence")
+      .outputMode(OutputMode.Update).start()
+    try {
+      src.addData(all.take(25): _*)
+      q.processAllAvailable()
+      src.addData(all.drop(25): _*)
+      q.processAllAvailable()
+      val stream = spark.table("cadence").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4)))
+        .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+      val batch = graft.ops.Events.cadenceFlags(
+          all.toDF(), minEvents = 30, maxMeanGapSec = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      assert(stream == batch)
+      assert(batch.exists(r => r._1 == 1L && r._5) &&
+        batch.exists(r => r._1 == 2L && !r._5))
+    } finally q.stop()
+  }
+
   test("sessionize: emits a session when the gap is exceeded across batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
