@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -138,6 +138,44 @@ object VectorOps {
       if (n == 0.0) v else v.map(_ / n)
     }
 
+  /** A trained IVF index model: the normalized list centroids. At 100 TB
+    * index BUILD is its own job — train once over the standing corpus,
+    * persist, and let every query/batch job reload instead of re-sampling
+    * and re-running Lloyd's per call ([[knnIvf]]'s `model` parameter).
+    * Stored as plain parquet (list_id, centroid) — no custom format, any
+    * engine can read it, and saving N×dim doubles is trivially cheap next
+    * to the corpus scan it saves.
+    */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def save(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  object IvfModel {
+    def load(spark: SparkSession, path: String): IvfModel =
+      IvfModel(spark.read.parquet(path)
+        .orderBy("list_id")
+        .collect()
+        .map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Train an [[IvfModel]] exactly as [[knnIvf]] would inline: bounded
+    * deterministic sample → driver Lloyd's → L2 normalization.
+    */
+  def trainIvfModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 32): IvfModel = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+    IvfModel(normalized(lloydLocal(
+      sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters)))
+  }
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this
@@ -266,15 +304,18 @@ object VectorOps {
       nCentroids: Int = 32,
       nProbe: Int = 8,
       broadcastProbes: Boolean = true,
-      corpusFilter: Column = lit(true)): DataFrame = {
+      corpusFilter: Column = lit(true),
+      model: Option[IvfModel] = None): DataFrame = {
     val cSrc = spread(corpus)
     val c = cSrc
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
     // the index (centroids) is trained on the FULL corpus — the standing
-    // shared structure a per-query metadata predicate must not rebuild
-    val mat = normalized(lloydLocal(
-      sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters))
+    // shared structure a per-query metadata predicate must not rebuild —
+    // or supplied pre-trained (`model`): at scale index build is its own
+    // job and every query run reloads via IvfModel.load
+    val mat = model.map(_.centroids).getOrElse(normalized(lloydLocal(
+      sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters)))
     // filtered search (`corpusFilter`, r7): the predicate is row-local
     // metadata, so filter-then-assign ≡ assign-then-filter — applying it
     // BEFORE assignment pushes it into the corpus scan (PlanSpec-asserted

@@ -88,6 +88,26 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
   }
 
+  test("IvfModel: parquet roundtrip; a pre-trained model equals inline") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = graft.ops.VectorOps.trainIvfModel(emb, "vec_id", "embedding",
+      nCentroids = 32)
+    val path = java.nio.file.Files.createTempDirectory("ivfm").toString + "/m"
+    m.save(spark, path)
+    val loaded = graft.ops.VectorOps.IvfModel.load(spark, path)
+    // byte-exact roundtrip: doubles survive parquet untouched
+    assert(loaded.centroids.length == m.centroids.length)
+    assert(loaded.centroids.zip(m.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    // an index-build-job model reproduces the inline-trained rows exactly
+    def run(mm: Option[graft.ops.VectorOps.IvfModel]) =
+      topkSet(graft.ops.VectorOps.knnIvf(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 8,
+        model = mm))
+    assert(run(Some(loaded)) == run(None))
+  }
+
   test("s07: filtered knnIvf recall@10 vs the filtered exact baseline (sf0.01)") {
     import org.apache.spark.sql.functions.col
     // shared full-corpus index, label predicate filters the list scan;
