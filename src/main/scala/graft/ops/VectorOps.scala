@@ -176,6 +176,100 @@ object VectorOps {
       sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters)))
   }
 
+  /** A trained IVFPQ index model: the UN-normalized Lloyd list centroids
+    * (assignment normalizes, residuals subtract the data-scale mean —
+    * see [[knnIvfPq]]) plus the `m` shared sub-space codebooks. Same
+    * build-once/query-many role as [[IvfModel]]; persists as two plain
+    * parquet tables under one root.
+    */
+  final case class IvfPqModel(
+      rawCentroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]) {
+    def save(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      rawCentroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cw, ci) => (j, ci, cw.toSeq) }
+      }.toSeq
+        .toDF("subspace", "code_id", "codeword")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+  }
+
+  object IvfPqModel {
+    def load(spark: SparkSession, path: String): IvfPqModel = {
+      val cents = spark.read.parquet(s"$path/centroids")
+        .orderBy("list_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val cbs = spark.read.parquet(s"$path/codebooks")
+        .orderBy("subspace", "code_id").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2)).toArray
+      IvfPqModel(cents, cbs)
+    }
+  }
+
+  /** The [[knnIvfPq]] training step as a standalone index-build job. */
+  def trainIvfPqModel(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 32, m: Int = 8, codebookSize: Int = 32,
+      residual: Boolean = true): IvfPqModel = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+    trainIvfPqFrom(c, nCentroids, m, codebookSize, residual)
+  }
+
+  /** Shared trainer behind [[knnIvfPq]] and [[trainIvfPqModel]]; `c` is
+    * the internal (corpus_id, cq) projection.
+    */
+  private def trainIvfPqFrom(
+      c: DataFrame, nCentroids: Int, m: Int, codebookSize: Int,
+      residual: Boolean): IvfPqModel = {
+    val sampleRows = sampleVecs(c, trainSampleSize(nCentroids, codebookSize))
+    val dim = sampleRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // IVF centroids: k-means-trained. Assignment uses the NORMALIZED
+    // matrix (L2-argmin over unit centroids = cosine-argmax, knnIvf);
+    // residuals subtract the UN-normalized Lloyd mean — the centroid at
+    // the DATA's scale. (Subtracting the unit-normalized centroid would
+    // be a no-op: quantized vectors have ~1000× its magnitude, so
+    // v − ĉ ≈ v and the "residual" codebooks would just re-learn the raw
+    // ones — measured: bit-identical recall.)
+    val rawCents: Array[Array[Double]] =
+      lloydLocal(sampleRows, nCentroids, TrainIters)
+    val ivfMat: Array[Array[Double]] = normalized(rawCents)
+    // codebook training input: raw subvectors, or residuals vs the
+    // trained means — assignment replicated with the same
+    // lowest-index-tie semantics as the NearestCentroid expression
+    val pqTrainRows: Array[Array[Double]] =
+      if (!residual) sampleRows
+      else sampleRows.map { v =>
+        var best = 0; var bestScore = Double.PositiveInfinity
+        var ci = 0
+        while (ci < ivfMat.length) {
+          val cv = ivfMat(ci)
+          var dotpc = 0.0; var n2c = 0.0; var i = 0
+          while (i < cv.length) {
+            dotpc += v(i) * cv(i); n2c += cv(i) * cv(i); i += 1
+          }
+          val score = n2c - 2.0 * dotpc
+          if (score < bestScore) { bestScore = score; best = ci }
+          ci += 1
+        }
+        val cv = rawCents(best)
+        Array.tabulate(v.length)(i => v(i) - cv(i))
+      }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      lloydLocal(pqTrainRows.map(_.slice(j * sub, (j + 1) * sub)),
+        codebookSize, TrainIters))
+    IvfPqModel(rawCents, codebooks)
+  }
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this
@@ -549,7 +643,8 @@ object VectorOps {
       refine: Int = 128,
       broadcastProbes: Boolean = true,
       residual: Boolean = true,
-      corpusFilter: Column = lit(true)): DataFrame = {
+      corpusFilter: Column = lit(true),
+      model: Option[IvfPqModel] = None): DataFrame = {
     val cSrc = spread(corpus)
     val c = cSrc
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
@@ -559,44 +654,10 @@ object VectorOps {
     // is a row-local metadata predicate applied before assignment/encode,
     // so only matching rows are scanned and scored; raise nProbe to hold
     // recall under selective predicates (RecallSpec)
-    val sampleRows = sampleVecs(c, trainSampleSize(nCentroids, codebookSize))
-    val dim = sampleRows.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    // IVF centroids: k-means-trained. Assignment uses the NORMALIZED
-    // matrix (L2-argmin over unit centroids = cosine-argmax, knnIvf);
-    // residuals subtract the UN-normalized Lloyd mean — the centroid at
-    // the DATA's scale. (Subtracting the unit-normalized centroid would
-    // be a no-op: quantized vectors have ~1000× its magnitude, so
-    // v − ĉ ≈ v and the "residual" codebooks would just re-learn the raw
-    // ones — measured: bit-identical recall.)
-    val rawCents: Array[Array[Double]] =
-      lloydLocal(sampleRows, nCentroids, TrainIters)
+    val IvfPqModel(rawCents, codebooks) = model.getOrElse(
+      trainIvfPqFrom(c, nCentroids, m, codebookSize, residual))
+    val sub = rawCents.head.length / m
     val ivfMat: Array[Array[Double]] = normalized(rawCents)
-    // codebook training input: raw subvectors, or residuals vs the
-    // trained means — assignment replicated with the same
-    // lowest-index-tie semantics as the NearestCentroid expression
-    val pqTrainRows: Array[Array[Double]] =
-      if (!residual) sampleRows
-      else sampleRows.map { v =>
-        var best = 0; var bestScore = Double.PositiveInfinity
-        var ci = 0
-        while (ci < ivfMat.length) {
-          val cv = ivfMat(ci)
-          var dotpc = 0.0; var n2c = 0.0; var i = 0
-          while (i < cv.length) {
-            dotpc += v(i) * cv(i); n2c += cv(i) * cv(i); i += 1
-          }
-          val score = n2c - 2.0 * dotpc
-          if (score < bestScore) { bestScore = score; best = ci }
-          ci += 1
-        }
-        val cv = rawCents(best)
-        Array.tabulate(v.length)(i => v(i) - cv(i))
-      }
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
-      lloydLocal(pqTrainRows.map(_.slice(j * sub, (j + 1) * sub)),
-        codebookSize, TrainIters))
     val assigned = cSrc.filter(corpusFilter)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))

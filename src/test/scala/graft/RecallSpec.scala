@@ -108,6 +108,26 @@ class RecallSpec extends SparkSpec {
     assert(run(Some(loaded)) == run(None))
   }
 
+  test("IvfPqModel: parquet roundtrip; a pre-trained model equals inline") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = graft.ops.VectorOps.trainIvfPqModel(emb, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpqm").toString + "/m"
+    m.save(spark, path)
+    val loaded = graft.ops.VectorOps.IvfPqModel.load(spark, path)
+    assert(loaded.rawCentroids.zip(m.rawCentroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.codebooks.length == m.codebooks.length)
+    assert(loaded.codebooks.zip(m.codebooks).forall { case (a, b) =>
+      a.length == b.length &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    })
+    def run(mm: Option[graft.ops.VectorOps.IvfPqModel]) =
+      topkSet(graft.ops.VectorOps.knnIvfPq(emb.filter(col("vec_id") < 8),
+        emb, "vec_id", "embedding", k = 10, model = mm))
+    assert(run(Some(loaded)) == run(None))
+  }
+
   test("s07: filtered knnIvf recall@10 vs the filtered exact baseline (sf0.01)") {
     import org.apache.spark.sql.functions.col
     // shared full-corpus index, label predicate filters the list scan;
