@@ -376,6 +376,64 @@ object Corpus {
       Seq("bucket_rank", "shuffle_key", idCol), "train_pos")
       .select(col(idCol), col("bucket"), col("train_pos"))
 
+  /** Exclusive prefix sum of `weightCol` in the lexicographic order of
+    * `orderCols`: row i gets the sum of all earlier rows' weights.
+    * [[contiguousIdsBy]] generalized from counts to weights, same scale
+    * shape — range partition on the order key, partition-local running
+    * sums, per-partition TOTALS prefix-summed (numPartitions rows, the
+    * only window) and broadcast back.
+    */
+  def prefixSumBy(
+      df: DataFrame, orderCols: Seq[String], weightCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val keys = orderCols.map(col)
+    val wi = df.schema.fieldIndex(weightCol)
+    val ranged = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val enc = org.apache.spark.sql.Encoders.row(
+      df.schema.add("__pid", IntegerType).add("__lsum", LongType))
+    val local = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r =>
+        val before = acc
+        acc += r.getLong(wi)
+        Row.fromSeq(r.toSeq :+ pid :+ before)
+      }
+    }(enc).localCheckpoint()
+    val totals = local.groupBy("__pid")
+      .agg(sum(col(weightCol)).as("tot"))
+    val w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum("tot").over(w), lit(0L)))
+    local.join(broadcast(offsets.select("__pid", "__off")), "__pid")
+      .withColumn(out, col("__off") + col("__lsum"))
+      .drop("__pid", "__lsum", "__off")
+  }
+
+  /** Token-budgeted output sharding — the last step before a training
+    * corpus is written: documents fill shard 0 in `orderCols` order until
+    * `budget` tokens, then shard 1, and so on. `shard = exclusive-prefix
+    * -tokens / budget` (integer division), so shard boundaries are a pure
+    * function of the ordered weights: deterministic, resumable, and each
+    * shard holds ≥1 doc however large one document is (an over-budget doc
+    * overflows its own shard rather than splitting — splitting is p02's
+    * concat-and-chunk job). Composes with [[seededShuffle]] /
+    * [[curriculumOrder]]: feed their materialized order as `orderCols`.
+    */
+  def budgetShards(
+      df: DataFrame, orderCols: Seq[String], weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    prefixSumBy(df, orderCols, weightCol, "__pre")
+      .withColumn("shard_id", expr(s"__pre DIV $budget"))
+      .drop("__pre")
+  }
+
   /** Deterministic global training shuffle: a seeded pseudo-random
     * permutation of the corpus as dense 0-based positions. Epoch ordering
     * must be (a) uniform — md5 of seed:id is as good as an RNG draw,

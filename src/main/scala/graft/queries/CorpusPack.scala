@@ -934,6 +934,38 @@ object CorpusPack {
               - 1 AS train_pos
             FROM documents ORDER BY doc_id"""))
 
+  private val p14 = Q(
+    "p14_shard_budget",
+    // token-budgeted output sharding in the seeded-shuffle order (p13's
+    // key): the materialized write plan for a training corpus — each
+    // shard fills to ~2000 tokens, boundaries a pure function of the
+    // ordered weights via the distributed exclusive prefix sum
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(concat_ws(":", lit("epoch0"), col("doc_id").cast("string")))
+            .as("sk"))
+      Corpus.budgetShards(docs, Seq("sk", "doc_id"), "n_tok", 2000L)
+        .select("doc_id", "n_tok", "shard_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok,
+                md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tok,
+                COALESCE(SUM(n_tok) OVER (ORDER BY sk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS pre
+              FROM w)
+            SELECT doc_id, n_tok,
+              CAST(pre // 2000 AS BIGINT) AS shard_id
+            FROM p ORDER BY doc_id"""))
+
   private val p10 = Q(
     "p10_token_budget",
     // the pre-launch planning query: mixture weights (p05's exact
@@ -1101,6 +1133,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18)
 }

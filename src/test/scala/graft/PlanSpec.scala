@@ -401,6 +401,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("p14: shard assignment's only window runs over partition TOTALS") {
+    val p = plan("p14_shard_budget")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("t14: gopher stats are one scan-stage projection, no shuffle agg") {
     val p = plan("t14_gopher_rules")
     // only the final orderBy exchanges; the stats never group or join

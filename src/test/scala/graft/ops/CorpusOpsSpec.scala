@@ -56,6 +56,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSet == expect)
   }
 
+  test("prefixSumBy/budgetShards: exact boundaries across partitions") {
+    val rows = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 25L), (5L, 3L))
+      .toDF("doc_id", "n_tok").repartition(7)
+    val pre = Corpus.prefixSumBy(rows, Seq("doc_id"), "n_tok", "pre")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pre"))
+      .toMap
+    assert(pre == Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 4L -> 15L, 5L -> 40L))
+    val shards = Corpus.budgetShards(rows, Seq("doc_id"), "n_tok", 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("shard_id")).toMap
+    // docs fill shards in order; doc 4 (25 tokens) overflows its own
+    // shard (never splits) and doc 5 lands past it
+    assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 4L))
+  }
+
   test("seededShuffle: valid permutation, seed-sensitive, retry-stable") {
     val ids = (0L until 300L).map(_ * 3 + 1).toList
     val df = ids.toDF("doc_id").repartition(11)
