@@ -56,6 +56,46 @@ object Packing {
         max("id").as("last_doc"))
   }
 
+  /** Attention-mask boundary table for [[chunkPack]]'s token stream: one
+    * row per (document, sequence) INTERSECTION — which slice of each
+    * packed sequence belongs to which document. Packed pretraining needs
+    * exactly this to reset attention/loss at document boundaries; the
+    * summary rows [[chunkPack]] emits can't reconstruct it once a
+    * document straddles sequences.
+    *
+    * Arithmetic: with `pre`/`cum` the exclusive/inclusive cumulative
+    * token counts in the shard stream, a document covers sequences
+    * `pre DIV budget .. (cum−1) DIV budget`; its slice of sequence c is
+    * `[max(pre, c·budget), min(cum, (c+1)·budget))` rebased to the
+    * sequence. One window cumsum (per-shard, same as chunkPack) + an
+    * `explode(sequence(...))` whose fan-out is 1 + spanned-boundary
+    * count — output rows ≈ docs + sequences, never docs × sequences.
+    * Empty documents carry no tokens and emit no mask row.
+    */
+  def chunkBoundaries(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      shardDocs: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"id DIV $shardDocs"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pre", col("cum") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("shard"), col("id").as("doc_id"), col("pre"), col("cum"),
+        explode(sequence(expr(s"pre DIV $budget"),
+          expr(s"(cum - 1) DIV $budget"))).as("seq_idx"))
+      .select(col("shard"), col("seq_idx"), col("doc_id"),
+        (greatest(col("pre"), col("seq_idx") * budget) -
+          col("seq_idx") * budget).as("start"),
+        (least(col("cum"), (col("seq_idx") + 1) * budget) -
+          greatest(col("pre"), col("seq_idx") * budget)).as("len"))
+  }
+
   /** Per-document bin assignment of first-fit-decreasing packing within
     * each shard: (shard, bin_idx, id, n_tok). Placement order is tokens
     * descending then id ascending; each document goes to the lowest-index

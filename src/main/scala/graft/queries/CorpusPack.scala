@@ -934,6 +934,36 @@ object CorpusPack {
               - 1 AS train_pos
             FROM documents ORDER BY doc_id"""))
 
+  private val p15 = Q(
+    "p15_pack_boundaries",
+    // the attention/loss-mask table for p02's packed stream: which slice
+    // of each fixed-256-token sequence belongs to which document (a
+    // straddling doc emits one row per spanned sequence)
+    (s, dir) => Packing.chunkBoundaries(Tables.load(s, dir, "documents"),
+        "doc_id", "text", budget = 256, shardDocs = 100)
+      .orderBy("doc_id", "seq_idx"),
+    Some("""WITH t AS (SELECT doc_id,
+                doc_id // 100 AS shard,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            c AS (SELECT *,
+                SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+            b AS (SELECT doc_id, shard, CAST(cum AS BIGINT) AS cum,
+                CAST(cum - n_tok AS BIGINT) AS pre
+              FROM c WHERE n_tok > 0),
+            e AS (SELECT doc_id, shard, pre, cum,
+                unnest(generate_series(pre // 256, (cum - 1) // 256))
+                  AS seq_idx
+              FROM b)
+            SELECT shard, seq_idx, doc_id,
+              greatest(pre, seq_idx * 256) - seq_idx * 256 AS start,
+              least(cum, (seq_idx + 1) * 256)
+                - greatest(pre, seq_idx * 256) AS len
+            FROM e ORDER BY doc_id, seq_idx"""))
+
   private val p14 = Q(
     "p14_shard_budget",
     // token-budgeted output sharding in the seeded-shuffle order (p13's
@@ -1133,6 +1163,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -69,6 +69,30 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("chunkBoundaries: mask segments tile each sequence exactly") {
+    val out = Packing.chunkBoundaries(docs, "doc_id", "text", budget, shard)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_idx"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("len")))
+    // every document's segments sum to its token count
+    val perDoc = out.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    (0L until 50L).foreach(i => assert(perDoc(i) == (i % 7) + 1))
+    assert(perDoc(50L) == 30L)
+    // segments within a (shard, seq) tile it: starts/lens are disjoint,
+    // contiguous from 0, and only the stream's last seq may end short
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4)
+        case _ => ()
+      }
+      assert(sorted.map(_._5).sum <= budget)
+    }
+    // an oversized doc (30 tokens > budget 20) spans >= 2 sequences
+    assert(out.count(_._3 == 50L) >= 2)
+  }
+
   test("splitLabel is a deterministic pure function of the id") {
     val s1 = Corpus.splitSummary(docs, "doc_id", "text")
       .orderBy("split").collect().toSeq
