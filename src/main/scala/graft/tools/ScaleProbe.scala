@@ -46,7 +46,15 @@ object ScaleProbe {
     def timed(f: => Long): (Long, Double) = {
       val t0 = System.nanoTime()
       val out = f
-      (out, (System.nanoTime() - t0) / 1e9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // probes that localCheckpoint (CC loops, the two 50M prefix cases)
+      // leave pinned blocks behind; nothing references them once the
+      // case's action completes, and two 50M checkpoints resident at once
+      // starve execution memory in the 8g probe heap (r7 OOM) — drop
+      // eagerly, outside the timed region (the Bench convention)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (out, dt)
     }
 
     // --- connected components: supercritical random graph ---------------
@@ -186,6 +194,35 @@ object ScaleProbe {
     }
     require(ridChecksum == idN * (idN - 1) / 2, s"rank sum $ridChecksum")
 
+    // --- weighted prefix sum / budget shards at 50M rows ----------------
+    // prefixSumBy is contiguousIds' machinery generalized to weights; the
+    // structural risk is identical (a one-task global window would hide
+    // here too). Weight w_i = (i mod 7) + 1 over ids in natural order
+    // gives closed-form expectations: total weight, the last doc's
+    // exclusive prefix (= total − w_last) fixing the max shard, and
+    // shard density (distinct == max + 1, no skipped shard ids).
+    val wTotal = {
+      val full = idN / 7; val rem = (idN % 7).toInt
+      28L * full + (1 to rem).sum
+    }
+    val wLast = (idN - 1) % 7 + 1
+    val shardBudget = 1000000L
+    val (shardTotal, preSec) = timed {
+      val weighted = spark.range(idN)
+        .select(col("id").as("doc_id"), ((col("id") % 7) + 1).as("w"))
+        .repartition(64)
+      val sharded = Corpus.budgetShards(weighted, Seq("doc_id"), "w",
+        shardBudget)
+      val row = sharded.agg(sum("w"), max("shard_id"),
+        count_distinct(col("shard_id"))).collect().head
+      require(row.getLong(1) + 1 == row.getLong(2),
+        s"shards not dense: max ${row.getLong(1)}, distinct ${row.getLong(2)}")
+      require(row.getLong(1) == (wTotal - wLast) / shardBudget,
+        s"max shard ${row.getLong(1)} vs ${(wTotal - wLast) / shardBudget}")
+      row.getLong(0)
+    }
+    require(shardTotal == wTotal, s"total weight $shardTotal vs $wTotal")
+
     // --- n-gram overlap: 1M x 100k docs, planted leaks ------------------
     // every doc is a distinct 8-token window over a shared id-derived
     // token stream EXCEPT 1/64 of the batch, which replays a corpus doc's
@@ -239,7 +276,7 @@ object ScaleProbe {
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
-      s""""asof_sec":$asofSec,"rid_sec":$ridSec,""" +
+      s""""asof_sec":$asofSec,"rid_sec":$ridSec,"prefix_sec":$preSec,""" +
       s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
       s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
       s""""pq_sec":$pqSec,"batch_ann_rows":$batchRows,""" +
