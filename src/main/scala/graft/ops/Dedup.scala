@@ -478,11 +478,41 @@ object Dedup {
       textCol: String,
       idCol: String,
       numHashes: Int): DataFrame =
-    graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("grams"))
+    minHashSignaturesRaw(graft.Tables.spreadIfNarrow(df),
+      textCol, idCol, numHashes)
+
+  /** [[minHashSignatures]] without the narrow-source spread: the variant
+    * STREAMING callers need (`spreadIfNarrow` inspects source partitions,
+    * which a streaming relation doesn't expose; micro-batches arrive
+    * pre-parallelized anyway). Identical signatures.
+    */
+  def minHashSignaturesRaw(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("id"), graft.functions.HashExpressions
         .minHashSig(col("grams"), minHashParams(numHashes)).as("sig"))
+
+  /** The banding step shared by [[minHashLsh]] and the streaming twin
+    * (graft.streaming.CorpusStream.lshCandidateStream): (id, band,
+    * bucket) keys, band j's bucket = xxhash64 over the signature slice
+    * [j·r, (j+1)·r). Rows carry ONLY the id and the two band-key ints.
+    */
+  def bandKeys(
+      withSig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(lit(j),
+          concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)))
+          .as("bucket"))
+    }
+    withSig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
 
   /** MinHash + LSH banding candidate pairs, verified by true Jaccard.
     *
@@ -514,15 +544,7 @@ object Dedup {
     // bands are statically unrolled so slice offsets are literals. Banded
     // rows carry ONLY (id, band, bucket) — the gram sets are re-joined for
     // verification, so the banding shuffle stays narrow.
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64(lit(j),
-          concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)))
-          .as("bucket"))
-    }
-    val bandedAll = withSig.select(col("id"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandedAll = bandKeys(withSig, bands, rowsPerBand)
     val coldBuckets = bandedAll.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)

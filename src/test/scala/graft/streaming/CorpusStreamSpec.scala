@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.ops.Dedup
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark makes big data small again today"),
+    (2L, "spark makes big data small again today"),    // exact dup of 1
+    (3L, "spark makes big data small again tomorrow"), // near dup
+    (4L, "completely different words entirely here now"),
+    (5L, "spark makes big data small again today"),    // late exact dup
+    (6L, "other unrelated content stream arrives later"))
+
+  test("lshCandidateStream: connectivity covers batch LSH, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusStream.lshCandidateStream(
+        src.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        bands = 32, rowsPerBand = 4)
+      .writeStream.format("memory").queryName("lsh_hits")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+      val hits = spark.table("lsh_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // no self links; only input ids
+      assert(hits.forall { case (a, b) => a != b })
+      val allIds = docs.map(_._1).toSet
+      assert(hits.forall { case (a, b) =>
+        allIds.contains(a) && allIds.contains(b) })
+
+      // union-find over the streamed anchor links
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      hits.foreach { case (a, b) => parent(find(a)) = find(b) }
+
+      // every pair the BATCH operator verifies must be stream-connected —
+      // same signatures (shared projection), so same bucket collisions
+      val batchPairs = Dedup.minHashLsh(docs.toDF("doc_id", "text"),
+          "text", "doc_id", 32, 4, 1, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(batchPairs.nonEmpty)
+      batchPairs.foreach { case (a, b) =>
+        assert(find(a) == find(b), s"batch pair ($a,$b) not connected")
+      }
+      // the CROSS-batch exact dup (5 arrived a batch after 1/2):
+      // identical text -> identical signature -> all bands collide
+      assert(find(5L) == find(1L))
+      // fully distinct docs stay un-linked to the dup cluster
+      assert(find(4L) != find(1L))
+    } finally q.stop()
+  }
+}
