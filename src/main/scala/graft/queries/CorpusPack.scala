@@ -934,6 +934,27 @@ object CorpusPack {
               - 1 AS train_pos
             FROM documents ORDER BY doc_id"""))
 
+  private val p16 = Q(
+    "p16_uniform_sample",
+    // exactly-k uniform eval-set draw: the k smallest md5(seed:id) keys —
+    // a seeded reservoir without an RNG (deterministic, retry-stable,
+    // disjoint draws by seed). limit-after-orderBy plans as
+    // TakeOrderedAndProject: per-partition bounded heaps, never a global
+    // sort (PlanSpec-asserted, the q30 shape)
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(":", lit("eval0"), col("doc_id").cast("string")))
+          .as("draw_key"))
+      .orderBy("draw_key", "doc_id")
+      .limit(64)
+      .orderBy("doc_id"),
+    Some("""SELECT * FROM (
+              SELECT doc_id, source,
+                md5('eval0:' || CAST(doc_id AS VARCHAR)) AS draw_key
+              FROM documents
+              ORDER BY draw_key, doc_id LIMIT 64)
+            ORDER BY doc_id"""))
+
   private val p15 = Q(
     "p15_pack_boundaries",
     // the attention/loss-mask table for p02's packed stream: which slice
@@ -1163,6 +1184,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18)
 }

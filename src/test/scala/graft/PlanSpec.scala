@@ -407,6 +407,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("p16: uniform draw is TakeOrdered heaps, never a global sort") {
+    val p = plan("p16_uniform_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("t14: gopher stats are one scan-stage projection, no shuffle agg") {
     val p = plan("t14_gopher_rules")
     // only the final orderBy exchanges; the stats never group or join
