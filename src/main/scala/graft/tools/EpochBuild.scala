@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Packing, TextOps}
+
+/** Epoch materialization: turn a curated corpus into the three tables a
+  * training job actually reads, in ONE composed pass — the write-side
+  * counterpart of [[CorpusMaintain]]'s ingest fold, tying together the
+  * ordering/sharding/packing operators (p13/p14/p15):
+  *
+  *  1. ORDER — seeded deterministic shuffle ([[Corpus.seededShuffle]]):
+  *     dense train positions from md5(seed:id); a new seed is a fresh
+  *     epoch permutation with no other input change.
+  *  2. SHARD — token-budgeted output files ([[Corpus.budgetShards]] over
+  *     the train positions): each shard holds a contiguous run of the
+  *     epoch order filling to `shardTokens`, so readers stream shards
+  *     sequentially and resume mid-epoch at a shard boundary.
+  *  3. PACK — fixed-`seqLen` sequence boundaries in epoch order
+  *     ([[Packing.chunkBoundaries]] keyed on train_pos): the
+  *     attention/loss-mask segments for every packed sequence.
+  *
+  * Determinism: every stage is a pure function of (corpus, seed,
+  * budgets) — no RNG, no timestamps — so re-building an epoch is
+  * byte-identical (spec-asserted), which is what makes mid-training
+  * re-materialization after data loss safe.
+  *
+  * Scale shape: the only non-map machinery is the shared
+  * range-partition + broadcast-offset prefix sum (positions, shard
+  * boundaries) and the per-group window cumsum inside packing — all
+  * rehearsed in ScaleProbe at 50M rows. Text never shuffles; every
+  * table carries ids and integers only.
+  */
+object EpochBuild {
+
+  /** One epoch's tables: `order` (doc_id, train_pos, n_tok, shard_id),
+    * `boundaries` (pack_shard, seq_idx, doc_id, start, len).
+    */
+  final case class Epoch(order: DataFrame, boundaries: DataFrame)
+
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: String,
+      shardTokens: Long,
+      seqLen: Int,
+      packShardDocs: Int = 1 << 20): Epoch = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val order = Corpus.seededShuffle(
+      toks.select(col("doc_id")), "doc_id", seed)
+    val withTok = order.join(toks, "doc_id")
+    val sharded = Corpus.budgetShards(
+      withTok, Seq("train_pos"), "n_tok", shardTokens)
+      .select("doc_id", "train_pos", "n_tok", "shard_id")
+    // pack in epoch order: train_pos is the packing id, so sequences
+    // concatenate the shuffled stream; doc_id re-attaches afterwards
+    val posDocs = withTok.join(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "doc_id")
+    val bounds = Packing.chunkBoundaries(
+      posDocs.select(col("train_pos"), col("__text")),
+      "train_pos", "__text", seqLen, packShardDocs)
+      .withColumnRenamed("shard", "pack_shard")
+      .withColumnRenamed("doc_id", "train_pos")
+      .join(withTok.select("doc_id", "train_pos"), "train_pos")
+      .select("pack_shard", "seq_idx", "doc_id", "start", "len")
+    Epoch(sharded, bounds)
+  }
+
+  /** Write both tables under `outDir/epoch=<seed>/` as parquet. */
+  def write(e: Epoch, outDir: String, seed: String): Unit = {
+    e.order.write.mode("overwrite")
+      .parquet(s"$outDir/epoch=$seed/order.parquet")
+    e.boundaries.write.mode("overwrite")
+      .parquet(s"$outDir/epoch=$seed/boundaries.parquet")
+  }
+}

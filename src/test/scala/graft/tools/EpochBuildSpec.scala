@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.SparkSpec
+
+class EpochBuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 40L)
+    .map(i => (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
+    .toDF("doc_id", "text")
+  private def toksOf(i: Long): Long = (i % 5) + 1
+
+  private lazy val epoch =
+    EpochBuild.build(docs, "doc_id", "text", "epoch0",
+      shardTokens = 12L, seqLen = 8, packShardDocs = 1000)
+
+  test("order: every doc exactly once, dense positions, dense shards") {
+    val rows = epoch.order.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("train_pos"), r.getAs[Long]("n_tok"),
+      r.getAs[Long]("shard_id")))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 40L))
+    assert(rows.map(_._2).sorted.toSeq == (0L until 40L))
+    rows.foreach { case (id, _, n, _) => assert(n == toksOf(id)) }
+    // shards are contiguous runs of the epoch order, filling to the
+    // budget: non-decreasing in train_pos, dense ids, token totals
+    // bounded by budget + max doc overflow
+    val byPos = rows.sortBy(_._2)
+    assert(byPos.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    val shardIds = rows.map(_._4).distinct.sorted
+    assert(shardIds.toSeq == (0L to shardIds.max))
+    rows.groupBy(_._4).foreach { case (_, ss) =>
+      assert(ss.map(_._3).sum <= 12L + 5L)
+    }
+  }
+
+  test("boundaries: per-doc coverage and exact sequence tiling") {
+    val b = epoch.boundaries.collect().map(r => (r.getAs[Long]("pack_shard"),
+      r.getAs[Long]("seq_idx"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("start"), r.getAs[Long]("len")))
+    val perDoc = b.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    (1L to 40L).foreach(i => assert(perDoc(i) == toksOf(i)))
+    b.groupBy(t => (t._1, t._2)).foreach { case (_, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._4 + x._5 == y._4)
+        case _ => ()
+      }
+      assert(sorted.map(_._5).sum <= 8L)
+    }
+  }
+
+  test("a rebuild is byte-identical; a new seed is a fresh permutation") {
+    val again = EpochBuild.build(docs, "doc_id", "text", "epoch0",
+      shardTokens = 12L, seqLen = 8, packShardDocs = 1000)
+    assert(again.order.collect().toSet == epoch.order.collect().toSet)
+    assert(again.boundaries.collect().toSet ==
+      epoch.boundaries.collect().toSet)
+    val other = EpochBuild.build(docs, "doc_id", "text", "epoch1",
+      shardTokens = 12L, seqLen = 8, packShardDocs = 1000)
+    val posA = epoch.order.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("train_pos")).toMap
+    val posB = other.order.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("train_pos")).toMap
+    assert(posA != posB)
+  }
+
+  test("write lays out per-epoch parquet readable round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("epoch").toString
+    EpochBuild.write(epoch, dir, "epoch0")
+    assert(spark.read.parquet(s"$dir/epoch=epoch0/order.parquet")
+      .count() == 40L)
+    assert(spark.read.parquet(s"$dir/epoch=epoch0/boundaries.parquet")
+      .count() == epoch.boundaries.count())
+  }
+}
