@@ -223,6 +223,27 @@ object ScaleProbe {
     }
     require(shardTotal == wTotal, s"total weight $shardTotal vs $wTotal")
 
+    // --- epoch build at 10M docs ----------------------------------------
+    // the composed write path (shuffle -> budget shards -> pack
+    // boundaries): the one stage not individually probed above is p15's
+    // per-pack-shard window cumsum, here 10 groups of 1M rows. Constant
+    // 8-token docs give closed forms: every doc appears once in both
+    // tables plus one extra boundary row per straddled sequence.
+    val epochN = 10000000L
+    val epochDocs = spark.range(epochN).select(col("id").as("doc_id"),
+      lit("t0 t1 t2 t3 t4 t5 t6 t7").as("text"))
+    val (epochRows, epochSec) = timed {
+      val e = EpochBuild.build(epochDocs, "doc_id", "text", "probe0",
+        shardTokens = 1000000L, seqLen = 1024, packShardDocs = 1000000)
+      val nOrder = e.order.count()
+      require(nOrder == epochN, s"epoch order lost docs: $nOrder")
+      e.boundaries.count()
+    }
+    // 8M tokens per pack shard / 1024 = 7813 sequences, each straddle
+    // adds one row: docs + straddles, bounded by docs + sequences
+    require(epochRows >= epochN && epochRows <= epochN + 10L * 7813L,
+      s"epoch boundary rows $epochRows")
+
     // --- n-gram overlap: 1M x 100k docs, planted leaks ------------------
     // every doc is a distinct 8-token window over a shared id-derived
     // token stream EXCEPT 1/64 of the batch, which replays a corpus doc's
@@ -277,6 +298,7 @@ object ScaleProbe {
       s""""upsampled":$upsampled,"up_sec":$upSec,""" +
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
       s""""asof_sec":$asofSec,"rid_sec":$ridSec,"prefix_sec":$preSec,""" +
+      s""""epoch_rows":$epochRows,"epoch_sec":$epochSec,""" +
       s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
       s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
       s""""pq_sec":$pqSec,"batch_ann_rows":$batchRows,""" +
