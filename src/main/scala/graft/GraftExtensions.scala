@@ -82,7 +82,43 @@ object GraftExtensions {
             s"graft_ngram_hash_set n must be an integer literal, got $other")
         }
         NGramHashSet(children.head, n)
+      }),
+    // composed Column operators exposed to pure SQL: the builder expands
+    // the same expression tree the DataFrame API produces, so SQL and
+    // DataFrame callers are bit-identical by construction
+    (FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo("graft.ops.TextOps", "graft_quality_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_quality_score(text)")
+        asExpr(graft.ops.TextOps.qualityScore(asCol(children.head)))
+      }),
+    (FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo("graft.ops.TextOps", "graft_lang_id"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_lang_id(text)")
+        asExpr(graft.ops.TextOps.langId(asCol(children.head)))
+      }),
+    (FunctionIdentifier("graft_gopher_pass"),
+      new ExpressionInfo("graft.ops.TextOps", "graft_gopher_pass"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_gopher_pass(text, minWords, maxWords, minStops)")
+        val Seq(minW, maxW, minS) = children.tail.map(intLit(
+          "graft_gopher_pass bounds must be integer literals", _))
+        asExpr(graft.ops.TextOps.gopherPass(
+          asCol(children.head), minW, maxW, minS))
       }))
+
+  private def asCol(e: Expression) =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def asExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Bridge.unresolvedExpression(c)
+  private def intLit(msg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      v.toInt
+    case other => throw new IllegalArgumentException(s"$msg, got $other")
+  }
 
   /** Registers graft's SQL functions on an already-running session (the
     * config-based extension only affects sessions built after

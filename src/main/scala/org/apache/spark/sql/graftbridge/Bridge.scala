@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert a composed DataFrame-API Column into a plain Catalyst tree
+    * (UnresolvedFunction nodes and all) instead of the opaque
+    * ColumnNodeExpression wrapper `expression` yields — required when the
+    * result is RETURNED FROM a function-registry builder, where the
+    * analyzer must see and resolve the inner functions (the wrapper
+    * reaches codegen unresolved and fails).
+    */
+  def unresolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Runtime function registration on an EXISTING session (the
     * spark.sql.extensions config path only applies to sessions created
     * after the config is set).

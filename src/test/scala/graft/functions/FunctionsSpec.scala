@@ -171,5 +171,19 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_ngram_hash_set('a b c', 3) AS g, xxhash64('a b c') AS r")
       .collect().head
     assert(ng.getSeq[Long](0) == Seq(ng.getLong(1)))
+    // composed operators expand to the same tree the DataFrame API builds
+    val txt = "the cat sat with the dog and that was all they have seen"
+    val sqlRow = s2.sql(
+      s"""SELECT graft_quality_score('$txt') AS q, graft_lang_id('$txt') AS l,
+            graft_gopher_pass('$txt', 5, 100, 2) AS p""").collect().head
+    val dfRow = Seq(txt).toDF("t").select(
+      graft.ops.TextOps.qualityScore(col("t")),
+      graft.ops.TextOps.langId(col("t")),
+      graft.ops.TextOps.gopherPass(col("t"), 5, 100, 2)).collect().head
+    assert(sqlRow.getDouble(0) == dfRow.getDouble(0))
+    assert(sqlRow.getString(1) == dfRow.getString(1) &&
+      sqlRow.getString(1) == "en")
+    assert(sqlRow.getBoolean(2) == dfRow.getBoolean(2) &&
+      sqlRow.getBoolean(2))
   }
 }
