@@ -71,6 +71,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 4L))
   }
 
+  test("prefixSumBy: survives more partitions than rows; zero weights") {
+    val tiny = Seq((5L, 0L), (9L, 3L), (2L, 0L)).toDF("doc_id", "n_tok")
+      .repartition(8)
+    val pre = Corpus.prefixSumBy(tiny, Seq("doc_id"), "n_tok", "pre")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pre"))
+      .toMap
+    // id order 2,5,9 with weights 0,0,3: zero-weight rows share offsets
+    assert(pre == Map(2L -> 0L, 5L -> 0L, 9L -> 0L))
+    val shards = Corpus.budgetShards(tiny, Seq("doc_id"), "n_tok", 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("shard_id")).toMap
+    assert(shards == Map(2L -> 0L, 5L -> 0L, 9L -> 0L))
+    intercept[IllegalArgumentException] {
+      Corpus.budgetShards(tiny, Seq("doc_id"), "n_tok", 0L)
+    }
+  }
+
   test("seededShuffle: valid permutation, seed-sensitive, retry-stable") {
     val ids = (0L until 300L).map(_ * 3 + 1).toList
     val df = ids.toDF("doc_id").repartition(11)
