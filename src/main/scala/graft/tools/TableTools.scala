@@ -213,6 +213,43 @@ object JsonlToParquet {
     }
 }
 
+/** `runMain graft.tools.OrcConvert <in> <out>` — parquet↔ORC interchange
+  * (direction from the INPUT's format, sniffed via a footer read). ORC is
+  * the other columnar format a 100 TB estate actually holds (Hive/Trino
+  * warehouses); both directions preserve schema and values exactly, and
+  * the ORC scan keeps the scale properties the engine depends on —
+  * predicate pushdown and column pruning reach the reader the same as
+  * parquet's (spec-asserted on the plan), so `Tables.load`-style
+  * pipelines can point at either format without replanning.
+  */
+object OrcConvert {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: OrcConvert <inDir> <outDir>")
+    val spark = RandomTableGen.local()
+    val n = convert(spark, args(0), args(1))
+    println(s"[orc] wrote ${args(1)} ($n rows)")
+    spark.stop()
+  }
+
+  /** Returns the row count written. Direction: if `in` reads as parquet,
+    * write ORC; otherwise read ORC and write parquet.
+    */
+  def convert(spark: SparkSession, in: String, out: String): Long = {
+    val asParquet =
+      try { spark.read.parquet(in).schema; true }
+      catch { case _: Exception => false }
+    if (asParquet) {
+      val df = spark.read.parquet(in)
+      df.write.mode("overwrite").orc(out)
+      df.count()
+    } else {
+      val df = spark.read.orc(in)
+      df.write.mode("overwrite").parquet(out)
+      df.count()
+    }
+  }
+}
+
 /** `runMain graft.tools.CsvToParquet <in.csv> <schemaSpec|header> <outDir>`
   * Schema spec uses the reference's .det types; pass `header` to infer.
   */

@@ -109,4 +109,34 @@ class TableToolsSpec extends SparkSpec {
     val df = JsonlToParquet.jsonl(spark, f.getAbsolutePath, None)
     assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("a", "b"))
   }
+
+  test("orc: parquet->orc->parquet round-trips values; pushdown survives") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val src = "/root/testdata/sf0.001/customer.parquet"
+    val base = java.nio.file.Files.createTempDirectory("orc").toString
+    val nOrc = OrcConvert.convert(spark, src, s"$base/t.orc")
+    val nBack = OrcConvert.convert(spark, s"$base/t.orc", s"$base/back.parquet")
+    val orig = spark.read.parquet(src)
+    assert(nOrc == orig.count() && nBack == nOrc)
+    // byte-level value equality both hops
+    def sig(df: org.apache.spark.sql.DataFrame): Array[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.selectExpr(s"md5(concat_ws('|', ${cols.mkString(", ")})) AS h")
+        .collect().map(_.getString(0)).sorted
+    }
+    assert(sig(spark.read.orc(s"$base/t.orc")).sameElements(sig(orig)))
+    assert(sig(spark.read.parquet(s"$base/back.parquet"))
+      .sameElements(sig(orig)))
+    // the scale properties hold on the ORC scan too: predicate pushdown
+    // and column pruning reach the reader exactly like parquet
+    val p = spark.read.orc(s"$base/t.orc")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") > 100L)
+      .select("c_custkey", "c_name")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("GreaterThan(c_custkey"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("c_custkey") && read.contains("c_name") &&
+      !read.contains("c_address"))
+  }
 }
