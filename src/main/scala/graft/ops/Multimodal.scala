@@ -46,6 +46,33 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** The production ingest path: raw media FILES via Spark's built-in
+    * `binaryFile` source (streams file content as a binary column with
+    * path/length/mtime metadata — no driver-side file handling, splits
+    * distribute like any scan). media_type derives from the extension,
+    * doc_id from an xxhash64 of the path (stable across re-ingests; a
+    * catalog join can override). `pathGlobFilter` pre-filters at listing
+    * time so a mixed directory only reads matching payloads.
+    */
+  def mediaFromBinaryDir(
+      dir: String,
+      glob: Option[String] = None)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val reader = spark.read.format("binaryFile")
+    val withGlob = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    withGlob.load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "mkv", "webm", "avi"), "video")
+          .otherwise("binary").as("media_type"),
+        col("content").as("payload"))
+      .as[MediaRecord]
+  }
+
   /** Per-partition decode + feature extraction. The decoder handle is
     * created once per partition (the expensive part for a real codec) and
     * reused across the partition's rows.

@@ -499,6 +499,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  test("binaryFile ingest: typed media rows from raw files, glob filter") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("a.jpg", Array[Byte](1, 2, 3))
+    put("b.wav", Array[Byte](4, 5))
+    put("c.mp4", Array[Byte](6))
+    put("notes.txt", Array[Byte](7, 8))
+    val media = Multimodal.mediaFromBinaryDir(dir.getAbsolutePath)
+      .collect().sortBy(m => (m.payload.length, m.media_type))
+    assert(media.map(_.media_type).toSeq ==
+      Seq("video", "audio", "binary", "image"))
+    assert(media.map(_.payload.toSeq).toSeq ==
+      Seq(Seq[Byte](6), Seq[Byte](4, 5), Seq[Byte](7, 8),
+        Seq[Byte](1, 2, 3)))
+    // ids are stable across re-ingest (path-derived)
+    val again = Multimodal.mediaFromBinaryDir(dir.getAbsolutePath)
+      .collect().map(_.doc_id).sorted
+    assert(again.sameElements(media.map(_.doc_id).sorted))
+    // listing-time glob keeps a mixed directory from reading non-media
+    val onlyImg = Multimodal.mediaFromBinaryDir(
+      dir.getAbsolutePath, Some("*.jpg")).collect()
+    assert(onlyImg.map(_.media_type).toSeq == Seq("image"))
+    // the stub feature pass runs over file-ingested rows unchanged
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromBinaryDir(dir.getAbsolutePath)).collect()
+    assert(feats.length == 4 && feats.forall(_.payload_len > 0))
+  }
+
   test("sampleFrames decimates videos only, every Nth frame") {
     implicit val s = spark
     val docs = (0L until 9L).map(i => (i, s"document number $i payload"))
