@@ -384,10 +384,19 @@ object Corpus {
     * only window) and broadcast back.
     */
   def prefixSumBy(
-      df: DataFrame, orderCols: Seq[String], weightCol: String,
+      df0: DataFrame, orderCols: Seq[String], weightCol: String,
       out: String): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the partition-local fold reads the weight as a long; a narrower
+    // integral column is widened up-front (fractional weights are
+    // rejected rather than silently truncated)
+    val wType = df0.schema(weightCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"weight column '$weightCol' must be integral, got $wType")
+    val df =
+      if (wType == LongType) df0
+      else df0.withColumn(weightCol, col(weightCol).cast(LongType))
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val keys = orderCols.map(col)
@@ -419,10 +428,14 @@ object Corpus {
     * corpus is written: documents fill shard 0 in `orderCols` order until
     * `budget` tokens, then shard 1, and so on. `shard = exclusive-prefix
     * -tokens / budget` (integer division), so shard boundaries are a pure
-    * function of the ordered weights: deterministic, resumable, and each
-    * shard holds ≥1 doc however large one document is (an over-budget doc
-    * overflows its own shard rather than splitting — splitting is p02's
-    * concat-and-chunk job). Composes with [[seededShuffle]] /
+    * function of the ordered weights: deterministic and resumable. An
+    * over-budget doc overflows its own shard rather than splitting
+    * (splitting is p02's concat-and-chunk job) — and because it advances
+    * the prefix by several budgets, the ids after it skip ahead: shard
+    * ids may be SPARSE. Readers must iterate `SELECT DISTINCT shard_id`,
+    * not 0..max (densifying here would need a dense_rank over the global
+    * shard order — a single-task window this op exists to avoid).
+    * Composes with [[seededShuffle]] /
     * [[curriculumOrder]]: feed their materialized order as `orderCols`.
     */
   def budgetShards(

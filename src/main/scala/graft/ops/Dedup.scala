@@ -351,10 +351,14 @@ object Dedup {
     * with no Exchange at all.
     */
   def scrubRepeatedLines(
-      df: DataFrame,
+      df0: DataFrame,
       textCol: String,
       idCol: String,
       maxLineDf: Long): DataFrame = {
+    // explicit null-text drop: without it the final inner join happens to
+    // drop null docs anyway, but only via ANSI null propagation — pin the
+    // contract here so it can't drift with the session's ansi/sizeOfNull
+    val df = df0.filter(col(textCol).isNotNull)
     val lines = graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
@@ -406,12 +410,16 @@ object Dedup {
     * id-bucketed storage.
     */
   def scrubRepeatedSpans(
-      df: DataFrame,
+      df0: DataFrame,
       textCol: String,
       idCol: String,
       n: Int,
       maxSpanDf: Long): DataFrame = {
     require(n >= 2, s"window must span tokens, got n=$n")
+    // explicit null-text drop: the keep_pos filter below drops null docs
+    // only under ANSI semantics (size(null)=null); with sizeOfNull=-1 a
+    // null doc would survive as an empty-string row — pin the contract
+    val df = df0.filter(col(textCol).isNotNull)
     val toks = split(col(textCol), " ")
     val wins = graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"), toks.as("t"))

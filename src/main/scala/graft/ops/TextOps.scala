@@ -184,7 +184,7 @@ object TextOps {
     nw.geq(minWords) && nw.leq(maxWords) &&
       mwl.geq(lit(3.0)) && mwl.leq(lit(10.0)) &&
       symbolRatio(text) < lit(0.1) &&
-      bulletLineFrac(text).leq(lit(0.1)) &&
+      bulletLineFrac(text).leq(lit(0.9)) &&
       ellipsisLineFrac(text).leq(lit(0.3)) &&
       alphaWordFrac(text).geq(lit(0.8)) &&
       requiredStopwordHits(text).geq(lit(minStops))

@@ -184,7 +184,12 @@ object VectorOps {
     */
   final case class IvfPqModel(
       rawCentroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]) {
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean = true) {
+    /** Subspace count — the codes' geometry, derivable from the saved
+      * codebooks, so a loaded model can never be mis-sliced.
+      */
+    def m: Int = codebooks.length
     def save(spark: SparkSession, path: String): Unit = {
       import spark.implicits._
       rawCentroids.zipWithIndex
@@ -196,6 +201,11 @@ object VectorOps {
       }.toSeq
         .toDF("subspace", "code_id", "codeword")
         .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      // the one train-time setting the tables can't encode: whether codes
+      // are residuals vs the list centroid. Scoring with the wrong flag
+      // degrades recall SILENTLY, so it persists with the model
+      Seq(Tuple1(residual)).toDF("residual")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     }
   }
 
@@ -209,7 +219,9 @@ object VectorOps {
         .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.map(_._2)).toArray
-      IvfPqModel(cents, cbs)
+      val res = spark.read.parquet(s"$path/meta")
+        .collect().head.getBoolean(0)
+      IvfPqModel(cents, cbs, res)
     }
   }
 
@@ -267,7 +279,7 @@ object VectorOps {
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
       lloydLocal(pqTrainRows.map(_.slice(j * sub, (j + 1) * sub)),
         codebookSize, TrainIters))
-    IvfPqModel(rawCents, codebooks)
+    IvfPqModel(rawCents, codebooks, residual)
   }
 
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
@@ -322,11 +334,11 @@ object VectorOps {
     * carry the gradient signal. The label inequality is a JOIN predicate
     * (it references both sides), unlike [[knnIvf]]'s row-local
     * `corpusFilter`, so it composes inside the scoring join; the exact
-    * path is the [[knnBrute]] shape with the label threaded through.
-    * At scale the candidate set is bounded the same way as any other
-    * probe-side search: run it over IVF-probed lists (the label filter
-    * then applies post-join) — at the shipped SFs the exact pair space
-    * is the declared baseline, matching s01/s07.
+    * path here is the [[knnBrute]] shape with the label threaded
+    * through — the declared ground-truth baseline, matching s01/s07.
+    * The SCALE path is [[hardNegativesIvf]]: IVF-probed candidate
+    * lists with the same label inequality applied post-list-join
+    * (RecallSpec gates it against this baseline).
     */
   def hardNegatives(
       probes: DataFrame,
@@ -351,6 +363,32 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** [[hardNegatives]]' bounded scale path: [[knnIvf]] over the shared
+    * full-corpus inverted lists, the label inequality applied after the
+    * list join and BEFORE the top-k window — candidates fill k from
+    * label-valid rows, so no over-fetch is needed and recall is dialed by
+    * `nProbe` (the same lever as `corpusFilter` selectivity; RecallSpec
+    * gates the shipped parameters against the exact cartesian baseline).
+    * Work per probe is sum of probed list sizes, never O(corpus) — the
+    * "every pairwise op must have a blocking/banding path" rule applied
+    * to contrastive mining. Accepts a pre-trained `model`: the index is
+    * label-blind, so the standing [[IvfModel]] serves both plain
+    * retrieval and mining runs unchanged.
+    */
+  def hardNegativesIvf(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nCentroids: Int = 32,
+      nProbe: Int = 8,
+      broadcastProbes: Boolean = true,
+      model: Option[IvfModel] = None): DataFrame =
+    knnIvf(probes, corpus, idCol, vecCol, k, nCentroids, nProbe,
+      broadcastProbes, model = model, excludeLabelCol = Some(labelCol))
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Plane p's normal has pseudo-random +-1 components derived from a
@@ -399,7 +437,8 @@ object VectorOps {
       nProbe: Int = 8,
       broadcastProbes: Boolean = true,
       corpusFilter: Column = lit(true),
-      model: Option[IvfModel] = None): DataFrame = {
+      model: Option[IvfModel] = None,
+      excludeLabelCol: Option[String] = None): DataFrame = {
     val cSrc = spread(corpus)
     val c = cSrc
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
@@ -418,17 +457,23 @@ object VectorOps {
     // callers raise nProbe to hold recall (RecallSpec gates the shipped
     // parameters against the filtered exact baseline)
     val assigned = cSrc.filter(corpusFilter)
-      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .select(col(idCol).as("corpus_id") +:
+        excludeLabelCol.map(l => col(l).as("c_label")).toSeq :+
+        quantize(col(vecCol)).as("cq"): _*)
       .withColumn("cn2", norm2(col("cq")))
       .withColumn("list",
         graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
     // probe: nProbe nearest list indices per probe, one fused map
     val p = spread(probes)
-      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .select(col(idCol).as("probe_id") +:
+        excludeLabelCol.map(l => col(l).as("p_label")).toSeq :+
+        quantize(col(vecCol)).as("pq"): _*)
       .withColumn("pn2", norm2(col("pq")))
-    val probeLists = p.select(col("probe_id"), col("pq"), col("pn2"),
-      explode(graft.functions.VectorExpressions.nearestCentroids(
-        col("pq"), mat, nProbe)).as("list"))
+    val probeLists = p.select(
+      Seq(col("probe_id"), col("pq"), col("pn2")) ++
+        excludeLabelCol.map(_ => col("p_label")) :+
+        explode(graft.functions.VectorExpressions.nearestCentroids(
+          col("pq"), mat, nProbe)).as("list"): _*)
     // exact cosine over the probed lists' union
     val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
     // drop non-finite cosines (zero-norm corpus vector → NaN, which Spark
@@ -436,8 +481,16 @@ object VectorOps {
     // top-k) so all ANN ops agree on degenerate vectors; same predicate in
     // both modes, keeping batch/query equivalence (knnPq/knnIvfPq apply
     // the identical exclusion in topNPerKey / their batch window)
-    val scored = assigned.join(probeSide, "list")
+    val joined0 = assigned.join(probeSide, "list")
       .filter(col("probe_id") =!= col("corpus_id"))
+    // hard-negative mode (`excludeLabelCol`): the label inequality is a
+    // JOIN predicate (it references both sides), so it composes inside
+    // the list join — applied BEFORE the top-k window, candidates fill k
+    // from label-valid rows only and no over-fetch is needed; recall is
+    // held by nProbe, exactly like corpusFilter's selectivity dial
+    val joined = excludeLabelCol.fold(joined0)(_ =>
+      joined0.filter(!(col("p_label") <=> col("c_label"))))
+    val scored = joined
       .select(col("probe_id"), col("corpus_id"),
         cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
       .filter(abs(col("cos")) < lit(Double.PositiveInfinity))
@@ -644,7 +697,8 @@ object VectorOps {
       broadcastProbes: Boolean = true,
       residual: Boolean = true,
       corpusFilter: Column = lit(true),
-      model: Option[IvfPqModel] = None): DataFrame = {
+      model: Option[IvfPqModel] = None,
+      excludeLabelCol: Option[String] = None): DataFrame = {
     val cSrc = spread(corpus)
     val c = cSrc
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
@@ -654,12 +708,26 @@ object VectorOps {
     // is a row-local metadata predicate applied before assignment/encode,
     // so only matching rows are scanned and scored; raise nProbe to hold
     // recall under selective predicates (RecallSpec)
-    val IvfPqModel(rawCents, codebooks) = model.getOrElse(
+    // a supplied model must agree with the call's geometry: a mismatched
+    // m mis-slices subvectors and a mismatched residual flag mis-scores
+    // ADC — both silently, both recall killers (hence the meta parquet)
+    model.foreach { mm =>
+      require(mm.m == m,
+        s"supplied model has m=${mm.m}, call has m=$m")
+      require(mm.residual == residual,
+        s"supplied model trained with residual=${mm.residual}, " +
+          s"call has residual=$residual")
+      val dim = mm.rawCentroids.head.length
+      require(dim % m == 0, s"model dim $dim not divisible by m=$m")
+    }
+    val IvfPqModel(rawCents, codebooks, _) = model.getOrElse(
       trainIvfPqFrom(c, nCentroids, m, codebookSize, residual))
     val sub = rawCents.head.length / m
     val ivfMat: Array[Array[Double]] = normalized(rawCents)
     val assigned = cSrc.filter(corpusFilter)
-      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .select(col(idCol).as("corpus_id") +:
+        excludeLabelCol.map(l => col(l).as("c_label")).toSeq :+
+        quantize(col(vecCol)).as("cq"): _*)
       .withColumn("cn2", norm2(col("cq")))
       .withColumn("list",
         graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
@@ -675,7 +743,9 @@ object VectorOps {
           slice(col("rq"), j * sub + 1, sub), codebooks(j)))
     }.drop("rq")
     val p = spread(probes)
-      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .select(col(idCol).as("probe_id") +:
+        excludeLabelCol.map(l => col(l).as("p_label")).toSeq :+
+        quantize(col(vecCol)).as("pq"): _*)
       .withColumn("pn2", norm2(col("pq")))
     val withLuts = (0 until m).foldLeft(p) { (df, j) =>
       df.withColumn(s"lut$j", array(codebooks(j).map(cw =>
@@ -684,7 +754,8 @@ object VectorOps {
     }
     val probeLists0 = withLuts.select(
       (col("probe_id") +: col("pq") +: col("pn2") +:
-        (0 until m).map(j => col(s"lut$j"))) :+
+        (excludeLabelCol.map(_ => col("p_label")).toSeq ++
+          (0 until m).map(j => col(s"lut$j")))) :+
         explode(graft.functions.VectorExpressions.nearestCentroids(
           col("pq"), ivfMat, nProbe)).as("list"): _*)
     // residual mode's first-order term: dot(probe, c_list) per probed list
@@ -705,8 +776,14 @@ object VectorOps {
     // rows-per-probe is bounded by the probed list sizes while heap
     // state would be millions of keys per task.
     val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
-    val scored = encoded.join(probeSide, "list")
+    val joined0 = encoded.join(probeSide, "list")
       .filter(col("probe_id") =!= col("corpus_id"))
+    // hard-negative mode: label inequality filters BEFORE the refine-set
+    // selection, so the refine candidates (and hence the re-rank) are
+    // label-valid — no over-fetch; nProbe is the recall dial (knnIvf)
+    val joined = excludeLabelCol.fold(joined0)(_ =>
+      joined0.filter(!(col("p_label") <=> col("c_label"))))
+    val scored = joined
       .select(col("probe_id"), col("corpus_id"), approx.as("approx"))
     val candidates = (if (broadcastProbes) {
       topNPerKey(scored, "probe_id", "approx", "corpus_id", refine)

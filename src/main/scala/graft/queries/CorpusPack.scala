@@ -143,7 +143,7 @@ object CorpusPack {
            n_words >= 10 AND n_words <= 100000
            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
            AND symbol_ratio < 0.1
-           AND bullet_frac <= 0.1 AND ellipsis_frac <= 0.3
+           AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
            AND alpha_frac >= 0.8 AND req_stops >= 1 AS pass
          FROM gs)"""
 

@@ -241,6 +241,22 @@ object PipelinePack {
             SELECT pid AS probe_id, cid AS corpus_id, cos, rk
             FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk"""))
 
+  private val s09 = Q(
+    "s09_hard_negatives_ivf",
+    // s08's bounded scale path (r8): the label inequality applies after
+    // the IVF list join and before the top-k window, so the pair space is
+    // probes × probed-list rows, never probes × corpus — no cartesian
+    // (PlanSpec). nProbe=12 (vs s03's 8): the inequality thins list
+    // density mildly (most labels differ), a small widening holds recall
+    // (RecallSpec gates vs the oracle-checked exact s08)
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.hardNegativesIvf(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", "label", k = 10, nCentroids = 32,
+        nProbe = 12).orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only (RecallSpec gates vs s08)
+
   private val s06 = Q(
     "s06_knn_ivfpq",
     (s, dir) => {
@@ -638,7 +654,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06, s07, s08,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, m01, m02)
 }

@@ -138,6 +138,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("s09: bounded hard negatives join on list keys — NO cartesian") {
+    // r8: s08's scale path must never degrade to the exact baseline's
+    // crossJoin shape — candidates come from the IVF list equi-join, the
+    // label inequality is a post-join filter
+    val p = plan("s09_hard_negatives_ivf")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("dot product is the native codegen expression") {
     val p = plan("d05_dedup_embedding")
     // per-pair math must be graft_dot; lambdas remain only in the cheap

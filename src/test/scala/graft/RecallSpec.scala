@@ -173,6 +173,66 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
   }
 
+  test("s09: hardNegativesIvf recall@10 vs the exact cartesian s08 (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    // r8: the bounded hard-negative path — precision must be exact (every
+    // returned pair's labels differ; the inequality is applied corpus-
+    // side inside the list join), recall gated vs the oracle-checked
+    // exact baseline
+    val emb = Tables.load(spark, dir, "embeddings")
+    val exact = topkSet(SparkEntry.queries("s08_hard_negatives")(spark, dir))
+    val got = SparkEntry.queries("s09_hard_negatives_ivf")(spark, dir)
+    val gotSet = topkSet(got)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotSet.forall { case (p, c) => labels(p) != labels(c) },
+      "hard-negative result contains a same-label pair")
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    info(f"s09 recall@10 = $recall%.3f (${(exact & gotSet).size}/${exact.size})")
+    assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
+  }
+
+  test("s09b: hardNegatives label filter threads through knnIvfPq too") {
+    import org.apache.spark.sql.functions.col
+    // the composed-ladder twin: same inequality applied before the
+    // refine-set selection, so re-ranked candidates are label-valid
+    val emb = Tables.load(spark, dir, "embeddings")
+    val exact = topkSet(SparkEntry.queries("s08_hard_negatives")(spark, dir))
+    val got = topkSet(graft.ops.VectorOps.knnIvfPq(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 10,
+      nCentroids = 32, nProbe = 12, m = 8, codebookSize = 32, refine = 128,
+      excludeLabelCol = Some("label")))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (p, c) => labels(p) != labels(c) },
+      "IVFPQ hard-negative result contains a same-label pair")
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"s09b recall@10 = $recall%.3f (${(exact & got).size}/${exact.size})")
+    assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
+  }
+
+  test("IvfPqModel: a mismatched m or residual flag is rejected, not mis-scored") {
+    import org.apache.spark.sql.functions.col
+    // r8 (ADVICE): the meta parquet persists the residual flag; knnIvfPq
+    // must refuse a model whose geometry disagrees with the call instead
+    // of silently mis-slicing subvectors / mis-scoring ADC
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = graft.ops.VectorOps.trainIvfPqModel(emb, "vec_id", "embedding",
+      m = 8, residual = true)
+    assert(m.m == 8 && m.residual)
+    val path = java.nio.file.Files.createTempDirectory("ivfpqmm").toString + "/m"
+    m.save(spark, path)
+    val loaded = graft.ops.VectorOps.IvfPqModel.load(spark, path)
+    assert(loaded.residual, "residual flag lost in the parquet roundtrip")
+    def run(mOpt: Int, res: Boolean) =
+      graft.ops.VectorOps.knnIvfPq(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, m = mOpt, residual = res,
+        model = Some(loaded))
+    intercept[IllegalArgumentException] { run(4, res = true) }
+    intercept[IllegalArgumentException] { run(8, res = false) }
+    assert(run(8, res = true).count() > 0)
+  }
+
   test("s05: knnPq ADC+refine recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val pq = topkSet(SparkEntry.queries("s05_knn_pq")(spark, dir))
