@@ -98,7 +98,7 @@ object Bench {
       val good = times.filter(_ >= 0).sorted
       val median = if (good.isEmpty) -1.0 else good(good.size / 2)
       val spread = if (good.isEmpty) -1.0 else good.last - good.head
-      (name, median, spread)
+      (name, median, spread, times)
     }
     calibrationOnce() // warm (codegen for the calibration plan itself)
     val calib = Seq(calibrationOnce(), calibrationOnce(), calibrationOnce())
@@ -107,11 +107,27 @@ object Bench {
 
     def js(kvs: Seq[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // every rep, in run order (r8): a median hides a one-off pathology —
+    // r7's p12 showed spread 107 s against a 9 s median on the driver host
+    // and the artifact couldn't say WHICH rep (first = compile/debt,
+    // middle = external interference). reps_sec makes outliers attributable.
+    def jsArr(kvs: Seq[(String, Seq[Double])]) = kvs
+      .map { case (k, vs) =>
+        "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    // normalized total (r7 ask): REF_CAL is the calibration median measured
+    // on the reference host when the r7 artifact was locked in — dividing
+    // by the current host's calibration expresses this run's total in
+    // reference-host seconds, so round-over-round totals compare directly
+    val RefCal = 2.053
+    val totalNorm = if (calib > 0) total * RefCal / calib else -1.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${
+      f"$totalNorm%.3f"},"queries":${
       js(results.map(r => r._1 -> r._2))},"spread":${
-      js(results.map(r => r._1 -> r._3))},"reps":$reps,"calibration_sec":${
-      f"$calib%.3f"},"sf":"$sfDir"}"""
+      js(results.map(r => r._1 -> r._3))},"reps_sec":${
+      jsArr(results.map(r => r._1 -> r._4))},"reps":$reps,"calibration_sec":${
+      f"$calib%.3f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
     println(line)
     // also persist the line as a machine-readable artifact (r6): stdout
     // capture has truncated mid-dict before, and round-over-round

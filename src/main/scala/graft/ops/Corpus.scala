@@ -343,12 +343,16 @@ object Corpus {
       .sortWithinPartitions(keys: _*)
     val enc = org.apache.spark.sql.Encoders.row(
       df.schema.add("__pid", IntegerType).add("__lidx", LongType))
-    // checkpoint: counts pass + assignment pass share one materialization
+    // checkpoint: counts pass + assignment pass share one materialization.
+    // LAZY (r8): eager localCheckpoint ran a dedicated materialization job
+    // before the counts job ever started — a full extra pass over the
+    // ranged frame; lazy lets the counts aggregation materialize the
+    // blocks as a side effect, so the op runs two jobs, not three
     val local = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var i = -1L
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
-    }(enc).localCheckpoint()
+    }(enc).localCheckpoint(eager = false)
     val counts = local.groupBy("__pid").agg(count(lit(1)).as("cnt"))
     // prefix sum over numPartitions rows — tiny by construction, so the
     // single-task window here is fine at any corpus size
@@ -405,6 +409,8 @@ object Corpus {
       .sortWithinPartitions(keys: _*)
     val enc = org.apache.spark.sql.Encoders.row(
       df.schema.add("__pid", IntegerType).add("__lsum", LongType))
+    // lazy for the same reason as contiguousIdsBy: the totals job
+    // materializes the checkpoint, no dedicated pass
     val local = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = 0L
@@ -413,7 +419,7 @@ object Corpus {
         acc += r.getLong(wi)
         Row.fromSeq(r.toSeq :+ pid :+ before)
       }
-    }(enc).localCheckpoint()
+    }(enc).localCheckpoint(eager = false)
     val totals = local.groupBy("__pid")
       .agg(sum(col(weightCol)).as("tot"))
     val w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

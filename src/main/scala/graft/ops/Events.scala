@@ -413,6 +413,63 @@ object Events {
           s => s.getField("event_type"))).as("seq"))
   }
 
+  /** Skew-safe [[userSequences]], result-identical (r8 — the documented
+    * time-chunk bound, now implemented; the [[sessionizeSalted]] move
+    * applied to sequence building). No task ever sorts one user's ENTIRE
+    * history:
+    *
+    *  1. local pass — `row_number` over (user_id, chunk), chunk =
+    *     floor(event-µs / chunkSeconds): only each chunk's newest
+    *     `maxLen` events survive. Chunks partition time, so every event
+    *     in a newer chunk outranks every event in an older one — an
+    *     event below its own chunk's top-maxLen can never make the
+    *     global top-maxLen.
+    *  2. chunk relevance — over the per-(user, chunk) COUNT summaries
+    *     (tiny: one row per active chunk), a running sum in
+    *     newest-chunk-first order keeps only the minimal chunk suffix
+    *     whose newer chunks haven't already supplied `maxLen` events.
+    *     Surviving candidates per user are < 2·maxLen by construction,
+    *     so the final per-user window is bounded regardless of how hot
+    *     a bot user's history is.
+    *  3. totals — n_events re-aggregates from the same summaries
+    *     (associative count sum, the sessionizeSalted merge argument).
+    */
+  def userSequencesSalted(
+      events: DataFrame, maxLen: Int, chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, s"chunkSeconds must be positive: $chunkSeconds")
+    val e = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("chunk", expr(s"us div ${chunkSeconds * 1000000L}"))
+    val byChunk = Window.partitionBy("user_id", "chunk")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val trimmed = e.withColumn("crn", row_number().over(byChunk))
+      .filter(col("crn") <= maxLen).drop("crn")
+    val chunkCounts = e.groupBy("user_id", "chunk")
+      .agg(count(lit(1)).as("c_events"))
+    // newer-chunks-first running count over summary rows decides which
+    // chunks can still contribute to the newest-maxLen set
+    val newestFirst = Window.partitionBy("user_id").orderBy(col("chunk").desc)
+    val relevant = chunkCounts
+      .withColumn("newer", coalesce(sum(col("c_events")).over(
+        newestFirst.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("newer") < maxLen)
+      .select("user_id", "chunk")
+    val totals = chunkCounts.groupBy("user_id")
+      .agg(sum("c_events").as("n_events"))
+    val recent = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    trimmed.join(relevant, Seq("user_id", "chunk"))
+      .withColumn("rn", row_number().over(recent))
+      .filter(col("rn") <= maxLen)
+      .groupBy("user_id")
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(
+          struct(col("us"), col("event_id"), col("event_type")))),
+        s => s.getField("event_type"))).as("seq"))
+      .join(totals, "user_id")
+      .select(col("user_id"), col("n_events"), col("seq"))
+  }
+
   /** Cadence-based bot screen — the first hygiene pass before event
     * streams become training data: per user, event count, active span,
     * mean inter-event gap, and a flag for "many events at machine-tight

@@ -1089,7 +1089,14 @@ object CorpusPack {
     // optimizes ACROSS the op boundaries (one scan feeds the scrub index
     // and the rebuild; the gates run in the rebuild's projection); every
     // stage's semantics is pinned by its own oracle-checked query, and
-    // this one pins their composition
+    // this one pins their composition.
+    // r7's driver-host 107 s rep outlier (median 9.3 s): not reproducible
+    // — 5 instrumented sf0.1 reps here run [5.30, 4.36, 3.93, 4.01,
+    // 4.55] s, spread 1.37 s, and the only systematic first-rep cost is
+    // sf0.1-plan codegen (AQE re-plans vs the sf0.001 warmup; the warmup
+    // compile for this composed tree is ~12 s, paid once). Bench now
+    // records per-rep times (reps_sec) so a recurrence is attributable
+    // to a specific rep instead of hiding inside a spread number
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val replicas = docs.filter(col("doc_id") % 16 === 1)

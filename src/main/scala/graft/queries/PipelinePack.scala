@@ -591,15 +591,8 @@ object PipelinePack {
                      LEFT JOIN r3 USING (user_id))
             GROUP BY 1 ORDER BY 1"""))
 
-  private val e12 = Q(
-    "e12_user_sequences",
-    // events -> training examples: each user's recent history as one
-    // time-ordered token string (last 64 events), plus the untruncated
-    // length for length-bucketing
-    (s, dir) => Events.userSequences(Tables.load(s, dir, "events"),
-        maxLen = 64)
-      .orderBy("user_id"),
-    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+  private val userSeqOracle =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
                 CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events),
               ranked AS (SELECT *,
                 row_number() OVER (PARTITION BY user_id
@@ -609,7 +602,28 @@ object PipelinePack {
             SELECT user_id, MAX(n_events) AS n_events,
               string_agg(event_type, ',' ORDER BY us, event_id) AS seq
             FROM ranked WHERE rn <= 64
-            GROUP BY user_id ORDER BY user_id"""))
+            GROUP BY user_id ORDER BY user_id"""
+
+  private val e12 = Q(
+    "e12_user_sequences",
+    // events -> training examples: each user's recent history as one
+    // time-ordered token string (last 64 events), plus the untruncated
+    // length for length-bucketing
+    (s, dir) => Events.userSequences(Tables.load(s, dir, "events"),
+        maxLen = 64)
+      .orderBy("user_id"),
+    Some(userSeqOracle))
+
+  private val e14 = Q(
+    "e14_user_sequences_salted",
+    // e12's skew-safe twin (r8): per-(user, time-chunk) trim + summary-
+    // row chunk relevance bound the final per-user window to < 2·maxLen
+    // candidates however hot one user is — result-identical, so it
+    // shares e12's oracle verbatim
+    (s, dir) => Events.userSequencesSalted(Tables.load(s, dir, "events"),
+        maxLen = 64, chunkSeconds = 7 * 86400L)
+      .orderBy("user_id"),
+    Some(userSeqOracle))
 
   private val e13 = Q(
     "e13_bot_flags",
@@ -656,5 +670,5 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, m01, m02)
+    e12, e13, e14, m01, m02)
 }

@@ -179,6 +179,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("zip_with"))
   }
 
+  test("e14: salted sequence trim windows partition by (user_id, chunk)") {
+    // r8: the phase-1 row_number must key on the time chunk (the skew
+    // guard) — a bare user_id window would mean the salting is inert
+    val p = plan("e14_user_sequences_salted")
+    assert(p.contains("windowspecdefinition(user_id") && p.contains("chunk"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("e03: salted sessionization windows partition by (user_id, chunk)") {
     val p = plan("e03_sessionize_salted")
     // phase-1 window key includes the time chunk — the skew guard at scale

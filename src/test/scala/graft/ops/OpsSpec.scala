@@ -352,6 +352,28 @@ class EventsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, "t6,t7,t8,t9"), (2L, 1L, "solo")))
   }
 
+  test("userSequencesSalted: identical to the unsalted op with chunking ACTIVE") {
+    // r8: chunkSeconds=60 over events spanning ~1000s forces many chunks
+    // per user, truncation straddling chunk boundaries, and whole chunks
+    // dropped by the relevance filter — the shapes the summary-merge
+    // argument must survive. Equal-timestamp events exercise the
+    // (us, event_id) tiebreak across a chunk edge.
+    val ev = (0 until 30).map(i =>
+      (i.toLong, ts(1000L + i * 37), 1L, s"a$i", 0.0)) ++
+      (0 until 3).map(i => (50L + i, ts(700L), 2L, s"b$i", 0.0)) :+
+      ((99L, ts(500L), 3L, "solo", 0.0))
+    val df = ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(7)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[String]("seq"))).toSet
+    for (maxLen <- Seq(1, 4, 64)) {
+      val plain = rows(Events.userSequences(df, maxLen))
+      val salted = rows(Events.userSequencesSalted(df, maxLen, 60L))
+      assert(salted == plain, s"maxLen=$maxLen diverged")
+    }
+  }
+
   test("cadenceFlags: exact-integer flag, single-event span 0, gap guard") {
     val ev = ((0 until 40).map(i => (i.toLong, ts(i.toLong), 1L, "c", 0.0)) ++
       (0 until 40).map(i => (100L + i, ts(i * 3600L), 2L, "c", 0.0)) :+
