@@ -169,11 +169,83 @@ object VectorOps {
     */
   def trainIvfModel(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 32): IvfModel = {
-    val c = spread(corpus)
-      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      nCentroids: Int = 32): IvfModel =
+    trainIvfFrom(spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq")),
+      nCentroids)
+
+  /** [[trainIvfModel]] over the internal (corpus_id, cq) projection —
+    * what index MAINTENANCE retrains from: the standing assigned table
+    * already stores quantized vectors, and re-quantizing them would
+    * re-scale (tools.AnnMaintain).
+    */
+  private[graft] def trainIvfFrom(
+      c: DataFrame, nCentroids: Int): IvfModel =
     IvfModel(normalized(lloydLocal(
       sampleVecs(c, trainSampleSize(nCentroids)), nCentroids, TrainIters)))
+
+  /** Materialized IVF assignment — the standing INVERTED LISTS table
+    * (corpus_id, cq, cn2, list, resid) an incrementally-maintained index
+    * persists: at 100 TB each corpus vector is assigned ONCE when it is
+    * admitted, not once per query ([[knnIvfPreAssigned]] reads this table
+    * directly). `resid` = 1 − cos(vector, assigned unit centroid) — a
+    * scale-free per-row coverage residual whose corpus mean is the drift
+    * baseline maintenance compares incoming batches against
+    * (tools.AnnMaintain; zero-norm vectors yield non-finite resid and are
+    * excluded from the stat, the knnIvf degenerate-vector convention).
+    */
+  def assignLists(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel): DataFrame =
+    assignQuantized(spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq")),
+      model)
+
+  /** [[assignLists]] over the internal (corpus_id, cq) projection. */
+  private[graft] def assignQuantized(
+      c: DataFrame, model: IvfModel): DataFrame = {
+    val mat = model.centroids
+    c.withColumn("cn2", norm2(col("cq")))
+      .withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
+      .withColumn("resid", lit(1.0) -
+        graft.functions.VectorExpressions.centroidDot(
+          col("cq"), col("list"), mat) / sqrt(col("cn2")))
+  }
+
+  /** [[knnIvf]] over a PRE-ASSIGNED corpus ([[assignLists]] output): the
+    * production query path for a standing index — no training and no
+    * corpus-side assignment per query; the per-query work is probe-side
+    * only (nProbe fused argmins + the list equi-join over the probed
+    * lists). Row-identical to [[knnIvf]] under the same model
+    * (spec-asserted); `broadcastProbes` mirrors knnIvf's physical switch.
+    */
+  def knnIvfPreAssigned(
+      probes: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      model: IvfModel,
+      nProbe: Int = 8,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val mat = model.centroids
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val probeLists = p.select(col("probe_id"), col("pq"), col("pn2"),
+      explode(graft.functions.VectorExpressions.nearestCentroids(
+        col("pq"), mat, nProbe)).as("list"))
+    val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
+    val scored = assigned.join(probeSide, "list")
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+      .filter(abs(col("cos")) < lit(Double.PositiveInfinity))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
   }
 
   /** A trained IVFPQ index model: the UN-normalized Lloyd list centroids
