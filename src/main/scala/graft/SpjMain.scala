@@ -16,11 +16,6 @@ object SpjMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: SpjMain <query.sql | inline query text> <tableDir> [outDir]")
-    val queryText =
-      if (Files.exists(Paths.get(args(0))))
-        new String(Files.readAllBytes(Paths.get(args(0))), "UTF-8")
-      else args(0)
-    val dir = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,13 +24,28 @@ object SpjMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val result = SpjCompiler.run(spark, dir, queryText)
-    if (args.length >= 3) {
-      result.write.mode("overwrite").parquet(args(2))
-      println(s"[spj] wrote ${args(2)}")
-    } else {
-      result.show(50, truncate = false)
-    }
+    execute(spark, args(0), args(1), args.lift(2))
     spark.stop()
+  }
+
+  /** The CLI body, session-independent so a spec can drive it (r8 —
+    * the one surface that was still only manually verified): resolve
+    * file-or-inline query text, compile + run against `dir`'s tables,
+    * write parquet to `out` or print to stdout.
+    */
+  def execute(spark: SparkSession, query: String, dir: String,
+      out: Option[String]): Unit = {
+    val queryText =
+      if (Files.exists(Paths.get(query)))
+        new String(Files.readAllBytes(Paths.get(query)), "UTF-8")
+      else query
+    val result = SpjCompiler.run(spark, dir, queryText)
+    out match {
+      case Some(o) =>
+        result.write.mode("overwrite").parquet(o)
+        println(s"[spj] wrote $o")
+      case None =>
+        result.show(50, truncate = false)
+    }
   }
 }

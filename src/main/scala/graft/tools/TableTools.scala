@@ -232,21 +232,28 @@ object OrcConvert {
   }
 
   /** Returns the row count written. Direction: if `in` reads as parquet,
-    * write ORC; otherwise read ORC and write parquet.
+    * write ORC; otherwise read ORC and write parquet. The count comes
+    * from an [[org.apache.spark.sql.Observation]] riding the write
+    * itself (r8) — the previous `df.count()` was a second full read of
+    * the input purely for the return value, which at 100 TB doubles the
+    * conversion job.
     */
   def convert(spark: SparkSession, in: String, out: String): Long = {
+    import org.apache.spark.sql.Observation
     val asParquet =
       try { spark.read.parquet(in).schema; true }
       catch { case _: Exception => false }
+    val obs = Observation()
     if (asParquet) {
-      val df = spark.read.parquet(in)
-      df.write.mode("overwrite").orc(out)
-      df.count()
+      spark.read.parquet(in)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").orc(out)
     } else {
-      val df = spark.read.orc(in)
-      df.write.mode("overwrite").parquet(out)
-      df.count()
+      spark.read.orc(in)
+        .observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(out)
     }
+    obs.get("n").asInstanceOf[Long]
   }
 }
 
