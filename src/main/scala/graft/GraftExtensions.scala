@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramSetExpr, DotProduct, NGramHashSet, RollingHash, SignPack, SimHash64, TokenStatsExpr}
+import graft.functions.{BigramSetExpr, DotProduct, NGramHashSet, NfkcFoldExpr, RollingHash, SignPack, SimHash64, TokenStatsExpr}
 
 /** SparkSessionExtensions hook registering graft's native expressions as
   * SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works anywhere
@@ -70,6 +70,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_token_stats(text)")
         TokenStatsExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_nfkc_fold"),
+      new ExpressionInfo(classOf[NfkcFoldExpr].getName, "graft_nfkc_fold"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfkc_fold(text)")
+        NfkcFoldExpr(children.head)
       }),
     (FunctionIdentifier("graft_ngram_hash_set"),
       new ExpressionInfo(classOf[NGramHashSet].getName, "graft_ngram_hash_set"),

@@ -133,6 +133,68 @@ object TokenStatsExpr {
   }
 }
 
+/** Unicode text normalization for near-exact dedup (r8): NFKC
+  * (compatibility decomposition + canonical composition — folds
+  * ligatures, fullwidth forms, compatibility variants, and composes
+  * combining marks), then Locale.ROOT lowercasing (simple case fold),
+  * then whitespace-run collapse to single spaces with ends trimmed.
+  * Spark has no native NFKC; the pure-functions alternative would be a
+  * UDF (interpreted, serialization per row). NFKC runs only when the
+  * text is not already normalized (`Normalizer.isNormalized` is a cheap
+  * scan that answers true for all-ASCII — the common case allocates
+  * nothing for the normalization step).
+  *
+  * Whitespace is `Character.isWhitespace` — broader than regex `\s`'s
+  * ASCII class for exotic separators (U+2028 etc.), identical on ASCII;
+  * U+00A0 nbsp is folded to a plain space by NFKC itself first.
+  */
+case class NfkcFoldExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfkc_fold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfkcFoldExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfkcFoldExpr.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcFoldExpr =
+    copy(child = newChild)
+}
+
+object NfkcFoldExpr {
+  import java.text.Normalizer
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val nfkc =
+      if (Normalizer.isNormalized(s, Normalizer.Form.NFKC)) s
+      else Normalizer.normalize(s, Normalizer.Form.NFKC)
+    val lower = nfkc.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lower.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      if (Character.isWhitespace(cp)) {
+        // a run becomes ONE space, and only between content (trim)
+        pendingSpace = sb.length > 0
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash fingerprint of a string column. */
   def fingerprint(text: Column): Column =
@@ -141,4 +203,8 @@ object TextExpressions {
   /** Codegen'd fused (n_tok, top_tok_n, n_uniq_bigram) struct. */
   def tokenStats(text: Column): Column =
     Bridge.column(TokenStatsExpr(Bridge.expression(text)))
+
+  /** Codegen'd NFKC + case-fold + whitespace-collapse normalizer. */
+  def nfkcFold(text: Column): Column =
+    Bridge.column(NfkcFoldExpr(Bridge.expression(text)))
 }

@@ -261,6 +261,23 @@ object Dedup {
   def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
     exact(df.withColumn(textCol, normalizeText(col(textCol))), textCol, idCol)
 
+  /** The UNICODE rung of the normalization ladder (r8): NFKC + case fold
+    * + whitespace collapse via the codegen'd
+    * [[graft.functions.NfkcFoldExpr]]. Real web corpora carry width,
+    * ligature, and combining-mark variants of the same text that
+    * [[normalizeText]]'s case/whitespace collapse cannot see (ﬁle ≡
+    * file, ｆｕｌｌｗｉｄｔｈ ≡ fullwidth, e+◌́ ≡ é) — this folds them
+    * into one class; on ASCII it degenerates to exactly
+    * [[normalizeText]]'s result. Same scale shape as [[exactNormalized]]:
+    * normalization happens in the scan stage, the shuffle carries
+    * (norm-hash, id).
+    */
+  def exactNormalizedUnicode(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn(textCol,
+      graft.functions.TextExpressions.nfkcFold(col(textCol))),
+      textCol, idCol)
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (only in new), `removed` (only in old),
     * `changed` (both, different text), or `unchanged` — the dataset-

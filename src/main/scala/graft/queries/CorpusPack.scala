@@ -291,6 +291,49 @@ object CorpusPack {
             SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM n GROUP BY 1 ORDER BY 1"""))
 
+  private val d19 = Q(
+    "d19_dedup_unicode",
+    // d15's UNICODE rung (r8): NFKC + case fold + whitespace collapse —
+    // the corpus is ASCII (where NFKC is the identity and the DuckDB
+    // oracle's nfc_normalize+lower reproduces the fold exactly), and two
+    // injected variant slices make the Unicode classes non-trivial: per
+    // selected doc, an uppercased DECOMPOSED-accent suffix variant and a
+    // lowercase COMPOSED one — textually different strings that must
+    // land in one class (n_copies = 2). NFKC-only folds (ligatures,
+    // fullwidth) have no DuckDB mirror and are unit-spec'd instead
+    // (OpsSpec/FunctionsSpec).
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      // "CAFE" + combining acute on the E, doubled spaces, uppercase
+      val varA = docs.filter(col("doc_id") % 16 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit("  CAFÉ")).as("text"))
+      // composed é, already lowercase, single space
+      val varB = docs.filter(col("doc_id") % 16 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" café")).as("text"))
+      Dedup.exactNormalizedUnicode(
+        docs.unionByName(varA).unionByName(varB), "text", "doc_id")
+        .orderBy("content_hash")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     upper(text) || '  CAFE' || chr(769) AS text
+              FROM documents WHERE doc_id % 16 = 1
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     text || ' caf' || chr(233) AS text
+              FROM documents WHERE doc_id % 16 = 1),
+            n AS (SELECT doc_id,
+                    md5(trim(regexp_replace(
+                      lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+                      AS content_hash
+                  FROM corpus)
+            SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM n GROUP BY 1 ORDER BY 1"""))
+
   private val d16 = Q(
     "d16_scrub_lines",
     // C4-style repeated-line removal: the corpus text (one unique long
@@ -1192,5 +1235,5 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16,
-      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18)
+      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19)
 }

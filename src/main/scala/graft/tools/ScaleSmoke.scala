@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scaling smoke of the FULL dedup tier (d01–d18): generates a
+/** 10× scaling smoke of the FULL dedup tier (d01–d19) plus the
+  * composed p-tier (p12/p13/p14) and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
-  * runs every d-tier query from SparkEntry at both, and FAILS if an
+  * runs every covered query from SparkEntry at both, and FAILS if an
   * op's time grows super-linearly beyond its declared class bound.
   * The fixed-SF bench cannot see super-linear behavior (it never
   * changes N); ScaleProbe stresses single ops at density extremes;
@@ -44,7 +45,8 @@ object ScaleSmoke {
 
   private val Linear = Set("d01_dedup_exact",
     "d09_dedup_bloom", "d12_ngram_decontaminate", "d13_snapshot_diff",
-    "d15_dedup_normalized", "d16_scrub_lines", "d17_scrub_spans")
+    "d15_dedup_normalized", "d16_scrub_lines", "d17_scrub_spans",
+    "d19_dedup_unicode")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
@@ -70,26 +72,22 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 18, s"expected 18 d-tier queries, got $dTier")
+    require(dTier.size == 19, s"expected 19 d-tier queries, got $dTier")
 
-    def run(name: String, dir: String): Double = {
+    def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      fn(dir)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       (System.nanoTime() - t0) / 1e9
     }
 
-    val rows = dTier.map { name =>
-      run(name, s"$workDir/base") // codegen + JIT warm, untimed
-      val base = run(name, s"$workDir/base")
-      val big = run(name, s"$workDir/x10")
+    def measure(name: String, bound: Double, fn: String => Unit)
+        : (String, Double, Double, Double) = {
+      timed(fn, s"$workDir/base") // codegen + JIT warm, untimed
+      val base = timed(fn, s"$workDir/base")
+      val big = timed(fn, s"$workDir/x10")
       val ratio = big / math.max(base, 0.05) // floor: sub-50ms bases are noise
-      val bound =
-        if (Linear(name)) 15.0
-        else if (Candidate(name)) 60.0
-        else Double.PositiveInfinity // quadratic baselines: report-only
       System.err.println(
         f"[scalesmoke] $name base=$base%.2fs x10=$big%.2fs ratio=$ratio%.1f" +
           (if (bound.isInfinity) " (baseline, unbounded)" else f" bound=$bound%.0f"))
@@ -98,6 +96,38 @@ object ScaleSmoke {
       require(big < 300.0, f"$name wall cap: $big%.0fs at x10 scale")
       (name, base, big, ratio)
     }
+
+    def queryFn(name: String)(dir: String): Unit =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+    val dRows = dTier.map { name =>
+      val bound =
+        if (Linear(name)) 15.0
+        else if (Candidate(name)) 60.0
+        else Double.PositiveInfinity // quadratic baselines: report-only
+      measure(name, bound, queryFn(name))
+    }
+
+    // r8: the composed p-tier ops became the bench's slowest queries
+    // (p12 9.3 s, p13 5.2 s driver-run) and none were in the smoke.
+    // All declare LINEAR: p13/p14 are prefix-sum machinery (range
+    // partition + local counters + broadcast offsets), p12 composes
+    // d17's linear scrub with hash-agg dedup and scan-stage gates.
+    val pRows = Seq("p12_curation_pipeline", "p13_seeded_shuffle",
+      "p14_shard_budget").map(n => measure(n, 15.0, queryFn(n)))
+
+    // EpochBuild (order → shard → pack as one composed pass): linear —
+    // the same prefix-sum shape plus packing's per-group window cumsum
+    val epochRow = measure("epoch_build", 15.0, { dir =>
+      val e = EpochBuild.build(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "smoke0", shardTokens = 2000L, seqLen = 256)
+      e.order.write.format("noop").mode("overwrite").save()
+      e.boundaries.write.format("noop").mode("overwrite").save()
+    })
+
+    val rows = dRows ++ pRows :+ epochRow
 
     val js = rows.map { case (n, b, x, r) =>
       f""""$n":{"base":$b%.2f,"x10":$x%.2f,"ratio":$r%.1f}""" }

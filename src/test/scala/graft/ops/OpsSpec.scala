@@ -61,6 +61,25 @@ class TextOpsSpec extends SparkSpec {
     assert(v >= 0.0 && v <= 1.0)
   }
 
+  test("nfkcFold: unicode folds with no DuckDB mirror, ascii ≡ normalizeText") {
+    import graft.functions.TextExpressions.nfkcFold
+    val cases = Seq(
+      "ﬁle" -> "file", // ligature: NFKC-only (nfc_normalize keeps ﬁ)
+      "ＦＵＬＬｗｉｄｔｈ" -> "fullwidth", // fullwidth + case fold
+      "CAFÉ" -> "café", // decomposed combining mark + case
+      "café" -> "café", // composed fixed point
+      "a b" -> "a b", // nbsp → space via NFKC compatibility
+      "  a \t\n b  " -> "a b", // whitespace runs collapse, ends trim
+      "line sep" -> "line sep") // unicode line separator is ws
+    cases.foreach { case (in, want) =>
+      assert(one(in, nfkcFold(col("text"))) == want, s"input: $in")
+    }
+    // on pure ASCII the unicode rung degenerates to exactly d15's fold
+    val ascii = "  The QUICK   brown\tFox  "
+    assert(one(ascii, nfkcFold(col("text"))) ==
+      one(ascii, graft.ops.Dedup.normalizeText(col("text"))))
+  }
+
   test("gopher rules: each stat trips on its crafted pathological doc") {
     def stats(t: String) = (
       one(t, TextOps.meanWordLen(col("text"))).asInstanceOf[Double],
