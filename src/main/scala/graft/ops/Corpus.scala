@@ -453,6 +453,46 @@ object Corpus {
       .drop("__pre")
   }
 
+  /** Mixture-weighted training order (r8): a deterministic global
+    * interleave where source s's documents appear at a rate proportional
+    * to `weights(s)` — the materialized form of the source-mixing knob
+    * every multi-corpus training run tunes (up-weight curated sources,
+    * down-weight crawl). Stride scheduling: doc with within-source rank
+    * r (0-based, seeded-hash order) gets virtual time (r + 0.5) / w_s,
+    * and the global order sorts by it — weighted fair queueing's exact
+    * interleave, deterministic, re-seedable per epoch, no RNG.
+    *
+    * Scale shape: within-source ranks WITHOUT a per-source window (a
+    * window on source = one task per source = straggler by construction):
+    * global dense ids from [[contiguousIdsBy]] over (source, seeded key)
+    * — source-contiguous by ordering — minus each source's broadcast
+    * min-id (one tiny agg; sources are few). Final positions are a second
+    * [[contiguousIdsBy]] over the virtual times. Only (id, source,
+    * 32-byte key) rows ever shuffle. A source missing from `weights`
+    * fails the job (`raise_error`) rather than silently mis-mixing.
+    */
+  def mixtureOrder(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], seed: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val keyed = df.select(col(idCol), col(sourceCol),
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("__sk"))
+    val rid = contiguousIdsBy(keyed, Seq(sourceCol, "__sk", idCol), "__rid")
+    val mins = rid.groupBy(sourceCol).agg(min("__rid").as("__off"))
+    val w = element_at(typedlit(weights), col(sourceCol))
+    val ranked = rid.join(broadcast(mins), sourceCol)
+      .withColumn("src_rank", col("__rid") - col("__off"))
+      .withColumn("__vt",
+        (col("src_rank").cast("double") + lit(0.5)) /
+          when(w.isNotNull, w).otherwise(raise_error(concat(
+            lit("mixtureOrder: no weight for source "), col(sourceCol)))))
+    contiguousIdsBy(
+      ranked.select(col(idCol), col(sourceCol), col("src_rank"), col("__vt")),
+      Seq("__vt", idCol), "mix_pos")
+      .select(col(idCol), col(sourceCol), col("src_rank"), col("mix_pos"))
+  }
+
   /** Deterministic global training shuffle: a seeded pseudo-random
     * permutation of the corpus as dense 0-based positions. Epoch ordering
     * must be (a) uniform — md5 of seed:id is as good as an RNG draw,

@@ -343,6 +343,51 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Contamination COVERAGE report (r8): for every eval document, the
+    * fraction of its distinct word-`n`-grams that appear ANYWHERE in the
+    * train corpus — the PaLM/GPT-4-style "dirty if > X% of n-grams are
+    * covered" metric. [[crossNGramOverlap]] answers "which train doc
+    * leaked into which eval doc"; this answers "how contaminated is each
+    * eval doc overall", which is what an eval-set release decision
+    * actually reads (per-pair counts can each be tiny while their union
+    * covers the doc).
+    *
+    * Shape: both sides hash n-grams in the scan stage (the fused
+    * [[graft.functions.NGramHashSet]] — per-doc DISTINCT gram hashes, no
+    * gram string ever becomes a row); the train side collapses to its
+    * distinct hash set (map-side partial dedup) and the eval grams
+    * LEFT SEMI join it — every shuffled row is a fixed-width hash.
+    * Eval docs with fewer than `n` tokens report n_grams = 0,
+    * coverage 0.0.
+    */
+  def ngramCoverage(
+      evalDf: DataFrame,
+      train: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val evalGrams = graft.Tables.spreadIfNarrow(evalDf)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.HashExpressions.ngramHashSet(
+          col(textCol), n)).as("gh"))
+    val trainGrams = graft.Tables.spreadIfNarrow(train)
+      .select(explode(graft.functions.HashExpressions.ngramHashSet(
+        col(textCol), n)).as("gh"))
+      .distinct()
+    val totals = evalGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val covered = evalGrams.join(trainGrams, Seq("gh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_covered"))
+    evalDf.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))
+            .cast("double")).as("coverage"))
+  }
+
   /** C4-style repeated-line scrub: remove every line that occurs in more
     * than `maxLineDf` distinct documents (navigation chrome, cookie
     * banners, boilerplate footers — the intra-corpus repetition that

@@ -264,6 +264,61 @@ object CorpusPack {
             WHERE la.split = 'train' AND lb.split = 'test'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val d20 = Q(
+    "d20_ngram_coverage",
+    // per-eval-doc contamination coverage: the release-decision metric
+    // d12's pair counts feed into — fraction of each test doc's distinct
+    // 5-grams appearing anywhere in the train split
+    (s, dir) => {
+      val labeled = Tables.load(s, dir, "documents")
+        .withColumn("split", Corpus.splitLabel(col("doc_id")))
+      Dedup.ngramCoverage(
+          labeled.filter(col("split") === "test"),
+          labeled.filter(col("split") === "train"),
+          "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+                       FROM documents),
+              raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+                      FROM t),
+              tok AS (SELECT doc_id, w,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+                      FROM raw WHERE w <> ''),
+              g5 AS (SELECT doc_id,
+                       w || ' ' || LEAD(w, 1) OVER win
+                         || ' ' || LEAD(w, 2) OVER win
+                         || ' ' || LEAD(w, 3) OVER win
+                         || ' ' || LEAD(w, 4) OVER win AS g,
+                       LEAD(w, 4) OVER win AS tail
+                     FROM tok
+                     WINDOW win AS (PARTITION BY doc_id ORDER BY rn)),
+              gd AS (SELECT DISTINCT doc_id, g FROM g5 WHERE tail IS NOT NULL),
+              lab AS (SELECT doc_id,
+                        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                               IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                             THEN 'train'
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                               IN ('c','d')
+                             THEN 'val' ELSE 'test' END AS split
+                      FROM documents),
+              tg AS (SELECT DISTINCT g FROM gd JOIN lab USING (doc_id)
+                     WHERE split = 'train'),
+              ev AS (SELECT doc_id, g FROM gd JOIN lab USING (doc_id)
+                     WHERE split = 'test'),
+              tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY 1),
+              cov AS (SELECT doc_id, COUNT(*) AS n_covered
+                      FROM ev SEMI JOIN tg USING (g) GROUP BY 1)
+            SELECT doc_id,
+              COALESCE(n_grams, 0) AS n_grams,
+              COALESCE(n_covered, 0) AS n_covered,
+              CAST(COALESCE(n_covered, 0) AS DOUBLE)
+                / CAST(greatest(COALESCE(n_grams, 0), 1) AS DOUBLE)
+                AS coverage
+            FROM lab LEFT JOIN tot USING (doc_id)
+                     LEFT JOIN cov USING (doc_id)
+            WHERE split = 'test' ORDER BY doc_id"""))
+
   private val d15 = Q(
     "d15_dedup_normalized",
     // near-exact dedup: normalize (lowercase, collapse whitespace, trim)
@@ -1028,6 +1083,37 @@ object CorpusPack {
                 - greatest(pre, seq_idx * 256) AS len
             FROM e ORDER BY doc_id, seq_idx"""))
 
+  private val p17 = Q(
+    "p17_mixture_order",
+    // mixture-weighted interleave: curated sources src0–src4 up-weighted
+    // 4:1 over the rest — the materialized source-mixing order (stride
+    // scheduling / WFQ virtual time), deterministic and re-seedable
+    (s, dir) => {
+      val weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 4.0 else 1.0)).toMap
+      Corpus.mixtureOrder(Tables.load(s, dir, "documents"),
+          "doc_id", "source", weights, seed = "mix0")
+        .orderBy("doc_id")
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+                         md5('mix0:' || CAST(doc_id AS VARCHAR)) AS sk
+                       FROM documents),
+              r AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY sk, doc_id) - 1 AS src_rank
+                    FROM k),
+              v AS (SELECT doc_id, source, src_rank,
+                      (CAST(src_rank AS DOUBLE) + 0.5) /
+                        (CASE WHEN source IN
+                           ('src0','src1','src2','src3','src4')
+                          THEN 4.0 ELSE 1.0 END) AS vt
+                    FROM r),
+              f AS (SELECT doc_id, source, src_rank,
+                      row_number() OVER (ORDER BY vt, doc_id) - 1 AS mix_pos
+                    FROM v)
+            SELECT doc_id, source, src_rank, mix_pos
+            FROM f ORDER BY doc_id"""))
+
   private val p14 = Q(
     "p14_shard_budget",
     // token-budgeted output sharding in the seeded-shuffle order (p13's
@@ -1234,6 +1320,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16,
-      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19)
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17,
+      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scaling smoke of the FULL dedup tier (d01–d19) plus the
+/** 10× scaling smoke of the FULL dedup tier (d01–d20) plus the
   * composed p-tier (p12/p13/p14) and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -46,7 +46,7 @@ object ScaleSmoke {
   private val Linear = Set("d01_dedup_exact",
     "d09_dedup_bloom", "d12_ngram_decontaminate", "d13_snapshot_diff",
     "d15_dedup_normalized", "d16_scrub_lines", "d17_scrub_spans",
-    "d19_dedup_unicode")
+    "d19_dedup_unicode", "d20_ngram_coverage")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
@@ -72,7 +72,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 19, s"expected 19 d-tier queries, got $dTier")
+    require(dTier.size == 20, s"expected 20 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -88,6 +88,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixtureOrder: exact 2:1 stride interleave, dense positions, unknown source fails") {
+    // two sources, weights 2:1 — WFQ virtual times put source b at every
+    // third slot exactly: a(.25) b(.5) a(.75) | a(1.25) b(1.5) a(1.75) …
+    val docs = ((0L until 40L).map(i => (i, "a")) ++
+      (100L until 120L).map(i => (i, "b")))
+      .toDF("doc_id", "source").repartition(7)
+    val got = Corpus.mixtureOrder(docs, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 1.0), "s0")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("src_rank"), r.getAs[Long]("mix_pos")))
+    // dense 0..59 positions, a valid permutation
+    assert(got.map(_._4).sorted.toSeq == (0L until 60L))
+    // per-source ranks are dense 0..n-1
+    assert(got.filter(_._2 == "a").map(_._3).sorted.toSeq == (0L until 40L))
+    assert(got.filter(_._2 == "b").map(_._3).sorted.toSeq == (0L until 20L))
+    // the interleave pattern: source b occupies positions 1, 4, 7, …
+    val bPos = got.filter(_._2 == "b").map(_._4).sorted.toSeq
+    assert(bPos == (0 until 20).map(i => 3L * i + 1),
+      s"stride pattern broken: ${bPos.take(6)}")
+    // a source with no declared weight must fail loudly, not mis-mix
+    intercept[Exception] {
+      Corpus.mixtureOrder(docs, "doc_id", "source",
+        Map("a" -> 2.0), "s0").collect()
+    }
+  }
+
   test("seededShuffle: valid permutation, seed-sensitive, retry-stable") {
     val ids = (0L until 300L).map(_ * 3 + 1).toList
     val df = ids.toDF("doc_id").repartition(11)
