@@ -436,6 +436,41 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Embedding-space decontamination (r8): every train vector whose
+    * cosine to ANY eval vector reaches `tau`, reported as (train_id,
+    * eval_id, cos) with its strongest eval match — the semantic rung of
+    * the decontamination ladder (d07 whole-doc Jaccard, d12/d20 exact
+    * n-grams catch verbatim leaks; a paraphrased eval answer only an
+    * embedding sees). EXACT baseline: the eval set is the small side by
+    * construction (eval suites are thousands of rows, the corpus is the
+    * 100 TB side), so it broadcasts and the scan streams the train side
+    * once — the knnBrute shape with a threshold instead of top-k. The
+    * bounded twin for a large eval side inverts the roles through
+    * [[knnIvf]] batch mode (probes = train, corpus = eval, k = 1) and
+    * filters at `tau` — RecallSpec gates it against this baseline.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      evalDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double): DataFrame = {
+    val c = spread(train)
+      .select(col(idCol).as("train_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    val p = evalDf
+      .select(col(idCol).as("eval_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val scored = c.crossJoin(broadcast(p))
+      .select(col("train_id"), col("eval_id"),
+        cosine(dot(col("cq"), col("pq")), col("cn2"), col("pn2")).as("cos"))
+      .filter(col("cos") >= tau)
+    val w = Window.partitionBy("train_id")
+      .orderBy(col("cos").desc, col("eval_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
   /** [[hardNegatives]]' bounded scale path: [[knnIvf]] over the shared
     * full-corpus inverted lists, the label inequality applied after the
     * list join and BEFORE the top-k window — candidates fill k from

@@ -150,6 +150,39 @@ object PipelinePack {
       .orderBy("vec_id"),
     None)
 
+  private val d21 = Q(
+    "d21_semantic_decontaminate",
+    // embedding-space decontamination: train vectors too cosine-similar
+    // to the held-out eval slice (every 10th id), with their strongest
+    // eval match — the paraphrase leak d07/d12/d20's lexical checks
+    // can't see. Eval is the broadcast side; train streams once.
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.semanticDecontaminate(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", tau = 0.4)
+        .orderBy("train_id")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              dotp AS (SELECT c.vec_id tid, p.vec_id eid, SUM(c.v * p.v) dot
+                       FROM q c JOIN q p ON c.i = p.i
+                       WHERE c.vec_id % 10 <> 0 AND p.vec_id % 10 = 0
+                       GROUP BY 1, 2),
+              scored AS (SELECT tid, eid, dot / sqrt(nc.nn * np.nn) AS cos
+                         FROM dotp JOIN nrm nc ON tid = nc.vec_id
+                                   JOIN nrm np ON eid = np.vec_id),
+              hits AS (SELECT tid, eid, cos,
+                         ROW_NUMBER() OVER (PARTITION BY tid
+                           ORDER BY cos DESC, eid ASC) rk
+                       FROM scored WHERE cos >= 0.4)
+            SELECT tid AS train_id, eid AS eval_id, cos
+            FROM hits WHERE rk = 1 ORDER BY train_id"""))
+
   private val s02 = Q(
     "s02_knn_lsh",
     (s, dir) => {
@@ -668,7 +701,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, s01, s02, s03, s04, s05, s06, s07, s08, s09,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, m01, m02)
 }

@@ -30,6 +30,10 @@ import graft.ops.{Clusters, Corpus, Dedup, Events, VectorOps}
   *  - batch ANN: 1M probes × 200k corpus through knnIvf's
   *    broadcastProbes=false shuffled-list-join path (r6) — the
   *    corpus-vs-corpus retrieval mode a probe broadcast can't serve
+  *  - ann maintenance (r8): 1M-vector standing AnnMaintain index,
+  *    100k-vector assign-only fold (blobby distribution — must NOT
+  *    retrain), folded rows findable: standing-index recall over batch
+  *    probes gated vs brute force
   *
   * `runMain graft.tools.ScaleProbe` (env SPARK_GRAFT_CPUS).
   */
@@ -292,6 +296,54 @@ object ScaleProbe {
     }
     require(foldAdded == 98437L, s"fold admitted $foldAdded (want 98437)")
 
+    // --- ANN maintenance: 1M-vector standing index, 100k assign-only fold
+    // blobby vectors (64 hash-derived centers + jitter — the clustered
+    // regime real embedding corpora occupy) so the drift baseline is
+    // meaningful; the fold must stay append-only and its cost must track
+    // the BATCH (index build is its own job, untimed — the AnnMaintain
+    // contract), and the newly folded rows must be FINDABLE: recall of
+    // the standing index over batch probes vs brute force is gated.
+    val annDim = 16
+    def blobVec(id: org.apache.spark.sql.Column) =
+      array((0 until annDim).map(j =>
+        (((pmod(xxhash64(pmod(id, lit(64L)), lit(j)), lit(2001L)) - 1000L)
+          .cast("double") / 1000.0) +
+          ((pmod(xxhash64(id, lit(1000 + j)), lit(21L)) - 10L)
+            .cast("double") / 500.0)).cast("float")): _*)
+    val annStanding = spark.range(1000000L)
+      .select(col("id").as("vec_id"), blobVec(col("id")).as("embedding"))
+    val annBatch = spark.range(1000000L, 1100000L)
+      .select(col("id").as("vec_id"), blobVec(col("id")).as("embedding"))
+    val annState0 = AnnMaintain.build(annStanding, "vec_id", "embedding",
+      nCentroids = 64)
+    val tAnn = System.nanoTime()
+    val annFold = AnnMaintain.fold(annState0, annBatch, "vec_id", "embedding",
+      nCentroids = 64)
+    require(!annFold.retrained,
+      s"in-distribution fold retrained: ${annFold.driftRatio}")
+    val annRows = annFold.state.assigned.count()
+    val annFoldSec = (System.nanoTime() - tAnn) / 1e9
+    require(annRows == 1100000L, s"folded lists hold $annRows rows")
+    val annProbes = annBatch.filter(col("vec_id") < 1000008L)
+    val annUnion = annStanding.unionByName(annBatch)
+    val annBrute = VectorOps.knnBrute(annProbes, annUnion,
+        "vec_id", "embedding", k = 10)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (annGot, annQuerySec) = timed {
+      VectorOps.knnIvfPreAssigned(annProbes, annFold.state.assigned,
+          "vec_id", "embedding", k = 10, annFold.state.model, nProbe = 8)
+        .select("probe_id", "corpus_id").count()
+    }
+    val annGotSet = VectorOps.knnIvfPreAssigned(annProbes,
+        annFold.state.assigned, "vec_id", "embedding", k = 10,
+        annFold.state.model, nProbe = 8)
+      .select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annRecall = (annBrute & annGotSet).size.toDouble / annBrute.size
+    require(annGot == annGotSet.size)
+    require(annRecall >= 0.70, f"folded-index recall $annRecall%.3f < 0.70")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -303,7 +355,9 @@ object ScaleProbe {
       s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
       s""""pq_sec":$pqSec,"batch_ann_rows":$batchRows,""" +
       s""""batch_ann_sec":$batchAnnSec,""" +
-      s""""fold_added":$foldAdded,"fold_sec":$foldSec}""")
+      s""""fold_added":$foldAdded,"fold_sec":$foldSec,""" +
+      f""""ann_fold_sec":$annFoldSec%.1f,"ann_recall":$annRecall%.3f,""" +
+      f""""ann_query_sec":$annQuerySec%.1f}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scaling smoke of the FULL dedup tier (d01–d20) plus the
+/** 10× scaling smoke of the FULL dedup tier (d01–d21) plus the
   * composed p-tier (p12/p13/p14) and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -54,7 +54,11 @@ object ScaleSmoke {
     "d04_dedup_simhash", "d06_dedup_incremental", "d07_decontaminate",
     "d08_dedup_clusters", "d11_cc_incremental", "d14_fuzzy_pipeline",
     "d18_cluster_keep_best")
-  private val QuadBaseline = Set("d05_dedup_embedding", "d10_dedup_semantic")
+  // d21's exact baseline is train × eval pair work; the smoke's eval
+  // slice scales WITH the corpus, so it is a declared baseline here
+  // (the production eval side is a fixed-size suite — linear in train)
+  private val QuadBaseline = Set("d05_dedup_embedding", "d10_dedup_semantic",
+    "d21_semantic_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/tmp/graft_scalesmoke")
@@ -72,7 +76,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 20, s"expected 20 d-tier queries, got $dTier")
+    require(dTier.size == 21, s"expected 21 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

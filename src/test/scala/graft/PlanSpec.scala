@@ -127,6 +127,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d20: coverage joins on gram hashes — semi join, no cartesian, no text exchange") {
+    val lines = plan("d20_ngram_coverage").linesIterator.toSeq
+    val p = lines.mkString("\n")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"))
+    // no HASH shuffle (join/agg) may carry document text — only the
+    // fixed-width (id, hash) rows; the small-SF spreadIfNarrow
+    // round-robin spread is exempt (a no-op at cluster scale)
+    val hashExchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        val in = lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+        val args = lines.drop(i + 1).find(_.trim.startsWith("Arguments"))
+          .getOrElse("")
+        (in, args)
+      }
+      .filter(_._2.contains("hashpartitioning"))
+    assert(hashExchangeInputs.nonEmpty)
+    hashExchangeInputs.foreach { case (in, _) =>
+      assert(!in.contains("text#"), s"hash exchange shuffles text: $in")
+    }
+  }
+
+  test("d21: eval side broadcasts; the train side is never exchanged before scoring") {
+    val p = plan("d21_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p17: within-source ranks use the prefix-sum machinery, not a per-source window") {
+    // a window partitioned by source = one task per source = straggler;
+    // the only windows allowed are the numPartitions-row offset prefix
+    // sums inside contiguousIdsBy
+    val p = plan("p17_mixture_order")
+    assert(!p.contains("windowspecdefinition(source"),
+      "per-source window found — the straggler shape mixtureOrder exists to avoid")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d03: LSH banding joins on bucket keys, no nested-loop over docs") {
     val p = plan("d03_dedup_minhash")
     assert(!p.contains("CartesianProduct") &&

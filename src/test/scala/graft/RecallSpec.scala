@@ -211,6 +211,29 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
   }
 
+  test("d21: IVF-bounded semantic decontamination vs the exact baseline (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    // the bounded twin inverts the roles: probes = train (large, batch
+    // mode), corpus = eval (small), k = 1, tau filter after. Twin hits
+    // are exact cosines of real pairs, so precision is 1 by construction
+    // (flagged ⊆ exact) — assert it; recall gated
+    val emb = Tables.load(spark, dir, "embeddings")
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+    val evalDf = emb.filter(col("vec_id") % 10 === 0)
+    val exact = SparkEntry.queries("d21_semantic_decontaminate")(spark, dir)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    val twin = graft.ops.VectorOps.knnIvf(train, evalDf,
+        "vec_id", "embedding", k = 1, nCentroids = 8, nProbe = 4,
+        broadcastProbes = false)
+      .filter(col("cos") >= 0.4)
+      .select("probe_id").collect().map(_.getLong(0)).toSet
+    assert((twin -- exact).isEmpty, s"twin flagged clean rows: ${twin -- exact}")
+    val recall = (exact & twin).size.toDouble / exact.size
+    info(f"d21 twin recall = $recall%.3f (${(exact & twin).size}/${exact.size})")
+    assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
+  }
+
   test("IvfPqModel: a mismatched m or residual flag is rejected, not mis-scored") {
     import org.apache.spark.sql.functions.col
     // r8 (ADVICE): the meta parquet persists the residual flag; knnIvfPq
