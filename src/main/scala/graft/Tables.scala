@@ -18,15 +18,26 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events table carries NANOS-precision parquet timestamps, which
-    * Spark's TimestampType (µs) cannot hold — read them as longs and
-    * truncate to µs. Event-time semantics downstream are µs-granular.
+  /** The events table's `ts` encoding has varied across testdata
+    * generations: NANOS-precision parquet timestamps (which Spark's
+    * TimestampType (µs) cannot hold — surfaced as longs under
+    * `nanosAsLong` and truncated to µs here) or µs TIMESTAMP_NTZ.
+    * Branch on the footer schema so both read to the same µs-granular
+    * TimestampType; sessions run in UTC, so the NTZ cast is a pure
+    * reinterpretation with no wall-clock shift.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos column surfaced as long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Like [[load]], but spread across the session's shuffle parallelism.
