@@ -148,6 +148,111 @@ object Corpus {
     lift.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** CCNet-style language-model quality signal per document: mean token
+    * surprisal under a unigram LM trained on a reference slice of the
+    * SAME corpus (Wenzek et al. 2020 bucket Common Crawl by the
+    * perplexity of a Wikipedia-trained KenLM; the unigram rung is the
+    * in-engine, oracle-checkable analogue — low bits/token ≈ head-like
+    * fluent text, high ≈ tail/noise).
+    *
+    * Surprisal is quantized to WHOLE BITS by integer-only arithmetic:
+    * `bits(tok) = length(bin(ref_total div cnt(tok)))` = floor(log2) + 1
+    * of the inverse relative frequency. No `ln` ever runs, so the score
+    * is exact and the DuckDB oracle matches bit-for-bit (libm `log`
+    * rounding differs across engines — same reason t10 uses a lift ratio
+    * instead of idf). Unseen tokens back off to hapax count 1 — the
+    * maximum observable surprisal, as in add-one smoothing.
+    *
+    * Shape at 100 TB: the reference counts are a partial-aggregated
+    * (token, cnt) rollup of the ref slice; scoring explodes each doc once
+    * and equi-joins on token — like t10 this is the one shuffle carrying
+    * strings, with single-row build sides per token, so AQE's skew split
+    * handles hot heads. The ref-total is one broadcast row. Docs with no
+    * tokens (or null text) survive via the final left join with
+    * `n_tok = 0` and a NULL score.
+    */
+  def surprisalPerDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val refCnt = df.filter(refFilter)
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(refCnt.agg(sum("cnt").as("ref_total")))
+    val scored = toks
+      .join(refCnt, Seq("token"), "left")
+      .crossJoin(total)
+      .select(col(idCol), col("ref_total"),
+        coalesce(col("cnt"), lit(1L)).as("cnt1"))
+      // `div` (not `/`): integer division keeps the whole pipeline in
+      // exact long arithmetic; `/` would detour through doubles
+      .select(col(idCol),
+        length(bin(expr("ref_total div cnt1"))).cast("long").as("bits"))
+      .groupBy(idCol)
+      .agg(sum("bits").as("sum_bits"), count(lit(1)).as("n_tok"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        when(coalesce(col("n_tok"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("sum_bits").cast("double") / col("n_tok"))
+          .cast("double").as("bits_per_token"))
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how much more likely a TARGET-domain unigram LM finds
+    * them than the raw-corpus LM — `log2 w(doc) = Σ_tok (bits_raw −
+    * bits_target)`, the whole-bit analogue of DSIR's log importance
+    * weight (bits ≈ −log2 p, quantized by the same integer-only
+    * `length(bin(total div cnt))` as [[surprisalPerDoc]], so the score
+    * is oracle-exact — no libm). Positive = target-like, negative =
+    * raw-like. DSIR proper adds Gumbel noise before the top-k; this is
+    * the deterministic (seedless, retry-stable) variant — compose with
+    * [[seededShuffle]]'s md5 keys for a randomized draw.
+    *
+    * Shape: two (token, cnt) rollups (target slice + raw slice), outer-
+    * joined into one per-token bit-delta table — one string-keyed
+    * shuffle, single-row build sides, AQE-split hot heads — then the
+    * scoring explode + equi-join + per-doc sum, as in surprisalPerDoc.
+    * Tokens unseen in EITHER slice back off to hapax on that side only.
+    */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, rawFilter: Column): DataFrame = {
+    def cnts(f: Column, cn: String, tn: String): (DataFrame, DataFrame) = {
+      val c = df.filter(f)
+        .select(explode(TextOps.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(cn))
+      (c, broadcast(c.agg(sum(cn).as(tn))))
+    }
+    val (tc, tTot) = cnts(targetFilter, "cnt_t", "total_t")
+    val (rc, rTot) = cnts(rawFilter, "cnt_r", "total_r")
+    val delta = tc.join(rc, Seq("token"), "full")
+      .crossJoin(tTot).crossJoin(rTot)
+      .select(col("token"), col("total_t"), col("total_r"),
+        coalesce(col("cnt_t"), lit(1L)).as("ct"),
+        coalesce(col("cnt_r"), lit(1L)).as("cr"))
+      .select(col("token"),
+        (length(bin(expr("total_r div cr"))).cast("long") -
+          length(bin(expr("total_t div ct"))).cast("long")).as("dbits"))
+    val scored = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(delta, Seq("token"), "left")
+      // a token absent from BOTH slices (possible only for docs outside
+      // them) carries no evidence for either domain and scores a neutral
+      // 0 — deliberately NOT the hapax-vs-hapax backoff, whose value
+      // would be the log2 ratio of the slice sizes, an artifact
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("dbits"), lit(0L))).as("log2_w"),
+        count(lit(1)).as("n_tok"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("log2_w"), lit(0L)).as("log2_w"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+  }
+
   /** Gopher-style repetition quality signals per document:
     * `top_tok_frac` (share of the most frequent token — boilerplate and
     * keyword-stuffing detector) and `dup_bigram_frac` (1 - distinct/total

@@ -1019,6 +1019,40 @@ object CorpusPack {
                 AS mean_doc_tokens
             FROM gp GROUP BY source, lang ORDER BY source, lang"""))
 
+  private val t16 = Q(
+    "t16_surprisal",
+    // CCNet-style LM quality signal: mean per-token surprisal (whole
+    // bits, integer-only — no libm log) under a unigram model of the
+    // English slice; low bits/token reads as head-like fluent text
+    (s, dir) => Corpus.surprisalPerDoc(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents),
+            ref AS (SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents WHERE lang = 'en'),
+            cnt AS (SELECT token, COUNT(*) AS cnt FROM ref GROUP BY token),
+            tot AS (SELECT COUNT(*) AS ref_total FROM ref),
+            bits AS (SELECT t.doc_id,
+                LENGTH(bin(tot.ref_total // COALESCE(c.cnt, 1))) AS bits
+              FROM toks t LEFT JOIN cnt c ON t.token = c.token
+                   CROSS JOIN tot),
+            agg AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+                COUNT(*) AS n_tok
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+              COALESCE(a.sum_bits, 0) AS sum_bits,
+              COALESCE(a.n_tok, 0) AS n_tok,
+              CASE WHEN a.n_tok IS NULL THEN NULL
+                   ELSE CAST(a.sum_bits AS DOUBLE) / a.n_tok END
+                AS bits_per_token
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -1113,6 +1147,45 @@ object CorpusPack {
                     FROM v)
             SELECT doc_id, source, src_rank, mix_pos
             FROM f ORDER BY doc_id"""))
+
+  private val p18 = Q(
+    "p18_dsir_weights",
+    // DSIR data selection: per-doc whole-bit log importance weight of a
+    // target-domain (en) unigram LM against the raw-corpus LM; positive
+    // = target-like. Integer-only, so oracle-exact
+    (s, dir) => Corpus.dsirWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        targetFilter = col("lang") === "en", rawFilter = lit(true))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents),
+            tc AS (SELECT token, COUNT(*) AS cnt_t
+              FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS token
+                    FROM documents WHERE lang = 'en')
+              GROUP BY token),
+            rc AS (SELECT token, COUNT(*) AS cnt_r
+              FROM toks GROUP BY token),
+            tt AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS total_t FROM tc),
+            rt AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS total_r FROM rc),
+            delta AS (SELECT COALESCE(tc.token, rc.token) AS token,
+                CAST(LENGTH(bin(rt.total_r // COALESCE(rc.cnt_r, 1)))
+                     AS BIGINT)
+              - CAST(LENGTH(bin(tt.total_t // COALESCE(tc.cnt_t, 1)))
+                     AS BIGINT) AS dbits
+              FROM tc FULL JOIN rc ON tc.token = rc.token
+                   CROSS JOIN tt CROSS JOIN rt),
+            sc AS (SELECT t.doc_id,
+                CAST(SUM(COALESCE(d.dbits, 0)) AS BIGINT) AS log2_w,
+                COUNT(*) AS n_tok
+              FROM toks t LEFT JOIN delta d ON t.token = d.token
+              GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(sc.log2_w, 0) AS log2_w,
+              COALESCE(sc.n_tok, 0) AS n_tok
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id"""))
 
   private val p14 = Q(
     "p14_shard_budget",
@@ -1319,7 +1392,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -499,4 +499,18 @@ class PlanSpec extends SparkSpec {
     // cluster crosses the wire as one fixed-width row per map partition
     assert(p.contains("partial_max"), p)
   }
+
+  test("t16/p18: LM scoring joins on token, no cartesian, pruned scans") {
+    for (q <- Seq("t16_surprisal", "p18_dsir_weights")) {
+      val p = plan(q)
+      // the only nested-loop is the broadcast of the 1-row total(s);
+      // token scoring and count rollups must stay equi-joins/aggregates
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("partial_count"), q) // map-side count partials
+      // documents scan reads only what the op needs (no source/n_chars)
+      val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(reads.nonEmpty && reads.forall(r =>
+        !r.contains("source") && !r.contains("n_chars")), q)
+    }
+  }
 }

@@ -191,4 +191,50 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(5))
   }
+
+  test("surprisalPerDoc: whole-bit unigram surprisal, hapax backoff, " +
+    "empty and null docs survive with NULL score") {
+    // ref slice (en): tokens a a b a c -> total 5; cnt a=3 b=1 c=1
+    // bits: a -> 5 div 3 = 1 -> 1 bit; b,c -> 5 -> '101' -> 3 bits;
+    // unseen z backs off to cnt 1 -> 3 bits
+    val df = Seq(
+      (1L, "a a b", "en"), (2L, "a c", "en"), (3L, "b z", "de"),
+      (4L, "", "de"), (5L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang").repartition(7)
+    val got = Corpus.surprisalPerDoc(df, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, Some(5.0 / 3)),
+      (2L, 4L, 2L, Some(2.0)),
+      (3L, 6L, 2L, Some(3.0)),
+      (4L, 0L, 0L, None),
+      (5L, 0L, 0L, None)))
+  }
+
+  test("dsirWeights: whole-bit log importance = bits_raw - bits_target, " +
+    "per-side hapax backoff") {
+    // target (en): a a b          -> total_t 3; cnt_t a=2 b=1
+    // raw (all):   a a b a c b z  -> total_r 7; cnt_r a=3 b=2 c=1 z=1
+    // bits_t: a=len(bin(3 div 2))=1  b=len(bin(3))=2   c,z backoff=2
+    // bits_r: a=len(bin(7 div 3))=2  b=len(bin(3))=2   c=len(bin(7))=3 z=3
+    // dbits:  a=+1 b=0 c=+1 z=+1
+    val df = Seq(
+      (1L, "a a b", "en"), (2L, "a c b", "de"), (3L, "z", "de"),
+      (4L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang").repartition(5)
+    val got = Corpus.dsirWeights(df, "doc_id", "text",
+        targetFilter = col("lang") === "en", rawFilter = lit(true))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L),   // a+a+b = 1+1+0
+      (2L, 2L, 3L),   // a+c+b = 1+1+0
+      (3L, 1L, 1L),   // z = 1
+      (4L, 0L, 0L)))  // null text: neutral weight, zero tokens
+  }
 }
