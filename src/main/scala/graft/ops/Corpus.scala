@@ -173,12 +173,24 @@ object Corpus {
     */
   def surprisalPerDoc(
       df: DataFrame, idCol: String, textCol: String,
-      refFilter: Column): DataFrame = {
+      refFilter: Column): DataFrame =
+    surprisalWithCounts(df, idCol, textCol,
+      df.filter(refFilter)
+        .select(explode(TextOps.tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")))
+
+  /** [[surprisalPerDoc]] against a PRE-BUILT `(token, cnt)` unigram
+    * table — the standing-corpus shape: under continuous ingest the
+    * counts fold incrementally ([[graft.tools.CorpusMaintain
+    * .foldTokenCounts]]) and scoring never recounts the reference
+    * slice, mirroring how a saved IvfModel serves queries without
+    * retraining.
+    */
+  def surprisalWithCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      refCnt: DataFrame): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("token"))
-    val refCnt = df.filter(refFilter)
-      .select(explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
     val total = broadcast(refCnt.agg(sum("cnt").as("ref_total")))
     val scored = toks
       .join(refCnt, Seq("token"), "left")
@@ -198,6 +210,32 @@ object Corpus {
         when(coalesce(col("n_tok"), lit(0L)) === 0L, lit(null))
           .otherwise(col("sum_bits").cast("double") / col("n_tok"))
           .cast("double").as("bits_per_token"))
+  }
+
+  /** CCNet's head/middle/tail split: bucket documents by surprisal
+    * terciles ([[surprisalPerDoc]]) — Wenzek et al. 2020 release Common
+    * Crawl in exactly these three perplexity bands, and downstream
+    * pipelines keep head+middle or re-weight by band. Zero-token docs
+    * are unscoreable and excluded (they are d-tier/gopher prey anyway).
+    *
+    * Same scale shape as the p08 quartiles: global EXACT percentile cuts
+    * (one broadcast row; exact is the oracle config — swap
+    * `approx_percentile`'s mergeable t-digest at 100 TB) then bucketing
+    * as a pure map over the scored frame.
+    */
+  def surprisalBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val s = surprisalPerDoc(df, idCol, textCol, refFilter)
+      .filter(col("n_tok") > 0)
+    val cuts = s.agg(
+      percentile(col("bits_per_token"), lit(1.0 / 3)).as("c1"),
+      percentile(col("bits_per_token"), lit(2.0 / 3)).as("c2"))
+    s.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("bits_per_token"),
+        when(col("bits_per_token") <= col("c1"), "head")
+          .when(col("bits_per_token") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for

@@ -1053,6 +1053,48 @@ object CorpusPack {
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  private val p19 = Q(
+    "p19_surprisal_buckets",
+    // CCNet head/middle/tail release bands: surprisal terciles of the
+    // en-slice unigram LM, summarized per band (cuts broadcast, bucket
+    // assignment a pure map — the p08 shape)
+    (s, dir) => Corpus.surprisalBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("bits_per_token").as("min_bpt"),
+        max("bits_per_token").as("max_bpt"))
+      .orderBy("bucket"),
+    Some("""WITH toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents),
+            ref AS (SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents WHERE lang = 'en'),
+            cnt AS (SELECT token, COUNT(*) AS cnt FROM ref GROUP BY token),
+            tot AS (SELECT COUNT(*) AS ref_total FROM ref),
+            bits AS (SELECT t.doc_id,
+                LENGTH(bin(tot.ref_total // COALESCE(c.cnt, 1))) AS bits
+              FROM toks t LEFT JOIN cnt c ON t.token = c.token
+                   CROSS JOIN tot),
+            bpt AS (SELECT doc_id,
+                CAST(CAST(SUM(bits) AS BIGINT) AS DOUBLE) / COUNT(*)
+                  AS bits_per_token
+              FROM bits GROUP BY doc_id),
+            qs AS (SELECT quantile_cont(bits_per_token, 1.0/3) AS c1,
+                     quantile_cont(bits_per_token, 2.0/3) AS c2
+                   FROM bpt)
+            SELECT CASE WHEN bits_per_token <= c1 THEN 'head'
+                        WHEN bits_per_token <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+              COUNT(*) AS n_docs,
+              MIN(bits_per_token) AS min_bpt,
+              MAX(bits_per_token) AS max_bpt
+            FROM bpt CROSS JOIN qs
+            GROUP BY 1 ORDER BY 1"""))
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -1393,6 +1435,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -89,4 +89,31 @@ object CorpusMaintain {
 
     Fold(admitted, newCorpus, newLabels, diff)
   }
+
+  /** LM-statistics companion of [[foldBatch]]: fold the ADMITTED rows'
+    * token counts into the standing `(token, cnt)` unigram table that
+    * backs surprisal scoring
+    * ([[graft.ops.Corpus.surprisalWithCounts]]). Counts are associative,
+    * so standing ⊕ admitted-delta equals a full recount of the updated
+    * corpus (spec-asserted) — the text analog of AnnMaintain's
+    * assign-only index append. Feeding admitted (not raw batch) rows
+    * keeps the fold idempotent end-to-end: a batch delivered twice
+    * admits nothing the second time and changes no counts.
+    *
+    * Work ∝ batch tokens (explode + partial-agg rollup of the delta);
+    * the merge is a groupBy over (standing ∪ delta) vocab rows — small
+    * fixed-width traffic, no document text moves. At 100 TB keep the
+    * standing table bucketed by token so the merge plans without an
+    * Exchange on the big side.
+    */
+  def foldTokenCounts(
+      standing: DataFrame, admitted: DataFrame, textCol: String)
+      : DataFrame = {
+    val delta = admitted
+      .select(explode(graft.ops.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    standing.select(col("token"), col("cnt"))
+      .unionByName(delta)
+      .groupBy("token").agg(sum("cnt").as("cnt"))
+  }
 }

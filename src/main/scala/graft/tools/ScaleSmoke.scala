@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 10× scaling smoke of the FULL dedup tier (d01–d21) plus the
-  * composed p-tier (p12/p13/p14) and EpochBuild (r8): generates a
+  * composed p-tier (p12/p13/p14), the LM-scoring rungs (t16/p18),
+  * and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
   * runs every covered query from SparkEntry at both, and FAILS if an
@@ -121,6 +122,12 @@ object ScaleSmoke {
     val pRows = Seq("p12_curation_pipeline", "p13_seeded_shuffle",
       "p14_shard_budget").map(n => measure(n, 15.0, queryFn(n)))
 
+    // the LM-scoring rungs (t16 surprisal, p18 DSIR): explode + equi-join
+    // against (token, cnt) rollups; this corpus's vocab is bounded, so
+    // count tables stay small and scoring is linear in total tokens
+    val lmRows = Seq("t16_surprisal", "p18_dsir_weights")
+      .map(n => measure(n, 15.0, queryFn(n)))
+
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum
     val epochRow = measure("epoch_build", 15.0, { dir =>
@@ -131,7 +138,7 @@ object ScaleSmoke {
       e.boundaries.write.format("noop").mode("overwrite").save()
     })
 
-    val rows = dRows ++ pRows :+ epochRow
+    val rows = dRows ++ pRows ++ lmRows :+ epochRow
 
     val js = rows.map { case (n, b, x, r) =>
       f""""$n":{"base":$b%.2f,"x10":$x%.2f,"ratio":$r%.1f}""" }

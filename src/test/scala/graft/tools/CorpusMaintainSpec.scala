@@ -62,4 +62,30 @@ class CorpusMaintainSpec extends SparkSpec {
     assert(l1 == l2)
     assert(f2.diff.filter("status != 'unchanged'").isEmpty)
   }
+
+  test("token-count fold equals a full recount; surprisal scores with the " +
+    "folded table equal a from-scratch reference build") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val f = fold()
+    val standing = corpus0
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val folded = CorpusMaintain.foldTokenCounts(standing, f.admitted, "text")
+    val recount = f.corpus
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    def m(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(folded) == m(recount))
+    // scoring against the folded standing table ≡ surprisalPerDoc with a
+    // ref filter spanning the whole updated corpus
+    def s(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaCounts = graft.ops.Corpus.surprisalWithCounts(
+      f.corpus, "doc_id", "text", folded)
+    val viaFilter = graft.ops.Corpus.surprisalPerDoc(
+      f.corpus, "doc_id", "text", lit(true))
+    assert(s(viaCounts.select("doc_id", "sum_bits", "n_tok"))
+      == s(viaFilter.select("doc_id", "sum_bits", "n_tok")))
+  }
 }
