@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native rolling polynomial hash over a string's bytes, modulo 1e9+7:
@@ -193,6 +193,127 @@ object NfkcFoldExpr {
     }
     UTF8String.fromString(sb.toString)
   }
+}
+
+/** Exact token count under a TRAINED byte-pair-encoding merge table
+  * (Sennrich et al. 2016) — the real-tokenizer count that packing to an
+  * exact context length needs, where [[graft.ops.TextOps.bpeTokenCount]]
+  * is only the in-vocabulary approximation. Segmentation matches the
+  * heuristic's (alpha runs are BPE words; each digit / non-alpha glyph
+  * is one token; spaces none), so the two counts differ exactly by
+  * subword fan-out.
+  *
+  * Encoding merges ONE lowest-rank adjacent pair per step (leftmost on
+  * ties). This equals the merge-all-occurrences-then-rescan formulation
+  * for any rank table produced by BPE training, because a pair involving
+  * a merged symbol always ranks strictly after the merge that created
+  * the symbol — asserted against an independent reference encoder in
+  * BpeFidelitySpec.
+  *
+  * Per-executor scaling: words repeat Zipf-style, so encodes are
+  * memoized in a bounded concurrent map shared by all tasks referencing
+  * the plan (the merge table itself ships once per executor inside the
+  * referenced [[BpeCounter]], like MinHashSig's projection params). The
+  * hot path in generated code is one virtual call — whole-stage codegen
+  * keeps the surrounding projection fused.
+  */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+
+  @transient private lazy val counter = new BpeCounter(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    counter.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCounter", new BpeCounter(merges),
+      classOf[BpeCounter].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.count($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** The executor-side BPE engine behind [[BpeCountExpr]]: rank lookup on
+  * space-joined `a b` keys (symbols are alpha runs or `</w>`,
+  * never a space), greedy lowest-rank
+  * merging, and a bounded memo of word → subword count.
+  */
+final class BpeCounter(merges: Seq[(String, String)]) extends Serializable {
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, i)
+    }
+    m
+  }
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def count(text: UTF8String): Int = {
+    val s = text.toString
+    val n = s.length
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        val start = i
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) i += 1
+        total += countWord(s.substring(start, i))
+      } else {
+        if (c != ' ') total += 1 // digit or glyph: one token; space: none
+        i += 1
+      }
+    }
+    total
+  }
+
+  private def countWord(w: String): Int = {
+    if (memo.size > (1 << 20)) memo.clear() // Zipf makes overflow rare
+    memo.computeIfAbsent(w, encodeWord).intValue
+  }
+
+  private val encodeWord: java.util.function.Function[String, Integer] =
+    new java.util.function.Function[String, Integer] with Serializable {
+      override def apply(w: String): Integer = {
+        val syms = new java.util.ArrayList[String](w.length + 1)
+        var i = 0
+        while (i < w.length) {
+          syms.add(String.valueOf(w.charAt(i)))
+          i += 1
+        }
+        syms.add("</w>")
+        var continue = true
+        while (continue && syms.size > 1) {
+          var best = -1
+          var bestRank = Int.MaxValue
+          var j = 0
+          while (j + 1 < syms.size) {
+            val r = rank.get(syms.get(j) + " " + syms.get(j + 1))
+            if (r != null && r < bestRank) { bestRank = r; best = j }
+            j += 1
+          }
+          if (best < 0) continue = false
+          else {
+            syms.set(best, syms.get(best) + syms.get(best + 1))
+            syms.remove(best + 1)
+          }
+        }
+        syms.size
+      }
+    }
 }
 
 object TextExpressions {

@@ -89,6 +89,82 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** Train a BPE merge table (Sennrich et al. 2016) on the corpus.
+    *
+    * Scale shape: the corpus collapses to its alpha-word FREQUENCY table
+    * first — a partial-aggregated (word, freq) rollup whose size is the
+    * vocabulary, not the corpus — and the iterative merge loop runs on
+    * the driver over the top `maxWords` rows (Zipf: the head covers
+    * nearly all token mass; the bounded collect is the lloydLocal
+    * convention, SURVEY §5). Training cost is corpus-size-independent:
+    * O(nMerges × vocab × word length). Deterministic: frequency then
+    * lexicographic pair tie-break, frequency/alpha word order for the
+    * vocabulary cap.
+    *
+    * The returned merges drive [[bpeTokenCountTrained]]; persist them as
+    * a 2-column table next to the corpus the way IvfModel saves its
+    * centroids — training is separable from counting.
+    */
+  def trainBpeMerges(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxWords: Int = 65536): Seq[(String, String)] = {
+    val wf = df
+      .select(explode(expr(
+        s"regexp_extract_all($textCol, '[A-Za-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Map[Vector[String], Long] = wf.toSeq
+      .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val p = (syms(j), syms(j + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = pairs.maxBy { case ((x, y), c) => (c, x, y) }
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Exact per-document token count under a trained BPE merge table —
+    * what [[bpeTokenCount]] approximates (equal when the vocabulary
+    * covers every word; the heuristic undercounts OOV subword fan-out).
+    * Codegen'd expression with per-executor word memoization
+    * ([[graft.functions.BpeCountExpr]]); use THIS count when packing to
+    * an exact context budget.
+    */
+  def bpeTokenCountTrained(
+      text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
   /** English stopword hits among all (non-distinct) tokens. */
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text),

@@ -1095,6 +1095,23 @@ object CorpusPack {
             FROM bpt CROSS JOIN qs
             GROUP BY 1 ORDER BY 1"""))
 
+  private val t17 = Q(
+    "t17_bpe_token_count",
+    // exact per-doc token counts under corpus-trained BPE merges — the
+    // real-tokenizer budget the whitespace/heuristic counts approximate.
+    // No SQL oracle (DuckDB cannot BPE-encode); BpeFidelitySpec gates
+    // strict equality against an independent reference trainer+encoder,
+    // and the heuristic column makes the subword fan-out auditable
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val merges = TextOps.trainBpeMerges(docs, "text", nMerges = 150)
+      docs.select(col("doc_id"),
+        TextOps.bpeTokenCountTrained(col("text"), merges).as("n_bpe_tok"),
+        TextOps.bpeTokenCount(col("text")).as("n_heuristic"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -1434,7 +1451,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

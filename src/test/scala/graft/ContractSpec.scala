@@ -50,7 +50,10 @@ class ContractSpec extends AnyFunSuite {
       "s02_knn_lsh", "s03_knn_ivf", "s04_kmeans", "s05_knn_pq",
       "s06_knn_ivfpq", "s09_hard_negatives_ivf",
       "t04_fingerprint", "m01_multimodal_meta", "m02_frame_sample",
-      "p03_pack_greedy")
+      "p03_pack_greedy",
+      // DuckDB cannot BPE-encode; BpeFidelitySpec gates strict equality
+      // against an independent reference trainer + encoder
+      "t17_bpe_token_count")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -129,4 +129,35 @@ class BpeFidelitySpec extends SparkSpec {
     assert(converged <= 0.02,
       f"bpeTokenCount diverges $converged%.3f from a corpus-trained BPE")
   }
+
+  test("trainBpeMerges + bpeTokenCountTrained equal this spec's " +
+    "independent trainer and encoder exactly (sf0.01, 150 merges)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = TextOps.trainBpeMerges(docs, "text", nMerges = 150)
+
+    val collected = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wordRe = "[A-Za-z]+".r
+    val restRe = "[0-9]|[^A-Za-z0-9 ]".r
+    val wordFreq = collected.toSeq
+      .flatMap { case (_, t) => wordRe.findAllIn(t) }
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+      .map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+    val refMerges = trainBpe(wordFreq, 150)
+    // trainer parity: distributed rollup + driver loop vs in-memory loop,
+    // identical deterministic tie-breaks
+    assert(merges == refMerges)
+
+    val rank = refMerges.zipWithIndex.toMap
+    val expect = collected.map { case (id, t) =>
+      id -> (wordRe.findAllIn(t).map(encode(_, rank)).sum +
+        restRe.findAllIn(t).size)
+    }.toMap
+    // encoder parity: the one-merge-per-step memoized executor encoder
+    // equals merge-all-occurrences-then-rescan (see BpeCountExpr doc)
+    val got = docs.select(col("doc_id"),
+        TextOps.bpeTokenCountTrained(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expect)
+  }
 }
