@@ -316,6 +316,84 @@ final class BpeCounter(merges: Seq[(String, String)]) extends Serializable {
     }
 }
 
+/** Fused per-document surprisal accumulation against a BROADCAST bit
+  * table: one pass over the raw text computing `(sum_bits, n_tok)` —
+  * the scan-stage / streaming hot-path form of
+  * [[graft.ops.Corpus.surprisalWithCounts]], whose explode + token
+  * equi-join is the oracle-checkable batch shape. Tokens are maximal
+  * runs between 0x20 bytes, identical to [[TokenStatsExpr]] and
+  * `TextOps.tokens`; a token missing from the table scores `oovBits`
+  * (hapax backoff — `length(bin(ref_total))` — when the table holds the
+  * full vocabulary, making the two forms bit-equal, spec-asserted).
+  *
+  * The table is capped upstream (top-V by count): under Zipf the
+  * untracked tail is hapax-like, so capping only moves near-`oovBits`
+  * tokens TO `oovBits` — the standing-corpus hot path ships top-V
+  * per executor exactly like the IVF codebooks.
+  */
+case class TokenBitsExpr(
+    child: Expression, bits: Map[String, Int], oovBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = TokenBitsExpr.schema
+  override def prettyName: String = "graft_token_bits"
+
+  @transient private lazy val scorer = new TokenBitsScorer(bits, oovBits)
+
+  override protected def nullSafeEval(input: Any): Any =
+    scorer.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenBits", new TokenBitsScorer(bits, oovBits),
+      classOf[TokenBitsScorer].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.score($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBitsExpr =
+    copy(child = newChild)
+}
+
+object TokenBitsExpr {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("sum_bits", LongType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false)))
+}
+
+/** Executor-side lookup behind [[TokenBitsExpr]]: UTF8String-keyed bit
+  * table (tokens never materialize as java Strings on the hot path).
+  */
+final class TokenBitsScorer(bits: Map[String, Int], oovBits: Int)
+    extends Serializable {
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](bits.size * 2)
+    bits.foreach { case (t, b) => m.put(UTF8String.fromString(t), b) }
+    m
+  }
+
+  def score(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    var sum = 0L
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        val b = table.get(UTF8String.fromBytes(bytes, start, i - start))
+        sum += (if (b == null) oovBits else b.intValue)
+        n += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sum, n))
+  }
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash fingerprint of a string column. */
   def fingerprint(text: Column): Column =
@@ -328,4 +406,10 @@ object TextExpressions {
   /** Codegen'd NFKC + case-fold + whitespace-collapse normalizer. */
   def nfkcFold(text: Column): Column =
     Bridge.column(NfkcFoldExpr(Bridge.expression(text)))
+
+  /** Codegen'd fused (sum_bits, n_tok) surprisal accumulator against a
+    * broadcast bit table.
+    */
+  def tokenBits(text: Column, bits: Map[String, Int], oovBits: Int): Column =
+    Bridge.column(TokenBitsExpr(Bridge.expression(text), bits, oovBits))
 }

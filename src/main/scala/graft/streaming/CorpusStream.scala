@@ -82,4 +82,41 @@ object CorpusStream {
           }
       }
   }
+
+  /** Streaming surprisal scoring against a STANDING unigram table (the
+    * one [[graft.tools.CorpusMaintain.foldTokenCounts]] maintains): the
+    * hot-path twin of [[graft.ops.Corpus.surprisalWithCounts]]. The
+    * standing table's top-`maxVocab` head ships to executors as a
+    * broadcast bit table inside a fused scan-stage expression
+    * ([[graft.functions.TokenBitsExpr]]) — STATELESS, so it runs in any
+    * output mode with no watermark, and works identically on a batch
+    * frame (spec asserts bit-equality with the join-based batch form
+    * when the vocabulary fits the cap).
+    *
+    * `ref_total` sums the FULL table (not the capped head) so hapax
+    * backoff matches the batch form exactly; under Zipf the untracked
+    * tail is hapax-like, so capping only moves near-backoff tokens to
+    * the backoff value.
+    */
+  def surprisalScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, maxVocab: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def bitsOf(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val total = counts.agg(sum("cnt")).collect()(0).getLong(0)
+    val top = counts.orderBy(col("cnt").desc, col("token").asc)
+      .limit(maxVocab).collect()
+      .map(r => r.getString(0) -> bitsOf(total / r.getLong(1))).toMap
+    val oov = bitsOf(total)
+    docs
+      .select(col(idCol),
+        graft.functions.TextExpressions
+          .tokenBits(col(textCol), top, oov).as("s"))
+      .select(col(idCol),
+        coalesce(col("s.sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("s.n_tok").cast("long"), lit(0L)).as("n_tok"),
+        when(coalesce(col("s.n_tok"), lit(0)) === 0, lit(null))
+          .otherwise(col("s.sum_bits").cast("double") / col("s.n_tok"))
+          .cast("double").as("bits_per_token"))
+  }
 }

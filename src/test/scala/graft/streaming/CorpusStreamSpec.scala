@@ -62,4 +62,37 @@ class CorpusStreamSpec extends SparkSpec {
       assert(find(4L) != find(1L))
     } finally q.stop()
   }
+
+  test("surprisalScoreStream equals the batch join form, across batches") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    implicit val sqlCtx = spark.sqlContext
+    // standing counts from the first four docs (the "corpus so far")
+    val corpus = docs.take(4).toDF("doc_id", "text")
+    val counts = corpus
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusStream.surprisalScoreStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", counts)
+      .writeStream.format("memory").queryName("surprisal_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("surprisal_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val expect = graft.ops.Corpus.surprisalWithCounts(
+          docs.toDF("doc_id", "text"), "doc_id", "text", counts)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expect)
+      assert(got.size == docs.size)
+      // OOV words in doc 6 (never in the standing corpus) hit the hapax
+      // backoff, not zero
+      assert(got(6L)._1 > 0L)
+    } finally q.stop()
+  }
 }
