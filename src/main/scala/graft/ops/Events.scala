@@ -505,4 +505,32 @@ object Events {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_day"))
       .agg(count(lit(1)).as("n_users")) // (user, day) is distinct already
   }
+
+  /** Inter-event gap percentiles per event type: for each user's
+    * time-ordered stream, the gap (µs) from the previous event; grouped
+    * by the LATER event's type with exact p50/p90 — the cadence/latency
+    * profile that sizes session-gap thresholds (e02), lookback horizons
+    * (e05), and bot screens (e13), instead of guessing them.
+    *
+    * Shape: one per-user window (lag over (ts, event_id) — ties broken
+    * like every other per-user op here; the e14 time-chunk salting
+    * applies unchanged if one user dominates) then a LOW-CARDINALITY
+    * (event types) exact-percentile rollup of integer µs gaps — the t05
+    * convention: exact is the oracle config, `approx_percentile`'s
+    * mergeable t-digest the high-cardinality swap. Gaps stay exact
+    * longs; each percentile is one interpolated division both engines
+    * compute identically (the p08 precedent).
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("event_type"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUser)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_us"),
+        percentile(col("gap_us"), lit(0.9)).as("p90_us"))
+  }
 }

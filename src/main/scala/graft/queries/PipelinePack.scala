@@ -658,6 +658,23 @@ object PipelinePack {
       .orderBy("user_id"),
     Some(userSeqOracle))
 
+  private val e15 = Q(
+    "e15_event_gaps",
+    // per-type inter-event cadence profile: exact p50/p90 of the µs gap
+    // to each user's previous event — the measurement that sizes e02's
+    // session threshold, e05's lookback horizon, and e13's bot cutoffs
+    (s, dir) => Events.interEventGaps(Tables.load(s, dir, "events"))
+      .orderBy("event_type"),
+    Some("""WITH g AS (SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            SELECT event_type, COUNT(*) AS n_gaps,
+              quantile_cont(gap_us, 0.5) AS p50_us,
+              quantile_cont(gap_us, 0.9) AS p90_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
   private val e13 = Q(
     "e13_bot_flags",
     // cadence-based bot screen ahead of events->training-data use:
@@ -703,5 +720,5 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, m01, m02)
+    e12, e13, e14, e15, m01, m02)
 }
