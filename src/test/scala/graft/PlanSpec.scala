@@ -500,6 +500,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max"), p)
   }
 
+  test("e15: gap profile is one user window + a partial-agg rollup") {
+    val p = plan("e15_event_gaps")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // map-side partials into the rollup
+  }
+
   test("t16/p18: LM scoring joins on token, no cartesian, pruned scans") {
     for (q <- Seq("t16_surprisal", "p18_dsir_weights")) {
       val p = plan(q)
