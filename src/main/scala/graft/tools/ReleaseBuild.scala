@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup, TextOps}
+
+/** Corpus release: raw documents to a training-ready epoch in one call —
+  * the capstone composition the single-purpose tools build toward
+  * ([[CorpusMaintain]] folds ingest, [[AnnMaintain]] keeps the index,
+  * THIS cuts a release):
+  *
+  *  1. SCRUB — repeated-span boilerplate removal (d17's ExactSubstr
+  *     shape).
+  *  2. GATE — language allowlist + quality floor on the CLEAN text
+  *     (t01/t02 semantics), evaluated in the rebuild's projection.
+  *  3. DEDUP — exact min-id canonical via a window-min over the content
+  *     hash (d01 semantics). The gated frame is localCheckpointed first:
+  *     the dedup ids and the text re-join both read it, instead of
+  *     re-deriving the scrub+gate chain per branch (Catalyst has no
+  *     cross-branch CSE — the p12 lesson), and only narrow (hash, id)
+  *     rows cross the dedup exchange.
+  *  4. DECONTAMINATE — drop any document sharing ≥ `minShared` distinct
+  *     word-`decontamN`-grams with the eval suite (d12's inverted-index
+  *     join; the GPT-3-style standard).
+  *  5. BAND — CCNet head/middle/tail by unigram surprisal over the
+  *     survivors; keep `keepBands` (t16/p19 semantics).
+  *  6. EPOCH — [[EpochBuild.build]] over the kept text: seeded order,
+  *     token-budgeted shards, packed boundary masks.
+  *
+  * `audit` is the release funnel — one row per stage with its surviving
+  * doc count — the artifact a release review reads first; `card` rolls
+  * the kept corpus up per band. Determinism: every stage is a pure
+  * function of (corpus, eval suite, seed, thresholds), so re-cutting a
+  * release is byte-identical (spec-asserted via the epoch tables).
+  *
+  * Scale: text shuffles only where the underlying operator already
+  * shuffles it (nowhere — scrub/gates are scan-stage; dedup, overlap,
+  * banding, and the epoch all exchange hashes/ids/integers), and each
+  * stage's 100 TB shape is the one its oracle-checked query pins.
+  */
+object ReleaseBuild {
+
+  /** A cut release: kept `corpus` (id, text, quality, n_tok, band),
+    * per-band `card`, the stage-count `audit` funnel, and the epoch
+    * tables.
+    */
+  final case class Release(
+      corpus: DataFrame,
+      card: DataFrame,
+      audit: DataFrame,
+      epoch: EpochBuild.Epoch)
+
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      seed: String,
+      shardTokens: Long,
+      seqLen: Int,
+      scrubN: Int = 5,
+      maxSpanDf: Long = 10L,
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5,
+      decontamN: Int = 8,
+      minShared: Long = 1L,
+      keepBands: Seq[String] = Seq("head", "middle")): Release = {
+
+    // 1-2. scrub, then gate on the clean text
+    val clean = Dedup.scrubRepeatedSpans(
+      docs.select(col(idCol), col(textCol)), textCol, idCol,
+      n = scrubN, maxSpanDf = maxSpanDf)
+    val gated = clean.select(col(idCol), col(textCol),
+        TextOps.langId(col(textCol)).as("lang_pred"),
+        TextOps.qualityScore(col(textCol)).as("quality"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("lang_pred").isInCollection(langs) &&
+        col("quality") >= minQuality)
+      // both the dedup branch and the re-join below read this frame;
+      // lazy: the first action materializes it
+      .localCheckpoint(eager = false)
+
+    // 3. exact dedup: min-id per content hash, narrow exchange
+    val wMin = Window.partitionBy("__h")
+    val keepIds = gated
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .withColumn("__keep", min(idCol).over(wMin))
+      .filter(col(idCol) === col("__keep"))
+      .select(col(idCol))
+    val deduped = gated.join(keepIds, Seq(idCol))
+
+    // 4. decontaminate vs the eval suite
+    val flagged = Dedup.crossNGramOverlap(
+        deduped, evalDocs.select(col(idCol), col(textCol)),
+        textCol, idCol, n = decontamN, minShared = minShared)
+      .select(col("id_a").as(idCol)).distinct()
+    val decon = deduped.join(flagged, Seq(idCol), "left_anti")
+
+    // 5. band by surprisal over the survivors (they ARE the reference
+    // domain after the language gate) and keep the requested bands
+    val banded = Corpus.surprisalBuckets(decon, idCol, textCol, lit(true))
+      .select(col(idCol), col("bucket").as("band"))
+    val kept = decon.join(banded, Seq(idCol))
+      .filter(col("band").isInCollection(keepBands))
+      .select(col(idCol), col(textCol), col("quality"), col("n_tok"),
+        col("band"))
+
+    // 6. epoch over the kept text
+    val epoch = EpochBuild.build(
+      kept.select(col(idCol), col(textCol)), idCol, textCol,
+      seed, shardTokens, seqLen)
+
+    val card = kept.groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("band")
+
+    def stage(name: String, df: DataFrame, ord: Int) =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(ord).as("ord"), lit(name).as("stage"), col("n_docs"))
+    val audit = stage("input", docs, 0)
+      .unionByName(stage("gated", gated, 1))
+      .unionByName(stage("deduped", deduped, 2))
+      .unionByName(stage("decontaminated", decon, 3))
+      .unionByName(stage("released", kept, 4))
+      .orderBy("ord").drop("ord")
+
+    Release(kept, card, audit, epoch)
+  }
+}

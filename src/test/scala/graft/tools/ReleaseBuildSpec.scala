@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** End-to-end semantics of the release cut: every stage drops exactly
+  * its prey, the audit funnel reports the counts, and re-cutting the
+  * release is deterministic.
+  */
+class ReleaseBuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val banner =
+    "subscribe to our newsletter for daily updates today"
+  private val evalText =
+    "the quick brown fox jumps over the lazy dog in the park"
+
+  private def mk(id: Long, body: String, withBanner: Boolean = false) =
+    (id, if (withBanner) s"$body $banner" else body)
+
+  // 12 docs: 1-4 carry the banner (span df 4 > maxSpanDf 2 -> scrubbed),
+  // 6 repeats 5 exactly (dedup), 7 embeds the eval 12-gram (decontam)
+  private val docs = Seq(
+    mk(1L, "the cat sat on the mat and watched the quiet garden grow",
+      withBanner = true),
+    mk(2L, "a dog ran through the field and found a bone to keep",
+      withBanner = true),
+    mk(3L, "the ship sailed into the harbor before the storm arrived",
+      withBanner = true),
+    mk(4L, "some birds fly south in the winter to find warm weather",
+      withBanner = true),
+    mk(5L, "the baker made bread and sold it in the market square"),
+    mk(6L, "the baker made bread and sold it in the market square"),
+    mk(7L, s"my essay begins here $evalText and then concludes with thanks"),
+    mk(8L, "rivers carve valleys over time and carry stones to the sea"),
+    mk(9L, "the library keeps old maps and letters in a cool dry room"),
+    mk(10L, "engineers test the bridge for load and wind every season"),
+    mk(11L, "a garden needs sun and water and patient hands to thrive"),
+    mk(12L, "the train left the station on time despite the heavy snow"))
+    .toDF("doc_id", "text")
+
+  private val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+
+  private def cut(): ReleaseBuild.Release = ReleaseBuild.build(
+    docs, "doc_id", "text", evalDocs,
+    seed = "rel0", shardTokens = 40L, seqLen = 16,
+    scrubN = 5, maxSpanDf = 2L,
+    langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+    decontamN = 8, minShared = 1L)
+
+  test("funnel: each stage drops exactly its prey, audit records it") {
+    val r = cut()
+    val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(audit.map(_._1).toSeq ==
+      Seq("input", "gated", "deduped", "decontaminated", "released"))
+    val counts = audit.toMap
+    assert(counts("input") == 12L)
+    assert(counts("gated") == 12L)          // all langs allowed, floor 0
+    assert(counts("deduped") == 11L)        // doc 6 = exact dup of 5
+    assert(counts("decontaminated") == 10L) // doc 7 shares an eval 8-gram
+    assert(counts("released") < 10L)        // the tail band is cut
+    assert(counts("released") >= 1L)
+
+    val ids = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(6L) && !ids.contains(7L))
+    // the scrub removed the banner spans from every released text
+    val texts = r.corpus.select("text").collect().map(_.getString(0))
+    assert(texts.forall(!_.contains("newsletter")))
+    // bands restricted to the kept set
+    val bands = r.corpus.select("band").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(bands.subsetOf(Set("head", "middle")))
+    // card totals match the released corpus
+    val cardDocs = r.card.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect()(0).getLong(0)
+    assert(cardDocs == counts("released"))
+  }
+
+  test("re-cutting the release is deterministic (epoch tables equal)") {
+    val a = cut()
+    val b = cut()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(a.epoch.order) == rows(b.epoch.order))
+    assert(rows(a.epoch.boundaries) == rows(b.epoch.boundaries))
+    assert(rows(a.corpus) == rows(b.corpus))
+  }
+}
