@@ -122,10 +122,13 @@ object ScaleSmoke {
     val pRows = Seq("p12_curation_pipeline", "p13_seeded_shuffle",
       "p14_shard_budget").map(n => measure(n, 15.0, queryFn(n)))
 
-    // the LM-scoring rungs (t16 surprisal, p18 DSIR): explode + equi-join
-    // against (token, cnt) rollups; this corpus's vocab is bounded, so
-    // count tables stay small and scoring is linear in total tokens
-    val lmRows = Seq("t16_surprisal", "p18_dsir_weights")
+    // the LM-scoring rungs: t16/p18 are explode + equi-join against
+    // (token, cnt) rollups; p19 adds a broadcast percentile cut; t17's
+    // BPE trains on the vocabulary-sized word-frequency head (driver
+    // loop, corpus-size-independent) and encodes as a memoized pure map.
+    // This corpus's vocab is bounded, so all four are linear in tokens
+    val lmRows = Seq("t16_surprisal", "p18_dsir_weights",
+      "p19_surprisal_buckets", "t17_bpe_token_count")
       .map(n => measure(n, 15.0, queryFn(n)))
 
     // EpochBuild (order → shard → pack as one composed pass): linear —
