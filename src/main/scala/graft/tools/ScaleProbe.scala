@@ -344,6 +344,25 @@ object ScaleProbe {
     require(annGot == annGotSet.size)
     require(annRecall >= 0.70, f"folded-index recall $annRecall%.3f < 0.70")
 
+    // --- LM scoring: unigram surprisal over 10M docs — ~120M token rows
+    // through the token equi-join + per-doc rollup, the t16 shape at
+    // probe scale. Uniform 4096-token vocab gives a closed-form check:
+    // every count sits near total/4096, so every token's whole-bit
+    // surprisal is 12 or 13 and every doc's mean must land in [12, 13].
+    val lmDocs = spark.range(10000000L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(4096L))
+          .cast("string"))): _*).as("text"))
+    val (lmRows, lmSec) = timed {
+      val r = Corpus.surprisalPerDoc(lmDocs, "doc_id", "text", lit(true))
+        .agg(count(lit(1)).as("n"), min("bits_per_token").as("mn"),
+          max("bits_per_token").as("mx")).head()
+      require(r.getDouble(1) >= 12.0 && r.getDouble(2) <= 13.0,
+        s"surprisal outside the uniform-vocab band: $r")
+      r.getLong(0)
+    }
+    require(lmRows == 10000000L, s"lm rows $lmRows")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -357,7 +376,8 @@ object ScaleProbe {
       s""""batch_ann_sec":$batchAnnSec,""" +
       s""""fold_added":$foldAdded,"fold_sec":$foldSec,""" +
       f""""ann_fold_sec":$annFoldSec%.1f,"ann_recall":$annRecall%.3f,""" +
-      f""""ann_query_sec":$annQuerySec%.1f}""")
+      f""""ann_query_sec":$annQuerySec%.1f,""" +
+      f""""lm_rows":$lmRows,"lm_sec":$lmSec%.1f}""")
     spark.stop()
   }
 }
