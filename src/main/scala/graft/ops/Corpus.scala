@@ -255,13 +255,31 @@ object Corpus {
     * shuffle, single-row build sides, AQE-split hot heads — then the
     * scoring explode + equi-join + per-doc sum, as in surprisalPerDoc.
     * Tokens unseen in EITHER slice back off to hapax on that side only.
+    * With `bigrams = true` the feature space is unigrams ∪ adjacent
+    * word bigrams (the paper's hashed n-gram features) and `n_tok`
+    * counts features (2n−1 per n-token doc).
     */
   def dsirWeights(
       df: DataFrame, idCol: String, textCol: String,
-      targetFilter: Column, rawFilter: Column): DataFrame = {
+      targetFilter: Column, rawFilter: Column,
+      bigrams: Boolean = false): DataFrame = {
+    // feature multiset per doc: unigrams, or — per the DSIR paper's
+    // hashed n-gram features — unigrams ∪ adjacent word bigrams in ONE
+    // shared count space (bigrams catch the phrase-level signal a bag
+    // of words misses; at 100 TB the feature strings hash-bucket the
+    // same way either side)
+    def feats(text: Column): Column =
+      if (!bigrams) TextOps.tokens(text)
+      else {
+        val t = TextOps.tokens(text)
+        concat(t, zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))
+      }
     def cnts(f: Column, cn: String, tn: String): (DataFrame, DataFrame) = {
       val c = df.filter(f)
-        .select(explode(TextOps.tokens(col(textCol))).as("token"))
+        .select(explode(feats(col(textCol))).as("token"))
         .groupBy("token").agg(count(lit(1)).as(cn))
       (c, broadcast(c.agg(sum(cn).as(tn))))
     }
@@ -276,7 +294,7 @@ object Corpus {
         (length(bin(expr("total_r div cr"))).cast("long") -
           length(bin(expr("total_t div ct"))).cast("long")).as("dbits"))
     val scored = df
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode(feats(col(textCol))).as("token"))
       .join(delta, Seq("token"), "left")
       // a token absent from BOTH slices (possible only for docs outside
       // them) carries no evidence for either domain and scores a neutral

@@ -1095,6 +1095,48 @@ object CorpusPack {
             FROM bpt CROSS JOIN qs
             GROUP BY 1 ORDER BY 1"""))
 
+  private val p20 = Q(
+    "p20_dsir_bigram",
+    // DSIR with the paper's fuller feature space: unigrams ∪ adjacent
+    // word bigrams in one shared count table — the phrase-level signal
+    // a bag of words misses. Same whole-bit integer arithmetic as p18
+    (s, dir) => Corpus.dsirWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        targetFilter = col("lang") === "en", rawFilter = lit(true),
+        bigrams = true)
+      .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+            toks AS (SELECT doc_id,
+                unnest(t || list_transform(
+                  generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS token
+              FROM base),
+            tc AS (SELECT token, COUNT(*) AS cnt_t
+              FROM toks JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY token),
+            rc AS (SELECT token, COUNT(*) AS cnt_r
+              FROM toks GROUP BY token),
+            tt AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS total_t FROM tc),
+            rt AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS total_r FROM rc),
+            delta AS (SELECT COALESCE(tc.token, rc.token) AS token,
+                CAST(LENGTH(bin(rt.total_r // COALESCE(rc.cnt_r, 1)))
+                     AS BIGINT)
+              - CAST(LENGTH(bin(tt.total_t // COALESCE(tc.cnt_t, 1)))
+                     AS BIGINT) AS dbits
+              FROM tc FULL JOIN rc ON tc.token = rc.token
+                   CROSS JOIN tt CROSS JOIN rt),
+            sc AS (SELECT t.doc_id,
+                CAST(SUM(COALESCE(d.dbits, 0)) AS BIGINT) AS log2_w,
+                COUNT(*) AS n_tok
+              FROM toks t LEFT JOIN delta d ON t.token = d.token
+              GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(sc.log2_w, 0) AS log2_w,
+              COALESCE(sc.n_tok, 0) AS n_tok
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   private val t17 = Q(
     "t17_bpe_token_count",
     // exact per-doc token counts under corpus-trained BPE merges — the
@@ -1452,6 +1494,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

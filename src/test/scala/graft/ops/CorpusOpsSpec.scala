@@ -237,4 +237,27 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 1L),   // z = 1
       (4L, 0L, 0L)))  // null text: neutral weight, zero tokens
   }
+
+  test("dsirWeights bigram mode: unigrams and adjacent bigrams share " +
+    "one count space") {
+    // target (en) doc1 feats: a a b 'a a' 'a b' -> total_t 5
+    // raw feats: doc1 5 + doc2 (a c b 'a c' 'c b') 5 + doc3 (z) 1 = 11
+    // bits_t: a=2 b=3 'a a'=3 'a b'=3, backoff 3 (bin(5))
+    // bits_r: a=2 b=3 c=4 z=4 'a a'=4 'a b'=4 'a c'=4 'c b'=4 (bin(11))
+    // dbits:  a=0 b=0 'a a'=+1 'a b'=+1 c=+1 z=+1 'a c'=+1 'c b'=+1
+    val df = Seq(
+      (1L, "a a b", "en"), (2L, "a c b", "de"), (3L, "z", "de"),
+      (4L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang").repartition(5)
+    val got = Corpus.dsirWeights(df, "doc_id", "text",
+        targetFilter = col("lang") === "en", rawFilter = lit(true),
+        bigrams = true)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 5L),   // 0+0+0 +1+1
+      (2L, 3L, 5L),   // 0+1+0 +1+1
+      (3L, 1L, 1L),
+      (4L, 0L, 0L)))
+  }
 }
