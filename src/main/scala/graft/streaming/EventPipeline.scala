@@ -299,6 +299,48 @@ object EventPipeline {
       }
   }
 
+  final case class GapState(lastUs: Long, lastId: Long)
+  final case class EventGap(event_type: String, event_id: Long, gap_us: Long)
+
+  /** Stateful per-user inter-event gaps — the streaming twin of
+    * [[graft.ops.Events.interEventGaps]]'s lag-window stage. State is
+    * ONE (ts, id) pair per user (the same O(active users) bound as
+    * sessionization); each arriving event emits its gap to the user's
+    * previous event, keyed by the later event's type. Within a
+    * micro-batch the group sorts by (ts, event_id) — the batch lag
+    * order; across batches arrival must respect event time per user
+    * (the sequenceStream convention; a watermark-reordering variant
+    * would buffer like sessionize's flush path). The percentile rollup
+    * stays a separate aggregation: exact per type in foreachBatch at
+    * low cardinality, or `approx_percentile`'s mergeable t-digest as a
+    * standing streaming agg.
+    */
+  def gapStream(events: Dataset[Event]): Dataset[EventGap] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, EventGap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[GapState]) =>
+          val batch = it.toArray
+            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .sortBy(x => (x._1, x._2))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption
+            val out = batch.flatMap { case (us, id, tp) =>
+              val g = last.map(l => EventGap(tp, id, us - l.lastUs))
+              last = Some(GapState(us, id))
+              g
+            }
+            state.update(last.get)
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
     * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when

@@ -515,4 +515,38 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("gapStream: per-user gaps match the batch lag window across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(0, 0, 1, "click", 1.0), ev(1, 60, 1, "view", 2.0),
+      ev(2, 10, 2, "click", 3.0), ev(3, 4000, 1, "click", 4.0),
+      ev(4, 500, 2, "buy", 5.0))
+    // batch reference: the lag stage of interEventGaps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lag, unix_micros}
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = events.toDF()
+      .select(col("event_type"), col("event_id"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // streaming: split across two micro-batches (event-time ordered
+    // per user across the split — the documented arrival contract)
+    val src = MemoryStream[Event]
+    val q = EventPipeline.gapStream(src.toDS())
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(events.take(3): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("gap_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+      assert(got.size == 3) // one gap per event beyond each user's first
+    } finally q.stop()
+  }
 }
