@@ -741,6 +741,41 @@ object Corpus {
           .otherwise(3).as("bucket"))
   }
 
+  /** Temperature-smoothed mixture sampling (the multilingual α-smoothing
+    * of Conneau & Lample 2019 / mBERT exponent sampling at α = 1/2):
+    * allocate a resample `budget` across sources proportional to
+    * √n_s — flattening the head so low-resource sources keep
+    * representation — then draw each source's quota with
+    * [[quotaSample]]'s seedless md5 keys.
+    *
+    * Arithmetic is deliberately integer-only end to end:
+    * `quota_s = budget · ⌊√n_s⌋ div Σ ⌊√n_s⌋`. IEEE `sqrt` is
+    * correctly rounded in every engine (the hourlyAnomaly precedent)
+    * and the weight SUM is a long sum (order-free), so the DuckDB
+    * oracle matches bit-for-bit — a fractional-power α would go
+    * through `pow`, whose libm rounding differs across engines, and a
+    * double weight sum would depend on accumulation order.
+    *
+    * The per-source count table collapses the corpus to one row per
+    * source (bounded driver collect, the trainBpeMerges convention);
+    * the draw itself is quotaSample's bounded-heap shape.
+    */
+  def temperatureQuotaSample(
+      df: DataFrame, idCol: String, srcCol: String,
+      budget: Long): DataFrame = {
+    val counts = df
+      .groupBy(col(srcCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val w = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val tot = w.map(_._2).sum
+    require(tot > 0, "empty corpus")
+    val quotas = w.map { case (s, ws) =>
+      s -> (budget * ws / tot).toInt }.toMap
+    quotaSample(df, idCol, srcCol, quotas)
+  }
+
   /** Train/eval contamination pairs: (train_id, test_id, jaccard) where a
     * train document's bigram-set similarity to a test document reaches
     * tau — the leakage check every eval set needs before results are

@@ -506,6 +506,34 @@ object Events {
       .agg(count(lit(1)).as("n_users")) // (user, day) is distinct already
   }
 
+  /** Rolling active users: for every day with activity, the distinct
+    * users active that day (DAU) and in the `windowDays`-day window
+    * ending that day (WAU/MAU as the window dial) — the
+    * engagement-denominator pair behind every events dashboard.
+    *
+    * Distinct-over-a-sliding-window does not decompose into partial
+    * aggs, so the scalable shape is: collapse to DISTINCT (user, day)
+    * pairs FIRST (the big map-side reduction — raw events never reach
+    * the window logic), then explode each pair to the `windowDays`
+    * target days it activates (bounded ×7/×30 fan-out of the SMALL
+    * frame), de-dup (user, target-day), and count — a per-day count,
+    * never a giant count_distinct window. The join back to real days
+    * drops the synthetic trailing days the explode manufactures.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day").as("d"))
+      .agg(count(lit(1)).as("dau")) // (user, day) already distinct
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d"))
+  }
+
   /** Inter-event gap percentiles per event type: for each user's
     * time-ordered stream, the gap (µs) from the previous event; grouped
     * by the LATER event's type with exact p50/p90 — the cadence/latency

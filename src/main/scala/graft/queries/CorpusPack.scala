@@ -1137,6 +1137,29 @@ object CorpusPack {
             FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  private val p21 = Q(
+    "p21_temperature_sample",
+    // multilingual temperature sampling at alpha = 1/2: budget 200
+    // across sources proportional to isqrt(n_s) — integer-only quotas
+    // (no pow, no double sums), drawn with the p06 md5 machinery
+    (s, dir) => Corpus.temperatureQuotaSample(
+        Tables.load(s, dir, "documents"), "doc_id", "source", budget = 200L)
+      .orderBy("doc_id"),
+    Some("""WITH cnt AS (SELECT source, COUNT(*) AS n
+              FROM documents GROUP BY source),
+            w AS (SELECT source,
+                CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+              FROM cnt),
+            tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w),
+            q AS (SELECT source, 200 * w.w // tot.tot AS quota
+              FROM w CROSS JOIN tot),
+            r AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            SELECT doc_id, source FROM r JOIN q USING (source)
+            WHERE rn <= quota ORDER BY doc_id"""))
+
   private val t17 = Q(
     "t17_bpe_token_count",
     // exact per-doc token counts under corpus-trained BPE merges — the
@@ -1494,6 +1517,6 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -675,6 +675,23 @@ object PipelinePack {
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
+  private val e16 = Q(
+    "e16_rolling_active",
+    // DAU / 7-day WAU per active day: distinct (user, day) first, then
+    // a bounded 7-day explode of that small frame — never a
+    // count_distinct over a sliding window
+    (s, dir) => Events.rollingActive(Tables.load(s, dir, "events"), 7)
+      .orderBy("d"),
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+              FROM events),
+            contrib AS (SELECT DISTINCT user_id, day + x AS d
+              FROM ud CROSS JOIN range(7) t(x)),
+            dau AS (SELECT day AS d, COUNT(*) AS dau FROM ud GROUP BY day),
+            wau AS (SELECT d, COUNT(*) AS wau FROM contrib GROUP BY d)
+            SELECT d, dau, wau FROM dau JOIN wau USING (d)
+            ORDER BY d"""))
+
   private val e13 = Q(
     "e13_bot_flags",
     // cadence-based bot screen ahead of events->training-data use:
@@ -720,5 +737,5 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, m01, m02)
+    e12, e13, e14, e15, e16, m01, m02)
 }
