@@ -260,4 +260,19 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 1L),
       (4L, 0L, 0L)))
   }
+
+  test("temperatureQuotaSample: isqrt-proportional quotas, deterministic") {
+    // counts 100/25/4 -> isqrt weights 10/5/2, total 17; budget 17
+    // allocates exactly the weights as quotas
+    val df = ((0L until 100L).map(i => (i, "A")) ++
+      (100L until 125L).map(i => (i, "B")) ++
+      (125L until 129L).map(i => (i, "C")))
+      .toDF("doc_id", "source").repartition(7)
+    def draw() = Corpus.temperatureQuotaSample(df, "doc_id", "source", 17L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = draw()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("A" -> 10, "B" -> 5, "C" -> 2))
+    assert(got.toSet == draw().toSet) // seedless md5 keys: retry-stable
+  }
 }

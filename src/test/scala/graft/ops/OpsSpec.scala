@@ -521,6 +521,32 @@ class EventsSpec extends SparkSpec {
       clicks0.getAs[Long]("n_users") == 2L &&
       clicks0.getAs[Double]("sum_value") == 7.0)
   }
+
+  test("interEventGaps: gaps key on the later event's type, firsts drop") {
+    // user 1: click@0 -> click@60 (gap 60s) -> view@4000 (gap 3940s);
+    // user 2: single event, no gap
+    val r = Events.interEventGaps(events).orderBy("event_type").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      ("click", 1L, 60000000.0, 60000000.0),
+      ("view", 1L, 3940000000.0, 3940000000.0)))
+  }
+
+  test("rollingActive: DAU counts the day, WAU the trailing window") {
+    // day 0: users 1,2; day 1: user 1; day 8: user 2
+    val ev2 = Seq(
+      (0L, ts(10), 1L, "c", 1.0), (1L, ts(20), 2L, "c", 1.0),
+      (2L, ts(86400 + 10), 1L, "c", 1.0),
+      (3L, ts(8 * 86400 + 10), 2L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.rollingActive(ev2, windowDays = 7).orderBy("d")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (0, 2L, 2L),    // day 0: both active; window {0}: both
+      (1, 1L, 2L),    // day 1: user 1; window {0,1}: both
+      (8, 1L, 1L)))   // day 8: user 2; window {2..8}: user 1's days
+                      // 0/1 and user 2's day 0 all fell out
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
