@@ -394,6 +394,63 @@ final class TokenBitsScorer(bits: Map[String, Int], oovBits: Int)
   }
 }
 
+/** Per-document DEFLATE length — the compression-ratio quality signal
+  * (MassiveText/RefinedWeb/Dolma family): templated, repetitive, or
+  * machine-generated text compresses anomalously well; high-entropy
+  * noise barely compresses. Emitted as raw byte and compressed byte
+  * counts so the ratio is ONE double division downstream.
+  *
+  * Determinism: a fixed deflate level and strategy over the UTF-8
+  * bytes — zlib's output for a given (input, level) is stable across
+  * runs and platforms for the bundled java.util.zip, which is all the
+  * reproducibility a quality FILTER needs (there is no DuckDB deflate,
+  * so the query is rows-only and the semantics are unit-pinned
+  * instead). The Deflater's native buffer is released per call
+  * (`end()` in finally — leaking it per-row would exhaust native
+  * memory long before heap pressure showed).
+  */
+case class DeflateLenExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DeflateLenExpr.schema
+  override def prettyName: String = "graft_deflate_len"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateLenExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.DeflateLenExpr.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLenExpr =
+    copy(child = newChild)
+}
+
+object DeflateLenExpr {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("n_deflate", IntegerType, nullable = false)))
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6, true) // raw deflate, level 6
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bytes.length, n))
+    } finally d.end()
+  }
+}
+
 object TextExpressions {
   /** Codegen'd rolling-hash fingerprint of a string column. */
   def fingerprint(text: Column): Column =
@@ -412,4 +469,8 @@ object TextExpressions {
     */
   def tokenBits(text: Column, bits: Map[String, Int], oovBits: Int): Column =
     Bridge.column(TokenBitsExpr(Bridge.expression(text), bits, oovBits))
+
+  /** Codegen'd (n_bytes, n_deflate) compression-signal struct. */
+  def deflateLen(text: Column): Column =
+    Bridge.column(DeflateLenExpr(Bridge.expression(text)))
 }

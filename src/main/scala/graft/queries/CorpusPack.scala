@@ -1137,6 +1137,24 @@ object CorpusPack {
             FROM documents d LEFT JOIN sc USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  private val t18 = Q(
+    "t18_compression_ratio",
+    // deflate-ratio quality signal (MassiveText/RefinedWeb family):
+    // templated or repetitive docs compress anomalously well. Rows-only
+    // (no DuckDB deflate); semantics unit-pinned against a direct
+    // java.util.zip reference in TextOpsSpec
+    (s, dir) => Tables.loadParallel(s, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.deflateLen(col("text")).as("z"))
+      .select(col("doc_id"),
+        col("z.n_bytes").cast("long").as("n_bytes"),
+        col("z.n_deflate").cast("long").as("n_deflate"),
+        (col("z.n_deflate").cast("double") /
+          col("z.n_bytes").cast("double")).as("ratio"))
+      .orderBy("doc_id"),
+    None)
+
   private val p21 = Q(
     "p21_temperature_sample",
     // multilingual temperature sampling at alpha = 1/2: budget 200
@@ -1516,7 +1534,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -53,7 +53,10 @@ class ContractSpec extends AnyFunSuite {
       "p03_pack_greedy",
       // DuckDB cannot BPE-encode; BpeFidelitySpec gates strict equality
       // against an independent reference trainer + encoder
-      "t17_bpe_token_count")
+      "t17_bpe_token_count",
+      // DuckDB has no deflate; TextOpsSpec pins the expression against
+      // a direct java.util.zip reference
+      "t18_compression_ratio")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -46,6 +46,33 @@ class TextOpsSpec extends SparkSpec {
     assert(one(clean, TextOps.emailCount(col("text"))) == 0)
   }
 
+  test("deflateLen matches a direct java.util.zip reference; repetitive " +
+    "text compresses far better than varied text") {
+    import graft.functions.TextExpressions.deflateLen
+    def ref(s: String): (Int, Int) = {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf)
+        (bytes.length, n)
+      } finally d.end()
+    }
+    val rep = "spam ham " * 300
+    val varied = (0 until 300).map(i => (i * 2654435761L).toHexString)
+      .mkString(" ")
+    for (t <- Seq(rep, varied, "x", "héllo wörld")) {
+      val got = one(t, deflateLen(col("text")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      assert((got.getInt(0), got.getInt(1)) == ref(t), s"input: $t")
+    }
+    val rr = ref(rep); val rv = ref(varied)
+    assert(rr._2.toDouble / rr._1 < 0.1)  // boilerplate: tiny ratio
+    assert(rv._2.toDouble / rv._1 > 0.4)  // varied hex: poor compression
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     import graft.functions.TextExpressions.fingerprint
     val a = one("abc", fingerprint(col("text")))
