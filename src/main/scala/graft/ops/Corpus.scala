@@ -212,6 +212,65 @@ object Corpus {
           .cast("double").as("bits_per_token"))
   }
 
+  /** The KenLM rung above [[surprisalPerDoc]]: CONDITIONAL bigram
+    * surprisal — `bits(w2 | w1) = length(bin(cnt(w1) div cnt(w1 w2)))`,
+    * floor(log2)+1 of the inverse conditional frequency under a bigram LM
+    * of the reference slice. Context makes the signal sharper than the
+    * unigram rung: "the the" scores high (frequent words, rare pair)
+    * where t16 scores it low. Same integer-only whole-bit arithmetic, so
+    * the DuckDB oracle matches bit-for-bit — no libm ever runs.
+    *
+    * Backoff: an UNSEEN BIGRAM whose context w1 IS in the reference backs
+    * off to hapax (`cnt2 = 1` → ratio = cnt(w1)) — the maximum observable
+    * surprisal given that context, mirroring t16's unseen-token rule; an
+    * unseen CONTEXT degenerates to `1 div 1` = 1 bit (the reference
+    * carries no evidence about that context at all). `cnt2 ≤ cnt1` always
+    * holds when both are present (every bigram occurrence contains a w1
+    * occurrence), so the ratio is ≥ 1 and bits ≥ 1.
+    *
+    * Shape at 100 TB: two reference rollups (unigram contexts + bigram
+    * pairs, both partial-aggregated, vocabulary-sized); scoring explodes
+    * each doc's adjacent-pair list once and equi-joins TWICE — on the
+    * bigram for cnt2, then on the pair's first word for cnt1 (the second
+    * join cannot pre-merge into the first: a doc bigram absent from the
+    * reference still needs its context's count). Both joins are
+    * string-keyed with single-row build sides; AQE's skew split absorbs
+    * hot contexts. The first token of each doc has no context, so
+    * `n_pairs = n_tok − 1`; docs with < 2 tokens survive the final left
+    * join with `n_pairs = 0` and a NULL score.
+    */
+  def bigramSurprisalPerDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val ref = df.filter(refFilter)
+    val uni = ref
+      .select(explode(TextOps.tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    val bi = ref
+      .select(explode(TextOps.bigramList(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt2"))
+    val scored = df
+      .select(col(idCol), explode(TextOps.bigramList(col(textCol))).as("bigram"))
+      .join(bi, Seq("bigram"), "left")
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .join(uni, Seq("w1"), "left")
+      .select(col(idCol),
+        coalesce(col("cnt1"), lit(1L)).as("c1"),
+        coalesce(col("cnt2"), lit(1L)).as("c2"))
+      // `div`, not `/`: stay in exact long arithmetic end to end
+      .select(col(idCol),
+        length(bin(expr("c1 div c2"))).cast("long").as("bits"))
+      .groupBy(idCol)
+      .agg(sum("bits").as("sum_bits"), count(lit(1)).as("n_pairs"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("sum_bits").cast("double") / col("n_pairs"))
+          .cast("double").as("bits_per_pair"))
+  }
+
   /** CCNet's head/middle/tail split: bucket documents by surprisal
     * terciles ([[surprisalPerDoc]]) — Wenzek et al. 2020 release Common
     * Crawl in exactly these three perplexity bands, and downstream

@@ -34,6 +34,19 @@ object TextOps {
   def bigramSet(text: Column): Column =
     graft.functions.HashExpressions.bigramSet(text)
 
+  /** Adjacent word-pair LIST — document order, with multiplicity — the
+    * scoring unit for conditional bigram surprisal ([[Corpus
+    * .bigramSurprisalPerDoc]]); [[bigramSet]] is the distinct blocking
+    * variant the dedup operators use. Empty and 1-token docs yield `[]`.
+    */
+  def bigramList(text: Column): Column = {
+    val t = tokens(text)
+    zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Marker stopwords per language for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "in", "to"),
@@ -264,6 +277,52 @@ object TextOps {
       ellipsisLineFrac(text).leq(lit(0.3)) &&
       alphaWordFrac(text).geq(lit(0.8)) &&
       requiredStopwordHits(text).geq(lit(minStops))
+  }
+
+  // ---- C4-style line-level cleaning (Raffel et al. 2020, §2.2) ---------
+  // Gopher (above) GATES whole documents; C4 additionally REWRITES them —
+  // line-level keep/drop then a document gate over what survived. All
+  // pure scan-stage projections (split → filter → array_join), no
+  // explode, no shuffle: the rewrite is a per-row map however large the
+  // corpus. Thresholds are the paper's (terminal punctuation, ≥5 words
+  // per line, ≥3 sentences, "javascript" line drop, lorem-ipsum /
+  // curly-brace page drop); the badword list is a parameter — the
+  // published list is external content a deployment supplies.
+
+  /** C4's line keep predicate: ends in terminal punctuation (`.` `!` `?`
+    * or closing `"`), has at least `minLineWords` whitespace words, and
+    * does not mention javascript (case-insensitive).
+    */
+  def c4KeepLine(l: Column, minLineWords: Int = 5): Column =
+    (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+      l.endsWith("\"")) &&
+      size(filter(split(l, " "), w => w =!= lit(""))) >= minLineWords &&
+      !lower(l).contains("javascript")
+
+  /** Rebuild the document from its kept lines (empty string when nothing
+    * survives — never NULL, so downstream md5/compare is total).
+    */
+  def c4CleanText(text: Column, minLineWords: Int = 5): Column =
+    array_join(
+      filter(split(text, "\n"), l => c4KeepLine(l, minLineWords)), "\n")
+
+  /** Sentence count of a cleaned document = terminal-punct occurrences
+    * (kept lines each END in one, so this ≥ kept-line count; mid-line
+    * sentence breaks count too, as in the reference implementation's
+    * sentence splitter).
+    */
+  def c4SentenceCount(cleaned: Column): Column =
+    size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+
+  /** C4's document gate: ≥ `minSentences` sentences AFTER line cleaning,
+    * and the ORIGINAL page contains no curly brace, no "lorem ipsum",
+    * and no badword (all case-insensitive except the brace).
+    */
+  def c4DocPass(text: Column, cleaned: Column, minSentences: Int = 3,
+      badwords: Seq[String] = Nil): Column = {
+    val base = c4SentenceCount(cleaned) >= minSentences &&
+      !text.contains("{") && !lower(text).contains("lorem ipsum")
+    badwords.foldLeft(base)((acc, w) => acc && !lower(text).contains(w))
   }
 
   /** Composite quality score in [0,1]: integer counts combined with double

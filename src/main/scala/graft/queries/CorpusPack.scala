@@ -1155,6 +1155,122 @@ object CorpusPack {
       .orderBy("doc_id"),
     None)
 
+  private val t20 = Q(
+    "t20_bigram_surprisal",
+    // conditional bigram-LM surprisal (the KenLM rung above t16): whole
+    // bits, integer-only — hapax backoff for unseen pairs with a seen
+    // context, 1 bit for unseen contexts
+    (s, dir) => Corpus.bigramSurprisalPerDoc(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(l) AS w,
+                generate_subscripts(l, 1) AS rn
+              FROM base),
+            pairs AS (SELECT a.doc_id, a.w AS w1,
+                a.w || ' ' || b.w AS bigram
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            refb AS (SELECT p.bigram, COUNT(*) AS cnt2
+              FROM pairs p JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en' GROUP BY 1),
+            refu AS (SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS w1
+              FROM documents WHERE lang = 'en'),
+            cnt1 AS (SELECT w1, COUNT(*) AS cnt1 FROM refu GROUP BY 1),
+            bits AS (SELECT p.doc_id,
+                LENGTH(bin(COALESCE(c1.cnt1, 1) // COALESCE(c2.cnt2, 1)))
+                  AS bits
+              FROM pairs p
+                LEFT JOIN refb c2 USING (bigram)
+                LEFT JOIN cnt1 c1 ON p.w1 = c1.w1),
+            agg AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+                COUNT(*) AS n_pairs
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+              COALESCE(a.sum_bits, 0) AS sum_bits,
+              COALESCE(a.n_pairs, 0) AS n_pairs,
+              CASE WHEN a.n_pairs IS NULL THEN NULL
+                   ELSE CAST(a.sum_bits AS DOUBLE) / a.n_pairs END
+                AS bits_per_pair
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id"""))
+
+  private val t19 = Q(
+    "t19_c4_rules",
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the corpus's
+    // single-line synthetic docs carry no line structure, so — the t13
+    // injection pattern — both engines first derive a multi-line page
+    // deterministically from the SAME parquet rows (" table " becomes a
+    // sentence break; selected doc_ids gain a trailing period, a
+    // javascript line, a curly-brace code line, a lorem-ipsum footer),
+    // then clean it: per-line keep/drop rebuilds the text, the doc gate
+    // reads the ORIGINAL page. All pure per-row maps — no shuffle at any
+    // corpus size; crafted multi-line edge cases live in OpsSpec.
+    (s, dir) => {
+      val inj0 = regexp_replace(col("text"), " table ", ".\n")
+      val x = concat(
+        when(col("doc_id") % 3 === 0, concat(inj0, lit(".")))
+          .otherwise(inj0),
+        when(col("doc_id") % 7 === 0,
+          lit("\nclick here to enable javascript now.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nfunction f() { return 1; }.")).otherwise(lit("")))
+      val page = when(col("doc_id") % 13 === 0,
+        concat(x, lit("\nthis page uses lorem ipsum filler text.")))
+        .otherwise(x)
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"), col("page"),
+          TextOps.c4CleanText(col("page")).as("cleaned"))
+        .select(col("doc_id"),
+          size(split(col("page"), "\n")).as("n_lines"),
+          when(col("cleaned") === "", 0)
+            .otherwise(size(split(col("cleaned"), "\n"))).as("n_kept"),
+          TextOps.c4SentenceCount(col("cleaned")).as("n_sentences"),
+          TextOps.c4DocPass(col("page"), col("cleaned")).as("pass"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0
+                THEN x || chr(10) || 'this page uses lorem ipsum filler text.'
+                ELSE x END AS page
+              FROM (SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0
+                    THEN replace(text, ' table ', '.' || chr(10)) || '.'
+                    ELSE replace(text, ' table ', '.' || chr(10)) END
+                || CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || 'click here to enable javascript now.'
+                    ELSE '' END
+                || CASE WHEN doc_id % 17 = 0
+                    THEN chr(10) || 'function f() { return 1; }.'
+                    ELSE '' END AS x
+                FROM documents)),
+            cl AS (SELECT doc_id, page,
+              COALESCE(array_to_string(list_filter(
+                string_split(page, chr(10)),
+                l -> (ends_with(l, '.') OR ends_with(l, '!')
+                      OR ends_with(l, '?') OR ends_with(l, '"'))
+                  AND len(list_filter(string_split(l, ' '),
+                        w -> w <> '')) >= 5
+                  AND NOT contains(lower(l), 'javascript')),
+                chr(10)), '') AS cleaned
+              FROM inj)
+            SELECT doc_id,
+              len(string_split(page, chr(10))) AS n_lines,
+              CASE WHEN cleaned = '' THEN 0
+                   ELSE len(string_split(cleaned, chr(10))) END AS n_kept,
+              len(regexp_extract_all(cleaned, '[.!?]')) AS n_sentences,
+              (len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+               AND NOT contains(page, '{')
+               AND NOT contains(lower(page), 'lorem ipsum')) AS pass,
+              md5(cleaned) AS clean_md5
+            FROM cl ORDER BY doc_id"""))
+
   private val p21 = Q(
     "p21_temperature_sample",
     // multilingual temperature sampling at alpha = 1/2: budget 200
@@ -1534,7 +1650,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

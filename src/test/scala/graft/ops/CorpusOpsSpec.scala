@@ -216,6 +216,35 @@ class CorpusOpsSpec extends SparkSpec {
       (5L, 0L, 0L, None)))
   }
 
+  test("bigramSurprisalPerDoc: conditional whole bits, hapax backoff for " +
+    "unseen pairs, 1 bit for unseen contexts, short docs score NULL") {
+    // ref slice (en) pairs: (a a) (a b) | (a c)  -> cnt2: aa=1 ab=1 ac=1
+    // ref unigrams: a a b a c -> cnt1: a=3 b=1 c=1
+    // doc 1 "a a b": (a a) -> 3 div 1 = 3 -> 2 bits; (a b) -> 3 -> 2 bits
+    // doc 3 "b z a q": (b z) unseen pair, seen ctx b -> 1 div 1? no:
+    //   cnt1(b)=1, cnt2 backoff 1 -> 1 -> 1 bit; (z a) unseen ctx -> 1 bit;
+    //   (a q) seen ctx a=3, unseen pair -> 3 -> 2 bits
+    val df = Seq(
+      (1L, "a a b", "en"), (2L, "a c", "en"), (3L, "b z a q", "de"),
+      (4L, "solo", "de"), (5L, "", "de"),
+      (6L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang").repartition(5)
+    val got = Corpus.bigramSurprisalPerDoc(df, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, Some(2.0)),
+      (2L, 2L, 1L, Some(2.0)),
+      (3L, 4L, 3L, Some(4.0 / 3)),
+      (4L, 0L, 0L, None),
+      (5L, 0L, 0L, None),
+      (6L, 0L, 0L, None)))
+  }
+
   test("dsirWeights: whole-bit log importance = bits_raw - bits_target, " +
     "per-side hapax backoff") {
     // target (en): a a b          -> total_t 3; cnt_t a=2 b=1

@@ -141,6 +141,40 @@ class TextOpsSpec extends SparkSpec {
     assert(!one(clean, TextOps.gopherPass(col("text"), 50, 100))
       .asInstanceOf[Boolean])
   }
+
+  test("c4 line rules: punctuation, word floor, javascript; doc gate") {
+    def cleaned(t: String): String =
+      one(t, TextOps.c4CleanText(col("text"))).asInstanceOf[String]
+    def pass(t: String): Boolean =
+      one(t, TextOps.c4DocPass(col("text"),
+        TextOps.c4CleanText(col("text")))).asInstanceOf[Boolean]
+
+    // each terminal mark keeps a line; an unterminated line drops
+    val page = "the cat sat on the mat.\nis that all they saw?\n" +
+      "what a fine day it was!\nhe said \"it was loud.\"\nno terminal here"
+    assert(cleaned(page) == page.split("\n").init.mkString("\n"))
+    assert(pass(page)) // 4 kept lines, >= 3 sentences
+
+    // word floor: 4 words < 5 drops even with the period
+    assert(cleaned("the cat sat down.") == "")
+    assert(cleaned("the cat sat right down.") == "the cat sat right down.")
+    // javascript mention drops the line regardless of case
+    assert(cleaned("please enable JavaScript to view this page.") == "")
+    // nothing kept -> empty string, never null (md5-able downstream)
+    assert(cleaned("no punct line") == "")
+
+    // doc gate: < 3 sentences after cleaning fails
+    assert(!pass("one full sentence stands alone here."))
+    // mid-line breaks count as sentences: one kept line, three marks
+    assert(pass("it rained. it poured. then the sun came out again."))
+    // curly brace / lorem ipsum on the ORIGINAL page fail the gate
+    assert(!pass(page + "\nfunction f() { return 1; }."))
+    assert(!pass(page + "\nclassic Lorem Ipsum filler text."))
+    // badword list is a parameter and is case-insensitive
+    assert(!one(page + "\nBADWORD alert.",
+      TextOps.c4DocPass(col("text"), TextOps.c4CleanText(col("text")),
+        badwords = Seq("badword"))).asInstanceOf[Boolean])
+  }
 }
 
 class DedupSpec extends SparkSpec {
