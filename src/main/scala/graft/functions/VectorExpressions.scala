@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dot product of two double arrays.
   *
@@ -426,6 +426,107 @@ case class CentroidResidual(
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-dimension 8-bit scalar quantization encode (FAISS ScalarQuantizer
+  * QT_8bit): `code_i = clamp(rint((v_i − min_i) / delta_i), 0, 255)`,
+  * packed one BYTE per dimension into a BinaryType value — 8× less scan
+  * bandwidth than the quantized double array. Train ranges are baked into
+  * the expression; `rint` (not floor) in BOTH eval paths so interpreted
+  * and generated code agree bit-for-bit.
+  */
+case class Sq8Encode(
+    child: Expression, mins: Array[Double], deltas: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(mins.length == deltas.length && mins.nonEmpty,
+    "mins/deltas must be equal-length and non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_sq8_encode"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData]
+    val n = math.min(q.numElements(), mins.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = math.rint((q.getDouble(i) - mins(i)) / deltas(i))
+      out(i) = (if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val mn = ctx.addReferenceObj("mins", mins, "double[]")
+      val dl = ctx.addReferenceObj("deltas", deltas, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $mn.length);
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $c = java.lang.Math.rint(
+         |    ($q.getDouble($i) - $mn[$i]) / $dl[$i]);
+         |  $out[$i] = (byte)($c < 0.0d ? 0 : ($c > 255.0d ? 255 : (int)$c));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** Σ scaled_i · (codes_i & 0xFF) — the SQ8 ADC hot loop: `scaled` is the
+  * probe's per-dimension `p_i · delta_i` (precomputed once per probe) and
+  * `codes` a corpus row's byte-packed SQ8 codes; adding the probe's
+  * `dot(p, mins)` base term reconstructs dot(p, decode(codes)) exactly.
+  * A fused unpack-multiply-add per pair — the per-pair cost PQ pays in m
+  * table lookups, SQ8 pays in dim byte ops, with no codebook memory.
+  */
+case class Sq8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(DoubleType), BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.numElements(), y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * (y(i) & 0xFF); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * ($y[$i] & 0xFF);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
@@ -459,4 +560,14 @@ object VectorExpressions {
       v: Column, idx: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(CentroidResidual(
       Bridge.expression(v), Bridge.expression(idx), centroids))
+
+  /** Codegen'd byte-packed SQ8 encode with baked per-dim ranges. */
+  def sq8Encode(
+      v: Column, mins: Array[Double], deltas: Array[Double]): Column =
+    Bridge.column(Sq8Encode(Bridge.expression(v), mins, deltas))
+
+  /** Codegen'd Σ scaled_i · (codes_i & 0xFF) — the SQ8 ADC term. */
+  def sq8Dot(scaled: Column, codes: Column): Column =
+    Bridge.column(Sq8Dot(
+      Bridge.expression(scaled), Bridge.expression(codes)))
 }

@@ -745,6 +745,75 @@ object VectorOps {
     rerank(candidates, c, p, k)
   }
 
+  /** Scalar-quantization (SQ8) approximate top-k with exact re-rank — the
+    * third memory-bandwidth family member beside [[knnPq]]/[[knnIvfPq]]
+    * (FAISS ScalarQuantizer QT_8bit): every DIMENSION is linearly
+    * re-coded into one byte against per-dimension [min, max] ranges, so
+    * the corpus scans at 1 byte/dim (8× less than quantized doubles)
+    * with NO codebook — decode is an affine map with bounded per-dim
+    * error delta/2, and unlike PQ the approximation never collapses two
+    * distinct subvectors to one codeword.
+    *
+    * Train: per-dimension min/max is ONE exact partial-agg pass over the
+    * corpus — min/max are order-free and mergeable, so (unlike Lloyd's
+    * codebooks) no sample is needed and the "model" is 2×dim doubles.
+    * Constant dimensions get delta = 1 (codes are 0 there; decode returns
+    * the constant exactly). Encode: one fused codegen'd byte-pack map
+    * ([[graft.functions.Sq8Encode]]) in the scan stage.
+    *
+    * Score: dot(p, decode(codes)) = dot(p, mins) + Σ (p_i·delta_i)·code_i
+    * — per probe, the first term is one scalar and p_i·delta_i
+    * precomputes, leaving a fused byte-unpack multiply-add per pair
+    * ([[graft.functions.Sq8Dot]]); candidates top-`refine` by the
+    * approximation then exact-cosine re-rank, as in knnPq. Linear scan,
+    * query-mode (probes broadcast): compose with [[knnIvf]] lists when
+    * sub-linear candidates are needed.
+    */
+  def knnSq8(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 64): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    val dim = sampleVecs(c, 1).head.length
+    // exact per-dim ranges: one mergeable agg, 2×dim cells on the driver
+    val rangeExprs = (0 until dim).flatMap(d => Seq(
+      min(element_at(col("cq"), d + 1)).as(s"m$d"),
+      max(element_at(col("cq"), d + 1)).as(s"x$d")))
+    val mm = c.agg(rangeExprs.head, rangeExprs.tail: _*).collect().head
+    val mins = Array.tabulate(dim)(d => mm.getDouble(mm.fieldIndex(s"m$d")))
+    val maxs = Array.tabulate(dim)(d => mm.getDouble(mm.fieldIndex(s"x$d")))
+    val deltas = Array.tabulate(dim) { d =>
+      val span = maxs(d) - mins(d)
+      if (span == 0.0) 1.0 else span / 255.0
+    }
+    val encoded = c.select(col("corpus_id"), col("cn2"),
+      graft.functions.VectorExpressions.sq8Encode(col("cq"), mins, deltas)
+        .as("codes"))
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    // per-probe precompute: scalar base term + delta-scaled probe vector
+    // (zip_with is CodegenFallback but runs once per PROBE, not per pair)
+    val withSp = p
+      .withColumn("base", dot(col("pq"), typedlit(mins.toSeq)))
+      .withColumn("sp",
+        zip_with(col("pq"), typedlit(deltas.toSeq), (a, b) => a * b))
+    val approx = (col("base") +
+      graft.functions.VectorExpressions.sq8Dot(col("sp"), col("codes"))) /
+      sqrt(col("cn2"))
+    val scored = encoded.join(broadcast(withSp), lit(true))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"), approx.as("approx"))
+    val candidates = topNPerKey(scored, "probe_id", "approx", "corpus_id",
+      refine).select("probe_id", "corpus_id")
+    rerank(candidates, c, p, k)
+  }
+
   /** Exact cosine top-`k` over a small (probe_id, corpus_id) candidate
     * set: vectors re-attach via one narrow corpus join + a probe join
     * (broadcast in query mode, shuffled when the probe set is a large

@@ -209,6 +209,19 @@ object PipelinePack {
     },
     None) // approximate -> rows-only (RecallSpec gates vs s01)
 
+  private val s10 = Q(
+    "s10_knn_sq8",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // per-dim byte codes, no codebook: corpus scans at 1 byte/dim and
+      // the "model" is 2x64 doubles from one exact min/max pass;
+      // refine=128 caps the exact re-rank per probe, as in s05
+      VectorOps.knnSq8(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, refine = 128)
+        .orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only (RecallSpec gates vs s01)
+
   private val s07 = Q(
     "s07_knn_filtered",
     // metadata-filtered vector search ("nearest neighbors in category
@@ -735,7 +748,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, m01, m02)
 }

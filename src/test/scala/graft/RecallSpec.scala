@@ -265,6 +265,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.90, f"recall regressed: $recall%.3f < 0.90")
   }
 
+  test("s10: knnSq8 per-dim byte codes recall@10 vs brute force (sf0.01)") {
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    val sq8 = topkSet(SparkEntry.queries("s10_knn_sq8")(spark, dir))
+    val recall = (brute & sq8).size.toDouble / brute.size
+    info(f"s10 recall@10 = $recall%.3f (${(brute & sq8).size}/${brute.size})")
+    // per-dim error is bounded by delta/2 (no codeword collapse), so the
+    // SQ8 approximation should rank at least as well as PQ's s05 gate
+    assert(recall >= 0.90, f"recall regressed: $recall%.3f < 0.90")
+  }
+
   test("s06: knnIvfPq composed recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val ivfpq = topkSet(SparkEntry.queries("s06_knn_ivfpq")(spark, dir))

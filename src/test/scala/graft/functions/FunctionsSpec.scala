@@ -109,6 +109,34 @@ class FunctionsSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("Sq8Encode/Sq8Dot: byte codes reconstruct the dot within delta/2 " +
+    "per dim; clamping and the unsigned high range behave") {
+    val mins = Array(0.0, -10.0, 5.0)
+    val deltas = Array(1.0, 0.1, 1.0)
+    val df = Seq((Array(3.0, 9.9, 5.0), Array(2.0, 1.0, 4.0)))
+      .toDF("v", "p")
+    // codes: (3-0)/1=3; (9.9+10)/0.1=199 (>127: unsigned byte range);
+    // (5-5)/1=0
+    val codes = df.select(
+      VectorExpressions.sq8Encode(col("v"), mins, deltas))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(codes.map(_ & 0xFF).toSeq == Seq(3, 199, 0))
+    // decode: mins + codes*deltas = (3.0, 9.9, 5.0) exactly here, so
+    // base + sq8Dot(scaled p, codes) = dot(p, v) = 6 + 9.9 + 20
+    val scaled = Array(2.0 * 1.0, 1.0 * 0.1, 4.0 * 1.0)
+    val base = 2.0 * 0.0 + 1.0 * (-10.0) + 4.0 * 5.0
+    val adc = df.select(VectorExpressions.sq8Dot(
+        typedlit(scaled.toSeq), VectorExpressions.sq8Encode(col("v"), mins, deltas)))
+      .collect().head.getDouble(0)
+    assert(math.abs((base + adc) - (6.0 + 9.9 + 20.0)) < 1e-9)
+    // out-of-range values clamp to the byte ends instead of wrapping
+    val clamped = Seq((Array(-5.0, 100.0, 5.0), Array(0.0, 0.0, 0.0)))
+      .toDF("v", "p")
+      .select(VectorExpressions.sq8Encode(col("v"), mins, deltas))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(clamped.map(_ & 0xFF).toSeq == Seq(0, 255, 0))
+  }
+
   test("NGramHashSet: hashes equal builtin xxhash64 of the joined grams") {
     val df = Seq("a b c d", "x x x").toDF("text")
     val got = df.select(
