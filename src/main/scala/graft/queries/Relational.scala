@@ -348,6 +348,40 @@ object Relational {
               ON o_custkey = c_custkey AND o_totalprice > 450000.0
             ORDER BY 1, 2, 3"""))
 
+  // FULL OUTER completes the join family (inner/left/semi/anti are q04/
+  // q18/q17/q15): rich customers FULL OUTER big spenders — both
+  // unmatched sides survive null-extended, keys coalesce into one total
+  // column. The aggregate runs BEFORE the join (partial-agg'd, narrow
+  // rows through the outer join's exchange, never raw orders).
+  private val q34 = Q(
+    "q34_full_outer",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+        .filter(col("spend") > 1400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+          coalesce(col("spend"), lit(0.0)).as("spend"))
+        .orderBy("custkey")
+    },
+    Some("""WITH rich AS (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_acctbal > 9000.0),
+            big AS (SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS spend
+              FROM orders GROUP BY o_custkey
+              HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                AS DOUBLE) > 1400000.0)
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+              coalesce(c_acctbal, 0.0) AS acctbal,
+              coalesce(spend, 0.0) AS spend
+            FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+            ORDER BY 1"""))
+
   // UNION ALL + aggregate — party counts per nation across two entity
   // tables. Spark's union is by position (UNION ALL); the groupBy gives
   // the distinct-union semantics a report wants while keeping counts.
@@ -695,5 +729,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31)
+    q26, q27, q28, q29, q30, q31, q34)
 }

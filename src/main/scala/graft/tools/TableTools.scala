@@ -103,6 +103,42 @@ object TableTools {
     * Writes to `outPath` then returns (files_before, files_after): never
     * compact in place — a failed in-place rewrite loses data.
     */
+  /** Hot-key skew report — the pre-flight a 100 TB join/groupBy runs
+    * BEFORE committing to a shuffle on `keyCols`: the top-`topN` heaviest
+    * keys with their share of rows, plus the global `skew_ratio`
+    * (heaviest key count ÷ mean per-key count — 1.0 is uniform; ≫ 32
+    * means the hottest post-shuffle task outweighs a whole executor and
+    * the key needs salting (Events.sessionizeSalted's shape) or AQE skew
+    * hints).
+    *
+    * Shape: ONE scan of the input partial-aggregates to the
+    * (distinct-key-sized) count rollup, which a lazy localCheckpoint
+    * pins so the two consumers — the global stats row and the top-N —
+    * read the rollup, never the input again (Catalyst has no cross-
+    * branch CSE; without the pin each branch would re-scan). Top-N plans
+    * as TakeOrderedAndProject (k rows per partition, no global sort);
+    * stats broadcast as one row.
+    */
+  def skewReport(
+      df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(eager = false)
+    val stats = counts.agg(sum("n_rows").as("total_rows"),
+      count(lit(1)).as("n_keys"), max("n_rows").as("max_rows"))
+    counts
+      .orderBy(col("n_rows").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topN)
+      .crossJoin(broadcast(stats))
+      .select(keyCols.map(col) ++ Seq(col("n_rows"),
+        (col("n_rows").cast("double") / col("total_rows").cast("double"))
+          .as("row_frac"),
+        col("n_keys"),
+        (col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("total_rows").cast("double")).as("skew_ratio")): _*)
+  }
+
   def compact(
       spark: SparkSession,
       inPath: String,

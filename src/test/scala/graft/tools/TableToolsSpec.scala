@@ -21,6 +21,32 @@ class TableToolsSpec extends SparkSpec {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("skewReport: hot key surfaces first with exact frac and ratio; " +
+    "top-N plans as TakeOrderedAndProject") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1 hot key with 900 rows + 100 cold keys with 1 row each:
+    // total 1000, 101 keys, mean ~9.90, ratio = 900*101/1000 = 90.9
+    val df = (Seq.fill(900)(42L) ++ (100L until 200L)).toDF("k")
+      .withColumn("payload", col("k") * 2)
+    val rep = TableTools.skewReport(df, Seq("k"), topN = 3)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N must not global-sort the rollup")
+    val rows = rep.collect()
+    assert(rows.length == 3)
+    val hot = rows.head
+    assert(hot.getLong(hot.fieldIndex("k")) == 42L)
+    assert(hot.getLong(hot.fieldIndex("n_rows")) == 900L)
+    assert(hot.getDouble(hot.fieldIndex("row_frac")) == 0.9)
+    assert(hot.getLong(hot.fieldIndex("n_keys")) == 101L)
+    assert(hot.getDouble(hot.fieldIndex("skew_ratio")) == 900.0 * 101 / 1000)
+    // ties broken by key order; every reported row repeats the globals
+    assert(rows(1).getLong(0) == 100L && rows(2).getLong(0) == 101L)
+    assert(rows.forall(_.getDouble(hot.fieldIndex("skew_ratio")) ==
+      900.0 * 101 / 1000))
+  }
+
   test("randomTable: generated distributed across partitions") {
     val df = TableTools.randomTable(spark, "id:INT", rows = 1000, partitions = 8)
     assert(df.rdd.getNumPartitions == 8)
