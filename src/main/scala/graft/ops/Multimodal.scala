@@ -162,6 +162,54 @@ object Multimodal {
     }
   }
 
+  /** One fixed-length audio chunk (sample-indexed window). */
+  final case class AudioChunk(
+      doc_id: Long,
+      chunk_idx: Int,
+      start_sample: Int,
+      n_samples: Int,
+      chunk_hash: Long)
+
+  /** Fixed-length audio chunking with overlap — the Whisper-style
+    * 30-second-window stage an ASR/audio-embedding pipeline runs between
+    * decode and model: AUDIO rows only, one output row per window of
+    * `chunkSamples` samples advancing by `chunkSamples − overlapSamples`.
+    * flatMap shape like [[sampleFrames]]: per-row output is bounded by
+    * n_samples/stride, non-audio rows emit nothing, decoder init once
+    * per partition. The trailing partial window is emitted (models pad);
+    * its `n_samples` records the true remainder so downstream padding is
+    * explicit. Chunk "samples" are a stub hash — a real PCM slice
+    * replaces only the hash line.
+    */
+  def chunkAudio(
+      media: Dataset[MediaRecord],
+      chunkSamples: Int,
+      overlapSamples: Int = 0): Dataset[AudioChunk] = {
+    require(chunkSamples > 0, "chunkSamples must be positive")
+    require(overlapSamples >= 0 && overlapSamples < chunkSamples,
+      "overlap must be in [0, chunkSamples)")
+    val stride = chunkSamples - overlapSamples
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      it.flatMap { rec =>
+        if (rec.media_type != "audio") Iterator.empty
+        else {
+          val (_, _, samples, sum) = decoder.decode(rec.media_type, rec.payload)
+          // windows starting every `stride` until the signal is covered;
+          // a start inside the previous window's overlap only counts if
+          // it contributes new samples (start < samples)
+          Iterator.from(0).map(_ * stride).takeWhile(_ < samples).zipWithIndex
+            .map { case (start, idx) =>
+              val n = math.min(chunkSamples, samples - start)
+              AudioChunk(rec.doc_id, idx, start, n,
+                sum * 1315423911L + start)
+            }
+        }
+      }
+    }
+  }
+
   /** STUB DECODER — deterministic fake. A real implementation would wrap
     * an image/audio/video library here (and this is the only place that
     * changes); dimensions/frames are derived from payload bytes so results

@@ -748,7 +748,21 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
+  private val m03 = Q(
+    "m03_audio_chunks",
+    (s, dir) => {
+      implicit val spark = s
+      // 4000-sample windows with 10% overlap: the ASR-style chunking
+      // stage between decode and model; stub "samples" are 8k-130k per
+      // doc, so per-row fanout stays bounded (~2-36 chunks)
+      Multimodal.chunkAudio(
+          Multimodal.mediaFromDocuments(Tables.loadParallel(s, dir, "documents")),
+          chunkSamples = 4000, overlapSamples = 400)
+        .toDF().orderBy("doc_id", "chunk_idx")
+    },
+    None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, m01, m02)
+    e12, e13, e14, e15, e16, m01, m02, m03)
 }

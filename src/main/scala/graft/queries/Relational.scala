@@ -348,6 +348,39 @@ object Relational {
               ON o_custkey = c_custkey AND o_totalprice > 450000.0
             ORDER BY 1, 2, 3"""))
 
+  // Explicit GROUPING SETS complete the grouping family (q21 ROLLUP is
+  // the prefix lattice, q27 CUBE the full one): two disjoint one-column
+  // marginals + the grand total, with grouping() markers disambiguating
+  // subtotal rows from genuine NULL groups. Plans as the same ONE
+  // Expand -> ONE partial aggregation as ROLLUP/CUBE — 3 sets, never a
+  // scan per set.
+  private val q35 = Q(
+    "q35_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      grouping(o_orderstatus) AS g_status,
+                      grouping(o_orderpriority) AS g_priority,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS total
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus),
+                 (o_orderpriority), ())
+               ORDER BY 3, 4, 1, 2""")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              grouping(o_orderstatus) AS g_status,
+              grouping(o_orderpriority) AS g_priority,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY 3, 4, 1, 2"""))
+
   // FULL OUTER completes the join family (inner/left/semi/anti are q04/
   // q18/q17/q15): rich customers FULL OUTER big spenders — both
   // unmatched sides survive null-extended, keys coalesce into one total
@@ -729,5 +762,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34)
+    q26, q27, q28, q29, q30, q31, q34, q35)
 }

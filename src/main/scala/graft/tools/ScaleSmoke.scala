@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** 10× scaling smoke of the FULL dedup tier (d01–d21) plus the
   * composed p-tier (p12/p13/p14), the LM-scoring rungs (t16/p18),
+  * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10 SQ8),
   * and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -131,6 +132,14 @@ object ScaleSmoke {
       "p19_surprisal_buckets", "t17_bpe_token_count")
       .map(n => measure(n, 15.0, queryFn(n)))
 
+    // r8c additions: t19 is a pure scan-stage line rewrite (no shuffle);
+    // t20 is the t16 shape with an adjacent-pair explode + TWO
+    // string-keyed joins (pairs ≈ tokens, so linear on this corpus);
+    // s10's probe set is pinned (8) so the SQ8 scan + min/max training
+    // pass are both linear in corpus rows
+    val r8cRows = Seq("t19_c4_rules", "t20_bigram_surprisal",
+      "s10_knn_sq8").map(n => measure(n, 15.0, queryFn(n)))
+
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum
     val epochRow = measure("epoch_build", 15.0, { dir =>
@@ -141,7 +150,7 @@ object ScaleSmoke {
       e.boundaries.write.format("noop").mode("overwrite").save()
     })
 
-    val rows = dRows ++ pRows ++ lmRows :+ epochRow
+    val rows = dRows ++ pRows ++ lmRows ++ r8cRows :+ epochRow
 
     val js = rows.map { case (n, b, x, r) =>
       f""""$n":{"base":$b%.2f,"x10":$x%.2f,"ratio":$r%.1f}""" }

@@ -50,6 +50,7 @@ class ContractSpec extends AnyFunSuite {
       "s02_knn_lsh", "s03_knn_ivf", "s04_kmeans", "s05_knn_pq",
       "s06_knn_ivfpq", "s09_hard_negatives_ivf", "s10_knn_sq8",
       "t04_fingerprint", "m01_multimodal_meta", "m02_frame_sample",
+      "m03_audio_chunks",
       "p03_pack_greedy",
       // DuckDB cannot BPE-encode; BpeFidelitySpec gates strict equality
       // against an independent reference trainer + encoder

@@ -674,6 +674,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("chunkAudio tiles audio rows only: stride, overlap, true tail") {
+    implicit val s = spark
+    val docs = (0L until 9L).map(i => (i, s"audio document payload $i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val samples = Multimodal.extractFeatures(media).collect()
+      .filter(_.media_type == "audio").map(f => f.doc_id -> f.n_frames).toMap
+    val chunks = Multimodal.chunkAudio(media,
+      chunkSamples = 4000, overlapSamples = 400).collect()
+    assert(chunks.map(_.doc_id).toSet == samples.keySet) // audio only
+    chunks.groupBy(_.doc_id).foreach { case (id, cs) =>
+      val n = samples(id)
+      val sorted = cs.sortBy(_.chunk_idx)
+      // windows start every stride=3600 until the signal is covered
+      assert(sorted.map(_.start_sample).toSeq ==
+        (0 until n by 3600).toSeq)
+      assert(sorted.map(_.chunk_idx).toSeq == sorted.indices.toSeq)
+      // full windows everywhere except an explicit true-length tail
+      sorted.init.foreach(c => assert(c.n_samples == 4000))
+      assert(sorted.last.n_samples == n - sorted.last.start_sample)
+      // consecutive windows overlap by exactly 400 samples
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.start_sample == a.start_sample + 3600)
+        case _ =>
+      }
+    }
+    // overlap must be smaller than the window
+    assertThrows[IllegalArgumentException](
+      Multimodal.chunkAudio(media, 100, 100))
+  }
+
   test("resizeImages caps the long edge and preserves aspect") {
     implicit val s = spark
     val docs = (0L until 9L).map(i => (i, "x " * (i.toInt + 1) * 40))
