@@ -394,6 +394,103 @@ final class TokenBitsScorer(bits: Map[String, Int], oovBits: Int)
   }
 }
 
+/** Fused per-document CONDITIONAL-bigram surprisal against two broadcast
+  * tables — the streaming/hot-path twin of
+  * [[graft.ops.Corpus.bigramSurprisalPerDoc]], as [[TokenBitsExpr]] is of
+  * the unigram form: one pass over the raw text accumulating
+  * `(sum_bits, n_pairs)` over ADJACENT token pairs. Lookup order mirrors
+  * the batch backoff exactly: a pair in `pairBits` scores its
+  * precomputed `length(bin(cnt(w1) div cnt(w1 w2)))`; a missing pair
+  * with its context in `ctxBits` scores the context's hapax backoff
+  * `length(bin(cnt(w1)))`; an unseen context scores 1 bit. Tokens are
+  * maximal runs between 0x20 bytes, identical to [[TokenBitsScorer]].
+  */
+case class PairBitsExpr(
+    child: Expression, pairBits: Map[String, Int], ctxBits: Map[String, Int])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = PairBitsExpr.schema
+  override def prettyName: String = "graft_pair_bits"
+
+  @transient private lazy val scorer = new PairBitsScorer(pairBits, ctxBits)
+
+  override protected def nullSafeEval(input: Any): Any =
+    scorer.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairBits",
+      new PairBitsScorer(pairBits, ctxBits),
+      classOf[PairBitsScorer].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.score($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairBitsExpr =
+    copy(child = newChild)
+}
+
+object PairBitsExpr {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("sum_bits", LongType, nullable = false),
+    StructField("n_pairs", IntegerType, nullable = false)))
+}
+
+/** Executor-side lookup behind [[PairBitsExpr]]: UTF8String-keyed pair
+  * and context tables (no java Strings on the hot path; the pair key is
+  * assembled once per adjacent pair as `w1 0x20 w2` bytes).
+  */
+final class PairBitsScorer(
+    pairBits: Map[String, Int], ctxBits: Map[String, Int])
+    extends Serializable {
+
+  @transient private lazy val pairs: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](pairBits.size * 2)
+    pairBits.foreach { case (t, b) => m.put(UTF8String.fromString(t), b) }
+    m
+  }
+  @transient private lazy val ctxs: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](ctxBits.size * 2)
+    ctxBits.foreach { case (t, b) => m.put(UTF8String.fromString(t), b) }
+    m
+  }
+
+  def score(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    var sum = 0L
+    var n = 0
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        if (prevStart >= 0) {
+          val plen = prevEnd - prevStart
+          val buf = new Array[Byte](plen + 1 + (i - start))
+          System.arraycopy(bytes, prevStart, buf, 0, plen)
+          buf(plen) = 0x20
+          System.arraycopy(bytes, start, buf, plen + 1, i - start)
+          val pb = pairs.get(UTF8String.fromBytes(buf))
+          if (pb != null) sum += pb.intValue
+          else {
+            val cb = ctxs.get(UTF8String.fromBytes(bytes, prevStart, plen))
+            sum += (if (cb == null) 1 else cb.intValue)
+          }
+          n += 1
+        }
+        prevStart = start
+        prevEnd = i
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sum, n))
+  }
+}
+
 /** Per-document DEFLATE length — the compression-ratio quality signal
   * (MassiveText/RefinedWeb/Dolma family): templated, repetitive, or
   * machine-generated text compresses anomalously well; high-entropy
@@ -469,6 +566,13 @@ object TextExpressions {
     */
   def tokenBits(text: Column, bits: Map[String, Int], oovBits: Int): Column =
     Bridge.column(TokenBitsExpr(Bridge.expression(text), bits, oovBits))
+
+  /** Codegen'd fused (sum_bits, n_pairs) conditional-bigram surprisal
+    * accumulator against broadcast pair + context bit tables.
+    */
+  def pairBits(text: Column, pair: Map[String, Int],
+      ctx: Map[String, Int]): Column =
+    Bridge.column(PairBitsExpr(Bridge.expression(text), pair, ctx))
 
   /** Codegen'd (n_bytes, n_deflate) compression-signal struct. */
   def deflateLen(text: Column): Column =

@@ -98,6 +98,57 @@ object CorpusStream {
     * tail is hapax-like, so capping only moves near-backoff tokens to
     * the backoff value.
     */
+  /** Streaming CONDITIONAL-bigram surprisal against standing unigram +
+    * bigram tables — [[surprisalScoreStream]]'s twin for
+    * [[graft.ops.Corpus.bigramSurprisalPerDoc]]. Both tables' top-
+    * `maxVocab` heads ship as broadcast bit tables inside ONE fused
+    * scan-stage expression ([[graft.functions.PairBitsExpr]]) —
+    * stateless, any output mode, no watermark.
+    *
+    * Bit values precompute on the driver exactly as the batch join
+    * computes them: a standing pair scores
+    * `bits(cnt(w1) div cnt(w1 w2))`, a missing pair with a standing
+    * context backs off to `bits(cnt(w1))` (hapax), an unseen context
+    * scores 1 bit. With both tables uncapped the stream is bit-equal to
+    * the batch form (spec-asserted); under a cap, Zipf makes the
+    * untracked tails near-backoff, so truncation only moves
+    * near-backoff pairs/contexts TO their backoff value. A capped
+    * UNIGRAM head also drops the pairs whose context fell out (their
+    * exact c1 is unknown); those pairs score the context backoff, which
+    * for a tail context is within a bit of the true value.
+    */
+  def bigramSurprisalScoreStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      uniCounts: DataFrame, biCounts: DataFrame,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def bitsOf(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val ctxCnt = uniCounts.orderBy(col("cnt").desc, col("w1").asc)
+      .limit(maxVocab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctxBits = ctxCnt.map { case (w, c) => w -> bitsOf(c) }
+    val pairBits = biCounts.orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(maxVocab).collect()
+      .flatMap { r =>
+        val pair = r.getString(0)
+        val c2 = r.getLong(1)
+        val w1 = pair.substring(0, pair.indexOf(' '))
+        // a pair whose context fell out of the capped unigram head is
+        // dropped: its exact c1 is unknown, the expression backs off
+        ctxCnt.get(w1).map(c1 => pair -> bitsOf(c1 / c2))
+      }.toMap
+    docs
+      .select(col(idCol),
+        graft.functions.TextExpressions
+          .pairBits(col(textCol), pairBits, ctxBits).as("s"))
+      .select(col(idCol),
+        coalesce(col("s.sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("s.n_pairs").cast("long"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("s.n_pairs"), lit(0)) === 0, lit(null))
+          .otherwise(col("s.sum_bits").cast("double") / col("s.n_pairs"))
+          .cast("double").as("bits_per_pair"))
+  }
+
   def surprisalScoreStream(
       docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame, maxVocab: Int = 1 << 20): DataFrame = {

@@ -95,4 +95,40 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got(6L)._1 > 0L)
     } finally q.stop()
   }
+
+  test("bigramSurprisalScoreStream equals the batch join form, across " +
+    "batches") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = docs.take(4).toDF("doc_id", "text")
+    val uni = corpus
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt"))
+    val bi = corpus
+      .select(explode(graft.ops.TextOps.bigramList(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusStream.bigramSurprisalScoreStream(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text", uni, bi)
+      .writeStream.format("memory").queryName("bigram_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("bigram_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // batch twin: same standing slice as the reference filter
+      val expect = graft.ops.Corpus.bigramSurprisalPerDoc(
+          docs.toDF("doc_id", "text"), "doc_id", "text", col("doc_id") <= 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expect)
+      assert(got.size == docs.size)
+      // doc 6 is all-unseen contexts: every pair scores exactly 1 bit
+      assert(got(6L) == ((5L, 5L)))
+    } finally q.stop()
+  }
 }
