@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,11 +77,12 @@ object Packing {
       idCol: String,
       textCol: String,
       budget: Int,
-      shardDocs: Int): DataFrame = {
+      shardDocs: Int,
+      countExpr: Column => Column = TextOps.tokenCount): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol).as("id"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+        countExpr(col(textCol)).cast("long").as("n_tok"))
       .withColumn("shard", expr(s"id DIV $shardDocs"))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("pre", col("cum") - col("n_tok"))

@@ -39,6 +39,15 @@ object EpochBuild {
     */
   final case class Epoch(order: DataFrame, boundaries: DataFrame)
 
+  /** `bpeMerges`: when supplied (from [[TextOps.trainBpeMerges]] or a
+    * persisted merge table), every token count in the epoch — shard
+    * budgets AND packed-sequence boundaries — uses the TRAINED tokenizer
+    * ([[TextOps.bpeTokenCountTrained]]) instead of the whitespace
+    * heuristic, so `seqLen` is the model's ACTUAL context length and
+    * boundary `start`/`len` are real token offsets. The heuristic
+    * undercounts OOV subword fan-out (measured in BpeFidelitySpec);
+    * packing on it overfills real contexts.
+    */
   def build(
       docs: DataFrame,
       idCol: String,
@@ -46,9 +55,13 @@ object EpochBuild {
       seed: String,
       shardTokens: Long,
       seqLen: Int,
-      packShardDocs: Int = 1 << 20): Epoch = {
+      packShardDocs: Int = 1 << 20,
+      bpeMerges: Option[Seq[(String, String)]] = None): Epoch = {
+    val countExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      bpeMerges.fold(TextOps.tokenCount _)(m =>
+        TextOps.bpeTokenCountTrained(_, m))
     val toks = docs.select(col(idCol).as("doc_id"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      countExpr(col(textCol)).cast("long").as("n_tok"))
     val order = Corpus.seededShuffle(
       toks.select(col("doc_id")), "doc_id", seed)
     val withTok = order.join(toks, "doc_id")
@@ -62,7 +75,7 @@ object EpochBuild {
       "doc_id")
     val bounds = Packing.chunkBoundaries(
       posDocs.select(col("train_pos"), col("__text")),
-      "train_pos", "__text", seqLen, packShardDocs)
+      "train_pos", "__text", seqLen, packShardDocs, countExpr)
       .withColumnRenamed("shard", "pack_shard")
       .withColumnRenamed("doc_id", "train_pos")
       .join(withTok.select("doc_id", "train_pos"), "train_pos")

@@ -12,7 +12,9 @@ import graft.ops.{Corpus, Dedup, TextOps}
   * THIS cuts a release):
   *
   *  1. SCRUB — repeated-span boilerplate removal (d17's ExactSubstr
-  *     shape).
+  *     shape); opt-in C4 line cleaning after it (t19 semantics:
+  *     line-level keeps + the sentence/lorem-ipsum/brace page gate) for
+  *     corpora with real line structure.
   *  2. GATE — language allowlist + quality floor on the CLEAN text
   *     (t01/t02 semantics), evaluated in the rebuild's projection.
   *  3. DEDUP — exact min-id canonical via a window-min over the content
@@ -66,13 +68,28 @@ object ReleaseBuild {
       minQuality: Double = 0.5,
       decontamN: Int = 8,
       minShared: Long = 1L,
-      keepBands: Seq[String] = Seq("head", "middle")): Release = {
+      keepBands: Seq[String] = Seq("head", "middle"),
+      c4MinLineWords: Int = 0,
+      c4MinSentences: Int = 3,
+      bpeMerges: Option[Seq[(String, String)]] = None): Release = {
 
-    // 1-2. scrub, then gate on the clean text
+    // 1-2. scrub, then (opt-in) C4 line cleaning, then gate on the
+    // clean text. `c4MinLineWords > 0` enables the t19 rewrite: lines
+    // failing C4's keeps are dropped and pages failing the sentence /
+    // lorem-ipsum / brace gate are removed — for corpora with real line
+    // structure (the synthetic spec corpus has none, so it defaults off)
     val clean = Dedup.scrubRepeatedSpans(
       docs.select(col(idCol), col(textCol)), textCol, idCol,
       n = scrubN, maxSpanDf = maxSpanDf)
-    val gated = clean.select(col(idCol), col(textCol),
+    val lineClean =
+      if (c4MinLineWords <= 0) clean
+      else clean
+        .select(col(idCol), col(textCol),
+          TextOps.c4CleanText(col(textCol), c4MinLineWords).as("__c4"))
+        .filter(TextOps.c4DocPass(col(textCol), col("__c4"),
+          c4MinSentences))
+        .select(col(idCol), col("__c4").as(textCol))
+    val gated = lineClean.select(col(idCol), col(textCol),
         TextOps.langId(col(textCol)).as("lang_pred"),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
@@ -107,10 +124,11 @@ object ReleaseBuild {
       .select(col(idCol), col(textCol), col("quality"), col("n_tok"),
         col("band"))
 
-    // 6. epoch over the kept text
+    // 6. epoch over the kept text (trained-tokenizer budgets when the
+    // caller supplies merges — the t17 counts, not the t03 heuristic)
     val epoch = EpochBuild.build(
       kept.select(col(idCol), col(textCol)), idCol, textCol,
-      seed, shardTokens, seqLen)
+      seed, shardTokens, seqLen, bpeMerges = bpeMerges)
 
     val card = kept.groupBy("band")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
@@ -119,11 +137,15 @@ object ReleaseBuild {
     def stage(name: String, df: DataFrame, ord: Int) =
       df.agg(count(lit(1)).cast("long").as("n_docs"))
         .select(lit(ord).as("ord"), lit(name).as("stage"), col("n_docs"))
-    val audit = stage("input", docs, 0)
-      .unionByName(stage("gated", gated, 1))
-      .unionByName(stage("deduped", deduped, 2))
-      .unionByName(stage("decontaminated", decon, 3))
-      .unionByName(stage("released", kept, 4))
+    val auditHead = stage("input", docs, 0)
+    val withC4 =
+      if (c4MinLineWords <= 0) auditHead
+      else auditHead.unionByName(stage("line_cleaned", lineClean, 1))
+    val audit = withC4
+      .unionByName(stage("gated", gated, 2))
+      .unionByName(stage("deduped", deduped, 3))
+      .unionByName(stage("decontaminated", decon, 4))
+      .unionByName(stage("released", kept, 5))
       .orderBy("ord").drop("ord")
 
     Release(kept, card, audit, epoch)

@@ -50,6 +50,36 @@ class EpochBuildSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges: shard budgets and boundary tiling use the TRAINED " +
+    "counts, which diverge from the heuristic") {
+    import org.apache.spark.sql.functions.col
+    // varied words so an empty merge table splits them into characters:
+    // the trained counts genuinely differ from whitespace counts
+    val vdocs = (1L to 12L)
+      .map(i => (i, s"alpha bravo${i % 3} charlie delta echo".trim))
+      .toDF("doc_id", "text")
+    val merges = Seq.empty[(String, String)] // character-regime tokenizer
+    val e = EpochBuild.build(vdocs, "doc_id", "text", "epochB",
+      shardTokens = 40L, seqLen = 16, packShardDocs = 1000,
+      bpeMerges = Some(merges))
+    val want = vdocs.select(col("doc_id"),
+        graft.ops.TextOps.bpeTokenCountTrained(col("text"), merges)
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val heur = vdocs.select(col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want != heur, "fixture must make the two counters disagree")
+    val got = e.order.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    assert(got == want)
+    // boundaries tile to the trained counts too
+    val perDoc = e.boundaries.collect()
+      .groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(_.getAs[Long]("len")).sum).toMap
+    assert(perDoc == want)
+  }
+
   test("a rebuild is byte-identical; a new seed is a fresh permutation") {
     val again = EpochBuild.build(docs, "doc_id", "text", "epoch0",
       shardTokens = 12L, seqLen = 8, packShardDocs = 1000)

@@ -49,6 +49,36 @@ class ReleaseBuildSpec extends SparkSpec {
     langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
     decontamN = 8, minShared = 1L)
 
+  test("c4 stage: junk lines rewritten away, failing pages dropped, " +
+    "funnel records the stage") {
+    val c4docs = Seq(
+      (1L, "the cat sat on the mat today.\n" +
+        "please enable javascript to continue reading now.\n" +
+        "the dog slept in the warm sun all day.\n" +
+        "birds sang in the garden this fine morning."),
+      (2L, "short line\nno punctuation here at all"),
+      (3L, "function f() { return 1; }\n" +
+        "the code page shows brace content here today."))
+      .toDF("doc_id", "text")
+    val r = ReleaseBuild.build(
+      c4docs, "doc_id", "text", evalDocs,
+      seed = "rel1", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      c4MinLineWords = 5, c4MinSentences = 3)
+    val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1))
+    // doc 2 rebuilds empty (< 3 sentences), doc 3 trips the brace gate;
+    // doc 1 survives with its javascript line removed
+    assert(audit.toSeq.contains("line_cleaned" -> 1L))
+    val kept = r.corpus.collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(kept.head.getString(1) ==
+      "the cat sat on the mat today.\n" +
+        "the dog slept in the warm sun all day.\n" +
+        "birds sang in the garden this fine morning.")
+  }
+
   test("funnel: each stage drops exactly its prey, audit records it") {
     val r = cut()
     val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1))
