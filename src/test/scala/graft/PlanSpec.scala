@@ -520,4 +520,52 @@ class PlanSpec extends SparkSpec {
         !r.contains("source") && !r.contains("n_chars")), q)
     }
   }
+
+  test("t19: the C4 rewrite is a scan-stage projection — no shuffle " +
+    "but the final sort, no join, no aggregate") {
+    val p = plan("t19_c4_rules")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("text") && !read.contains("source") &&
+      !read.contains("lang"))
+  }
+
+  test("t20: bigram scoring is equi-joins on pair/context keys, " +
+    "no cartesian, pruned scans") {
+    val p = plan("t20_bigram_surprisal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("source") && !r.contains("n_chars")), p)
+  }
+
+  test("q34: full outer pre-aggregates the orders side below the join") {
+    val p = plan("q34_full_outer")
+    assert(p.contains("FullOuter"), p)
+    // partial aggregation of orders happens BEFORE the outer join:
+    // narrow (custkey, spend) rows cross the join exchange, never raw
+    // orders rows
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q35: grouping sets expand once into ONE partial aggregation") {
+    val p = plan("q35_grouping_sets")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Expand")) == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("s10: SQ8 corpus rows carry byte codes, not double arrays, " +
+    "into the scoring join") {
+    val p = plan("s10_knn_sq8")
+    // the scoring side projects the encoded binary codes; the ADC term
+    // appears as the fused expression over (sp, codes)
+    assert(p.contains("graft_sq8_encode"), p)
+    assert(p.contains("graft_sq8_dot"), p)
+    // the only nested loop is the declared broadcast of the probe rows
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
