@@ -93,6 +93,44 @@ object EventPipeline {
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming rolling active users — [[graft.ops.Events.rollingActive]]
+    * as chained stateful aggregations (Spark 4 multiple-stateful-
+    * operator support): each event lands in the `windowDays` SLIDING
+    * windows that cover it (one Expand, the engine's window assignment —
+    * the batch op's explode, event-side), the first aggregation
+    * collapses to distinct (window, user) — the map-side reduction that
+    * keeps user cardinality, not event volume, in state — and the
+    * second counts users per window. A window labeled by its LAST day
+    * emits once the watermark passes `window.end` (append mode), i.e.
+    * day d's WAU finalizes `lateness` after day d closes.
+    *
+    * DAU is the `windowDays = 1` special case of the same shape — run a
+    * second query over the same source (two cheap states) rather than
+    * joining post-aggregation streams (stream-stream joins after
+    * aggregations are not supported, and the batch join's role — drop
+    * synthetic trailing days — is the consumer's filter here).
+    *
+    * State bound: (#live windows × active users/window) for the first
+    * agg + (#live windows) for the second; both evict at the watermark.
+    */
+  def rollingActiveStream(
+      events: DataFrame,
+      windowDays: Int = 7,
+      lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        window(col("ts"), s"$windowDays days", "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(
+        // label = the window's last covered day (days since epoch),
+        // matching the batch op's `d`
+        ((unix_timestamp(col("window.end")) / 86400L).cast("long") - 1L)
+          .as("d"),
+        col("active_users"))
+
   final case class PropEvent(
       event_id: Long,
       ts: Timestamp,

@@ -47,6 +47,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingActiveStream: chained stateful aggs equal the batch " +
+    "DAU/WAU once windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // users over four days: u1 daily, u2 every other day, u3 once
+    val all = Seq(
+      ev(0, 0 * day + 100, 1, "c", 0.0), ev(1, 0 * day + 200, 2, "c", 0.0),
+      ev(2, 1 * day + 100, 1, "c", 0.0), ev(3, 1 * day + 100, 3, "c", 0.0),
+      ev(4, 2 * day + 100, 1, "c", 0.0), ev(5, 2 * day + 100, 2, "c", 0.0),
+      ev(6, 3 * day + 100, 1, "c", 0.0))
+    val batch = graft.ops.Events.rollingActive(all.toDF(), windowDays = 2)
+      .collect()
+      .map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def run(windowDays: Int, name: String): Map[Long, Long] = {
+      val src = MemoryStream[Event]
+      val q = EventPipeline.rollingActiveStream(
+          src.toDF(), windowDays, lateness = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        src.addData(all.take(4): _*)
+        q.processAllAvailable()
+        src.addData(all.drop(4): _*)
+        q.processAllAvailable()
+        // flush: push the watermark far past every window's end
+        src.addData(ev(99, 30 * day, 9, "c", 0.0))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+      // WAU twin: the stream also labels synthetic trailing days (the
+      // batch joins them away); compare on the batch's days
+    val wau = run(2, "wau_stream")
+    assert(batch.keySet.subsetOf(wau.keySet))
+    batch.foreach { case (d, (_, w)) => assert(wau(d) == w, s"day $d") }
+    // DAU is the windowDays=1 special case of the same operator
+    val dau = run(1, "dau_stream")
+    batch.foreach { case (d, (x, _)) => assert(dau(d) == x, s"day $d") }
+  }
+
   test("cadenceFlags runs unchanged as an Update-mode streaming agg") {
     // the batch operator is algebraic (count/min/max are commutative
     // monoids), so Spark's native incremental aggregation IS its
