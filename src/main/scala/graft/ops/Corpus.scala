@@ -243,12 +243,27 @@ object Corpus {
       df: DataFrame, idCol: String, textCol: String,
       refFilter: Column): DataFrame = {
     val ref = df.filter(refFilter)
-    val uni = ref
-      .select(explode(TextOps.tokens(col(textCol))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cnt1"))
-    val bi = ref
-      .select(explode(TextOps.bigramList(col(textCol))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cnt2"))
+    bigramSurprisalWithCounts(df, idCol, textCol,
+      ref.select(explode(TextOps.tokens(col(textCol))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cnt")),
+      ref.select(explode(TextOps.bigramList(col(textCol))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt")))
+  }
+
+  /** [[bigramSurprisalPerDoc]] against PRE-BUILT `(w1|token, cnt)`
+    * unigram and `(bigram, cnt)` tables — the standing-corpus shape:
+    * under continuous ingest both tables fold incrementally
+    * ([[graft.tools.CorpusMaintain.foldTokenCounts]] /
+    * `foldBigramCounts`) and scoring never recounts the reference
+    * slice. The unigram table is the surprisal table's schema with the
+    * token column named either `w1` or `token` (the context IS a token).
+    */
+  def bigramSurprisalWithCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      uniCnt: DataFrame, biCnt: DataFrame): DataFrame = {
+    val uniCol = if (uniCnt.columns.contains("w1")) "w1" else "token"
+    val uni = uniCnt.select(col(uniCol).as("w1"), col("cnt").as("cnt1"))
+    val bi = biCnt.select(col("bigram"), col("cnt").as("cnt2"))
     val scored = df
       .select(col(idCol), explode(TextOps.bigramList(col(textCol))).as("bigram"))
       .join(bi, Seq("bigram"), "left")

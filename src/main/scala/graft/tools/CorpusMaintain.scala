@@ -116,4 +116,22 @@ object CorpusMaintain {
       .unionByName(delta)
       .groupBy("token").agg(sum("cnt").as("cnt"))
   }
+
+  /** The bigram leg of [[foldTokenCounts]]: fold the admitted batch's
+    * adjacent-pair counts into the standing `(bigram, cnt)` table — the
+    * second table [[graft.ops.Corpus.bigramSurprisalWithCounts]] scores
+    * against (the unigram table doubles as its context table). Same
+    * associativity: fold ≡ full recount, spec-asserted.
+    */
+  def foldBigramCounts(
+      standing: DataFrame, admitted: DataFrame, textCol: String)
+      : DataFrame = {
+    val delta = admitted
+      .select(explode(graft.ops.TextOps.bigramList(col(textCol)))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    standing.select(col("bigram"), col("cnt"))
+      .unionByName(delta)
+      .groupBy("bigram").agg(sum("cnt").as("cnt"))
+  }
 }

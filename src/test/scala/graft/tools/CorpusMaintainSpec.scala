@@ -88,4 +88,32 @@ class CorpusMaintainSpec extends SparkSpec {
     assert(s(viaCounts.select("doc_id", "sum_bits", "n_tok"))
       == s(viaFilter.select("doc_id", "sum_bits", "n_tok")))
   }
+
+  test("bigram fold equals a full recount; bigram surprisal with the " +
+    "folded tables equals the from-scratch build") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val f = fold()
+    val uni0 = corpus0
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val bi0 = corpus0
+      .select(explode(graft.ops.TextOps.bigramList(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val uniF = CorpusMaintain.foldTokenCounts(uni0, f.admitted, "text")
+    val biF = CorpusMaintain.foldBigramCounts(bi0, f.admitted, "text")
+    val biRecount = f.corpus
+      .select(explode(graft.ops.TextOps.bigramList(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    def m(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(biF) == m(biRecount))
+    def s(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaCounts = graft.ops.Corpus.bigramSurprisalWithCounts(
+      f.corpus, "doc_id", "text", uniF, biF)
+    val viaFilter = graft.ops.Corpus.bigramSurprisalPerDoc(
+      f.corpus, "doc_id", "text", lit(true))
+    assert(s(viaCounts.select("doc_id", "sum_bits", "n_pairs"))
+      == s(viaFilter.select("doc_id", "sum_bits", "n_pairs")))
+  }
 }
