@@ -55,6 +55,16 @@ object StreamVerify {
     q3.processAllAvailable()
     println(s"STREAM_ATTRIB rows=${spark.table("drive_attrib").count()}")
     q3.stop()
+
+    // chained stateful aggregations: 7-day rolling active users
+    val q4 = EventPipeline.rollingActiveStream(
+        EventPipeline.readEventStream(spark, dir), windowDays = 7,
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("drive_active")
+      .outputMode("append").start()
+    q4.processAllAvailable()
+    println(s"STREAM_ACTIVE rows=${spark.table("drive_active").count()}")
+    q4.stop()
     spark.stop()
   }
 }

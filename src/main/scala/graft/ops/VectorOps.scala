@@ -769,18 +769,40 @@ object VectorOps {
     * query-mode (probes broadcast): compose with [[knnIvf]] lists when
     * sub-linear candidates are needed.
     */
-  def knnSq8(
-      probes: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      refine: Int = 64): DataFrame = {
-    val c = spread(corpus)
-      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
-      .withColumn("cn2", norm2(col("cq")))
+  /** A trained SQ8 range model: per-dimension [min, delta] — 2×dim
+    * doubles, the cheapest "index" in the family. Persisted as plain
+    * parquet (dim, min, delta) rows, the IvfModel convention: train once
+    * over the standing corpus, reload per query/batch job.
+    */
+  final case class Sq8Model(mins: Array[Double], deltas: Array[Double]) {
+    require(mins.length == deltas.length && mins.nonEmpty,
+      "mins/deltas must be equal-length and non-empty")
+    def save(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      mins.indices.map(d => (d, mins(d), deltas(d))).toSeq
+        .toDF("dim", "min", "delta")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  object Sq8Model {
+    def load(spark: SparkSession, path: String): Sq8Model = {
+      val rows = spark.read.parquet(path).orderBy("dim").collect()
+      Sq8Model(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    }
+  }
+
+  /** Train an [[Sq8Model]] exactly as [[knnSq8]] would inline: one exact
+    * mergeable min/max aggregation per dimension — no sample, no
+    * iteration (min/max are order-free, unlike Lloyd's).
+    */
+  def trainSq8Model(
+      corpus: DataFrame, idCol: String, vecCol: String): Sq8Model =
+    trainSq8From(spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq")))
+
+  private def trainSq8From(c: DataFrame): Sq8Model = {
     val dim = sampleVecs(c, 1).head.length
-    // exact per-dim ranges: one mergeable agg, 2×dim cells on the driver
     val rangeExprs = (0 until dim).flatMap(d => Seq(
       min(element_at(col("cq"), d + 1)).as(s"m$d"),
       max(element_at(col("cq"), d + 1)).as(s"x$d")))
@@ -791,6 +813,23 @@ object VectorOps {
       val span = maxs(d) - mins(d)
       if (span == 0.0) 1.0 else span / 255.0
     }
+    Sq8Model(mins, deltas)
+  }
+
+  def knnSq8(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 64,
+      model: Option[Sq8Model] = None): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    val m = model.getOrElse(trainSq8From(c))
+    val mins = m.mins
+    val deltas = m.deltas
     val encoded = c.select(col("corpus_id"), col("cn2"),
       graft.functions.VectorExpressions.sq8Encode(col("cq"), mins, deltas)
         .as("codes"))

@@ -128,6 +128,21 @@ class RecallSpec extends SparkSpec {
     assert(run(Some(loaded)) == run(None))
   }
 
+  test("Sq8Model: parquet roundtrip; a pre-trained model equals inline") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = graft.ops.VectorOps.trainSq8Model(emb, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("sq8m").toString + "/m"
+    m.save(spark, path)
+    val loaded = graft.ops.VectorOps.Sq8Model.load(spark, path)
+    assert(loaded.mins.sameElements(m.mins))
+    assert(loaded.deltas.sameElements(m.deltas))
+    def run(mm: Option[graft.ops.VectorOps.Sq8Model]) =
+      topkSet(graft.ops.VectorOps.knnSq8(emb.filter(col("vec_id") < 8),
+        emb, "vec_id", "embedding", k = 10, refine = 128, model = mm))
+    assert(run(Some(loaded)) == run(None))
+  }
+
   test("s07: filtered knnIvf recall@10 vs the filtered exact baseline (sf0.01)") {
     import org.apache.spark.sql.functions.col
     // shared full-corpus index, label predicate filters the list scan;
