@@ -139,6 +139,54 @@ object Dedup {
     }
   }
 
+  /** Containment dedup: pairs `(contained_id, container_id)` where one
+    * document's FULL token sequence occurs as a contiguous run inside
+    * another's — the prefix/suffix/quote-wrap duplicate class exact-hash
+    * dedup (d01) misses entirely and Jaccard (d02) only flags when the
+    * lengths are comparable. Web corpora hold whole articles re-published
+    * inside boilerplate wrappers; the contained copy is the drop.
+    *
+    * Shape: set containment bounds candidates — a contained run's every
+    * adjacent word pair is an adjacent pair of its container, so the d02
+    * inverted index generates EXACTLY the pairs where the common-gram
+    * count equals the smaller side's distinct-gram count (cost Σ df² per
+    * gram, as d02); the final verify joins the two TEXTS of candidate
+    * pairs only and tests token-run contiguity via sentinel-wrapped
+    * normalized text (`' '||tokens||' '` contains) — contiguity is what
+    * gram-set inclusion cannot prove. Sub-2-token docs carry no bigram
+    * and are never reported (they would "contain into" everything; a
+    * length floor is standard). Equal token sequences resolve to the
+    * min-id as contained, so exact-dup groups surface as (min, other).
+    */
+  def containment(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withN = gramsWithSizes(df, textCol, idCol)
+    val a = withN.as("a"); val b = withN.as("b")
+    val cand = a.join(b, col("a.gh") === col("b.gh") &&
+        col("a.id") =!= col("b.id") && col("a.n") <= col("b.n"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === col("na"))
+      .select("id_a", "id_b")
+    val texts = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("tid"),
+        concat(lit(" "),
+          array_join(TextOps.tokens(col(textCol)), " "), lit(" "))
+          .as("norm"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("nt"))
+    cand
+      .join(texts.select(col("tid").as("id_a"), col("norm").as("norm_a"),
+        col("nt").as("nt_a")), "id_a")
+      .join(texts.select(col("tid").as("id_b"), col("norm").as("norm_b"),
+        col("nt").as("nt_b")), "id_b")
+      .filter(col("norm_b").contains(col("norm_a")) &&
+        (col("nt_a") < col("nt_b") ||
+          (col("nt_a") === col("nt_b") && col("id_a") < col("id_b"))))
+      .select(col("id_a").as("contained_id"),
+        col("id_b").as("container_id"))
+  }
+
   /** Incremental EXACT dedup of a new batch against a standing corpus,
     * with a Bloom-filter prefilter: returns the batch rows whose content
     * does not already exist in the corpus (the admit list of an

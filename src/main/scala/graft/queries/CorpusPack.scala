@@ -1155,6 +1155,28 @@ object CorpusPack {
       .orderBy("doc_id"),
     None)
 
+  private val d22 = Q(
+    "d22_containment",
+    // token-run containment pairs: inverted-index candidates (common
+    // grams == smaller side's gram count), sentinel-wrapped contains
+    // verify on candidate texts only
+    (s, dir) => Dedup.containment(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+      .orderBy("contained_id", "container_id"),
+    Some("""WITH tok AS (SELECT doc_id,
+                ' ' || array_to_string(list_filter(string_split(text, ' '),
+                    x -> x <> ''), ' ') || ' ' AS norm,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents)
+            SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+            FROM tok a JOIN tok b ON a.doc_id != b.doc_id
+            WHERE a.n_tok >= 2
+              AND contains(b.norm, a.norm)
+              AND (a.n_tok < b.n_tok
+                   OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id))
+            ORDER BY 1, 2"""))
+
   private val t20 = Q(
     "t20_bigram_surprisal",
     // conditional bigram-LM surprisal (the KenLM rung above t16): whole
@@ -1652,5 +1674,6 @@ object CorpusPack {
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
-      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+      d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+      d22)
 }

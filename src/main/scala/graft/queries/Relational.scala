@@ -709,6 +709,38 @@ object Relational {
             ORDER BY o_custkey, o_orderkey, order_day, spend_7d,
               n_orders_7d"""))
 
+  // Offset window functions complete the window family (q16 ranking,
+  // q23 ROWS frame, q29 RANGE frame): lag/lead fetch the previous/next
+  // order in each customer's sequence, first_value anchors the series —
+  // all three share ONE (exchange, sort) pair: same partition key and
+  // order, so Catalyst plans a single Window operator, never one per
+  // function. Key-tiebroken ordering, sentinel-coalesced edges.
+  private val q36 = Q(
+    "q36_lead_lag",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag("o_orderkey", 1).over(w), lit(-1L)).as("prev_key"),
+          coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("next_key"),
+          first("o_orderkey").over(w).as("first_key"),
+          coalesce(lag("o_totalprice", 1).over(w), lit(0.0))
+            .as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key,
+              coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+              first_value(o_orderkey) OVER w AS first_key,
+              coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
   // Correlated EXISTS / NOT EXISTS predicate subqueries in SQL — q15/q17
   // are the DataFrame-level semi/anti joins; this is the SQL spelling,
   // decorrelated by Catalyst (RewritePredicateSubquery) into ONE semi and
@@ -762,5 +794,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36)
 }

@@ -187,6 +187,21 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different words entirely here now")
   ).toDF("doc_id", "text")
 
+  test("containment: token-run pairs only — word boundaries respected, " +
+    "equal texts min-id-contained, sub-2-token docs silent") {
+    val cdocs = Seq(
+      (1L, "big data small"),                       // contained in 2 and 5
+      (2L, "spark makes big data small again"),     // container
+      (3L, "xbig data small"),                      // 'big' != 'xbig': no run
+      (4L, "small"),                                // 1 token: never reported
+      (5L, "spark makes big data small again"),     // equal text of 2
+      (6L, "data big small spark")                  // same words, wrong order
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.containment(cdocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("exactNormalized folds case and whitespace variants into one class") {
     val v = Seq(
       (1L, "Spark  Makes big DATA small "),
