@@ -325,6 +325,17 @@ object TextOps {
     badwords.foldLeft(base)((acc, w) => acc && !lower(text).contains(w))
   }
 
+  /** WITHIN-document repeated-line removal (the Dolma/C4-family per-page
+    * cleanup): keep each distinct line's FIRST occurrence, order
+    * preserved — repeated headers/footers/nav blocks inside one page
+    * need no corpus context at all (Dedup.scrubRepeatedLines is the
+    * CROSS-corpus twin keyed on document frequency). `array_distinct`
+    * keeps first occurrences in encounter order (spec-pinned), so this
+    * is a pure scan-stage map — no shuffle at any corpus size.
+    */
+  def dedupDocLines(text: Column): Column =
+    array_join(array_distinct(split(text, "\n")), "\n")
+
   /** Composite quality score in [0,1]: integer counts combined with double
     * divisions in a FIXED expression shape (mirrored in the oracle SQL).
     */

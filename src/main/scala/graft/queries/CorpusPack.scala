@@ -1177,6 +1177,49 @@ object CorpusPack {
                    OR (a.n_tok = b.n_tok AND a.doc_id < b.doc_id))
             ORDER BY 1, 2"""))
 
+  private val d23 = Q(
+    "d23_scrub_doc_lines",
+    // within-doc repeated-line removal: the corpus is single-line, so —
+    // t19's injection pattern — both engines derive a page with a
+    // repeated banner line (×3) and " table "-split body lines first,
+    // then keep each line's first occurrence in order
+    (s, dir) => {
+      val body = regexp_replace(col("text"), " table ", "\n")
+      val page = concat(lit("subscribe banner\n"), body,
+        lit("\nsubscribe banner\nsubscribe banner"))
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          size(split(col("page"), "\n")).as("n_lines"),
+          TextOps.dedupDocLines(col("page")).as("scrubbed"))
+        .select(col("doc_id"), col("n_lines"),
+          size(split(col("scrubbed"), "\n")).as("n_kept"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (SELECT doc_id,
+              'subscribe banner' || chr(10)
+                || replace(text, ' table ', chr(10))
+                || chr(10) || 'subscribe banner'
+                || chr(10) || 'subscribe banner' AS page
+              FROM documents),
+            l AS (SELECT doc_id, page,
+                unnest(string_split(page, chr(10))) AS line,
+                generate_subscripts(string_split(page, chr(10)), 1) AS i
+              FROM inj),
+            fst AS (SELECT doc_id, line, MIN(i) AS i
+              FROM l GROUP BY doc_id, line),
+            reb AS (SELECT doc_id,
+                array_to_string(list(line ORDER BY i), chr(10)) AS scrubbed,
+                COUNT(*) AS n_kept
+              FROM fst GROUP BY doc_id)
+            SELECT i.doc_id,
+              len(string_split(i.page, chr(10))) AS n_lines,
+              CAST(r.n_kept AS INTEGER) AS n_kept,
+              md5(r.scrubbed) AS scrub_md5
+            FROM inj i JOIN reb r USING (doc_id)
+            ORDER BY i.doc_id"""))
+
   private val t20 = Q(
     "t20_bigram_surprisal",
     // conditional bigram-LM surprisal (the KenLM rung above t16): whole
@@ -1675,5 +1718,5 @@ object CorpusPack {
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22)
+      d22, d23)
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scaling smoke of the FULL dedup tier (d01–d21) plus the
+/** 10× scaling smoke of the FULL dedup tier (d01–d22) plus the
   * composed p-tier (p12/p13/p14), the LM-scoring rungs (t16/p18),
   * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10 SQ8),
   * and EpochBuild (r8): generates a
@@ -48,14 +48,16 @@ object ScaleSmoke {
   private val Linear = Set("d01_dedup_exact",
     "d09_dedup_bloom", "d12_ngram_decontaminate", "d13_snapshot_diff",
     "d15_dedup_normalized", "d16_scrub_lines", "d17_scrub_spans",
-    "d19_dedup_unicode", "d20_ngram_coverage")
+    "d19_dedup_unicode", "d20_ngram_coverage", "d23_scrub_doc_lines")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
   private val Candidate = Set("d02_dedup_jaccard", "d03_dedup_minhash",
     "d04_dedup_simhash", "d06_dedup_incremental", "d07_decontaminate",
     "d08_dedup_clusters", "d11_cc_incremental", "d14_fuzzy_pipeline",
-    "d18_cluster_keep_best")
+    "d18_cluster_keep_best",
+    // d22 shares d02's inverted-index pair cost (Σ df² per gram)
+    "d22_containment")
   // d21's exact baseline is train × eval pair work; the smoke's eval
   // slice scales WITH the corpus, so it is a declared baseline here
   // (the production eval side is a fixed-size suite — linear in train)
@@ -78,7 +80,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 21, s"expected 21 d-tier queries, got $dTier")
+    require(dTier.size == 23, s"expected 23 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

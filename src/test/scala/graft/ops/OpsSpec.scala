@@ -142,6 +142,16 @@ class TextOpsSpec extends SparkSpec {
       .asInstanceOf[Boolean])
   }
 
+  test("dedupDocLines keeps each line's FIRST occurrence in order") {
+    def scrub(t: String): String =
+      one(t, TextOps.dedupDocLines(col("text"))).asInstanceOf[String]
+    assert(scrub("nav bar\nreal content here\nnav bar\nmore content\nnav bar")
+      == "nav bar\nreal content here\nmore content")
+    // order is encounter order, not sorted
+    assert(scrub("zz\naa\nzz") == "zz\naa")
+    assert(scrub("only line") == "only line")
+  }
+
   test("c4 line rules: punctuation, word floor, javascript; doc gate") {
     def cleaned(t: String): String =
       one(t, TextOps.c4CleanText(col("text"))).asInstanceOf[String]
