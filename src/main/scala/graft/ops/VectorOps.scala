@@ -1012,6 +1012,72 @@ object VectorOps {
     rerank(candidates, c, p, k, broadcastProbes)
   }
 
+  /** IVF + SQ8 composed — the FAISS `IVF,SQ8` shape, the most common
+    * production index: [[knnIvf]]'s inverted lists bound candidates to
+    * the nProbe probed lists (sub-linear) and [[knnSq8]]'s per-dimension
+    * byte codes make scanning those lists 1 byte/dim. Codes are
+    * GLOBAL-range over raw vectors, not per-list residuals: SQ8's
+    * per-dim error (delta/2) is position-independent, so unlike PQ there
+    * is no residual-sharpening win to chase, and ONE 2×dim model serves
+    * every list. Per-probe scalar base + delta-scaled vector precompute;
+    * per-pair cost is the fused byte-unpack dot; top-`refine` by the
+    * approximation, exact cosine re-rank. Both models are separable
+    * ([[trainIvfModel]] / [[trainSq8Model]]) so a standing index never
+    * retrains at query time; `broadcastProbes` mirrors [[knnIvfPq]]'s
+    * physical switch.
+    */
+  def knnIvfSq8(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 32,
+      nProbe: Int = 8,
+      refine: Int = 128,
+      broadcastProbes: Boolean = true,
+      ivfModel: Option[IvfModel] = None,
+      sq8Model: Option[Sq8Model] = None): DataFrame = {
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+    val ivfMat = ivfModel.getOrElse(trainIvfFrom(c, nCentroids)).centroids
+    val sq8 = sq8Model.getOrElse(trainSq8From(c))
+    val encoded = c
+      .withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
+      .select(col("corpus_id"), col("cn2"), col("list"),
+        graft.functions.VectorExpressions
+          .sq8Encode(col("cq"), sq8.mins, sq8.deltas).as("codes"))
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val probeLists = p
+      .withColumn("base", dot(col("pq"), typedlit(sq8.mins.toSeq)))
+      .withColumn("sp",
+        zip_with(col("pq"), typedlit(sq8.deltas.toSeq), (a, b) => a * b))
+      .select(col("probe_id"), col("pq"), col("pn2"), col("base"), col("sp"),
+        explode(graft.functions.VectorExpressions.nearestCentroids(
+          col("pq"), ivfMat, nProbe)).as("list"))
+    val probeSide = if (broadcastProbes) broadcast(probeLists) else probeLists
+    val scored = encoded.join(probeSide, "list")
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        ((col("base") +
+          graft.functions.VectorExpressions.sq8Dot(col("sp"), col("codes"))) /
+          sqrt(col("cn2"))).as("approx"))
+    val candidates = (if (broadcastProbes) {
+      topNPerKey(scored, "probe_id", "approx", "corpus_id", refine)
+    } else {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("approx").desc, col("corpus_id").asc)
+      scored.filter(abs(col("approx")) < lit(Double.PositiveInfinity))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= refine)
+    }).select("probe_id", "corpus_id")
+    rerank(candidates, c, p, k, broadcastProbes)
+  }
+
   /** LSH-bucketed approximate top-k: corpus hashed once; probes multi-probe
     * their own bucket plus every bucket within `maxFlips` sign-bit flips
     * (Lv et al.'s multi-probe LSH: near neighbors that straddle a few

@@ -222,6 +222,18 @@ object PipelinePack {
     },
     None) // approximate -> rows-only (RecallSpec gates vs s01)
 
+  private val s11 = Q(
+    "s11_knn_ivf_sq8",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // the FAISS IVF,SQ8 shape: probed lists bound candidates, global
+      // byte codes make the list scan 1 byte/dim; nProbe matches s03
+      VectorOps.knnIvfSq8(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 8,
+        refine = 128).orderBy("probe_id", "rk")
+    },
+    None) // approximate -> rows-only (RecallSpec gates vs s01)
+
   private val s07 = Q(
     "s07_knn_filtered",
     // metadata-filtered vector search ("nearest neighbors in category
@@ -762,7 +774,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, m01, m02, m03)
 }

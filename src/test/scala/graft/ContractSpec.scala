@@ -49,6 +49,7 @@ class ContractSpec extends AnyFunSuite {
       "d03_dedup_minhash", "d04_dedup_simhash", "d10_dedup_semantic",
       "s02_knn_lsh", "s03_knn_ivf", "s04_kmeans", "s05_knn_pq",
       "s06_knn_ivfpq", "s09_hard_negatives_ivf", "s10_knn_sq8",
+      "s11_knn_ivf_sq8",
       "t04_fingerprint", "m01_multimodal_meta", "m02_frame_sample",
       "m03_audio_chunks",
       "p03_pack_greedy",

@@ -290,6 +290,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.90, f"recall regressed: $recall%.3f < 0.90")
   }
 
+  test("s11: knnIvfSq8 composed recall@10 vs brute force (sf0.01)") {
+    val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
+    val got = topkSet(SparkEntry.queries("s11_knn_ivf_sq8")(spark, dir))
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"s11 recall@10 = $recall%.3f (${(brute & got).size}/${brute.size})")
+    // bounded above by the IVF list recall (s03's gate); the SQ8 stage
+    // is near-lossless within lists (s10 measured 1.000 standalone)
+    assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
+  }
+
   test("s06: knnIvfPq composed recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val ivfpq = topkSet(SparkEntry.queries("s06_knn_ivfpq")(spark, dir))
