@@ -113,6 +113,21 @@ object GraftExtensions {
           "graft_gopher_pass bounds must be integer literals", _))
         asExpr(graft.ops.TextOps.gopherPass(
           asCol(children.head), minW, maxW, minS))
+      }),
+    (FunctionIdentifier("graft_c4_clean"),
+      new ExpressionInfo("graft.ops.TextOps", "graft_c4_clean"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_c4_clean(text, minLineWords)")
+        asExpr(graft.ops.TextOps.c4CleanText(asCol(children.head),
+          intLit("graft_c4_clean minLineWords must be an integer literal",
+            children(1))))
+      }),
+    (FunctionIdentifier("graft_dedup_doc_lines"),
+      new ExpressionInfo("graft.ops.TextOps", "graft_dedup_doc_lines"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_dedup_doc_lines(text)")
+        asExpr(graft.ops.TextOps.dedupDocLines(asCol(children.head)))
       }))
 
   private def asCol(e: Expression) =

@@ -213,5 +213,13 @@ class FunctionsSpec extends SparkSpec {
       sqlRow.getString(1) == "en")
     assert(sqlRow.getBoolean(2) == dfRow.getBoolean(2) &&
       sqlRow.getBoolean(2))
+    // r8c cleaning functions reach SQL with the same expression tree
+    val page = "the cat sat on the mat today.\\nno punct line\\nno punct line"
+    val clean = s2.sql(
+      s"""SELECT graft_c4_clean('$page', 5) AS c,
+            graft_dedup_doc_lines('$page') AS d""").collect().head
+    assert(clean.getString(0) == "the cat sat on the mat today.")
+    assert(clean.getString(1) ==
+      "the cat sat on the mat today.\nno punct line")
   }
 }
