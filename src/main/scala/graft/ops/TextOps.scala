@@ -325,6 +325,43 @@ object TextOps {
     badwords.foldLeft(base)((acc, w) => acc && !lower(text).contains(w))
   }
 
+  // ---- Unicode script profile (multilingual corpus triage) -----------
+  // Character-class counts per writing system — the cheap signal that
+  // routes documents to per-script pipelines (tokenizer choice, lang-ID
+  // model family, CJK-aware segmentation) BEFORE any model runs. Both
+  // engines count CHARACTERS (Spark length() and DuckDB len() are
+  // codepoint-aware) via the same length-difference trick, and both
+  // regex dialects (Java, RE2) read the \x{....} range syntax
+  // identically — so the profile is oracle-exact.
+
+  /** (name, regex character class) per tracked script. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]")
+
+  /** Characters of `text` matching the class (by length difference). */
+  def classCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
+  /** Dominant script by character count — fixed priority order breaks
+    * ties (the langId convention); a document with NO script characters
+    * at all (digits/punctuation only) reads "none".
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = ScriptClasses.map { case (n, c) => n -> classCount(text, c) }
+    val total = counts.map(_._2).reduce(_ + _)
+    val branches = counts.zipWithIndex.map { case ((n, c), i) =>
+      val rest = counts.drop(i + 1).map(_._2)
+      (rest.foldLeft(lit(true))((acc, o) => acc && c >= o), lit(n))
+    }
+    when(total === 0, lit("none")).otherwise(
+      branches.init.foldRight(branches.last._2: Column) {
+        case ((cond, v), els) => when(cond, v).otherwise(els)
+      })
+  }
+
   /** WITHIN-document repeated-line removal (the Dolma/C4-family per-page
     * cleanup): keep each distinct line's FIRST occurrence, order
     * preserved — repeated headers/footers/nav blocks inside one page

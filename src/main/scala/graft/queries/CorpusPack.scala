@@ -1220,6 +1220,68 @@ object CorpusPack {
             FROM inj i JOIN reb r USING (doc_id)
             ORDER BY i.doc_id"""))
 
+  private val t21 = Q(
+    "t21_script_profile",
+    // Unicode script triage: the corpus is ASCII, so (t13 pattern) both
+    // engines append deterministic non-Latin tails to selected doc_ids
+    // first, then count per-script characters and pick the dominant
+    (s, dir) => {
+      val page = when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" привет мир как дела сегодня")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit(" 汉字文本处理系统测试样例")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"), lit(" مرحبا بالعالم اليوم هنا")))
+        .otherwise(col("text"))
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          length(col("page")).as("n_chars"),
+          TextOps.classCount(col("page"), "[A-Za-z]").as("n_latin"),
+          TextOps.classCount(col("page"), "[\\x{0400}-\\x{04FF}]")
+            .as("n_cyrillic"),
+          TextOps.classCount(col("page"), "[\\x{4E00}-\\x{9FFF}]")
+            .as("n_cjk"),
+          TextOps.classCount(col("page"), "[\\x{0600}-\\x{06FF}]")
+            .as("n_arabic"),
+          TextOps.classCount(col("page"), "[0-9]").as("n_digit"),
+          TextOps.dominantScript(col("page")).as("dominant"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 1
+                     THEN text || ' привет мир как дела сегодня'
+                   WHEN doc_id % 5 = 2
+                     THEN text || ' 汉字文本处理系统测试样例'
+                   WHEN doc_id % 5 = 3
+                     THEN text || ' مرحبا بالعالم اليوم هنا'
+                   ELSE text END AS page
+              FROM documents),
+            c AS (SELECT doc_id, page,
+              len(page) AS n_chars,
+              len(page) - len(regexp_replace(page, '[A-Za-z]', '', 'g'))
+                AS n_latin,
+              len(page) - len(regexp_replace(page,
+                '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+              len(page) - len(regexp_replace(page,
+                '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+              len(page) - len(regexp_replace(page,
+                '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+              len(page) - len(regexp_replace(page, '[0-9]', '', 'g'))
+                AS n_digit
+              FROM inj)
+            SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+              n_digit,
+              CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic = 0
+                     THEN 'none'
+                   WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                        AND n_latin >= n_arabic THEN 'latin'
+                   WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+                     THEN 'cyrillic'
+                   WHEN n_cjk >= n_arabic THEN 'cjk'
+                   ELSE 'arabic' END AS dominant
+            FROM c ORDER BY doc_id"""))
+
   private val t20 = Q(
     "t20_bigram_surprisal",
     // conditional bigram-LM surprisal (the KenLM rung above t16): whole
@@ -1715,7 +1777,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23)

@@ -142,6 +142,20 @@ class TextOpsSpec extends SparkSpec {
       .asInstanceOf[Boolean])
   }
 
+  test("script profile: per-class counts and priority-tiebroken dominant") {
+    def dom(t: String): String =
+      one(t, TextOps.dominantScript(col("text"))).asInstanceOf[String]
+    assert(dom("hello world") == "latin")
+    assert(dom("привет мир hello") == "cyrillic")
+    assert(dom("汉字文本处理") == "cjk")
+    assert(dom("مرحبا بالعالم") == "arabic")
+    // equal counts: earlier ScriptClasses entry wins
+    assert(dom("ab АБ") == "latin")
+    // digits/punctuation only: no script at all
+    assert(dom("123 456 !!") == "none")
+    assert(one("a1б", TextOps.classCount(col("text"), "[0-9]")) == 1)
+  }
+
   test("dedupDocLines keeps each line's FIRST occurrence in order") {
     def scrub(t: String): String =
       one(t, TextOps.dedupDocLines(col("text"))).asInstanceOf[String]
