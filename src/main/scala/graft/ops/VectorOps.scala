@@ -801,7 +801,7 @@ object VectorOps {
     trainSq8From(spread(corpus)
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq")))
 
-  private def trainSq8From(c: DataFrame): Sq8Model = {
+  private[graft] def trainSq8From(c: DataFrame): Sq8Model = {
     val dim = sampleVecs(c, 1).head.length
     val rangeExprs = (0 until dim).flatMap(d => Seq(
       min(element_at(col("cq"), d + 1)).as(s"m$d"),
@@ -828,20 +828,43 @@ object VectorOps {
       .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .withColumn("cn2", norm2(col("cq")))
     val m = model.getOrElse(trainSq8From(c))
-    val mins = m.mins
-    val deltas = m.deltas
-    val encoded = c.select(col("corpus_id"), col("cn2"),
-      graft.functions.VectorExpressions.sq8Encode(col("cq"), mins, deltas)
+    knnSq8PreEncoded(probes, encodeSq8(c, m), idCol, vecCol, m, k, refine)
+  }
+
+  /** Encode an internal (corpus_id, cq, cn2) frame under an [[Sq8Model]]
+    * — the standing-corpus table [[knnSq8PreEncoded]] queries and
+    * [[graft.tools.AnnMaintain]]'s SQ8 fold maintains. `cq` is retained
+    * for the exact re-rank; Catalyst prunes it from the byte-scan side
+    * of the scoring join.
+    */
+  def encodeSq8(c: DataFrame, m: Sq8Model): DataFrame =
+    c.select(col("corpus_id"), col("cq"), col("cn2"),
+      graft.functions.VectorExpressions.sq8Encode(col("cq"), m.mins, m.deltas)
         .as("codes"))
+
+  /** [[knnSq8]] against a PRE-ENCODED corpus table
+    * ((corpus_id, cq, cn2, codes), from [[encodeSq8]]) and its model —
+    * the standing-index shape: per-query work is probe-side only, no
+    * training pass and no re-encode (spec: row-identical to knnSq8
+    * under the same model).
+    */
+  def knnSq8PreEncoded(
+      probes: DataFrame,
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Sq8Model,
+      k: Int,
+      refine: Int = 64): DataFrame = {
     val p = spread(probes)
       .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
       .withColumn("pn2", norm2(col("pq")))
     // per-probe precompute: scalar base term + delta-scaled probe vector
     // (zip_with is CodegenFallback but runs once per PROBE, not per pair)
     val withSp = p
-      .withColumn("base", dot(col("pq"), typedlit(mins.toSeq)))
+      .withColumn("base", dot(col("pq"), typedlit(m.mins.toSeq)))
       .withColumn("sp",
-        zip_with(col("pq"), typedlit(deltas.toSeq), (a, b) => a * b))
+        zip_with(col("pq"), typedlit(m.deltas.toSeq), (a, b) => a * b))
     val approx = (col("base") +
       graft.functions.VectorExpressions.sq8Dot(col("sp"), col("codes"))) /
       sqrt(col("cn2"))
@@ -850,7 +873,7 @@ object VectorOps {
       .select(col("probe_id"), col("corpus_id"), approx.as("approx"))
     val candidates = topNPerKey(scored, "probe_id", "approx", "corpus_id",
       refine).select("probe_id", "corpus_id")
-    rerank(candidates, c, p, k)
+    rerank(candidates, encoded.select("corpus_id", "cq", "cn2"), p, k)
   }
 
   /** Exact cosine top-`k` over a small (probe_id, corpus_id) candidate

@@ -94,6 +94,93 @@ object AnnMaintain {
     AnnState(model, assigned, mr, n)
   }
 
+  // ---- SQ8 standing index (the byte-coded corpus, r8c) ---------------
+  // The SQ8 analog of the IVF state: ranges are fixed at train time, so
+  // an append-only fold encodes new vectors with the STANDING ranges —
+  // stored codes stay valid precisely because the ranges never move
+  // between retrains. The drift statistic is the CLAMP FRACTION: the
+  // share of (row, dim) cells landing outside [min, max] (clamped to a
+  // byte end, unbounded per-cell error). Past the threshold, retrain is
+  // one exact min/max pass over the union — and then EVERY row
+  // re-encodes (codes are range-relative): a pure map, the deliberate
+  // cost asymmetry vs the IVF fold where re-assignment needs Lloyd's.
+
+  /** The standing SQ8 corpus: range model + encoded table + count. */
+  final case class Sq8State(
+      model: VectorOps.Sq8Model,
+      encoded: DataFrame,
+      nVectors: Long)
+
+  final case class Sq8Fold(
+      state: Sq8State,
+      clampFrac: Double,
+      retrained: Boolean)
+
+  /** Fraction of (row, dimension) cells of `c` (an internal
+    * (corpus_id, cq, …) frame) outside the model's trained ranges.
+    */
+  private def clampStats(
+      c: DataFrame, m: VectorOps.Sq8Model): (Double, Long) = {
+    val maxs = m.mins.indices.map(d => m.mins(d) + 255.0 * m.deltas(d))
+    val below = aggregate(
+      zip_with(col("cq"), typedlit(m.mins.toSeq),
+        (x, mn) => (x < mn).cast("long")), lit(0L), _ + _)
+    val above = aggregate(
+      zip_with(col("cq"), typedlit(maxs),
+        (x, mx) => (x > mx).cast("long")), lit(0L), _ + _)
+    val r = c.agg(sum(below + above).as("clamped"),
+      count(lit(1)).as("n")).collect().head
+    val n = r.getLong(1)
+    val frac =
+      if (n == 0) 0.0
+      else r.getLong(0).toDouble / (n.toDouble * m.mins.length)
+    (frac, n)
+  }
+
+  private def internal(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("corpus_id"),
+        VectorOps.quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2",
+        graft.functions.VectorExpressions.dot(col("cq"), col("cq")))
+
+  /** Range-train and encode the initial corpus — the SQ8 build job. */
+  def buildSq8(
+      corpus: DataFrame, idCol: String, vecCol: String): Sq8State = {
+    val c = internal(corpus, idCol, vecCol)
+    val model = VectorOps.trainSq8Model(corpus, idCol, vecCol)
+    val n = c.count()
+    Sq8State(model, VectorOps.encodeSq8(c, model), n)
+  }
+
+  /** Fold newly admitted vectors into the standing SQ8 corpus. */
+  def foldSq8(
+      state: Sq8State, batch: DataFrame, idCol: String, vecCol: String,
+      retrainFrac: Double = 0.05): Sq8Fold = {
+    require(retrainFrac > 0.0 && retrainFrac < 1.0,
+      s"retrainFrac must be in (0,1): $retrainFrac")
+    val b = internal(batch, idCol, vecCol)
+    val (frac, batchN) = clampStats(b, state.model)
+    if (frac <= retrainFrac) {
+      Sq8Fold(
+        state.copy(
+          encoded = state.encoded
+            .unionByName(VectorOps.encodeSq8(b, state.model)),
+          nVectors = state.nVectors + batchN),
+        frac, retrained = false)
+    } else {
+      // the standing table stores ALREADY-quantized vectors, so retrain
+      // through the internal trainer (re-quantizing would re-scale)
+      val union = state.encoded.select("corpus_id", "cq", "cn2")
+        .unionByName(b)
+      val model2 = VectorOps.trainSq8From(union)
+      Sq8Fold(
+        Sq8State(model2, VectorOps.encodeSq8(union, model2),
+          state.nVectors + batchN),
+        frac, retrained = true)
+    }
+  }
+
   /** Fold a batch of newly admitted vectors into the standing index. */
   def fold(
       state: AnnState, batch: DataFrame, idCol: String, vecCol: String,

@@ -41,6 +41,37 @@ class AnnMaintainSpec extends SparkSpec {
     assert(preB == inline)
   }
 
+  test("sq8 fold: in-range batch appends code-valid; shifted batch " +
+    "retrains with widened ranges; standing queries match knnSq8") {
+    import spark.implicits._
+    val standing = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val s0 = AnnMaintain.buildSq8(standing, "vec_id", "embedding")
+    // in-distribution batch: same generator slice — clamp frac tiny
+    val f1 = AnnMaintain.foldSq8(s0, batch, "vec_id", "embedding")
+    assert(!f1.retrained, s"clampFrac=${f1.clampFrac}")
+    assert(f1.clampFrac <= 0.05)
+    assert(f1.state.nVectors == emb.count())
+    // queries on the folded standing table = knnSq8 with the same model
+    val probes = emb.filter(col("vec_id") < 8)
+    val viaState = topkSet(VectorOps.knnSq8PreEncoded(probes,
+      f1.state.encoded, "vec_id", "embedding", f1.state.model,
+      k = 10, refine = 128))
+    val direct = topkSet(VectorOps.knnSq8(probes, emb, "vec_id",
+      "embedding", k = 10, refine = 128, model = Some(f1.state.model)))
+    assert(viaState == direct && viaState.nonEmpty)
+    // out-of-distribution batch: vectors far outside the trained ranges
+    val shifted = (100000L until 100050L)
+      .map(i => (i, Array.fill(64)(5.0f + (i % 7) * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val f2 = AnnMaintain.foldSq8(f1.state, shifted, "vec_id", "embedding")
+    assert(f2.retrained && f2.clampFrac > 0.05)
+    // the retrained ranges now cover the shifted batch: folding it
+    // again clamps (near) nothing
+    val f3 = AnnMaintain.foldSq8(f2.state, shifted, "vec_id", "embedding")
+    assert(!f3.retrained && f3.clampFrac <= 0.001)
+  }
+
   test("append fold: no retrain in-distribution; recall within gate of full retrain") {
     // standing corpus = 80% of the table, batch = the rest — both draws
     // of the same distribution, so the residual ratio must stay under
