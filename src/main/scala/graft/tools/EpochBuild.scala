@@ -83,11 +83,32 @@ object EpochBuild {
     Epoch(sharded, bounds)
   }
 
-  /** Write both tables under `outDir/epoch=<seed>/` as parquet. */
+  /** Per-shard integrity manifest: (shard_id, n_docs, n_tokens,
+    * content_md5), where content_md5 hashes the shard's doc ids IN EPOCH
+    * ORDER — the checksum a reader (or a post-loss rebuild) verifies a
+    * written shard against before training resumes on it. The hash
+    * input is position-ordered, so any reorder, drop, or substitution
+    * inside a shard changes it; aggregation is per-shard (bounded by
+    * docs-per-shard), never global.
+    */
+  def manifest(e: Epoch): DataFrame =
+    e.order
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        md5(concat_ws(",",
+          array_sort(collect_list(struct(col("train_pos"), col("doc_id"))))
+            .getField("doc_id").cast("array<string>"))).as("content_md5"))
+
+  /** Write both tables + the shard manifest under `outDir/epoch=<seed>/`
+    * as parquet.
+    */
   def write(e: Epoch, outDir: String, seed: String): Unit = {
     e.order.write.mode("overwrite")
       .parquet(s"$outDir/epoch=$seed/order.parquet")
     e.boundaries.write.mode("overwrite")
       .parquet(s"$outDir/epoch=$seed/boundaries.parquet")
+    manifest(e).write.mode("overwrite")
+      .parquet(s"$outDir/epoch=$seed/manifest.parquet")
   }
 }

@@ -102,5 +102,33 @@ class EpochBuildSpec extends SparkSpec {
       .count() == 40L)
     assert(spark.read.parquet(s"$dir/epoch=epoch0/boundaries.parquet")
       .count() == epoch.boundaries.count())
+    assert(spark.read.parquet(s"$dir/epoch=epoch0/manifest.parquet")
+      .count() > 0)
+  }
+
+  test("manifest: per-shard totals reconcile; checksums are order-" +
+    "sensitive and rebuild-stable") {
+    val m = EpochBuild.manifest(epoch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    val byShard = epoch.order.collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_tok")))
+      .groupBy(_._1)
+    assert(m.keySet == byShard.keySet)
+    byShard.foreach { case (s, rows) =>
+      assert(m(s)._1 == rows.length && m(s)._2 == rows.map(_._2).sum)
+    }
+    // a rebuild yields the identical manifest (the integrity use-case)
+    val again = EpochBuild.manifest(EpochBuild.build(docs, "doc_id",
+        "text", "epoch0", shardTokens = 12L, seqLen = 8,
+        packShardDocs = 1000))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == m.view.mapValues(_._3).toMap)
+    // a different epoch order changes at least one shard checksum
+    val other = EpochBuild.manifest(EpochBuild.build(docs, "doc_id",
+        "text", "epoch1", shardTokens = 12L, seqLen = 8,
+        packShardDocs = 1000))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(other != m.view.mapValues(_._3).toMap)
   }
 }
