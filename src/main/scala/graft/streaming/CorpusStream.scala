@@ -83,21 +83,76 @@ object CorpusStream {
       }
   }
 
-  /** Streaming surprisal scoring against a STANDING unigram table (the
-    * one [[graft.tools.CorpusMaintain.foldTokenCounts]] maintains): the
-    * hot-path twin of [[graft.ops.Corpus.surprisalWithCounts]]. The
-    * standing table's top-`maxVocab` head ships to executors as a
-    * broadcast bit table inside a fused scan-stage expression
-    * ([[graft.functions.TokenBitsExpr]]) — STATELESS, so it runs in any
-    * output mode with no watermark, and works identically on a batch
-    * frame (spec asserts bit-equality with the join-based batch form
-    * when the vocabulary fits the cap).
+  /** Streaming ingest curation — the ADMIT path of the batch curation
+    * pipeline (p12 / ReleaseBuild) as one composition, for documents
+    * arriving continuously with an ingest timestamp:
     *
-    * `ref_total` sums the FULL table (not the capped head) so hapax
-    * backoff matches the batch form exactly; under Zipf the untracked
-    * tail is hapax-like, so capping only moves near-backoff tokens to
-    * the backoff value.
+    *  1. per-page cleanup (pure maps, scan-stage): within-doc repeated-
+    *     line removal (d23) and, when `c4MinLineWords > 0`, C4 line
+    *     cleaning + page gate (t19);
+    *  2. language allowlist + quality floor on the CLEAN text (t01/t02);
+    *  3. exact-content dedup via `dropDuplicatesWithinWatermark` on the
+    *     md5 — effectively-once admission, state bounded by the
+    *     watermark horizon (the 32h shape keyed on content);
+    *  4. surprisal scoring against the STANDING unigram table (t16's
+    *     broadcast bit table — stateless).
+    *
+    * Corpus-GLOBAL stages (span scrub, banding, CC) need the whole
+    * corpus and stay batch: this stream is the admission filter that
+    * feeds them through [[graft.tools.CorpusMaintain.foldBatch]].
+    * Output: (id, ts, clean text, quality, sum_bits, n_tok,
+    * bits_per_token) per ADMITTED document, append mode.
     */
+  def curateStream(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      counts: DataFrame,
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5,
+      lateness: String = "1 hour",
+      c4MinLineWords: Int = 0,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    val cleanedText = {
+      val deduped = TextOps.dedupDocLines(col(textCol))
+      if (c4MinLineWords > 0) TextOps.c4CleanText(deduped, c4MinLineWords)
+      else deduped
+    }
+    val cleaned0 = docs.select(col(idCol), col(tsCol),
+      cleanedText.as(textCol), col(textCol).as("__orig"))
+    val cleaned =
+      if (c4MinLineWords > 0)
+        cleaned0.filter(TextOps.c4DocPass(col("__orig"), col(textCol)))
+          .drop("__orig")
+      else cleaned0.drop("__orig")
+    val gated = cleaned
+      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .filter(TextOps.langId(col(textCol)).isInCollection(langs) &&
+        col("quality") >= minQuality)
+    val admitted = gated
+      .withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+    // scoring is a stateless projection (the surprisalScoreStream shape
+    // applied in place so ts/text/quality ride along)
+    def bitsOf(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val total = counts.agg(sum("cnt")).collect()(0).getLong(0)
+    val top = counts.orderBy(col("cnt").desc, col("token").asc)
+      .limit(maxVocab).collect()
+      .map(r => r.getString(0) -> bitsOf(total / r.getLong(1))).toMap
+    val oov = bitsOf(total)
+    admitted
+      .withColumn("__s", graft.functions.TextExpressions
+        .tokenBits(col(textCol), top, oov))
+      .select(col(idCol), col(tsCol), col(textCol), col("quality"),
+        coalesce(col("__s.sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("__s.n_tok").cast("long"), lit(0L)).as("n_tok"),
+        when(coalesce(col("__s.n_tok"), lit(0)) === 0, lit(null))
+          .otherwise(col("__s.sum_bits").cast("double") / col("__s.n_tok"))
+          .cast("double").as("bits_per_token"))
+  }
+
   /** Streaming CONDITIONAL-bigram surprisal against standing unigram +
     * bigram tables — [[surprisalScoreStream]]'s twin for
     * [[graft.ops.Corpus.bigramSurprisalPerDoc]]. Both tables' top-
@@ -149,6 +204,21 @@ object CorpusStream {
           .cast("double").as("bits_per_pair"))
   }
 
+  /** Streaming surprisal scoring against a STANDING unigram table (the
+    * one [[graft.tools.CorpusMaintain.foldTokenCounts]] maintains): the
+    * hot-path twin of [[graft.ops.Corpus.surprisalWithCounts]]. The
+    * standing table's top-`maxVocab` head ships to executors as a
+    * broadcast bit table inside a fused scan-stage expression
+    * ([[graft.functions.TokenBitsExpr]]) — STATELESS, so it runs in any
+    * output mode with no watermark, and works identically on a batch
+    * frame (spec asserts bit-equality with the join-based batch form
+    * when the vocabulary fits the cap).
+    *
+    * `ref_total` sums the FULL table (not the capped head) so hapax
+    * backoff matches the batch form exactly; under Zipf the untracked
+    * tail is hapax-like, so capping only moves near-backoff tokens to
+    * the backoff value.
+    */
   def surprisalScoreStream(
       docs: DataFrame, idCol: String, textCol: String,
       counts: DataFrame, maxVocab: Int = 1 << 20): DataFrame = {

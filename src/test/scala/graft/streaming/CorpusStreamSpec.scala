@@ -131,4 +131,50 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got(6L) == ((5L, 5L)))
     } finally q.stop()
   }
+
+  test("curateStream: cleanup + gates + effectively-once admission + " +
+    "standing-table scoring, equal to the batch admit path") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = new java.sql.Timestamp(86400L * 1000)
+    // (id, ts, text): 1 clean; 2 = exact dup of 1 after line-dedup
+    // (repeated nav line collapses); 3 junk (no en markers, low
+    // quality); 4 clean distinct; 5 = late exact dup of 1
+    val in = Seq(
+      (1L, ts0, "nav bar\nthe cat sat on the mat and all was good\nnav bar"),
+      (2L, ts0, "nav bar\nthe cat sat on the mat and all was good"),
+      (3L, ts0, "zzz qqq"),
+      (4L, ts0, "a dog ran through the field and found a bone to keep"),
+      (5L, ts0, "nav bar\nthe cat sat on the mat and all was good"))
+    val counts = Seq("the", "cat", "dog").toDF("token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.curateStream(
+        src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        counts, langs = Seq("en"), minQuality = 0.35)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(in.take(3): _*)
+      q.processAllAvailable()
+      src.addData(in.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(4),
+          r.getLong(5)))).toMap
+      // 2 and 5 are content-dups of 1's CLEANED text -> one admission;
+      // 3 fails the gates
+      assert(got.keySet == Set(1L, 4L))
+      assert(got(1L)._1 ==
+        "nav bar\nthe cat sat on the mat and all was good")
+      // scores equal the batch standing-table scorer on the same text
+      val batch = graft.ops.Corpus.surprisalWithCounts(
+          Seq((1L, got(1L)._1), (4L, got(4L)._1)).toDF("doc_id", "text"),
+          "doc_id", "text", counts)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.view.mapValues(v => (v._2, v._3)).toMap == batch)
+    } finally q.stop()
+  }
 }
