@@ -541,6 +541,23 @@ class PlanSpec extends SparkSpec {
       !r.contains("source") && !r.contains("n_chars")), p)
   }
 
+  test("t21/d23: script profile and doc-line dedup are scan-stage " +
+    "projections — no shuffle but the final sort, no join, no agg") {
+    for (q <- Seq("t21_script_profile", "d23_scrub_doc_lines")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), q)
+      assert(!p.contains("HashAggregate") && !p.contains("Join"), q)
+    }
+  }
+
+  test("d22: containment candidates come from the gram equi-join — " +
+    "no cartesian, map-side partial counts") {
+    val p = plan("d22_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q34: full outer pre-aggregates the orders side below the join") {
     val p = plan("q34_full_outer")
     assert(p.contains("FullOuter"), p)
