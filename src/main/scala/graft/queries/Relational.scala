@@ -709,6 +709,28 @@ object Relational {
             ORDER BY o_custkey, o_orderkey, order_day, spend_7d,
               n_orders_7d"""))
 
+  // UNPIVOT (q25's inverse): wide metric columns melt into (metric,
+  // value) rows — plans as ONE Expand (k output rows per input row,
+  // no shuffle, no join), the same operator family grouping sets use.
+  // Values cast to a common double type (UNPIVOT requires it) and the
+  // metric labels are the column names in both engines.
+  private val q37 = Q(
+    "q37_unpivot",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("double").as("nationkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("nationkey"), col("acctbal")), "metric", "value")
+      .orderBy("c_custkey", "metric"),
+    Some("""SELECT c_custkey, metric, value FROM (
+              SELECT c_custkey,
+                CAST(c_nationkey AS DOUBLE) AS nationkey,
+                CAST(c_acctbal AS DOUBLE) AS acctbal
+              FROM customer)
+            UNPIVOT (value FOR metric IN (nationkey, acctbal))
+            ORDER BY c_custkey, metric"""))
+
   // Offset window functions complete the window family (q16 ranking,
   // q23 ROWS frame, q29 RANGE frame): lag/lead fetch the previous/next
   // order in each customer's sequence, first_value anchors the series —
@@ -794,5 +816,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35, q36)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37)
 }

@@ -140,7 +140,8 @@ object ScaleSmoke {
     // s10's probe set is pinned (8) so the SQ8 scan + min/max training
     // pass are both linear in corpus rows
     val r8cRows = Seq("t19_c4_rules", "t20_bigram_surprisal",
-      "s10_knn_sq8").map(n => measure(n, 15.0, queryFn(n)))
+      "s10_knn_sq8", "s11_knn_ivf_sq8")
+      .map(n => measure(n, 15.0, queryFn(n)))
 
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum
