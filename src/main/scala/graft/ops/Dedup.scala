@@ -731,9 +731,20 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 1024): DataFrame =
+    hammingPairs(simHashes(df, textCol, idCol), maxHamming, maxBucketSize)
+
+  /** Pigeonhole Hamming blocking over ANY `(id, sh)` 64-bit hash frame —
+    * the d04 machinery factored out so every 64-bit locality hash
+    * (text SimHash, image pHash) shares one candidate generator: block
+    * on the 4 16-bit chunks (a hamming ≤ 3 pair agrees on ≥ 1 chunk),
+    * cap hot buckets, verify by exact `bit_count(xor)`.
+    */
+  def hammingPairs(
+      hashed: DataFrame,
+      maxHamming: Int = 3,
       maxBucketSize: Int = 1024): DataFrame = {
     require(maxHamming <= 3, "4 chunks of 16 bits support maxHamming <= 3")
-    val hashed = simHashes(df, textCol, idCol)
     val chunkCols = (0 until 4).map { i =>
       struct(lit(i).as("chunk"),
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))

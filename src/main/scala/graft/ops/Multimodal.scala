@@ -210,6 +210,55 @@ object Multimodal {
     }
   }
 
+  /** A 64-bit perceptual image hash row. */
+  final case class ImageHash(doc_id: Long, phash: Long)
+
+  /** Perceptual image hash (average-hash variant of the pHash family):
+    * decode → grayscale → 8×8 downsample → mean-threshold → 64 packed
+    * sign bits. The decode+downsample is the STUB (64 evenly-sampled
+    * payload bytes stand in for the luma grid — a real decoder replaces
+    * exactly that sampling); the hash construction and everything
+    * downstream are real. Locality: payloads differing in a few bytes
+    * flip few luma cells, hence few bits — which is what makes the
+    * Hamming blocking work. IMAGE rows only, one decoder init per
+    * partition.
+    */
+  def imagePhash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      it.flatMap { rec =>
+        if (rec.media_type != "image" || rec.payload.isEmpty) Iterator.empty
+        else {
+          decoder.decode(rec.media_type, rec.payload) // handle init path
+          val n = rec.payload.length
+          val luma = Array.tabulate(64)(i =>
+            rec.payload(((i.toLong * n) / 64).toInt) & 0xFF)
+          val mean = luma.sum / 64
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            if (luma(i) > mean) h |= (1L << i)
+            i += 1
+          }
+          Iterator.single(ImageHash(rec.doc_id, h))
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate IMAGE pairs by pHash Hamming distance ≤ `maxHamming`
+    * — [[graft.ops.Dedup.hammingPairs]] (the d04 pigeonhole blocking)
+    * reused verbatim on the image hashes: visual dedup composes with the
+    * text dedup ladder instead of growing its own candidate machinery.
+    */
+  def phashPairs(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1024): DataFrame =
+    graft.ops.Dedup.hammingPairs(
+      imagePhash(media).toDF("id", "sh"), maxHamming, maxBucketSize)
+
   /** STUB DECODER — deterministic fake. A real implementation would wrap
     * an image/audio/video library here (and this is the only place that
     * changes); dimensions/frames are derived from payload bytes so results

@@ -774,7 +774,24 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
+  private val m04 = Q(
+    "m04_phash_pairs",
+    (s, dir) => {
+      implicit val spark = s
+      val docs = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // replay every 7th doc under a +999999 id (multiple of 3, so the
+      // round-robin media_type is preserved): guaranteed hamming-0
+      // image pairs plus whatever near-collisions the corpus provides
+      val replay = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 999999L).as("doc_id"), col("text"))
+      Multimodal.phashPairs(
+          Multimodal.mediaFromDocuments(docs.unionByName(replay)))
+        .orderBy("id_a", "id_b")
+    },
+    None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, m01, m02, m03)
+    e12, e13, e14, e15, e16, m01, m02, m03, m04)
 }

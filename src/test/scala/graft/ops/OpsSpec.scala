@@ -713,6 +713,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imagePhash: locality and blocking — identical payloads pair at " +
+    "hamming 0, perturbed ones stay nearer than unrelated ones") {
+    implicit val s = spark
+    import Multimodal.MediaRecord
+    val base = Array.tabulate(256)(i => ((i * 7) % 251).toByte)
+    val tweaked = base.clone(); tweaked(10) = (tweaked(10) + 1).toByte
+    val other = Array.tabulate(256)(i => ((i * 131 + 17) % 251).toByte)
+    val media = Seq(
+      MediaRecord(0L, "image", base),
+      MediaRecord(1L, "image", base),      // exact visual dup of 0
+      MediaRecord(2L, "image", tweaked),   // near dup of 0
+      MediaRecord(3L, "image", other),     // unrelated
+      MediaRecord(4L, "audio", base)       // non-image: ignored
+    ).toDS()
+    val h = Multimodal.imagePhash(media).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    assert(h.keySet == Set(0L, 1L, 2L, 3L)) // audio row dropped
+    assert(h(0L) == h(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L)))
+    val pairs = Multimodal.phashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    // the unrelated image never pairs within the hamming cap
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("chunkAudio tiles audio rows only: stride, overlap, true tail") {
     implicit val s = spark
     val docs = (0L until 9L).map(i => (i, s"audio document payload $i"))
