@@ -259,6 +259,26 @@ object Multimodal {
     graft.ops.Dedup.hammingPairs(
       imagePhash(media).toDF("id", "sh"), maxHamming, maxBucketSize)
 
+  /** End-to-end visual dedup: pHash pairs → duplicate-cluster connected
+    * components (d08's contraction machinery) → keep the min-id image
+    * per visual cluster. Returns (doc_id, keep) for every IMAGE row —
+    * the same admit/drop contract the text dedup ladder produces, so
+    * multimodal corpora run ONE curation loop over both ladders.
+    */
+  def dedupImages(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val hashes = imagePhash(media).toDF("doc_id", "phash")
+    val pairs = phashPairs(media, maxHamming)
+    val labels = graft.ops.Clusters
+      .connectedComponents(pairs, "id_a", "id_b") // (id, label)
+    hashes.join(labels, hashes("doc_id") === labels("id"), "left")
+      .select(hashes("doc_id"),
+        coalesce(col("cluster_id"), hashes("doc_id")).as("cluster"))
+      .withColumn("keep", col("doc_id") === col("cluster"))
+  }
+
   /** STUB DECODER — deterministic fake. A real implementation would wrap
     * an image/audio/video library here (and this is the only place that
     * changes); dimensions/frames are derived from payload bytes so results

@@ -738,6 +738,14 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
     // the unrelated image never pairs within the hamming cap
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // end-to-end visual dedup: min-id per cluster kept, images only
+    val keep = Multimodal.dedupImages(media).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep.keySet == Set(0L, 1L, 2L, 3L))
+    assert(keep(0L) && !keep(1L) && keep(3L))
+    // 2 keeps exactly when nothing paired it into 0's cluster
+    assert(keep(2L) == !pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
   test("chunkAudio tiles audio rows only: stride, overlap, true tail") {
