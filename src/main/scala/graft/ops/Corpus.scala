@@ -850,6 +850,111 @@ object Corpus {
     quotaSample(df, idCol, srcCol, quotas)
   }
 
+  /** Overlapping token-window chunking — the embedding/RAG prep step:
+    * a document becomes windows of `window` tokens starting every
+    * `stride` tokens (stride < window ⇒ adjacent chunks share
+    * window − stride tokens of context), the last window truncated at
+    * the doc end. Starts are fixed at 0, stride, 2·stride, … while
+    * start < n, so every token is covered and chunk boundaries are a
+    * pure function of position — never of content (re-chunking after
+    * an upstream edit only touches the edited doc). Output rows carry
+    * (chunk_idx, n_chunk_tok, chunk_md5): the md5 stands in for the
+    * chunk text so downstream exact-dup checks and manifests compose
+    * without shuffling full text.
+    *
+    * Scale shape: pure scan-stage projection + bounded explode
+    * (≤ ⌈n/stride⌉ rows per doc, the d02 shingle-explode class) — no
+    * shuffle at any corpus size. Empty docs produce no chunks.
+    */
+  def textChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__ts"), col("__n"),
+        explode(sequence(lit(0L), expr(s"(__n - 1) DIV $stride")))
+          .as("chunk_idx"))
+      .withColumn("__start", col("chunk_idx") * stride)
+      .withColumn("__len", least(lit(window.toLong),
+        col("__n") - col("__start")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__len").as("n_chunk_tok"),
+        md5(array_join(
+          slice(col("__ts"), (col("__start") + 1).cast("int"),
+            col("__len").cast("int")), " ")).as("chunk_md5"))
+  }
+
+  /** Repeat-capped token-budget mixing — the data-constrained scaling
+    * recipe (Muennighoff et al. 2023: when the token budget exceeds a
+    * source's corpus, repeat it, but cap the repeats — past ~4 epochs
+    * extra copies stop helping). Each source s gets an allocation
+    * `min(tokenBudget · w_s div Σw, maxRepeats · T_s)` tokens (T_s = the
+    * source's token total), materialized as `k_s = alloc div T_s` full
+    * epochs of every document plus ONE deterministic partial epoch: the
+    * docs that fill the remaining `alloc mod T_s` tokens in seeded md5
+    * order (greedy take until the remainder is crossed — overshoot is at
+    * most one document). Output is the training multiset (doc_id, source,
+    * epoch 0-based).
+    *
+    * Unlike [[mixtureUpsample]] — per-doc Bernoulli thinning by hash
+    * byte, corpus-size-agnostic — this op is BUDGET-driven and
+    * token-exact: the caller states a global token budget and a repeat
+    * cap, and the partial epoch is a token prefix, not a rate. All
+    * arithmetic is integer-only (long shares, long prefix sums), so the
+    * DuckDB oracle matches exactly.
+    *
+    * Scale shape: per-source totals collapse to one row per source
+    * (bounded driver collect, the [[temperatureQuotaSample]] convention).
+    * The partial epoch needs a PER-SOURCE exclusive token prefix —
+    * computed WITHOUT a per-source window (one single-task sort per
+    * source, skew-prone): one global [[prefixSumBy]] ordered
+    * (source, md5 key, id) keeps each source contiguous, and subtracting
+    * the source's start offset (groupBy-min over the computed prefix,
+    * one broadcast of #sources rows) yields the per-source prefix.
+    * Epoch materialization is a scan-stage explode bounded by
+    * maxRepeats + 1 rows per doc.
+    */
+  def repeatCapMix(
+      df: DataFrame, idCol: String, srcCol: String, textCol: String,
+      tokenBudget: Long, maxRepeats: Int,
+      weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
+    require(tokenBudget >= 0, s"negative budget: $tokenBudget")
+    require(maxRepeats >= 0, s"negative cap: $maxRepeats")
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    def wOf(s: String): Long = weights.getOrElse(s, defaultWeight).toLong
+    val spark = df.sparkSession
+    val tok = df.select(col(idCol), col(srcCol),
+      TextOps.tokenCount(col(textCol)).as("__tok"),
+      md5(col(idCol).cast("string")).as("__key"))
+    val totals = tok.groupBy(col(srcCol).cast("string").as("s"))
+      .agg(sum("__tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val wTot = totals.map { case (s, _) => wOf(s) }.sum
+    require(wTot > 0, "all sources have zero weight")
+    val stats = totals.toSeq.map { case (s, ts) =>
+      val alloc = math.min(tokenBudget * wOf(s) / wTot,
+        maxRepeats.toLong * ts)
+      val k = if (ts == 0L) 0L else alloc / ts
+      val rem = if (ts == 0L) 0L else alloc - k * ts
+      (s, k, rem)
+    }
+    val statsDf = spark.createDataFrame(stats)
+      .toDF(srcCol, "__k", "__rem")
+    val pre = prefixSumBy(tok, Seq(srcCol, "__key", idCol), "__tok", "__gpre")
+    val starts = pre.groupBy(srcCol).agg(min("__gpre").as("__start"))
+    pre.join(broadcast(starts), srcCol)
+      .join(broadcast(statsDf), srcCol)
+      .withColumn("__reps", col("__k") +
+        when(col("__gpre") - col("__start") < col("__rem"), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(0L), col("__reps") - 1)).as("epoch"))
+  }
+
   /** Train/eval contamination pairs: (train_id, test_id, jaccard) where a
     * train document's bigram-set similarity to a test document reaches
     * tau — the leakage check every eval set needs before results are

@@ -1421,6 +1421,81 @@ object CorpusPack {
             SELECT doc_id, source FROM r JOIN q USING (source)
             WHERE rn <= quota ORDER BY doc_id"""))
 
+  private val t22 = Q(
+    "t22_text_chunks",
+    // embedding/RAG prep: 64-token windows every 48 tokens (16-token
+    // overlap), last window truncated, empty docs dropped. Pure
+    // scan-stage projection + bounded explode — no shuffle; chunk md5
+    // stands in for the text so dup checks compose without moving it
+    (s, dir) => Corpus.textChunks(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS ts
+              FROM documents),
+            c AS (SELECT doc_id, ts, len(ts) AS n
+                  FROM tok WHERE len(ts) > 0),
+            ch AS (SELECT doc_id, ts, n,
+                unnest(generate_series(0, CAST((n - 1) // 48 AS BIGINT)))
+                  AS chunk_idx
+              FROM c)
+            SELECT doc_id, chunk_idx,
+              LEAST(64, n - chunk_idx * 48) AS n_chunk_tok,
+              md5(array_to_string(
+                ts[CAST(chunk_idx * 48 + 1 AS BIGINT) :
+                   CAST(chunk_idx * 48 + LEAST(64, n - chunk_idx * 48)
+                        AS BIGINT)], ' ')) AS chunk_md5
+            FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  private val p22 = Q(
+    "p22_repeat_cap_mix",
+    // data-constrained repeat-capped mixing (Muennighoff et al. 2023):
+    // 100k-token budget, >=4-epoch cap; src0 weighted 8x and src1 4x cap
+    // out at 4 full epochs, the rest land k full epochs + a token-exact
+    // partial epoch in seeded md5 order. Integer-only shares and prefix
+    // sums; the per-source prefix comes from ONE global prefixSumBy
+    // minus broadcast source-start offsets (no per-source window)
+    (s, dir) => Corpus.repeatCapMix(
+        Tables.load(s, dir, "documents"), "doc_id", "source", "text",
+        tokenBudget = 100000L, maxRepeats = 4,
+        weights = Map("src0" -> 8, "src1" -> 4))
+      .orderBy("doc_id", "epoch"),
+    Some("""WITH tok AS (
+              SELECT doc_id, source,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS tok,
+                md5(CAST(doc_id AS VARCHAR)) AS key
+              FROM documents),
+            tot AS (SELECT source, SUM(tok) AS t FROM tok GROUP BY source),
+            ws AS (SELECT source, t,
+                CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                            ELSE 1 END AS w
+              FROM tot),
+            wt AS (SELECT SUM(w) AS wtot FROM ws),
+            st AS (SELECT source, t,
+                LEAST(100000 * w // wtot, 4 * t) AS alloc
+              FROM ws CROSS JOIN wt),
+            kr AS (SELECT source,
+                CASE WHEN t = 0 THEN 0 ELSE alloc // t END AS k,
+                CASE WHEN t = 0 THEN 0
+                     ELSE alloc - (alloc // t) * t END AS rem
+              FROM st),
+            pre AS (SELECT doc_id, source, tok,
+                COALESCE(SUM(tok) OVER (PARTITION BY source
+                  ORDER BY key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS pre
+              FROM tok),
+            reps AS (SELECT p.doc_id, p.source,
+                CAST(kr.k + CASE WHEN p.pre < kr.rem THEN 1 ELSE 0 END
+                     AS BIGINT) AS reps
+              FROM pre p JOIN kr ON p.source = kr.source)
+            SELECT doc_id, source,
+              unnest(generate_series(0, reps - 1)) AS epoch
+            FROM reps WHERE reps > 0 ORDER BY doc_id, epoch"""))
+
   private val t17 = Q(
     "t17_bpe_token_count",
     // exact per-doc token counts under corpus-trained BPE merges — the
@@ -1777,8 +1852,8 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23)
 }

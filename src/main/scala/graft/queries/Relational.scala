@@ -763,6 +763,36 @@ object Relational {
                          ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, o_orderkey"""))
 
+  // Distribution-rank window functions complete the ranking family (q16
+  // row_number, q36 offsets): ntile buckets, percent_rank, cume_dist —
+  // all three share ONE (partition key, sort order), so Catalyst plans a
+  // SINGLE Window operator: one exchange + one in-partition sort, never
+  // one per function (PlanSpec-asserted). The order key (acctbal,
+  // custkey) is unique per partition, so tie handling cannot diverge
+  // between engines; the rank divisions ((rank-1)/(n-1), peers/n) are
+  // single IEEE divisions on integer inputs — bit-identical in DuckDB.
+  private val q38 = Q(
+    "q38_ntile_dist",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+              ntile(4) OVER w AS quartile,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_nationkey, c_custkey"""))
+
   // Correlated EXISTS / NOT EXISTS predicate subqueries in SQL — q15/q17
   // are the DataFrame-level semi/anti joins; this is the SQL spelling,
   // decorrelated by Catalyst (RewritePredicateSubquery) into ONE semi and
@@ -816,5 +846,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38)
 }

@@ -575,6 +575,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q38: all three distribution ranks share ONE Window operator") {
+    val p = plan("q38_ntile_dist")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("p22: repeat-cap mix has no cartesian; the prefix fold is " +
+    "partition-local and the only window is the totals prefix") {
+    val p = plan("p22_repeat_cap_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), p) // prefixSumBy local fold
+    // the only Window is prefixSumBy's numPartitions-row totals prefix
+    // (the p07/p14 shape) — it prints once per consuming branch (main +
+    // source-start offsets; both share the localCheckpoint at runtime)
+    // but is never a per-source window over the corpus
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window")) <= 2, p)
+    // per-source stats and start offsets join broadcast (bounded rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t22: chunking is scan-stage only — a generate, no data shuffle") {
+    val p = plan("t22_text_chunks")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Generate")) == 1, p)
+    assert(!p.contains("Join"), p)
+    // the single Exchange serves the final deterministic orderBy
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Exchange")) <= 1, p)
+  }
+
   test("s10: SQ8 corpus rows carry byte codes, not double arrays, " +
     "into the scoring join") {
     val p = plan("s10_knn_sq8")

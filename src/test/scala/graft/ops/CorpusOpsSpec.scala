@@ -304,4 +304,77 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bySrc == Map("A" -> 10, "B" -> 5, "C" -> 2))
     assert(got.toSet == draw().toSet) // seedless md5 keys: retry-stable
   }
+
+  test("textChunks: stride-placed windows cover every token, truncated " +
+    "tail, md5 of the exact token slice, empty docs dropped") {
+    val df = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only"),                                      // 1 token
+      (3L, ""),                                          // dropped
+      (4L, "a  b")                                       // double space
+    ).toDF("doc_id", "text")
+    val got = Corpus.textChunks(df, "doc_id", "text", window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    def h(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      f"${new java.math.BigInteger(1, d)}%032x"
+    }
+    val toks = (0 until 10).map(i => s"t$i")
+    val expect = Set(
+      (1L, 0L, 4L, h(toks.slice(0, 4).mkString(" "))),
+      (1L, 1L, 4L, h(toks.slice(3, 7).mkString(" "))),
+      (1L, 2L, 4L, h(toks.slice(6, 10).mkString(" "))),
+      (1L, 3L, 1L, h("t9")),
+      (2L, 0L, 1L, h("only")),
+      (4L, 0L, 2L, h("a b")))
+    assert(got == expect)
+  }
+
+  test("repeatCapMix: capped source gets exactly R epochs, uncapped gets " +
+    "k full + a token-exact md5-order partial epoch, zero weight drops") {
+    // a: T=30 (docs of 7/10/13 tokens), b: T=20, c: zero weight.
+    // budget 100, w = {a:1, b:1, c:0} -> share 50 each live source.
+    // b: alloc min(50, 2*20)=40 -> exactly 2 full epochs, no partial.
+    // a: alloc min(50, 60)=50 -> 1 full epoch + 20-token partial prefix.
+    val docs = Seq((1L, "a", 7), (2L, "a", 10), (3L, "a", 13),
+      (4L, "b", 10), (5L, "b", 10), (6L, "c", 5))
+    val df = docs
+      .map { case (id, s, n) => (id, s, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "source", "text").repartition(5)
+    val out = Corpus.repeatCapMix(df, "doc_id", "source", "text",
+        tokenBudget = 100L, maxRepeats = 2,
+        weights = Map("a" -> 1, "b" -> 1, "c" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(!out.exists(_._2 == "c"), "zero-weight source must be absent")
+    assert(out.filter(_._2 == "b") ==
+      Set((4L, "b", 0L), (4L, "b", 1L), (5L, "b", 0L), (5L, "b", 1L)))
+    // independent greedy reference for a's partial epoch: docs in
+    // (md5(id), id) order while the exclusive token prefix < rem = 20
+    def md5hex(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      f"${new java.math.BigInteger(1, d)}%032x"
+    }
+    val aDocs = docs.filter(_._2 == "a").sortBy(d => (md5hex(d._1), d._1))
+    val partial = aDocs.scanLeft(0L)((acc, d) => acc + d._3).zip(aDocs)
+      .collect { case (pre, d) if pre < 20L => d._1 }
+    val expectA = aDocs.map(d => (d._1, "a", 0L)).toSet ++
+      partial.map(id => (id, "a", 1L)).toSet
+    assert(out.filter(_._2 == "a") == expectA)
+  }
+
+  test("repeatCapMix: a budget beyond every cap yields exactly R epochs " +
+    "of everything (token-count invariant)") {
+    val df = (0L until 40L).map(i => (i, s"s${i % 3}", "x y z"))
+      .toDF("doc_id", "source", "text").repartition(7)
+    val out = Corpus.repeatCapMix(df, "doc_id", "source", "text",
+      tokenBudget = 1000000L, maxRepeats = 3, weights = Map.empty)
+    assert(out.count() == 40L * 3)
+    assert(out.groupBy("doc_id").count().select(max("count"))
+      .head().getLong(0) == 3L)
+  }
 }
