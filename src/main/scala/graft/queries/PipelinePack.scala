@@ -791,7 +791,24 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (MultimodalSpec gates semantics)
 
+  private val m05 = Q(
+    "m05_visual_dedup",
+    (s, dir) => {
+      implicit val spark = s
+      val docs = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // the m04 replay corpus, composed end-to-end: phash pairs -> CC
+      // clusters -> keep-min admit/drop per image (the text ladder's
+      // d08 contract on the visual side)
+      val replay = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 999999L).as("doc_id"), col("text"))
+      Multimodal.dedupImages(
+          Multimodal.mediaFromDocuments(docs.unionByName(replay)))
+        .orderBy("doc_id")
+    },
+    None) // stubbed decode -> rows-only (OpsSpec gates the composition)
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, m01, m02, m03, m04)
+    e12, e13, e14, e15, e16, m01, m02, m03, m04, m05)
 }

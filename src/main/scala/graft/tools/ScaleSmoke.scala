@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scaling smoke of the FULL dedup tier (d01–d22) plus the
+/** 10× scaling smoke of the FULL dedup tier (d01–d23) plus the
   * composed p-tier (p12/p13/p14), the LM-scoring rungs (t16/p18),
-  * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10 SQ8),
+  * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10/s11
+  * SQ8, p22 repeat-cap mix, t22 chunking),
   * and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -140,7 +141,11 @@ object ScaleSmoke {
     // s10's probe set is pinned (8) so the SQ8 scan + min/max training
     // pass are both linear in corpus rows
     val r8cRows = Seq("t19_c4_rules", "t20_bigram_surprisal",
-      "s10_knn_sq8", "s11_knn_ivf_sq8")
+      "s10_knn_sq8", "s11_knn_ivf_sq8",
+      // p22 is the p13/p14 prefix-sum shape (range partition + local
+      // fold + broadcast offsets) plus an explode bounded by R+1;
+      // t22 is a pure scan-stage bounded explode (no shuffle at all)
+      "p22_repeat_cap_mix", "t22_text_chunks")
       .map(n => measure(n, 15.0, queryFn(n)))
 
     // EpochBuild (order → shard → pack as one composed pass): linear —

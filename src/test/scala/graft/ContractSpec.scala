@@ -51,7 +51,7 @@ class ContractSpec extends AnyFunSuite {
       "s06_knn_ivfpq", "s09_hard_negatives_ivf", "s10_knn_sq8",
       "s11_knn_ivf_sq8",
       "t04_fingerprint", "m01_multimodal_meta", "m02_frame_sample",
-      "m03_audio_chunks", "m04_phash_pairs",
+      "m03_audio_chunks", "m04_phash_pairs", "m05_visual_dedup",
       "p03_pack_greedy",
       // DuckDB cannot BPE-encode; BpeFidelitySpec gates strict equality
       // against an independent reference trainer + encoder

@@ -177,4 +177,37 @@ class CorpusStreamSpec extends SparkSpec {
       assert(got.view.mapValues(v => (v._2, v._3)).toMap == batch)
     } finally q.stop()
   }
+
+  test("textChunks runs unchanged on a stream (stateless scan-stage op) " +
+    "and equals the batch chunker across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, (0 until 7).map(i => s"x$i").mkString(" ")))
+    val src = MemoryStream[(Long, String)]
+    // no new streaming API: the batch combinator IS the streaming form —
+    // pure projection + bounded explode, no state, no watermark needed
+    val q = graft.ops.Corpus.textChunks(
+        src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        window = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(in.take(2): _*)
+      q.processAllAvailable()
+      src.addData(in.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val batch = graft.ops.Corpus.textChunks(
+          in.toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(batch.nonEmpty && got == batch)
+    } finally q.stop()
+  }
 }
