@@ -926,6 +926,11 @@ object Corpus {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
       "weights must be non-negative")
     def wOf(s: String): Long = weights.getOrElse(s, defaultWeight).toLong
+    // budget · w is computed in Long before the div — reject inputs
+    // where that product could wrap instead of silently mis-allocating
+    val wMax = (weights.values ++ Seq(defaultWeight)).max.toLong
+    require(wMax == 0 || tokenBudget <= Long.MaxValue / math.max(wMax, 1L),
+      s"tokenBudget * max weight overflows Long: $tokenBudget * $wMax")
     val spark = df.sparkSession
     val tok = df.select(col(idCol), col(srcCol),
       TextOps.tokenCount(col(textCol)).as("__tok"),
