@@ -308,9 +308,11 @@ object VectorOps {
   }
 
   /** Shared trainer behind [[knnIvfPq]] and [[trainIvfPqModel]]; `c` is
-    * the internal (corpus_id, cq) projection.
+    * the internal (corpus_id, cq) projection (index MAINTENANCE retrains
+    * from the standing coded table's already-quantized vectors —
+    * tools.AnnMaintain.foldPq).
     */
-  private def trainIvfPqFrom(
+  private[graft] def trainIvfPqFrom(
       c: DataFrame, nCentroids: Int, m: Int, codebookSize: Int,
       residual: Boolean): IvfPqModel = {
     val sampleRows = sampleVecs(c, trainSampleSize(nCentroids, codebookSize))
@@ -894,6 +896,73 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Materialized IVFPQ encode — the standing CODED LISTS table
+    * (corpus_id, cq, cn2, list, resid, code0..code{m-1}) an
+    * incrementally-maintained IVFPQ index persists: at 100 TB each
+    * corpus vector is assigned and PQ-coded ONCE when admitted, not once
+    * per query ([[knnIvfPqPreEncoded]] reads this table directly;
+    * tools.AnnMaintain.foldPq appends to it). `resid` is the same
+    * scale-free coverage residual [[assignLists]] emits — the drift
+    * baseline maintenance compares incoming batches against.
+    */
+  def encodeIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel,
+      corpusFilter: Column = lit(true),
+      labelCol: Option[String] = None): DataFrame =
+    encodeQuantizedIvfPq(
+      spread(corpus).filter(corpusFilter)
+        .select(col(idCol).as("corpus_id") +:
+          labelCol.map(l => col(l).as("c_label")).toSeq :+
+          quantize(col(vecCol)).as("cq"): _*),
+      model)
+
+  /** [[encodeIvfPq]] over the internal (corpus_id, cq) projection. */
+  private[graft] def encodeQuantizedIvfPq(
+      c: DataFrame, model: IvfPqModel): DataFrame = {
+    val rawCents = model.rawCentroids
+    val sub = rawCents.head.length / model.m
+    val ivfMat: Array[Array[Double]] = normalized(rawCents)
+    val assigned = c
+      .withColumn("cn2", norm2(col("cq")))
+      .withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
+      .withColumn("resid", lit(1.0) -
+        graft.functions.VectorExpressions.centroidDot(
+          col("cq"), col("list"), ivfMat) / sqrt(col("cn2")))
+    // encode target: the raw vector, or its residual vs the list centroid
+    val encBase =
+      if (model.residual) assigned.withColumn("rq",
+        graft.functions.VectorExpressions.centroidResidual(
+          col("cq"), col("list"), rawCents))
+      else assigned.withColumn("rq", col("cq"))
+    (0 until model.m).foldLeft(encBase) { (df, j) =>
+      df.withColumn(s"code$j",
+        graft.functions.VectorExpressions.nearestCentroid(
+          slice(col("rq"), j * sub + 1, sub), model.codebooks(j)))
+    }.drop("rq")
+  }
+
+  /** [[knnIvfPq]] over a PRE-ENCODED corpus ([[encodeIvfPq]] output):
+    * the production query path for a standing IVFPQ index — no training,
+    * no corpus-side assignment, and no PQ re-encode per query; per-query
+    * work is probe-side only (nProbe fused argmins, the LUT build, and
+    * the list equi-join over the probed lists). Row-identical to
+    * [[knnIvfPq]] under the same model (spec-asserted).
+    */
+  def knnIvfPqPreEncoded(
+      probes: DataFrame,
+      encoded: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfPqModel,
+      k: Int,
+      nProbe: Int = 8,
+      refine: Int = 128,
+      broadcastProbes: Boolean = true): DataFrame =
+    ivfPqProbe(encoded, probes, idCol, vecCol, model, k, nProbe, refine,
+      broadcastProbes, None)
+
   /** IVF + PQ composed (the FAISS-style IVFPQ shape): [[knnIvf]]'s
     * inverted lists make the candidate set sub-linear (only `nProbe`
     * lists per probe are touched) and [[knnPq]]'s codes make scanning
@@ -958,28 +1027,41 @@ object VectorOps {
       val dim = mm.rawCentroids.head.length
       require(dim % m == 0, s"model dim $dim not divisible by m=$m")
     }
-    val IvfPqModel(rawCents, codebooks, _) = model.getOrElse(
+    val mdl = model.getOrElse(
       trainIvfPqFrom(c, nCentroids, m, codebookSize, residual))
+    // encode stage = the standing-table builder, so inline and
+    // pre-encoded queries score IDENTICAL coded rows (spec-asserted)
+    val encoded = encodeQuantizedIvfPq(
+      cSrc.filter(corpusFilter)
+        .select(col(idCol).as("corpus_id") +:
+          excludeLabelCol.map(l => col(l).as("c_label")).toSeq :+
+          quantize(col(vecCol)).as("cq"): _*),
+      mdl)
+    ivfPqProbe(encoded, probes, idCol, vecCol, mdl, k, nProbe, refine,
+      broadcastProbes, excludeLabelCol)
+  }
+
+  /** Shared probe side of [[knnIvfPq]] / [[knnIvfPqPreEncoded]]: LUT
+    * build, probed-list join over the coded rows, ADC candidate
+    * selection, exact re-rank.
+    */
+  private def ivfPqProbe(
+      encoded: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mdl: IvfPqModel,
+      k: Int,
+      nProbe: Int,
+      refine: Int,
+      broadcastProbes: Boolean,
+      excludeLabelCol: Option[String]): DataFrame = {
+    val rawCents = mdl.rawCentroids
+    val codebooks = mdl.codebooks
+    val m = mdl.m
     val sub = rawCents.head.length / m
     val ivfMat: Array[Array[Double]] = normalized(rawCents)
-    val assigned = cSrc.filter(corpusFilter)
-      .select(col(idCol).as("corpus_id") +:
-        excludeLabelCol.map(l => col(l).as("c_label")).toSeq :+
-        quantize(col(vecCol)).as("cq"): _*)
-      .withColumn("cn2", norm2(col("cq")))
-      .withColumn("list",
-        graft.functions.VectorExpressions.nearestCentroid(col("cq"), ivfMat))
-    // encode target: the raw vector, or its residual vs the list centroid
-    val encBase =
-      if (residual) assigned.withColumn("rq",
-        graft.functions.VectorExpressions.centroidResidual(
-          col("cq"), col("list"), rawCents))
-      else assigned.withColumn("rq", col("cq"))
-    val encoded = (0 until m).foldLeft(encBase) { (df, j) =>
-      df.withColumn(s"code$j",
-        graft.functions.VectorExpressions.nearestCentroid(
-          slice(col("rq"), j * sub + 1, sub), codebooks(j)))
-    }.drop("rq")
+    val residual = mdl.residual
     val p = spread(probes)
       .select(col(idCol).as("probe_id") +:
         excludeLabelCol.map(l => col(l).as("p_label")).toSeq :+
@@ -1032,7 +1114,8 @@ object VectorOps {
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= refine)
     }).select("probe_id", "corpus_id")
-    rerank(candidates, c, p, k, broadcastProbes)
+    rerank(candidates, encoded.select("corpus_id", "cq", "cn2"), p, k,
+      broadcastProbes)
   }
 
   /** IVF + SQ8 composed — the FAISS `IVF,SQ8` shape, the most common

@@ -204,4 +204,86 @@ object AnnMaintain {
       AnnFold(AnnState(model2, assigned2, mr2, n2), ratio, retrained = true)
     }
   }
+
+  // ---- IVFPQ standing index (the coded-lists corpus, r8d) ------------
+  // The flagship production index under maintenance: centroids AND
+  // codebooks are train-once, each fold assigns + PQ-encodes only the
+  // batch with the STANDING model (stored codes stay valid because the
+  // codebooks never move between retrains — the SQ8 range argument, one
+  // level up). Drift statistic: the same scale-free coverage residual
+  // as the IVF fold (encodeIvfPq emits `resid` per row); PQ code error
+  // is bounded by list coverage, so when the lists still cover the data
+  // the shared codebooks do too.
+
+  /** The standing IVFPQ index: model + coded lists + drift baseline. */
+  final case class PqState(
+      model: VectorOps.IvfPqModel,
+      encoded: DataFrame,
+      meanResid: Double,
+      nVectors: Long) {
+    def save(spark: SparkSession, path: String): Unit = {
+      model.save(spark, s"$path/model")
+      encoded.write.mode("overwrite").parquet(s"$path/encoded")
+      import spark.implicits._
+      Seq((meanResid, nVectors)).toDF("mean_resid", "n_vectors")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    }
+  }
+
+  object PqState {
+    def load(spark: SparkSession, path: String): PqState = {
+      val stats = spark.read.parquet(s"$path/stats").collect().head
+      PqState(
+        VectorOps.IvfPqModel.load(spark, s"$path/model"),
+        spark.read.parquet(s"$path/encoded"),
+        stats.getDouble(0), stats.getLong(1))
+    }
+  }
+
+  final case class PqFold(
+      state: PqState,
+      driftRatio: Double,
+      retrained: Boolean)
+
+  /** Train-and-encode over the initial corpus — the IVFPQ build job. */
+  def buildPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 32, m: Int = 8, codebookSize: Int = 32,
+      residual: Boolean = true): PqState = {
+    val model = VectorOps.trainIvfPqModel(
+      corpus, idCol, vecCol, nCentroids, m, codebookSize, residual)
+    val encoded = VectorOps.encodeIvfPq(corpus, idCol, vecCol, model)
+    val (mr, n) = residStats(encoded)
+    PqState(model, encoded, mr, n)
+  }
+
+  /** Fold a batch of newly admitted vectors into the standing IVFPQ
+    * index: encode-only below the drift threshold; above it, retrain
+    * centroids AND codebooks over the union and re-encode every row
+    * (codes are model-relative — the SQ8 re-encode asymmetry).
+    */
+  def foldPq(
+      state: PqState, batch: DataFrame, idCol: String, vecCol: String,
+      retrainRatio: Double = 2.0, nCentroids: Int = 32,
+      codebookSize: Int = 32): PqFold = {
+    require(retrainRatio > 1.0, s"retrainRatio must exceed 1: $retrainRatio")
+    val batchEnc = VectorOps.encodeIvfPq(batch, idCol, vecCol, state.model)
+    val (batchResid, batchN) = residStats(batchEnc)
+    val ratio = batchResid / math.max(state.meanResid, 1e-12)
+    if (ratio <= retrainRatio) {
+      PqFold(
+        state.copy(encoded = state.encoded.unionByName(batchEnc),
+          nVectors = state.nVectors + batchN),
+        ratio, retrained = false)
+    } else {
+      val union = state.encoded.select("corpus_id", "cq")
+        .unionByName(batchEnc.select("corpus_id", "cq"))
+      val model2 = VectorOps.trainIvfPqFrom(
+        union, nCentroids, state.model.m, codebookSize,
+        state.model.residual)
+      val encoded2 = VectorOps.encodeQuantizedIvfPq(union, model2)
+      val (mr2, n2) = residStats(encoded2)
+      PqFold(PqState(model2, encoded2, mr2, n2), ratio, retrained = true)
+    }
+  }
 }

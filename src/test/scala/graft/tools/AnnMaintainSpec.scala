@@ -149,6 +149,80 @@ class AnnMaintainSpec extends SparkSpec {
       f"retrain did not re-cover the shifted region: $newResid%.4f")
   }
 
+  test("knnIvfPqPreEncoded: row-identical to knnIvfPq under the same " +
+    "model; pq fold appends encode-only in-distribution, recall gated") {
+    val standing = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val s0 = AnnMaintain.buildPq(standing, "vec_id", "embedding", 32)
+    assert(s0.meanResid > 0.0 && s0.nVectors == standing.count())
+    // pre-encoded query path = inline knnIvfPq under the same model
+    val probes = emb.filter(col("vec_id") < 8)
+    val inline = rows(VectorOps.knnIvfPq(probes, standing, "vec_id",
+      "embedding", k = 10, nCentroids = 32, model = Some(s0.model)))
+    val pre = rows(VectorOps.knnIvfPqPreEncoded(probes, s0.encoded,
+      "vec_id", "embedding", s0.model, k = 10))
+    assert(pre == inline && pre.nonEmpty)
+    // in-distribution fold: encode-only append, codes stay model-valid
+    val f = AnnMaintain.foldPq(s0, batch, "vec_id", "embedding")
+    info(f"pq append-fold drift ratio = ${f.driftRatio}%.3f")
+    assert(!f.retrained, s"in-distribution batch retrained: ${f.driftRatio}")
+    assert(f.state.nVectors == emb.count())
+    assert(f.state.encoded.count() == emb.count())
+    // folded standing index recall vs brute, gated against full retrain
+    val brute = topkSet(VectorOps.knnBrute(probes, emb,
+      "vec_id", "embedding", k = 10))
+    val folded = topkSet(VectorOps.knnIvfPqPreEncoded(probes,
+      f.state.encoded, "vec_id", "embedding", f.state.model, k = 10))
+    val full = AnnMaintain.buildPq(emb, "vec_id", "embedding", 32)
+    val retrained = topkSet(VectorOps.knnIvfPqPreEncoded(probes,
+      full.encoded, "vec_id", "embedding", full.model, k = 10))
+    val rFold = (brute & folded).size.toDouble / brute.size
+    val rFull = (brute & retrained).size.toDouble / brute.size
+    info(f"pq folded recall = $rFold%.3f, full-retrain recall = $rFull%.3f")
+    assert(rFold >= rFull - 0.10,
+      f"pq fold lost too much vs retrain: $rFold%.3f vs $rFull%.3f")
+    assert(rFold >= 0.60, f"pq folded recall floor: $rFold%.3f")
+  }
+
+  test("pq drift fold: an out-of-distribution blob retrains centroids " +
+    "AND codebooks and re-covers the new region") {
+    import spark.implicits._
+    val dim = 16
+    def jit(i: Int, j: Int): Float =
+      (((i * 31 + j * 17) % 13) - 6) * 0.01f
+    def blob(center: Int => Float, ids: Range): Seq[(Long, Seq[Float])] =
+      ids.map(i => (i.toLong, Seq.tabulate(dim)(j => center(j) + jit(i, j))))
+    val standing = (blob(j => if (j == 0) 1f else 0f, 0 until 100) ++
+      blob(j => if (j == 1) 1f else 0f, 100 until 200) ++
+      blob(j => if (j == 2) 1f else 0f, 200 until 300))
+      .toDF("vec_id", "embedding")
+    val s0 = AnnMaintain.buildPq(standing, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val shifted = blob(j => if (j == 7) 1f else 0f, 2000 until 2100)
+      .toDF("vec_id", "embedding")
+    val f = AnnMaintain.foldPq(s0, shifted, "vec_id", "embedding",
+      nCentroids = 8, codebookSize = 16)
+    info(f"pq drift-fold ratio = ${f.driftRatio}%.3f")
+    assert(f.retrained, s"shifted blob did not trigger retrain: ${f.driftRatio}")
+    assert(f.state.encoded.count() == 400)
+    assert(f.state.model.m == s0.model.m) // geometry survives retrain
+    // the retrained model covers the new blob: its rows' residuals
+    // collapse vs under the old model
+    val oldResid = VectorOps.encodeIvfPq(shifted, "vec_id", "embedding",
+      s0.model).agg(avg("resid")).head().getDouble(0)
+    val newResid = VectorOps.encodeIvfPq(shifted, "vec_id", "embedding",
+      f.state.model).agg(avg("resid")).head().getDouble(0)
+    info(f"pq shifted-batch resid: old=$oldResid%.4f new=$newResid%.4f")
+    assert(newResid < oldResid / 2,
+      f"pq retrain did not re-cover the shifted region: $newResid%.4f")
+    // a same-blob re-fold under the retrained model appends quietly
+    val again = blob(j => if (j == 7) 1f else 0f, 3000 until 3020)
+      .toDF("vec_id", "embedding")
+    val f2 = AnnMaintain.foldPq(f.state, again, "vec_id", "embedding",
+      nCentroids = 8, codebookSize = 16)
+    assert(!f2.retrained)
+  }
+
   test("state parquet roundtrip: model, lists, and baseline survive") {
     val s0 = AnnMaintain.build(emb.filter(col("vec_id") < 200),
       "vec_id", "embedding", 16)
