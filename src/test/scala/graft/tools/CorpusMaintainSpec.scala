@@ -63,6 +63,40 @@ class CorpusMaintainSpec extends SparkSpec {
     assert(f2.diff.filter("status != 'unchanged'").isEmpty)
   }
 
+  test("corpus fold + ANN fold compose: feeding the ADMITTED rows to the " +
+    "index fold keeps corpus and standing index consistent by construction") {
+    // deterministic per-doc embedding (hash-derived): the vector a real
+    // pipeline would compute for each admitted doc
+    def vec(id: Long): Seq[Float] =
+      Seq.tabulate(16)(j => (((id * 31 + j * 17) % 13) - 6) * 0.1f)
+    def vecsOf(df: DataFrame): DataFrame = {
+      val ids = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+      ids.map(id => (id, vec(id))).toDF("doc_id", "embedding")
+    }
+    val f = fold()
+    val idx0 = AnnMaintain.build(vecsOf(corpus0), "doc_id", "embedding",
+      nCentroids = 2)
+    // the documented contract (AnnMaintain scaladoc): fold ONLY the
+    // admitted rows — rejected dups never enter the index, so the two
+    // states agree without any reconciliation pass
+    val idxF = AnnMaintain.fold(idx0, vecsOf(f.admitted),
+      "doc_id", "embedding", nCentroids = 2)
+    assert(idxF.state.nVectors == f.corpus.count())
+    val indexIds = idxF.state.assigned.select("corpus_id")
+      .collect().map(_.getLong(0)).toSet
+    val corpusIds = f.corpus.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexIds == corpusIds)
+    // and the composed loop is idempotent end-to-end: re-folding the
+    // same batch admits nothing, so the index fold receives zero rows
+    val f2 = CorpusMaintain.foldBatch(f.corpus, f.labels, batch,
+      "text", "doc_id", expectedItems = 100L)
+    assert(f2.admitted.isEmpty)
+    val idx2 = AnnMaintain.fold(idxF.state, vecsOf(f2.admitted),
+      "doc_id", "embedding", nCentroids = 2)
+    assert(idx2.state.nVectors == idxF.state.nVectors && !idx2.retrained)
+  }
+
   test("token-count fold equals a full recount; surprisal scores with the " +
     "folded table equal a from-scratch reference build") {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
