@@ -561,4 +561,49 @@ object Events {
         percentile(col("gap_us"), lit(0.5)).as("p50_us"),
         percentile(col("gap_us"), lit(0.9)).as("p90_us"))
   }
+
+  /** Daily gap-fill + forward fill: regularize each user's event stream
+    * onto a dense daily grid from their first to their last active day —
+    * the resample step every per-user time-series feature (activity
+    * curves, churn features, training-example calendars) needs before a
+    * fixed-length model can read it. Emits, per (user, day):
+    * `n_events` (0 on silent days), `last_type` (the most recent event
+    * type at or before that day — forward-filled), and `days_since`
+    * (days since the user's last active day; 0 on active days).
+    *
+    * Scale shape: the grid explode is `sequence(min_day, max_day)` per
+    * user — fan-out bounded by the corpus's calendar span (a constant:
+    * ~365/year) and never by event count, so output rows are
+    * O(users × span_days) however hot any user is. One shuffle on
+    * user_id serves the per-day rollup, the span agg, and the
+    * forward-fill window alike; the window is a running `last(_,
+    * ignoreNulls)` over ≤ span_days rows per user. The per-day "last
+    * event of the day" argmax is `max(struct(us, event_id, type))` —
+    * a hash-agg with map-side partials, never a per-day sort
+    * (the d18 keep-best idiom).
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    // distinct alias (u2/day) on the rollup side: grid and daily share the
+    // ev lineage, so joining on same-name columns would self-join-resolve
+    val daily = ev.groupBy(col("user_id").as("u2"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("day_last"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("d"))
+    val ff = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, col("user_id") === col("u2") &&
+        col("d") === col("day"), "left")
+      .select(col("user_id"), col("d"), col("n_events"), col("day_last"))
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_last"), ignoreNulls = true).over(ff).as("last_type"),
+        (col("d") - last(when(col("n_events").isNotNull, col("d")),
+          ignoreNulls = true).over(ff)).as("days_since"))
+  }
 }

@@ -737,6 +737,39 @@ object PipelinePack {
               n_events >= 67 AND span_s < (n_events - 1) * 31000 AS bot
             FROM g ORDER BY user_id"""))
 
+  private val e17 = Q(
+    "e17_gap_fill",
+    // time-series regularization: each user's stream resampled onto a
+    // dense daily grid (first..last active day) with zero-filled counts
+    // and a forward-filled last-event-type — the resample step before
+    // any fixed-length per-user feature extraction
+    (s, dir) => Events.gapFillDaily(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "d"),
+    Some("""WITH ev AS (SELECT user_id,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                epoch_us(ts) AS us, event_id, event_type,
+                row_number() OVER (PARTITION BY user_id,
+                    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events),
+            daily AS (SELECT user_id, day, COUNT(*) AS n_events,
+                MAX(CASE WHEN rn = 1 THEN event_type END) AS day_last
+              FROM ev GROUP BY 1, 2),
+            span AS (SELECT user_id,
+                unnest(generate_series(MIN(day), MAX(day))) AS d
+              FROM ev GROUP BY user_id),
+            grid AS (SELECT s.user_id, s.d, daily.n_events, daily.day_last
+              FROM span s LEFT JOIN daily
+                ON s.user_id = daily.user_id AND s.d = daily.day)
+            SELECT user_id, d, COALESCE(n_events, 0) AS n_events,
+              last_value(day_last IGNORE NULLS) OVER w AS last_type,
+              d - last_value(CASE WHEN n_events IS NOT NULL THEN d END
+                    IGNORE NULLS) OVER w AS days_since
+            FROM grid
+            WINDOW w AS (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, d"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -810,5 +843,5 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, m01, m02, m03, m04, m05)
+    e12, e13, e14, e15, e16, e17, m01, m02, m03, m04, m05)
 }

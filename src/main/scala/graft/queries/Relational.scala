@@ -844,7 +844,48 @@ object Relational {
             ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
             LIMIT 20"""))
 
+  // Recursive CTE — Spark 4's native WITH RECURSIVE (UnionLoop): walk
+  // each customer's ancestor chain in the implicit binary hierarchy
+  // (parent(k) = k div 2) and roll account balances up to the top three
+  // levels — the iterative-closure capability class (org hierarchies,
+  // BOM rollups, graph reachability) that fixed-depth self-joins can't
+  // express. Execution is driver-COORDINATED but data-DISTRIBUTED: each
+  // iteration is one narrow project+filter over the previous step's
+  // rows (no shuffle inside the loop), depth is log2(max key) — ~24
+  // iterations even at 15M customers — and the aggregate below the
+  // loop is an ordinary hash-agg with map-side partials. Balances
+  // accumulate as exact decimals (the dsum convention), counts and
+  // node ids are pure integers, so DuckDB's WITH RECURSIVE matches
+  // bit-for-bit.
+  private val q39 = Q(
+    "q39_recursive_cte",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""WITH RECURSIVE chain AS (
+                 SELECT c_custkey AS node, c_custkey AS anc,
+                        c_acctbal AS bal
+                 FROM customer
+                 UNION ALL
+                 SELECT node, anc div 2, bal FROM chain WHERE anc > 1
+               )
+               SELECT anc, COUNT(*) AS n_desc,
+                 CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+               FROM chain WHERE anc <= 7
+               GROUP BY anc ORDER BY anc""")
+    },
+    Some("""WITH RECURSIVE chain AS (
+              SELECT c_custkey AS node, c_custkey AS anc,
+                     c_acctbal AS bal
+              FROM customer
+              UNION ALL
+              SELECT node, anc // 2, bal FROM chain WHERE anc > 1
+            )
+            SELECT anc, COUNT(*) AS n_desc,
+              CAST(SUM(CAST(bal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+            FROM chain WHERE anc <= 7
+            GROUP BY anc ORDER BY anc"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39)
 }

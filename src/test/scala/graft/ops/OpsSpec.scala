@@ -647,6 +647,25 @@ class EventsSpec extends SparkSpec {
       (8, 1L, 1L)))   // day 8: user 2; window {2..8}: user 1's days
                       // 0/1 and user 2's day 0 all fell out
   }
+
+  test("gapFillDaily: dense grid, zero-filled counts, forward-filled type") {
+    // user 1: day 0 (click@10 then view@20), silent days 1-2, day 3 (buy);
+    // user 2: single day -> single grid row, days_since 0
+    val ev2 = Seq(
+      (0L, ts(10), 1L, "click", 1.0), (1L, ts(20), 1L, "view", 1.0),
+      (2L, ts(3 * 86400 + 5), 1L, "buy", 1.0),
+      (3L, ts(9 * 86400), 2L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.gapFillDaily(ev2).orderBy("user_id", "d").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        x.getString(3), x.getInt(4)))
+    assert(r.toSeq == Seq(
+      (1L, 0, 2L, "view", 0),  // last of day 0 is view@20
+      (1L, 1, 0L, "view", 1),  // silent: count 0, type carried, 1 day since
+      (1L, 2, 0L, "view", 2),
+      (1L, 3, 1L, "buy", 0),
+      (2L, 9, 1L, "c", 0)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
