@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native rolling polynomial hash over a string's bytes, modulo 1e9+7:
@@ -545,6 +545,115 @@ object DeflateLenExpr {
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](bytes.length, n))
     } finally d.end()
+  }
+}
+
+/** Shared hashed-bag-of-words bucketing for the linear quality model:
+  * trainer (driver) and scorer (executor expression) MUST agree on the
+  * token→bucket map, so both call this one function. xxhash64 over the
+  * raw UTF-8 bytes (the MinHashSig convention), masked non-negative,
+  * modulo the feature dimension.
+  */
+object HashedBow {
+  val Seed = 42L
+
+  /** Reserved structural-feature slots appended after the `dim` hashed
+    * token buckets: slot `dim + lenBucket(n_tok)` fires with coefficient
+    * 1 (not mean-normalized), letting the model learn length rules the
+    * mean-bag erases — quality labels are often length-driven (Gopher's
+    * word-count gate), and a pure BoW classifier is blind to them.
+    */
+  val LenBuckets = 16
+
+  def bucket(t: UTF8String, dim: Int): Int =
+    ((XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+      t.numBytes, Seed) & Long.MaxValue) % dim).toInt
+
+  def bucketOf(token: String, dim: Int): Int =
+    bucket(UTF8String.fromString(token), dim)
+
+  /** floor(log2(nTok + 1)) capped to the reserved range. */
+  def lenBucket(nTok: Int): Int =
+    math.min(63 - java.lang.Long.numberOfLeadingZeros(nTok + 1L),
+      LenBuckets - 1).toInt
+}
+
+/** Fused linear-model scoring over hashed set-of-words features: one
+  * pass over the raw text computing `bias + Σ_distinct w[bucket(tok)] +
+  * w[dim + lenBucket(n_tok)]` (binary-BoW logit — each distinct token
+  * bucket fires once — plus the reserved log-length structural slot)
+  * against a broadcast weight vector — the scan-stage hot path of the
+  * trained quality classifier ([[graft.ops.QualityModel]]). Binary
+  * presence (not frequency) on purpose: quality signals are typically
+  * presence-shaped (a required stopword, a boilerplate marker), and
+  * mean-bag normalization would dilute a single marker token by 1/n.
+  * Tokens are maximal runs between 0x20 bytes, identical to
+  * [[TokenStatsExpr]] / [[TokenBitsExpr]]; an empty document scores
+  * bias + the n=0 length slot. The weight array ((dim + 16) × 8 bytes,
+  * default 4096 → 32 KB) ships per executor exactly like the IVF
+  * codebooks; distinct buckets accumulate in first-occurrence order
+  * (dedup via a dim-bit scratch bitset, 512 B — no per-row hash set),
+  * so the score is deterministic and reproducible by a sequential
+  * reference scorer (spec-asserted strictly equal).
+  */
+case class HashedLogitExpr(
+    child: Expression, weights: Array[Double], bias: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(weights.length > HashedBow.LenBuckets,
+    "weight vector must hold dim hashed buckets + the reserved length slots")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_hashed_logit"
+
+  @transient private lazy val scorer = new HashedLogitScorer(weights, bias)
+
+  override protected def nullSafeEval(input: Any): Any =
+    scorer.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedLogit",
+      new HashedLogitScorer(weights, bias), classOf[HashedLogitScorer].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.score($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedLogitExpr =
+    copy(child = newChild)
+}
+
+/** Executor-side scorer behind [[HashedLogitExpr]]: tight loop over the
+  * UTF-8 bytes, no java String materialization on the hot path.
+  */
+final class HashedLogitScorer(weights: Array[Double], bias: Double)
+    extends Serializable {
+
+  private val dim = weights.length - HashedBow.LenBuckets
+  // per-task scratch bitset for distinct-bucket dedup; codegen reference
+  // objects are per-generated-instance (one per task), so no sharing
+  @transient private lazy val seen = new Array[Long]((dim + 63) / 64)
+
+  def score(text: UTF8String): Double = {
+    java.util.Arrays.fill(seen, 0L)
+    val bytes = text.getBytes
+    var sum = 0.0
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        val b = HashedBow.bucket(
+          UTF8String.fromBytes(bytes, start, i - start), dim)
+        if ((seen(b >> 6) & (1L << (b & 63))) == 0L) {
+          seen(b >> 6) |= 1L << (b & 63)
+          sum += weights(b)
+        }
+        n += 1
+      } else i += 1
+    }
+    bias + sum + weights(dim + HashedBow.lenBucket(n))
   }
 }
 

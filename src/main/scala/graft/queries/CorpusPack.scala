@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Corpus, Dedup, Packing, TextOps}
+import graft.ops.{Clusters, Corpus, Dedup, Packing, QualityModel, TextOps}
 import Relational.Q
 
 /** SURVEY §2.2 corpus-analysis and dataset-prep operators as
@@ -1449,6 +1449,30 @@ object CorpusPack {
                         AS BIGINT)], ' ')) AS chunk_md5
             FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  private val t23 = Q(
+    "t23_model_quality",
+    // trained model-based quality filter (the fastText/CCNet rung): the
+    // classifier DISTILLS the t14 Gopher hard gates — train a hashed-BoW
+    // logistic model on the even-doc_id half's pass/fail labels, score
+    // the held-out odd half with the fused scan-stage expression. The
+    // trained-float logit has no DuckDB mirror (rows-only); QualitySpec
+    // gates planted-population accuracy, bit-reproducible training,
+    // save/load, and expression≡reference-scorer equality
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+        .withColumn("label",
+          TextOps.gopherPass(col("text"), 10, 100000, minStops = 1)
+            .cast("double"))
+      val model = QualityModel.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "label")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), model.logit(col("text")).as("logit"),
+          (model.logit(col("text")) > 0).as("pred"),
+          col("label").as("gate_label"))
+        .orderBy("doc_id")
+    },
+    None) // trained-float logits: rows-only, QualitySpec-gated
+
   private val p22 = Q(
     "p22_repeat_cap_mix",
     // data-constrained repeat-capped mixing (Muennighoff et al. 2023):
@@ -1852,7 +1876,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23)

@@ -58,7 +58,10 @@ class ContractSpec extends AnyFunSuite {
       "t17_bpe_token_count",
       // DuckDB has no deflate; TextOpsSpec pins the expression against
       // a direct java.util.zip reference
-      "t18_compression_ratio")
+      "t18_compression_ratio",
+      // trained-float logits (driver-fit logistic model); QualitySpec
+      // gates accuracy, reproducibility, and scorer parity
+      "t23_model_quality")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

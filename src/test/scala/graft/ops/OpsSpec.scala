@@ -818,3 +818,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 }
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+  import QualityModel.LinearQualityModel
+
+  // deterministic two-population corpus: fluent English-ish sentences
+  // (shared vocabulary pool) vs consonant mash — held-out rows reuse the
+  // same pools, so a model that learns the vocabulary generalizes
+  private val goodPool = Vector("the", "cat", "sat", "on", "mat", "and",
+    "dog", "ran", "to", "house", "with", "a", "small", "bird", "in", "tree")
+  private val badPool = Vector("zzqx", "vvkj", "qqrp", "xxzt", "wwfg",
+    "kkbn", "jjdm", "ppzv", "ttqs", "hhxw", "ggkc", "bbvn")
+  private def doc(pool: Vector[String], seed: Int, len: Int): String =
+    (0 until len).map(i => pool((seed * 31 + i * 7) % pool.size)).mkString(" ")
+  private def corpus(n: Int) =
+    ((0 until n).map(i => (i.toLong, doc(goodPool, i, 12 + i % 9), 1.0)) ++
+     (0 until n).map(i => (i.toLong + n, doc(badPool, i, 12 + i % 9), 0.0)))
+      .toDF("doc_id", "text", "label")
+
+  test("trained model separates planted populations on held-out docs") {
+    val train = corpus(60).filter($"doc_id" % 3 =!= 0)
+    val test = corpus(60).filter($"doc_id" % 3 === 0)
+    val m = QualityModel.train(train, "text", "label", dim = 1024,
+      iters = 100, lr = 2.0)
+    val scored = test.select($"label", m.logit($"text").as("logit")).collect()
+    val acc = scored.count(r =>
+      (r.getDouble(1) > 0) == (r.getDouble(0) > 0.5)).toDouble / scored.length
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+  }
+
+  test("training is bit-reproducible") {
+    val df = corpus(30)
+    val m1 = QualityModel.train(df, "text", "label", dim = 256, iters = 20)
+    val m2 = QualityModel.train(df, "text", "label", dim = 256, iters = 20)
+    assert(m1.bias == m2.bias && m1.weights.sameElements(m2.weights))
+  }
+
+  test("save/load round-trips the model exactly") {
+    val m = QualityModel.train(corpus(20), "text", "label", dim = 128,
+      iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("qmodel").toString
+    m.save(spark, dir)
+    val back = LinearQualityModel.load(spark, dir)
+    assert(back.bias == m.bias && back.weights.sameElements(m.weights))
+  }
+
+  test("fused expression strictly equals the sequential reference scorer") {
+    val m = QualityModel.train(corpus(20), "text", "label", dim = 512,
+      iters = 30)
+    val texts = Seq("", "a", "the cat", "zzqx  vvkj", " padded  runs ",
+      doc(goodPool, 7, 25), doc(badPool, 3, 25))
+    val viaExpr = texts.toDF("text").select(m.logit($"text")).collect()
+      .map(_.getDouble(0))
+    assert(viaExpr.toSeq == texts.map(m.scoreText))
+  }
+}
