@@ -615,6 +615,36 @@ object Corpus {
       Seq("bucket_rank", "shuffle_key", idCol), "train_pos")
       .select(col(idCol), col("bucket"), col("train_pos"))
 
+  /** Length-grouped batching (the padding-efficiency trick): order docs
+    * by DESCENDING token count, cut into fixed-size batches of
+    * `batchSize`, and report each batch's shape — n_docs, max/sum
+    * tokens, and `padding` = n_docs·max − sum, the tokens a fixed-shape
+    * tensor would waste on pad positions. Grouping similar lengths
+    * together is what makes the waste small; the report is the
+    * measurement a batch-size/seq-len tuning loop reads.
+    *
+    * Scale shape: the global descending rank comes from
+    * [[contiguousIdsBy]] (range partition + partition-local counters +
+    * broadcast offsets — never a one-task window); only (id, n_tok)
+    * pairs move, and the per-batch rollup is an ordinary partial-agg
+    * hash-agg over batch_id.
+    */
+  def lengthBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val t = df.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("__neg", -col("n_tok"))
+    contiguousIdsBy(t, Seq("__neg", idCol), "__pos")
+      .withColumn("batch_id", expr(s"__pos DIV $batchSize"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),
+        sum("n_tok").as("sum_tok"))
+      .withColumn("padding",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
+
   /** Exclusive prefix sum of `weightCol` in the lexicographic order of
     * `orderCols`: row i gets the sum of all earlier rows' weights.
     * [[contiguousIdsBy]] generalized from counts to weights, same scale

@@ -1473,6 +1473,61 @@ object CorpusPack {
     },
     None) // trained-float logits: rows-only, QualitySpec-gated
 
+  private val t24 = Q(
+    "t24_doc_keywords",
+    // per-document keyword extraction: top-3 tokens by frequency lift
+    // (tf/doc_len over cf/corpus_total — the integer-rational tf-idf of
+    // t10, regrouped from language to DOCUMENT; minDf=3 suppresses
+    // hapax noise). The lift is one double division of exact integer
+    // products, ties break on the token string — both engines order
+    // identically
+    (s, dir) => Corpus.distinctiveTokensPerGroup(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        k = 3, minDf = 3L)
+      .orderBy("doc_id", "rk"),
+    Some("""WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+              FROM (SELECT doc_id,
+                      unnest(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+              gt AS (SELECT doc_id, SUM(tf) AS gt FROM tf GROUP BY doc_id),
+              ctf AS (SELECT token, SUM(tf) AS tc FROM tf GROUP BY token),
+              tot AS (SELECT SUM(tc) AS total FROM ctf),
+              lift AS (SELECT tf.doc_id, tf.token, tf.tf,
+                  CAST(tf.tf * tot.total AS DOUBLE)
+                    / CAST(gt.gt * ctf.tc AS DOUBLE) AS lift
+                FROM tf JOIN ctf ON tf.token = ctf.token
+                        JOIN gt ON tf.doc_id = gt.doc_id
+                        CROSS JOIN tot
+                WHERE ctf.tc >= 3)
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, lift, rk
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY lift DESC, token ASC) AS rk
+                  FROM lift)
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  private val p23 = Q(
+    "p23_length_batches",
+    // length-grouped batching audit: batches of 32 docs cut from the
+    // descending-length order, with the padding each fixed-shape batch
+    // tensor would waste — all exact integers
+    (s, dir) => Corpus.lengthBatches(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        batchSize = 32)
+      .orderBy("batch_id"),
+    Some("""WITH t AS (SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents),
+            pos AS (SELECT *,
+                ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS p
+              FROM t)
+            SELECT p // 32 AS batch_id, COUNT(*) AS n_docs,
+              MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+              COUNT(*) * MAX(n_tok) - CAST(SUM(n_tok) AS BIGINT) AS padding
+            FROM pos GROUP BY 1 ORDER BY 1"""))
+
   private val p22 = Q(
     "p22_repeat_cap_mix",
     // data-constrained repeat-capped mixing (Muennighoff et al. 2023):
@@ -1876,8 +1931,8 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23)
 }

@@ -377,4 +377,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.groupBy("doc_id").count().select(max("count"))
       .head().getLong(0) == 3L)
   }
+
+  test("lengthBatches: descending-length batches, exact padding accounting") {
+    // lengths 8,8,7,3,2,1 at batchSize 2 -> [8,8] pad 0, [7,3] pad 4,
+    // [2,1] pad 1; a ragged tail batch keeps its true n_docs
+    val df = Seq(
+      (0L, "a b c d e f g h"), (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g"), (3L, "a b c"), (4L, "a b"), (5L, "a"))
+      .toDF("doc_id", "text").repartition(3)
+    val out = Corpus.lengthBatches(df, "doc_id", "text", batchSize = 2)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 8L, 16L, 0L), (1L, 2L, 7L, 10L, 4L), (2L, 2L, 2L, 3L, 1L)))
+    val ragged = Corpus.lengthBatches(df, "doc_id", "text", batchSize = 4)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ragged.toSeq == Seq((0L, 4L, 8L), (1L, 2L, 2L)))
+  }
 }

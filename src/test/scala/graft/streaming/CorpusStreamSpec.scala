@@ -210,4 +210,35 @@ class CorpusStreamSpec extends SparkSpec {
       assert(batch.nonEmpty && got == batch)
     } finally q.stop()
   }
+
+  test("trained quality logit streams statelessly, bit-equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on a planted two-population corpus, then score a stream with
+    // the SAME fused expression the batch path uses — stateless broadcast
+    // weights, so Append mode needs no watermark (the t16 scorer shape)
+    val labeled = (docs.map { case (id, t) => (id, t, 1.0) } ++
+      Seq((10L, "zzqx vvkj qqrp", 0.0), (11L, "xxzt wwfg kkbn", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val m = graft.ops.QualityModel.train(labeled, "text", "label",
+      dim = 256, iters = 30)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .select($"doc_id", m.logit($"text").as("logit"))
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("quality_stream").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = docs.toDF("doc_id", "text")
+        .select($"doc_id", m.logit($"text").as("logit")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == batch && got.size == docs.size)
+      // and both equal the sequential reference scorer
+      docs.foreach { case (id, t) => assert(got(id) == m.scoreText(t)) }
+    } finally q.stop()
+  }
 }
