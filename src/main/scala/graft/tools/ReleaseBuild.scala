@@ -16,7 +16,11 @@ import graft.ops.{Corpus, Dedup, TextOps}
   *     line-level keeps + the sentence/lorem-ipsum/brace page gate) for
   *     corpora with real line structure.
   *  2. GATE — language allowlist + quality floor on the CLEAN text
-  *     (t01/t02 semantics), evaluated in the rebuild's projection.
+  *     (t01/t02 semantics), evaluated in the rebuild's projection;
+  *     opt-in MODEL gate after it (t23 semantics: a trained
+  *     [[graft.ops.QualityModel]] logit floor — the fastText/CCNet-style
+  *     learned screen above the heuristics, one fused scan-stage
+  *     expression against broadcast weights).
   *  3. DEDUP — exact min-id canonical via a window-min over the content
   *     hash (d01 semantics). The gated frame is localCheckpointed first:
   *     the dedup ids and the text re-join both read it, instead of
@@ -71,7 +75,9 @@ object ReleaseBuild {
       keepBands: Seq[String] = Seq("head", "middle"),
       c4MinLineWords: Int = 0,
       c4MinSentences: Int = 3,
-      bpeMerges: Option[Seq[(String, String)]] = None): Release = {
+      bpeMerges: Option[Seq[(String, String)]] = None,
+      qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
+      minLogit: Double = 0.0): Release = {
 
     // 1-2. scrub, then (opt-in) C4 line cleaning, then gate on the
     // clean text. `c4MinLineWords > 0` enables the t19 rewrite: lines
@@ -89,12 +95,16 @@ object ReleaseBuild {
         .filter(TextOps.c4DocPass(col(textCol), col("__c4"),
           c4MinSentences))
         .select(col(idCol), col("__c4").as(textCol))
-    val gated = lineClean.select(col(idCol), col(textCol),
+    val gatedHeur = lineClean.select(col(idCol), col(textCol),
         TextOps.langId(col(textCol)).as("lang_pred"),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .filter(col("lang_pred").isInCollection(langs) &&
         col("quality") >= minQuality)
+    // 2b. opt-in trained-model gate (one more scan-stage conjunct —
+    // broadcast weights, no extra pass)
+    val gated = qualityModel.fold(gatedHeur)(m =>
+        gatedHeur.filter(m.logit(col(textCol)) >= minLogit))
       // both the dedup branch and the re-join below read this frame;
       // lazy: the first action materializes it
       .localCheckpoint(eager = false)
@@ -141,11 +151,14 @@ object ReleaseBuild {
     val withC4 =
       if (c4MinLineWords <= 0) auditHead
       else auditHead.unionByName(stage("line_cleaned", lineClean, 1))
-    val audit = withC4
-      .unionByName(stage("gated", gated, 2))
-      .unionByName(stage("deduped", deduped, 3))
-      .unionByName(stage("decontaminated", decon, 4))
-      .unionByName(stage("released", kept, 5))
+    val withModel =
+      if (qualityModel.isEmpty) withC4.unionByName(stage("gated", gated, 2))
+      else withC4.unionByName(stage("gated", gatedHeur, 2))
+        .unionByName(stage("model_gated", gated, 3))
+    val audit = withModel
+      .unionByName(stage("deduped", deduped, 4))
+      .unionByName(stage("decontaminated", decon, 5))
+      .unionByName(stage("released", kept, 6))
       .orderBy("ord").drop("ord")
 
     Release(kept, card, audit, epoch)

@@ -116,4 +116,33 @@ class ReleaseBuildSpec extends SparkSpec {
     assert(rows(a.epoch.boundaries) == rows(b.epoch.boundaries))
     assert(rows(a.corpus) == rows(b.corpus))
   }
+
+  test("model gate: a trained classifier stage drops what it was taught " +
+    "to drop, funnel records both gate counts") {
+    // teach the model that consonant-mash docs are low quality
+    val labeled = (docs.collect().map(r => (r.getLong(0), r.getString(1), 1.0))
+      .toSeq ++ (0 until 8).map(i =>
+        (100L + i, s"zzqx$i vvkj qqrp xxzt wwfg kkbn jjdm ppzv", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val m = graft.ops.QualityModel.train(labeled, "text", "label",
+      dim = 512, iters = 60)
+    val withJunk = docs.unionByName(
+      Seq((200L, "vvkj qqrp xxzt wwfg kkbn jjdm ppzv zzqx9"))
+        .toDF("doc_id", "text"))
+    val r = ReleaseBuild.build(
+      withJunk, "doc_id", "text", evalDocs,
+      seed = "rel2", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      qualityModel = Some(m), minLogit = 0.0)
+    val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(audit.map(_._1).toSeq == Seq("input", "gated", "model_gated",
+      "deduped", "decontaminated", "released"))
+    val counts = audit.toMap
+    assert(counts("input") == 13L)
+    assert(counts("gated") == 13L)       // heuristic floor 0 keeps all
+    assert(counts("model_gated") == 12L) // the classifier drops the junk
+    assert(!r.corpus.collect().map(_.getLong(0)).contains(200L))
+  }
 }
