@@ -562,6 +562,32 @@ object Events {
         percentile(col("gap_us"), lit(0.9)).as("p90_us"))
   }
 
+  /** Markov transition profile over per-user event streams: global
+    * (prev_type → next_type) counts and the conditional probability
+    * P(next | prev) — the first-order sequence signature that feeds
+    * bot screens (an automaton's transitions are near-deterministic),
+    * funnel design, and next-event baselines.
+    *
+    * Shape: ONE per-user lag window ((ts, event_id) order — the e15
+    * convention, e14's time-chunk salting applies unchanged), then a
+    * type²-cardinality rollup with map-side partials. The probability
+    * is a single IEEE division of two exact longs (the window sum runs
+    * over the tiny rolled-up frame, never the raw events) — bit-exact
+    * in any engine.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = events
+      .select(col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(byUser).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val perPrev = Window.partitionBy("prev_type")
+    counts.withColumn("p",
+      col("n").cast("double") / sum("n").over(perPrev).cast("double"))
+  }
+
   /** Daily gap-fill + forward fill: regularize each user's event stream
     * onto a dense daily grid from their first to their last active day —
     * the resample step every per-user time-series feature (activity

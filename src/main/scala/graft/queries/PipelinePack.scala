@@ -770,6 +770,24 @@ object PipelinePack {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY user_id, d"""))
 
+  private val e18 = Q(
+    "e18_transition_matrix",
+    // first-order Markov signature of the event streams: global
+    // (prev -> next) counts + P(next | prev), one per-user lag window
+    // then a type^2 rollup
+    (s, dir) => Events.transitionMatrix(Tables.load(s, dir, "events"))
+      .orderBy("prev_type", "next_type"),
+    Some("""WITH g AS (SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT prev AS prev_type, event_type AS next_type,
+              COUNT(*) AS n,
+              CAST(COUNT(*) AS DOUBLE) /
+                CAST(SUM(COUNT(*)) OVER (PARTITION BY prev) AS DOUBLE) AS p
+            FROM g WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---- multimodal -------------------------------------------------------
 
   private val m01 = Q(
@@ -843,5 +861,5 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, m01, m02, m03, m04, m05)
+    e12, e13, e14, e15, e16, e17, e18, m01, m02, m03, m04, m05)
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** 10× scaling smoke of the FULL dedup tier (d01–d23) plus the
   * composed p-tier (p12/p13/p14), the LM-scoring rungs (t16/p18),
   * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10/s11
-  * SQ8, p22 repeat-cap mix, t22 chunking),
+  * SQ8, p22 repeat-cap mix, t22 chunking), the r8e additions (t23
+  * trained quality model, t24 doc keywords, p23 length batches),
   * and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -148,6 +149,15 @@ object ScaleSmoke {
       "p22_repeat_cap_mix", "t22_text_chunks")
       .map(n => measure(n, 15.0, queryFn(n)))
 
+    // r8e additions: t23 trains on a driver-bounded sample (maxSample
+    // cap; the distributed part is a TakeOrderedAndProject) and scores
+    // as a pure scan-stage map; t24 is the t16 explode + token-join
+    // shape with a per-doc bounded top-k window; p23 is the p13/p14
+    // prefix-sum rank shape plus a small per-batch rollup
+    val r8eRows = Seq("t23_model_quality", "t24_doc_keywords",
+      "p23_length_batches")
+      .map(n => measure(n, 15.0, queryFn(n)))
+
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum
     val epochRow = measure("epoch_build", 15.0, { dir =>
@@ -158,7 +168,7 @@ object ScaleSmoke {
       e.boundaries.write.format("noop").mode("overwrite").save()
     })
 
-    val rows = dRows ++ pRows ++ lmRows ++ r8cRows :+ epochRow
+    val rows = dRows ++ pRows ++ lmRows ++ r8cRows ++ r8eRows :+ epochRow
 
     val js = rows.map { case (n, b, x, r) =>
       f""""$n":{"base":$b%.2f,"x10":$x%.2f,"ratio":$r%.1f}""" }

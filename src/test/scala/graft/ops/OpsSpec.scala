@@ -648,6 +648,21 @@ class EventsSpec extends SparkSpec {
                       // 0/1 and user 2's day 0 all fell out
   }
 
+  test("transitionMatrix: per-user lag pairs, conditional rows sum to 1") {
+    // user 1: a->b->a (pairs ab, ba); user 2: a->a; user 3: single event
+    val ev2 = Seq(
+      (0L, ts(10), 1L, "a", 1.0), (1L, ts(20), 1L, "b", 1.0),
+      (2L, ts(30), 1L, "a", 1.0),
+      (3L, ts(10), 2L, "a", 1.0), (4L, ts(40), 2L, "a", 1.0),
+      (5L, ts(10), 3L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.transitionMatrix(ev2)
+      .orderBy("prev_type", "next_type").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      ("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
   test("gapFillDaily: dense grid, zero-filled counts, forward-filled type") {
     // user 1: day 0 (click@10 then view@20), silent days 1-2, day 3 (buy);
     // user 2: single day -> single grid row, days_since 0
