@@ -316,6 +316,121 @@ final class BpeCounter(merges: Seq[(String, String)]) extends Serializable {
     }
 }
 
+/** Per-document token count under a trained unigram-LM tokenizer
+  * ([[graft.ops.UnigramTokenizer]]): Viterbi max-likelihood segmentation
+  * per alpha word (the SentencePiece inference rule — unlike BPE's
+  * greedy merge order), digits/glyphs one token each, spaces none —
+  * the non-alpha conventions of [[BpeCountExpr]] so the two tokenizers
+  * are directly comparable. Ties on segmentation score break to FEWER
+  * pieces. Characters outside the vocabulary score a floor log-prob
+  * (never unsegmentable). Same bounded word memo as the BPE engine.
+  */
+case class UnigramCountExpr(child: Expression, pieces: Map[String, Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(pieces.nonEmpty, "empty unigram vocabulary")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_unigram_count"
+
+  @transient private lazy val counter = new UnigramCounter(pieces)
+
+  override protected def nullSafeEval(input: Any): Any =
+    counter.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramCounter", new UnigramCounter(pieces),
+      classOf[UnigramCounter].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.count($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramCountExpr =
+    copy(child = newChild)
+}
+
+/** Executor-side Viterbi engine behind [[UnigramCountExpr]]. */
+final class UnigramCounter(pieces: Map[String, Double]) extends Serializable {
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    pieces.keysIterator.map(_.length).max
+  // OOV single characters stay segmentable at a penalized floor
+  @transient private lazy val oovLogp: Double =
+    pieces.valuesIterator.min - 10.0
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def count(text: UTF8String): Int = {
+    val s = text.toString
+    val n = s.length
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        val start = i
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) i += 1
+        total += countWord(s.substring(start, i))
+      } else {
+        if (c != ' ') total += 1 // digit or glyph: one token; space: none
+        i += 1
+      }
+    }
+    total
+  }
+
+  private def countWord(w: String): Int = {
+    if (memo.size > (1 << 20)) memo.clear() // Zipf makes overflow rare
+    memo.computeIfAbsent(w, viterbi).intValue
+  }
+
+  /** Best segmentation score via DP; piece count on the best path,
+    * ties to fewer pieces (spec-proven equal to brute-force enumeration).
+    */
+  private val viterbi: java.util.function.Function[String, Integer] =
+    new java.util.function.Function[String, Integer] with Serializable {
+      override def apply(w: String): Integer = {
+        val n = w.length
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        val cnt = Array.fill(n + 1)(Int.MaxValue)
+        best(0) = 0.0; cnt(0) = 0
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (cnt(j) != Int.MaxValue) {
+              val piece = w.substring(j, i)
+              val lp =
+                if (table.containsKey(piece)) table.get(piece).doubleValue
+                else if (i - j == 1) oovLogp
+                else Double.NegativeInfinity
+              if (lp != Double.NegativeInfinity) {
+                val sc = best(j) + lp
+                val c = cnt(j) + 1
+                if (sc > best(i) || (sc == best(i) && c < cnt(i))) {
+                  best(i) = sc; cnt(i) = c
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        cnt(n)
+      }
+    }
+}
+
 /** Fused per-document surprisal accumulation against a BROADCAST bit
   * table: one pass over the raw text computing `(sum_bits, n_tok)` —
   * the scan-stage / streaming hot-path form of

@@ -178,6 +178,19 @@ object TextOps {
       graft.functions.BpeCountExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
 
+  /** Exact per-document token count under a trained unigram-LM
+    * vocabulary ([[UnigramTokenizer]]) — Viterbi max-likelihood
+    * segmentation, the SentencePiece twin of [[bpeTokenCountTrained]]
+    * (same non-alpha conventions, so the two tokenizers compare
+    * directly). Codegen'd with per-executor word memoization
+    * ([[graft.functions.UnigramCountExpr]]).
+    */
+  def unigramTokenCount(
+      text: Column, pieces: Map[String, Double]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.UnigramCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), pieces))
+
   /** English stopword hits among all (non-distinct) tokens. */
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text),

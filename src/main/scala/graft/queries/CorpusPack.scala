@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Corpus, Dedup, Packing, QualityModel, TextOps}
+import graft.ops.{Clusters, Corpus, Dedup, Packing, QualityModel, TextOps, UnigramTokenizer}
 import Relational.Q
 
 /** SURVEY §2.2 corpus-analysis and dataset-prep operators as
@@ -1592,6 +1592,29 @@ object CorpusPack {
     },
     None)
 
+  private val t25 = Q(
+    "t25_unigram_token_count",
+    // exact per-doc token counts under a corpus-trained unigram-LM
+    // (SentencePiece) vocabulary — the second production tokenizer
+    // beside t17's BPE, counted side by side so the two segmentations
+    // are directly comparable. No SQL oracle (DuckDB cannot Viterbi-
+    // segment); UnigramSpec gates EM log-likelihood monotonicity,
+    // Viterbi ≡ brute-force enumeration, bit-reproducible training,
+    // and the parquet round-trip
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      // the synthetic corpus has ~31 distinct words; a tight vocab
+      // (chars + the frequency head) forces genuine subword splits so
+      // the count column actually exercises the Viterbi path
+      val model = UnigramTokenizer.train(docs, "text", vocabSize = 48)
+      docs.select(col("doc_id"),
+        TextOps.unigramTokenCount(col("text"), model.pieces)
+          .as("n_unigram_tok"),
+        TextOps.tokenCount(col("text")).as("n_ws_tok"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -1931,7 +1954,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23)

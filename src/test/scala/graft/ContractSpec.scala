@@ -61,7 +61,10 @@ class ContractSpec extends AnyFunSuite {
       "t18_compression_ratio",
       // trained-float logits (driver-fit logistic model); QualitySpec
       // gates accuracy, reproducibility, and scorer parity
-      "t23_model_quality")
+      "t23_model_quality",
+      // DuckDB cannot Viterbi-segment; UnigramSpec gates EM monotonicity,
+      // Viterbi ≡ brute force, determinism, and the parquet round-trip
+      "t25_unigram_token_count")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }
