@@ -600,32 +600,45 @@ object Events {
     * Scale shape: the grid explode is `sequence(min_day, max_day)` per
     * user — fan-out bounded by the corpus's calendar span (a constant:
     * ~365/year) and never by event count, so output rows are
-    * O(users × span_days) however hot any user is. One shuffle on
-    * user_id serves the per-day rollup, the span agg, and the
-    * forward-fill window alike; the window is a running `last(_,
-    * ignoreNulls)` over ≤ span_days rows per user. The per-day "last
-    * event of the day" argmax is `max(struct(us, event_id, type))` —
-    * a hash-agg with map-side partials, never a per-day sort
-    * (the d18 keep-best idiom).
+    * O(users × span_days) however hot any user is. Both branch
+    * exchanges hash on user_id ALONE (the explicit repartition below):
+    * hashpartitioning(user_id) satisfies ClusteredDistribution for the
+    * (user_id, day) rollup, the span agg, the grid⋈daily join (user_id
+    * is a join key on both sides), and the forward-fill window — so
+    * after Catalyst prunes each branch to its own narrow projection,
+    * NOTHING downstream re-exchanges: exactly two user_id hash
+    * exchanges of narrow rows, zero range exchanges (PlanSpec-pinned).
+    * The window is a running `last(_, ignoreNulls)` over ≤ span_days
+    * rows per user; the per-day "last event of the day" argmax is
+    * `max(struct(us, event_id, type))` — a hash-agg with map-side
+    * partials, never a per-day sort (the d18 keep-best idiom).
     */
   def gapFillDaily(events: DataFrame): DataFrame = {
+    // explicit user_id partitioning up front: every downstream stage's
+    // required distribution is satisfied by it (see scaladoc), so no
+    // stage after the branch exchanges ever re-shuffles
     val ev = events.select(col("user_id"),
       datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"),
       unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
-    // distinct alias (u2/day) on the rollup side: grid and daily share the
-    // ev lineage, so joining on same-name columns would self-join-resolve
-    val daily = ev.groupBy(col("user_id").as("u2"), col("day"))
+      .repartition(col("user_id"))
+    // dataframe aliases (not column renames — a rename would break the
+    // partitioning reuse): grid and daily share the ev lineage, so a
+    // same-name join condition would self-join-resolve trivially true
+    val daily = ev.groupBy("user_id", "day")
       .agg(count(lit(1)).as("n_events"),
         max(struct(col("us"), col("event_id"), col("event_type")))
           .getField("event_type").as("day_last"))
+      .as("r")
     val grid = ev.groupBy("user_id")
       .agg(min("day").as("mn"), max("day").as("mx"))
       .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      .as("g")
     val ff = Window.partitionBy("user_id").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(daily, col("user_id") === col("u2") &&
-        col("d") === col("day"), "left")
-      .select(col("user_id"), col("d"), col("n_events"), col("day_last"))
+    grid.join(daily, col("g.user_id") === col("r.user_id") &&
+        col("g.d") === col("r.day"), "left")
+      .select(col("g.user_id").as("user_id"), col("d"), col("n_events"),
+        col("day_last"))
       .select(col("user_id"), col("d"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("day_last"), ignoreNulls = true).over(ff).as("last_type"),

@@ -613,4 +613,20 @@ class PlanSpec extends SparkSpec {
     // the only nested loop is the declared broadcast of the probe rows
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("e17: both branch exchanges hash on user_id alone; rollup, join, " +
+    "and forward-fill window all ride them with no further shuffle") {
+    val p = graft.ops.Events.gapFillDaily(
+        Tables.load(spark, dir, "events"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // two pruned branches (daily rollup / span grid), one narrow
+    // user_id exchange each — and nothing downstream re-exchanges:
+    // the (user_id, day) rollup and the window both ride user_id
+    // partitioning (subset satisfies ClusteredDistribution)
+    val hashArgs = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(user_id"))
+    assert(hashArgs == 2, s"expected 2 user_id exchanges, got $hashArgs:\n$p")
+    assert(!p.contains("rangepartitioning"), s"no sort exchange expected:\n$p")
+  }
 }
+
