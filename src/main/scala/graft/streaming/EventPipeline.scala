@@ -379,6 +379,46 @@ object EventPipeline {
       }
   }
 
+  final case class TransState(lastUs: Long, lastId: Long, lastType: String)
+  final case class Transition(
+      prev_type: String, next_type: String, event_id: Long)
+
+  /** Stateful per-user event transitions — the streaming twin of
+    * [[graft.ops.Events.transitionMatrix]]'s lag stage, with
+    * [[gapStream]]'s exact state shape extended by the previous event's
+    * TYPE: one (ts, id, type) triple per user, each arrival emitting its
+    * (prev → next) pair. The matrix rollup (counts + P(next|prev)) is a
+    * tiny type²-cardinality aggregation downstream — exact in
+    * foreachBatch, or a standing streaming agg in Update mode. Same
+    * arrival contract as gapStream: event-time ordered per user across
+    * micro-batches.
+    */
+  def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[TransState]) =>
+          val batch = it.toArray
+            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .sortBy(x => (x._1, x._2))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption
+            val out = batch.flatMap { case (us, id, tp) =>
+              val t = last.map(l => Transition(l.lastType, tp, id))
+              last = Some(TransState(us, id, tp))
+              t
+            }
+            state.update(last.get)
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
     * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when

@@ -591,4 +591,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.size == 3) // one gap per event beyond each user's first
     } finally q.stop()
   }
+
+  test("transitionStream: per-user (prev -> next) pairs match the batch " +
+    "lag stage across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(0, 0, 1, "click", 1.0), ev(1, 60, 1, "view", 2.0),
+      ev(2, 10, 2, "click", 3.0), ev(3, 4000, 1, "click", 4.0),
+      ev(4, 500, 2, "buy", 5.0))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lag}
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = events.toDF()
+      .select(lag(col("event_type"), 1).over(w).as("prev_type"),
+        col("event_type").as("next_type"), col("event_id"))
+      .filter(col("prev_type").isNotNull)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val src = MemoryStream[Event]
+    val q = EventPipeline.transitionStream(src.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(events.take(3): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("trans_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == batch && got.size == 3)
+      // the cross-batch transition (view@60 -> click@4000 for user 1)
+      // rode the state store
+      assert(got.contains(("view", "click", 3L)))
+    } finally q.stop()
+  }
 }
