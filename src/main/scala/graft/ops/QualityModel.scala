@@ -114,16 +114,25 @@ object QualityModel {
     * BPE-trainer convention: model fitting is bounded, model APPLICATION
     * is the distributed scan-stage pass.
     */
+  /** The bounded deterministic sample selection — split out so
+    * QualitySpec can assert it plans as TakeOrderedAndProject (each
+    * partition keeps maxSample rows, the driver merges winners; never
+    * a global sort or full collect).
+    */
+  private[graft] def sampleFrame(
+      df: DataFrame, textCol: String, labelCol: String,
+      maxSample: Int): DataFrame =
+    df.select(col(textCol).cast("string"),
+        col(labelCol).cast("double"), md5(col(textCol)).as("k"))
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .orderBy("k").limit(maxSample)
+
   def train(
       df: DataFrame, textCol: String, labelCol: String,
       dim: Int = 4096, iters: Int = 200, lr: Double = 2.0,
       maxSample: Int = 10000): LinearQualityModel = {
     require(dim > 0 && iters > 0 && maxSample > 0, "bad hyperparameters")
-    val rows = df.select(col(textCol).cast("string"),
-        col(labelCol).cast("double"), md5(col(textCol)).as("k"))
-      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
-      .orderBy("k").limit(maxSample)
-      .collect()
+    val rows = sampleFrame(df, textCol, labelCol, maxSample).collect()
     require(rows.nonEmpty, "no labeled rows to train on")
     // weight layout: [0, dim) hashed token buckets, [dim, dim+16) the
     // reserved log-length slots (coefficient 1 — see HashedBow.LenBuckets)

@@ -628,5 +628,13 @@ class PlanSpec extends SparkSpec {
     assert(hashArgs == 2, s"expected 2 user_id exchanges, got $hashArgs:\n$p")
     assert(!p.contains("rangepartitioning"), s"no sort exchange expected:\n$p")
   }
+
+  test("q39: recursion executes as UnionLoop (iterative closure), the " +
+    "rollup keeps partial aggregation") {
+    val p = plan("q39_recursive_cte")
+    assert(p.contains("UnionLoop"), s"expected UnionLoop in:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
 }
+
 

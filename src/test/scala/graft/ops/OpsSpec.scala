@@ -870,6 +870,17 @@ class QualitySpec extends SparkSpec {
     assert(m1.bias == m2.bias && m1.weights.sameElements(m2.weights))
   }
 
+  test("sample selection plans as TakeOrderedAndProject (bounded, " +
+    "never a global sort)") {
+    // maxSample below the frame's known row count — otherwise
+    // EliminateLimits drops the limit entirely (maxRows <= limit) and
+    // there is no top-k to plan
+    val p = QualityModel.sampleFrame(corpus(30), "text", "label", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("save/load round-trips the model exactly") {
     val m = QualityModel.train(corpus(20), "text", "label", dim = 128,
       iters = 10)
