@@ -65,6 +65,20 @@ object StreamVerify {
     q4.processAllAvailable()
     println(s"STREAM_ACTIVE rows=${spark.table("drive_active").count()}")
     q4.stop()
+
+    // per-user transition pairs (one state triple per user), rolled up
+    // to the e18 matrix in one foreachBatch-style aggregation
+    val evs = EventPipeline.readEventStream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventPipeline.Event]
+    val q5 = EventPipeline.transitionStream(evs)
+      .writeStream.format("memory").queryName("drive_trans")
+      .outputMode("append").start()
+    q5.processAllAvailable()
+    val nTrans = spark.table("drive_trans")
+      .groupBy("prev_type", "next_type").count().count()
+    println(s"STREAM_TRANSITIONS cells=$nTrans")
+    q5.stop()
     spark.stop()
   }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * composed p-tier (p12/p13/p14), the LM-scoring rungs (t16/p18),
   * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10/s11
   * SQ8, p22 repeat-cap mix, t22 chunking), the r8e additions (t23
-  * trained quality model, t24 doc keywords, p23 length batches),
+  * trained quality model, t24 doc keywords, p23 length batches,
+  * t25 unigram tokenizer),
   * and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -155,7 +156,11 @@ object ScaleSmoke {
     // shape with a per-doc bounded top-k window; p23 is the p13/p14
     // prefix-sum rank shape plus a small per-batch rollup
     val r8eRows = Seq("t23_model_quality", "t24_doc_keywords",
-      "p23_length_batches")
+      "p23_length_batches",
+      // t25's EM trainer runs on the driver over the (word, freq)
+      // rollup — vocabulary-sized, so corpus-size-independent like
+      // t17's BPE; the Viterbi count is a memoized pure map
+      "t25_unigram_token_count")
       .map(n => measure(n, 15.0, queryFn(n)))
 
     // EpochBuild (order → shard → pack as one composed pass): linear —
