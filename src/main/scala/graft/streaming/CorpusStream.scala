@@ -110,7 +110,9 @@ object CorpusStream {
       minQuality: Double = 0.5,
       lateness: String = "1 hour",
       c4MinLineWords: Int = 0,
-      maxVocab: Int = 1 << 20): DataFrame = {
+      maxVocab: Int = 1 << 20,
+      qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
+      minLogit: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.ops.TextOps
     val cleanedText = {
@@ -125,10 +127,16 @@ object CorpusStream {
         cleaned0.filter(TextOps.c4DocPass(col("__orig"), col(textCol)))
           .drop("__orig")
       else cleaned0.drop("__orig")
-    val gated = cleaned
+    val gatedHeur = cleaned
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(TextOps.langId(col(textCol)).isInCollection(langs) &&
         col("quality") >= minQuality)
+    // opt-in trained-model gate — the SAME stage ReleaseBuild applies
+    // batch-side (model_gated), here one more stateless scan conjunct
+    // against broadcast weights, so admission criteria cannot drift
+    // between the stream and the release cut
+    val gated = qualityModel.fold(gatedHeur)(m =>
+      gatedHeur.filter(m.logit(col(textCol)) >= minLogit))
     val admitted = gated
       .withColumn("__h", md5(col(textCol)))
       .withWatermark(tsCol, lateness)

@@ -178,6 +178,44 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream model gate drops what the trained classifier was " +
+    "taught to drop, same stage as the batch release cut") {
+    import org.apache.spark.sql.functions.{count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = new java.sql.Timestamp(86400L * 1000)
+    val goodTexts = Seq(
+      "the cat sat on the mat and all was good",
+      "a dog ran through the field and found a bone to keep")
+    val junk = "vvkj the qqrp xxzt wwfg the kkbn jjdm ppzv"
+    // teach the classifier the junk vocabulary (junk carries enough
+    // 'the' markers to PASS the heuristic lang/quality gates — only
+    // the model can drop it)
+    val labeled = (goodTexts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, 1.0) } ++
+      Seq((10L, "vvkj qqrp the xxzt wwfg", 0.0),
+        (11L, "kkbn jjdm the ppzv vvkj", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val m = graft.ops.QualityModel.train(labeled, "text", "label",
+      dim = 256, iters = 60)
+    val counts = Seq("the").toDF("token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.curateStream(
+        src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        counts, langs = Seq("en"), minQuality = 0.0,
+        qualityModel = Some(m), minLogit = 0.0)
+      .writeStream.format("memory").queryName("curate_model_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((1L, ts0, goodTexts(0)), (2L, ts0, junk),
+        (3L, ts0, goodTexts(1)))
+      q.processAllAvailable()
+      val got = spark.table("curate_model_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("textChunks runs unchanged on a stream (stateless scan-stage op) " +
     "and equals the batch chunker across batches") {
     implicit val sqlCtx = spark.sqlContext
