@@ -885,7 +885,37 @@ object Relational {
             FROM chain WHERE anc <= 7
             GROUP BY anc ORDER BY anc"""))
 
+  // ANSI FILTER-clause conditional aggregation: several differently-
+  // filtered aggregates in ONE grouping pass — the spelling that makes
+  // "overall + conditional" stats a single HashAggregate (each FILTER
+  // predicate evaluates per input row inside the agg) instead of the
+  // self-join or CASE pyramid it replaces. Counts are exact longs; the
+  // filtered sum accumulates as exact decimal (dsum convention); a
+  // group where no row passes yields NULL in both engines.
+  private val q40 = Q(
+    "q40_filtered_agg",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_mktsegment,
+                 COUNT(*) AS n_orders,
+                 COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                   AS urgent_total
+               FROM customer JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment,
+              COUNT(*) AS n_orders,
+              COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+                AS urgent_total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40)
 }
