@@ -68,4 +68,46 @@ class PropertySpec extends AnyFunSuite {
           .map(_.mkString(" ")).toSeq.distinct.length.toLong
     })
   }
+
+  test("HashedLogitScorer == an independent set-of-words formulation") {
+    val wGen = Gen.listOfN(20, Gen.choose(-2.0, 2.0))
+      .map(_.toArray ++ Array.fill(HashedBow.LenBuckets)(0.1))
+    run(Prop.forAll(textGen, wGen, Gen.choose(-1.0, 1.0)) { (s, w, b) =>
+      val scorer = new HashedLogitScorer(w, b)
+      val dim = w.length - HashedBow.LenBuckets
+      val tk = tokens(s)
+      val expect = b +
+        tk.map(t => HashedBow.bucketOf(t, dim)).distinct
+          .map(w(_)).sum +
+        w(dim + HashedBow.lenBucket(tk.length))
+      scorer.score(UTF8String.fromString(s)) == expect
+    })
+  }
+
+  test("UnigramCounter Viterbi == brute-force best segmentation") {
+    // random small vocabularies over a 3-letter alphabet + random words;
+    // the DP must match exhaustive enumeration under (max score, min
+    // count) for every generated (vocab, word) pair
+    val pieceGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.nonEmptyListOf(
+      Gen.zip(pieceGen, Gen.choose(-5.0, -0.1))).map(_.toMap)
+    val wordGen = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    run(Prop.forAll(vocabGen, wordGen) { (vocab, w) =>
+      val counter = new UnigramCounter(vocab)
+      val oov = vocab.values.min - 10.0
+      def lp(p: String): Double = vocab.getOrElse(p,
+        if (p.length == 1) oov else Double.NegativeInfinity)
+      def brute(i: Int): Seq[(Double, Int)] =
+        if (i == w.length) Seq((0.0, 0))
+        else (i + 1 to w.length).flatMap { j =>
+          val p = lp(w.substring(i, j))
+          if (p == Double.NegativeInfinity) Nil
+          else brute(j).map { case (sc, c) => (sc + p, c + 1) }
+        }
+      val best = brute(0).minBy { case (sc, c) => (-sc, c) }
+      counter.count(UTF8String.fromString(w)) == best._2
+    })
+  }
 }
