@@ -61,6 +61,34 @@ object Corpus {
       .otherwise("test")
   }
 
+  /** Leakage-safe train/val/test assignment: the [[splitLabel]] rule
+    * applied to each document's duplicate-CLUSTER label instead of its
+    * own id, so every member of a near-dup cluster lands in the SAME
+    * split. Splitting by raw id (p01) silently puts near-copies of one
+    * page on both sides of the train/eval boundary — the eval-leakage
+    * failure mode that inflates held-out metrics; clustering first
+    * makes the boundary respect content identity.
+    *
+    * `pairs` is any verified near-dup pair set (d02's exact Jaccard,
+    * d03's LSH-verified, d10's semantic). Scale shape: cluster labels
+    * come from the d08 contraction CC (pair-graph-sized, never
+    * corpus-sized); docs LEFT-join the labels on id (narrow rows) and
+    * singletons keep their own id as the label, so the split of an
+    * unclustered doc equals p01's — only docs with duplicates move,
+    * and a doc's split still never changes as the corpus grows unless
+    * its cluster does.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    val labels = Clusters.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", splitLabel(col("cluster_id")))
+  }
+
   /** Per-split document counts and token totals — the summary a pipeline
     * asserts before training (split sizes near 75/12.5/12.5).
     */

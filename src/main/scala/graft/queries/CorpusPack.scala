@@ -1592,6 +1592,40 @@ object CorpusPack {
     },
     None)
 
+  private val p24 = Q(
+    "p24_leakage_split",
+    // leakage-safe splitting: p01's md5 rule applied to the duplicate-
+    // CLUSTER label (d08's exact pair->CC chain), so near-copies never
+    // straddle the train/eval boundary; singletons keep p01's split
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Corpus.leakageSafeSplit(docs,
+          Dedup.nGramJaccard(docs, "text", "doc_id", tauNum = 1, tauDen = 2),
+          "doc_id", "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCte,
+               edges AS (SELECT ia AS u, ib AS v FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                        FROM reach GROUP BY u),
+               lab AS (SELECT d.doc_id,
+                         COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+                       FROM documents d LEFT JOIN comp USING (doc_id))
+             SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 32, 1)
+                      IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train'
+                    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 32, 1)
+                      IN ('c','d')
+                    THEN 'val'
+                    ELSE 'test' END AS split
+             FROM lab ORDER BY doc_id"""))
+
   private val t25 = Q(
     "t25_unigram_token_count",
     // exact per-doc token counts under a corpus-trained unigram-LM
@@ -1955,7 +1989,7 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23)
 }

@@ -396,4 +396,27 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(ragged.toSeq == Seq((0L, 4L, 8L), (1L, 2L, 2L)))
   }
+
+  test("leakageSafeSplit: cluster members co-assign; singletons keep " +
+    "p01's split") {
+    // ids 3 and 100 split differently under the raw-id rule — linked,
+    // they must land together (on the min-label's split)
+    val docs = (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((3L, 100L)).toDF("id_a", "id_b")
+      .unionByName(Seq((5L, 7L)).toDF("id_a", "id_b"))
+    val docs2 = docs.unionByName(Seq((100L, "x")).toDF("doc_id", "text"))
+    val out = Corpus.leakageSafeSplit(docs2, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    // linked docs share the min-id cluster label and thus the split
+    assert(out(3L) == out(100L) && out(3L)._1 == 3L)
+    assert(out(5L) == out(7L) && out(5L)._1 == 5L)
+    // singleton split == the raw-id rule
+    val raw = docs2.select(col("doc_id"),
+        Corpus.splitLabel(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 12L).filterNot(Set(3L, 5L, 7L)).foreach { i =>
+      assert(out(i) == ((i, raw(i))), s"singleton $i")
+    }
+  }
 }
