@@ -356,6 +356,29 @@ object VectorOps {
     IvfPqModel(rawCents, codebooks, residual)
   }
 
+  /** Mean-pooled group embedding in long form (group, dim, mean): the
+    * chunk→document bridge of the embedding pipeline — chunk vectors
+    * (t22's windows, embedded externally) collapse to one document
+    * vector by per-dimension average, the standard pooling for
+    * retrieval/dedup at document granularity. Emitted long (one row
+    * per (group, dim)) so the result is oracle-comparable and feeds
+    * a pivot/collect at the caller's discretion.
+    *
+    * Exactness: dimensions pool as integer-QUANTIZED sums (the d05
+    * convention — order-free exact longs) with ONE final division per
+    * (group, dim), so any engine agrees bit-for-bit. Scale shape:
+    * posexplode to (group, dim, q) narrow rows, then a partial-agg
+    * hash-agg — rows = vectors × dim, the same explode budget every
+    * oracle-checked vector op pays; no window, no collect.
+    */
+  def meanPool(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    spread(df)
+      .select(col(groupCol), posexplode(quantize(col(vecCol))))
+      .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
+      .agg((sum("col").cast("double") / count(lit(1)).cast("double"))
+        .as("mean_q"))
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this

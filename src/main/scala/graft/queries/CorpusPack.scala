@@ -1592,6 +1592,42 @@ object CorpusPack {
     },
     None)
 
+  private val d24 = Q(
+    "d24_cluster_sizes",
+    // duplicate-factor distribution: cluster-size histogram over the
+    // full corpus (singletons included via the p24 left-join+coalesce
+    // labeling) — the release metric that says HOW duplicated a corpus
+    // is, not just which docs to drop. Two tiny rollups above the d08
+    // CC machinery: label -> size, size -> n_clusters
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Corpus.leakageSafeSplit(docs,
+          Dedup.nGramJaccard(docs, "text", "doc_id", tauNum = 1, tauDen = 2),
+          "doc_id", "id_a", "id_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE $pairsCte,
+               edges AS (SELECT ia AS u, ib AS v FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                        FROM reach GROUP BY u),
+               lab AS (SELECT d.doc_id,
+                         COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+                       FROM documents d LEFT JOIN comp USING (doc_id)),
+               szs AS (SELECT cluster_id, COUNT(*) AS sz
+                       FROM lab GROUP BY cluster_id)
+             SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_docs
+             FROM szs GROUP BY sz ORDER BY sz"""))
+
   private val p24 = Q(
     "p24_leakage_split",
     // leakage-safe splitting: p01's md5 rule applied to the duplicate-
@@ -1991,5 +2027,5 @@ object CorpusPack {
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23)
+      d22, d23, d24)
 }

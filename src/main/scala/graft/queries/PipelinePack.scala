@@ -135,6 +135,25 @@ object PipelinePack {
       .orderBy("vec_id"),
     None) // float centroids -> rows-only
 
+  private val s12 = Q(
+    "s12_embed_pool",
+    // chunk -> document embedding: mean-pool per synthetic doc group
+    // (vec_id div 50 — both engines derive it identically, the t13
+    // pattern); quantized integer sums + ONE division per (group, dim)
+    // keep it oracle-exact
+    (s, dir) => VectorOps.meanPool(
+        Tables.load(s, dir, "embeddings")
+          .withColumn("group_id", expr("vec_id div 50")),
+        "group_id", "embedding")
+      .orderBy("group_id", "dim"),
+    Some("""WITH q AS (SELECT vec_id // 50 AS group_id,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+            SELECT group_id, CAST(dim AS BIGINT) AS dim,
+              CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
+            FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val d10 = Q(
     "d10_dedup_semantic",
     // SemDeDup (cluster-then-pairs): the O(N²) cosine dedup of d05
@@ -859,7 +878,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, m01, m02, m03, m04, m05)
 }
