@@ -191,6 +191,30 @@ object TextOps {
       graft.functions.UnigramCountExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), pieces))
 
+  /** HTML boilerplate stripping — the stage BEFORE every text rule in a
+    * web pipeline (C4/Gopher gates assume extracted text): drop
+    * script/style blocks wholly (tags AND content), drop remaining tags
+    * (content kept), decode the five common entities, collapse
+    * whitespace runs, trim. Entity order matters and is pinned:
+    * `&amp;` decodes LAST so double-encoded text (`&amp;lt;`) single-
+    * decodes to the literal `&lt;` instead of a spurious `<`.
+    *
+    * Pure scan-stage regexp chain (no UDF, no shuffle). The regexes
+    * stay inside the Java↔RE2 common dialect — `(?is)` inline flags,
+    * non-greedy `.*?`, and an EXPLICIT `[ \t\n\r]+` whitespace class
+    * (Java's `\s` and RE2's `\s` disagree on vertical tab) — so the
+    * DuckDB oracle matches bit-for-bit.
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** English stopword hits among all (non-distinct) tokens. */
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text),

@@ -1662,6 +1662,61 @@ object CorpusPack {
                     ELSE 'test' END AS split
              FROM lab ORDER BY doc_id"""))
 
+  private val t26 = Q(
+    "t26_html_strip",
+    // HTML extraction ahead of the text ladder: the corpus is plain
+    // text, so both engines derive the same markup deterministically
+    // (the t13 injection pattern — a third of docs get a page wrapper
+    // with a script block, a third get double-encoded entities), strip
+    // it, and compare the recovered text
+    (s, dir) => {
+      val raw = Tables.loadParallel(s, dir, "documents")
+        .withColumn("page",
+          when(col("doc_id") % 3 === 0, concat(
+            lit("<html><body onload=\"x()\"><p>"), col("text"),
+            lit("</p><script>var x=1;\nalert('hi');</script></body></html>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("start &amp;amp; "), col("text"), lit(" &lt;end&gt;")))
+          .otherwise(col("text")))
+      raw.select(col("doc_id"),
+          TextOps.stripHtml(col("page")).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pg AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN
+                '<html><body onload="x()"><p>' || text ||
+                '</p><script>var x=1;' || chr(10) ||
+                'alert(''hi'');</script></body></html>'
+              WHEN doc_id % 3 = 1 THEN
+                'start &amp;amp; ' || text || ' &lt;end&gt;'
+              ELSE text END AS page
+            FROM documents),
+            cl AS (SELECT doc_id, trim(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(page,
+                          '(?is)<(script|style)[^>]*>.*?</(script|style)>',
+                          ' ', 'g'),
+                        '<[^>]+>', ' ', 'g'),
+                      '&lt;', '<', 'g'),
+                    '&gt;', '>', 'g'),
+                  '&quot;', '"', 'g'),
+                '&#39;', '''', 'g'),
+              '[ \t'
+              || chr(10) || chr(13) || ']+', ' ', 'g')) AS clean0
+            FROM pg),
+            dec AS (SELECT doc_id,
+              regexp_replace(clean0, '&amp;', '&', 'g') AS clean
+            FROM cl)
+            SELECT doc_id, md5(clean) AS clean_md5,
+              length(clean) AS n_chars
+            FROM dec ORDER BY doc_id"""))
+
   private val t25 = Q(
     "t25_unigram_token_count",
     // exact per-doc token counts under a corpus-trained unigram-LM
@@ -2024,7 +2079,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

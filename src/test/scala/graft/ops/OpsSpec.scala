@@ -142,6 +142,23 @@ class TextOpsSpec extends SparkSpec {
       .asInstanceOf[Boolean])
   }
 
+  test("stripHtml: blocks drop wholly, tags drop content-kept, entity " +
+    "order single-decodes double-encoding") {
+    def strip(t: String): String =
+      one(t, TextOps.stripHtml(col("text"))).asInstanceOf[String]
+    assert(strip("<html><body><p>the cat</p><script>var x=1;\nmore" +
+      "</script></body></html>") == "the cat")
+    // style blocks match case-insensitively, content removed
+    assert(strip("<STYLE type=\"css\">body{}</STYLE>before<br/>after")
+      == "before after")
+    // entities: &amp; decodes LAST, so &amp;lt; -> literal &lt;
+    assert(strip("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; done")
+      == "a <tag> \"q\" 's' & done")
+    assert(strip("&amp;lt; stays encoded") == "&lt; stays encoded")
+    // plain text passes through (whitespace collapsed)
+    assert(strip("no  markup\there") == "no markup here")
+  }
+
   test("script profile: per-class counts and priority-tiebroken dominant") {
     def dom(t: String): String =
       one(t, TextOps.dominantScript(col("text"))).asInstanceOf[String]
