@@ -11,6 +11,10 @@ import graft.ops.{Corpus, Dedup, TextOps}
   * ([[CorpusMaintain]] folds ingest, [[AnnMaintain]] keeps the index,
   * THIS cuts a release):
   *
+  *  0. EXTRACT (opt-in) — HTML boilerplate stripping (t26 semantics:
+  *     script/style blocks dropped wholly, tags dropped content-kept,
+  *     entities decoded) for corpora ingested as raw markup; a pure
+  *     scan-stage rewrite ahead of everything.
   *  1. SCRUB — repeated-span boilerplate removal (d17's ExactSubstr
   *     shape); opt-in C4 line cleaning after it (t19 semantics:
   *     line-level keeps + the sentence/lorem-ipsum/brace page gate) for
@@ -77,15 +81,21 @@ object ReleaseBuild {
       c4MinSentences: Int = 3,
       bpeMerges: Option[Seq[(String, String)]] = None,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
-      minLogit: Double = 0.0): Release = {
+      minLogit: Double = 0.0,
+      stripMarkup: Boolean = false): Release = {
 
     // 1-2. scrub, then (opt-in) C4 line cleaning, then gate on the
     // clean text. `c4MinLineWords > 0` enables the t19 rewrite: lines
     // failing C4's keeps are dropped and pages failing the sentence /
     // lorem-ipsum / brace gate are removed — for corpora with real line
     // structure (the synthetic spec corpus has none, so it defaults off)
+    // 0. opt-in markup extraction — one more scan-stage projection
+    val extracted =
+      if (!stripMarkup) docs.select(col(idCol), col(textCol))
+      else docs.select(col(idCol),
+        TextOps.stripHtml(col(textCol)).as(textCol))
     val clean = Dedup.scrubRepeatedSpans(
-      docs.select(col(idCol), col(textCol)), textCol, idCol,
+      extracted, textCol, idCol,
       n = scrubN, maxSpanDf = maxSpanDf)
     val lineClean =
       if (c4MinLineWords <= 0) clean

@@ -145,4 +145,28 @@ class ReleaseBuildSpec extends SparkSpec {
     assert(counts("model_gated") == 12L) // the classifier drops the junk
     assert(!r.corpus.collect().map(_.getLong(0)).contains(200L))
   }
+
+  test("markup extraction: raw html pages release their extracted text") {
+    val pages = docs.collect().map { r =>
+      (r.getLong(0), "<html><body><p>" + r.getString(1) +
+        "</p><script>track();</script></body></html>")
+    }.toSeq.toDF("doc_id", "text")
+    val r = ReleaseBuild.build(
+      pages, "doc_id", "text", evalDocs,
+      seed = "rel3", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L, stripMarkup = true)
+    val texts = r.corpus.select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(!t.contains("<") && !t.contains("track()"), t)
+    }
+    // same released ids as the plain-text cut (extraction recovers the
+    // original bodies, so every later stage sees identical input)
+    val plain = cut().corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == plain)
+  }
 }
