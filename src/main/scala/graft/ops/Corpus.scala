@@ -723,6 +723,42 @@ object Corpus {
       .drop("__pid", "__lsum", "__off")
   }
 
+  /** Exact tie-aware AUC of `scoreCol` as a predictor of the {0,1}
+    * `labelCol` — the rank-sum (Mann–Whitney) formulation, the metric a
+    * quality-signal calibration loop reads ("how well does surprisal
+    * predict the hard gates") computed over the FULL corpus, not a
+    * sample. NULL scores are excluded; degenerate label sets (all 0 or
+    * all 1) yield NULL.
+    *
+    * Exactness: ranks never materialize per row — ties collapse to one
+    * (score, n, n_pos) rollup row, the tie group's doubled average rank
+    * is the integer `2·cum + n + 1`, and the whole statistic reduces to
+    * `(Σ n_pos·(2·cum+n+1) − P(P+1)) / (2·P·N_neg)` — one division of
+    * exact longs, bit-identical in any engine. (Doubled to keep the
+    * half-integer average ranks integral; magnitudes hold to ~1B rows.)
+    *
+    * Scale shape: one map-side-partial groupBy(score), [[prefixSumBy]]
+    * over the DISTINCT-score rollup (range partition + local folds +
+    * broadcast offsets — never a one-task window), one final tiny agg.
+    */
+  def exactAuc(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = df
+      .select(col(scoreCol).as("score"), col(labelCol).cast("long").as("lab"))
+      .filter(col("score").isNotNull)
+    val grouped = s.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("lab").as("npos"))
+    val cum = prefixSumBy(grouped, Seq("score"), "n", "cum")
+    cum
+      .agg(sum(col("npos") * (col("cum") * 2 + col("n") + 1)).as("r2"),
+        sum("n").as("nt"), sum("npos").as("p"))
+      .select(col("nt").as("n_rows"), col("p").as("n_pos"),
+        when(col("p") > 0 && col("p") < col("nt"),
+          (col("r2") - col("p") * (col("p") + 1)).cast("double") /
+            (col("p") * (col("nt") - col("p")) * 2).cast("double"))
+          .otherwise(lit(null)).as("auc"))
+  }
+
   /** Token-budgeted output sharding — the last step before a training
     * corpus is written: documents fill shard 0 in `orderCols` order until
     * `budget` tokens, then shard 1, and so on. `shard = exclusive-prefix

@@ -1662,6 +1662,65 @@ object CorpusPack {
                     ELSE 'test' END AS split
              FROM lab ORDER BY doc_id"""))
 
+  private val t27 = Q(
+    "t27_signal_auc",
+    // exact tie-aware AUC over the full corpus: does the t16 unigram
+    // surprisal signal actually predict the t14 hard-gate failures?
+    // The metric a quality-signal calibration loop reads, as one
+    // integer-exact rank-sum — no sampling, no per-row ranks. (On this
+    // synthetic corpus the signal comes out INVERTED (~0.28): gate
+    // failures are mostly missing-stopword docs, which the uniform
+    // tech-word vocabulary scores as LOW-surprisal — exactly the kind
+    // of calibration fact you measure before trusting a signal)
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = Corpus.surprisalPerDoc(docs, "doc_id", "text",
+          col("lang") === "en")
+        .select(col("doc_id"), col("bits_per_token"))
+      val labeled = docs.select(col("doc_id"),
+        (!TextOps.gopherPass(col("text"), 10, 100000, minStops = 1))
+          .cast("long").as("fail"))
+      Corpus.exactAuc(scored.join(labeled, "doc_id"),
+        "bits_per_token", "fail")
+    },
+    Some(s"""WITH $gopherCte,
+            toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents),
+            ref AS (SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents WHERE lang = 'en'),
+            cnt AS (SELECT token, COUNT(*) AS cnt FROM ref GROUP BY token),
+            tot AS (SELECT COUNT(*) AS ref_total FROM ref),
+            bits AS (SELECT t.doc_id,
+                LENGTH(bin(tot.ref_total // COALESCE(c.cnt, 1))) AS bits
+              FROM toks t LEFT JOIN cnt c ON t.token = c.token
+                   CROSS JOIN tot),
+            agg AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+                COUNT(*) AS n_tok
+              FROM bits GROUP BY doc_id),
+            sc AS (SELECT gp.doc_id,
+                CAST(a.sum_bits AS DOUBLE) / a.n_tok AS score,
+                CASE WHEN gp.pass THEN 0 ELSE 1 END AS lab
+              FROM gp JOIN agg a USING (doc_id)
+              WHERE a.n_tok > 0),
+            g AS (SELECT score, COUNT(*) AS n, SUM(lab) AS npos
+                  FROM sc GROUP BY score),
+            c2 AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum FROM g),
+            t AS (SELECT CAST(SUM(npos * (2 * cum + n + 1)) AS BIGINT)
+                AS r2,
+                CAST(SUM(n) AS BIGINT) AS nt,
+                CAST(SUM(npos) AS BIGINT) AS p FROM c2)
+            SELECT nt AS n_rows, p AS n_pos,
+              CASE WHEN p > 0 AND p < nt THEN
+                CAST(r2 - p * (p + 1) AS DOUBLE)
+                  / CAST(2 * p * (nt - p) AS DOUBLE)
+              ELSE NULL END AS auc
+            FROM t"""))
+
   private val t26 = Q(
     "t26_html_strip",
     // HTML extraction ahead of the text ladder: the corpus is plain
@@ -2079,7 +2138,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

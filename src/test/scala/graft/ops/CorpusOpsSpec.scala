@@ -419,4 +419,25 @@ class CorpusOpsSpec extends SparkSpec {
       assert(out(i) == ((i, raw(i))), s"singleton $i")
     }
   }
+
+  test("exactAuc: tie-aware rank-sum matches the hand-computed value; " +
+    "degenerate labels yield NULL") {
+    // scores [1,1,2,3], labels [0,1,0,1]: tied pair averages rank 1.5,
+    // AUC = (1.5 + 4 - 2*3/2) / (2*2) = 0.625
+    val df = Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (3.0, 1L))
+      .toDF("score", "lab")
+    val r = Corpus.exactAuc(df, "score", "lab").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.625)
+    // all-positive: undefined -> NULL
+    val deg = Corpus.exactAuc(
+      Seq((1.0, 1L), (2.0, 1L)).toDF("score", "lab"), "score", "lab")
+      .collect().head
+    assert(deg.isNullAt(2))
+    // NULL scores are excluded from the population
+    val withNull = Seq((Some(1.0), 0L), (None, 1L), (Some(2.0), 1L))
+      .toDF("score", "lab")
+    val r2 = Corpus.exactAuc(withNull, "score", "lab").collect().head
+    assert(r2.getLong(0) == 2L && r2.getDouble(2) == 1.0)
+  }
 }
