@@ -723,6 +723,38 @@ object Corpus {
       .drop("__pid", "__lsum", "__off")
   }
 
+  /** Agreement between two boolean gates as the full 2×2 contingency
+    * plus Cohen's kappa — the release diagnostic that says whether two
+    * quality filters measure the same thing or complement each other
+    * (high kappa → one is redundant; near-zero → they screen different
+    * failure modes). Kappa corrects raw agreement for chance:
+    * `κ = (N·(a+d) − pe) / (N² − pe)` with
+    * `pe = (a+b)(a+c) + (c+d)(b+d)` — every term an exact long from ONE
+    * map-side-partial aggregation over the pair of flags, and the whole
+    * statistic one division (bit-identical in any engine; magnitudes
+    * hold while N² < 2^63, i.e. to ~3B rows). Degenerate marginals
+    * (κ's denominator 0 — e.g. both gates constant) yield NULL.
+    */
+  def gateAgreement(
+      df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
+    val c = df.select(flagA.cast("boolean").as("fa"),
+        flagB.cast("boolean").as("fb"))
+      .agg(
+        sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("fa") && !col("fb"), 1L).otherwise(0L)).as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val pe = (col("a") + col("b")) * (col("a") + col("c")) +
+      (col("c") + col("d")) * (col("b") + col("d"))
+    c.select(col("a").as("both_pass"), col("b").as("only_a"),
+      col("c").as("only_b"), col("d").as("both_fail"),
+      when(n * n - pe =!= 0,
+        ((n * (col("a") + col("d")) - pe).cast("double") /
+          (n * n - pe).cast("double")))
+        .otherwise(lit(null)).as("kappa"))
+  }
+
   /** Exact tie-aware AUC of `scoreCol` as a predictor of the {0,1}
     * `labelCol` — the rank-sum (Mann–Whitney) formulation, the metric a
     * quality-signal calibration loop reads ("how well does surprisal

@@ -1662,6 +1662,61 @@ object CorpusPack {
                     ELSE 'test' END AS split
              FROM lab ORDER BY doc_id"""))
 
+  private val t28 = Q(
+    "t28_gate_agreement",
+    // do the two heuristic screens measure the same thing? Cohen's
+    // kappa between t14's Gopher gate and t02's composite-quality
+    // threshold — 2x2 contingency as exact longs from ONE aggregation,
+    // kappa as one division (the chance-corrected agreement a release
+    // review reads before stacking filters)
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Corpus.gateAgreement(docs,
+        TextOps.gopherPass(col("text"), 10, 100000, minStops = 1),
+        TextOps.qualityScore(col("text")) >= 0.5)
+    },
+    Some(s"""WITH $gopherCte,
+            qc AS (SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to')))
+                  AS n_stopwords,
+                length(text) - length(regexp_replace(text, '[.,!?;:]',
+                  '', 'g')) AS n_punct,
+                length(text) - length(regexp_replace(text, '[A-Z]', '',
+                  'g')) AS n_upper,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (SELECT doc_id,
+                0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                + 0.3 * (CAST(n_stopwords AS DOUBLE)
+                         / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+                + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                               / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                               / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                  AS quality
+              FROM qc),
+            fl AS (SELECT gp.pass AS fa, q.quality >= 0.5 AS fb
+                   FROM gp JOIN q USING (doc_id)),
+            ct AS (SELECT
+                CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS d
+              FROM fl)
+            SELECT a AS both_pass, b AS only_a, c AS only_b,
+              d AS both_fail,
+              CASE WHEN (a+b+c+d)*(a+b+c+d)
+                     - ((a+b)*(a+c) + (c+d)*(b+d)) <> 0 THEN
+                CAST((a+b+c+d)*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d))
+                     AS DOUBLE)
+                / CAST((a+b+c+d)*(a+b+c+d)
+                       - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE)
+              ELSE NULL END AS kappa
+            FROM ct"""))
+
   private val t27 = Q(
     "t27_signal_auc",
     // exact tie-aware AUC over the full corpus: does the t16 unigram
@@ -2138,7 +2193,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

@@ -440,4 +440,21 @@ class CorpusOpsSpec extends SparkSpec {
     val r2 = Corpus.exactAuc(withNull, "score", "lab").collect().head
     assert(r2.getLong(0) == 2L && r2.getDouble(2) == 1.0)
   }
+
+  test("gateAgreement: hand-checked kappa; constant gates yield NULL") {
+    import org.apache.spark.sql.functions.col
+    // a=2 b=1 c=1 d=4: po=6/8, pe=(3*3+5*5)/64=34/64 -> kappa = 7/15
+    val df = Seq((true, true), (true, true), (true, false), (false, true),
+      (false, false), (false, false), (false, false), (false, false))
+      .toDF("fa", "fb")
+    val r = Corpus.gateAgreement(df, col("fa"), col("fb")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 1L, 4L)))
+    assert(math.abs(r.getDouble(4) - 7.0 / 15.0) < 1e-15)
+    // both gates constant-true: denominator 0 -> NULL
+    val deg = Corpus.gateAgreement(
+      Seq((true, true), (true, true)).toDF("fa", "fb"),
+      col("fa"), col("fb")).collect().head
+    assert(deg.isNullAt(4))
+  }
 }
