@@ -184,8 +184,12 @@ object UnigramTokenizer {
       (withChars, ll)
     }
 
-    // ---- EM + prune until the vocabulary fits
+    // ---- EM + prune until the vocabulary fits. Single chars are an
+    // unprunable floor (words must stay segmentable), so a vocabSize
+    // below the char count converges TO that floor and stops — the
+    // size-progress check below, not an infinite prune loop.
     var done = false
+    var lastSize = -1
     while (!done) {
       var it = 0
       while (it < emIters) {
@@ -193,8 +197,9 @@ object UnigramTokenizer {
         logp = next; trace += ll
         it += 1
       }
-      if (logp.size <= vocabSize) done = true
+      if (logp.size <= vocabSize || logp.size == lastSize) done = true
       else {
+        lastSize = logp.size
         // prune lowest-expected-count tail (recompute counts at the
         // current model), keeping single chars unconditionally
         val acc = scala.collection.mutable.HashMap.empty[String, Double]

@@ -93,4 +93,14 @@ class UnigramSpec extends SparkSpec {
     val back = UnigramModel.load(spark, dir)
     assert(back.pieces == m.pieces)
   }
+
+  test("vocabSize below the single-char floor converges to the floor " +
+    "instead of looping") {
+    // chars alone exceed vocabSize=2; prune stops at the char floor
+    val m = UnigramTokenizer.train(wf, vocabSize = 2, maxPieceLen = 4,
+      emIters = 2, pruneFrac = 0.5)
+    val chars = wf.flatMap(_._1.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(m.pieces.keySet))
+    assert(m.pieces.size <= chars.size + 2)
+  }
 }
