@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * the r8c additions (t19 C4 rewrite, t20 bigram surprisal, s10/s11
   * SQ8, p22 repeat-cap mix, t22 chunking), the r8e additions (t23
   * trained quality model, t24 doc keywords, p23 length batches,
-  * t25 unigram tokenizer),
+  * t25 unigram tokenizer, t26 html strip, t27 AUC, t28 kappa, s12
+  * pooling, p24/d24 cluster splits),
   * and EpochBuild (r8): generates a
   * seeded synthetic corpus at two scales from the SAME generator —
   * base = sf0.1-shaped (5k docs / 2k vectors) and x10 (50k / 20k) —
@@ -60,7 +61,9 @@ object ScaleSmoke {
     "d08_dedup_clusters", "d11_cc_incremental", "d14_fuzzy_pipeline",
     "d18_cluster_keep_best",
     // d22 shares d02's inverted-index pair cost (Σ df² per gram)
-    "d22_containment")
+    "d22_containment",
+    // d24 is the d08 chain + two label-cardinality rollups
+    "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
   // slice scales WITH the corpus, so it is a declared baseline here
   // (the production eval side is a fixed-size suite — linear in train)
@@ -83,7 +86,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 23, s"expected 23 d-tier queries, got $dTier")
+    require(dTier.size == 24, s"expected 24 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -160,8 +163,15 @@ object ScaleSmoke {
       // t25's EM trainer runs on the driver over the (word, freq)
       // rollup — vocabulary-sized, so corpus-size-independent like
       // t17's BPE; the Viterbi count is a memoized pure map
-      "t25_unigram_token_count")
-      .map(n => measure(n, 15.0, queryFn(n)))
+      "t25_unigram_token_count",
+      // t26 is a pure scan-stage regexp chain; t27 is a rollup +
+      // prefix-sum + one agg; t28 is ONE aggregation over two flags;
+      // s12 is a bounded posexplode + hash-agg
+      "t26_html_strip", "t27_signal_auc", "t28_gate_agreement",
+      "s12_embed_pool")
+      .map(n => measure(n, 15.0, queryFn(n))) ++
+      // p24 rides the d02/d08 inverted-index pair machinery
+      Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
 
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum
