@@ -915,7 +915,33 @@ object Relational {
             FROM customer JOIN orders ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  // LATERAL correlated subquery with ORDER BY + LIMIT — the top-N-per-
+  // row spelling (each customer's 2 priciest orders). Catalyst
+  // DECORRELATES the per-row subquery into a set-based plan (a ranked
+  // window over one join — never an orders re-scan per customer), the
+  // same rewrite class as q22/q31's subqueries; LATERAL's inner-join
+  // semantics drop order-less customers. Deterministic under ties via
+  // the (price desc, orderkey) sort.
+  private val q41 = Q(
+    "q41_lateral_topn",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+               FROM customer c, LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40, q41)
 }

@@ -635,6 +635,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UnionLoop"), s"expected UnionLoop in:\n$p")
     assert(p.contains("HashAggregate"))
   }
+
+  test("q41: LATERAL decorrelates to one ranked join with the group-" +
+    "limit pushed below the shuffle, no per-row re-scan") {
+    val p = SparkEntry.queries("q41_lateral_topn")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // set-based rewrite: row_number <= 2 with WindowGroupLimit (each
+    // task keeps 2 rows per key BEFORE the exchange), one join, and
+    // exactly one scan per relation — never an orders re-scan per row
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Join"), p)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"expected 2 scans, got $scans:\n$p")
+  }
 }
+
 
 
