@@ -165,4 +165,50 @@ class TableToolsSpec extends SparkSpec {
     assert(read.contains("c_custkey") && read.contains("c_name") &&
       !read.contains("c_address"))
   }
+
+  test("mortonCode interleaves bits; zOrderWrite files cover compact " +
+    "rectangles where a single-column sort spans the full other axis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, min}
+    // expression vs a reference bit-interleave
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+        .reduce(_ | _)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (255L, 128L))
+    val got = pairs.toDF("a", "b")
+      .select(TableTools.mortonCode(col("a"), col("b"), 8)).collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (a, b) => ref(a, b, 8) })
+
+    // 64x64 uniform grid -> 16 files each way; z-order files must cover
+    // far less (x-range * y-range) area than x-sorted files, which each
+    // span the whole y axis
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y").repartition(8)
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    TableTools.zOrderWrite(grid, s"$base/z", "x", "y", bits = 6, nFiles = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/flat")
+    // every 256-point file has AREA 256 on a dense grid — the pruning
+    // discriminator is the WORST-AXIS span: a point predicate on y
+    // touches every x-sorted file (each spans all 64 y values) but only
+    // the z-order files whose ~16-wide y-range contains it
+    def avgWorstSide(dir: String): Double = {
+      val perFile = spark.read.parquet(dir)
+        .withColumn("f", org.apache.spark.sql.functions
+          .input_file_name())
+        .groupBy("f").agg(
+          (max("x") - min("x") + 1).as("rx"),
+          (max("y") - min("y") + 1).as("ry"))
+        .select(org.apache.spark.sql.functions.greatest(col("rx"),
+          col("ry")).cast("double").as("side"))
+        .collect().map(_.getDouble(0))
+      perFile.sum / perFile.length
+    }
+    val zs = avgWorstSide(s"$base/z")
+    val fs = avgWorstSide(s"$base/flat")
+    assert(fs >= 63.0, s"x-sorted files should span the y axis, got $fs")
+    assert(zs < fs / 2, s"z-order worst side $zs !< half of flat $fs")
+  }
 }
