@@ -755,6 +755,51 @@ object Corpus {
         .otherwise(lit(null)).as("kappa"))
   }
 
+  /** Exact precision/recall operating points at score-quantile
+    * thresholds — the table that picks a CUTOFF once [[exactAuc]] says
+    * the signal ranks usefully at all. For each interior `points`-ile
+    * of the score distribution: the threshold, how many rows a
+    * `score ≥ threshold` filter keeps, and its exact precision/recall
+    * against the {0,1} label.
+    *
+    * Shape: ONE exact-percentile aggregation yields the cuts
+    * (broadcast — the p08 convention; `approx_percentile` is the
+    * high-cardinality swap), then ONE pass computes every cut's
+    * conditional counts as q40-style filtered aggregates — never a
+    * per-cut scan or a threshold cross join. Counts are exact longs;
+    * precision/recall are one division each (empty predictions /
+    * empty positives yield NULL). The tiny result frame materializes
+    * on the driver (`points` rows).
+    */
+  def prCurve(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      points: Int = 10): DataFrame = {
+    require(points >= 2, s"need at least 2 points: $points")
+    val spark = df.sparkSession
+    val s = df.select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("lab"))
+      .filter(col("score").isNotNull)
+    val qs = (1 until points).map(_.toDouble / points)
+    val cuts = s.agg(percentile(col("score"),
+        array(qs.map(lit): _*)).as("c"))
+      .collect()(0).getSeq[Double](0)
+    val aggs = cuts.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("score") >= t, 1L).otherwise(0L)).as(s"np_$i"),
+      sum(when(col("score") >= t, col("lab")).otherwise(0L)).as(s"tp_$i"))
+    } ++ Seq(count(lit(1)).as("n"), sum("lab").as("p"))
+    val r = s.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val p = r.getAs[Long]("p")
+    import spark.implicits._
+    cuts.zipWithIndex.map { case (t, i) =>
+      val np = r.getAs[Long](s"np_$i")
+      val tp = r.getAs[Long](s"tp_$i")
+      (i + 1, t, np, tp,
+        if (np > 0) Some(tp.toDouble / np) else None,
+        if (p > 0) Some(tp.toDouble / p) else None)
+    }.toSeq
+      .toDF("q", "threshold", "n_pred", "tp", "precision", "recall")
+  }
+
   /** Exact tie-aware AUC of `scoreCol` as a predictor of the {0,1}
     * `labelCol` — the rank-sum (Mann–Whitney) formulation, the metric a
     * quality-signal calibration loop reads ("how well does surprisal

@@ -1662,6 +1662,69 @@ object CorpusPack {
                     ELSE 'test' END AS split
              FROM lab ORDER BY doc_id"""))
 
+  private val t29 = Q(
+    "t29_pr_curve",
+    // the threshold table t27's AUC summarizes: precision/recall of
+    // "surprisal >= q-th decile" against the gate-failure label at
+    // every interior decile — exact percentile cuts broadcast, one
+    // pass of q40-style filtered aggregates, integer-exact counts
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = Corpus.surprisalPerDoc(docs, "doc_id", "text",
+          col("lang") === "en")
+        .select(col("doc_id"), col("bits_per_token"))
+      val labeled = docs.select(col("doc_id"),
+        (!TextOps.gopherPass(col("text"), 10, 100000, minStops = 1))
+          .cast("long").as("fail"))
+      Corpus.prCurve(scored.join(labeled, "doc_id"),
+          "bits_per_token", "fail", points = 10)
+        .orderBy("q")
+    },
+    Some(s"""WITH $gopherCte,
+            toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents),
+            ref AS (SELECT unnest(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS token
+              FROM documents WHERE lang = 'en'),
+            cnt AS (SELECT token, COUNT(*) AS cnt FROM ref GROUP BY token),
+            tot AS (SELECT COUNT(*) AS ref_total FROM ref),
+            bits AS (SELECT t.doc_id,
+                LENGTH(bin(tot.ref_total // COALESCE(c.cnt, 1))) AS bits
+              FROM toks t LEFT JOIN cnt c ON t.token = c.token
+                   CROSS JOIN tot),
+            agg AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+                COUNT(*) AS n_tok
+              FROM bits GROUP BY doc_id),
+            sc AS (SELECT gp.doc_id,
+                CAST(a.sum_bits AS DOUBLE) / a.n_tok AS score,
+                CASE WHEN gp.pass THEN 0 ELSE 1 END AS lab
+              FROM gp JOIN agg a USING (doc_id)
+              WHERE a.n_tok > 0),
+            cuts AS (SELECT unnest(quantile_cont(score,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+                  AS threshold,
+                generate_subscripts(quantile_cont(score,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), 1)
+                  AS q
+              FROM sc),
+            p AS (SELECT CAST(SUM(lab) AS BIGINT) AS p FROM sc),
+            byq AS (SELECT c.q, c.threshold,
+                CAST(SUM(CASE WHEN s.score >= c.threshold THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_pred,
+                CAST(SUM(CASE WHEN s.score >= c.threshold THEN s.lab
+                         ELSE 0 END) AS BIGINT) AS tp
+              FROM cuts c CROSS JOIN sc s GROUP BY c.q, c.threshold)
+            SELECT q, threshold, n_pred, tp,
+              CASE WHEN n_pred > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                   ELSE NULL END AS precision,
+              CASE WHEN p.p > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(p.p AS DOUBLE)
+                   ELSE NULL END AS recall
+            FROM byq CROSS JOIN p ORDER BY q"""))
+
   private val t28 = Q(
     "t28_gate_agreement",
     // do the two heuristic screens measure the same thing? Cohen's
@@ -2193,7 +2256,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

@@ -457,4 +457,21 @@ class CorpusOpsSpec extends SparkSpec {
       col("fa"), col("fb")).collect().head
     assert(deg.isNullAt(4))
   }
+
+  test("prCurve: hand-checked operating points; monotone recall") {
+    import org.apache.spark.sql.functions.col
+    // scores 1..10, positives at 6..10 (perfect ranking): at the median
+    // cut, predictions = top half, precision 1.0, recall 1.0
+    val df = (1 to 10).map(i => (i.toDouble, if (i > 5) 1L else 0L))
+      .toDF("score", "lab")
+    val r = Corpus.prCurve(df, "score", "lab", points = 4)
+      .orderBy("q").collect()
+      .map(x => (x.getInt(0), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))
+    // q=2 is the median threshold (5.5): keeps 5 rows, all positive
+    assert(r.length == 3)
+    assert(r(1) == ((2, 5L, 5L, 1.0, 1.0)))
+    // recall never increases as the threshold rises
+    assert(r.map(_._5).sliding(2).forall { case Array(a, b) => b <= a })
+  }
 }
