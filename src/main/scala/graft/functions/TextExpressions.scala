@@ -316,6 +316,159 @@ final class BpeCounter(merges: Seq[(String, String)]) extends Serializable {
     }
 }
 
+/** Deterministic id space for BPE symbols, fixed WITHOUT corpus
+  * knowledge so any two jobs agree: a single-char symbol's id is its
+  * code point (0..0xFFFF), `</w>` is 0x10000, and the i-th merge's
+  * output symbol is 0x10001 + i. Multi-char symbols only ever arise as
+  * merge outputs, so the map is total over every symbol greedy
+  * encoding can produce.
+  */
+object BpeVocab {
+  val EndWord = 0x10000
+
+  def idOf(sym: String, rank: java.util.HashMap[String, Integer]): Int =
+    if (sym == "</w>") EndWord
+    else if (sym.length == 1) sym.charAt(0).toInt
+    else {
+      val r = rank.get(sym)
+      require(r != null, s"symbol '$sym' is not a merge output")
+      0x10001 + r.intValue
+    }
+
+  /** merge-output symbol → merge index (for id assignment). */
+  def outputRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // LAST merge producing a string wins no id conflicts: merge
+      // outputs are unique strings under distinct merge pairs reaching
+      // the same concatenation — keep the FIRST (lowest rank) id
+      if (!m.containsKey(a + b)) m.put(a + b, i)
+    }
+    m
+  }
+}
+
+/** Tokenize to TRAINING IDS under the trained BPE merges — the emit
+  * step after counting (27b) and packing: a model consumes token ids,
+  * not text. Same greedy lowest-rank merge loop and non-alpha
+  * conventions as [[BpeCountExpr]] (digits/glyphs one id each — their
+  * code points — spaces none), emitting the final symbol ids in
+  * document order under the deterministic [[BpeVocab]] id space.
+  * `size(ids)` equals [[BpeCountExpr]] by construction (spec-pinned),
+  * so packing budgets computed from counts hold exactly for the
+  * emitted ids.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  @transient private lazy val encoder = new BpeEncoder(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    encoder.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", new BpeEncoder(merges),
+      classOf[BpeEncoder].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.encode($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Executor-side id emitter behind [[BpeEncodeExpr]] — BpeCounter's
+  * merge loop, keeping the symbols and mapping them through BpeVocab;
+  * bounded word memo as the counter.
+  */
+final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+  @transient private lazy val outRank = BpeVocab.outputRanks(merges)
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new java.util.ArrayList[Integer](n / 4 + 4)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        val start = i
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) i += 1
+        val ids = wordIds(s.substring(start, i))
+        var j = 0
+        while (j < ids.length) { out.add(ids(j)); j += 1 }
+      } else {
+        if (c != ' ') out.add(c.toInt) // digit or glyph: its code point
+        i += 1
+      }
+    }
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue; j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(arr)
+  }
+
+  private def wordIds(w: String): Array[Int] = {
+    if (memo.size > (1 << 20)) memo.clear()
+    memo.computeIfAbsent(w, encodeWord)
+  }
+
+  /** The exact BpeCounter merge loop, emitting ids of the survivors. */
+  private val encodeWord: java.util.function.Function[String, Array[Int]] =
+    new java.util.function.Function[String, Array[Int]] with Serializable {
+      override def apply(w: String): Array[Int] = {
+        val syms = new java.util.ArrayList[String](w.length + 1)
+        var i = 0
+        while (i < w.length) {
+          syms.add(String.valueOf(w.charAt(i)))
+          i += 1
+        }
+        syms.add("</w>")
+        var continue = true
+        while (continue && syms.size > 1) {
+          var best = -1
+          var bestRank = Int.MaxValue
+          var j = 0
+          while (j + 1 < syms.size) {
+            val r = rank.get(syms.get(j) + " " + syms.get(j + 1))
+            if (r != null && r < bestRank) { bestRank = r; best = j }
+            j += 1
+          }
+          if (best < 0) continue = false
+          else {
+            syms.set(best, syms.get(best) + syms.get(best + 1))
+            syms.remove(best + 1)
+          }
+        }
+        val out = new Array[Int](syms.size)
+        var k = 0
+        while (k < out.length) {
+          out(k) = BpeVocab.idOf(syms.get(k), outRank)
+          k += 1
+        }
+        out
+      }
+    }
+}
+
 /** Per-document token count under a trained unigram-LM tokenizer
   * ([[graft.ops.UnigramTokenizer]]): Viterbi max-likelihood segmentation
   * per alpha word (the SentencePiece inference rule — unlike BPE's

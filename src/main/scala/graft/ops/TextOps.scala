@@ -178,6 +178,17 @@ object TextOps {
       graft.functions.BpeCountExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
 
+  /** Tokenize to training ids under trained BPE merges — the emit step
+    * a model actually consumes ([[graft.functions.BpeEncodeExpr]];
+    * `size` equals [[bpeTokenCountTrained]] by construction, so packing
+    * budgets computed from counts hold exactly for the emitted ids).
+    */
+  def bpeEncodeIds(
+      text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeEncodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
   /** Exact per-document token count under a trained unigram-LM
     * vocabulary ([[UnigramTokenizer]]) — Viterbi max-likelihood
     * segmentation, the SentencePiece twin of [[bpeTokenCountTrained]]

@@ -1894,6 +1894,24 @@ object CorpusPack {
               length(clean) AS n_chars
             FROM dec ORDER BY doc_id"""))
 
+  private val t30 = Q(
+    "t30_bpe_token_ids",
+    // the emit step: documents as TRAINING IDS under the corpus-trained
+    // merges (deterministic BpeVocab id space), with the count column
+    // proving size(ids) == the t17 counter in-row. Arrays of trained
+    // ids have no DuckDB mirror (rows-only); BpeFidelitySpec-style
+    // gates live in TextOpsSpec (round-trip, count equality)
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val merges = TextOps.trainBpeMerges(docs, "text", nMerges = 150)
+      docs.select(col("doc_id"),
+        TextOps.bpeEncodeIds(col("text"), merges).as("ids"),
+        TextOps.bpeTokenCountTrained(col("text"), merges).as("n_tok"))
+        .withColumn("n_ids", size(col("ids")))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val t25 = Q(
     "t25_unigram_token_count",
     // exact per-doc token counts under a corpus-trained unigram-LM
@@ -2256,7 +2274,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

@@ -64,7 +64,10 @@ class ContractSpec extends AnyFunSuite {
       "t23_model_quality",
       // DuckDB cannot Viterbi-segment; UnigramSpec gates EM monotonicity,
       // Viterbi ≡ brute force, determinism, and the parquet round-trip
-      "t25_unigram_token_count")
+      "t25_unigram_token_count",
+      // arrays of trained BPE ids have no SQL mirror; TextOpsSpec gates
+      // the id round-trip and size ≡ BpeCountExpr
+      "t30_bpe_token_ids")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

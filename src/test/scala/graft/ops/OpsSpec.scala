@@ -159,6 +159,47 @@ class TextOpsSpec extends SparkSpec {
     assert(strip("no  markup\there") == "no markup here")
   }
 
+  test("bpeEncodeIds: size equals the trained counter; ids decode back " +
+    "to the merge-loop segmentation") {
+    import graft.functions.BpeVocab
+    val docs = Seq("the cat sat", "thethe catcat", "a 42 x!").toDF("text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("the", "</w>"),
+      ("c", "a"), ("ca", "t"))
+    val rows = docs.select(col("text"),
+        TextOps.bpeEncodeIds(col("text"), merges).as("ids"),
+        TextOps.bpeTokenCountTrained(col("text"), merges).as("n"))
+      .collect()
+    // inverse of the deterministic id space
+    val outRank = BpeVocab.outputRanks(merges)
+    val inv = scala.collection.mutable.Map[Int, String]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val id = BpeVocab.idOf(a + b, outRank)
+      if (!inv.contains(id)) inv(id) = a + b
+    }
+    def sym(id: Int): String =
+      if (id == BpeVocab.EndWord) "</w>"
+      else if (id <= 0xFFFF) id.toChar.toString
+      else inv(id)
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](1)
+      assert(ids.length == r.getInt(2), s"size != count for ${r.getString(0)}")
+      // re-joining the decoded symbols reproduces the text with every
+      // ALPHA RUN closed by </w> (non-alpha glyphs carry no marker)
+      // and spaces dropped — the lossless round-trip
+      val decoded = ids.map(sym).mkString
+      val expect = "[A-Za-z]+|[^A-Za-z ]".r
+        .findAllIn(r.getString(0)).map { p =>
+          if (p.head.isLetter) p + "</w>" else p
+        }.mkString
+      assert(decoded == expect, s"decoded $decoded != $expect")
+    }
+    // "the" is fully merged -> a single id beyond the char space
+    val theIds = Seq("the").toDF("text")
+      .select(TextOps.bpeEncodeIds(col("text"), merges)).collect()
+      .head.getSeq[Int](0)
+    assert(theIds.length == 1 && theIds.head > BpeVocab.EndWord)
+  }
+
   test("script profile: per-class counts and priority-tiebroken dominant") {
     def dom(t: String): String =
       one(t, TextOps.dominantScript(col("text"))).asInstanceOf[String]
