@@ -83,6 +83,26 @@ object EpochBuild {
     Epoch(sharded, bounds)
   }
 
+  /** The TOKEN-ID payload table for a built epoch — what the training
+    * job actually loads: (shard_id, train_pos, doc_id, ids), ids under
+    * the SAME trained merges the epoch was budgeted with
+    * ([[graft.ops.TextOps.bpeEncodeIds]], deterministic BpeVocab id
+    * space). `size(ids)` equals the order table's `n_tok` row for row
+    * (spec-asserted) — the counts that cut the shards ARE the lengths
+    * of the emitted arrays, so shard byte sizes and boundary offsets
+    * hold exactly. Opt-in (ids re-materialize the corpus): emit once
+    * per release, not per epoch — the epoch's per-seed tables are the
+    * tiny order/boundaries; readers join this payload by doc_id.
+    */
+  def payload(
+      docs: DataFrame, idCol: String, textCol: String,
+      e: Epoch, merges: Seq[(String, String)]): DataFrame =
+    e.order
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        "doc_id")
+      .select(col("shard_id"), col("train_pos"), col("doc_id"),
+        TextOps.bpeEncodeIds(col("__t"), merges).as("ids"))
+
   /** Per-shard integrity manifest: (shard_id, n_docs, n_tokens,
     * content_md5), where content_md5 hashes the shard's doc ids IN EPOCH
     * ORDER — the checksum a reader (or a post-loss rebuild) verifies a

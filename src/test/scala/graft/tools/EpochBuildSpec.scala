@@ -131,4 +131,24 @@ class EpochBuildSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(other != m.view.mapValues(_._3).toMap)
   }
+
+  test("payload: id arrays align row-for-row with the order table's " +
+    "trained counts") {
+    import org.apache.spark.sql.functions.col
+    val vdocs = (1L to 12L)
+      .map(i => (i, s"alpha bravo${i % 3} charlie delta echo".trim))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "l"), ("al", "p"), ("alp", "h"), ("alph", "a"))
+    val e = EpochBuild.build(vdocs, "doc_id", "text", "epochP",
+      shardTokens = 40L, seqLen = 16, packShardDocs = 1000,
+      bpeMerges = Some(merges))
+    val pay = EpochBuild.payload(vdocs, "doc_id", "text", e, merges)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard_id"), r.getSeq[Int](3).length))).toMap
+    val order = e.order.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard_id"), r.getAs[Long]("n_tok").toInt))).toMap
+    assert(pay == order)
+  }
 }
