@@ -780,16 +780,19 @@ object Corpus {
         col(labelCol).cast("long").as("lab"))
       .filter(col("score").isNotNull)
     val qs = (1 until points).map(_.toDouble / points)
-    val cuts = s.agg(percentile(col("score"),
-        array(qs.map(lit): _*)).as("c"))
-      .collect()(0).getSeq[Double](0)
+    val cutsRow = s.agg(percentile(col("score"),
+        array(qs.map(lit): _*)).as("c")).collect()(0)
+    import spark.implicits._
+    if (cutsRow.isNullAt(0)) // no non-null scores: empty curve, not NPE
+      return Seq.empty[(Int, Double, Long, Long, Option[Double], Option[Double])]
+        .toDF("q", "threshold", "n_pred", "tp", "precision", "recall")
+    val cuts = cutsRow.getSeq[Double](0)
     val aggs = cuts.zipWithIndex.flatMap { case (t, i) => Seq(
       sum(when(col("score") >= t, 1L).otherwise(0L)).as(s"np_$i"),
       sum(when(col("score") >= t, col("lab")).otherwise(0L)).as(s"tp_$i"))
     } ++ Seq(count(lit(1)).as("n"), sum("lab").as("p"))
     val r = s.agg(aggs.head, aggs.tail: _*).collect()(0)
     val p = r.getAs[Long]("p")
-    import spark.implicits._
     cuts.zipWithIndex.map { case (t, i) =>
       val np = r.getAs[Long](s"np_$i")
       val tp = r.getAs[Long](s"tp_$i")

@@ -473,5 +473,9 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(1) == ((2, 5L, 5L, 1.0, 1.0)))
     // recall never increases as the threshold rises
     assert(r.map(_._5).sliding(2).forall { case Array(a, b) => b <= a })
+    // an all-null score frame yields an empty curve, not an NPE
+    val empty = Corpus.prCurve(
+      Seq((Option.empty[Double], 1L)).toDF("score", "lab"), "score", "lab")
+    assert(empty.count() == 0L)
   }
 }
