@@ -168,7 +168,10 @@ object ScaleSmoke {
       // prefix-sum + one agg; t28 is ONE aggregation over two flags;
       // s12 is a bounded posexplode + hash-agg
       "t26_html_strip", "t27_signal_auc", "t28_gate_agreement",
-      "s12_embed_pool")
+      "s12_embed_pool",
+      // t29 = ONE exact-percentile agg + one filtered-agg pass; t30 =
+      // the t17 trainer + a memoized pure-map id emit
+      "t29_pr_curve", "t30_bpe_token_ids")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
