@@ -584,6 +584,157 @@ final class UnigramCounter(pieces: Map[String, Double]) extends Serializable {
     }
 }
 
+/** Tokenize to TRAINING IDS under a trained unigram-LM vocabulary —
+  * [[BpeEncodeExpr]]'s twin for the SentencePiece tokenizer (t25): the
+  * SAME Viterbi recurrence and tie-break as [[UnigramCountExpr]], with
+  * backpointers, emitting piece ids in document order. Ids are the
+  * index of the piece in the SORTED vocabulary (the model's canonical
+  * order — [[graft.ops.UnigramTokenizer.UnigramModel]] persists pieces
+  * sorted, so ids survive save/load); an OOV single character maps to
+  * `vocabSize + codePoint` (deterministic byte-fallback-style range a
+  * reader distinguishes by `id >= vocabSize`). Non-alpha conventions
+  * match the whole tokenizer family: digits/glyphs emit
+  * `vocabSize + codePoint` unless the glyph is itself a vocabulary
+  * piece, spaces emit nothing. `size(ids)` equals [[UnigramCountExpr]]
+  * by shared recurrence (spec- and property-pinned).
+  */
+case class UnigramEncodeExpr(child: Expression, pieces: Map[String, Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(pieces.nonEmpty, "empty unigram vocabulary")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_unigram_encode"
+
+  @transient private lazy val encoder = new UnigramEncoder(pieces)
+
+  override protected def nullSafeEval(input: Any): Any =
+    encoder.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramEncoder", new UnigramEncoder(pieces),
+      classOf[UnigramEncoder].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.encode($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Executor-side id emitter behind [[UnigramEncodeExpr]]. */
+final class UnigramEncoder(pieces: Map[String, Double]) extends Serializable {
+
+  @transient private lazy val sortedPieces: Array[String] =
+    pieces.keys.toArray.sorted
+  @transient private lazy val pieceId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.size * 2)
+    sortedPieces.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+    m
+  }
+  @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    pieces.keysIterator.map(_.length).max
+  @transient private lazy val oovLogp: Double =
+    pieces.valuesIterator.min - 10.0
+  private def vocabSize: Int = pieces.size
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new java.util.ArrayList[Integer](n / 4 + 4)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        val start = i
+        while (i < n && {
+          val d = s.charAt(i)
+          (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) i += 1
+        val ids = wordIds(s.substring(start, i))
+        var j = 0
+        while (j < ids.length) { out.add(ids(j)); j += 1 }
+      } else {
+        if (c != ' ') {
+          val p = pieceId.get(String.valueOf(c))
+          out.add(if (p != null) p.intValue else vocabSize + c.toInt)
+        }
+        i += 1
+      }
+    }
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue; j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(arr)
+  }
+
+  private def wordIds(w: String): Array[Int] = {
+    if (memo.size > (1 << 20)) memo.clear()
+    memo.computeIfAbsent(w, viterbi)
+  }
+
+  /** UnigramCounter's exact DP (max score, ties to fewer pieces), with
+    * backpointers; OOV single chars emit vocabSize + codePoint.
+    */
+  private val viterbi: java.util.function.Function[String, Array[Int]] =
+    new java.util.function.Function[String, Array[Int]] with Serializable {
+      override def apply(w: String): Array[Int] = {
+        val n = w.length
+        val best = Array.fill(n + 1)(Double.NegativeInfinity)
+        val cnt = Array.fill(n + 1)(Int.MaxValue)
+        val back = Array.fill(n + 1)(-1)
+        best(0) = 0.0; cnt(0) = 0
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (cnt(j) != Int.MaxValue) {
+              val piece = w.substring(j, i)
+              val lpv = logp.get(piece)
+              val lp =
+                if (lpv != null) lpv.doubleValue
+                else if (i - j == 1) oovLogp
+                else Double.NegativeInfinity
+              if (lp != Double.NegativeInfinity) {
+                val sc = best(j) + lp
+                val c = cnt(j) + 1
+                if (sc > best(i) || (sc == best(i) && c < cnt(i))) {
+                  best(i) = sc; cnt(i) = c; back(i) = j
+                }
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val out = new Array[Int](cnt(n))
+        var pos = n
+        var k = cnt(n) - 1
+        while (pos > 0) {
+          val j = back(pos)
+          val piece = w.substring(j, pos)
+          val id = pieceId.get(piece)
+          out(k) = if (id != null) id.intValue
+            else vocabSize + piece.charAt(0).toInt // OOV single char
+          k -= 1
+          pos = j
+        }
+        out
+      }
+    }
+}
+
 /** Fused per-document surprisal accumulation against a BROADCAST bit
   * table: one pass over the raw text computing `(sum_bits, n_tok)` —
   * the scan-stage / streaming hot-path form of

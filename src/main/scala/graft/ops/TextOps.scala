@@ -226,6 +226,17 @@ object TextOps {
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 
+  /** Tokenize to training ids under a trained unigram vocabulary —
+    * [[bpeEncodeIds]]'s SentencePiece twin
+    * ([[graft.functions.UnigramEncodeExpr]]; `size` equals
+    * [[unigramTokenCount]] by shared Viterbi recurrence).
+    */
+  def unigramEncodeIds(
+      text: Column, pieces: Map[String, Double]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.UnigramEncodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), pieces))
+
   /** English stopword hits among all (non-distinct) tokens. */
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text),

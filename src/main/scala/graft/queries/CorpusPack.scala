@@ -1894,6 +1894,23 @@ object CorpusPack {
               length(clean) AS n_chars
             FROM dec ORDER BY doc_id"""))
 
+  private val t31 = Q(
+    "t31_unigram_token_ids",
+    // the SentencePiece emit: documents as ids under the corpus-trained
+    // unigram vocabulary (canonical sorted-piece id space; OOV glyphs in
+    // the vocabSize+codePoint fallback range), count column proving
+    // size(ids) == the t25 counter in-row
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val model = UnigramTokenizer.train(docs, "text", vocabSize = 48)
+      docs.select(col("doc_id"),
+        TextOps.unigramEncodeIds(col("text"), model.pieces).as("ids"),
+        TextOps.unigramTokenCount(col("text"), model.pieces).as("n_tok"))
+        .withColumn("n_ids", size(col("ids")))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val t30 = Q(
     "t30_bpe_token_ids",
     // the emit step: documents as TRAINING IDS under the corpus-trained
@@ -2274,7 +2291,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

@@ -67,7 +67,10 @@ class ContractSpec extends AnyFunSuite {
       "t25_unigram_token_count",
       // arrays of trained BPE ids have no SQL mirror; TextOpsSpec gates
       // the id round-trip and size ≡ BpeCountExpr
-      "t30_bpe_token_ids")
+      "t30_bpe_token_ids",
+      // same for unigram ids; UnigramSpec gates round-trip and
+      // size ≡ UnigramCountExpr (shared Viterbi recurrence)
+      "t31_unigram_token_ids")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -110,4 +110,18 @@ class PropertySpec extends AnyFunSuite {
       counter.count(UTF8String.fromString(w)) == best._2
     })
   }
+
+  test("UnigramEncoder size == UnigramCounter count (shared recurrence)") {
+    val pieceGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.nonEmptyListOf(
+      Gen.zip(pieceGen, Gen.choose(-5.0, -0.1))).map(_.toMap)
+    val wordGen = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    run(Prop.forAll(vocabGen, wordGen) { (vocab, w) =>
+      val u = UTF8String.fromString(w)
+      new UnigramEncoder(vocab).encode(u).numElements() ==
+        new UnigramCounter(vocab).count(u)
+    })
+  }
 }

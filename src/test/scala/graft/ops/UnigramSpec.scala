@@ -103,4 +103,27 @@ class UnigramSpec extends SparkSpec {
     assert(chars.subsetOf(m.pieces.keySet))
     assert(m.pieces.size <= chars.size + 2)
   }
+
+  test("unigramEncodeIds: size equals the counter (shared recurrence); " +
+    "ids decode losslessly through the canonical id space") {
+    import org.apache.spark.sql.functions.col
+    val m = trainSmall()
+    val sorted = m.pieces.keys.toArray.sorted
+    val counter = new graft.functions.UnigramCounter(m.pieces)
+    def decode(ids: Seq[Int]): String = ids.map { id =>
+      if (id < sorted.length) sorted(id)
+      else (id - sorted.length).toChar.toString // OOV fallback range
+    }.mkString
+    val texts = Seq("the cat", "walking", "xyzq 42 the!", "", "  cats  ")
+    val rows = texts.toDF("text").select(col("text"),
+        TextOps.unigramEncodeIds(col("text"), m.pieces).as("ids")).collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](1)
+      val want = counter.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+      assert(ids.length == want, s"size != count for '${r.getString(0)}'")
+      assert(decode(ids) == r.getString(0).replace(" ", ""),
+        s"round-trip failed for '${r.getString(0)}'")
+    }
+  }
 }
