@@ -171,7 +171,7 @@ object ScaleSmoke {
       "s12_embed_pool",
       // t29 = ONE exact-percentile agg + one filtered-agg pass; t30 =
       // the t17 trainer + a memoized pure-map id emit
-      "t29_pr_curve", "t30_bpe_token_ids")
+      "t29_pr_curve", "t30_bpe_token_ids", "t31_unigram_token_ids")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
