@@ -56,10 +56,16 @@ object EpochBuild {
       shardTokens: Long,
       seqLen: Int,
       packShardDocs: Int = 1 << 20,
-      bpeMerges: Option[Seq[(String, String)]] = None): Epoch = {
+      bpeMerges: Option[Seq[(String, String)]] = None,
+      unigramPieces: Option[Map[String, Double]] = None): Epoch = {
+    require(bpeMerges.isEmpty || unigramPieces.isEmpty,
+      "supply ONE tokenizer: bpeMerges or unigramPieces")
     val countExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      bpeMerges.fold(TextOps.tokenCount _)(m =>
-        TextOps.bpeTokenCountTrained(_, m))
+      unigramPieces.map(pcs =>
+          (c: org.apache.spark.sql.Column) => TextOps.unigramTokenCount(c, pcs))
+        .orElse(bpeMerges.map(m =>
+          (c: org.apache.spark.sql.Column) => TextOps.bpeTokenCountTrained(c, m)))
+        .getOrElse(TextOps.tokenCount _)
     val toks = docs.select(col(idCol).as("doc_id"),
       countExpr(col(textCol)).cast("long").as("n_tok"))
     val order = Corpus.seededShuffle(
@@ -102,6 +108,19 @@ object EpochBuild {
         "doc_id")
       .select(col("shard_id"), col("train_pos"), col("doc_id"),
         TextOps.bpeEncodeIds(col("__t"), merges).as("ids"))
+
+  /** [[payload]]'s twin for the unigram tokenizer (t25/t31): ids under
+    * the SAME trained pieces the epoch was budgeted with; `size(ids)`
+    * equals `n_tok` row-for-row by the shared Viterbi recurrence.
+    */
+  def payloadUnigram(
+      docs: DataFrame, idCol: String, textCol: String,
+      e: Epoch, pieces: Map[String, Double]): DataFrame =
+    e.order
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        "doc_id")
+      .select(col("shard_id"), col("train_pos"), col("doc_id"),
+        TextOps.unigramEncodeIds(col("__t"), pieces).as("ids"))
 
   /** Per-shard integrity manifest: (shard_id, n_docs, n_tokens,
     * content_md5), where content_md5 hashes the shard's doc ids IN EPOCH

@@ -151,4 +151,33 @@ class EpochBuildSpec extends SparkSpec {
         ((r.getAs[Long]("shard_id"), r.getAs[Long]("n_tok").toInt))).toMap
     assert(pay == order)
   }
+
+  test("unigram budgets + payload: counts, shards, and ids align under " +
+    "the trained pieces") {
+    import org.apache.spark.sql.functions.col
+    val vdocs = (1L to 12L)
+      .map(i => (i, s"alpha bravo${i % 3} charlie delta echo".trim))
+      .toDF("doc_id", "text")
+    val m = graft.ops.UnigramTokenizer.train(vdocs, "text", vocabSize = 12)
+    val e = EpochBuild.build(vdocs, "doc_id", "text", "epochU",
+      shardTokens = 40L, seqLen = 16, packShardDocs = 1000,
+      unigramPieces = Some(m.pieces))
+    val want = vdocs.select(col("doc_id"),
+        graft.ops.TextOps.unigramTokenCount(col("text"), m.pieces)
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = e.order.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    assert(got == want)
+    val pay = EpochBuild.payloadUnigram(vdocs, "doc_id", "text", e, m.pieces)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](3).length).toMap
+    assert(pay == want.view.mapValues(_.toInt).toMap)
+    // one tokenizer at a time
+    intercept[IllegalArgumentException] {
+      EpochBuild.build(vdocs, "doc_id", "text", "epochX", 40L, 16,
+        bpeMerges = Some(Seq(("a", "b"))),
+        unigramPieces = Some(m.pieces))
+    }
+  }
 }
