@@ -339,9 +339,9 @@ object BpeVocab {
   def outputRanks(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      // LAST merge producing a string wins no id conflicts: merge
-      // outputs are unique strings under distinct merge pairs reaching
-      // the same concatenation — keep the FIRST (lowest rank) id
+      // when two distinct merge pairs concatenate to the same string, the
+      // FIRST (lowest-rank) merge keeps the id — the containsKey guard
+      // makes later duplicates no-ops, so the id space is deterministic
       if (!m.containsKey(a + b)) m.put(a + b, i)
     }
     m

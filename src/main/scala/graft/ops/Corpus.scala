@@ -734,11 +734,16 @@ object Corpus {
     * statistic one division (bit-identical in any engine; magnitudes
     * hold while N² < 2^63, i.e. to ~3B rows). Degenerate marginals
     * (κ's denominator 0 — e.g. both gates constant) yield NULL.
+    *
+    * NULL policy: a NULL flag counts as FAIL (`coalesce(flag, false)`) —
+    * a gate that abstained did not pass the document. Without the
+    * coalesce, `null && x` rows would land in none of the four cells,
+    * silently shrinking N and skewing κ.
     */
   def gateAgreement(
       df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
-    val c = df.select(flagA.cast("boolean").as("fa"),
-        flagB.cast("boolean").as("fb"))
+    val c = df.select(coalesce(flagA.cast("boolean"), lit(false)).as("fa"),
+        coalesce(flagB.cast("boolean"), lit(false)).as("fb"))
       .agg(
         sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("a"),
         sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),

@@ -125,7 +125,9 @@ object QualityModel {
     df.select(col(textCol).cast("string"),
         col(labelCol).cast("double"), md5(col(textCol)).as("k"))
       .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
-      .orderBy("k").limit(maxSample)
+      // label tiebreak: duplicate texts tie on k, and the limit boundary
+      // would otherwise pick winners by partition order — not reproducible
+      .orderBy(col("k"), col(labelCol)).limit(maxSample)
 
   def train(
       df: DataFrame, textCol: String, labelCol: String,

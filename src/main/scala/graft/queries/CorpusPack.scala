@@ -1906,7 +1906,10 @@ object CorpusPack {
       docs.select(col("doc_id"),
         TextOps.unigramEncodeIds(col("text"), model.pieces).as("ids"),
         TextOps.unigramTokenCount(col("text"), model.pieces).as("n_tok"))
-        .withColumn("n_ids", size(col("ids")))
+        // harness boundary: digest + size, never the raw array (r8 lesson —
+        // pandas cannot sort array cells; the array API stays in TextOps)
+        .select(col("doc_id"), Relational.harnessDigest(col("ids")).as("ids_md5"),
+          size(col("ids")).as("n_ids"), col("n_tok"))
         .orderBy("doc_id")
     },
     None)
@@ -1924,7 +1927,9 @@ object CorpusPack {
       docs.select(col("doc_id"),
         TextOps.bpeEncodeIds(col("text"), merges).as("ids"),
         TextOps.bpeTokenCountTrained(col("text"), merges).as("n_tok"))
-        .withColumn("n_ids", size(col("ids")))
+        // harness boundary: digest + size, never the raw array (r8 lesson)
+        .select(col("doc_id"), Relational.harnessDigest(col("ids")).as("ids_md5"),
+          size(col("ids")).as("n_ids"), col("n_tok"))
         .orderBy("doc_id")
     },
     None)

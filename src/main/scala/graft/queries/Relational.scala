@@ -31,6 +31,19 @@ object Relational {
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
+  /** Harness-boundary digest for array/struct-valued columns. The driver's
+    * verify harness sorts result frames with pandas, which cannot sort (or
+    * hash) numpy-array cells — an `array<int>` column at the query boundary
+    * crashes the compare before any rows are counted (the r8 t30/t31
+    * failure class). EVERY query that produces an array keeps the array in
+    * its ops-layer API but ships `harnessDigest(col)` (+ a `size` column)
+    * across the harness boundary instead — the t22 chunk-md5 convention,
+    * made a single shared helper so the crash class cannot recur. The cast
+    * renders Spark's canonical `[1, 2, 3]` form; md5 of that string is
+    * deterministic for fixed content and order.
+    */
+  def harnessDigest(c: Column): Column = md5(c.cast("string"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 

@@ -98,10 +98,13 @@ object TableTools {
     */
   def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits out of range: $bits")
+    // cast to long FIRST: shiftleft keeps the input's integer type, so an
+    // int bucket column would wrap at position ≥32 (and sign-flip at 31)
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i))
-    }.reduce(_.bitwiseOR(_)).cast("long")
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i))
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** Z-order-clustered parquet write: range-partition + sort by the
@@ -123,6 +126,9 @@ object TableTools {
       bits: Int = 16, nFiles: Int = 0): (Double, Double, Double, Double) = {
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect()(0)
+    require((0 to 3).forall(!r.isNullAt(_)),
+      s"zOrderWrite($colA, $colB): empty input or all-NULL cluster column " +
+        "— nothing to bucket (min/max came back NULL)")
     val (loA, hiA, loB, hiB) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val top = (1L << bits) - 1

@@ -74,4 +74,15 @@ class ContractSpec extends AnyFunSuite {
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }
+
+  test("SURVEY §7 tally line matches the artifacts (r8 drift lesson)") {
+    val tally = """TALLY queries=(\d+) oracle=(\d+) rows_only=(\d+)""".r
+    val m = tally.findFirstMatchIn(surveyText)
+      .getOrElse(fail("SURVEY §7 is missing the TALLY line"))
+    val (q, o) = (SparkEntry.queries.size, SparkEntry.oracleSql.size)
+    assert(m.group(1).toInt == q && m.group(2).toInt == o &&
+      m.group(3).toInt == q - o,
+      s"SURVEY TALLY says ${m.matched}; artifacts say " +
+        s"queries=$q oracle=$o rows_only=${q - o}")
+  }
 }

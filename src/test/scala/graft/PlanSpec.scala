@@ -648,6 +648,24 @@ class PlanSpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 2, s"expected 2 scans, got $scans:\n$p")
   }
+
+  test("harness boundary: no query ships array/map/struct columns (the " +
+    "r8 t30/t31 crash class — pandas cannot sort such cells; use " +
+    "Relational.harnessDigest + a size column instead)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, run) =>
+        val bad = run(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"queries emitting non-scalar columns at the harness boundary: " +
+        s"${offenders.mkString("; ")}")
+  }
 }
 
 
