@@ -189,6 +189,99 @@ object TextOps {
       graft.functions.BpeEncodeExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
 
+  /** Train BYTE-level BPE merges (GPT-2-style byte fallback — Radford
+    * et al. 2019): the 256 byte values are the base alphabet, so every
+    * glyph — CJK, emoji, punctuation runs — tokenizes with zero OOV
+    * symbols and decode is total. Scale shape matches
+    * [[trainBpeMerges]]: the corpus collapses to a partial-aggregated
+    * (pretoken, freq) rollup (GPT-2 pretokenization via the SAME
+    * `BytePretok.split` the executor encoder uses — shipped as the
+    * codegen'd `BytePretokensExpr`, so segmentation can never diverge),
+    * and the Sennrich merge loop runs on the driver over the bounded
+    * top-`maxPretokens` head. Returned pairs are latin-1 SYMBOL strings
+    * (char i ↔ byte i); persist as a 2-column table like the alpha
+    * merges.
+    */
+  def trainByteBpeMerges(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxPretokens: Int = 65536): Seq[(String, String)] = {
+    val pf = df
+      .select(explode(bytePretokens(col(textCol))).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("p").asc)
+      .limit(maxPretokens)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Map[Vector[String], Long] = pf.toSeq
+      .map { case (p, f) =>
+        graft.functions.BytePretok.toSymbols(p)
+          .map(_.toString).toVector -> f
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val p = (syms(j), syms(j + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = pairs.maxBy { case ((x, y), c) => (c, x, y) }
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** GPT-2-style pretokens of a document (codegen'd
+    * [[graft.functions.BytePretokensExpr]]) — the byte-BPE trainer's
+    * rollup unit; concatenating them reproduces the text exactly.
+    */
+  def bytePretokens(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BytePretokensExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** Exact token count under trained BYTE-level merges
+    * ([[graft.functions.ByteBpeCountExpr]]) — counts every glyph's
+    * subword fan-out, where [[bpeTokenCountTrained]] flattens non-alpha
+    * text to one token per glyph.
+    */
+  def byteBpeTokenCount(
+      text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ByteBpeCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
+  /** Tokenize to training ids under trained BYTE-level merges
+    * ([[graft.functions.ByteBpeEncodeExpr]]; ids: byte value 0..255 or
+    * 256+mergeRank; `size` ≡ [[byteBpeTokenCount]] by shared engine;
+    * decode reproduces the input bytes exactly).
+    */
+  def byteBpeEncodeIds(
+      text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.ByteBpeEncodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
   /** Exact per-document token count under a trained unigram-LM
     * vocabulary ([[UnigramTokenizer]]) — Viterbi max-likelihood
     * segmentation, the SentencePiece twin of [[bpeTokenCountTrained]]

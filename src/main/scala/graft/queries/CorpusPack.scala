@@ -1957,6 +1957,45 @@ object CorpusPack {
     },
     None)
 
+  private val t32 = Q(
+    "t32_byte_bpe_count",
+    // BYTE-level BPE exact token counting (GPT-2-style byte fallback):
+    // every glyph tokenizes with zero OOV, so the count matches a real
+    // model's budget on multilingual text where the alpha-run BPE (t17)
+    // flattens non-alpha glyphs to one token each. No DuckDB mirror
+    // (rows-only); ByteBpeSpec gates trainer+encoder strict equality vs
+    // an independent reference, the total lossless round-trip, and the
+    // zero-OOV id-range bound
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val merges = TextOps.trainByteBpeMerges(docs, "text", nMerges = 200)
+      docs.select(col("doc_id"),
+        TextOps.byteBpeTokenCount(col("text"), merges).as("n_byte_tok"),
+        octet_length(col("text")).as("n_bytes"),
+        TextOps.tokenCount(col("text")).as("n_ws_tok"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  private val t33 = Q(
+    "t33_byte_bpe_ids",
+    // the byte-level emit: documents as training ids under the trained
+    // byte merges (id = byte value 0..255 or 256+mergeRank). Harness
+    // boundary ships the digest + sizes (the r9 convention); n_ids ≡
+    // n_tok in-row proves encode and count share one engine
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val merges = TextOps.trainByteBpeMerges(docs, "text", nMerges = 200)
+      docs.select(col("doc_id"),
+        TextOps.byteBpeEncodeIds(col("text"), merges).as("ids"),
+        TextOps.byteBpeTokenCount(col("text"), merges).as("n_tok"))
+        .select(col("doc_id"),
+          Relational.harnessDigest(col("ids")).as("ids_md5"),
+          size(col("ids")).as("n_ids"), col("n_tok"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -2296,7 +2335,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24)

@@ -70,7 +70,11 @@ class ContractSpec extends AnyFunSuite {
       "t30_bpe_token_ids",
       // same for unigram ids; UnigramSpec gates round-trip and
       // size ≡ UnigramCountExpr (shared Viterbi recurrence)
-      "t31_unigram_token_ids")
+      "t31_unigram_token_ids",
+      // byte-level BPE count + emit; ByteBpeSpec gates trainer/encoder
+      // strict equality vs an independent reference, total round-trip,
+      // zero-OOV id range, and count ≡ size(ids)
+      "t32_byte_bpe_count", "t33_byte_bpe_ids")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }
