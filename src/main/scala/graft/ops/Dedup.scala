@@ -563,6 +563,82 @@ object Dedup {
           p => element_at(col("t"), p + 1))).as(textCol))
   }
 
+  /** MAXIMAL-span ExactSubstr scrub (Lee et al. 2022 §4 semantics at
+    * window granularity): chain overlapping/abutting hot `n`-token
+    * windows into maximal repeated spans and remove ONLY spans of at
+    * least `minSpanLen` tokens. [[scrubRepeatedSpans]] removes every hot
+    * window's tokens outright; the published ExactSubstr instead removes
+    * maximal repeated substrings ≥ 50 tokens — a short hot phrase (a
+    * product name, a legal formula) below the threshold SURVIVES there,
+    * and survives here, while long pasted boilerplate is excised whole.
+    * Chaining rule: hot windows at positions p < q belong to one span
+    * iff q ≤ p + n (their token ranges overlap or touch), so a repeated
+    * region of length m produces exactly one chained span [first,
+    * last + n) covering it; spans from different chains are disjoint by
+    * construction (the gap > n between chains keeps their ranges apart).
+    *
+    * Shape: d17's fixed-width window index and df count verbatim (text
+    * hashes in the scan stage, never in an exchange), then the classic
+    * gaps-and-islands rewrite over the HOT HITS ONLY — `lag(pos)` +
+    * running sum over a per-doc window keyed on id, rows bounded by hit
+    * count, not document size. Span ranges explode to removed positions
+    * (≤ span length each) and reconstruction is the d17 gather. The
+    * only text-bearing exchange is the docs-side join to its removal
+    * mask, keyed on id — none with id-bucketed storage.
+    */
+  def scrubMaxSpans(
+      df0: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxSpanDf: Long,
+      minSpanLen: Int): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen below window size $n would never bind")
+    val df = df0.filter(col(textCol).isNotNull)
+    val toks = split(col(textCol), " ")
+    val wins = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"), toks.as("t"))
+      .select(col("id"), posexplode(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            p => concat_ws(" ", slice(col("t"), p + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"),
+        xxhash64(col("w")).as("h1"),
+        xxhash64(lit(0x5bd1e995L), col("w")).as("h2"))
+    val hot = wins.select(col("id"), col("h1"), col("h2")).distinct()
+      .groupBy("h1", "h2").agg(count(lit(1)).as("wdf"))
+      .filter(col("wdf") > maxSpanDf)
+      .select("h1", "h2")
+    // hot hits only — the bounded row set the islands window runs over
+    val hits = wins.join(hot, Seq("h1", "h2")).select("id", "pos").distinct()
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val spans = hits
+      .withColumn("newi",
+        when(col("pos") - lag("pos", 1).over(byPos) > n, 1).otherwise(0))
+      .withColumn("island", sum("newi").over(
+        byPos.rowsBetween(Long.MinValue, 0)))
+      .groupBy("id", "island")
+      .agg(min("pos").as("s"), (max(col("pos")) + n).as("e"))
+      .filter(col("e") - col("s") >= minSpanLen)
+    val removed = spans
+      .select(col("id"), explode(sequence(col("s"), col("e") - 1)).as("rp"))
+      .groupBy("id").agg(collect_list(col("rp")).as("removed"))
+    df.select(col(idCol).as("id"), toks.as("t"))
+      .join(removed, Seq("id"), "left")
+      .withColumn("keep_pos",
+        when(col("removed").isNull, sequence(lit(0), size(col("t")) - 1))
+          .otherwise(array_except(
+            sequence(lit(0), size(col("t")) - 1), col("removed"))))
+      .filter(size(col("keep_pos")) > 0)
+      .select(col("id").as(idCol),
+        concat_ws(" ", transform(col("keep_pos"),
+          p => element_at(col("t"), p + 1))).as(textCol))
+  }
+
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
     * h*a + b stays far from long overflow under ANSI arithmetic).
     */

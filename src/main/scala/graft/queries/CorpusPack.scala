@@ -477,6 +477,72 @@ object CorpusPack {
             SELECT doc_id, string_agg(tokstr, ' ' ORDER BY p) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  private val d25 = Q(
+    "d25_scrub_maxspans",
+    // MAXIMAL-span ExactSubstr (Lee et al. 2022): chain hot windows into
+    // maximal spans, remove only spans ≥ minSpanLen tokens. The injection
+    // plants BOTH regimes mid-token-stream between doc-unique anchors: a
+    // 15-token boilerplate paste (10 chained hot 5-windows → span 15 ≥ 12,
+    // removed whole) and a 6-token hot phrase (2 chained windows → span
+    // 6 < 12, SURVIVES — the semantic d17 cannot express: published
+    // ExactSubstr keeps short repeated formulas and excises long pastes)
+    (s, dir) => {
+      val src = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ",
+          concat(lit("head"), col("doc_id").cast("string")), col("text"),
+          lit("this website uses cookies to ensure you get the best " +
+            "browsing experience on our site"),
+          concat(lit("mid"), col("doc_id").cast("string")),
+          lit("all rights reserved worldwide by publisher"),
+          concat(lit("tail"), col("doc_id").cast("string"))).as("text"))
+      Dedup.scrubMaxSpans(src, "text", "doc_id",
+          n = 5, maxSpanDf = 10, minSpanLen = 12)
+        .orderBy("doc_id")
+    },
+    Some("""WITH src AS (
+              SELECT doc_id, concat_ws(' ',
+                'head' || CAST(doc_id AS VARCHAR), text,
+                'this website uses cookies to ensure you get the best browsing experience on our site',
+                'mid' || CAST(doc_id AS VARCHAR),
+                'all rights reserved worldwide by publisher',
+                'tail' || CAST(doc_id AS VARCHAR)) AS text
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
+            tok AS (SELECT doc_id, unnest(t) AS tokstr,
+                           unnest(range(len(t))) AS p
+                    FROM toks),
+            wins AS (SELECT doc_id,
+                       unnest(range(greatest(len(t) - 4, 0))) AS p,
+                       unnest(list_transform(range(greatest(len(t) - 4, 0)),
+                         i -> array_to_string(t[i+1:i+5], ' '))) AS w
+                     FROM toks),
+            hot AS (SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS d
+                                   FROM wins GROUP BY 1) WHERE d > 10),
+            hits AS (SELECT DISTINCT wins.doc_id, wins.p
+                     FROM wins JOIN hot USING (w)),
+            isl AS (SELECT doc_id, p,
+                      CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                             ORDER BY p) > 5
+                           THEN 1 ELSE 0 END AS newi
+                    FROM hits),
+            isl2 AS (SELECT doc_id, p,
+                       SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS island
+                     FROM isl),
+            spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + 5 AS e
+                      FROM isl2 GROUP BY 1, 2
+                      HAVING MAX(p) + 5 - MIN(p) >= 12),
+            removed AS (SELECT doc_id, unnest(range(s, e)) AS rp
+                        FROM spans),
+            kept AS (SELECT tok.doc_id, tok.p, tok.tokstr
+                     FROM tok LEFT JOIN removed
+                       ON tok.doc_id = removed.doc_id
+                       AND tok.p = removed.rp
+                     WHERE removed.doc_id IS NULL)
+            SELECT doc_id, string_agg(tokstr, ' ' ORDER BY p) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
   private val d13 = Q(
     "d13_snapshot_diff",
     // two deterministic synthetic releases of the corpus: ids %13==3 are
@@ -2338,5 +2404,5 @@ object CorpusPack {
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24)
+      d22, d23, d24, d25)
 }

@@ -52,7 +52,10 @@ object ScaleSmoke {
   private val Linear = Set("d01_dedup_exact",
     "d09_dedup_bloom", "d12_ngram_decontaminate", "d13_snapshot_diff",
     "d15_dedup_normalized", "d16_scrub_lines", "d17_scrub_spans",
-    "d19_dedup_unicode", "d20_ngram_coverage", "d23_scrub_doc_lines")
+    "d19_dedup_unicode", "d20_ngram_coverage", "d23_scrub_doc_lines",
+    // d25 is d17's window index + a lag/sum window over the HOT HITS
+    // only (rows bounded by hit count) — same linear class
+    "d25_scrub_maxspans")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
@@ -86,7 +89,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 24, s"expected 24 d-tier queries, got $dTier")
+    require(dTier.size == 25, s"expected 25 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -418,6 +418,34 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> expected1, 3L -> "end4 end5"))
   }
 
+  test("scrubMaxSpans: long chained boilerplate excised whole, short hot " +
+    "phrases below minSpanLen survive (Lee et al. 2022 semantics)") {
+    // LONG = 6 tokens -> with n=3 its windows chain to a span of 6;
+    // SHORT = 3 tokens -> one isolated hot window, span 3 < minSpanLen=5
+    val long = "L1 L2 L3 L4 L5 L6"
+    val short = "S1 S2 S3"
+    val corpus = (1L to 4L).map(i =>
+      (i, s"a$i $long b$i $short c$i")).toDF("doc_id", "text")
+    val got = Dedup.scrubMaxSpans(corpus, "text", "doc_id",
+        n = 3, maxSpanDf = 2, minSpanLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // d17 at the same n/df would also remove the short phrase; the
+    // maximal-span threshold is exactly what keeps it
+    assert(got == (1L to 4L).map(i => i -> s"a$i b$i $short c$i").toMap)
+  }
+
+  test("scrubMaxSpans: two hot phrases separated by a gap > n form " +
+    "separate spans, each thresholded independently") {
+    // doc: LONG unique LONG -> the two pastes chain separately (gap > n)
+    val long = "L1 L2 L3 L4 L5"
+    val corpus = (1L to 4L).map(i =>
+      (i, s"$long u$i v$i w$i $long t$i")).toDF("doc_id", "text")
+    val got = Dedup.scrubMaxSpans(corpus, "text", "doc_id",
+        n = 3, maxSpanDf = 2, minSpanLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (1L to 4L).map(i => i -> s"u$i v$i w$i t$i").toMap)
+  }
+
   test("snapshotDiff: null text classifies by id presence, not hash nulls") {
     // r6 advisor find: md5(NULL) is NULL — presence must come from a
     // per-side marker, and null-text-in-both must compare 'unchanged'
