@@ -117,6 +117,105 @@ object CorpusMaintain {
       .groupBy("token").agg(sum("cnt").as("cnt"))
   }
 
+  /** The standing quality gate: trained model + the held-out accuracy
+    * benchmark it must keep meeting + corpus size. The r8 gap: AnnMaintain
+    * retrains indexes on drift, but t23's classifier had no maintenance
+    * leg — a standing corpus's gate aged silently as admitted content
+    * drifted from the training distribution.
+    */
+  final case class QualityState(
+      model: graft.ops.QualityModel.LinearQualityModel,
+      benchAccuracy: Double,
+      nDocs: Long)
+
+  /** One quality fold's outputs: possibly-retrained state, the drift
+    * statistic (model accuracy on the admitted batch's labels), and
+    * whether retraining fired — the [[AnnMaintain.AnnFold]] contract.
+    */
+  final case class QualityFold(
+      state: QualityState,
+      batchAccuracy: Double,
+      retrained: Boolean)
+
+  /** Accuracy of `model` against the hard-rule labels — ONE aggregation
+    * (predictions are the fused scan-stage logit; nothing but the two
+    * booleans reaches the agg). Empty frames read 1.0 (nothing to get
+    * wrong), keeping the fold total.
+    */
+  private def gateAccuracy(
+      model: graft.ops.QualityModel.LinearQualityModel,
+      df: DataFrame, textCol: String, labelOf: org.apache.spark.sql.Column)
+      : Double = {
+    val r = df.agg(
+      avg(((model.logit(col(textCol)) > 0) === (labelOf > 0.5))
+        .cast("double")).as("acc")).collect().head
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** Train the standing quality gate on the initial corpus and record
+    * its benchmark accuracy there — the gate-build job ([[AnnMaintain
+    * .build]]'s analog). Labels default to the Gopher hard rules (the
+    * t23 distillation convention: derivable from text alone, so drift
+    * measurement never waits on human labels); training is the bounded
+    * deterministic sample + driver GD of
+    * [[graft.ops.QualityModel.train]].
+    */
+  def buildQualityModel(
+      corpus: DataFrame, textCol: String,
+      labelOf: Option[org.apache.spark.sql.Column] = None,
+      dim: Int = 4096, iters: Int = 200, maxSample: Int = 10000)
+      : QualityState = {
+    val lab = labelOf.getOrElse(defaultLabel(textCol))
+    val model = graft.ops.QualityModel.train(
+      corpus.withColumn("__lab", lab.cast("double")),
+      textCol, "__lab", dim = dim, iters = iters, maxSample = maxSample)
+    QualityState(model, gateAccuracy(model, corpus, textCol, lab),
+      corpus.count())
+  }
+
+  private def defaultLabel(textCol: String): org.apache.spark.sql.Column =
+    graft.ops.TextOps.gopherPass(col(textCol), 10, 100000, minStops = 1)
+      .cast("double")
+
+  /** Fold newly ADMITTED documents into the standing quality gate: score
+    * the batch with the standing model against the hard-rule labels
+    * (one agg — the drift statistic), and RETRAIN on the updated corpus
+    * when accuracy fell more than `degradeTol` below the build-time
+    * benchmark — content the model has never seen (new spam families,
+    * new languages) scores near the bias and misclassifies, which is
+    * exactly the signal. Retraining is [[graft.ops.QualityModel.train]]
+    * on corpus ∪ admitted — the same bounded deterministic sample as a
+    * fresh build, so a folded-then-retrained gate is BIT-IDENTICAL to a
+    * fresh-trained gate on the same corpus (spec-asserted), the
+    * [[AnnMaintain]] fold/retrain contract for the text gate.
+    */
+  def foldQualityModel(
+      state: QualityState, corpus: DataFrame, admitted: DataFrame,
+      textCol: String,
+      labelOf: Option[org.apache.spark.sql.Column] = None,
+      degradeTol: Double = 0.05,
+      dim: Int = 4096, iters: Int = 200, maxSample: Int = 10000)
+      : QualityFold = {
+    require(degradeTol >= 0.0, s"degradeTol must be >= 0: $degradeTol")
+    val lab = labelOf.getOrElse(defaultLabel(textCol))
+    val batchAcc = gateAccuracy(state.model, admitted, textCol, lab)
+    val batchN = admitted.count()
+    if (batchAcc >= state.benchAccuracy - degradeTol) {
+      QualityFold(state.copy(nDocs = state.nDocs + batchN),
+        batchAcc, retrained = false)
+    } else {
+      val union = corpus.select(col(textCol))
+        .unionByName(admitted.select(col(textCol)))
+      val model2 = graft.ops.QualityModel.train(
+        union.withColumn("__lab", lab.cast("double")),
+        textCol, "__lab", dim = dim, iters = iters, maxSample = maxSample)
+      QualityFold(
+        QualityState(model2, gateAccuracy(model2, union, textCol, lab),
+          state.nDocs + batchN),
+        batchAcc, retrained = true)
+    }
+  }
+
   /** The bigram leg of [[foldTokenCounts]]: fold the admitted batch's
     * adjacent-pair counts into the standing `(bigram, cnt)` table — the
     * second table [[graft.ops.Corpus.bigramSurprisalWithCounts]] scores

@@ -53,14 +53,41 @@ import graft.ops.{Corpus, Dedup, TextOps}
 object ReleaseBuild {
 
   /** A cut release: kept `corpus` (id, text, quality, n_tok, band),
-    * per-band `card`, the stage-count `audit` funnel, and the epoch
-    * tables.
+    * per-band `card`, the stage-count `audit` funnel, the epoch
+    * tables, and (calibrated cuts only) the calibration report.
     */
   final case class Release(
       corpus: DataFrame,
       card: DataFrame,
       audit: DataFrame,
-      epoch: EpochBuild.Epoch)
+      epoch: EpochBuild.Epoch,
+      calibration: Option[Calibration] = None)
+
+  /** The r9 calibration loop's decision record: t27/t29 measured the
+    * metrics for two rounds — this is where a release CUT finally
+    * consumes them instead of banding on an unexamined signal.
+    *
+    *  - `qualityThreshold`: the quality-gate cut chosen from the PR
+    *    curve (t29 semantics) — the LOWEST curve threshold whose
+    *    precision against the Gopher hard-rule labels reaches
+    *    `targetPrecision` (keeps the most documents that still meet the
+    *    precision bar); None when no curve point qualifies (the caller's
+    *    `minQuality` then stands).
+    *  - `thresholdPrecision`: the achieved precision at that cut.
+    *  - `bandSignalAuc`: t27's exact tie-aware AUC of the banding
+    *    signal (per-doc unigram surprisal) against the same labels,
+    *    measured on the banding INPUT population.
+    *  - `bandingApplied`: false when the AUC is missing/degenerate or
+    *    below `aucFloor` — the release then REFUSES to cut bands on an
+    *    anti-correlated signal (the measured synthetic-corpus case:
+    *    surprisal AUC 0.28, i.e. inverted) and keeps all bands, with
+    *    the refusal visible in the `auc_gate` funnel row.
+    */
+  final case class Calibration(
+      qualityThreshold: Option[Double],
+      thresholdPrecision: Option[Double],
+      bandSignalAuc: Option[Double],
+      bandingApplied: Boolean)
 
   def build(
       docs: DataFrame,
@@ -82,7 +109,10 @@ object ReleaseBuild {
       bpeMerges: Option[Seq[(String, String)]] = None,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
       minLogit: Double = 0.0,
-      stripMarkup: Boolean = false): Release = {
+      stripMarkup: Boolean = false,
+      calibrate: Boolean = false,
+      targetPrecision: Double = 0.9,
+      aucFloor: Double = 0.5): Release = {
 
     // 1-2. scrub, then (opt-in) C4 line cleaning, then gate on the
     // clean text. `c4MinLineWords > 0` enables the t19 rewrite: lines
@@ -105,12 +135,36 @@ object ReleaseBuild {
         .filter(TextOps.c4DocPass(col(textCol), col("__c4"),
           c4MinSentences))
         .select(col(idCol), col("__c4").as(textCol))
+    // 2a (opt-in). CALIBRATE the quality threshold from the PR curve of
+    // the quality score against the Gopher hard-rule labels (the t23
+    // labeling convention) over the gate's own candidate population —
+    // the lowest curve threshold meeting `targetPrecision`. Driver-sized
+    // decision (the curve is `points` rows), like every trainer in the
+    // family; the pick is a pure function of the corpus, so re-cuts
+    // stay deterministic.
+    val labelOf = TextOps.gopherPass(col(textCol), 10, 100000, minStops = 1)
+      .cast("long")
+    val calibratedCut: Option[(Double, Double)] =
+      if (!calibrate) None
+      else {
+        val curve = Corpus.prCurve(
+          lineClean.select(
+            TextOps.qualityScore(col(textCol)).as("quality"),
+            labelOf.as("label")),
+          "quality", "label", points = 10)
+        curve.filter(col("precision") >= targetPrecision)
+          .orderBy(col("threshold"))
+          .select("threshold", "precision")
+          .collect().headOption
+          .map(r => (r.getDouble(0), r.getDouble(1)))
+      }
+    val effMinQuality = calibratedCut.map(_._1).getOrElse(minQuality)
     val gatedHeur = lineClean.select(col(idCol), col(textCol),
         TextOps.langId(col(textCol)).as("lang_pred"),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .filter(col("lang_pred").isInCollection(langs) &&
-        col("quality") >= minQuality)
+        col("quality") >= effMinQuality)
     // 2b. opt-in trained-model gate (one more scan-stage conjunct —
     // broadcast weights, no extra pass)
     val gated = qualityModel.fold(gatedHeur)(m =>
@@ -136,11 +190,30 @@ object ReleaseBuild {
     val decon = deduped.join(flagged, Seq(idCol), "left_anti")
 
     // 5. band by surprisal over the survivors (they ARE the reference
-    // domain after the language gate) and keep the requested bands
+    // domain after the language gate) and keep the requested bands.
+    // Calibrated cuts first SANITY-CHECK the signal: t27's exact AUC of
+    // per-doc surprisal against the hard-rule labels on the banding
+    // input — below `aucFloor` (or degenerate) the signal ranks
+    // backwards or not at all, and cutting its "tail" band would drop
+    // the WRONG documents, so the release refuses to band (bands stay
+    // attached for the report; nothing is dropped by stage 5)
+    val bandAuc: Option[Double] =
+      if (!calibrate) None
+      else {
+        val scored = Corpus.surprisalPerDoc(decon, idCol, textCol, lit(true))
+          .select(col(idCol), col("bits_per_token"))
+          .join(decon.select(col(idCol), labelOf.as("label")), Seq(idCol))
+        val r = Corpus.exactAuc(scored, "bits_per_token", "label")
+          .select("auc").collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+    val bandingApplied = !calibrate || bandAuc.exists(_ >= aucFloor)
     val banded = Corpus.surprisalBuckets(decon, idCol, textCol, lit(true))
       .select(col(idCol), col("bucket").as("band"))
-    val kept = decon.join(banded, Seq(idCol))
-      .filter(col("band").isInCollection(keepBands))
+    val kept0 = decon.join(banded, Seq(idCol))
+    val kept = (if (bandingApplied)
+        kept0.filter(col("band").isInCollection(keepBands))
+      else kept0)
       .select(col(idCol), col(textCol), col("quality"), col("n_tok"),
         col("band"))
 
@@ -165,12 +238,28 @@ object ReleaseBuild {
       if (qualityModel.isEmpty) withC4.unionByName(stage("gated", gated, 2))
       else withC4.unionByName(stage("gated", gatedHeur, 2))
         .unionByName(stage("model_gated", gated, 3))
-    val audit = withModel
+    val preRelease = withModel
       .unionByName(stage("deduped", deduped, 4))
       .unionByName(stage("decontaminated", decon, 5))
-      .unionByName(stage("released", kept, 6))
+    // calibrated cuts record the auc gate's decision as a funnel row:
+    // n_docs = documents the band filter dropped — 0 when the gate
+    // refused banding, so a flat decontaminated→released funnel with a
+    // zero auc_gate row reads as "signal failed the floor", not "no tail"
+    val withAucGate =
+      if (!calibrate) preRelease
+      else preRelease.unionByName(stage("auc_gate",
+        decon.select(col(idCol))
+          .join(kept.select(col(idCol)), Seq(idCol), "left_anti"), 6))
+    val audit = withAucGate
+      .unionByName(stage("released", kept, 7))
       .orderBy("ord").drop("ord")
 
-    Release(kept, card, audit, epoch)
+    val calibration =
+      if (!calibrate) None
+      else Some(Calibration(
+        calibratedCut.map(_._1), calibratedCut.map(_._2),
+        bandAuc, bandingApplied))
+
+    Release(kept, card, audit, epoch, calibration)
   }
 }

@@ -150,4 +150,95 @@ class CorpusMaintainSpec extends SparkSpec {
     assert(s(viaCounts.select("doc_id", "sum_bits", "n_pairs"))
       == s(viaFilter.select("doc_id", "sum_bits", "n_pairs")))
   }
+
+  import org.apache.spark.sql.functions.col
+
+  // ---- quality-gate maintenance (r9: the t23 fold/retrain leg) --------
+
+  private val goodTexts = Seq(
+    "the cat sat on the mat and watched the quiet garden grow",
+    "a dog ran through the field and found a bone to keep",
+    "the ship sailed into the harbor before the storm arrived",
+    "some birds fly south in the winter to find warm weather",
+    "the baker made bread and sold it in the market square",
+    "rivers carve valleys over time and carry stones to the sea",
+    "the library keeps old maps and letters in a cool dry room",
+    "engineers test the bridge for load and wind every season",
+    "a garden needs sun and water and patient hands to thrive",
+    "the train left the station on time despite the heavy snow",
+    "the teacher read a story to the class before the bell rang",
+    "farmers plant the seeds in spring and harvest them in the fall",
+    "the old clock on the wall still keeps the right time",
+    "a small boat drifted along the river past the quiet town",
+    "the children played in the park until the sun went down",
+    "wind turbines turn slowly on the hill beyond the far ridge")
+  private def junkA(i: Int) = s"zzqx$i vvkj qqrp xxzt wwfg kkbn jjdm ppzv"
+  private def junkB(i: Int) = s"brrt$i mmnn ddgg hhss ttkk ccvv llpp rrww"
+
+  private def qCorpus(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("quality fold: an in-distribution batch keeps the standing gate " +
+    "(no retrain), and the kept gate agrees with a fresh train") {
+    val corpus = qCorpus(goodTexts.take(12) ++ (0 until 6).map(junkA))
+    val st = CorpusMaintain.buildQualityModel(
+      corpus, "text", dim = 2048, iters = 80, maxSample = 1000)
+    assert(st.benchAccuracy >= 0.9, s"weak build: ${st.benchAccuracy}")
+
+    val batch = qCorpus(goodTexts.drop(12) ++ Seq(junkA(7), junkA(8)))
+    val f = CorpusMaintain.foldQualityModel(
+      st, corpus, batch, "text",
+      dim = 2048, iters = 80, maxSample = 1000)
+    assert(!f.retrained, s"in-distribution batch retrained at ${f.batchAccuracy}")
+    assert(f.batchAccuracy >= st.benchAccuracy - 0.05)
+    assert(f.state.nDocs == st.nDocs + 6)
+
+    // folded gate ≡ fresh-train gate within tolerance on the probe: the
+    // kept model and a from-scratch train on corpus ∪ batch must agree
+    // on ≥ 90% of the union's gate decisions
+    val union = corpus.unionByName(batch
+      .withColumn("doc_id", col("doc_id") + 100L))
+    val fresh = CorpusMaintain.buildQualityModel(
+      union, "text", dim = 2048, iters = 80, maxSample = 1000)
+    val agree = union.agg(org.apache.spark.sql.functions.avg(
+        ((f.state.model.logit(col("text")) > 0) ===
+          (fresh.model.logit(col("text")) > 0)).cast("double")))
+      .collect().head.getDouble(0)
+    assert(agree >= 0.9, s"folded and fresh gates agree only $agree")
+  }
+
+  test("quality fold: an unseen junk family degrades batch accuracy, " +
+    "triggers retrain, and the retrained gate is bit-identical to a " +
+    "fresh train on the updated corpus") {
+    val corpus = qCorpus(goodTexts.take(12) ++ (0 until 6).map(junkA))
+    val st = CorpusMaintain.buildQualityModel(
+      corpus, "text", dim = 2048, iters = 80, maxSample = 1000)
+
+    // junkB tokens were never seen: their hashed buckets carry ~zero
+    // weight, the logit collapses to bias + length-slot (the majority-
+    // pass base rate), and the batch misclassifies -> drift signal
+    val batch = qCorpus((0 until 8).map(junkB))
+    val f = CorpusMaintain.foldQualityModel(
+      st, corpus, batch, "text",
+      dim = 2048, iters = 80, maxSample = 1000)
+    assert(f.retrained, s"drift not detected: batchAcc=${f.batchAccuracy}")
+    assert(f.batchAccuracy < st.benchAccuracy - 0.05)
+
+    // retrain ≡ fresh build on the union — bit-identical weights (the
+    // bounded deterministic sample makes training order-independent)
+    val union = corpus.select("text").unionByName(batch.select("text"))
+      .withColumn("doc_id", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+    val fresh = CorpusMaintain.buildQualityModel(
+      union, "text", dim = 2048, iters = 80, maxSample = 1000)
+    assert(f.state.model.bias == fresh.model.bias)
+    assert(f.state.model.weights.sameElements(fresh.model.weights))
+
+    // and the retrained gate now rejects the new family
+    val rejected = batch.agg(org.apache.spark.sql.functions.sum(
+        (f.state.model.logit(col("text")) > 0).cast("long")))
+      .collect().head.getLong(0)
+    assert(rejected == 0L, s"$rejected junkB docs still pass the gate")
+  }
 }

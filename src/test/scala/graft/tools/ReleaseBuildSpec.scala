@@ -146,6 +146,70 @@ class ReleaseBuildSpec extends SparkSpec {
     assert(!r.corpus.collect().map(_.getLong(0)).contains(200L))
   }
 
+  private val junkDocs = (0 until 6).map(i =>
+    (300L + i, s"zzqx$i vvkj qqrp xxzt wwfg kkbn jjdm ppzv"))
+
+  test("calibrated cut: quality threshold comes from the PR curve and " +
+    "drops what the hard-rule labels call junk, despite minQuality=0") {
+    // junk docs: 8 words < Gopher's 10-word floor -> label 0; their
+    // quality score (~0.35) sits below every labeled-good doc's, so some
+    // curve percentile separates them at precision 1.0
+    val withJunk = docs.unionByName(junkDocs.toDF("doc_id", "text"))
+    val r = ReleaseBuild.build(
+      withJunk, "doc_id", "text", evalDocs,
+      seed = "rel4", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      calibrate = true, targetPrecision = 0.9)
+    val cal = r.calibration.get
+    assert(cal.qualityThreshold.isDefined,
+      "no curve point reached the precision target")
+    assert(cal.thresholdPrecision.get >= 0.9)
+    val audit = r.audit.collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(audit.map(_._1).toSeq == Seq("input", "gated", "deduped",
+      "decontaminated", "auc_gate", "released"))
+    val counts = audit.toMap
+    assert(counts("input") == 18L)
+    assert(counts("gated") == 12L, s"calibrated gate kept ${counts("gated")}")
+    val ids = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ < 300L))
+    // with every junk doc gated out, the banding population is all
+    // label-1 -> AUC degenerate -> the release REFUSES to band: nothing
+    // dropped at stage 5, auc_gate records 0, all bands released
+    assert(cal.bandSignalAuc.isEmpty && !cal.bandingApplied)
+    assert(counts("auc_gate") == 0L)
+    assert(counts("released") == counts("decontaminated"))
+  }
+
+  test("calibrated cut: banding applies only when the signal's AUC " +
+    "clears the floor; the auc_gate row records the dropped count") {
+    // unreachable precision target -> no curve pick -> minQuality=0
+    // keeps the junk -> banding population has BOTH labels -> real AUC;
+    // floor 0 admits any measured value, so banding applies
+    val withJunk = docs.unionByName(junkDocs.toDF("doc_id", "text"))
+    val r = ReleaseBuild.build(
+      withJunk, "doc_id", "text", evalDocs,
+      seed = "rel5", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      calibrate = true, targetPrecision = 1.01, aucFloor = 0.0)
+    val cal = r.calibration.get
+    assert(cal.qualityThreshold.isEmpty)
+    assert(cal.bandSignalAuc.isDefined && cal.bandingApplied)
+    val counts = r.audit.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts("auc_gate") ==
+      counts("decontaminated") - counts("released"))
+    // and with the default floor 0.5 the same inverted-ish tiny-corpus
+    // signal is evaluated against the bar the verdict asked for: the
+    // decision is recorded either way, never silent
+    val bands = r.corpus.select("band").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(bands.subsetOf(Set("head", "middle")))
+  }
+
   test("markup extraction: raw html pages release their extracted text") {
     val pages = docs.collect().map { r =>
       (r.getLong(0), "<html><body><p>" + r.getString(1) +
