@@ -79,6 +79,46 @@ object StreamVerify {
       .groupBy("prev_type", "next_type").count().count()
     println(s"STREAM_TRANSITIONS cells=$nTrans")
     q5.stop()
+
+    // stream→standing-corpus composition (r9): curateStream admission
+    // feeds CorpusMaintain.foldBatch end-to-end — admit → fold →
+    // relabel → score against the folded standing tables. Standing =
+    // even doc_ids; the stream carries ALL docs, so every even id is a
+    // corpus dup the FOLD rejects (the stream's own dedup state has
+    // never seen them — the two dedup scopes compose).
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
+    val standing = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val labels0 = graft.ops.Clusters.connectedComponents(
+      graft.ops.Dedup.nGramJaccard(standing, "text", "doc_id", 1, 2),
+      "id_a", "id_b")
+    val counts0 = standing
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val docsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"
+    val docStream = spark.readStream.schema(docsSchema)
+      .parquet(s"$dir/documents.parque*")
+      .select(col("doc_id"),
+        expr("timestamp_micros(86400000000 + doc_id)").as("ts"),
+        col("text"))
+    val q6 = graft.streaming.CorpusStream.curateStream(
+        docStream, "doc_id", "text", "ts", counts0,
+        langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0)
+      .writeStream.format("memory").queryName("drive_curate")
+      .outputMode("append").start()
+    q6.processAllAvailable()
+    val fold = graft.tools.CorpusMaintain.foldBatch(
+      standing, labels0,
+      spark.table("drive_curate").select("doc_id", "text"),
+      "text", "doc_id", expectedItems = 100000L)
+    val foldedCounts = graft.tools.CorpusMaintain.foldTokenCounts(
+      counts0, fold.admitted, "text")
+    val scored = graft.ops.Corpus.surprisalWithCounts(
+      fold.corpus, "doc_id", "text", foldedCounts).count()
+    println(s"STREAM_CURATE_FOLD admitted=${fold.admitted.count()} " +
+      s"corpus=${fold.corpus.count()} scored=$scored")
+    q6.stop()
     spark.stop()
   }
 }

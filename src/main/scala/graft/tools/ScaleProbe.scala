@@ -363,6 +363,39 @@ object ScaleProbe {
     }
     require(lmRows == 10000000L, s"lm rows $lmRows")
 
+    // --- skew rehearsal (r9): the token joins claim AQE absorbs hot
+    // vocabulary heads — assert it. Same 10M-doc corpus shape, but ONE
+    // token ("HOT") now carries ~20% of all token mass (a Zipf head far
+    // beyond real corpora, where the top type is ~5-7%). Broadcast is
+    // DISABLED for the probe so the (token) equi-join actually exchanges
+    // on the skewed key (at 100 TB the counts table is vocabulary-sized
+    // and may not broadcast); AQE's skew-join split must keep wall time
+    // in the linear class of the uniform-vocab run under the same
+    // forced-exchange config.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (lmExRows, lmExSec) = timed {
+      Corpus.surprisalPerDoc(lmDocs, "doc_id", "text", lit(true))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    val skewDocs = spark.range(10000000L).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        when(pmod(xxhash64(col("id"), lit(j), lit(7L)), lit(5L)) === 0,
+          lit("HOT"))
+          .otherwise(concat(lit("w"),
+            pmod(xxhash64(col("id"), lit(j)), lit(4096L)).cast("string")))
+      ): _*).as("text"))
+    val (skewRows, skewSec) = timed {
+      Corpus.surprisalPerDoc(skewDocs, "doc_id", "text", lit(true))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    require(skewRows == lmExRows, s"skew rows $skewRows != $lmExRows")
+    val skewRatio = skewSec / math.max(lmExSec, 0.5)
+    require(skewRatio <= 3.0,
+      f"hot-token corpus is $skewRatio%.1fx the uniform run — " +
+        "AQE skew split is not absorbing the head")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -377,7 +410,9 @@ object ScaleProbe {
       s""""fold_added":$foldAdded,"fold_sec":$foldSec,""" +
       f""""ann_fold_sec":$annFoldSec%.1f,"ann_recall":$annRecall%.3f,""" +
       f""""ann_query_sec":$annQuerySec%.1f,""" +
-      f""""lm_rows":$lmRows,"lm_sec":$lmSec%.1f}""")
+      f""""lm_rows":$lmRows,"lm_sec":$lmSec%.1f,""" +
+      f""""lm_noboost_sec":$lmExSec%.1f,"lm_skew_sec":$skewSec%.1f,""" +
+      f""""lm_skew_ratio":$skewRatio%.1f}""")
     spark.stop()
   }
 }

@@ -279,4 +279,86 @@ class CorpusStreamSpec extends SparkSpec {
       docs.foreach { case (id, t) => assert(got(id) == m.scoreText(t)) }
     } finally q.stop()
   }
+
+  test("curateStream admission composes with CorpusMaintain.foldBatch: " +
+    "admit → fold → relabel → score, equal to the batch-curated fold") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    import graft.ops.{Clusters, Corpus, TextOps}
+    import graft.tools.CorpusMaintain
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = new java.sql.Timestamp(86400L * 1000)
+    val standing = Seq(
+      (1L, "the cat sat on the mat and all was good"),
+      (2L, "a dog ran through the field and found a bone to keep"))
+      .toDF("doc_id", "text")
+    val labels0 = Clusters.connectedComponents(
+      Dedup.nGramJaccard(standing, "text", "doc_id", 1, 2), "id_a", "id_b")
+    val counts0 = standing
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+    // 10 = exact dup of standing 1 (stream admits it — its state has
+    // never seen the content — the FOLD's corpus-side dedup rejects it:
+    // the two dedup scopes compose, neither must cover the other);
+    // 11 = junk (stream gate drops); 12 new; 13 = stream dup of 12
+    val in = Seq(
+      (10L, ts0, "the cat sat on the mat and all was good"),
+      (11L, ts0, "zzz qqq"),
+      (12L, ts0, "the bird flew over the tall tree and all was well"),
+      (13L, ts0, "the bird flew over the tall tree and all was well"))
+
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.curateStream(
+        src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        counts0, langs = Seq("en"), minQuality = 0.35)
+      .writeStream.format("memory").queryName("curate_fold_stream")
+      .outputMode(OutputMode.Append).start()
+    val streamFold =
+      try {
+        src.addData(in.take(2): _*)
+        q.processAllAvailable()
+        src.addData(in.drop(2): _*)
+        q.processAllAvailable()
+        CorpusMaintain.foldBatch(standing, labels0,
+          spark.table("curate_fold_stream").select("doc_id", "text"),
+          "text", "doc_id", expectedItems = 100L)
+      } finally q.stop()
+
+    // batch-curated twin: the SAME gates applied batch-side, then the
+    // same fold — foldBatch's admit step owns within-batch dedup, so
+    // the stream's dropDuplicatesWithinWatermark needs no batch mirror
+    val batchCurated = in.toDF("doc_id", "ts", "text")
+      .withColumn("text", TextOps.dedupDocLines(col("text")))
+      .filter(TextOps.langId(col("text")).isInCollection(Seq("en")) &&
+        TextOps.qualityScore(col("text")) >= 0.35)
+      .select("doc_id", "text")
+    val batchFold = CorpusMaintain.foldBatch(standing, labels0,
+      batchCurated, "text", "doc_id", expectedItems = 100L)
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def lmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids(streamFold.admitted) == Set(12L))
+    assert(ids(streamFold.admitted) == ids(batchFold.admitted))
+    assert(ids(streamFold.corpus) == ids(batchFold.corpus))
+    assert(lmap(streamFold.labels) == lmap(batchFold.labels))
+
+    // the standing score tables fold identically from either path, and
+    // scoring the updated corpus with them equals a full recount
+    val cS = CorpusMaintain.foldTokenCounts(
+      counts0, streamFold.admitted, "text")
+    val cB = CorpusMaintain.foldTokenCounts(
+      counts0, batchFold.admitted, "text")
+    def cmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cmap(cS) == cmap(cB))
+    def smap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "sum_bits", "n_tok").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(smap(Corpus.surprisalWithCounts(
+        streamFold.corpus, "doc_id", "text", cS))
+      == smap(Corpus.surprisalPerDoc(
+        streamFold.corpus, "doc_id", "text", lit(true))))
+  }
 }
