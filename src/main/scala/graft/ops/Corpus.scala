@@ -176,6 +176,61 @@ object Corpus {
     lift.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** BM25 keyword retrieval (Robertson & Spärck Jones / Okapi, the
+    * standard probabilistic ranking function): top-`k` documents per
+    * query by `Σ_terms idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * at the canonical k1 = 1.2, b = 0.75 — the retrieval rung above
+    * [[distinctiveTokensPerGroup]]'s corpus-contrast scoring: THAT
+    * characterizes a group, THIS answers a query (dataset search,
+    * eval-harness retrieval, dedup-candidate triage by keyword).
+    *
+    * Oracle-exact arithmetic (the t10/t16 discipline): idf is quantized
+    * to WHOLE BITS — `length(bin(N div df))` = floor(log2(N/df)) + 1 —
+    * so no `ln` ever runs, and the tf normalization clears all rational
+    * denominators: with avgdl = A/N (A = corpus tokens, N = docs),
+    * multiplying through by 20·A gives
+    * `term = 44·A·tf·idf  /  (20·A·tf + 6·A + 18·dl·N)` —
+    * both sides EXACT LONGS (magnitudes hold while 44·A·tf·idf < 2^63 —
+    * beyond ~10^16 corpus tokens, pre-scale A), cast to double for ONE
+    * IEEE division per (query, doc, term). Per-doc summation goes
+    * through DECIMAL(18,6) accumulation (the dsum convention) so Spark's
+    * and DuckDB's partial-sum orders cannot diverge.
+    *
+    * Shape at 100 TB: tf/df/dl are partial-aggregated rollups of the
+    * one exploded pass (the t16 token shuffle, AQE-absorbed hot heads);
+    * `queries` (query_id, term) is BROADCAST to the tf join — work
+    * scales with Σ_t docs-containing-t, never the corpus × queries
+    * cross; the final top-k is a per-query window over only the scored
+    * docs. Ties break by doc id (deterministic).
+    */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n"), sum("dl").as("a")))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = broadcast(queries.select(col("query_id"), col("term")))
+      .join(tf, col("term") === col("token"))
+      .join(dfT, Seq("token"))
+      .join(dl, Seq("id"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("id"),
+        ((lit(44L) * col("a") * col("tf") *
+          length(bin(expr("n div df"))).cast("long")).cast("double") /
+          (lit(20L) * col("a") * col("tf") + lit(6L) * col("a") +
+            lit(18L) * col("dl") * col("n")).cast("double")
+        ).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("ts"))
+      .groupBy("query_id", "id").agg(sum("ts").as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("id").as(idCol),
+        col("s").cast("double").as("score"))
+  }
+
   /** CCNet-style language-model quality signal per document: mean token
     * surprisal under a unigram LM trained on a reference slice of the
     * SAME corpus (Wenzek et al. 2020 bucket Common Crawl by the

@@ -2062,6 +2062,52 @@ object CorpusPack {
     },
     None)
 
+  private val t34 = Q(
+    "t34_bm25_search",
+    // BM25 keyword retrieval: top-10 docs per query under the canonical
+    // k1=1.2/b=0.75 ranking with whole-bit idf (length(bin(N div df)))
+    // and cleared rational denominators — every term score is one IEEE
+    // division of exact longs, summed through DECIMAL(18,6) so the
+    // DuckDB oracle matches bit-for-bit (no ln, no float-sum order)
+    (s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (0, "join"), (0, "hash"), (1, "vector"), (1, "stream"),
+        (2, "customer"))).toDF("query_id", "term")
+      Corpus.bm25TopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", queries, k = 10)
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH q(query_id, term) AS (VALUES
+              (0, 'join'), (0, 'hash'), (1, 'vector'), (1, 'stream'),
+              (2, 'customer')),
+            tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS a FROM dl),
+            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                SUM(CAST(
+                  CAST(44 * a * tf.tf * length(bin(n // df)) AS DOUBLE) /
+                  CAST(20 * a * tf.tf + 6 * a + 18 * dl.dl * n AS DOUBLE)
+                  AS DECIMAL(18, 6))) AS s
+              FROM q JOIN tf ON q.term = tf.token
+              JOIN dft ON dft.token = tf.token
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              GROUP BY 1, 2),
+            ranked AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY s DESC, doc_id) AS rk,
+                CAST(s AS DOUBLE) AS score
+              FROM scored)
+            SELECT query_id, rk, doc_id, score FROM ranked
+            WHERE rk <= 10 ORDER BY query_id, rk"""))
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -2401,7 +2447,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)

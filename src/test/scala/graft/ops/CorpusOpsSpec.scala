@@ -478,4 +478,25 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((Option.empty[Double], 1L)).toDF("score", "lab"), "score", "lab")
     assert(empty.count() == 0L)
   }
+
+  test("bm25TopK: tf raises the score, longer docs are penalized, ties " +
+    "break by id — hand-computed ranks on a 4-doc corpus") {
+    val corpus = Seq(
+      (1L, "apple banana banana banana"), // tf(banana)=3, dl=4
+      (2L, "apple banana"),               // tf(banana)=1, dl=2
+      (3L, "apple cherry cherry"),        // dl=3
+      (4L, "apple date"))                 // dl=2, ties doc 2 on 'apple'
+      .toDF("doc_id", "text")
+    val queries = Seq((0, "banana"), (1, "apple")).toDF("query_id", "term")
+    val got = Corpus.bm25TopK(corpus, "doc_id", "text", queries, k = 10)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // A=11, N=4; idf(banana)=bits(4 div 2)=2, idf(apple)=bits(1)=1.
+    // q0: doc1 2904/1014 > doc2 968/430 (tf dominates);
+    // q1: equal tf=1 everywhere -> pure length normalization:
+    //     dl=2 docs tie at 484/430 (id breaks), then dl=3, then dl=4
+    assert(got.toSeq == Seq(
+      (0, 1, 1L), (0, 2, 2L),
+      (1, 1, 2L), (1, 2, 4L), (1, 3, 3L), (1, 4, 1L)))
+  }
 }
