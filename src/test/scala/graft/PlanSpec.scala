@@ -104,6 +104,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d25: maximal-span scrub keeps d17's fixed-width exchanges (no " +
+    "window text in any exchange, no cartesian; the islands window " +
+    "runs over hot hits only)") {
+    val p = plan("d25_scrub_maxspans")
+    assert(!p.contains("CartesianProduct"))
+    val lines = p.linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty)
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("w#"), s"exchange shuffles window text: $in")
+    }
+  }
+
+  test("t34: BM25 broadcasts the query terms (no shuffle keyed on the " +
+    "tiny side) and has no cartesian beyond the single-row stats join") {
+    val p = plan("t34_bm25_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p12: composed pipeline has no cartesian and dedups via ONE window") {
     val p = plan("p12_curation_pipeline")
     assert(!p.contains("CartesianProduct"))

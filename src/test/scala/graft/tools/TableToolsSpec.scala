@@ -180,6 +180,15 @@ class TableToolsSpec extends SparkSpec {
       .select(TableTools.mortonCode(col("a"), col("b"), 8)).collect()
       .map(_.getLong(0))
     assert(got.toSeq == pairs.map { case (a, b) => ref(a, b, 8) })
+    // r9 advisor fix: INT bucket columns must produce the same codes —
+    // shiftleft keeps the input type, so without the internal long cast
+    // bit 31 lands in the int sign bit and positions >= 32 wrap mod 32
+    val gotInt = pairs.map { case (a, b) => (a.toInt, b.toInt) }
+      .toDF("a", "b")
+      .select(TableTools.mortonCode(col("a"), col("b"), 16)).collect()
+      .map(_.getLong(0))
+    assert(gotInt.toSeq == pairs.map { case (a, b) => ref(a, b, 16) })
+    assert(gotInt.forall(_ >= 0L))
 
     // 64x64 uniform grid -> 16 files each way; z-order files must cover
     // far less (x-range * y-range) area than x-sorted files, which each
