@@ -57,14 +57,17 @@ object EpochBuild {
       seqLen: Int,
       packShardDocs: Int = 1 << 20,
       bpeMerges: Option[Seq[(String, String)]] = None,
-      unigramPieces: Option[Map[String, Double]] = None): Epoch = {
-    require(bpeMerges.isEmpty || unigramPieces.isEmpty,
-      "supply ONE tokenizer: bpeMerges or unigramPieces")
+      unigramPieces: Option[Map[String, Double]] = None,
+      byteBpeMerges: Option[Seq[(String, String)]] = None): Epoch = {
+    require(Seq(bpeMerges, unigramPieces, byteBpeMerges).count(_.nonEmpty) <= 1,
+      "supply ONE tokenizer: bpeMerges, unigramPieces, or byteBpeMerges")
     val countExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       unigramPieces.map(pcs =>
           (c: org.apache.spark.sql.Column) => TextOps.unigramTokenCount(c, pcs))
         .orElse(bpeMerges.map(m =>
           (c: org.apache.spark.sql.Column) => TextOps.bpeTokenCountTrained(c, m)))
+        .orElse(byteBpeMerges.map(m =>
+          (c: org.apache.spark.sql.Column) => TextOps.byteBpeTokenCount(c, m)))
         .getOrElse(TextOps.tokenCount _)
     val toks = docs.select(col(idCol).as("doc_id"),
       countExpr(col(textCol)).cast("long").as("n_tok"))
@@ -121,6 +124,22 @@ object EpochBuild {
         "doc_id")
       .select(col("shard_id"), col("train_pos"), col("doc_id"),
         TextOps.unigramEncodeIds(col("__t"), pieces).as("ids"))
+
+  /** [[payload]]'s twin for the BYTE-level tokenizer (t32/t33): ids
+    * under the SAME trained byte merges the epoch was budgeted with
+    * (`byteBpeMerges` in [[build]]); `size(ids)` equals `n_tok`
+    * row-for-row by the shared engine, and decode reproduces the exact
+    * document bytes — the payload a GPT-style trainer loads for
+    * multilingual corpora the alpha-run tokenizer cannot represent.
+    */
+  def payloadByteBpe(
+      docs: DataFrame, idCol: String, textCol: String,
+      e: Epoch, merges: Seq[(String, String)]): DataFrame =
+    e.order
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        "doc_id")
+      .select(col("shard_id"), col("train_pos"), col("doc_id"),
+        TextOps.byteBpeEncodeIds(col("__t"), merges).as("ids"))
 
   /** Per-shard integrity manifest: (shard_id, n_docs, n_tokens,
     * content_md5), where content_md5 hashes the shard's doc ids IN EPOCH

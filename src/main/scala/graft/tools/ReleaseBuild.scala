@@ -107,6 +107,7 @@ object ReleaseBuild {
       c4MinLineWords: Int = 0,
       c4MinSentences: Int = 3,
       bpeMerges: Option[Seq[(String, String)]] = None,
+      byteBpeMerges: Option[Seq[(String, String)]] = None,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
       minLogit: Double = 0.0,
       stripMarkup: Boolean = false,
@@ -221,7 +222,8 @@ object ReleaseBuild {
     // caller supplies merges — the t17 counts, not the t03 heuristic)
     val epoch = EpochBuild.build(
       kept.select(col(idCol), col(textCol)), idCol, textCol,
-      seed, shardTokens, seqLen, bpeMerges = bpeMerges)
+      seed, shardTokens, seqLen, bpeMerges = bpeMerges,
+      byteBpeMerges = byteBpeMerges)
 
     val card = kept.groupBy("band")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))

@@ -180,4 +180,39 @@ class EpochBuildSpec extends SparkSpec {
         unigramPieces = Some(m.pieces))
     }
   }
+
+  test("byte-level budgets + payload: counts, shards, and ids align " +
+    "under the trained byte merges, decode reproduces the exact bytes") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{ByteBpeVocab, BytePretok}
+    // multilingual rows the alpha-run tokenizer cannot represent
+    val vdocs = ((1L to 10L)
+      .map(i => (i, s"alpha bravo${i % 3} charlie delta echo")) ++
+      Seq((11L, "日本語のテキスト and emoji 🍜🔥"),
+        (12L, "naïve café résumé")))
+      .toDF("doc_id", "text")
+    val merges = graft.ops.TextOps.trainByteBpeMerges(
+      vdocs, "text", nMerges = 80)
+    val e = EpochBuild.build(vdocs, "doc_id", "text", "epochB",
+      shardTokens = 60L, seqLen = 16, packShardDocs = 1000,
+      byteBpeMerges = Some(merges))
+    val want = vdocs.select(col("doc_id"),
+        graft.ops.TextOps.byteBpeTokenCount(col("text"), merges)
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = e.order.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    assert(got == want)
+    val pay = EpochBuild.payloadByteBpe(vdocs, "doc_id", "text", e, merges)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](3)).toMap
+    assert(pay.view.mapValues(_.length.toLong).toMap == want)
+    // total decode: the payload reconstructs every doc's exact bytes
+    val table = ByteBpeVocab.decodeTable(merges)
+    val texts = vdocs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pay.foreach { case (id, ids) =>
+      assert(BytePretok.fromSymbols(ids.map(table).mkString) == texts(id))
+    }
+  }
 }
