@@ -205,7 +205,8 @@ object Corpus {
     */
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int,
+      excludeQueryDoc: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("token"))
     val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
@@ -224,11 +225,58 @@ object Corpus {
             lit(18L) * col("dl") * col("n")).cast("double")
         ).cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("ts"))
       .groupBy("query_id", "id").agg(sum("ts").as("s"))
+    // more-like-this mode: query_id IS a corpus doc id — drop the
+    // self-match BEFORE ranking so rank 1 is the nearest OTHER doc
+    val scoredX =
+      if (excludeQueryDoc) scored.filter(col("id") =!= col("query_id"))
+      else scored
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scoredX.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("id").as(idCol),
         col("s").cast("double").as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
+    * per-query rankings from heterogeneous retrievers — BM25 keyword
+    * lists, dense cosine top-k, any (query, id, rank) frame — into one
+    * list by `Σ_lists 1/(rrfK + rank)`, the standard hybrid-retrieval
+    * fusion (rank-only, so scales of incomparable scorers never need
+    * calibrating; rrfK = 60 per the paper). A doc missing from a list
+    * simply contributes nothing — `n_lists` reports how many lists
+    * carried each survivor.
+    *
+    * Oracle-exact: ranks are exact ints, each reciprocal is ONE IEEE
+    * division, and the per-doc sum accumulates through DECIMAL(18,12)
+    * (the bm25/dsum convention) so partial-sum order cannot diverge;
+    * ties break by id. Shape: a union of fixed-width (q, id, rk) rows —
+    * each input is already a bounded top-k — one hash agg and one
+    * per-query window over ≤ Σ k rows per query. Inputs must share the
+    * (queryCol, idCol, rankCol) columns.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1, s"rrfK must be positive: $rrfK")
+    val unioned = rankings.map(df => df.select(
+        col(queryCol).cast("long").as("q"),
+        col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("rk")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .select(col("q"), col("id"),
+        (lit(1.0) / (lit(rrfK).cast("double") + col("rk").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("c"))
+      .groupBy("q", "id")
+      .agg(sum("c").as("s"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(col("s").desc, col("id").asc)
+    fused.withColumn("rrf_rk", row_number().over(w))
+      .filter(col("rrf_rk") <= k)
+      .select(col("q").as(queryCol), col("rrf_rk").as("rk"),
+        col("id").as(idCol), col("s").cast("double").as("rrf"),
+        col("n_lists"))
   }
 
   /** CCNet-style language-model quality signal per document: mean token

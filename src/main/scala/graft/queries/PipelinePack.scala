@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Events, Multimodal, TextOps, VectorOps}
+import graft.ops.{Corpus, Dedup, Events, Multimodal, TextOps, VectorOps}
 import Relational.Q
 
 /** SURVEY §2.2: training-data pipeline operators as oracle-checked queries.
@@ -153,6 +153,90 @@ object PipelinePack {
             SELECT group_id, CAST(dim AS BIGINT) AS dim,
               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
             FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val s13 = Q(
+    "s13_hybrid_rrf",
+    // hybrid more-like-this retrieval: for probes 0..3 (the multimodal
+    // corpus — documents and embeddings share the id space), fuse the
+    // dense cosine top-20 (s01 machinery) with the BM25 top-20 under
+    // the probe doc's own distinct tokens (t34 machinery, self
+    // excluded) by reciprocal-rank fusion at rrfK=60. Ranks are exact
+    // ints, each reciprocal ONE IEEE division, sums through
+    // DECIMAL(18,12) — the whole chain is oracle-exact
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val dense = VectorOps.knnBrute(emb.filter(col("vec_id") < 4), emb,
+          "vec_id", "embedding", k = 20)
+        .select(col("probe_id").as("query_id"),
+          col("corpus_id").as("id"), col("rk"))
+      val queries = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val sparse = Corpus.bm25TopK(docs, "doc_id", "text", queries,
+          k = 20, excludeQueryDoc = true)
+        .select(col("query_id"), col("doc_id").as("id"), col("rk"))
+      Corpus.rrfFuse(Seq(dense, sparse), "query_id", "id", "rk", k = 10)
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS a FROM dl),
+            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            qt AS (SELECT DISTINCT doc_id AS qid, token AS term
+                   FROM tok WHERE doc_id < 4),
+            bmscore AS (
+              SELECT qt.qid, tf.doc_id,
+                SUM(CAST(
+                  CAST(44 * a * tf.tf * length(bin(n // df)) AS DOUBLE) /
+                  CAST(20 * a * tf.tf + 6 * a + 18 * dl.dl * n AS DOUBLE)
+                  AS DECIMAL(18, 6))) AS s
+              FROM qt JOIN tf ON qt.term = tf.token
+              JOIN dft ON dft.token = tf.token
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              WHERE tf.doc_id <> qt.qid
+              GROUP BY 1, 2),
+            sparse AS (SELECT qid, doc_id AS id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY s DESC, doc_id) AS rk
+              FROM bmscore),
+            qv AS (SELECT vec_id,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                generate_subscripts(embedding, 1) i
+              FROM embeddings),
+            nrm AS (SELECT vec_id, SUM(v * v) nn FROM qv GROUP BY 1),
+            dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                     FROM qv p JOIN qv c ON p.i = c.i
+                     WHERE p.vec_id < 4 AND p.vec_id <> c.vec_id
+                     GROUP BY 1, 2),
+            cosd AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                     FROM dotp JOIN nrm np ON pid = np.vec_id
+                               JOIN nrm nc ON cid = nc.vec_id),
+            dense AS (SELECT pid AS qid, cid AS id,
+                row_number() OVER (PARTITION BY pid
+                  ORDER BY cos DESC, cid) AS rk
+              FROM cosd),
+            unioned AS (
+              SELECT qid, id, rk FROM sparse WHERE rk <= 20
+              UNION ALL
+              SELECT qid, id, rk FROM dense WHERE rk <= 20),
+            fused AS (SELECT qid, id,
+                SUM(CAST(1.0 / (60 + rk) AS DECIMAL(18, 12))) AS s,
+                COUNT(*) AS n_lists
+              FROM unioned GROUP BY 1, 2),
+            ranked AS (SELECT qid, id, s, n_lists,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY s DESC, id) AS rk
+              FROM fused)
+            SELECT qid AS query_id, rk, id, CAST(s AS DOUBLE) AS rrf,
+              n_lists
+            FROM ranked WHERE rk <= 10 ORDER BY query_id, rk"""))
 
   private val d10 = Q(
     "d10_dedup_semantic",
@@ -878,7 +962,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, m01, m02, m03, m04, m05)
 }

@@ -499,4 +499,15 @@ class CorpusOpsSpec extends SparkSpec {
       (0, 1, 1L), (0, 2, 2L),
       (1, 1, 2L), (1, 2, 4L), (1, 3, 3L), (1, 4, 1L)))
   }
+
+  test("rrfFuse: a doc on two lists outranks single-list docs; within " +
+    "one list count, better ranks win; ties break by id") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("q", "id", "rk")
+    val b = Seq((0L, 2L, 1), (0L, 3L, 2)).toDF("q", "id", "rk")
+    val got = Corpus.rrfFuse(Seq(a, b), "q", "id", "rk", k = 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    // doc2: 1/61 + 1/62 (both lists) > doc1: 1/61 > doc3: 1/62
+    assert(got.toSeq == Seq((1, 2L, 2L), (2, 1L, 1L), (3, 3L, 1L)))
+  }
 }
