@@ -237,6 +237,40 @@ object Corpus {
         col("s").cast("double").as("score"))
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): draw exactly `k` rows with inclusion probability
+    * proportional to `weightCol` — the resampling step a DSIR/DoReMi
+    * mixture pipeline runs after computing importance weights (p18
+    * emits the weights; THIS draws the corpus). Each row's key is
+    * `ln(u)/w` with `u ∈ (0,1)` derived from `xxhash64(seed:id)`
+    * (seeded, no RNG state — the p16 draw-key convention, weighted);
+    * the k LARGEST keys are the sample, which is exactly A-ES's
+    * `u^(1/w)` top-k in log space. Deterministic, retry-stable,
+    * disjoint draws by seed; non-positive weights are excluded by
+    * contract.
+    *
+    * Shape: a pure scan-stage key projection + `orderBy.limit(k)` —
+    * TakeOrderedAndProject (per-partition bounded heaps, never a
+    * global sort; the q30/p16 shape). No SQL oracle (libm `ln` ulp
+    * differences could flip near-equal key ORDER even though the math
+    * is deterministic in-engine) — PackSpec gates strict equality
+    * against a driver-side reference over the same hash, plus the
+    * inclusion-frequency-tracks-weight property across seeds.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val mask = (1L << 52) - 1
+    val u = ((pmod(xxhash64(concat_ws(":", lit(seed),
+        col(idCol).cast("string"))), lit(mask)).cast("double") + 0.5) /
+      mask.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
     * per-query rankings from heterogeneous retrievers — BM25 keyword
     * lists, dense cosine top-k, any (query, id, rank) frame — into one

@@ -495,6 +495,38 @@ object Events {
         col("n_events") >= minEvents &&
           col("span_s") < (col("n_events") - 1) * maxMeanGapSec)
 
+  /** SCD2 history-table construction (Kimball type-2 dimension from a
+    * change log): collapse each user's event stream into validity
+    * intervals of their tracked state (here `event_type` — the
+    * dimension attribute whose changes matter), emitting one row per
+    * state RUN with `[valid_from_us, valid_to_us)` microsecond bounds,
+    * open-ended (`NULL`, `is_current`) for the live state. The standard
+    * warehouse shape an AS-OF consumer joins against ([[asofJoin]] is
+    * the query-side twin: THIS materializes the history, THAT probes
+    * it).
+    *
+    * Two windows over the same per-user ordering — run-start detection
+    * (`lag`), then interval close (`lead` over the CHANGE rows only) —
+    * both partition on user_id alone, so one exchange serves both
+    * (Spark reuses the (user_id, sorted) child; the e17 lesson).
+    * Microsecond epochs (`unix_micros`) keep the bounds exact longs —
+    * never raw timestamps across the harness boundary. Deterministic
+    * under ts ties via the event_id tiebreak.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("__prev", lag("event_type", 1).over(byUser))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    changes
+      .withColumn("__to", lead("ts", 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("valid_from_us"),
+        expr("unix_micros(__to)").as("valid_to_us"),
+        col("__to").isNull.as("is_current"))
+  }
+
   def retentionCohorts(events: DataFrame, epochDate: String): DataFrame = {
     val act = events
       .select(col("user_id"), datediff(to_date(col("ts")),

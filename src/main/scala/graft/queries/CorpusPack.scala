@@ -2142,6 +2142,25 @@ object CorpusPack {
               ORDER BY draw_key, doc_id LIMIT 64)
             ORDER BY doc_id"""))
 
+  private val p25 = Q(
+    "p25_weighted_sample",
+    // the DSIR/DoReMi resampling step: exactly-64 seeded draw with
+    // inclusion ∝ token count (the budget weight) via Efraimidis-
+    // Spirakis ln(u)/w top-k — p16's uniform draw, weighted. No SQL
+    // oracle (libm ln ulp could flip near-equal key ORDER between
+    // engines); CorpusOpsSpec gates strict equality vs a driver-side
+    // reference over the same hash + the frequency-tracks-weight
+    // property across seeds
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("double").as("w"))
+      Corpus.weightedSample(docs, "doc_id", "w", k = 64, seed = "mix0")
+        .select(col("doc_id"), col("source"), col("w").as("weight"))
+        .orderBy("doc_id")
+    },
+    None)
+
   private val p15 = Q(
     "p15_pack_boundaries",
     // the attention/loss-mask table for p02's packed stream: which slice
@@ -2448,7 +2467,7 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)
 }

@@ -238,6 +238,31 @@ object PipelinePack {
               n_lists
             FROM ranked WHERE rk <= 10 ORDER BY query_id, rk"""))
 
+  private val s14 = Q(
+    "s14_hybrid_rrf_ivf",
+    // s13's SCALE path: the dense side swaps the exact cross join for
+    // the IVF list equi-join (s03 machinery — work = probed list sizes,
+    // never O(corpus)); the sparse side and the fusion are unchanged.
+    // The trained lists have no SQL mirror (rows-only); RecallSpec
+    // gates the fused top-10 against the exact s13 fusion
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val dense = VectorOps.knnIvf(emb.filter(col("vec_id") < 4), emb,
+          "vec_id", "embedding", k = 20, nCentroids = 32, nProbe = 8)
+        .select(col("probe_id").as("query_id"),
+          col("corpus_id").as("id"), col("rk"))
+      val queries = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val sparse = Corpus.bm25TopK(docs, "doc_id", "text", queries,
+          k = 20, excludeQueryDoc = true)
+        .select(col("query_id"), col("doc_id").as("id"), col("rk"))
+      Corpus.rrfFuse(Seq(dense, sparse), "query_id", "id", "rk", k = 10)
+        .orderBy("query_id", "rk")
+    },
+    None)
+
   private val d10 = Q(
     "d10_dedup_semantic",
     // SemDeDup (cluster-then-pairs): the O(N²) cosine dedup of d05
@@ -702,6 +727,33 @@ object PipelinePack {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
+  private val e19 = Q(
+    "e19_scd2_history",
+    // SCD2 (Kimball type-2) history construction from the event change
+    // log: one validity interval per user state run, microsecond epoch
+    // bounds, open-ended current rows — the table an as-of consumer
+    // (e04) probes
+    (s, dir) => Events.scd2History(Tables.load(s, dir, "events"))
+      .orderBy("user_id", "valid_from_us"),
+    Some("""WITH ordered AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+              FROM events),
+            chg AS (SELECT user_id, event_type, ts, event_id
+                    FROM ordered
+                    WHERE prev IS NULL OR prev <> event_type),
+            iv AS (SELECT user_id, event_type,
+                     epoch_us(ts) AS valid_from_us,
+                     epoch_us(lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) AS valid_to_us,
+                     lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) IS NULL AS is_current
+                   FROM chg)
+            SELECT user_id, event_type, valid_from_us, valid_to_us,
+              is_current
+            FROM iv ORDER BY user_id, valid_from_us"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -962,7 +1014,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, m01, m02, m03, m04, m05)
+    e12, e13, e14, e15, e16, e17, e18, e19, m01, m02, m03, m04, m05)
 }

@@ -954,7 +954,31 @@ object Relational {
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
             ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""))
 
+  // ANSI LISTAGG / ordered string aggregation (SQL:2016 T625): the CSV
+  // of order keys per priority in NUMERIC order — collect_list →
+  // array_sort on the longs, cast to string only inside the transform
+  // (sorting rendered strings would order "10" before "9"); the
+  // aggregation itself stays a hash agg with map-side partials, the
+  // sort is per-group over collected values, never a global sort
+  private val q42 = Q(
+    "q42_listagg",
+    (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .groupBy("o_orderpriority")
+        .agg(concat_ws(",",
+            transform(array_sort(collect_list(col("o_orderkey"))),
+              x => x.cast("string"))).as("keys_csv"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              string_agg(CAST(o_orderkey AS VARCHAR), ','
+                ORDER BY o_orderkey) AS keys_csv,
+              COUNT(*) AS n
+            FROM orders WHERE o_orderkey < 200
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40, q41)
+    q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40, q41,
+    q42)
 }

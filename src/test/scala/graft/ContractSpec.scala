@@ -74,7 +74,14 @@ class ContractSpec extends AnyFunSuite {
       // byte-level BPE count + emit; ByteBpeSpec gates trainer/encoder
       // strict equality vs an independent reference, total round-trip,
       // zero-OOV id range, and count ≡ size(ids)
-      "t32_byte_bpe_count", "t33_byte_bpe_ids")
+      "t32_byte_bpe_count", "t33_byte_bpe_ids",
+      // s13's IVF scale twin: trained lists have no SQL mirror;
+      // RecallSpec gates the fused top-10 vs the exact s13 fusion
+      "s14_hybrid_rrf_ivf",
+      // A-ES weighted draw: libm ln ulp could flip near-equal key ORDER
+      // between engines; CorpusOpsSpec gates strict equality vs a
+      // driver-side reference + frequency-tracks-weight across seeds
+      "p25_weighted_sample")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -128,6 +128,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e19: both SCD2 windows share ONE user_id exchange and sort " +
+    "(filter preserves the child ordering — the e17 lesson)") {
+    val p = SparkEntry.queries("e19_scd2_history")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exch = p.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(exch == 1, s"expected 1 user_id exchange, got $exch:\n$p")
+  }
+
   test("p12: composed pipeline has no cartesian and dedups via ONE window") {
     val p = plan("p12_curation_pipeline")
     assert(!p.contains("CartesianProduct"))

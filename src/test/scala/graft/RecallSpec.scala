@@ -88,6 +88,22 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall regressed: $recall%.3f < 0.70")
   }
 
+  test("s14: IVF-dense hybrid fusion recall@10 vs the exact s13 fusion " +
+    "(sf0.01)") {
+    def fusedSet(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = fusedSet("s13_hybrid_rrf")
+    val ivf = fusedSet("s14_hybrid_rrf_ivf")
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"s14 fused recall@10 = $recall%.3f")
+    // the sparse half is identical in both, so fusion damps dense-side
+    // IVF misses — the fused floor sits above the raw s03 dense floor
+    assert(recall >= 0.80, f"fused recall $recall%.3f < 0.80")
+  }
+
   test("IvfModel: parquet roundtrip; a pre-trained model equals inline") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

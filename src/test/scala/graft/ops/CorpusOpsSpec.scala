@@ -500,6 +500,43 @@ class CorpusOpsSpec extends SparkSpec {
       (1, 1, 2L), (1, 2, 4L), (1, 3, 3L), (1, 4, 1L)))
   }
 
+  test("weightedSample: seeded A-ES draw equals a driver-side reference " +
+    "over the same hash; inclusion frequency tracks weight across seeds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val mask = (1L << 52) - 1
+    // 20 heavy (w=50) + 180 light (w=1) rows
+    def w(id: Long) = if (id <= 20) 50.0 else 1.0
+    val df = (1L to 200L).map(i => (i, w(i))).toDF("id", "w")
+
+    def refDraw(seed: String, k: Int): Set[Long] = {
+      (1L to 200L).map { id =>
+        val s = UTF8String.fromString(s"$seed:$id")
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val u = (((h % mask) + mask) % mask + 0.5) / mask.toDouble
+        (math.log(u) / w(id), id)
+      }.sortBy { case (key, id) => (-key, id) }.take(k).map(_._2).toSet
+    }
+    def draw(seed: String, k: Int): Set[Long] =
+      Corpus.weightedSample(df, "id", "w", k, seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+
+    // strict equality vs the reference, and determinism
+    assert(draw("s0", 30) == refDraw("s0", 30))
+    assert(draw("s0", 30) == draw("s0", 30))
+    assert(draw("s0", 30).size == 30)
+
+    // heavy rows (10% of the population, w ratio 50) must dominate the
+    // draw on average across seeds
+    val freq = (0 until 20).map(i => draw(s"seed$i", 30))
+    val heavyRate = freq.map(_.count(_ <= 20L)).sum / 20.0 / 20.0
+    val lightRate = freq.map(_.count(_ > 20L)).sum / 20.0 / 180.0
+    info(f"heavy inclusion $heavyRate%.2f vs light $lightRate%.2f")
+    assert(heavyRate > 3 * lightRate,
+      f"weighting not expressed: heavy $heavyRate%.2f light $lightRate%.2f")
+  }
+
   test("rrfFuse: a doc on two lists outranks single-list docs; within " +
     "one list count, better ranks win; ties break by id") {
     val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("q", "id", "rk")

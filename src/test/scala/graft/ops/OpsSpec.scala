@@ -667,6 +667,27 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(10L -> 2L, 11L -> 1L, 12L -> 0L))
   }
 
+  test("scd2History: state runs collapse to intervals, reappearing " +
+    "states open new rows, the last run is open-ended current") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val e = Seq(
+      (1L, t(10), 7L, "view", 0.0),
+      (2L, t(20), 7L, "view", 0.0),   // same state: no new interval
+      (3L, t(30), 7L, "click", 0.0),  // change
+      (4L, t(40), 7L, "view", 0.0),   // SCD2: reappearance = NEW row
+      (5L, t(15), 8L, "buy", 0.0))    // second user, single state
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.scd2History(e)
+      .orderBy("user_id", "valid_from_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (7L, "view", 10000000L, 30000000L, false),
+      (7L, "click", 30000000L, 40000000L, false),
+      (7L, "view", 40000000L, -1L, true),
+      (8L, "buy", 15000000L, -1L, true)))
+  }
+
   test("funnelStages requires strict temporal order across steps") {
     val e = Seq(
       // user 1: full funnel in order
