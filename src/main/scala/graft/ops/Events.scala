@@ -495,6 +495,87 @@ object Events {
         col("n_events") >= minEvents &&
           col("span_s") < (col("n_events") - 1) * maxMeanGapSec)
 
+  /** Top-k behavioral PATHS: the most frequent length-3 event-type
+    * sequences across per-user streams ([[transitionMatrix]] is the
+    * length-2 marginal; paths answer "what do users DO around a
+    * purchase" where the matrix only says what follows what). Two
+    * `lead`s over one per-user window build the trigram rows (both on
+    * the same user_id exchange + sort), a hash agg with map-side
+    * partials counts them, and the top-k is a bounded
+    * TakeOrderedAndProject. Ties break lexicographically on the path.
+    */
+  def pathTrigrams(events: DataFrame, k: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("t2").as("s2"),
+        col("t3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013 — "Improving the
+    * Sensitivity of Online Controlled Experiments"): per-user PRE-period
+    * metric X as the covariate for the POST-period metric Y, reporting
+    * θ = cov(X,Y)/var(X) and the adjusted metric variance
+    * `var(Y) − cov²/var(X)` — the experimentation-platform primitive
+    * that decides how much a pre-period covariate shrinks an A/B test's
+    * confidence intervals.
+    *
+    * Oracle-exact discipline: values quantize to integer cents
+    * (`round(value·100)`, the s01 convention), per-user sums are exact
+    * longs, and the five moment aggregates accumulate as exact decimals
+    * (products of per-user sums would overflow longs; decimal keeps
+    * them exact in BOTH engines). Every derived statistic is a fixed
+    * chain of IEEE ops over those exact moments — mirrored cast-point
+    * for cast-point in the DuckDB oracle. Degenerate inputs (n < 2 or
+    * zero covariate variance) yield NULL θ, not a division blowup.
+    *
+    * Shape: one scan → per-user partial-agg rollup (the only exchange,
+    * keyed on user) → one single-row moment aggregation.
+    */
+  def cuped(events: DataFrame, splitTs: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val per = events.select(col("user_id"),
+        when(col("ts") < lit(splitTs).cast("timestamp"),
+          round(col("value") * 100).cast("long")).otherwise(0L).as("xq"),
+        when(col("ts") >= lit(splitTs).cast("timestamp"),
+          round(col("value") * 100).cast("long")).otherwise(0L).as("yq"))
+      .groupBy("user_id").agg(sum("xq").as("x"), sum("yq").as("y"))
+      .select(col("x").cast(d18).as("x"), col("y").cast(d18).as("y"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.select(col("n").as("n_users"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+      .select(col("n_users"),
+        when(col("n_users") >= 2 && col("varx_num") =!= 0,
+          col("cov_num").cast("double") / col("varx_num").cast("double"))
+          .otherwise(lit(null)).as("theta"),
+        when(col("n_users") >= 2,
+          col("vary_num").cast("double") /
+            (col("n_users") * (col("n_users") - 1)).cast("double"))
+          .otherwise(lit(null)).as("var_y"),
+        when(col("n_users") >= 2 && col("varx_num") =!= 0,
+          (col("vary_num").cast("double") /
+            (col("n_users") * (col("n_users") - 1)).cast("double")) -
+          (col("cov_num").cast("double") /
+            (col("n_users") * (col("n_users") - 1)).cast("double")) *
+          (col("cov_num").cast("double") /
+            (col("n_users") * (col("n_users") - 1)).cast("double")) /
+          (col("varx_num").cast("double") /
+            (col("n_users") * (col("n_users") - 1)).cast("double")))
+          .otherwise(lit(null)).as("var_y_adj"))
+  }
+
   /** SCD2 history-table construction (Kimball type-2 dimension from a
     * change log): collapse each user's event stream into validity
     * intervals of their tracked state (here `event_type` — the

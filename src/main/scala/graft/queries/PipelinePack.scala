@@ -754,6 +754,62 @@ object PipelinePack {
               is_current
             FROM iv ORDER BY user_id, valid_from_us"""))
 
+  private val e20 = Q(
+    "e20_path_trigrams",
+    // top-20 length-3 behavioral paths (e18's transition matrix is the
+    // length-2 marginal); two leads on ONE per-user window, hash-agg
+    // count, bounded top-k
+    (s, dir) => Events.pathTrigrams(Tables.load(s, dir, "events"), k = 20)
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3")),
+    Some("""WITH p AS (SELECT user_id, event_type,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT event_type AS s1, t2 AS s2, t3 AS s3, COUNT(*) AS n
+            FROM p WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20"""))
+
+  private val e21 = Q(
+    "e21_cuped",
+    // CUPED variance reduction (Deng et al. 2013): pre-period per-user
+    // spend as the covariate for post-period spend; integer-cent
+    // quantization + decimal moments keep every derived statistic a
+    // fixed IEEE chain mirrored cast-for-cast in the oracle
+    (s, dir) => Events.cuped(Tables.load(s, dir, "events"),
+      splitTs = "2024-01-16 00:00:00"),
+    Some("""WITH per AS (SELECT user_id,
+              SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+              SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+              FROM events GROUP BY 1),
+            m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+              FROM per),
+            d AS (SELECT n AS n_users,
+                n * sxy - sx * sy AS cov_num,
+                n * sxx - sx * sx AS varx_num,
+                n * syy - sy * sy AS vary_num
+              FROM m)
+            SELECT n_users,
+              CASE WHEN n_users >= 2 AND varx_num <> 0 THEN
+                CAST(cov_num AS DOUBLE) / CAST(varx_num AS DOUBLE)
+              END AS theta,
+              CASE WHEN n_users >= 2 THEN CAST(vary_num AS DOUBLE) /
+                CAST(n_users * (n_users - 1) AS DOUBLE) END AS var_y,
+              CASE WHEN n_users >= 2 AND varx_num <> 0 THEN
+                CAST(vary_num AS DOUBLE) /
+                  CAST(n_users * (n_users - 1) AS DOUBLE)
+                - (CAST(cov_num AS DOUBLE) /
+                    CAST(n_users * (n_users - 1) AS DOUBLE))
+                  * (CAST(cov_num AS DOUBLE) /
+                      CAST(n_users * (n_users - 1) AS DOUBLE))
+                  / (CAST(varx_num AS DOUBLE) /
+                      CAST(n_users * (n_users - 1) AS DOUBLE))
+              END AS var_y_adj
+            FROM d"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -1016,5 +1072,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, m01, m02, m03, m04, m05)
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
+    m01, m02, m03, m04, m05)
 }

@@ -688,6 +688,32 @@ class EventsSpec extends SparkSpec {
       (8L, "buy", 15000000L, -1L, true)))
   }
 
+  test("cuped: theta/var from hand-computed moments; degenerate inputs " +
+    "yield NULL, not a division blowup") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val split = "1970-01-02 00:00:00" // 86400s
+    // user 7: x=1.00+2.00=3.00 -> 300, y=5.00 -> 500
+    // user 8: x=1.00 -> 100,          y=1.00 -> 100
+    val e = Seq(
+      (1L, t(10), 7L, "a", 1.0), (2L, t(20), 7L, "a", 2.0),
+      (3L, t(90000), 7L, "a", 5.0),
+      (4L, t(30), 8L, "a", 1.0), (5L, t(90001), 8L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.cuped(e, split).collect().head
+    // n=2: cov_num = 2*(300*500+100*100)-400*600 = 80000
+    // varx_num = 2*(90000+10000)-160000 = 40000 -> theta = 2.0
+    // vary_num = 2*(250000+10000)-360000 = 160000 -> var_y = 80000
+    // var_y_adj = 80000 - 40000*40000/20000 = 0 (perfect covariate)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getDouble(2) == 80000.0)
+    assert(r.getDouble(3) == 0.0)
+    // single user: NULL theta and adjustment
+    val one = Events.cuped(e.filter(col("user_id") === 7L), split)
+      .collect().head
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(3))
+  }
+
   test("funnelStages requires strict temporal order across steps") {
     val e = Seq(
       // user 1: full funnel in order
