@@ -451,6 +451,77 @@ object Corpus {
           .cast("double").as("bits_per_pair"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995 / Chen &
+    * Goodman 1998, absolute discount D = 3/4) quantized to WHOLE BITS —
+    * the properly-SMOOTHED rung above [[bigramSurprisalPerDoc]]'s
+    * hapax-backoff heuristic: unseen pairs score by the continuation
+    * probability (how many distinct contexts w2 follows — "Francisco"
+    * is common but only ever follows "San", so KN scores it unlikely in
+    * a NEW context, which raw counts get exactly backwards).
+    *
+    * The whole statistic stays in exact longs: with D = 3/4,
+    * `p(w2|w1) = max(c12 − 3/4, 0)/c1 + λ(w1)·Pcont(w2)` clears its
+    * rational denominators to `num / (4·c1·ntot)` where
+    * `num = (4·c12 − 3)·ntot + 3·n1w1·nc2` (seen pair) or
+    * `3·n1w1·nc2` (unseen pair, seen context) — c1 = Σ pair counts of
+    * the context, n1w1 = distinct continuations of w1, nc2 = distinct
+    * contexts of w2, ntot = distinct pair types (so Σ_w2 p = 1
+    * exactly). `bits = length(bin(den div num))` — no `ln`, no float
+    * sum, the t16/t20 discipline; the DuckDB oracle mirrors the
+    * arithmetic CASE for CASE. Conventions: unseen CONTEXT scores 1
+    * bit (t20's backstop), an unseen-continuation zero numerator
+    * clamps to the maximum representable surprisal
+    * `length(bin(den))`. Magnitudes hold while 4·c1·ntot < 2^63 —
+    * pre-scale ntot beyond ~10^9 contexts·types.
+    *
+    * Shape: THE t20 shape — pair/context/continuation tables are
+    * partial-agg rollups of the reference slice (type-cardinality
+    * sized), scoring explodes each doc's adjacent pairs once and
+    * equi-joins the three tables (AQE absorbs hot heads — rehearsed in
+    * scaleprobe_r9's skew case), ntot broadcasts as one row.
+    */
+  def knBigramPerDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val pairCnt = df.filter(refFilter)
+      .select(explode(TextOps.bigramList(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val ctx = pairCnt.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+    val cont = pairCnt.groupBy("w2").agg(count(lit(1)).as("nc2"))
+    val ntot = broadcast(pairCnt.agg(count(lit(1)).as("ntot")))
+    val scored = df
+      .select(col(idCol),
+        explode(TextOps.bigramList(col(textCol))).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(pairCnt.select("bigram", "c12"), Seq("bigram"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(ntot)
+      .withColumn("num",
+        coalesce((lit(4L) * col("c12") - 3L) * col("ntot"), lit(0L)) +
+          lit(3L) * col("n1w1") * coalesce(col("nc2"), lit(0L)))
+      .withColumn("den", lit(4L) * col("c1") * col("ntot"))
+      .select(col(idCol),
+        when(col("c1").isNull, lit(1L)) // unseen context: 1 bit
+          .when(col("num") > 0,
+            length(bin(expr("den div num"))).cast("long"))
+          .otherwise(length(bin(col("den"))).cast("long")) // p -> 0 clamp
+          .as("bits"))
+      .groupBy(idCol)
+      .agg(sum("bits").as("sum_bits"), count(lit(1)).as("n_pairs"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("sum_bits").cast("double") / col("n_pairs"))
+          .cast("double").as("bits_per_pair"))
+  }
+
   /** CCNet's head/middle/tail split: bucket documents by surprisal
     * terciles ([[surprisalPerDoc]]) — Wenzek et al. 2020 release Common
     * Crawl in exactly these three perplexity bands, and downstream

@@ -2108,6 +2108,55 @@ object CorpusPack {
             SELECT query_id, rk, doc_id, score FROM ranked
             WHERE rk <= 10 ORDER BY query_id, rk"""))
 
+  private val t35 = Q(
+    "t35_kn_bigram",
+    // interpolated Kneser-Ney bigram scoring (D=3/4) in whole bits —
+    // the properly-smoothed rung above t20's hapax backoff: unseen
+    // pairs score by CONTINUATION probability; non-en docs exercise
+    // every branch against the en-trained tables
+    (s, dir) => Corpus.knBigramPerDoc(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id, lang,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            toks AS (SELECT doc_id, lang, unnest(l) AS w,
+                generate_subscripts(l, 1) AS rn
+              FROM base),
+            pairsall AS (SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairsall
+                   WHERE lang = 'en' GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                COUNT(*) AS n1w1 FROM pc GROUP BY 1),
+            cont AS (SELECT w2, COUNT(*) AS nc2 FROM pc GROUP BY 1),
+            nt AS (SELECT COUNT(*) AS ntot FROM pc),
+            scored AS (SELECT p.doc_id,
+                CASE WHEN ctx.c1 IS NULL THEN 1
+                  WHEN (COALESCE((4 * pc.c12 - 3) * ntot, 0)
+                      + 3 * ctx.n1w1 * COALESCE(cont.nc2, 0)) > 0
+                  THEN length(bin((4 * ctx.c1 * ntot) //
+                    (COALESCE((4 * pc.c12 - 3) * ntot, 0)
+                      + 3 * ctx.n1w1 * COALESCE(cont.nc2, 0))))
+                  ELSE length(bin(4 * ctx.c1 * ntot)) END AS bits
+              FROM pairsall p
+              LEFT JOIN pc ON p.w1 = pc.w1 AND p.w2 = pc.w2
+              LEFT JOIN ctx ON p.w1 = ctx.w1
+              LEFT JOIN cont ON p.w2 = cont.w2
+              CROSS JOIN nt),
+            agg AS (SELECT doc_id, SUM(bits) AS sum_bits,
+                COUNT(*) AS n_pairs FROM scored GROUP BY 1)
+            SELECT d.doc_id,
+              CAST(COALESCE(sum_bits, 0) AS BIGINT) AS sum_bits,
+              COALESCE(n_pairs, 0) AS n_pairs,
+              CASE WHEN COALESCE(n_pairs, 0) = 0 THEN NULL
+                ELSE CAST(sum_bits AS DOUBLE) / n_pairs
+              END AS bits_per_pair
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -2466,7 +2515,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)

@@ -537,6 +537,30 @@ class CorpusOpsSpec extends SparkSpec {
       f"weighting not expressed: heavy $heavyRate%.2f light $lightRate%.2f")
   }
 
+  test("knBigramPerDoc: hand-computed whole-bit KN — continuation " +
+    "probability orders unseen pairs (the 'Francisco' property), seen " +
+    "pairs score low, unseen contexts take the 1-bit backstop") {
+    import org.apache.spark.sql.functions.col
+    // ref pairs: d1 gives hi 3 distinct contexts; d2 makes fran frequent
+    // but single-context. ntot=7 types; c1(san)=3, den=4*3*7=84
+    val docs = Seq(
+      (1L, "p hi q hi r hi", "en"),
+      (2L, "san fran san fran san fran", "en"),
+      (10L, "san hi", "xx"),   // unseen pair, nc2(hi)=3: 84 div 9 -> 4 bits
+      (11L, "san q", "xx"),    // unseen pair, nc2(q)=1: 84 div 3 -> 5 bits
+      (12L, "san fran", "xx"), // seen pair: 84 div 66 -> 1 bit
+      (13L, "zz hi", "xx"))    // unseen context -> 1 bit
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.knBigramPerDoc(docs, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(10L) == ((4L, 1L)))
+    assert(got(11L) == ((5L, 1L)))
+    assert(got(12L) == ((1L, 1L)))
+    assert(got(13L) == ((1L, 1L)))
+  }
+
   test("rrfFuse: a doc on two lists outranks single-list docs; within " +
     "one list count, better ranks win; ties break by id") {
     val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("q", "id", "rk")
