@@ -419,6 +419,56 @@ object EventPipeline {
       }
   }
 
+  final case class ScdState(
+      sinceUs: Long, lastUs: Long, lastId: Long, lastType: String)
+  final case class ScdRow(
+      user_id: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming twin of [[graft.ops.Events.scd2History]] for the CLOSED
+    * intervals: state = one (run-start, last-seen, type) triple per
+    * user; an arrival with a DIFFERENT type closes the standing run and
+    * emits it with `[run-start, change-ts)` bounds — exactly the batch
+    * row. The OPEN current run IS the state (batch reports it as the
+    * `is_current` row; a stream cannot emit it in Append mode until it
+    * closes — spec asserts closed-row parity and that the state holds
+    * the batch's current rows). Same arrival contract as
+    * [[transitionStream]]: event-time ordered per user across
+    * micro-batches; within a batch, arrivals sort on (ts, event_id).
+    */
+  def scd2Stream(events: Dataset[Event]): Dataset[ScdRow] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[ScdState]) =>
+          val batch = it.toArray
+            .map(e => (micros(e.ts), e.event_id, e.event_type))
+            .sortBy(x => (x._1, x._2))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[ScdRow]
+            batch.foreach { case (us, id, tp) =>
+              st match {
+                case Some(s) if s.lastType == tp =>
+                  st = Some(s.copy(lastUs = us, lastId = id))
+                case Some(s) =>
+                  out += ScdRow(uid, s.lastType, s.sinceUs, us)
+                  st = Some(ScdState(us, us, id, tp))
+                case None =>
+                  st = Some(ScdState(us, us, id, tp))
+              }
+            }
+            state.update(st.get)
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful gap sessionization: one open session per user in the state
     * store; a session is emitted when the user's next event arrives more
     * than `gapSeconds` after it ended — or, with `flushOnWatermark`, when

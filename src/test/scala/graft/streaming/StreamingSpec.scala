@@ -625,4 +625,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains(("view", "click", 3L)))
     } finally q.stop()
   }
+
+  test("scd2Stream: closed validity intervals equal the batch " +
+    "scd2History's non-current rows, across batches (runs split over " +
+    "micro-batch boundaries close correctly)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(0, 10, 1, "view", 0.0), ev(1, 20, 1, "view", 0.0),
+      ev(2, 30, 1, "click", 0.0),
+      ev(3, 15, 2, "buy", 0.0),
+      // batch 2: user 1's click run (started batch 1) closes here;
+      // user 2's buy run survives untouched (same type)
+      ev(4, 40, 1, "view", 0.0), ev(5, 50, 2, "buy", 0.0))
+    val batchClosed = graft.ops.Events.scd2History(events.toDF())
+      .filter(org.apache.spark.sql.functions.col("valid_to_us").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val src = MemoryStream[Event]
+    val q = EventPipeline.scd2Stream(src.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(events.take(4): _*)
+      q.processAllAvailable()
+      src.addData(events.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("scd2_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batchClosed && got.size == 2)
+      // the cross-batch close: user 1's click@30 run closed by view@40
+      assert(got.contains((1L, "click", 30000000L, 40000000L)))
+    } finally q.stop()
+  }
 }
