@@ -176,6 +176,15 @@ object ScaleSmoke {
       // the t17 trainer + a memoized pure-map id emit
       "t29_pr_curve", "t30_bpe_token_ids", "t31_unigram_token_ids")
       .map(n => measure(n, 15.0, queryFn(n))) ++
+      // r9 additions over the documents table, all linear: t32/t33 =
+      // byte-BPE trainer (pretoken-vocab-sized driver loop) + memoized
+      // pure-map count/emit; t34 = token-rollup joins + bounded
+      // per-query top-k; t35 = the t20 explode + three type-cardinality
+      // equi-joins; p25 = scan-stage key + TakeOrderedAndProject
+      // (events/orders-table ops are outside this corpus's schema)
+      Seq("t32_byte_bpe_count", "t33_byte_bpe_ids", "t34_bm25_search",
+        "t35_kn_bigram", "p25_weighted_sample")
+      .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
 

@@ -136,6 +136,15 @@ class PlanSpec extends SparkSpec {
     assert(exch == 1, s"expected 1 user_id exchange, got $exch:\n$p")
   }
 
+  test("t35: KN scoring joins are all equi/broadcast — no cartesian " +
+    "beyond the single-row ntot, stats tables partial-aggregate") {
+    val p = plan("t35_kn_bigram")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // the one-row ntot attach
+    assert(p.contains("HashAggregate"))
+  }
+
   test("p12: composed pipeline has no cartesian and dedups via ONE window") {
     val p = plan("p12_curation_pipeline")
     assert(!p.contains("CartesianProduct"))
