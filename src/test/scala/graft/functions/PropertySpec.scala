@@ -124,4 +124,34 @@ class PropertySpec extends AnyFunSuite {
         new UnigramCounter(vocab).count(u)
     })
   }
+
+  // arbitrary unicode (multilingual chars, emoji via surrogate pairs,
+  // whitespace runs incl. tabs/newlines) — the byte-BPE totality domain
+  private val uniGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      "a", "Zb", "日本", "語", "🍜", "é", "ß", "1", "42", "!", "?!",
+      " ", "  ", "\t", "\n", "б")).map(_.mkString)
+
+  private val mergeGen: Gen[Seq[(String, String)]] = {
+    val symGen = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0x20.toChar, 0xFF.toChar)).map(_.mkString))
+    Gen.listOf(Gen.zip(symGen, symGen)).map(_.take(20))
+  }
+
+  test("ByteBpe: pretokens concatenate to the input, and decode(encode) " +
+    "round-trips ANY unicode string under ANY merge table") {
+    import scala.jdk.CollectionConverters._
+    run(Prop.forAll(uniGen, mergeGen) { (s, merges) =>
+      val pretokOk = BytePretok.split(s).asScala.mkString == s
+      val engine = new ByteBpe(merges)
+      val ids = engine.encode(UTF8String.fromString(s))
+        .toIntArray().toSeq
+      val table = ByteBpeVocab.decodeTable(merges)
+      val decoded = BytePretok.fromSymbols(ids.map(table).mkString)
+      val countOk =
+        engine.count(UTF8String.fromString(s)) == ids.length
+      val rangeOk = ids.forall(i => i >= 0 && i < 256 + merges.size)
+      pretokOk && decoded == s && countOk && rangeOk
+    })
+  }
 }
