@@ -117,6 +117,83 @@ object CorpusMaintain {
       .groupBy("token").agg(sum("cnt").as("cnt"))
   }
 
+  /** One forget's outputs: the shrunk `corpus`, EXACTLY-relabeled
+    * near-dup `labels`, and the `removed` id audit.
+    */
+  final case class Forget(
+      corpus: DataFrame,
+      labels: DataFrame,
+      removed: DataFrame)
+
+  /** Right-to-be-forgotten: remove documents from the standing corpus
+    * AND keep the near-dup cluster labels EXACT — the DELETION leg of
+    * the maintenance loop ([[foldBatch]] is the ingest leg; a training
+    * corpus under GDPR/CCPA or takedown obligations must erase, not
+    * just stop serving). Removing a node can SPLIT a cluster (the
+    * removed doc was the bridge between two near-dup groups), which no
+    * label-only rewrite can express — so affected clusters re-derive
+    * their pair edges among the REMAINING members and re-run CC on
+    * exactly those docs. Work is bounded by Σ|affected cluster|
+    * documents' gram index — cluster-sized, never corpus-sized — and
+    * untouched clusters keep their labels verbatim. Correctness
+    * argument: an edge between an affected-cluster member and any
+    * OTHER doc would have placed them in one cluster originally, so
+    * re-clustering the affected members alone is exact
+    * (spec-asserted ≡ full recompute, including a bridge split).
+    * Idempotent: forgetting the same ids again removes nothing and
+    * leaves labels bit-identical.
+    *
+    * Companions: [[forgetTokenCounts]] subtracts the removed docs from
+    * the standing LM tables; the ANN side is a plain `filter` on the
+    * standing assigned/encoded lists (row deletion — IVF/SQ8/PQ codes
+    * are per-row, no retrain; drift statistics recalibrate at the next
+    * fold).
+    */
+  def forgetBatch(
+      corpus: DataFrame,
+      labels: DataFrame,
+      forgetIds: DataFrame,
+      textCol: String,
+      idCol: String,
+      tauNum: Int = 1,
+      tauDen: Int = 2): Forget = {
+    val ids = forgetIds.select(col(idCol)).distinct()
+    // the audit reports only ids that were actually present
+    val removed = corpus.select(col(idCol)).join(ids, Seq(idCol), "left_semi")
+    val newCorpus = corpus.join(ids, Seq(idCol), "left_anti")
+    val affClusters = labels
+      .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+    val keepLabels = labels.join(affClusters, Seq("cluster_id"), "left_anti")
+      .select("id", "cluster_id")
+    val remainingMembers = labels.join(affClusters, Seq("cluster_id"))
+      .select(col("id").as(idCol))
+      .join(ids, Seq(idCol), "left_anti")
+    val remDocs = newCorpus.join(remainingMembers, Seq(idCol), "left_semi")
+    val relabeled = Clusters.connectedComponents(
+      Dedup.nGramJaccard(remDocs, textCol, idCol, tauNum, tauDen),
+      "id_a", "id_b")
+    Forget(newCorpus, keepLabels.unionByName(relabeled), removed)
+  }
+
+  /** Subtract the forgotten docs' token counts from the standing
+    * `(token, cnt)` table — [[foldTokenCounts]]'s inverse (counts are
+    * an abelian group, so forget ≡ recount of the shrunk corpus,
+    * spec-asserted); rows that reach zero are pruned so the table
+    * never leaks that a token ever existed.
+    */
+  def forgetTokenCounts(
+      standing: DataFrame, removedDocs: DataFrame, textCol: String)
+      : DataFrame = {
+    val delta = removedDocs
+      .select(explode(graft.ops.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg((-count(lit(1))).as("cnt"))
+    standing.select(col("token"), col("cnt"))
+      .unionByName(delta)
+      .groupBy("token").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
   /** The standing quality gate: trained model + the held-out accuracy
     * benchmark it must keep meeting + corpus size. The r8 gap: AnnMaintain
     * retrains indexes on drift, but t23's classifier had no maintenance
