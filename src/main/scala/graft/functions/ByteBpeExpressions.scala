@@ -28,12 +28,15 @@ object BytePretok {
     * ` ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`, hand-rolled
     * over codepoints so trainer and encoder share ONE implementation
     * and no regex-dialect parity question exists): letter runs, number
-    * runs, and other-glyph runs each claim one optional LEADING space
-    * (spaces are part of tokens — byte-level BPE encodes whitespace);
-    * a longer whitespace run keeps its last space attached to the next
-    * pretoken and emits the rest as one whitespace pretoken.
-    * Concatenating the pretokens reproduces the input exactly (the
-    * lossless-round-trip precondition).
+    * runs, and other-glyph runs each claim one optional LEADING literal
+    * space 0x20 — and ONLY 0x20, exactly the regex's ` ?`; a tab or
+    * newline immediately before content stands as its own pretoken
+    * (spaces are part of tokens — byte-level BPE encodes whitespace).
+    * A longer whitespace run followed by content emits all but its last
+    * char as one whitespace pretoken (`\s+(?!\S)` backtracks one), then
+    * the last char follows the single-char rule above; a trailing run
+    * is emitted whole. Concatenating the pretokens reproduces the input
+    * exactly (the lossless-round-trip precondition).
     */
   def split(s: String): java.util.ArrayList[String] = {
     val out = new java.util.ArrayList[String]()
@@ -48,11 +51,19 @@ object BytePretok {
           e += Character.charCount(s.codePointAt(e))
         if (e == n) { out.add(s.substring(start, e)); i = e }
         else if (e - start == 1) {
-          // single space: attaches as the next pretoken's leading char
-          i += 1
-          c = s.codePointAt(i)
-          out.add(s.substring(start, runEnd(s, i, c)))
-          i = runEnd(s, i, c)
+          if (s.charAt(start) == ' ') {
+            // single literal space: attaches as the next pretoken's
+            // leading char (the regex's ` ?`)
+            i += 1
+            c = s.codePointAt(i)
+            out.add(s.substring(start, runEnd(s, i, c)))
+            i = runEnd(s, i, c)
+          } else {
+            // single non-space whitespace (\t, \n, …): its own pretoken
+            // — ` ?` never matches it
+            out.add(s.substring(start, e))
+            i = e
+          }
         } else {
           // longer run: all but the last whitespace char is one token
           out.add(s.substring(start, e - 1))

@@ -196,6 +196,16 @@ object Corpus {
     * through DECIMAL(18,6) accumulation (the dsum convention) so Spark's
     * and DuckDB's partial-sum orders cannot diverge.
     *
+    * Deliberate divergence from textbook BM25: the whole-bit idf FLOORS
+    * AT 1 for a term present in every document (`length(bin(1))` = 1),
+    * where Robertson idf → ~0 — ubiquitous terms (stopwords appearing
+    * in 100% of docs) retain a small constant weight instead of
+    * vanishing, so stopword-heavy queries rank slightly differently
+    * than a float-idf engine. This is the price of the exact-integer
+    * oracle discipline and is bounded: such a term contributes at most
+    * one idf unit, and any term in < half the corpus gets ≥ the same
+    * weight, so discriminative terms always dominate.
+    *
     * Shape at 100 TB: tf/df/dl are partial-aggregated rollups of the
     * one exploded pass (the t16 token shuffle, AQE-absorbed hot heads);
     * `queries` (query_id, term) is BROADCAST to the tf join — work
@@ -284,19 +294,41 @@ object Corpus {
     * division, and the per-doc sum accumulates through DECIMAL(18,12)
     * (the bm25/dsum convention) so partial-sum order cannot diverge;
     * ties break by id. Shape: a union of fixed-width (q, id, rk) rows —
-    * each input is already a bounded top-k — one hash agg and one
-    * per-query window over ≤ Σ k rows per query. Inputs must share the
-    * (queryCol, idCol, rankCol) columns.
+    * each input is DEFENSIVELY clipped to `rank <= maxRank` (default
+    * 1000; an accidentally unbounded ranking would otherwise fuse the
+    * whole corpus per query) — one hash agg and one per-query window
+    * over ≤ Σ maxRank rows per query. Inputs must share the
+    * (queryCol, idCol, rankCol) columns, and query/id columns must be
+    * integral (string UUIDs would cast to NULL and collapse every row
+    * into one (null,null) group — hash them to longs first).
     */
   def rrfFuse(
       rankings: Seq[DataFrame], queryCol: String, idCol: String,
-      rankCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+      rankCol: String, k: Int, rrfK: Int = 60,
+      maxRank: Int = 1000): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(rrfK >= 1, s"rrfK must be positive: $rrfK")
-    val unioned = rankings.map(df => df.select(
-        col(queryCol).cast("long").as("q"),
-        col(idCol).cast("long").as("id"),
-        col(rankCol).cast("long").as("rk")))
+    require(maxRank >= k, s"maxRank $maxRank < k $k")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    rankings.foreach { df =>
+      Seq(queryCol, idCol).foreach { c =>
+        val dt = df.schema(c).dataType
+        require(integral.contains(dt),
+          s"rrfFuse: column `$c` must be an integral type, got $dt — " +
+            "a non-numeric id would cast to NULL and silently collapse " +
+            "rows; hash string ids to longs (xxhash64) before fusing")
+      }
+    }
+    val unioned = rankings.map(df => df
+        .filter(col(rankCol) <= maxRank)
+        .select(
+          col(queryCol).cast("long").as("q"),
+          col(idCol).cast("long").as("id"),
+          col(rankCol).cast("long").as("rk")))
       .reduce(_ unionByName _)
     val fused = unioned
       .select(col("q"), col("id"),

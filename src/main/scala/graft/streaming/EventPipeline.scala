@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventPipeline {
 
+  /** Event-time in microseconds since the epoch, matching Spark's
+    * `unix_micros` for ALL instants including pre-1970: `getTime` is
+    * FLOOR-divided to whole seconds (plain `/` truncates toward zero,
+    * which combined with the additive positive nanos fraction would map
+    * 1969-12-31T23:59:59.5 to +500000 µs instead of −500000), then the
+    * sub-second nanos re-add the microsecond fraction. Shared by every
+    * stateful stream so batch↔stream closed-row parity cannot drift
+    * per-operator.
+    */
+  private[streaming] def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   final case class Event(
       event_id: Long,
       ts: Timestamp,
@@ -306,8 +318,6 @@ object EventPipeline {
       maxLen: Int,
       idleSeconds: Long): Dataset[UserSeq] = {
     import events.sparkSession.implicits._
-    def micros(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SeqState, UserSeq](
@@ -355,8 +365,6 @@ object EventPipeline {
     */
   def gapStream(events: Dataset[Event]): Dataset[EventGap] = {
     import events.sparkSession.implicits._
-    def micros(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[GapState, EventGap](
@@ -395,8 +403,6 @@ object EventPipeline {
     */
   def transitionStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    def micros(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, Transition](
@@ -438,8 +444,6 @@ object EventPipeline {
     */
   def scd2Stream(events: Dataset[Event]): Dataset[ScdRow] = {
     import events.sparkSession.implicits._
-    def micros(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ScdState, ScdRow](
@@ -492,8 +496,6 @@ object EventPipeline {
     val gapMicros = gapSeconds * 1000000L
 
     // exact µs: getTime truncates to ms, getNanos carries the full fraction
-    def micros(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     def toSession(userId: Long, s: OpenSession): Session =
       Session(userId, s.sessionIdx, s.nEvents,
         s.startMicros / 1000000L, s.endMicros / 1000000L, s.sumValue)

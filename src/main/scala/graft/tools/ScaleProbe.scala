@@ -374,29 +374,37 @@ object ScaleProbe {
     // forced-exchange config.
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // aggregate the SCORE, not just the row count: a count-only sink
-    // lets Catalyst prune the (unique-keyed) score join entirely and
-    // the probe would time an empty plan
-    val (lmExRows, lmExSec) = timed {
-      val r = Corpus.surprisalPerDoc(lmDocs, "doc_id", "text", lit(true))
-        .agg(count(lit(1)).as("n"), sum("sum_bits").as("sb")).head()
-      require(!r.isNullAt(1), "no bits computed")
-      r.getLong(0)
-    }
-    val skewDocs = spark.range(10000000L).select(col("id").as("doc_id"),
-      concat_ws(" ", (0 until 12).map(j =>
-        when(pmod(xxhash64(col("id"), lit(j), lit(7L)), lit(5L)) === 0,
-          lit("HOT"))
-          .otherwise(concat(lit("w"),
-            pmod(xxhash64(col("id"), lit(j)), lit(4096L)).cast("string")))
-      ): _*).as("text"))
-    val (skewRows, skewSec) = timed {
-      val r = Corpus.surprisalPerDoc(skewDocs, "doc_id", "text", lit(true))
-        .agg(count(lit(1)).as("n"), sum("sum_bits").as("sb")).head()
-      require(!r.isNullAt(1), "no bits computed")
-      r.getLong(0)
-    }
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    // try/finally: a failed require inside either timed block must not
+    // leave the session with broadcast joins disabled for whatever runs
+    // after the probe
+    val (lmExRows, lmExSec, skewRows, skewSec) =
+      try {
+        // aggregate the SCORE, not just the row count: a count-only sink
+        // lets Catalyst prune the (unique-keyed) score join entirely and
+        // the probe would time an empty plan
+        val (exRows, exSec) = timed {
+          val r = Corpus.surprisalPerDoc(lmDocs, "doc_id", "text", lit(true))
+            .agg(count(lit(1)).as("n"), sum("sum_bits").as("sb")).head()
+          require(!r.isNullAt(1), "no bits computed")
+          r.getLong(0)
+        }
+        val skewDocs = spark.range(10000000L).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            when(pmod(xxhash64(col("id"), lit(j), lit(7L)), lit(5L)) === 0,
+              lit("HOT"))
+              .otherwise(concat(lit("w"),
+                pmod(xxhash64(col("id"), lit(j)), lit(4096L)).cast("string")))
+          ): _*).as("text"))
+        val (skRows, skSec) = timed {
+          val r = Corpus.surprisalPerDoc(skewDocs, "doc_id", "text", lit(true))
+            .agg(count(lit(1)).as("n"), sum("sum_bits").as("sb")).head()
+          require(!r.isNullAt(1), "no bits computed")
+          r.getLong(0)
+        }
+        (exRows, exSec, skRows, skSec)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      }
     require(skewRows == lmExRows, s"skew rows $skewRows != $lmExRows")
     val skewRatio = skewSec / math.max(lmExSec, 0.5)
     require(skewRatio <= 3.0,

@@ -145,6 +145,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("p25: weighted sample is TakeOrderedAndProject (per-partition " +
+    "bounded heaps), never a global sort — the q30/p16 shape") {
+    val p = plan("p25_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no range-partitioned global sort anywhere in the draw
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("p12: composed pipeline has no cartesian and dedups via ONE window") {
     val p = plan("p12_curation_pipeline")
     assert(!p.contains("CartesianProduct"))

@@ -109,13 +109,19 @@ class ByteBpeSpec extends SparkSpec {
     }
   }
 
-  test("pretokenizer: GPT-2 space attachment — single space joins the " +
-    "next token, longer whitespace runs keep their last space attached") {
+  test("pretokenizer: GPT-2 space attachment — only a literal space " +
+    "joins the next token; tab/newline stand alone (the ` ?` rule)") {
     import scala.jdk.CollectionConverters._
     assert(BytePretok.split("a b").asScala.toSeq == Seq("a", " b"))
     assert(BytePretok.split("a   b").asScala.toSeq == Seq("a", "  ", " b"))
     assert(BytePretok.split("hi! 42").asScala.toSeq == Seq("hi", "!", " 42"))
-    assert(BytePretok.split("a \t\nb").asScala.toSeq == Seq("a", " \t", "\nb"))
+    // ` ?` attaches ONLY 0x20: the run " \t\n" before "b" splits as
+    // `\s+(?!\S)` = " \t", then the lone "\n" (not a space) stands
+    // alone — matching the published regex, where the r9 impl glued
+    // "\nb" together
+    assert(BytePretok.split("a \t\nb").asScala.toSeq ==
+      Seq("a", " \t", "\n", "b"))
+    assert(BytePretok.split("a\tb").asScala.toSeq == Seq("a", "\t", "b"))
     assert(BytePretok.split("trail  ").asScala.toSeq == Seq("trail", "  "))
   }
 
