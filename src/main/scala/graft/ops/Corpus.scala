@@ -345,6 +345,93 @@ object Corpus {
         col("n_lists"))
   }
 
+  /** nDCG rank discounts `1/log2(r+1)` for r in 1..k, computed ONCE at
+    * the driver and quantized to 12 decimal places — the injected-
+    * literal pattern (t13): both the Spark plan and the DuckDB oracle
+    * receive these as identical DECIMAL(18,12) literals, so libm log2
+    * never runs in either engine and parity is by construction.
+    */
+  def ndcgDiscounts(k: Int): IndexedSeq[java.math.BigDecimal] =
+    (1 to k).map { r =>
+      new java.math.BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(12, java.math.RoundingMode.HALF_EVEN)
+    }
+
+  /** `CASE <rankCol> WHEN 1 THEN <disc(1)> … END` over the injected
+    * discount literals — SQL text valid verbatim in BOTH Spark and
+    * DuckDB, so the two engines evaluate the identical expression.
+    */
+  def ndcgDiscountCaseSql(rankCol: String, k: Int): String =
+    ndcgDiscounts(k).zipWithIndex.map { case (d, i) =>
+      s"WHEN ${i + 1} THEN CAST($d AS DECIMAL(18,12))"
+    }.mkString(s"CASE $rankCol ", " ", " END")
+
+  /** Ideal-DCG prefix sums as the same CASE-literal device: `IDCG(m)` =
+    * `Σ_{i=1..m} disc(i)` for `m = least(n_rel, k)` — exact BigDecimal
+    * sums of the quantized discounts, scale 12.
+    */
+  def idcgCaseSql(mCol: String, k: Int): String = {
+    val prefix = ndcgDiscounts(k)
+      .scanLeft(java.math.BigDecimal.ZERO)(_ add _).tail
+    prefix.zipWithIndex.map { case (p, i) =>
+      s"WHEN ${i + 1} THEN CAST($p AS DECIMAL(18,12))"
+    }.mkString(s"CASE $mCol ", " ", " END")
+  }
+
+  /** Retrieval-quality metrics — recall@k, MRR, and nDCG@k of a ranked
+    * result frame against a binary relevance set (Järvelin & Kekäläinen
+    * 2002 for nDCG; the standard eval triple a user tunes nProbe / k /
+    * fusion weights against). Per labeled query:
+    *  - `recall` = hits@k / n_rel — two exact longs, ONE IEEE division;
+    *  - `rr` = 1/rank of the first relevant hit (0 when none in top-k) —
+    *    one division of exact ints, whose mean over queries is MRR;
+    *  - `ndcg` = DCG@k / IDCG@k with binary gains: DCG sums the
+    *    [[ndcgDiscountCaseSql injected discount literals]] at the hit
+    *    ranks through DECIMAL (exact, order-independent), IDCG is the
+    *    [[idcgCaseSql prefix-sum CASE]] at `least(n_rel, k)`, and the
+    *    quotient is ONE division of two exactly-represented decimals —
+    *    the whole chain is oracle-mirrorable bit-for-bit because no
+    *    transcendental ever evaluates at query time.
+    *
+    * Queries are the LABELED set: a result query with no relevance rows
+    * is dropped (metrics are undefined without labels); a labeled query
+    * missing from results scores 0 across the board. Duplicate
+    * (query, id) relevance rows must be pre-deduped by the caller.
+    *
+    * Shape at 100 TB: results are already bounded top-k per query and
+    * the relevance set is eval-suite-sized — one equi-join on
+    * (query, id), two partial-aggregated rollups keyed by query, and a
+    * broadcast-friendly final join. Nothing scales with the corpus.
+    */
+  def retrievalMetrics(
+      results: DataFrame, relevance: DataFrame,
+      queryCol: String, idCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("rk"))
+    val rel = relevance.select(col(queryCol).as("q"), col(idCol).as("id"))
+    val hitAgg = res.join(rel, Seq("q", "id"))
+      .groupBy("q").agg(
+        count(lit(1)).as("hits"),
+        min("rk").as("first_rel_rk"),
+        sum(expr(ndcgDiscountCaseSql("rk", k))).as("dcg"))
+    val nRel = rel.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    nRel.join(hitAgg, Seq("q"), "left")
+      .withColumn("m", least(col("n_rel"), lit(k.toLong)))
+      .select(
+        col("q").as(queryCol),
+        col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall"),
+        coalesce(lit(1.0) / col("first_rel_rk").cast("double"), lit(0.0))
+          .as("rr"),
+        (coalesce(col("dcg").cast("double"), lit(0.0)) /
+          expr(idcgCaseSql("m", k)).cast("double")).as("ndcg"))
+  }
+
   /** CCNet-style language-model quality signal per document: mean token
     * surprisal under a unigram LM trained on a reference slice of the
     * SAME corpus (Wenzek et al. 2020 bucket Common Crawl by the

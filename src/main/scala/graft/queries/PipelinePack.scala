@@ -263,6 +263,110 @@ object PipelinePack {
     },
     None)
 
+  private val s15 = Q(
+    "s15_retrieval_metrics",
+    // the s-tier's self-measurement rung: score s13's hybrid fusion
+    // against a PLANTED relevance set — the exact dense cosine top-5
+    // per probe (both engines derive it from the same embeddings, so
+    // the label set is oracle-shared, not injected data). recall@10 and
+    // RR are one-division exact rationals; nDCG@10 runs entirely over
+    // driver-injected DECIMAL(18,12) discount literals (no libm log in
+    // either engine) with one final IEEE division
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val dense = VectorOps.knnBrute(emb.filter(col("vec_id") < 4), emb,
+          "vec_id", "embedding", k = 20)
+        .select(col("probe_id").as("query_id"),
+          col("corpus_id").as("id"), col("rk"))
+      val queries = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val sparse = Corpus.bm25TopK(docs, "doc_id", "text", queries,
+          k = 20, excludeQueryDoc = true)
+        .select(col("query_id"), col("doc_id").as("id"), col("rk"))
+      val fused = Corpus.rrfFuse(Seq(dense, sparse),
+        "query_id", "id", "rk", k = 10)
+      val relevance = dense.filter(col("rk") <= 5)
+        .select("query_id", "id")
+      Corpus.retrievalMetrics(fused, relevance,
+          "query_id", "id", "rk", k = 10)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS a FROM dl),
+            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            qt AS (SELECT DISTINCT doc_id AS qid, token AS term
+                   FROM tok WHERE doc_id < 4),
+            bmscore AS (
+              SELECT qt.qid, tf.doc_id,
+                SUM(CAST(
+                  CAST(44 * a * tf.tf * length(bin(n // df)) AS DOUBLE) /
+                  CAST(20 * a * tf.tf + 6 * a + 18 * dl.dl * n AS DOUBLE)
+                  AS DECIMAL(18, 6))) AS s
+              FROM qt JOIN tf ON qt.term = tf.token
+              JOIN dft ON dft.token = tf.token
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN stats
+              WHERE tf.doc_id <> qt.qid
+              GROUP BY 1, 2),
+            sparse AS (SELECT qid, doc_id AS id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY s DESC, doc_id) AS rk
+              FROM bmscore),
+            qv AS (SELECT vec_id,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                generate_subscripts(embedding, 1) i
+              FROM embeddings),
+            nrm AS (SELECT vec_id, SUM(v * v) nn FROM qv GROUP BY 1),
+            dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                     FROM qv p JOIN qv c ON p.i = c.i
+                     WHERE p.vec_id < 4 AND p.vec_id <> c.vec_id
+                     GROUP BY 1, 2),
+            cosd AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                     FROM dotp JOIN nrm np ON pid = np.vec_id
+                               JOIN nrm nc ON cid = nc.vec_id),
+            dense AS (SELECT pid AS qid, cid AS id,
+                row_number() OVER (PARTITION BY pid
+                  ORDER BY cos DESC, cid) AS rk
+              FROM cosd),
+            unioned AS (
+              SELECT qid, id, rk FROM sparse WHERE rk <= 20
+              UNION ALL
+              SELECT qid, id, rk FROM dense WHERE rk <= 20),
+            fused AS (SELECT qid, id,
+                SUM(CAST(1.0 / (60 + rk) AS DECIMAL(18, 12))) AS s
+              FROM unioned GROUP BY 1, 2),
+            res AS (SELECT qid, id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY s DESC, id) AS rk
+              FROM fused),
+            rel AS (SELECT qid, id FROM dense WHERE rk <= 5),
+            hitagg AS (SELECT r.qid, COUNT(*) AS hits,
+                MIN(r.rk) AS first_rel_rk,
+                SUM(${Corpus.ndcgDiscountCaseSql("r.rk", 10)}) AS dcg
+              FROM res r JOIN rel ON r.qid = rel.qid AND r.id = rel.id
+              WHERE r.rk <= 10
+              GROUP BY 1),
+            nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY 1)
+            SELECT nrel.qid AS query_id, n_rel,
+              COALESCE(hits, 0) AS hits,
+              CAST(COALESCE(hits, 0) AS DOUBLE) / CAST(n_rel AS DOUBLE)
+                AS recall,
+              COALESCE(CAST(1 AS DOUBLE) / CAST(first_rel_rk AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS rr,
+              COALESCE(CAST(dcg AS DOUBLE), CAST(0 AS DOUBLE)) /
+                CAST(${Corpus.idcgCaseSql("least(n_rel, 10)", 10)}
+                  AS DOUBLE) AS ndcg
+            FROM nrel LEFT JOIN hitagg ON nrel.qid = hitagg.qid
+            ORDER BY query_id"""))
+
   private val d10 = Q(
     "d10_dedup_semantic",
     // SemDeDup (cluster-then-pairs): the O(N²) cosine dedup of d05
@@ -1070,7 +1174,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s15, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
     m01, m02, m03, m04, m05)

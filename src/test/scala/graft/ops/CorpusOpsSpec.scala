@@ -571,4 +571,64 @@ class CorpusOpsSpec extends SparkSpec {
     // doc2: 1/61 + 1/62 (both lists) > doc1: 1/61 > doc3: 1/62
     assert(got.toSeq == Seq((1, 2L, 2L), (2, 1L, 1L), (3, 3L, 1L)))
   }
+
+  test("rrfFuse: non-integral query/id columns fail fast (a string id " +
+    "would cast to NULL and silently collapse rows)") {
+    val bad = Seq(("u-1", 1L, 1)).toDF("q", "id", "rk")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.rrfFuse(Seq(bad), "q", "id", "rk", k = 10)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("rrfFuse: inputs are clipped to maxRank — an unbounded ranking " +
+    "cannot fuse the whole corpus") {
+    val a = (1 to 5).map(r => (0L, 100L + r, r)).toDF("q", "id", "rk")
+    val got = Corpus.rrfFuse(Seq(a), "q", "id", "rk", k = 2, maxRank = 2)
+      .collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(2)).toSet == Set(101L, 102L))
+  }
+
+  test("retrievalMetrics: hand-computed recall@k / RR / nDCG@k, " +
+    "zero-hit and missing-from-results queries score 0") {
+    // q0: rel {1,2,3}; top-3 = [2(rel), 9, 1(rel)] -> hits 2, rr 1,
+    //     dcg = disc(1)+disc(3) = 1.5, idcg(3) = 1 + 1/log2(3) + 0.5
+    // q1: rel {5}; results miss -> all zeros
+    // q2: labeled {4}, absent from results entirely -> all zeros
+    val results = Seq(
+      (0L, 2L, 1), (0L, 9L, 2), (0L, 1L, 3),
+      (1L, 7L, 1), (1L, 8L, 2)).toDF("q", "id", "rk")
+    val rel = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 5L), (2L, 4L))
+      .toDF("q", "id")
+    val got = Corpus.retrievalMetrics(results, rel, "q", "id", "rk", k = 3)
+      .orderBy("q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 3)
+    val (q0, q1, q2) = (got(0), got(1), got(2))
+    assert(q0._1 == 0L && q0._2 == 3L && q0._3 == 2L)
+    assert(q0._4 == 2.0 / 3.0 && q0._5 == 1.0)
+    val disc = Corpus.ndcgDiscounts(3).map(_.doubleValue)
+    val expNdcg = (disc(0) + disc(2)) / (disc(0) + disc(1) + disc(2))
+    assert(math.abs(q0._6 - expNdcg) < 1e-12, s"ndcg ${q0._6} vs $expNdcg")
+    assert(q1 == ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
+    assert(q2 == ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrievalMetrics: the injected discount table matches 1/log2(r+1) " +
+    "to quantization and idcg prefixes sum the discounts exactly") {
+    val d = Corpus.ndcgDiscounts(10)
+    (1 to 10).foreach { r =>
+      val exact = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+      assert(math.abs(d(r - 1).doubleValue - exact) < 5e-13, s"r=$r")
+    }
+    assert(d(0).doubleValue == 1.0)
+    assert(d(2).doubleValue == 0.5)
+    // the CASE text is valid verbatim in Spark SQL too (the whole point)
+    val m = spark.range(1, 11).toDF("rk")
+      .selectExpr(Corpus.ndcgDiscountCaseSql("rk", 10) + " AS d")
+      .collect().map(_.getDecimal(0).doubleValue)
+    assert(m.toSeq == d.map(_.doubleValue).toSeq)
+  }
 }
