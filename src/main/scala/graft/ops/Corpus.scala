@@ -459,9 +459,17 @@ object Corpus {
       df: DataFrame, idCol: String, textCol: String,
       refFilter: Column): DataFrame =
     surprisalWithCounts(df, idCol, textCol,
-      df.filter(refFilter)
-        .select(explode(TextOps.tokens(col(textCol))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt")))
+      tokenCounts(df.filter(refFilter), textCol))
+
+  /** The `(token, cnt)` unigram rollup every LM rung scores against —
+    * one exploded pass with map-side partials; exposed so standing
+    * corpora can derive it once, fold it incrementally
+    * ([[graft.tools.CorpusMaintain.foldTokenCounts]]), and freeze it at
+    * a release-series base cut.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
 
   /** [[surprisalPerDoc]] against a PRE-BUILT `(token, cnt)` unigram
     * table — the standing-corpus shape: under continuous ingest the

@@ -524,14 +524,19 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int,
-      maxSpanDf: Long): DataFrame = {
-    require(n >= 2, s"window must span tokens, got n=$n")
-    // explicit null-text drop: the keep_pos filter below drops null docs
-    // only under ANSI semantics (size(null)=null); with sizeOfNull=-1 a
-    // null doc would survive as an empty-string row — pin the contract
-    val df = df0.filter(col(textCol).isNotNull)
+      maxSpanDf: Long): DataFrame =
+    scrubWithHotSpans(df0, textCol, idCol, n,
+      spanHotTable(df0, textCol, idCol, n, maxSpanDf))
+
+  /** The fixed-width `(id, pos, h1, h2)` window index both scrub rungs
+    * and the hot-span derivation share: two independent xxhash64s of
+    * each n-token window, hashed in the scan-stage projection so window
+    * TEXT never crosses an exchange.
+    */
+  private def spanWindowIndex(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    val wins = graft.Tables.spreadIfNarrow(df)
+    graft.Tables.spreadIfNarrow(df)
       .select(col(idCol).as("id"), toks.as("t"))
       .select(col("id"), posexplode(
         when(size(col("t")) >= n,
@@ -541,11 +546,44 @@ object Dedup {
       .select(col("id"), col("pos"),
         xxhash64(col("w")).as("h1"),
         xxhash64(lit(0x5bd1e995L), col("w")).as("h2"))
-    // df counts DOCUMENTS (a span repeated within one doc counts once)
-    val hot = wins.select(col("id"), col("h1"), col("h2")).distinct()
+  }
+
+  /** The corpus-hot span table `(h1, h2)` — every n-token window whose
+    * DOCUMENT frequency exceeds `maxSpanDf` (a span repeated within one
+    * doc counts once). Exposed so a standing corpus can FREEZE its
+    * boilerplate statistics at a release-series base cut
+    * ([[graft.tools.ReleaseBuild.SeriesStats]]) and delta cuts scrub
+    * new batches against the same hot set the base scrubbed with.
+    */
+  def spanHotTable(
+      df0: DataFrame, textCol: String, idCol: String,
+      n: Int, maxSpanDf: Long): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    spanWindowIndex(df0.filter(col(textCol).isNotNull), textCol, idCol, n)
+      .select(col("id"), col("h1"), col("h2")).distinct()
       .groupBy("h1", "h2").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") > maxSpanDf)
       .select("h1", "h2")
+  }
+
+  /** [[scrubRepeatedSpans]] against a PRE-BUILT hot-span table — the
+    * standing-corpus shape (the [[graft.ops.Corpus.surprisalWithCounts]]
+    * convention): scrub work is the batch's window index joined to the
+    * frozen hot set, never a recount of the corpus.
+    */
+  def scrubWithHotSpans(
+      df0: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      hot: DataFrame): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    // explicit null-text drop: the keep_pos filter below drops null docs
+    // only under ANSI semantics (size(null)=null); with sizeOfNull=-1 a
+    // null doc would survive as an empty-string row — pin the contract
+    val df = df0.filter(col(textCol).isNotNull)
+    val toks = split(col(textCol), " ")
+    val wins = spanWindowIndex(df, textCol, idCol, n)
     val removed = wins.join(hot, Seq("h1", "h2"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("rp"))
@@ -598,16 +636,7 @@ object Dedup {
       s"minSpanLen=$minSpanLen below window size $n would never bind")
     val df = df0.filter(col(textCol).isNotNull)
     val toks = split(col(textCol), " ")
-    val wins = graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("id"), toks.as("t"))
-      .select(col("id"), posexplode(
-        when(size(col("t")) >= n,
-          transform(sequence(lit(0), size(col("t")) - n),
-            p => concat_ws(" ", slice(col("t"), p + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "w")))
-      .select(col("id"), col("pos"),
-        xxhash64(col("w")).as("h1"),
-        xxhash64(lit(0x5bd1e995L), col("w")).as("h2"))
+    val wins = spanWindowIndex(df, textCol, idCol, n)
     val hot = wins.select(col("id"), col("h1"), col("h2")).distinct()
       .groupBy("h1", "h2").agg(count(lit(1)).as("wdf"))
       .filter(col("wdf") > maxSpanDf)

@@ -52,15 +52,45 @@ import graft.ops.{Corpus, Dedup, TextOps}
   */
 object ReleaseBuild {
 
+  /** The FROZEN release-series statistics a base cut derives and every
+    * delta cut applies unchanged — the CCNet discipline (Wenzek et al.
+    * 2020 freeze the Wikipedia-trained KenLM and its perplexity band
+    * boundaries for a release series; re-deriving per batch would move
+    * every standing document's score and band):
+    *
+    *  - `hotSpans` (h1, h2): the base corpus's over-`maxSpanDf`
+    *    boilerplate windows — delta batches scrub against THIS set.
+    *  - `qualityThreshold`: the (possibly PR-curve-calibrated) quality
+    *    gate cut.
+    *  - `gatedHashes` (content_hash): md5 manifest of every gated
+    *    document's clean text — the cross-release dedup boundary
+    *    (grows with each delta; the one non-frozen member).
+    *  - `refCounts` (token, cnt): the banding LM's unigram table.
+    *  - `bandCuts`: one row (c1, c2) — the surprisal terciles.
+    *
+    * All DataFrame members are lazy plans; deriving stats costs nothing
+    * until a delta cut (or a pinned build) evaluates them. Persist them
+    * as tables between cuts in production.
+    */
+  final case class SeriesStats(
+      hotSpans: DataFrame,
+      qualityThreshold: Double,
+      gatedHashes: DataFrame,
+      refCounts: DataFrame,
+      bandCuts: DataFrame)
+
   /** A cut release: kept `corpus` (id, text, quality, n_tok, band),
     * per-band `card`, the stage-count `audit` funnel, the epoch
-    * tables, and (calibrated cuts only) the calibration report.
+    * tables, the frozen [[SeriesStats]] this cut derived (base cuts)
+    * or applied (pinned cuts), and (calibrated cuts only) the
+    * calibration report.
     */
   final case class Release(
       corpus: DataFrame,
       card: DataFrame,
       audit: DataFrame,
       epoch: EpochBuild.Epoch,
+      stats: SeriesStats,
       calibration: Option[Calibration] = None)
 
   /** The r9 calibration loop's decision record: t27/t29 measured the
@@ -113,7 +143,13 @@ object ReleaseBuild {
       stripMarkup: Boolean = false,
       calibrate: Boolean = false,
       targetPrecision: Double = 0.9,
-      aucFloor: Double = 0.5): Release = {
+      aucFloor: Double = 0.5,
+      pinned: Option[SeriesStats] = None): Release = {
+    // a pinned build is the delta cut's equality REFERENCE: statistics
+    // come from the series base, so re-deriving (calibrating) them here
+    // would contradict the pin
+    require(!(calibrate && pinned.isDefined),
+      "calibrate re-derives statistics; a pinned build applies frozen ones")
 
     // 1-2. scrub, then (opt-in) C4 line cleaning, then gate on the
     // clean text. `c4MinLineWords > 0` enables the t19 rewrite: lines
@@ -125,9 +161,10 @@ object ReleaseBuild {
       if (!stripMarkup) docs.select(col(idCol), col(textCol))
       else docs.select(col(idCol),
         TextOps.stripHtml(col(textCol)).as(textCol))
-    val clean = Dedup.scrubRepeatedSpans(
-      extracted, textCol, idCol,
-      n = scrubN, maxSpanDf = maxSpanDf)
+    val hotSpans = pinned.map(_.hotSpans).getOrElse(
+      Dedup.spanHotTable(extracted, textCol, idCol, scrubN, maxSpanDf))
+    val clean = Dedup.scrubWithHotSpans(
+      extracted, textCol, idCol, n = scrubN, hot = hotSpans)
     val lineClean =
       if (c4MinLineWords <= 0) clean
       else clean
@@ -159,7 +196,8 @@ object ReleaseBuild {
           .collect().headOption
           .map(r => (r.getDouble(0), r.getDouble(1)))
       }
-    val effMinQuality = calibratedCut.map(_._1).getOrElse(minQuality)
+    val effMinQuality = pinned.map(_.qualityThreshold)
+      .orElse(calibratedCut.map(_._1)).getOrElse(minQuality)
     val gatedHeur = lineClean.select(col(idCol), col(textCol),
         TextOps.langId(col(textCol)).as("lang_pred"),
         TextOps.qualityScore(col(textCol)).as("quality"),
@@ -209,8 +247,23 @@ object ReleaseBuild {
         if (r.isNullAt(0)) None else Some(r.getDouble(0))
       }
     val bandingApplied = !calibrate || bandAuc.exists(_ >= aucFloor)
-    val banded = Corpus.surprisalBuckets(decon, idCol, textCol, lit(true))
-      .select(col(idCol), col("bucket").as("band"))
+    // banding, with its statistics (the reference LM counts and the
+    // tercile cuts) either derived here (base/unpinned — exactly
+    // Corpus.surprisalBuckets' internals) or applied frozen (pinned)
+    val refCnt = pinned.map(_.refCounts)
+      .getOrElse(Corpus.tokenCounts(decon, textCol))
+    val scoredBand = Corpus
+      .surprisalWithCounts(decon, idCol, textCol, refCnt)
+      .filter(col("n_tok") > 0)
+    val bandCuts = pinned.map(_.bandCuts).getOrElse(
+      scoredBand.agg(
+        percentile(col("bits_per_token"), lit(1.0 / 3)).as("c1"),
+        percentile(col("bits_per_token"), lit(2.0 / 3)).as("c2")))
+    val banded = scoredBand.crossJoin(broadcast(bandCuts))
+      .select(col(idCol),
+        when(col("bits_per_token") <= col("c1"), "head")
+          .when(col("bits_per_token") <= col("c2"), "middle")
+          .otherwise("tail").as("band"))
     val kept0 = decon.join(banded, Seq(idCol))
     val kept = (if (bandingApplied)
         kept0.filter(col("band").isInCollection(keepBands))
@@ -262,6 +315,181 @@ object ReleaseBuild {
         calibratedCut.map(_._1), calibratedCut.map(_._2),
         bandAuc, bandingApplied))
 
-    Release(kept, card, audit, epoch, calibration)
+    // the series statistics this cut derived (base) or applied (pinned);
+    // gatedHashes always reflects THIS cut's full gated population, so a
+    // later delta's dedup boundary is the union it needs. Lazy plans —
+    // cost nothing unless a delta cut evaluates them.
+    val stats = SeriesStats(
+      hotSpans = hotSpans,
+      qualityThreshold = effMinQuality,
+      gatedHashes = gated.select(md5(col(textCol)).as("content_hash"))
+        .distinct(),
+      refCounts = refCnt,
+      bandCuts = bandCuts)
+
+    Release(kept, card, audit, epoch, stats, calibration)
+  }
+
+  /** A delta cut's outputs: the full updated `corpus` (standing kept ∪
+    * `deltaKept`), the folded per-band `card`, the delta `audit` funnel
+    * (batch stage counts + a `standing_reused` row making the
+    * reused-vs-recomputed split explicit), and the carried-forward
+    * `stats` with the dedup manifest grown by this batch.
+    */
+  final case class Delta(
+      corpus: DataFrame,
+      deltaKept: DataFrame,
+      card: DataFrame,
+      audit: DataFrame,
+      stats: SeriesStats)
+
+  /** Cut a release BETWEEN full re-cuts by scoring ONLY a newly
+    * admitted batch against the frozen [[SeriesStats]] — the 100 TB
+    * cost saver (a full re-cut re-scores the entire corpus; under
+    * continuous ingest with [[CorpusMaintain.foldBatch]] the batch is
+    * what changed). Every stage is the batch-sized form of the full
+    * build's stage:
+    *
+    *  1. scrub against the FROZEN hot-span table (work = batch window
+    *     index ⋈ hot set);
+    *  2. gate at the frozen quality threshold (+ the caller's standing
+    *     model gate — maintain it with [[CorpusMaintain
+    *     .foldQualityModel]]);
+    *  3. dedup within-batch (min-id) then against the standing
+    *     `gatedHashes` manifest (hash anti-join — no standing text
+    *     moves);
+    *  4. decontaminate the batch against the eval suite;
+    *  5. score with the frozen reference LM counts and band at the
+    *     frozen tercile cuts.
+    *
+    * EXACTNESS: `deltaCut(base, batch).corpus` ≡ `build(corpus ∪ batch,
+    * pinned = base.stats).corpus` — bit-identical, spec-asserted —
+    * provided batch ids exceed every base-cut input id (monotone ingest
+    * ids; checked against the released corpus below, contractually
+    * against the full base input), so the full cut's min-id dedup keeps
+    * exactly the standing representatives the delta reuses. Epoch
+    * materialization is deliberately NOT part of a delta (token offsets
+    * are global — run [[EpochBuild.build]] over `corpus` when shipping;
+    * the delta saves the SCORING, the write cost is irreducible).
+    *
+    * Scale: nothing here touches standing TEXT — the standing side
+    * contributes only its hash manifest, hot-span table, and LM counts
+    * (all fixed-width, all bucketable) — so the cut's cost is
+    * batch-proportional (ScaleProbe's delta case times this).
+    */
+  def deltaCut(
+      base: Release,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      scrubN: Int = 5,
+      langs: Seq[String] = Seq("en"),
+      decontamN: Int = 8,
+      minShared: Long = 1L,
+      keepBands: Seq[String] = Seq("head", "middle"),
+      c4MinLineWords: Int = 0,
+      c4MinSentences: Int = 3,
+      qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
+      minLogit: Double = 0.0,
+      stripMarkup: Boolean = false): Delta = {
+    val stats = base.stats
+    // monotone-id contract: a batch id at-or-below a standing id would
+    // let the full re-cut's min-id dedup pick the BATCH doc where the
+    // delta reuses the standing one
+    val bounds = base.corpus
+      .agg(max(col(idCol).cast("long")).as("mx")).collect()(0)
+    val bmin = batch.agg(min(col(idCol).cast("long")).as("mn")).collect()(0)
+    if (!bounds.isNullAt(0) && !bmin.isNullAt(0))
+      require(bmin.getLong(0) > bounds.getLong(0),
+        s"batch ids must exceed standing ids: min batch ${bmin.getLong(0)}" +
+          s" <= max standing ${bounds.getLong(0)}")
+
+    // 0-2. extract, scrub (frozen hot set), line-clean, gate (frozen cut)
+    val extracted =
+      if (!stripMarkup) batch.select(col(idCol), col(textCol))
+      else batch.select(col(idCol),
+        TextOps.stripHtml(col(textCol)).as(textCol))
+    val clean = Dedup.scrubWithHotSpans(
+      extracted, textCol, idCol, n = scrubN, hot = stats.hotSpans)
+    val lineClean =
+      if (c4MinLineWords <= 0) clean
+      else clean
+        .select(col(idCol), col(textCol),
+          TextOps.c4CleanText(col(textCol), c4MinLineWords).as("__c4"))
+        .filter(TextOps.c4DocPass(col(textCol), col("__c4"),
+          c4MinSentences))
+        .select(col(idCol), col("__c4").as(textCol))
+    val gatedHeur = lineClean.select(col(idCol), col(textCol),
+        TextOps.langId(col(textCol)).as("lang_pred"),
+        TextOps.qualityScore(col(textCol)).as("quality"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("lang_pred").isInCollection(langs) &&
+        col("quality") >= stats.qualityThreshold)
+    val gated = qualityModel.fold(gatedHeur)(m =>
+        gatedHeur.filter(m.logit(col(textCol)) >= minLogit))
+      .localCheckpoint(eager = false)
+
+    // 3. dedup: min-id within the batch, then drop anything the
+    // standing manifest already holds (standing wins by monotone ids)
+    val wMin = Window.partitionBy("__h")
+    val keepIds = gated
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .withColumn("__keep", min(idCol).over(wMin))
+      .filter(col(idCol) === col("__keep"))
+      .join(stats.gatedHashes
+          .select(col("content_hash").as("__h")),
+        Seq("__h"), "left_anti")
+      .select(col(idCol))
+    val deduped = gated.join(keepIds, Seq(idCol))
+
+    // 4. decontaminate the batch vs the eval suite
+    val flagged = Dedup.crossNGramOverlap(
+        deduped, evalDocs.select(col(idCol), col(textCol)),
+        textCol, idCol, n = decontamN, minShared = minShared)
+      .select(col("id_a").as(idCol)).distinct()
+    val decon = deduped.join(flagged, Seq(idCol), "left_anti")
+
+    // 5. band at the frozen LM + cuts
+    val scoredBand = Corpus
+      .surprisalWithCounts(decon, idCol, textCol, stats.refCounts)
+      .filter(col("n_tok") > 0)
+    val banded = scoredBand.crossJoin(broadcast(stats.bandCuts))
+      .select(col(idCol),
+        when(col("bits_per_token") <= col("c1"), "head")
+          .when(col("bits_per_token") <= col("c2"), "middle")
+          .otherwise("tail").as("band"))
+    val deltaKept = decon.join(banded, Seq(idCol))
+      .filter(col("band").isInCollection(keepBands))
+      .select(col(idCol), col(textCol), col("quality"), col("n_tok"),
+        col("band"))
+
+    val corpus = base.corpus.unionByName(deltaKept)
+    // folded card: base card ⊕ delta card (band sums are associative)
+    val card = base.card.unionByName(
+        deltaKept.groupBy("band")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")))
+      .groupBy("band")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("band")
+
+    def stage(name: String, df: DataFrame, ord: Int) =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(ord).as("ord"), lit(name).as("stage"), col("n_docs"))
+    val audit = stage("batch_input", batch, 0)
+      .unionByName(stage("gated", gated, 1))
+      .unionByName(stage("deduped", deduped, 2))
+      .unionByName(stage("decontaminated", decon, 3))
+      .unionByName(stage("released_delta", deltaKept, 4))
+      // the reused-vs-recomputed split: everything above scored ONLY
+      // the batch; the standing corpus rode through untouched
+      .unionByName(stage("standing_reused", base.corpus, 5))
+      .unionByName(stage("released_total", corpus, 6))
+      .orderBy("ord").drop("ord")
+
+    Delta(corpus, deltaKept, card, audit,
+      stats.copy(gatedHashes = stats.gatedHashes.unionByName(
+          gated.select(md5(col(textCol)).as("content_hash")))
+        .distinct()))
   }
 }

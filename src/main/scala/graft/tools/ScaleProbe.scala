@@ -411,6 +411,62 @@ object ScaleProbe {
       f"hot-token corpus is $skewRatio%.1fx the uniform run — " +
         "AQE skew split is not absorbing the head")
 
+    // --- delta release cut (r10): 2M-doc standing corpus, 200k batch ----
+    // the claim: a release cut between folds costs ∝ BATCH, because the
+    // standing side contributes only its frozen stats tables (hot spans,
+    // hash manifest, LM counts, band cuts — materialized here as they
+    // would be between production cuts). Timed: the 10%-sized delta cut
+    // vs the pinned FULL re-cut of standing ∪ batch; the delta must come
+    // in well under half the full cut.
+    val banner = "buy now click here subscribe today"
+    def relDoc(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 12).map(j => concat(lit("w"),
+        pmod(xxhash64(idCol, lit(j), lit(11L)), lit(4096L)).cast("string"))
+      ): _*)
+    val standingRel = spark.range(2000000L).select(col("id"),
+      when(col("id") % 20 === 0, concat_ws(" ", relDoc(col("id")),
+        lit(banner))).otherwise(relDoc(col("id"))).as("text"))
+    val batchRel = spark.range(200000L).select(
+      (col("id") + 10000000L).as("id"),
+      when(col("id") % 50 === 0, relDoc(col("id") % 2000000L)) // replays
+        .when(col("id") % 20 === 1, concat_ws(" ",
+          relDoc(col("id") + 30000000L), lit(banner)))
+        .otherwise(relDoc(col("id") + 30000000L)).as("text"))
+    val relEval = spark.createDataFrame(Seq((90000000L,
+      "held out benchmark prompt answer pairs for the eval suite only")))
+      .toDF("id", "text")
+    val relLangs = Seq("en", "es", "fr", "de", "zh")
+    val base0 = ReleaseBuild.build(standingRel, "id", "text", relEval,
+      seed = "probe", shardTokens = 100000L, seqLen = 64,
+      scrubN = 5, maxSpanDf = 1000L, langs = relLangs, minQuality = 0.0,
+      decontamN = 8, minShared = 1L)
+    // materialize what production keeps as tables between cuts
+    val baseRel = base0.copy(
+      corpus = base0.corpus.localCheckpoint(),
+      stats = base0.stats.copy(
+        hotSpans = base0.stats.hotSpans.localCheckpoint(),
+        gatedHashes = base0.stats.gatedHashes.localCheckpoint(),
+        refCounts = base0.stats.refCounts.localCheckpoint(),
+        bandCuts = base0.stats.bandCuts.localCheckpoint()))
+    val (deltaKept, deltaSec) = timed {
+      ReleaseBuild.deltaCut(baseRel, batchRel, "id", "text", relEval,
+        scrubN = 5, langs = relLangs, decontamN = 8, minShared = 1L)
+        .deltaKept.count()
+    }
+    val (fullKept, fullSec) = timed {
+      ReleaseBuild.build(standingRel.unionByName(batchRel), "id", "text",
+        relEval, seed = "probe", shardTokens = 100000L, seqLen = 64,
+        scrubN = 5, maxSpanDf = 1000L, langs = relLangs, minQuality = 0.0,
+        decontamN = 8, minShared = 1L, pinned = Some(baseRel.stats))
+        .corpus.count()
+    }
+    require(deltaKept > 0, "delta cut released nothing")
+    require(fullKept == baseRel.corpus.count() + deltaKept,
+      s"delta+standing != full: $fullKept")
+    val deltaRatio = deltaSec / math.max(fullSec, 0.5)
+    require(deltaRatio <= 0.5,
+      f"delta cut is $deltaRatio%.2fx the full re-cut — not batch-bound")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +

@@ -210,6 +210,121 @@ class ReleaseBuildSpec extends SparkSpec {
     assert(bands.subsetOf(Set("head", "middle")))
   }
 
+  // the delta batch exercises every stage against the FROZEN stats:
+  // 401/402 carry the base-hot banner (scrubbed via the frozen hot set),
+  // 405 duplicates standing doc 5's text (manifest dedup), 406/407
+  // duplicate each other (within-batch min-id), 408 embeds the eval
+  // 8-gram (decontaminated), 403/404 are clean keepers
+  private val deltaBatch = Seq(
+    mk(401L, "morning fog settled over the bay and hid the fishing boats",
+      withBanner = true),
+    mk(402L, "the old clock in the hall chimed nine times this evening",
+      withBanner = true),
+    mk(403L, "fresh snow covered the mountain trail before the hikers came"),
+    mk(404L, "the orchestra tuned their strings before the concert began"),
+    mk(405L, "the baker made bread and sold it in the market square"),
+    mk(406L, "wind turbines turned slowly above the yellow autumn fields"),
+    mk(407L, "wind turbines turned slowly above the yellow autumn fields"),
+    mk(408L, s"notes start now $evalText and end with a short footer"))
+    .toDF("doc_id", "text")
+
+  test("delta cut == pinned full re-cut (corpus and card bit-identical); " +
+    "the funnel reports reused vs recomputed") {
+    val base = cut()
+    val full = ReleaseBuild.build(
+      docs.unionByName(deltaBatch), "doc_id", "text", evalDocs,
+      seed = "rel0", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      pinned = Some(base.stats))
+    val delta = ReleaseBuild.deltaCut(
+      base, deltaBatch, "doc_id", "text", evalDocs,
+      scrubN = 5, langs = Seq("en", "de", "fr", "es", "zh"),
+      decontamN = 8, minShared = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(delta.corpus) == rows(full.corpus))
+    assert(rows(delta.card) == rows(full.card))
+    // the delta actually processed the batch: dup-of-standing and the
+    // contaminated doc are gone, exactly one of the within-batch twins
+    // survives, and scrubbed keepers carry no banner text
+    val deltaIds = delta.deltaKept.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!deltaIds.contains(405L) && !deltaIds.contains(408L))
+    assert(!(deltaIds.contains(406L) && deltaIds.contains(407L)))
+    val texts = delta.deltaKept.select("text").collect().map(_.getString(0))
+    assert(texts.forall(!_.contains("newsletter")))
+    // funnel: reused standing rows + released delta = released total
+    val audit = delta.audit.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(audit("batch_input") == 8L)
+    assert(audit("standing_reused") == base.corpus.count())
+    assert(audit("released_total") ==
+      audit("standing_reused") + audit("released_delta"))
+  }
+
+  test("pin-consistency: re-building the base corpus pinned to its own " +
+    "stats reproduces the base release exactly") {
+    val base = cut()
+    val repinned = ReleaseBuild.build(
+      docs, "doc_id", "text", evalDocs,
+      seed = "rel0", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      pinned = Some(base.stats))
+    assert(base.corpus.collect().map(_.toSeq).toSet ==
+      repinned.corpus.collect().map(_.toSeq).toSet)
+  }
+
+  test("chained deltas: the second delta dedups against the first's " +
+    "grown manifest and still matches the pinned full re-cut") {
+    val base = cut()
+    val d1 = ReleaseBuild.deltaCut(
+      base, deltaBatch, "doc_id", "text", evalDocs,
+      scrubN = 5, langs = Seq("en", "de", "fr", "es", "zh"),
+      decontamN = 8, minShared = 1L)
+    // 501 duplicates a FIRST-DELTA doc's text; 502 is a fresh keeper
+    val batch2 = Seq(
+      mk(501L, "fresh snow covered the mountain trail before the hikers came"),
+      mk(502L, "lanterns lined the river path during the autumn festival"))
+      .toDF("doc_id", "text")
+    val r1 = ReleaseBuild.Release(
+      d1.corpus, d1.card, d1.audit, base.epoch, d1.stats)
+    val d2 = ReleaseBuild.deltaCut(
+      r1, batch2, "doc_id", "text", evalDocs,
+      scrubN = 5, langs = Seq("en", "de", "fr", "es", "zh"),
+      decontamN = 8, minShared = 1L)
+    val full = ReleaseBuild.build(
+      docs.unionByName(deltaBatch).unionByName(batch2),
+      "doc_id", "text", evalDocs,
+      seed = "rel0", shardTokens = 40L, seqLen = 16,
+      scrubN = 5, maxSpanDf = 2L,
+      langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+      decontamN = 8, minShared = 1L,
+      pinned = Some(base.stats))
+    assert(d2.corpus.collect().map(_.toSeq).toSet ==
+      full.corpus.collect().map(_.toSeq).toSet)
+    val ids2 = d2.deltaKept.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids2.contains(501L), "dup of a first-delta doc must not re-admit")
+  }
+
+  test("delta cut: non-monotone batch ids fail fast (the min-id dedup " +
+    "contract)") {
+    val base = cut()
+    val bad = Seq(mk(3L, "this id collides with a standing document here"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ReleaseBuild.deltaCut(
+        base, bad, "doc_id", "text", evalDocs,
+        scrubN = 5, langs = Seq("en", "de", "fr", "es", "zh"),
+        decontamN = 8, minShared = 1L)
+    }
+    assert(e.getMessage.contains("exceed"))
+  }
+
   test("markup extraction: raw html pages release their extracted text") {
     val pages = docs.collect().map { r =>
       (r.getLong(0), "<html><body><p>" + r.getString(1) +
