@@ -525,6 +525,68 @@ object TextOps {
   def dedupDocLines(text: Column): Column =
     array_join(array_distinct(split(text, "\n")), "\n")
 
+  // ---- boilerplate-density main-content extraction --------------------
+  // The rung between t26's tag strip (stage 0: markup removal, keeps
+  // nav/footer TEXT) and t19's C4 line rules (assumes prose lines):
+  // Kohlschütter, Fankhauser & Nejdl, "Boilerplate Detection using
+  // Shallow Text Features" (WSDM 2010) classify text blocks by their
+  // own and their NEIGHBORS' word count and link density — the
+  // NumWords/LinkDensity decision rules every trafilatura-class
+  // extractor descends from. Implemented over the page's line array
+  // with index lambdas — a pure scan-stage map per document, no
+  // explode, no window, no shuffle at any corpus size.
+
+  /** Anchor-text character count of a raw line — the characters inside
+    * `<a …>…</a>` spans, the numerator of the paper's link density.
+    */
+  def anchorChars(line: Column): Column =
+    length(concat_ws("",
+      regexp_extract_all(line, lit("<a[^>]*>(.*?)</a>"), lit(1))))
+
+  /** Main-content extraction by the WSDM-2010 NumWords/LinkDensity
+    * rules: a line is CONTENT iff its link density ≤ 1/3 and — looking
+    * at the tag-stripped word counts of itself and its neighbors —
+    *
+    *  - previous link density ≤ 5/9: content iff words > 16, or the
+    *    NEXT line's words > 15, or the PREVIOUS line's words > 4;
+    *  - previous link density > 5/9 (we sit under a link-heavy block):
+    *    content iff words > 40 or next words > 17.
+    *
+    * Thresholds 1/3 and 5/9 are the published trees' decision points
+    * compared EXACTLY in integer arithmetic (`3·anchor ≤ chars`,
+    * `9·anchor ≤ 5·chars` — the reference implementation's 0.333333 /
+    * 0.555556 float literals are approximations of these same
+    * rationals), so no division runs and the DuckDB oracle mirrors the
+    * comparisons bit-free. Out-of-range neighbors read 0 words / link
+    * density 0. Returns the kept lines (tag-stripped) joined by `\n`,
+    * or NULL when no line survives.
+    */
+  def densityExtract(page: Column): Column = {
+    val lines = split(page, "\n")
+    val cleanArr = transform(lines,
+      l => regexp_replace(l, "<[^>]+>", ""))
+    val wordsArr = transform(cleanArr,
+      l => size(filter(split(l, " "), w => w =!= lit(""))))
+    val anchorArr = transform(lines, l => anchorChars(l))
+    val clenArr = transform(cleanArr, l => length(l))
+    val n = size(lines)
+    def w(i: Column) = element_at(wordsArr, i)
+    def a(i: Column) = element_at(anchorArr, i)
+    def c(i: Column) = element_at(clenArr, i)
+    val kept = filter(cleanArr, (l, i0) => {
+      val i = i0 + 1 // element_at is 1-based; i0 is the 0-based index
+      val curLdOk = a(i) * 3 <= c(i)
+      val prevLdOk = when(i0 === 0, lit(true))
+        .otherwise(a(i - 1) * 9 <= c(i - 1) * 5)
+      val pw = when(i0 === 0, lit(0)).otherwise(w(i - 1))
+      val nw = when(i0 === n - 1, lit(0)).otherwise(w(i + 1))
+      curLdOk && when(prevLdOk, w(i) > 16 || nw > 15 || pw > 4)
+        .otherwise(w(i) > 40 || nw > 17)
+    })
+    when(size(kept) === 0, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", kept))
+  }
+
   /** Composite quality score in [0,1]: integer counts combined with double
     * divisions in a FIXED expression shape (mirrored in the oracle SQL).
     */

@@ -2157,6 +2157,87 @@ object CorpusPack {
             FROM documents d LEFT JOIN agg USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  private val t36 = Q(
+    "t36_content_extract",
+    // boilerplate-density main-content extraction (Kohlschütter et al.
+    // WSDM 2010 NumWords/LinkDensity rules) — the corpus is plain text,
+    // so both engines derive the same page deterministically (the t13
+    // injection pattern): a nav line of anchors, the doc text split
+    // into lines at " table ", an opt-in mixed "read more" line, and
+    // an anchor-heavy footer. The rules run with EXACT integer
+    // threshold comparisons (3·anchor ≤ chars; 9·anchor ≤ 5·chars) —
+    // no division in either engine
+    (s, dir) => {
+      val nav = "<a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+        "<a href=\"/contact\">contact</a>"
+      val footer = "copyright <a href=\"/tos\">terms</a> " +
+        "<a href=\"/privacy\">privacy</a>"
+      val body = regexp_replace(col("text"), " table ", ".\n")
+      val page = concat(
+        lit(nav + "\n"), body,
+        when(col("doc_id") % 5 === 0,
+          lit("\nread more in <a href=\"/shop\">our shop</a> today"))
+          .otherwise(lit("")),
+        lit("\n" + footer))
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          TextOps.densityExtract(col("page")).as("extract"),
+          size(split(col("page"), "\n")).as("n_lines"))
+        .select(col("doc_id"), md5(col("extract")).as("extract_md5"),
+          coalesce(length(col("extract")), lit(0)).as("n_chars"),
+          col("n_lines"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pg AS (SELECT doc_id,
+              '<a href="/">home</a> <a href="/about">about</a> ' ||
+              '<a href="/contact">contact</a>' || chr(10) ||
+              regexp_replace(text, ' table ', '.' || chr(10), 'g') ||
+              CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                'read more in <a href="/shop">our shop</a> today'
+                ELSE '' END || chr(10) ||
+              'copyright <a href="/tos">terms</a> ' ||
+              '<a href="/privacy">privacy</a>' AS page
+            FROM documents),
+            lines AS (SELECT doc_id,
+                unnest(string_split(page, chr(10))) AS ln,
+                generate_subscripts(string_split(page, chr(10)), 1) AS idx,
+                len(string_split(page, chr(10))) AS n_lines
+              FROM pg),
+            feat AS (SELECT doc_id, idx, n_lines,
+                regexp_replace(ln, '<[^>]+>', '', 'g') AS clean,
+                COALESCE(length(array_to_string(regexp_extract_all(ln,
+                  '<a[^>]*>(.*?)</a>', 1), '')), 0) AS anchor
+              FROM lines),
+            feat2 AS (SELECT doc_id, idx, n_lines, clean, anchor,
+                length(clean) AS clen,
+                len(list_filter(string_split(clean, ' '), x -> x <> ''))
+                  AS words
+              FROM feat),
+            nb AS (SELECT doc_id, idx, n_lines, clean, anchor, clen, words,
+                lag(anchor) OVER w AS panchor,
+                lag(clen) OVER w AS pclen,
+                lag(words) OVER w AS pwords,
+                lead(words) OVER w AS nwords
+              FROM feat2
+              WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+            cls AS (SELECT doc_id, idx, n_lines, clean,
+                CASE WHEN anchor * 3 <= clen THEN
+                  CASE WHEN COALESCE(panchor * 9 <= pclen * 5, TRUE)
+                    THEN (words > 16 OR COALESCE(nwords, 0) > 15
+                      OR COALESCE(pwords, 0) > 4)
+                    ELSE (words > 40 OR COALESCE(nwords, 0) > 17) END
+                  ELSE FALSE END AS content
+              FROM nb),
+            agg AS (SELECT doc_id, MAX(n_lines) AS n_lines,
+                string_agg(clean, chr(10) ORDER BY idx)
+                  FILTER (WHERE content) AS extract
+              FROM cls GROUP BY 1)
+            SELECT doc_id, md5(extract) AS extract_md5,
+              CAST(COALESCE(length(extract), 0) AS INT) AS n_chars,
+              CAST(n_lines AS INT) AS n_lines
+            FROM agg ORDER BY doc_id"""))
+
   private val p13 = Q(
     "p13_seeded_shuffle",
     // deterministic per-epoch training shuffle: md5(seed:id) permutation
@@ -2515,7 +2596,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)

@@ -159,6 +159,36 @@ class TextOpsSpec extends SparkSpec {
     assert(strip("no  markup\there") == "no markup here")
   }
 
+  test("densityExtract: nav/footer anchor blocks drop, long prose " +
+    "stays, the under-link-block branch needs the higher word bar") {
+    def ext(t: String): String = {
+      val r = one(t, TextOps.densityExtract(col("text")))
+      if (r == null) null else r.asInstanceOf[String]
+    }
+    val nav = "<a href=\"/\">home page</a> <a href=\"/a\">about us</a>"
+    val prose = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen other animals watch from the fence across the road"
+    // 20-word prose line between two anchor blocks: words > 16 wins on
+    // the prev-ld branch... except the PREVIOUS line is link-heavy
+    // (ld > 5/9), so the bar is words > 40 or next words > 17 — the
+    // footer has 3 words, so the line must clear 40. It has 20 -> page
+    // yields nothing.
+    assert(ext(s"$nav\n$prose\n$nav") == null)
+    // with a plain first line, prose (words > 16) survives; the short
+    // first line itself (2 words, prev words 0, next 20 > 15) survives
+    // via the next-words rule
+    assert(ext(s"hello there\n$prose") == s"hello there\n$prose")
+    // a mixed line under 1/3 link density is judged by words; one over
+    // 1/3 drops regardless
+    val mixed = "read the full story about the harbor storm in our " +
+      "archive pages today via <a href=\"/x\">this link</a> now"
+    assert(ext(s"$prose\n$mixed") == s"$prose\nread the full story " +
+      "about the harbor storm in our archive pages today via this " +
+      "link now")
+    // single anchor-only line: null, not empty string
+    assert(ext(nav) == null)
+  }
+
   test("bpeEncodeIds: size equals the trained counter; ids decode back " +
     "to the merge-loop segmentation") {
     import graft.functions.BpeVocab
