@@ -649,6 +649,103 @@ object Corpus {
           .cast("double").as("bits_per_pair"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring (Chen & Goodman 1998, the
+    * recursion [[knBigramPerDoc]] runs one order below; production
+    * KenLM filtering is this shape continued to 5-grams) quantized to
+    * WHOLE BITS in exact longs. The trigram probability interpolates
+    * through the bigram-level continuation distribution:
+    *
+    * `p(w3|w1w2) = max(c123 − D,0)/c12 + D·n3/c12 · p2(w3|w2)`,
+    * `p2(w3|w2)  = max(b23 − D,0)/m2  + D·f2/m2  · nc3/nbt`,
+    *
+    * with D = 3/4; c123/c12 = trigram count and its context total,
+    * n3 = distinct continuations of (w1,w2), b23 = N1+(·w2w3) distinct
+    * predecessors of the bigram, m2 = N1+(·w2·) trigram types with
+    * middle w2, f2 = distinct successors of w2 (bigram types),
+    * nc3 = N1+(·w3), nbt = total bigram types. Clearing denominators:
+    * `num = 4·A·m2·nbt + 3·n3·B`, `den = 16·c12·m2·nbt` with
+    * `A = max(4·c123−3, 0)` and `B = max(4·b23−3,0)·nbt + 3·f2·nc3` —
+    * all EXACT longs, `bits = length(bin(den div num))`, zero-numerator
+    * clamps to `length(bin(den))` (the t35 conventions). Backoff
+    * ladder: unseen (w1,w2) trigram context falls to the CLEARED
+    * bigram-continuation rational `B/(4·m2·nbt)` when w2 is a known
+    * trigram middle, else to the 1-bit backstop (t20's convention).
+    * Magnitudes hold while 16·c12·m2·nbt < 2^63 — pre-scale beyond
+    * ~10^4 context count × 10^7 types·types; the oracle mirrors the
+    * arithmetic CASE for CASE.
+    *
+    * Shape: the t35 shape one order up — FIVE type-cardinality-sized
+    * partial-agg rollups of the reference slice (tri, ctx12, mid, big
+    * firsts, big seconds), scoring explodes each doc's trigrams once
+    * and equi-joins them (AQE absorbs hot heads), nbt broadcasts as
+    * one row.
+    */
+  def knTrigramPerDoc(
+      df: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    val ref = df.filter(refFilter)
+    val tri = ref
+      .select(explode(TextOps.trigramList(col(textCol))).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("c123"))
+      .withColumn("w1", element_at(split(col("trigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("trigram"), " "), 2))
+      .withColumn("w3", element_at(split(col("trigram"), " "), 3))
+    val ctx12 = tri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n3"))
+    val b23t = tri.groupBy("w2", "w3").agg(count(lit(1)).as("b23"))
+    val mid = tri.groupBy("w2").agg(count(lit(1)).as("m2"))
+    val big = ref
+      .select(explode(TextOps.bigramList(col(textCol))).as("bigram"))
+      .select(element_at(split(col("bigram"), " "), 1).as("b1"),
+        element_at(split(col("bigram"), " "), 2).as("b2"))
+      .distinct()
+    val f2t = big.groupBy(col("b1").as("w2")).agg(count(lit(1)).as("f2"))
+    val nc3t = big.groupBy(col("b2").as("w3")).agg(count(lit(1)).as("nc3"))
+    val nbt = broadcast(big.agg(count(lit(1)).as("nbt")))
+    val scored = df
+      .select(col(idCol),
+        explode(TextOps.trigramList(col(textCol))).as("trigram"))
+      .withColumn("w1", element_at(split(col("trigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("trigram"), " "), 2))
+      .withColumn("w3", element_at(split(col("trigram"), " "), 3))
+      .join(tri.select("trigram", "c123"), Seq("trigram"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(b23t, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(f2t, Seq("w2"), "left")
+      .join(nc3t, Seq("w3"), "left")
+      .crossJoin(nbt)
+      .withColumn("bnum",
+        coalesce((lit(4L) * col("b23") - 3L) * col("nbt"), lit(0L)) +
+          lit(3L) * col("f2") * coalesce(col("nc3"), lit(0L)))
+      .withColumn("num",
+        lit(4L) * coalesce(lit(4L) * col("c123") - 3L, lit(0L)) *
+          col("m2") * col("nbt") + lit(3L) * col("n3") * col("bnum"))
+      .withColumn("den",
+        lit(16L) * col("c12") * col("m2") * col("nbt"))
+      .withColumn("bden", lit(4L) * col("m2") * col("nbt"))
+      .select(col(idCol),
+        when(col("c12").isNotNull,
+          when(col("num") > 0,
+            length(bin(expr("den div num"))).cast("long"))
+            .otherwise(length(bin(col("den"))).cast("long")))
+          .when(col("m2").isNotNull,
+            when(col("bnum") > 0,
+              length(bin(expr("bden div bnum"))).cast("long"))
+              .otherwise(length(bin(col("bden"))).cast("long")))
+          .otherwise(lit(1L)) // unseen everywhere: the 1-bit backstop
+          .as("bits"))
+      .groupBy(idCol)
+      .agg(sum("bits").as("sum_bits"), count(lit(1)).as("n_tri"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("n_tri"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("sum_bits").cast("double") / col("n_tri"))
+          .cast("double").as("bits_per_tri"))
+  }
+
   /** CCNet's head/middle/tail split: bucket documents by surprisal
     * terciles ([[surprisalPerDoc]]) — Wenzek et al. 2020 release Common
     * Crawl in exactly these three perplexity bands, and downstream

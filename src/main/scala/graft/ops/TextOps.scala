@@ -47,6 +47,18 @@ object TextOps {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Adjacent word TRIGRAMS as space-joined strings — [[bigramList]]'s
+    * order-3 sibling (the KN-trigram feature stream). Docs under three
+    * tokens yield the empty array.
+    */
+  def trigramList(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i => concat_ws(" ",
+        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Marker stopwords per language for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is", "in", "to"),

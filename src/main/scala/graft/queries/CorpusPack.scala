@@ -2157,6 +2157,80 @@ object CorpusPack {
             FROM documents d LEFT JOIN agg USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  private val t37 = Q(
+    "t37_kn_trigram",
+    // interpolated Kneser-Ney TRIGRAM scoring (D=3/4) in whole bits —
+    // t35's recursion one order up, interpolating through the
+    // bigram-continuation distribution; non-en docs exercise the
+    // unseen-context backoff ladder against the en-trained tables
+    (s, dir) => Corpus.knTrigramPerDoc(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id"),
+    Some("""WITH base AS (SELECT doc_id, lang,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            toks AS (SELECT doc_id, lang, unnest(l) AS w,
+                generate_subscripts(l, 1) AS rn
+              FROM base),
+            triall AS (SELECT a.doc_id, a.lang,
+                a.w AS w1, b.w AS w2, c.w AS w3
+              FROM toks a
+              JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              JOIN toks c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2),
+            tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM triall
+                   WHERE lang = 'en' GROUP BY 1, 2, 3),
+            ctx AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+                COUNT(*) AS n3 FROM tc GROUP BY 1, 2),
+            bb AS (SELECT w2, w3, COUNT(*) AS b23 FROM tc GROUP BY 1, 2),
+            mid AS (SELECT w2, COUNT(*) AS m2 FROM tc GROUP BY 1),
+            bt AS (SELECT DISTINCT a.w AS b1, b.w AS b2
+              FROM toks a
+              JOIN toks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              WHERE a.lang = 'en'),
+            ft AS (SELECT b1 AS w2, COUNT(*) AS f2 FROM bt GROUP BY 1),
+            nt3 AS (SELECT b2 AS w3, COUNT(*) AS nc3 FROM bt GROUP BY 1),
+            nb AS (SELECT COUNT(*) AS nbt FROM bt),
+            scored AS (SELECT t.doc_id,
+                CASE WHEN ctx.c12 IS NOT NULL THEN
+                  CASE WHEN (4 * COALESCE(4 * tc.c123 - 3, 0)
+                        * mid.m2 * nbt
+                      + 3 * ctx.n3 * (COALESCE((4 * bb.b23 - 3) * nbt, 0)
+                        + 3 * ft.f2 * COALESCE(nt3.nc3, 0))) > 0
+                    THEN length(bin((16 * ctx.c12 * mid.m2 * nbt) //
+                      (4 * COALESCE(4 * tc.c123 - 3, 0) * mid.m2 * nbt
+                        + 3 * ctx.n3 *
+                          (COALESCE((4 * bb.b23 - 3) * nbt, 0)
+                            + 3 * ft.f2 * COALESCE(nt3.nc3, 0)))))
+                    ELSE length(bin(16 * ctx.c12 * mid.m2 * nbt)) END
+                WHEN mid.m2 IS NOT NULL THEN
+                  CASE WHEN (COALESCE((4 * bb.b23 - 3) * nbt, 0)
+                      + 3 * ft.f2 * COALESCE(nt3.nc3, 0)) > 0
+                    THEN length(bin((4 * mid.m2 * nbt) //
+                      (COALESCE((4 * bb.b23 - 3) * nbt, 0)
+                        + 3 * ft.f2 * COALESCE(nt3.nc3, 0))))
+                    ELSE length(bin(4 * mid.m2 * nbt)) END
+                ELSE 1 END AS bits
+              FROM triall t
+              LEFT JOIN tc ON t.w1 = tc.w1 AND t.w2 = tc.w2
+                AND t.w3 = tc.w3
+              LEFT JOIN ctx ON t.w1 = ctx.w1 AND t.w2 = ctx.w2
+              LEFT JOIN bb ON t.w2 = bb.w2 AND t.w3 = bb.w3
+              LEFT JOIN mid ON t.w2 = mid.w2
+              LEFT JOIN ft ON t.w2 = ft.w2
+              LEFT JOIN nt3 ON t.w3 = nt3.w3
+              CROSS JOIN nb),
+            agg AS (SELECT doc_id, SUM(bits) AS sum_bits,
+                COUNT(*) AS n_tri FROM scored GROUP BY 1)
+            SELECT d.doc_id,
+              CAST(COALESCE(sum_bits, 0) AS BIGINT) AS sum_bits,
+              COALESCE(n_tri, 0) AS n_tri,
+              CASE WHEN COALESCE(n_tri, 0) = 0 THEN NULL
+                ELSE CAST(sum_bits AS DOUBLE) / n_tri
+              END AS bits_per_tri
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   private val t36 = Q(
     "t36_content_extract",
     // boilerplate-density main-content extraction (Kohlschütter et al.
@@ -2596,7 +2670,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)

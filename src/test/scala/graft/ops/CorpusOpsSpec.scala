@@ -561,6 +561,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(13L) == ((1L, 1L)))
   }
 
+  test("knTrigramPerDoc: hand-computed whole-bit KN at order 3 — seen " +
+    "trigram scores low, continuation interpolation orders unseen " +
+    "trigrams, the backoff ladder steps ctx -> middle -> 1-bit") {
+    import org.apache.spark.sql.functions.col
+    // ref: tri types abc:3 bca:2 cab:2 xbz:1; bigram types ab bc ca xb
+    // bz (nbt=5); m2(b)=2 m2(a)=1; f2(b)=2 f2(a)=1; nc3(c)=1 nc3(z)=1
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "en"),
+      (2L, "x b z", "en"),
+      (10L, "a b c", "xx"), // seen tri: den 480, num 393 -> 1 bit
+      (11L, "a b z", "xx"), // unseen tri, seen ctx: 480 div 33 -> 4 bits
+      (12L, "a b q", "xx"), // unseen continuation: clamp bin(480) -> 9
+      (13L, "q b c", "xx"), // unseen ctx, b is a middle: 40 div 11 -> 2
+      (14L, "q a c", "xx"), // middle a: 20 div 3 -> 3 bits
+      (15L, "q z q", "xx")) // z never a middle -> 1-bit backstop
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.knTrigramPerDoc(docs, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(10L) == ((1L, 1L)))
+    assert(got(11L) == ((4L, 1L)))
+    assert(got(12L) == ((9L, 1L)))
+    assert(got(13L) == ((2L, 1L)))
+    assert(got(14L) == ((3L, 1L)))
+    assert(got(15L) == ((1L, 1L)))
+  }
+
   test("rrfFuse: a doc on two lists outranks single-list docs; within " +
     "one list count, better ranks win; ties break by id") {
     val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("q", "id", "rk")
