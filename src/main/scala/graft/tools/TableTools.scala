@@ -351,6 +351,186 @@ object OrcConvert {
   }
 }
 
+/** Avro container-file interchange — the remaining ROW-major format a
+  * warehouse estate holds (Kafka archives, Sqoop/Flume era dumps,
+  * schema-registry pipelines). This build carries only avro-core (no
+  * packaged DataSource), so the bridge is per-partition
+  * `DataFileWriter`/`DataFileReader` streams — the same executor-side
+  * shape the packaged module runs — over FLAT schemas of the warehouse
+  * scalar types (boolean/int/long/float/double/string/binary), each
+  * field a nullable `[null, T]` union.
+  *
+  * Scale honesty (documented, not pretended): Avro is row-major — a
+  * scan DESERIALIZES EVERY FIELD of every row; there is no column
+  * pruning and no predicate pushdown to the reader, unlike the parquet
+  * and ORC scans the engine's plans rely on. Use it as interchange at
+  * the estate boundary and convert to columnar (`convert` sniffs the
+  * direction) before analytics.
+  */
+object AvroConvert {
+  import org.apache.avro.Schema
+  import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+  import org.apache.avro.file.{DataFileReader, DataFileWriter}
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AvroConvert <inDir> <outDir>")
+    val spark = RandomTableGen.local()
+    val n = convert(spark, args(0), args(1))
+    println(s"[avro] wrote ${args(1)} ($n rows)")
+    spark.stop()
+  }
+
+  /** Parquet in → Avro out; otherwise Avro in → parquet out (the
+    * OrcConvert direction-sniff convention). Returns rows written.
+    */
+  def convert(spark: SparkSession, in: String, out: String): Long = {
+    val asParquet =
+      try { spark.read.parquet(in).schema; true }
+      catch { case _: Exception => false }
+    if (asParquet) write(spark.read.parquet(in), out)
+    else {
+      val df = read(spark, in)
+      df.write.mode("overwrite").parquet(out)
+      df.count()
+    }
+  }
+
+  /** The Avro record schema for a flat Spark schema — every field a
+    * nullable `[null, T]` union. Fails fast on nested/unsupported types.
+    */
+  def avroSchema(st: StructType, name: String = "row"): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"AvroConvert: unsupported type $other for field `${f.name}` — " +
+            "flat scalar schemas only (flatten structs/arrays first)")
+      }
+      val union = Schema.createUnion(
+        java.util.Arrays.asList(Schema.create(Schema.Type.NULL), base))
+      fields.add(new Schema.Field(f.name, union,
+        null, Schema.Field.NULL_DEFAULT_VALUE))
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields)
+  }
+
+  private def toStruct(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD,
+      s"expected a record schema, got ${s.getType}")
+    StructType(s.getFields.toArray.map { fo =>
+      val f = fo.asInstanceOf[Schema.Field]
+      val branches = f.schema().getTypes.toArray.map(
+        _.asInstanceOf[Schema].getType).filter(_ != Schema.Type.NULL)
+      require(branches.length == 1,
+        s"field ${f.name}: only [null, T] unions are supported")
+      val dt = branches.head match {
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.INT => IntegerType
+        case Schema.Type.LONG => LongType
+        case Schema.Type.FLOAT => FloatType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.STRING => StringType
+        case Schema.Type.BYTES => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"unsupported avro type $other for field ${f.name}")
+      }
+      StructField(f.name, dt, nullable = true)
+    })
+  }
+
+  /** Write `df` as one Avro container file per partition under `dir`
+    * (`part-NNNNN.avro`). Each task streams its rows through one
+    * `DataFileWriter` — at 100 TB the identical loop writes to the
+    * distributed FS stream instead of a local path. Returns rows
+    * written (accumulated per partition, no second read).
+    */
+  def write(df: DataFrame, dir: String): Long = {
+    val st = df.schema
+    val schemaJson = avroSchema(st).toString // Schema is not serializable
+    val d = new java.io.File(dir)
+    if (d.exists()) {
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    d.mkdirs()
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(f"$dir/part-$idx%05d.avro"))
+      var n = 0L
+      it.foreach { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < row.length) {
+          val v = row.get(i)
+          rec.put(i, v match {
+            case null => null
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case x => x
+          })
+          i += 1
+        }
+        w.append(rec); n += 1
+      }
+      w.close()
+      Iterator.single(n)
+    }.sum().toLong
+  }
+
+  /** Read an Avro container directory back as a DataFrame. The schema
+    * comes from the FIRST part file's embedded writer schema (one
+    * driver-side header read); each task then streams its files through
+    * `DataFileReader`. Row-major: every field of every row
+    * deserializes — no pruning, no pushdown (see the object doc).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getPath).sorted
+    require(files.nonEmpty, s"no .avro files under $dir")
+    val r0 = new DataFileReader[GenericRecord](
+      new java.io.File(files.head),
+      new GenericDatumReader[GenericRecord]())
+    val schema = r0.getSchema
+    r0.close()
+    val st = toStruct(schema)
+    val schemaJson = schema.toString
+    val nF = st.fields.length
+    val rdd = spark.sparkContext
+      .parallelize(files.toIndexedSeq, files.length)
+      .flatMap { path =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val rd = new DataFileReader[GenericRecord](
+          new java.io.File(path),
+          new GenericDatumReader[GenericRecord](schema))
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = rd.hasNext; if (!h) rd.close(); h }
+          def next(): Row = {
+            val rec = rd.next()
+            Row.fromSeq((0 until nF).map { i =>
+              rec.get(i) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case bb: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](bb.remaining()); bb.get(a); a
+                case x => x
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rdd, st)
+  }
+}
+
 /** `runMain graft.tools.CsvToParquet <in.csv> <schemaSpec|header> <outDir>`
   * Schema spec uses the reference's .det types; pass `header` to infer.
   */
