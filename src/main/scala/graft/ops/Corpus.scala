@@ -138,6 +138,67 @@ object Corpus {
       .agg(approx_count_distinct(col("token"), rsd).as("vocab"),
         count(lit(1)).as("n_tokens"))
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    * [[heavyHitters]]'s OPEN-VOCABULARY scale path, the t09 HLL
+    * pattern one op over: exact t06 shuffles every distinct token
+    * (state = vocabulary-sized — fine for natural language, unbounded
+    * for URLs/ids/n-gram vocabularies). Here the global exchange is
+    * BOUNDED by construction:
+    *
+    *  1. SKETCH — a depth×width counter matrix as a (j, bucket, cnt)
+    *    frame: each token increments one bucket per hash row
+    *    (`xxhash64(j, token) mod width`); map-side partial aggregation
+    *    collapses every partition to ≤ depth·width cells, so the
+    *    shuffle carries at most depth·width rows per partition
+    *    REGARDLESS of vocabulary. Sketches are mergeable (cell-wise
+    *    sums) — the standing-corpus fold shape.
+    *  2. CANDIDATES — per-partition exact local top-`m` (m = 8k by
+    *    default) via one `mapPartitions` pass (the documented honest
+    *    bound: the LOCAL map is partition-vocabulary-sized in memory,
+    *    which a ~128 MB partition always fits; what it avoids is the
+    *    global vocabulary-sized exchange). Any token with global
+    *    frequency ≥ N/m appears in some partition's local top-m by
+    *    pigeonhole on its heaviest partition.
+    *  3. ESTIMATE — candidates join the broadcast sketch on their
+    *    depth cells; `est_n = min over rows` (the CMS point query:
+    *    never under the true count, over by ≤ e·N/width with
+    *    probability 1 − e^−depth); top-k by estimate, ties by token.
+    *
+    * Spec-gated against exact [[heavyHitters]] (RecallSpec): estimates
+    * bound the true counts from above within ε·N and the returned set
+    * matches the exact top-k on the probe corpus. No SQL oracle by
+    * design — the sketch is the scale path; swap it for t06 when the
+    * key space stops fitting a shuffle.
+    */
+  def cmsHeavyHitters(
+      df: DataFrame, textCol: String, k: Int,
+      width: Int = 8192, depth: Int = 4,
+      candidatesPerPartition: Int = 0): DataFrame = {
+    require(k >= 1 && width >= 2 && depth >= 1,
+      s"bad cms shape: k=$k width=$width depth=$depth")
+    val m = if (candidatesPerPartition > 0) candidatesPerPartition else 8 * k
+    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+    def cellsOf(t: Column): Column = array((0 until depth).map(j =>
+      pmod(xxhash64(lit(j.toLong), t), lit(width.toLong))): _*)
+    val sketch = toks
+      .select(posexplode(cellsOf(col("token"))).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    import df.sparkSession.implicits._
+    val cand = toks.as[String].mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(t => local.update(t, local.getOrElse(t, 0L) + 1L))
+      local.toSeq.sortBy { case (t, c) => (-c, t) }.take(m)
+        .iterator.map(_._1)
+    }.toDF("token").distinct()
+    cand
+      .select(col("token"),
+        posexplode(cellsOf(col("token"))).as(Seq("j", "bucket")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("token").agg(min("cnt").as("est_n"))
+      .orderBy(col("est_n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Top-`k` DISTINCTIVE tokens per group by frequency lift:
     * `(tf_group / group_total) / (tf_corpus / corpus_total)` — the
     * TF-IDF-family contrast score ("which tokens characterize this

@@ -513,4 +513,30 @@ class RecallSpec extends SparkSpec {
       assert(err <= 0.15, f"$lang HLL error $err%.3f exceeds 3x rsd bound")
     }
   }
+
+  test("t06 scale path: CMS heavy hitters bound exact counts from above " +
+    "within e*N/width and recover the exact top-k set (sf0.01)") {
+    import graft.{Tables => T}
+    import org.apache.spark.sql.functions.{col, explode, lit, count}
+    val docs = T.load(spark, dir, "documents")
+    val k = 20
+    val exactTop = graft.ops.Corpus.heavyHitters(docs, "text", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.ops.Corpus.cmsHeavyHitters(docs, "text", k,
+        width = 8192, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == k)
+    // the zipf head is unambiguous on the probe corpus: sets must match
+    assert(got.map(_._1).toSet == exactTop.keySet,
+      s"cms set ${got.map(_._1).toSet} != exact ${exactTop.keySet}")
+    val totalN = docs
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val eps = math.ceil(math.E * totalN / 8192).toLong
+    got.foreach { case (t, est) =>
+      val ex = exactTop(t)
+      assert(est >= ex, s"CMS underestimated $t: $est < $ex")
+      assert(est <= ex + eps, s"CMS over bound for $t: $est > $ex + $eps")
+    }
+  }
 }
