@@ -576,6 +576,79 @@ object Events {
           .otherwise(lit(null)).as("var_y_adj"))
   }
 
+  /** Sample-ratio-mismatch check (the experimentation platform's first
+    * trust gate — Fabijan et al. 2019, "Diagnosing Sample Ratio
+    * Mismatch"; [[cuped]] shrinks an experiment's variance, THIS
+    * decides whether its randomization can be trusted at all): per
+    * experiment, Pearson's chi-square of the observed unit counts per
+    * variant against the design `weights`, flagging when the statistic
+    * exceeds `critical` (default 3.841 = the df=1 / α=0.05 cut for
+    * two-variant tests; pass the df=k−1 value for more arms).
+    *
+    * Oracle-exact arithmetic: with W = Σ weights, each variant's term
+    * clears to `(W·O_i − n·w_i)² / (W·n·w_i)` — integer numerator and
+    * denominator (magnitudes hold while (W·n)² < 2^63 — beyond ~10^9
+    * units, pre-scale the weights), ONE IEEE division per variant,
+    * DECIMAL(18,6) accumulation (the dsum convention). A design
+    * variant with zero observations still contributes its full
+    * expected-count term; exposures under variants NOT in the design
+    * are never silently folded in — they are excluded from n and
+    * reported per experiment as `n_unknown` (a nonzero value is itself
+    * an assignment bug). Experiments with no known-variant exposures
+    * read NULL chi2.
+    *
+    * `exposures` must be UNIT-level (one row per experiment × unit —
+    * dedup upstream; SRM counts units, not events). Shape: one
+    * (experiment, variant) partial-agg rollup — fixed-width rows, at
+    * most experiments × variants of them — then experiment-keyed
+    * joins against the broadcast design grid. Nothing scales beyond
+    * the rollup's exchange.
+    */
+  def srmCheck(
+      exposures: DataFrame, expCol: String, variantCol: String,
+      weights: Seq[(Long, Long)],
+      critical: Double = 3.841): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate variant in weights: $weights")
+    val wTot = weights.map(_._2).sum
+    val spark = exposures.sparkSession
+    val wDf = broadcast(
+      spark.createDataFrame(weights).toDF("variant", "wgt"))
+    val obs = exposures
+      .select(col(expCol).as("exp"), col(variantCol).cast("long")
+        .as("variant"))
+      .groupBy("exp", "variant").agg(count(lit(1)).as("o"))
+    val unknown = obs
+      .join(wDf.select("variant"), Seq("variant"), "left_anti")
+      .groupBy("exp").agg(sum("o").as("n_unknown"))
+    val grid = obs.select("exp").distinct().crossJoin(wDf)
+    val joined = grid.join(obs, Seq("exp", "variant"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val nPer = joined.groupBy("exp").agg(sum("o").as("n"))
+    val chi = joined.join(nPer, Seq("exp"))
+      .withColumn("num",
+        lit(wTot) * col("o") - col("n") * col("wgt"))
+      .withColumn("term",
+        // n = 0 (an experiment seen only under unknown variants) would
+        // divide 0/0; keep the row NULL and surface it via chi2
+        when(col("n") === 0, lit(null))
+          .otherwise(((col("num") * col("num")).cast("double") /
+            (lit(wTot) * col("n") * col("wgt")).cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+      .groupBy("exp").agg(max("n").as("n_units"),
+        sum("term").cast("double").as("chi2raw"))
+    chi.join(unknown, Seq("exp"), "left")
+      .select(col("exp").as(expCol),
+        col("n_units"),
+        when(col("n_units") === 0, lit(null))
+          .otherwise(col("chi2raw")).as("chi2"),
+        when(col("n_units") === 0, lit(null))
+          .otherwise(col("chi2raw") > critical).as("srm"),
+        coalesce(col("n_unknown"), lit(0L)).as("n_unknown"))
+  }
+
   /** SCD2 history-table construction (Kimball type-2 dimension from a
     * change log): collapse each user's event stream into validity
     * intervals of their tracked state (here `event_type` — the

@@ -914,6 +914,71 @@ object PipelinePack {
               END AS var_y_adj
             FROM d"""))
 
+  private val e22 = Q(
+    "e22_srm_check",
+    // sample-ratio mismatch (Fabijan et al. 2019): each event_type is
+    // an "experiment", units assigned 50/50 by an md5 digit (mirrorable
+    // in both engines — the p13 seeded-hash convention); a PLANTED
+    // dropper removes HALF of click's variant-1 units (a logging bug's
+    // signature), so click flags SRM at sf0.01's ~150-unit population
+    // while the chi-square arithmetic stays exact-integer numerators +
+    // one IEEE division per variant
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val expo = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          substring(h, 2, 1).as("h2"))
+        .distinct()
+        .filter(!(col("event_type") === "click" &&
+          col("variant") === 1 && col("h2")
+            .isin("0", "1", "2", "3", "4", "5", "6", "7")))
+        .select("event_type", "user_id", "variant")
+      Events.srmCheck(expo, "event_type", "variant",
+          weights = Seq((0L, 1L), (1L, 1L)))
+        .orderBy("event_type")
+    },
+    Some("""WITH expo AS (SELECT DISTINCT event_type, user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                substr(md5(CAST(user_id AS VARCHAR)), 2, 1) AS h2
+              FROM events),
+            filt AS (SELECT event_type, user_id, variant FROM expo
+              WHERE NOT (event_type = 'click' AND variant = 1
+                AND h2 IN ('0','1','2','3','4','5','6','7'))),
+            obs AS (SELECT event_type, variant, COUNT(*) AS o
+              FROM filt GROUP BY 1, 2),
+            grid AS (SELECT e.event_type, w.variant, w.wgt
+              FROM (SELECT DISTINCT event_type FROM obs) e
+              CROSS JOIN (VALUES (0, 1), (1, 1)) AS w(variant, wgt)),
+            j AS (SELECT g.event_type, g.variant, g.wgt,
+                COALESCE(o.o, 0) AS o
+              FROM grid g LEFT JOIN obs o
+                ON g.event_type = o.event_type
+                AND g.variant = o.variant),
+            npr AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+              FROM j GROUP BY 1),
+            terms AS (SELECT j.event_type, npr.n,
+                CASE WHEN npr.n = 0 THEN NULL
+                  ELSE CAST(
+                    CAST((2 * j.o - npr.n * j.wgt)
+                       * (2 * j.o - npr.n * j.wgt) AS DOUBLE) /
+                    CAST(2 * npr.n * j.wgt AS DOUBLE)
+                    AS DECIMAL(18, 6)) END AS term
+              FROM j JOIN npr USING (event_type)),
+            chi AS (SELECT event_type, MAX(n) AS n_units,
+                CAST(SUM(term) AS DOUBLE) AS chi2raw
+              FROM terms GROUP BY 1)
+            SELECT event_type, n_units,
+              CASE WHEN n_units = 0 THEN NULL ELSE chi2raw END AS chi2,
+              CASE WHEN n_units = 0 THEN NULL
+                ELSE chi2raw > 3.841 END AS srm,
+              CAST(0 AS BIGINT) AS n_unknown
+            FROM chi ORDER BY event_type"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -1176,6 +1241,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s15, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
     m01, m02, m03, m04, m05)
 }

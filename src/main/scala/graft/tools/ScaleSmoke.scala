@@ -190,6 +190,13 @@ object ScaleSmoke {
       Seq("t32_byte_bpe_count", "t33_byte_bpe_ids", "t34_bm25_search",
         "t35_kn_bigram", "p25_weighted_sample")
       .map(n => measure(n, 15.0, queryFn(n))) ++
+      // r10 additions, all linear: t36 is a pure scan-stage per-doc
+      // array map (no shuffle at all); t37 is t35's shape one order up
+      // (trigram explode + six type-cardinality equi-joins); s15 rides
+      // s13's bounded fusion plus eval-suite-sized metric rollups
+      Seq("t36_content_extract", "t37_kn_trigram",
+        "s15_retrieval_metrics")
+      .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
 

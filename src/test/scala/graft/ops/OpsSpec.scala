@@ -744,6 +744,35 @@ class EventsSpec extends SparkSpec {
     assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(3))
   }
 
+  test("srmCheck: hand-computed chi-square, a zero-observation design " +
+    "variant keeps its expected term, off-design variants report as " +
+    "n_unknown and never fold into n") {
+    // A: 40/60 of 100 -> X2 = 400/200 + 400/200 = 4.0 > 3.841 -> SRM
+    // B: 25/25 -> 0.0, no SRM
+    // C: 30 units ALL on variant 0 -> 900/60 + 900/60 = 30.0 -> SRM
+    // D: 10/10 balanced + 5 units on undeclared variant 7
+    val rows =
+      (0 until 40).map(i => ("A", 1000L + i, 0L)) ++
+      (0 until 60).map(i => ("A", 2000L + i, 1L)) ++
+      (0 until 25).map(i => ("B", 3000L + i, 0L)) ++
+      (0 until 25).map(i => ("B", 4000L + i, 1L)) ++
+      (0 until 30).map(i => ("C", 5000L + i, 0L)) ++
+      (0 until 10).map(i => ("D", 6000L + i, 0L)) ++
+      (0 until 10).map(i => ("D", 7000L + i, 1L)) ++
+      (0 until 5).map(i => ("D", 8000L + i, 7L))
+    val expo = rows.toDF("exp", "unit", "variant")
+    val got = Events.srmCheck(expo, "exp", "variant",
+        weights = Seq((0L, 1L), (1L, 1L)))
+      .orderBy("exp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 100L, 4.0, true, 0L),
+      ("B", 50L, 0.0, false, 0L),
+      ("C", 30L, 30.0, true, 0L),
+      ("D", 20L, 0.0, false, 5L)))
+  }
+
   test("funnelStages requires strict temporal order across steps") {
     val e = Seq(
       // user 1: full funnel in order
