@@ -367,6 +367,95 @@ object PipelinePack {
             FROM nrel LEFT JOIN hitagg ON nrel.qid = hitagg.qid
             ORDER BY query_id"""))
 
+  private val s16 = Q(
+    "s16_dim_truncation",
+    // truncated-dimension retrieval quality (the Matryoshka/MRL
+    // deployment question — Kusupati et al. 2022: how much recall does
+    // serving the first d dims of a 64-dim embedding give up?): for
+    // d in {8, 16}, brute-force cosine top-10 over `slice(embedding,
+    // 1, d)` scored by s15's metrics against the FULL-dim exact top-10
+    // as relevance. The whole chain — truncation, quantized cosine,
+    // ranking, CASE-literal nDCG — mirrors in one DuckDB SQL,
+    // hash-exact
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val full = VectorOps.knnBrute(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("probe_id").as("query_id"),
+          col("corpus_id").as("id"), col("rk"))
+      val relevance = full.select("query_id", "id")
+      Seq(8, 16).map { d =>
+        val tr = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val res = VectorOps.knnBrute(tr.filter(col("vec_id") < 8), tr,
+            "vec_id", "embedding", k = 10)
+          .select(col("probe_id").as("query_id"),
+            col("corpus_id").as("id"), col("rk"))
+        Corpus.retrievalMetrics(res, relevance,
+            "query_id", "id", "rk", k = 10)
+          .withColumn("dim", lit(d))
+      }.reduce(_ unionByName _)
+        .select("dim", "query_id", "n_rel", "hits", "recall", "rr",
+          "ndcg")
+        .orderBy("dim", "query_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                generate_subscripts(embedding, 1) i
+              FROM embeddings),
+            nrmf AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+            dotf AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                     FROM q p JOIN q c ON p.i = c.i
+                     WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                     GROUP BY 1, 2),
+            cosf AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                     FROM dotf JOIN nrmf np ON pid = np.vec_id
+                               JOIN nrmf nc ON cid = nc.vec_id),
+            rel AS (SELECT pid AS qid, cid AS id FROM (
+                SELECT pid, cid, row_number() OVER (PARTITION BY pid
+                  ORDER BY cos DESC, cid) AS rk FROM cosf)
+              WHERE rk <= 10),
+            dims AS (SELECT * FROM (VALUES (8), (16)) AS d(dim)),
+            qd AS (SELECT dim, vec_id, v, i FROM q CROSS JOIN dims
+                   WHERE i <= dim),
+            nrmd AS (SELECT dim, vec_id, SUM(v * v) nn FROM qd
+                     GROUP BY 1, 2),
+            dotd AS (SELECT p.dim, p.vec_id pid, c.vec_id cid,
+                SUM(p.v * c.v) dot
+              FROM qd p JOIN qd c ON p.i = c.i AND p.dim = c.dim
+              WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+              GROUP BY 1, 2, 3),
+            cosd AS (SELECT d.dim, d.pid, d.cid,
+                d.dot / sqrt(np.nn * nc.nn) AS cos
+              FROM dotd d
+              JOIN nrmd np ON d.pid = np.vec_id AND d.dim = np.dim
+              JOIN nrmd nc ON d.cid = nc.vec_id AND d.dim = nc.dim),
+            res AS (SELECT dim, pid AS qid, cid AS id, rk FROM (
+                SELECT dim, pid, cid, row_number() OVER (
+                  PARTITION BY dim, pid
+                  ORDER BY cos DESC, cid) AS rk FROM cosd)
+              WHERE rk <= 10),
+            hitagg AS (SELECT r.dim, r.qid, COUNT(*) AS hits,
+                MIN(r.rk) AS first_rel_rk,
+                SUM(${Corpus.ndcgDiscountCaseSql("r.rk", 10)}) AS dcg
+              FROM res r JOIN rel ON r.qid = rel.qid AND r.id = rel.id
+              GROUP BY 1, 2),
+            nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+            grid AS (SELECT d.dim, n.qid, n.n_rel
+              FROM dims d CROSS JOIN nrel n)
+            SELECT grid.dim, grid.qid AS query_id, grid.n_rel,
+              COALESCE(hits, 0) AS hits,
+              CAST(COALESCE(hits, 0) AS DOUBLE) /
+                CAST(grid.n_rel AS DOUBLE) AS recall,
+              COALESCE(CAST(1 AS DOUBLE) / CAST(first_rel_rk AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS rr,
+              COALESCE(CAST(dcg AS DOUBLE), CAST(0 AS DOUBLE)) /
+                CAST(${Corpus.idcgCaseSql("least(grid.n_rel, 10)", 10)}
+                  AS DOUBLE) AS ndcg
+            FROM grid LEFT JOIN hitagg
+              ON grid.dim = hitagg.dim AND grid.qid = hitagg.qid
+            ORDER BY grid.dim, query_id"""))
+
   private val d10 = Q(
     "d10_dedup_semantic",
     // SemDeDup (cluster-then-pairs): the O(N²) cosine dedup of d05
@@ -1239,7 +1328,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s15, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s15, s16, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
     m01, m02, m03, m04, m05)
