@@ -1099,16 +1099,21 @@ object Corpus {
       .sortWithinPartitions(keys: _*)
     val enc = org.apache.spark.sql.Encoders.row(
       df.schema.add("__pid", IntegerType).add("__lidx", LongType))
-    // checkpoint: counts pass + assignment pass share one materialization.
-    // LAZY (r8): eager localCheckpoint ran a dedicated materialization job
-    // before the counts job ever started — a full extra pass over the
-    // ranged frame; lazy lets the counts aggregation materialize the
-    // blocks as a side effect, so the op runs two jobs, not three
+    // persist: counts pass + assignment pass share one materialization
+    // (the r8 lazy-checkpoint insight: no dedicated job — the counts
+    // aggregation materializes the blocks as a side effect). r10: PERSIST,
+    // not lazy localCheckpoint — checkpointing truncates lineage, and a
+    // GC-pressured ContextCleaner unpersisting the blocks between the two
+    // consumer stages crashes the join stage with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed in ScaleProbe at 24 g
+    // heap); persist keeps the lineage so a cleaned block recomputes
+    // (deterministically — ranged shuffle + stable per-partition fold)
+    // instead of failing
     val local = ranged.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var i = -1L
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ pid :+ i) }
-    }(enc).localCheckpoint(eager = false)
+    }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = local.groupBy("__pid").agg(count(lit(1)).as("cnt"))
     // prefix sum over numPartitions rows — tiny by construction, so the
     // single-task window here is fine at any corpus size
@@ -1205,7 +1210,7 @@ object Corpus {
         acc += r.getLong(wi)
         Row.fromSeq(r.toSeq :+ pid :+ before)
       }
-    }(enc).localCheckpoint(eager = false)
+    }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = local.groupBy("__pid")
       .agg(sum(col(weightCol)).as("tot"))
     val w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -26,7 +26,7 @@ import graft.ops.{Corpus, Dedup, TextOps}
   *     learned screen above the heuristics, one fused scan-stage
   *     expression against broadcast weights).
   *  3. DEDUP — exact min-id canonical via a window-min over the content
-  *     hash (d01 semantics). The gated frame is localCheckpointed first:
+  *     hash (d01 semantics). The gated frame is persisted first:
   *     the dedup ids and the text re-join both read it, instead of
   *     re-deriving the scrub+gate chain per branch (Catalyst has no
   *     cross-branch CSE — the p12 lesson), and only narrow (hash, id)
@@ -209,8 +209,12 @@ object ReleaseBuild {
     val gated = qualityModel.fold(gatedHeur)(m =>
         gatedHeur.filter(m.logit(col(textCol)) >= minLogit))
       // both the dedup branch and the re-join below read this frame;
-      // lazy: the first action materializes it
-      .localCheckpoint(eager = false)
+      // persist (lineage kept), NOT a lazy localCheckpoint: a
+      // GC-pressured ContextCleaner unpersisting truncated-lineage
+      // blocks between the two consumer stages crashes the second one
+      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, seen in ScaleProbe r10);
+      // a cleaned persisted block just recomputes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. exact dedup: min-id per content hash, narrow exchange
     val wMin = Window.partitionBy("__h")
@@ -428,7 +432,7 @@ object ReleaseBuild {
         col("quality") >= stats.qualityThreshold)
     val gated = qualityModel.fold(gatedHeur)(m =>
         gatedHeur.filter(m.logit(col(textCol)) >= minLogit))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. dedup: min-id within the batch, then drop anything the
     // standing manifest already holds (standing wins by monotone ids)

@@ -440,14 +440,23 @@ object ScaleProbe {
       seed = "probe", shardTokens = 100000L, seqLen = 64,
       scrubN = 5, maxSpanDf = 1000L, langs = relLangs, minQuality = 0.0,
       decontamN = 8, minShared = 1L)
-    // materialize what production keeps as tables between cuts
+    // materialize what production keeps as tables between cuts — REAL
+    // parquet tables, not checkpoint blocks: timed() drops every
+    // persistent RDD after each case, and the standing state must
+    // survive ACROSS the two timed cuts below
+    val relDir = "/tmp/graft_scaleprobe_release"
+    def mat(df: org.apache.spark.sql.DataFrame, name: String)
+        : org.apache.spark.sql.DataFrame = {
+      df.write.mode("overwrite").parquet(s"$relDir/$name")
+      spark.read.parquet(s"$relDir/$name")
+    }
     val baseRel = base0.copy(
-      corpus = base0.corpus.localCheckpoint(),
+      corpus = mat(base0.corpus, "corpus"),
       stats = base0.stats.copy(
-        hotSpans = base0.stats.hotSpans.localCheckpoint(),
-        gatedHashes = base0.stats.gatedHashes.localCheckpoint(),
-        refCounts = base0.stats.refCounts.localCheckpoint(),
-        bandCuts = base0.stats.bandCuts.localCheckpoint()))
+        hotSpans = mat(base0.stats.hotSpans, "hot_spans"),
+        gatedHashes = mat(base0.stats.gatedHashes, "gated_hashes"),
+        refCounts = mat(base0.stats.refCounts, "ref_counts"),
+        bandCuts = mat(base0.stats.bandCuts, "band_cuts")))
     val (deltaKept, deltaSec) = timed {
       ReleaseBuild.deltaCut(baseRel, batchRel, "id", "text", relEval,
         scrubN = 5, langs = relLangs, decontamN = 8, minShared = 1L)
@@ -483,7 +492,9 @@ object ScaleProbe {
       f""""ann_query_sec":$annQuerySec%.1f,""" +
       f""""lm_rows":$lmRows,"lm_sec":$lmSec%.1f,""" +
       f""""lm_noboost_sec":$lmExSec%.1f,"lm_skew_sec":$skewSec%.1f,""" +
-      f""""lm_skew_ratio":$skewRatio%.1f}""")
+      f""""lm_skew_ratio":$skewRatio%.1f,""" +
+      f""""delta_kept":$deltaKept,"delta_sec":$deltaSec%.1f,""" +
+      f""""full_sec":$fullSec%.1f,"delta_ratio":$deltaRatio%.2f}""")
     spark.stop()
   }
 }
