@@ -48,6 +48,59 @@ object Corpus {
         max("n_tok").as("max_tokens"),
         percentile(col("n_tok"), lit(0.5)).as("median_tokens"))
 
+  /** Fixed-bin histogram quantiles of the per-doc token count, per
+    * group — the BOUNDED-STATE scale path beside [[tokenStats]]'s exact
+    * median. Exact percentile state is O(distinct values) per group
+    * (Spark buffers the full multiset; at 100 TB a hot group's state is
+    * the corpus); a fixed-width histogram's state is `max_len/binWidth`
+    * counters regardless of rows, the counters are commutative sums
+    * (mergeable across partitions/batches — partial aggregation and
+    * incremental folds both stay exact over the BINNED distribution),
+    * and the answer degrades gracefully: the reported value is the
+    * inclusive upper edge of the bin holding the ceil(q·n)-th smallest
+    * value, so `exact < reported ≤ exact + binWidth` always
+    * (CorpusOpsSpec asserts the sandwich against [[tokenStats]]).
+    * Everything is integer arithmetic — bin = `n_tok div binWidth`,
+    * rank thresholds by ceiling division `(n·qn + qd − 1) div qd` — so
+    * the DuckDB oracle matches hash-exactly (no interpolation, no
+    * floats; the t05 median can't do that, which is also why the exact
+    * op's oracle compares interpolated DOUBLEs). Shape: one scan-stage
+    * projection, one (group, bin) hash-agg (partial-agg combines
+    * map-side), one group-partitioned cumulative window over bin counts
+    * (rows per group = bins, not docs), one final rollup.
+    */
+  def histQuantiles(
+      df: DataFrame, textCol: String, groupCol: String,
+      binWidth: Long = 16L,
+      quantiles: Seq[(String, Long, Long)] =
+        Seq(("p50_hi", 1L, 2L), ("p90_hi", 9L, 10L), ("p99_hi", 99L, 100L)))
+      : DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    require(quantiles.nonEmpty && quantiles.forall {
+      case (_, qn, qd) => qn >= 0 && qd >= 1 && qn <= qd },
+      s"quantiles must be 0 <= qn/qd <= 1: $quantiles")
+    val binned = df
+      .select(col(groupCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("bin", expr(s"n_tok div ${binWidth}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = binned
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+    val qCols = quantiles.map { case (nm, qn, qd) =>
+      min(when(
+        col("cum") >= expr(s"(total * ${qn}L + ${qd - 1}L) div ${qd}L"),
+        (col("bin") + 1) * binWidth)).as(nm)
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max("total").as("n_docs"), qCols: _*)
+      .orderBy(groupCol)
+  }
+
   /** Deterministic content-independent split label for an id column from
     * the last hex nibble of md5(id as string): 12/16 train, 2/16 val,
     * 2/16 test. The md5 hex digest is identical in every engine, so the

@@ -2231,6 +2231,36 @@ object CorpusPack {
             FROM documents d LEFT JOIN agg USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  private val t39 = Q(
+    "t39_hist_quantiles",
+    // fixed-bin histogram quantiles per lang — t05's bounded-state scale
+    // path: bin counters are mergeable sums (state = max_len/16 cells
+    // per group, not the value multiset), quantile = first bin whose
+    // cumulative count reaches the ceil-rank, reported as the bin's
+    // upper edge. Pure integer arithmetic end to end, so unlike t05's
+    // interpolated median this rung is hash-exact by construction
+    (s, dir) => Corpus.histQuantiles(
+        Tables.load(s, dir, "documents"), "text", "lang", binWidth = 16L),
+    Some("""WITH tok AS (SELECT lang,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents),
+            b AS (SELECT lang, n_tok // 16 AS bin, COUNT(*) AS cnt
+              FROM tok GROUP BY 1, 2),
+            c AS (SELECT lang, bin, cnt,
+                SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(cnt) OVER (PARTITION BY lang) AS total
+              FROM b)
+            SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
+              MIN(CASE WHEN cum >= (total * 1 + 1) // 2
+                THEN (bin + 1) * 16 END) AS p50_hi,
+              MIN(CASE WHEN cum >= (total * 9 + 9) // 10
+                THEN (bin + 1) * 16 END) AS p90_hi,
+              MIN(CASE WHEN cum >= (total * 99 + 99) // 100
+                THEN (bin + 1) * 16 END) AS p99_hi
+            FROM c GROUP BY lang ORDER BY lang"""))
+
   private val t36 = Q(
     "t36_content_extract",
     // boilerplate-density main-content extraction (Kohlschütter et al.
@@ -2670,7 +2700,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t39,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)

@@ -193,9 +193,16 @@ object ScaleSmoke {
       // r10 additions, all linear: t36 is a pure scan-stage per-doc
       // array map (no shuffle at all); t37 is t35's shape one order up
       // (trigram explode + six type-cardinality equi-joins); s15 rides
-      // s13's bounded fusion plus eval-suite-sized metric rollups
+      // s13's bounded fusion plus eval-suite-sized metric rollups; s16
+      // is s01's pinned-probe brute scan twice (full-dim + sliced) plus
+      // s15's eval-sized metric rollup — probe count fixed, so linear
+      // in corpus rows (e22 and the other events-table ops are outside
+      // this corpus's schema)
       Seq("t36_content_extract", "t37_kn_trigram",
-        "s15_retrieval_metrics")
+        "s15_retrieval_metrics", "s16_dim_truncation",
+        // t39 = one scan-stage projection + (group, bin) hash-agg +
+        // a window over BIN counts (group cardinality × bins rows)
+        "t39_hist_quantiles")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))

@@ -659,4 +659,42 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(_.getDecimal(0).doubleValue)
     assert(m.toSeq == d.map(_.doubleValue).toSeq)
   }
+
+  test("histQuantiles: hand-pinned bin edges on a crafted distribution") {
+    // group a: token counts 1..10 (one word per token) with width 4 →
+    // bins 0 (counts 1..3), 1 (4..7), 2 (8..10); cum 3, 7, 10.
+    // p50 rank ceil(10/2)=5 → bin 1, edge 8; p90 rank 9 → bin 2, edge 12;
+    // p99 rank ceil(990/100)=10 → bin 2, edge 12.
+    val docs = (1 to 10).map(n => ("a", Seq.fill(n)("w").mkString(" "))) :+
+      (("b", "w w w")) // single-doc group: every quantile = its own bin edge
+    val got = Corpus.histQuantiles(
+        docs.toDF("lang", "text"), "text", "lang", binWidth = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("a", 10L, 8L, 12L, 12L), ("b", 1L, 4L, 4L, 4L)))
+  }
+
+  test("histQuantiles: sandwich vs the exact order statistic on documents") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = 16L
+    val est = Corpus.histQuantiles(docs, "text", "lang", binWidth = w)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact ceil-rank order statistics per lang, computed independently
+    val toks = docs.select(col("lang"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    toks.foreach { case (lang, sorted) =>
+      val n = sorted.length
+      Seq((1L, 2L), (9L, 10L), (99L, 100L)).zipWithIndex.foreach {
+        case ((qn, qd), i) =>
+          val exact = sorted(((n * qn + qd - 1) / qd).toInt - 1)
+          val e = est(lang)(i)
+          assert(exact < e && e <= exact + w,
+            s"$lang q$i: exact=$exact est=$e width=$w")
+      }
+    }
+  }
 }
