@@ -375,6 +375,49 @@ object TextOps {
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
 
+  /** Payment-card candidate: four 4-digit groups with a dash/space
+    * separator — the same linear-scan, backtracking-free regex subset as
+    * [[EmailRe]]/[[PhoneRe]]. Candidates are only REDACTED when the Luhn
+    * mod-10 checksum passes ([[luhnValid]]): pattern-only card scrubbing
+    * fires on order numbers, serials, and timestamps (any 16 digits);
+    * the checksum rejects 90% of random digit runs, which is exactly the
+    * false-positive control production PII scrubbers (Presidio-class)
+    * run for the card entity.
+    */
+  val CardRe = "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit(CardRe), lit(0))
+
+  /** Luhn mod-10 check over a [[CardRe]]-shaped candidate (19 chars —
+    * separators stripped here). Pure integer arithmetic over 16 fixed
+    * substring terms, doubling the digits at odd left-positions (= even
+    * positions from the right for a 16-digit PAN), so the DuckDB oracle
+    * reproduces it term-for-term with no float anywhere.
+    */
+  def luhnValid(cand: Column): Column = {
+    val digits = translate(cand, "- ", "")
+    val terms = (1 to 16).map { p =>
+      val d = substring(digits, p, 1).cast("int")
+      if (p % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }
+    terms.reduce(_ + _) % 10 === 0
+  }
+
+  /** The Luhn-passing subset of [[cardCandidates]], in document order. */
+  def validCards(text: Column): Column =
+    filter(cardCandidates(text), c => luhnValid(c))
+
+  /** Replace each Luhn-VALID candidate with `<CARD>` (all occurrences,
+    * left fold in document order); invalid candidates pass through
+    * untouched. A left fold of exact-string `replace` — not one
+    * `regexp_replace` — because the decision is per-candidate.
+    */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text,
+      (acc, c) => org.apache.spark.sql.functions.replace(
+        acc, c, lit("<CARD>")))
+
   // ---- Gopher-style hard quality rules (Rae et al. 2021, appendix A) ---
   // Each stat is an integer count combined with ONE double division so the
   // DuckDB oracle matches bit-for-bit; the pass flag composes threshold

@@ -2261,6 +2261,92 @@ object CorpusPack {
                 THEN (bin + 1) * 16 END) AS p99_hi
             FROM c GROUP BY lang ORDER BY lang"""))
 
+  /** Luhn check digit for the planted card `'4' || lpad(base, 14, '0')`,
+    * derived NUMERICALLY from `base` (no string ops in the injection, so
+    * both engines build byte-identical cards): prefix digit k (units
+    * position k of base) sits at left position 15−k of the PAN, which is
+    * odd — doubled — exactly when k is even; the leading '4' (position 1)
+    * always doubles to 8. `shift` corrupts the check digit mod 10 for
+    * the planted-invalid arm. `divOp` = `div` (Spark) / `//` (DuckDB).
+    */
+  private def luhnChkSql(divOp: String, shift: Int): String = {
+    val terms = (0 to 13).map { k =>
+      val d = s"((base $divOp ${"1" + "0" * k}) % 10)"
+      if (k % 2 == 0) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
+      else d
+    }
+    s"((10 - ((8 + ${terms.mkString(" + ")}) % 10)) % 10 + $shift) % 10"
+  }
+
+  /** The t13 injection pattern for cards: ids %7==0 get a Luhn-VALID
+    * card, %7==3 the same card with the check digit shifted +5 (invalid
+    * by construction — Luhn catches every single-digit substitution).
+    */
+  private def cardInjectSql(divOp: String, strT: String): String = {
+    def card(shift: Int) = {
+      val f = s"('4' || lpad(CAST(base AS $strT), 14, '0') || " +
+        s"CAST(${luhnChkSql(divOp, shift)} AS $strT))"
+      s"(substr($f, 1, 4) || '-' || substr($f, 5, 4) || '-' || " +
+        s"substr($f, 9, 4) || '-' || substr($f, 13, 4))"
+    }
+    s"""CASE WHEN doc_id % 7 = 0 THEN text || ' card ' || ${card(0)}
+          WHEN doc_id % 7 = 3 THEN text || ' ref ' || ${card(5)}
+          ELSE text END"""
+  }
+
+  /** The mod-10 sum of [[graft.ops.TextOps.luhnValid]] as oracle SQL over
+    * a candidate expression (16 fixed substring terms, separators
+    * stripped) — term-for-term the Spark expression.
+    */
+  private def luhnCandSql(cand: String): String = {
+    val terms = (1 to 16).map { p =>
+      val d = s"CAST(substr(translate($cand, '- ', ''), $p, 1) AS INT)"
+      if (p % 2 == 1) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)"
+      else d
+    }
+    s"(${terms.mkString(" + ")}) % 10 = 0"
+  }
+
+  private val t38 = Q(
+    "t38_luhn_redact",
+    // checksum-validated card redaction — the PII rung above t13's
+    // pattern-only regexes: candidates come from the same linear-scan
+    // regex family, but only Luhn-passing candidates are redacted (the
+    // false-positive control for order numbers / serials — any 16
+    // digits match the pattern, ~10% pass the checksum). The audit
+    // reports candidate/valid counts, the md5 of the validated strings,
+    // and the md5 of the Luhn-aware redaction (a left fold of exact
+    // replaces — a blanket regexp_replace can't decide per candidate)
+    (s, dir) => {
+      val inj = Tables.load(s, dir, "documents")
+        .withColumn("base", expr("doc_id % 100000000"))
+        .withColumn("text", expr(cardInjectSql("div", "STRING")))
+      inj.select(col("doc_id"),
+          size(TextOps.cardCandidates(col("text"))).as("n_cands"),
+          size(TextOps.validCards(col("text"))).as("n_valid"),
+          md5(array_join(TextOps.validCards(col("text")), "|"))
+            .as("valid_md5"),
+          md5(TextOps.redactCards(col("text"))).as("red_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH basej AS (SELECT doc_id, text,
+                doc_id % 100000000 AS base FROM documents),
+            inj AS (SELECT doc_id,
+                ${cardInjectSql("//", "VARCHAR")} AS text
+              FROM basej),
+            c AS (SELECT doc_id, text, regexp_extract_all(text,
+                '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}') AS cands
+              FROM inj),
+            v AS (SELECT doc_id, text, cands,
+                list_filter(cands, cc -> ${luhnCandSql("cc")}) AS valid
+              FROM c)
+            SELECT doc_id, len(cands) AS n_cands, len(valid) AS n_valid,
+              md5(coalesce(array_to_string(valid, '|'), '')) AS valid_md5,
+              md5(CASE WHEN len(valid) = 0 THEN text
+                ELSE list_reduce(list_prepend(text, valid),
+                  (acc, x) -> replace(acc, x, '<CARD>')) END) AS red_md5
+            FROM v ORDER BY doc_id"""))
+
   private val t36 = Q(
     "t36_content_extract",
     // boilerplate-density main-content extraction (Kohlschütter et al.
@@ -2700,7 +2786,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t39,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25)

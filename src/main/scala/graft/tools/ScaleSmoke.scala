@@ -201,8 +201,9 @@ object ScaleSmoke {
       Seq("t36_content_extract", "t37_kn_trigram",
         "s15_retrieval_metrics", "s16_dim_truncation",
         // t39 = one scan-stage projection + (group, bin) hash-agg +
-        // a window over BIN counts (group cardinality × bins rows)
-        "t39_hist_quantiles")
+        // a window over BIN counts (group cardinality × bins rows);
+        // t38 = pure scan-stage regex + fixed-term checksum fold
+        "t39_hist_quantiles", "t38_luhn_redact")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))

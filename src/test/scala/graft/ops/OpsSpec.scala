@@ -46,6 +46,27 @@ class TextOpsSpec extends SparkSpec {
     assert(one(clean, TextOps.emailCount(col("text"))) == 0)
   }
 
+  test("luhn card redaction: valid cards redacted, invalid and " +
+    "phone-shaped runs pass through") {
+    // 4111-1111-1111-1111 is the canonical Luhn-valid test PAN; flipping
+    // the check digit makes it invalid (Luhn catches every single-digit
+    // substitution)
+    val valid = "pay 4111-1111-1111-1111 today"
+    assert(one(valid, TextOps.redactCards(col("text"))) == "pay <CARD> today")
+    assert(one(valid, size(TextOps.validCards(col("text")))) == 1)
+    val invalid = "ref 4111-1111-1111-1112 today"
+    assert(one(invalid, TextOps.redactCards(col("text"))) == invalid)
+    assert(one(invalid, size(TextOps.cardCandidates(col("text")))) == 1)
+    assert(one(invalid, size(TextOps.validCards(col("text")))) == 0)
+    val mixed = "a 4111-1111-1111-1111 b 1234-5678-9012-3456 c"
+    assert(one(mixed, TextOps.redactCards(col("text"))) ==
+      "a <CARD> b 1234-5678-9012-3456 c")
+    // space separators validate too; a phone number is not a candidate
+    assert(one("4111 1111 1111 1111", size(TextOps.validCards(col("text")))) == 1)
+    assert(one("call 555-123-4567 now",
+      size(TextOps.cardCandidates(col("text")))) == 0)
+  }
+
   test("deflateLen matches a direct java.util.zip reference; repetitive " +
     "text compresses far better than varied text") {
     import graft.functions.TextExpressions.deflateLen
