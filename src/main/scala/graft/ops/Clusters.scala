@@ -264,4 +264,66 @@ object Clusters {
         negate(col("m.nid")).as("keep_doc"),
         col("m." + scoreCol).as("keep_score"),
         col("n_members"))
+
+  /** PageRank centrality over an undirected pair graph (Page et al.
+    * 1999, damping 0.85), in SCALED INTEGER arithmetic: ranks live in
+    * units of 1/`scale`, every division is a floor (`div`), so the
+    * fixed `iters`-round iteration is bit-deterministic and the DuckDB
+    * oracle can replay it CTE-for-CTE — no float accumulation order to
+    * disagree on. (Floors leak a little probability mass per round;
+    * that's deterministic and identical in both engines, and ranking —
+    * the product — is unaffected.)
+    *
+    * Product use: the third canonical-pick signal beside min-id
+    * ([[connectedComponents]] + keep-min) and quality
+    * ([[keepBestPerCluster]]) — the most-CONNECTED variant of a
+    * near-dup neighborhood is the one the most other variants derive
+    * from (the web-graph authority argument applied to duplicate
+    * neighborhoods; Common Crawl ships the same idea as per-domain
+    * harmonic-centrality ranks). Unlike CC it needs no transitive
+    * closure: scores flow only along observed pair edges.
+    *
+    * Scale shape: per round, ONE fixed-width (src,dst,deg,rank) equi
+    * join + one hash-agg on dst — work ∝ edges, rounds fixed; the edge
+    * list comes from the bounded pair finders (inverted index / LSH),
+    * never all-pairs. Node count `n` is one count job up front; ranks
+    * never exceed `scale` (damped mass is non-increasing), so long
+    * arithmetic holds for any graph with scale = 1e12.
+    */
+  def graphRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 1000L, s"bad shape: $iters/$scale")
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, "src")
+    val n = deg.count()
+    if (n == 0) {
+      return pairs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            pairs.schema(aCol).dataType),
+          org.apache.spark.sql.types.StructField("deg",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val teleport = 15L * scale / (100L * n)
+    var ranks = deg.select(col("src").as("id"),
+      lit(scale / n).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("sum_c"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
+    }
+    deg.select(col("src").as("id"), col("deg"))
+      .join(ranks, "id")
+      .orderBy(col("rank").desc, col("id").asc)
+  }
 }

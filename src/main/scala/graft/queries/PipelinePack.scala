@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup, Events, Multimodal, TextOps, VectorOps}
+import graft.ops.{Clusters, Corpus, Dedup, Events, Multimodal, TextOps, VectorOps}
 import Relational.Q
 
 /** SURVEY §2.2: training-data pipeline operators as oracle-checked queries.
@@ -503,6 +503,68 @@ object PipelinePack {
                        FROM scored WHERE cos >= 0.4)
             SELECT tid AS train_id, eid AS eval_id, cos
             FROM hits WHERE rk = 1 ORDER BY train_id"""))
+
+  /** The unrolled PageRank iterations of d26's oracle, CTE-for-CTE the
+    * Spark loop in `Clusters.graphRank`: sk = floor-divided neighbor
+    * contributions, rk = teleport + damped sum, all integer (`//`).
+    */
+  private def rankIterCtes(iters: Int, scale: String): String =
+    (1 to iters).map { k =>
+      s"""s$k AS (SELECT e.dst AS id,
+              SUM(r${k - 1}.rank // e.deg) AS sum_c
+            FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id GROUP BY 1),
+          r$k AS (SELECT d.src AS id,
+              (15 * $scale // (100 * nn.n))
+                + (COALESCE(s$k.sum_c, 0) * 85 // 100) AS rank
+            FROM deg d CROSS JOIN nn
+            LEFT JOIN s$k ON d.src = s$k.id)"""
+    }.mkString(",\n")
+
+  private val d26 = Q(
+    "d26_graph_rank",
+    // PageRank centrality over the d02 near-dup pair graph (tau relaxed
+    // to 1/4 so the similarity neighborhood, not just the dup pairs,
+    // carries edges) — the third canonical-pick signal beside min-id
+    // (d08) and quality (d18): the most-connected variant is the one
+    // the most other variants derive from. Scaled-integer arithmetic
+    // with floor division at every step makes the fixed 5-round
+    // iteration bit-deterministic, so the oracle replays it exactly
+    (s, dir) => Clusters.graphRank(
+        Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", iters = 5)
+      .orderBy(col("rank").desc, col("id").asc),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (SELECT ia, ib FROM com
+              JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+              WHERE c * 4 >= (sa.n + sb.n - c) * 1),
+            e0 AS (SELECT ia AS src, ib AS dst FROM pairs
+              UNION ALL SELECT ib, ia FROM pairs),
+            deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS n FROM deg),
+            e AS (SELECT e0.src, e0.dst, deg.deg
+              FROM e0 JOIN deg USING (src)),
+            r0 AS (SELECT src AS id, 1000000000000 // nn.n AS rank
+              FROM deg CROSS JOIN nn),
+            ${rankIterCtes(5, "1000000000000")}
+            SELECT d.src AS id, d.deg,
+              CAST(r5.rank AS BIGINT) AS rank
+            FROM deg d JOIN r5 ON d.src = r5.id
+            ORDER BY rank DESC, id ASC"""))
 
   private val s02 = Q(
     "s02_knn_lsh",
@@ -1328,7 +1390,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, s01, s12, s13, s14, s15, s16, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, s01, s12, s13, s14, s15, s16, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
     m01, m02, m03, m04, m05)

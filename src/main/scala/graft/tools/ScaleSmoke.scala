@@ -65,6 +65,9 @@ object ScaleSmoke {
     "d18_cluster_keep_best",
     // d22 shares d02's inverted-index pair cost (Σ df² per gram)
     "d22_containment",
+    // d26 rides d02's pair machinery at tau=1/4 (denser candidate set)
+    // plus 5 fixed edge-proportional rank rounds
+    "d26_graph_rank",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -89,7 +92,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 25, s"expected 25 d-tier queries, got $dTier")
+    require(dTier.size == 26, s"expected 26 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -80,4 +80,43 @@ class ClustersSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.9, 3L), (7L, 7L, 0.4, 2L),
       (10L, 11L, 0.2, 2L)))
   }
+
+  test("graphRank matches a floor-exact scalar reference on a star + " +
+    "path; hub outranks leaves; triangle symmetric") {
+    // star 1-{2,3,4} plus path 10-11: two components, ranked jointly
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val scale = 1000000L
+    val iters = 3
+    // scalar replay of the exact integer recurrence
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L), 10L -> Seq(11L), 11L -> Seq(10L))
+    val n = adj.size
+    val teleport = 15L * scale / (100L * n)
+    var r = adj.keys.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      r = adj.map { case (u, nbrs) =>
+        val s = nbrs.map(v => r(v) / adj(v).length).sum
+        u -> (teleport + s * 85L / 100L)
+      }
+    }
+    val got = Clusters.graphRank(pairs, "id_a", "id_b", iters, scale)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(x => x._1 -> x._3).toMap == r)
+    assert(got.head._1 == 1L, "hub must rank first")
+    assert(got.map(_._1).toSeq ==
+      got.sortBy(x => (-x._3, x._1)).map(_._1).toSeq, "output ordering")
+
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val t = Clusters.graphRank(tri, "id_a", "id_b", 4, scale)
+      .as[(Long, Long, Long)].collect()
+    assert(t.map(_._3).distinct.length == 1, "triangle ranks equal")
+  }
+
+  test("graphRank: empty pair graph yields an empty typed frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Clusters.graphRank(empty, "id_a", "id_b")
+    assert(got.columns.toSeq == Seq("id", "deg", "rank"))
+    assert(got.count() == 0)
+  }
 }
