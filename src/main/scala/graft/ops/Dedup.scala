@@ -391,6 +391,50 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[crossNGramOverlap]] with a Bloom prefilter on the TRAIN side —
+    * the 100 TB shape of decontamination. The plain cross overlap
+    * shuffles EVERY train gram hash into the equi-join, i.e. the whole
+    * corpus's gram volume crosses the wire to probe an eval suite that
+    * is fixed-size and tiny by comparison. Here the eval grams build a
+    * Bloom filter (a few MB at fpp=1%) that ships to the train scan
+    * stage as a broadcast, and only might-contain survivors — true
+    * leaks plus ~fpp of the rest — enter the exchange: the shuffle
+    * shrinks from O(corpus grams) to O(leaks + fpp·corpus grams)
+    * while the SCAN work is unchanged (one codegen'd probe per gram).
+    *
+    * The result is EXACT, bit-identical to [[crossNGramOverlap]]
+    * (DedupSpec asserts frame equality): the equi-join itself is the
+    * verification — a Bloom false positive just shuffles one extra
+    * hash row and matches nothing — and a Bloom "no" is definitive.
+    * This is [[exactIncremental]]'s d09 contract applied to the
+    * decontamination join (one filter per GRAM rather than per doc).
+    * `expectedItems` sizes the filter to the eval side's distinct gram
+    * count (overshooting only wastes the filter's few MB).
+    */
+  def crossNGramOverlapBloom(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minShared: Long = 1L,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.HashExpressions.ngramHashSet(
+          col(textCol), n)).as("gh"))
+    val rightGrams = grams(right)
+    val bloom = rightGrams.stat.bloomFilter("gh", expectedItems, fpp)
+    val probe = graft.functions.HashExpressions
+      .bloomMightContain(col("gh"), bloom)
+    grams(left).filter(probe).as("a")
+      .join(rightGrams.as("b"), col("a.gh") === col("b.gh"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Contamination COVERAGE report (r8): for every eval document, the
     * fraction of its distinct word-`n`-grams that appear ANYWHERE in the
     * train corpus — the PaLM/GPT-4-style "dirty if > X% of n-grams are

@@ -264,6 +264,57 @@ object CorpusPack {
             WHERE la.split = 'train' AND lb.split = 'test'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val d27 = Q(
+    "d27_decontaminate_bloom",
+    // d12's train/test n-gram leak join with the 100 TB shuffle fixed:
+    // the test side's gram hashes build a broadcast Bloom filter and
+    // only might-contain train grams enter the exchange — exact by
+    // construction (the equi-join verifies every survivor; a Bloom "no"
+    // is definitive), so the oracle is the plain overlap SQL. n=4 and
+    // minShared=2 exercise a different operating point than d12
+    (s, dir) => {
+      val labeled = Tables.load(s, dir, "documents")
+        .withColumn("split", Corpus.splitLabel(col("doc_id")))
+      Dedup.crossNGramOverlapBloom(
+          labeled.filter(col("split") === "train"),
+          labeled.filter(col("split") === "test"),
+          "text", "doc_id", n = 4, minShared = 2L,
+          expectedItems = 100000L)
+        .withColumnRenamed("id_a", "train_id")
+        .withColumnRenamed("id_b", "test_id")
+        .orderBy("train_id", "test_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+                       FROM documents),
+              raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+                      FROM t),
+              tok AS (SELECT doc_id, w,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+                      FROM raw WHERE w <> ''),
+              g4 AS (SELECT doc_id,
+                       w || ' ' || LEAD(w, 1) OVER win
+                         || ' ' || LEAD(w, 2) OVER win
+                         || ' ' || LEAD(w, 3) OVER win AS g,
+                       LEAD(w, 3) OVER win AS tail
+                     FROM tok
+                     WINDOW win AS (PARTITION BY doc_id ORDER BY rn)),
+              gd AS (SELECT DISTINCT doc_id, g FROM g4 WHERE tail IS NOT NULL),
+              lab AS (SELECT doc_id,
+                        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                               IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                             THEN 'train'
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                               IN ('c','d')
+                             THEN 'val' ELSE 'test' END AS split
+                      FROM documents)
+            SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+              COUNT(*) AS n_shared
+            FROM gd a JOIN lab la ON a.doc_id = la.doc_id
+                      JOIN gd b ON a.g = b.g
+                      JOIN lab lb ON b.doc_id = lb.doc_id
+            WHERE la.split = 'train' AND lb.split = 'test'
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"""))
+
   private val d20 = Q(
     "d20_ngram_coverage",
     // per-eval-doc contamination coverage: the release-decision metric
@@ -2789,5 +2840,5 @@ object CorpusPack {
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25)
+      d22, d23, d24, d25, d27)
 }

@@ -55,7 +55,10 @@ object ScaleSmoke {
     "d19_dedup_unicode", "d20_ngram_coverage", "d23_scrub_doc_lines",
     // d25 is d17's window index + a lag/sum window over the HOT HITS
     // only (rows bounded by hit count) — same linear class
-    "d25_scrub_maxspans")
+    "d25_scrub_maxspans",
+    // d27 is d12's shape with a broadcast Bloom prefilter BEFORE the
+    // exchange — strictly less shuffled work than the linear d12
+    "d27_decontaminate_bloom")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
@@ -92,7 +95,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 26, s"expected 26 d-tier queries, got $dTier")
+    require(dTier.size == 27, s"expected 27 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

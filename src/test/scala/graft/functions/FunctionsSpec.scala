@@ -174,6 +174,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 1L)))
   }
 
+  test("crossNGramOverlapBloom is bit-identical to the plain overlap " +
+    "on a corpus with planted leaks (exactness despite the prefilter)") {
+    // 200 left docs over a small vocab (plenty of shared 3-grams, so
+    // Bloom false negatives would be caught as missing pairs), 20 right
+    val doc = (seed: Long) => (0 until 12)
+      .map(j => s"w${(seed * 31 + j * 7) % 19}").mkString(" ")
+    val left = (0L until 200L).map(i => (i, doc(i))).toDF("id", "text")
+    val right = (1000L until 1020L).map(i => (i, doc(i % 13))).toDF("id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = canon(graft.ops.Dedup.crossNGramOverlap(
+      left, right, "text", "id", n = 3, minShared = 2L))
+    val bloom = canon(graft.ops.Dedup.crossNGramOverlapBloom(
+      left, right, "text", "id", n = 3, minShared = 2L,
+      expectedItems = 1000L))
+    assert(plain.nonEmpty, "fixture must plant leaks")
+    assert(bloom == plain)
+  }
+
   test("GraftExtensions registers SQL functions") {
     // getOrCreate returns the suite's existing session (withExtensions only
     // affects newly-built sessions), so use runtime registration
