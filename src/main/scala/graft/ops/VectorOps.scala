@@ -425,6 +425,86 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998): greedily
+    * select `kSel` of each probe's top-`kCand` exact candidates, each
+    * step maximizing `rel − max sim to already-selected` — the λ=1/2
+    * maximal-marginal-relevance objective up to a positive scale factor
+    * (argmax-invariant), so a near-duplicate of an already-picked result
+    * is displaced by the next DISTINCT relevant one. The missing
+    * diversity knob above the s01/s13 rankers: plain top-k hands a RAG
+    * prompt k copies of the corpus's most-duplicated passage.
+    *
+    * Deterministic by the repo's vector conventions: quantized integer
+    * dots, ONE IEEE division per cosine, the step score ONE subtraction
+    * of two such doubles, ties to min id — so the DuckDB oracle replays
+    * every greedy step CTE-for-CTE and the result is hash-exact.
+    *
+    * Scale shape: candidates come from a bounded ranker (here the exact
+    * brute baseline, kCand per probe — swap in [[knnIvf]] for the 100 TB
+    * candidate step); pairwise sims are kCand² per probe — bounded,
+    * never corpus×corpus; each greedy step is one fixed-width window
+    * argmax + one anti join + one equi join on (probe, candidate) rows.
+    * kSel is a literal loop bound (steps unroll into the plan), not a
+    * data-dependent iteration.
+    */
+  def mmrRerank(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCand: Int = 10,
+      kSel: Int = 3): DataFrame = {
+    require(kSel >= 1 && kCand >= kSel, s"bad shape: $kCand/$kSel")
+    val cand = knnBrute(probes, corpus, idCol, vecCol, kCand)
+      .select(col("probe_id"), col("corpus_id"), col("cos").as("rel"))
+    val cv = spread(corpus).select(col(idCol).as("cid"),
+        quantize(col(vecCol)).as("q"))
+      .withColumn("n2", norm2(col("q")))
+    val withVec = cand.join(cv, cand("corpus_id") === cv("cid"))
+    val x = withVec.select(col("probe_id"), col("corpus_id").as("xid"),
+      col("q").as("xq"), col("n2").as("xn2"))
+    val y = withVec.select(col("probe_id").as("py"),
+      col("corpus_id").as("yid"), col("q").as("yq"), col("n2").as("yn2"))
+    val sims = x.join(y, x("probe_id") === y("py") &&
+        col("xid") =!= col("yid"))
+      .select(col("probe_id"), col("xid"), col("yid"),
+        cosine(dot(col("xq"), col("yq")), col("xn2"), col("yn2"))
+          .as("sim"))
+    def pick(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("corpus_id").asc)
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("probe_id"), col("corpus_id").as("sel_id"),
+          col("score"))
+    }
+    def removeSel(rem: DataFrame, sel: DataFrame): DataFrame =
+      rem.join(sel.select(col("probe_id"),
+          col("sel_id").as("corpus_id")),
+        Seq("probe_id", "corpus_id"), "left_anti")
+    def addSim(rem: DataFrame, sel: DataFrame, first: Boolean)
+        : DataFrame = {
+      val toSel = sims
+        .join(sel.select(col("probe_id"), col("sel_id").as("yid")),
+          Seq("probe_id", "yid"))
+        .select(col("probe_id"), col("xid").as("corpus_id"),
+          col("sim").as("newsim"))
+      val j = rem.join(toSel, Seq("probe_id", "corpus_id"))
+      if (first) j.withColumn("maxsim", col("newsim")).drop("newsim")
+      else j.withColumn("maxsim", greatest(col("maxsim"), col("newsim")))
+        .drop("newsim")
+    }
+    val first = pick(cand.withColumn("score", col("rel")))
+    var out = first.withColumn("step", lit(1))
+    var rem = addSim(removeSel(cand, first), first, first = true)
+    (2 to kSel).foreach { t =>
+      val selT = pick(rem.withColumn("score", col("rel") - col("maxsim")))
+      out = out.unionByName(selT.withColumn("step", lit(t)))
+      if (t < kSel) rem = addSim(removeSel(rem, selT), selT, first = false)
+    }
+    out.select(col("probe_id"), col("step"), col("sel_id"), col("score"))
+      .orderBy("probe_id", "step")
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * probe, the k most cosine-similar corpus vectors whose `labelCol`
     * DIFFERS from the probe's — the "looks the same, is not" pairs that

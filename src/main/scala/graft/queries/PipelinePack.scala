@@ -566,6 +566,78 @@ object PipelinePack {
             FROM deg d JOIN r5 ON d.src = r5.id
             ORDER BY rank DESC, id ASC"""))
 
+  private val s17 = Q(
+    "s17_mmr_rerank",
+    // MMR diversified re-ranking over each probe's exact top-10: 3
+    // greedy steps, each maximizing rel − max-sim-to-selected (λ=1/2 up
+    // to scale). The oracle replays every greedy step CTE-for-CTE —
+    // candidate ranking, bounded pairwise sims, window argmax per step
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.mmrRerank(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", kCand = 10, kSel = 3)
+    },
+    Some("""WITH q AS (SELECT vec_id,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                       FROM q p JOIN q c ON p.i = c.i
+                       WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                       GROUP BY 1, 2),
+              scored AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                         FROM dotp JOIN nrm np ON pid = np.vec_id
+                                   JOIN nrm nc ON cid = nc.vec_id),
+              cand AS (SELECT pid, cid, cos AS rel FROM (
+                         SELECT pid, cid, cos,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY cos DESC, cid ASC) rk
+                         FROM scored) WHERE rk <= 10),
+              cpair AS (SELECT a.pid, a.cid AS xid, b.cid AS yid
+                        FROM cand a JOIN cand b
+                          ON a.pid = b.pid AND a.cid <> b.cid),
+              sdot AS (SELECT cp.pid, cp.xid, cp.yid, SUM(x.v * y.v) dot
+                       FROM cpair cp
+                       JOIN q x ON cp.xid = x.vec_id
+                       JOIN q y ON cp.yid = y.vec_id AND x.i = y.i
+                       GROUP BY 1, 2, 3),
+              sims AS (SELECT pid, xid, yid,
+                         dot / sqrt(nx.nn * ny.nn) AS sim
+                       FROM sdot JOIN nrm nx ON xid = nx.vec_id
+                                 JOIN nrm ny ON yid = ny.vec_id),
+              sel1 AS (SELECT pid, cid, rel AS score FROM (
+                         SELECT pid, cid, rel,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY rel DESC, cid ASC) r
+                         FROM cand) WHERE r = 1),
+              rem1 AS (SELECT c.pid, c.cid, c.rel, s.sim AS maxsim
+                       FROM cand c
+                       JOIN sel1 ON c.pid = sel1.pid AND c.cid <> sel1.cid
+                       JOIN sims s ON s.pid = c.pid AND s.xid = c.cid
+                         AND s.yid = sel1.cid),
+              sel2 AS (SELECT pid, cid, score FROM (
+                         SELECT pid, cid, rel - maxsim AS score,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY rel - maxsim DESC, cid ASC) r
+                         FROM rem1) WHERE r = 1),
+              rem2 AS (SELECT r.pid, r.cid, r.rel,
+                         greatest(r.maxsim, s.sim) AS maxsim
+                       FROM rem1 r
+                       JOIN sel2 ON r.pid = sel2.pid AND r.cid <> sel2.cid
+                       JOIN sims s ON s.pid = r.pid AND s.xid = r.cid
+                         AND s.yid = sel2.cid),
+              sel3 AS (SELECT pid, cid, score FROM (
+                         SELECT pid, cid, rel - maxsim AS score,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY rel - maxsim DESC, cid ASC) r
+                         FROM rem2) WHERE r = 1)
+            SELECT pid AS probe_id, 1 AS step, cid AS sel_id, score
+            FROM sel1
+            UNION ALL SELECT pid, 2, cid, score FROM sel2
+            UNION ALL SELECT pid, 3, cid, score FROM sel3
+            ORDER BY probe_id, step"""))
+
   private val s02 = Q(
     "s02_knn_lsh",
     (s, dir) => {
@@ -1390,7 +1462,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, s01, s12, s13, s14, s15, s16, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, s01, s12, s13, s14, s15, s16, s17, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
     m01, m02, m03, m04, m05)

@@ -208,8 +208,10 @@ object ScaleSmoke {
         "s15_retrieval_metrics", "s16_dim_truncation",
         // t39 = one scan-stage projection + (group, bin) hash-agg +
         // a window over BIN counts (group cardinality × bins rows);
-        // t38 = pure scan-stage regex + fixed-term checksum fold
-        "t39_hist_quantiles", "t38_luhn_redact")
+        // t38 = pure scan-stage regex + fixed-term checksum fold;
+        // s17 = s01's pinned-probe brute candidates + kCand²-bounded
+        // pair sims + 3 fixed window-argmax steps
+        "t39_hist_quantiles", "t38_luhn_redact", "s17_mmr_rerank")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))

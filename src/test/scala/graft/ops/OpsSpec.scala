@@ -543,6 +543,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(r == Seq(1L, 2L, 3L)) // near-dup, orthogonal(0), opposite(-1)
   }
 
+  test("mmrRerank displaces the near-duplicate of the first pick with " +
+    "the distinct-but-relevant candidate") {
+    // probe 100 ~ x-axis; candidates: 1 (best), 2 (near-dup of 1),
+    // 3 (less relevant but orthogonal-ish to 1). Plain top-2 = (1, 2);
+    // MMR step 2 must skip the near-dup and take 3.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.09f, 0.0f)),
+      (2L, Array(0.995f, 0.08f, 0.0f)), // near dup of 1
+      (3L, Array(0.6f, 0.8f, 0.0f))     // distinct direction
+    ).toDF("vec_id", "embedding")
+    val probe = Seq((100L, Array(1.0f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.mmrRerank(probe, corpus, "vec_id", "embedding",
+        kCand = 3, kSel = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), s"got $got")
+    // plain relevance order for contrast: 1, 2, 3
+    val plain = VectorOps.knnBrute(probe, corpus, "vec_id", "embedding", 3)
+      .orderBy("rk").collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+  }
+
   test("knnLsh returns the true nearest neighbor for the probe") {
     val r = VectorOps.knnLsh(vecs.filter($"vec_id" === 0), vecs,
         "vec_id", "embedding", 1, planes = 4)
