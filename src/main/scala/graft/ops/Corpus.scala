@@ -79,12 +79,37 @@ object Corpus {
     require(quantiles.nonEmpty && quantiles.forall {
       case (_, qn, qd) => qn >= 0 && qd >= 1 && qn <= qd },
       s"quantiles must be 0 <= qn/qd <= 1: $quantiles")
-    val binned = df
-      .select(col(groupCol),
+    quantilesFromBins(binDocs(df, textCol, groupCol, binWidth),
+      groupCol, binWidth, quantiles)
+  }
+
+  /** The scan-stage binning half of [[histQuantiles]]: (group, bin, cnt)
+    * rows. Split out because the counts are the MERGEABLE state — a
+    * streaming aggregation or an incremental fold maintains exactly this
+    * frame (sums commute), and [[quantilesFromBins]] finishes from it.
+    */
+  def binDocs(df: DataFrame, textCol: String, groupCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
+    df.select(col(groupCol),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .withColumn("bin", expr(s"n_tok div ${binWidth}L"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Finish [[histQuantiles]] from a standing (group, bin, cnt) frame —
+    * rows per group = bins, so this rollup is histogram-sized no matter
+    * how many documents the counts summarize.
+    */
+  def quantilesFromBins(binned: DataFrame, groupCol: String,
+      binWidth: Long,
+      quantiles: Seq[(String, Long, Long)] =
+        Seq(("p50_hi", 1L, 2L), ("p90_hi", 9L, 10L), ("p99_hi", 99L, 100L)))
+      : DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall {
+      case (_, qn, qd) => qn >= 0 && qd >= 1 && qn <= qd },
+      s"quantiles must be 0 <= qn/qd <= 1: $quantiles")
     val wCum = Window.partitionBy(groupCol).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCol)

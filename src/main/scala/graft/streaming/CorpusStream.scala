@@ -248,4 +248,20 @@ object CorpusStream {
           .otherwise(col("s.sum_bits").cast("double") / col("s.n_tok"))
           .cast("double").as("bits_per_token"))
   }
+
+  /** Streaming maintenance of [[graft.ops.Corpus.histQuantiles]]'s bin
+    * state: a plain streaming aggregation over (group, bin) — Spark's
+    * state store holds ONE count per live (group, bin) cell (the t39
+    * claim made operational: bin counts are commutative sums, so
+    * micro-batch folds ARE the batch aggregation), and update-mode
+    * emissions re-publish only cells a batch touched. Quantiles finish
+    * read-side with [[graft.ops.Corpus.quantilesFromBins]] over the
+    * sink — a histogram-sized rollup, not a document-sized one.
+    * CorpusStreamSpec asserts the streamed cells equal the batch
+    * binning and the finished quantiles equal the batch operator,
+    * across multiple micro-batches.
+    */
+  def histBinStream(docs: DataFrame, textCol: String, groupCol: String,
+      binWidth: Long = 16L): DataFrame =
+    graft.ops.Corpus.binDocs(docs, textCol, groupCol, binWidth)
 }

@@ -361,4 +361,40 @@ class CorpusStreamSpec extends SparkSpec {
       == smap(Corpus.surprisalPerDoc(
         streamFold.corpus, "doc_id", "text", lit(true))))
   }
+
+  test("histBinStream: streamed bin state equals the batch binning and " +
+    "finishes to the batch quantiles, across micro-batches") {
+    import graft.ops.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    // group docs by first word; varied lengths so bins differ
+    val hdocs = Seq(
+      ("a", "one two three"), ("a", "one two three four five six"),
+      ("a", "one"), ("b", "x y z w"), ("b", "x"),
+      ("a", "one two three four five six seven eight nine"))
+    val src = MemoryStream[(String, String)]
+    val q = CorpusStream.histBinStream(
+        src.toDF().toDF("lang", "text"), "text", "lang", binWidth = 4L)
+      .writeStream.format("memory").queryName("hist_bins")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      src.addData(hdocs.take(3): _*)
+      q.processAllAvailable()
+      src.addData(hdocs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_bins")
+      val batch = Corpus.binDocs(
+        hdocs.toDF("lang", "text"), "text", "lang", binWidth = 4L)
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(cells(streamed) == cells(batch))
+      // and the read-side finisher over the SINK equals the batch op
+      def qmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(
+        qmap(Corpus.quantilesFromBins(streamed, "lang", 4L)) ==
+        qmap(Corpus.histQuantiles(
+          hdocs.toDF("lang", "text"), "text", "lang", 4L)))
+    } finally q.stop()
+  }
 }
