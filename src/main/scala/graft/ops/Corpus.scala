@@ -571,6 +571,64 @@ object Corpus {
           expr(idcgCaseSql("m", k)).cast("double")).as("ndcg"))
   }
 
+  /** Gain `2^rel − 1` for integer grades 0..`maxRel` as a CASE usable
+    * verbatim in BOTH engines (the t13 injected-literal device); grades
+    * beyond `maxRel` gain 0 — label them inside the declared scale.
+    */
+  def gainCaseSql(relCol: String, maxRel: Int): String =
+    (0 to maxRel).map(r => s"WHEN $r THEN ${(1L << r) - 1}")
+      .mkString(s"CASE $relCol ", " ", " ELSE 0 END")
+
+  /** GRADED-relevance nDCG@k (Järvelin & Kekäläinen 2002 — the
+    * TREC-qrel form above [[retrievalMetrics]]'s binary triple): gains
+    * `2^rel − 1` ([[gainCaseSql]]), DCG = Σ gain·disc(rank) over the
+    * top-k hits, IDCG = the same sum over the query's OWN grades in
+    * ideal order (grade desc, id asc — data-dependent, unlike the
+    * binary prefix-CASE), nDCG their quotient. Gains are exact longs,
+    * discounts the [[ndcgDiscountCaseSql injected DECIMAL literals]],
+    * products/sums stay in DECIMAL, and the only IEEE operation is the
+    * final division — so the whole chain mirrors in DuckDB bit-for-bit.
+    *
+    * Queries with no positive-grade label are dropped (nDCG undefined);
+    * a labeled query missing from results scores dcg 0, ndcg 0.
+    * Shape: results are bounded top-k, labels eval-suite-sized — one
+    * (query, id) equi-join, one label-side window for the ideal order,
+    * two query-keyed rollups. Nothing scales with the corpus.
+    */
+  def gradedNdcg(
+      results: DataFrame, relevance: DataFrame,
+      queryCol: String, idCol: String, rankCol: String, relCol: String,
+      k: Int, maxRel: Int = 3): DataFrame = {
+    require(k >= 1 && maxRel >= 1 && maxRel <= 16,
+      s"bad shape: k=$k maxRel=$maxRel")
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("rk"))
+    val rel = relevance
+      .select(col(queryCol).as("q"), col(idCol).as("id"),
+        col(relCol).cast("long").as("rel"))
+      .filter(col("rel") > 0)
+    val gain = s"CAST((${gainCaseSql("rel", maxRel)}) AS DECIMAL(6, 0))"
+    val dcgAgg = res.join(rel, Seq("q", "id"))
+      .select(col("q"),
+        expr(s"$gain * ${ndcgDiscountCaseSql("rk", k)}").as("g"))
+      .groupBy("q").agg(sum("g").as("dcg"))
+    val wIdeal = Window.partitionBy("q")
+      .orderBy(col("rel").desc, col("id").asc)
+    val idcgAgg = rel.withColumn("ir", row_number().over(wIdeal))
+      .filter(col("ir") <= k)
+      .select(col("q"),
+        expr(s"$gain * ${ndcgDiscountCaseSql("ir", k)}").as("g"))
+      .groupBy("q").agg(sum("g").as("idcg"))
+    val nRel = rel.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    nRel.join(dcgAgg, Seq("q"), "left").join(idcgAgg, Seq("q"))
+      .select(col("q").as(queryCol), col("n_rel"),
+        coalesce(col("dcg"), lit(0)).cast("double").as("dcg"),
+        col("idcg").cast("double").as("idcg"),
+        (coalesce(col("dcg"), lit(0)).cast("double") /
+          col("idcg").cast("double")).as("ndcg"))
+  }
+
   /** CCNet-style language-model quality signal per document: mean token
     * surprisal under a unigram LM trained on a reference slice of the
     * SAME corpus (Wenzek et al. 2020 bucket Common Crawl by the

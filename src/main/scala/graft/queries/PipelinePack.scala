@@ -566,6 +566,85 @@ object PipelinePack {
             FROM deg d JOIN r5 ON d.src = r5.id
             ORDER BY rank DESC, id ASC"""))
 
+  private val s18 = Q(
+    "s18_graded_ndcg",
+    // graded-relevance nDCG@10 (the TREC-qrel form above s15's binary
+    // triple) measuring truncated-dim serving quality against a GRADED
+    // ideal: relevance = full-dim exact top-5 per probe graded 3/2/1
+    // by rank, results = brute top-10 over the first 16 dims. Gains
+    // 2^rel−1 exact longs, discounts injected DECIMAL literals, one
+    // IEEE division at the end — the whole chain mirrors in DuckDB
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val full = VectorOps.knnBrute(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("probe_id").as("query_id"),
+          col("corpus_id").as("id"),
+          expr("CASE rk WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END")
+            .as("rel"))
+      val tr = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val res = VectorOps.knnBrute(tr.filter(col("vec_id") < 8), tr,
+          "vec_id", "embedding", k = 10)
+        .select(col("probe_id").as("query_id"),
+          col("corpus_id").as("id"), col("rk"))
+      Corpus.gradedNdcg(res, full, "query_id", "id", "rk", "rel",
+          k = 10, maxRel = 3)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                generate_subscripts(embedding, 1) i
+              FROM embeddings),
+            nrmf AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+            dotf AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                     FROM q p JOIN q c ON p.i = c.i
+                     WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                     GROUP BY 1, 2),
+            cosf AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                     FROM dotf JOIN nrmf np ON pid = np.vec_id
+                               JOIN nrmf nc ON cid = nc.vec_id),
+            rel AS (SELECT pid AS qid, cid AS id,
+                CASE rk WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END AS rel
+              FROM (SELECT pid, cid, row_number() OVER (PARTITION BY pid
+                  ORDER BY cos DESC, cid) AS rk FROM cosf)
+              WHERE rk <= 5),
+            nrmt AS (SELECT vec_id, SUM(v * v) nn FROM q
+                     WHERE i <= 16 GROUP BY 1),
+            dott AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                     FROM q p JOIN q c ON p.i = c.i AND p.i <= 16
+                     WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                     GROUP BY 1, 2),
+            cost AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                     FROM dott JOIN nrmt np ON pid = np.vec_id
+                               JOIN nrmt nc ON cid = nc.vec_id),
+            res AS (SELECT pid AS qid, cid AS id, rk
+              FROM (SELECT pid, cid, row_number() OVER (PARTITION BY pid
+                  ORDER BY cos DESC, cid) AS rk FROM cost)
+              WHERE rk <= 10),
+            dcg AS (SELECT r.qid,
+                SUM(CAST((${Corpus.gainCaseSql("l.rel", 3)}) AS
+                    DECIMAL(6, 0))
+                  * ${Corpus.ndcgDiscountCaseSql("r.rk", 10)}) AS dcg
+              FROM res r JOIN rel l ON r.qid = l.qid AND r.id = l.id
+              GROUP BY 1),
+            ideal AS (SELECT qid,
+                SUM(CAST((${Corpus.gainCaseSql("rel", 3)}) AS
+                    DECIMAL(6, 0))
+                  * ${Corpus.ndcgDiscountCaseSql("ir", 10)}) AS idcg
+              FROM (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+                  ORDER BY rel DESC, id ASC) AS ir FROM rel)
+              WHERE ir <= 10 GROUP BY 1),
+            nr AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY 1)
+            SELECT nr.qid AS query_id, nr.n_rel,
+              CAST(COALESCE(dcg.dcg, 0) AS DOUBLE) AS dcg,
+              CAST(ideal.idcg AS DOUBLE) AS idcg,
+              CAST(COALESCE(dcg.dcg, 0) AS DOUBLE)
+                / CAST(ideal.idcg AS DOUBLE) AS ndcg
+            FROM nr LEFT JOIN dcg ON nr.qid = dcg.qid
+                    JOIN ideal ON nr.qid = ideal.qid
+            ORDER BY query_id"""))
+
   private val s17 = Q(
     "s17_mmr_rerank",
     // MMR diversified re-ranking over each probe's exact top-10: 3
@@ -1462,7 +1541,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, s01, s12, s13, s14, s15, s16, s17, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
     m01, m02, m03, m04, m05)

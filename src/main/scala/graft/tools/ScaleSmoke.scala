@@ -210,8 +210,10 @@ object ScaleSmoke {
         // a window over BIN counts (group cardinality × bins rows);
         // t38 = pure scan-stage regex + fixed-term checksum fold;
         // s17 = s01's pinned-probe brute candidates + kCand²-bounded
-        // pair sims + 3 fixed window-argmax steps
-        "t39_hist_quantiles", "t38_luhn_redact", "s17_mmr_rerank")
+        // pair sims + 3 fixed window-argmax steps; s18 = two pinned-
+        // probe brute scans + eval-sized decimal metric rollups
+        "t39_hist_quantiles", "t38_luhn_redact", "s17_mmr_rerank",
+        "s18_graded_ndcg")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))

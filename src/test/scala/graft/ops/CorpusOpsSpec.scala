@@ -660,6 +660,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m.toSeq == d.map(_.doubleValue).toSeq)
   }
 
+  test("gradedNdcg: hand-computed DCG/IDCG on crafted grades; zero-grade " +
+    "queries dropped; labeled query missing from results scores 0") {
+    // q0: labels id1 rel3, id2 rel1; results rank1=id2, rank2=id9
+    // (unlabeled), rank3=id1 → DCG = 1·disc(1) + 7·disc(3) = 1 + 3.5;
+    // IDCG = 7·disc(1) + 1·disc(2). q1: only grade-0 label → dropped.
+    // q2: labeled but absent from results → dcg 0, ndcg 0.
+    val results = Seq((0L, 2L, 1), (0L, 9L, 2), (0L, 1L, 3), (1L, 1L, 1))
+      .toDF("q", "id", "rk")
+    val rel = Seq((0L, 1L, 3), (0L, 2L, 1), (1L, 5L, 0), (2L, 7L, 2))
+      .toDF("q", "id", "rel")
+    val got = Corpus.gradedNdcg(results, rel, "q", "id", "rk", "rel",
+        k = 10, maxRel = 3)
+      .orderBy("q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val d = Corpus.ndcgDiscounts(10).map(_.doubleValue)
+    val dcg0 = 1.0 * d(0) + 7.0 * d(2)
+    val idcg0 = 7.0 * d(0) + 1.0 * d(1)
+    assert(got.map(_._1) == Seq(0L, 2L))
+    assert(got(0)._2 == 2L)
+    assert(math.abs(got(0)._3 - dcg0) < 1e-12)
+    assert(math.abs(got(0)._4 - idcg0) < 1e-12)
+    assert(math.abs(got(0)._5 - dcg0 / idcg0) < 1e-12)
+    assert(got(1) == ((2L, 1L, 0.0, 3.0 * d(0), 0.0)))
+  }
+
   test("histQuantiles: hand-pinned bin edges on a crafted distribution") {
     // group a: token counts 1..10 (one word per token) with width 4 →
     // bins 0 (counts 1..3), 1 (4..7), 2 (8..10); cum 3, 7, 10.
