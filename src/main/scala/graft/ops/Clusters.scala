@@ -288,7 +288,11 @@ object Clusters {
     * list comes from the bounded pair finders (inverted index / LSH),
     * never all-pairs. Node count `n` is one count job up front; ranks
     * never exceed `scale` (damped mass is non-increasing), so long
-    * arithmetic holds for any graph with scale = 1e12.
+    * arithmetic holds for any graph with scale = 1e12. Each round
+    * materializes via eager localCheckpoint and frees its predecessor
+    * (the [[connectedComponents]] discipline) — without it round k's
+    * plan nests rounds 1..k−1 and the fixed iteration count turns into
+    * quadratic re-execution.
     */
   def graphRank(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
@@ -296,7 +300,8 @@ object Clusters {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edges = sym.join(deg, "src")
+      .localCheckpoint()
+    val edges = sym.join(deg, "src").localCheckpoint()
     val n = deg.count()
     if (n == 0) {
       return pairs.sparkSession.createDataFrame(
@@ -316,11 +321,14 @@ object Clusters {
       val contrib = edges.join(ranks, edges("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum("c").as("sum_c"))
+      val oldRanks = ranks
       ranks = deg.select(col("src").as("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) +
             expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
+        .localCheckpoint()
+      freeCheckpoint(oldRanks)
     }
     deg.select(col("src").as("id"), col("deg"))
       .join(ranks, "id")
