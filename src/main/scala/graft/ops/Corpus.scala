@@ -873,9 +873,15 @@ object Corpus {
     *
     * Shape: the t35 shape one order up — FIVE type-cardinality-sized
     * partial-agg rollups of the reference slice (tri, ctx12, mid, big
-    * firsts, big seconds), scoring explodes each doc's trigrams once
-    * and equi-joins them (AQE absorbs hot heads), nbt broadcasts as
-    * one row.
+    * firsts, big seconds), nbt broadcast as one row. Scoring is
+    * factored by TYPE: bits depend only on the trigram string, so the
+    * factor joins run over the corpus's DISTINCT doc-side trigrams
+    * (type-cardinality × type-cardinality, never occurrences), and the
+    * occurrence-sized side takes exactly ONE shuffle — a per-doc
+    * (trigram, cnt) rollup joined to the typed bits table, with
+    * `sum_bits = Σ cnt·bits`. At sf0.1 types ≈ occurrences so the
+    * local win is modest (~7%); at 100 TB the type/occurrence ratio
+    * and within-doc repetition are what keep the join stages bounded.
     */
   def knTrigramPerDoc(
       df: DataFrame, idCol: String, textCol: String,
@@ -899,9 +905,12 @@ object Corpus {
     val f2t = big.groupBy(col("b1").as("w2")).agg(count(lit(1)).as("f2"))
     val nc3t = big.groupBy(col("b2").as("w3")).agg(count(lit(1)).as("nc3"))
     val nbt = broadcast(big.agg(count(lit(1)).as("nbt")))
-    val scored = df
+    val docTri = df
       .select(col(idCol),
         explode(TextOps.trigramList(col(textCol))).as("trigram"))
+      .groupBy(col(idCol), col("trigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val typeBits = docTri.select("trigram").distinct()
       .withColumn("w1", element_at(split(col("trigram"), " "), 1))
       .withColumn("w2", element_at(split(col("trigram"), " "), 2))
       .withColumn("w3", element_at(split(col("trigram"), " "), 3))
@@ -921,7 +930,7 @@ object Corpus {
       .withColumn("den",
         lit(16L) * col("c12") * col("m2") * col("nbt"))
       .withColumn("bden", lit(4L) * col("m2") * col("nbt"))
-      .select(col(idCol),
+      .select(col("trigram"),
         when(col("c12").isNotNull,
           when(col("num") > 0,
             length(bin(expr("den div num"))).cast("long"))
@@ -932,8 +941,11 @@ object Corpus {
               .otherwise(length(bin(col("bden"))).cast("long")))
           .otherwise(lit(1L)) // unseen everywhere: the 1-bit backstop
           .as("bits"))
+    val scored = docTri
+      .join(typeBits, Seq("trigram"))
       .groupBy(idCol)
-      .agg(sum("bits").as("sum_bits"), count(lit(1)).as("n_tri"))
+      .agg(sum(col("cnt") * col("bits")).as("sum_bits"),
+        sum(col("cnt")).as("n_tri"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
