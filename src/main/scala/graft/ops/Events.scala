@@ -649,6 +649,73 @@ object Events {
         coalesce(col("n_unknown"), lit(0L)).as("n_unknown"))
   }
 
+  /** Welch's unequal-variance t-test (Welch 1947) — the experiment
+    * DECISION beside [[srmCheck]]'s trust gate and the CUPED variance
+    * reducer: given one row per (experiment, unit) with a two-arm
+    * `variant` (0 = control, 1 = treatment) and an INTEGER-QUANTIZED
+    * metric (the caller pre-quantizes — cents, not dollars — the
+    * t16/t27 discipline), report per experiment the arm sizes, means,
+    * sample variances, the t statistic and the Welch–Satterthwaite
+    * degrees of freedom.
+    *
+    * Oracle exactness: Σx and Σx² accumulate as EXACT longs (the only
+    * order-sensitive step), so the float chain on top — mean `S/n`,
+    * variance `(Q − S·S/n)/(n−1)`, `t = (m₀−m₁)/√(v₀/n₀+v₁/n₁)`, the
+    * df ratio — is a fixed expression tree of correctly-rounded IEEE
+    * ops that DuckDB replays bit-for-bit. Magnitudes hold while
+    * n·max(x)² < 2⁶³ (~10⁹ units at 10⁵-cent metrics — pre-scale the
+    * quantization beyond that). Arms with n < 2 or a zero pooled
+    * standard error yield NULL t/df (undefined, never ±Inf).
+    *
+    * Shape: ONE fixed-width (experiment, variant) partial-agg rollup
+    * — map-side combine does the real work, the exchange carries at
+    * most experiments × 2 rows — then a self-join of the two arm rows
+    * per experiment. Nothing downstream scales with units.
+    */
+  def welchT(units: DataFrame, expCol: String, variantCol: String,
+      metricCol: String): DataFrame = {
+    require(units.schema(metricCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$metricCol must be an integer-quantized LONG metric")
+    val arm = units
+      .select(col(expCol).as("exp"),
+        col(variantCol).cast("long").as("variant"),
+        col(metricCol).as("x"))
+      .filter(col("variant").isin(0L, 1L))
+      .groupBy("exp", "variant")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .withColumn("m", col("s").cast("double") / col("n"))
+      .withColumn("v",
+        when(col("n") < 2, lit(null)).otherwise(
+          (col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n")) / (col("n") - 1)))
+    val a0 = arm.filter(col("variant") === 0L)
+      .select(col("exp"), col("n").as("n_0"), col("m").as("mean_0"),
+        col("v").as("var_0"))
+    val a1 = arm.filter(col("variant") === 1L)
+      .select(col("exp"), col("n").as("n_1"), col("m").as("mean_1"),
+        col("v").as("var_1"))
+    a0.join(a1, Seq("exp"), "full")
+      .withColumn("se2",
+        col("var_0") / col("n_0") + col("var_1") / col("n_1"))
+      .select(col("exp").as(expCol),
+        coalesce(col("n_0"), lit(0L)).as("n_0"),
+        coalesce(col("n_1"), lit(0L)).as("n_1"),
+        col("mean_0"), col("mean_1"), col("var_0"), col("var_1"),
+        when(col("se2").isNull || col("se2") <= 0, lit(null))
+          .otherwise((col("mean_0") - col("mean_1")) / sqrt(col("se2")))
+          .as("t_stat"),
+        when(col("se2").isNull || col("se2") <= 0, lit(null))
+          .otherwise(col("se2") * col("se2") /
+            ((col("var_0") / col("n_0")) * (col("var_0") / col("n_0")) /
+              (col("n_0") - 1) +
+             (col("var_1") / col("n_1")) * (col("var_1") / col("n_1")) /
+              (col("n_1") - 1)))
+          .as("df"))
+  }
+
   /** SCD2 history-table construction (Kimball type-2 dimension from a
     * change log): collapse each user's event stream into validity
     * intervals of their tracked state (here `event_type` — the

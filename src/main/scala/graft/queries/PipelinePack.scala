@@ -566,6 +566,73 @@ object PipelinePack {
             FROM deg d JOIN r5 ON d.src = r5.id
             ORDER BY rank DESC, id ASC"""))
 
+  private val d28 = Q(
+    "d28_triangle_count",
+    // per-node triangle counts + local clustering coefficient over the
+    // SAME d02 near-dup pair graph d26 ranks (tau = 1/4): the cohesion
+    // signal that separates true template clusters (coef -> 1) from
+    // hub docs stitching unrelated texts (high degree, low coef — the
+    // inverted-index false-positive shape). Degree-ordered counting
+    // (Suri & Vassilvitskii 2011) keeps the wedge join O(m^1.5); all
+    // counts exact longs, the coefficient ONE IEEE division
+    (s, dir) => Clusters.triangleStats(
+        Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      .orderBy(col("tri").desc, col("id").asc),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (SELECT ia, ib FROM com
+              JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+              WHERE c * 4 >= (sa.n + sb.n - c) * 1),
+            und AS (SELECT DISTINCT least(ia, ib) u, greatest(ia, ib) v
+              FROM pairs WHERE ia <> ib),
+            deg AS (SELECT id, COUNT(*) AS deg FROM (
+                SELECT u AS id FROM und
+                UNION ALL SELECT v FROM und) GROUP BY 1),
+            wd AS (SELECT und.u, und.v, a.deg AS du, b.deg AS dv
+              FROM und JOIN deg a ON und.u = a.id
+                JOIN deg b ON und.v = b.id),
+            ore AS (SELECT
+                CASE WHEN du < dv OR (du = dv AND u < v)
+                  THEN u ELSE v END AS src,
+                CASE WHEN du < dv OR (du = dv AND u < v)
+                  THEN v ELSE u END AS dst,
+                CASE WHEN du < dv OR (du = dv AND u < v)
+                  THEN dv ELSE du END AS ddeg
+              FROM wd),
+            wed AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+              FROM ore x JOIN ore y ON x.src = y.src
+              WHERE x.ddeg < y.ddeg
+                OR (x.ddeg = y.ddeg AND x.dst < y.dst)),
+            tri AS (SELECT w.a, w.b, w.c FROM wed w
+              JOIN ore e ON w.b = e.src AND w.c = e.dst),
+            pn AS (SELECT id, COUNT(*) AS tri FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri) GROUP BY 1)
+            SELECT d.id, d.deg,
+              CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+              CASE WHEN d.deg < 2 THEN NULL
+                ELSE CAST(2 * COALESCE(pn.tri, 0) AS DOUBLE)
+                  / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+              END AS coef
+            FROM deg d LEFT JOIN pn USING (id)
+            ORDER BY tri DESC, id ASC"""))
+
   private val s18 = Q(
     "s18_graded_ndcg",
     // graded-relevance nDCG@10 (the TREC-qrel form above s15's binary
@@ -1281,6 +1348,77 @@ object PipelinePack {
               CAST(0 AS BIGINT) AS n_unknown
             FROM chi ORDER BY event_type"""))
 
+  private val e23 = Q(
+    "e23_welch_t",
+    // Welch's t-test (the experiment DECISION above e22's SRM trust
+    // gate and e21's CUPED variance reducer): unit = (event_type,
+    // user), metric = the user's total value in integer CENTS, arms by
+    // the e22 md5-digit 50/50 assignment; a PLANTED +10% integer lift
+    // on purchase's treatment arm gives the test a real effect to
+    // find. Sums/squares exact longs; the mean/variance/t/df float
+    // chain is a fixed IEEE expression tree DuckDB replays exactly
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val units = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "user_id", "variant")
+        .agg(sum("cents").as("m0"))
+        .withColumn("metric",
+          when(col("event_type") === "purchase" &&
+            col("variant") === 1L,
+            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+      Events.welchT(units, "event_type", "variant", "metric")
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            um AS (SELECT event_type, user_id, variant,
+                CAST(SUM(cents) AS BIGINT) AS m0
+              FROM ev GROUP BY 1, 2, 3),
+            un AS (SELECT event_type, user_id, variant,
+                CASE WHEN event_type = 'purchase' AND variant = 1
+                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+              FROM um),
+            arm AS (SELECT event_type, variant, COUNT(*) AS n,
+                CAST(SUM(metric) AS BIGINT) AS s,
+                CAST(SUM(metric * metric) AS BIGINT) AS q
+              FROM un GROUP BY 1, 2),
+            armv AS (SELECT event_type, variant, n,
+                CAST(s AS DOUBLE) / n AS m,
+                CASE WHEN n < 2 THEN NULL
+                  ELSE (CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1) END AS v
+              FROM arm),
+            a0 AS (SELECT event_type, n AS n_0, m AS mean_0, v AS var_0
+              FROM armv WHERE variant = 0),
+            a1 AS (SELECT event_type, n AS n_1, m AS mean_1, v AS var_1
+              FROM armv WHERE variant = 1),
+            fj AS (SELECT event_type,
+                n_0, n_1, mean_0, mean_1, var_0, var_1,
+                var_0 / n_0 + var_1 / n_1 AS se2
+              FROM a0 FULL JOIN a1 USING (event_type))
+            SELECT event_type,
+              CAST(COALESCE(n_0, 0) AS BIGINT) AS n_0,
+              CAST(COALESCE(n_1, 0) AS BIGINT) AS n_1,
+              mean_0, mean_1, var_0, var_1,
+              CASE WHEN se2 IS NULL OR se2 <= 0 THEN NULL
+                ELSE (mean_0 - mean_1) / sqrt(se2) END AS t_stat,
+              CASE WHEN se2 IS NULL OR se2 <= 0 THEN NULL
+                ELSE se2 * se2 /
+                  ((var_0 / n_0) * (var_0 / n_0) / (n_0 - 1)
+                   + (var_1 / n_1) * (var_1 / n_1) / (n_1 - 1))
+              END AS df
+            FROM fj ORDER BY event_type"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -1541,8 +1679,8 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
     m01, m02, m03, m04, m05)
 }

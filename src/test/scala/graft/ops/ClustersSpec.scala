@@ -119,4 +119,63 @@ class ClustersSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "deg", "rank"))
     assert(got.count() == 0)
   }
+
+  test("triangleStats: K3, K4, path, star, and a stitched hub") {
+    // K3: every node in 1 triangle, coefficient 1
+    val k3 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val g3 = Clusters.triangleStats(k3, "id_a", "id_b")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(g3.toSeq == Seq((1L, 2L, 1L, Some(1.0)),
+      (2L, 2L, 1L, Some(1.0)), (3L, 2L, 1L, Some(1.0))))
+
+    // K4: each node in C(3,2) = 3 triangles, coefficient 1
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val g4 = Clusters.triangleStats(k4, "id_a", "id_b")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(g4.forall(r => r._2 == 3L && r._3 == 3L &&
+      r._4.contains(1.0)))
+
+    // path 1-2-3: no triangle; middle node coef 0, leaves NULL (deg 1)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val gp = Clusters.triangleStats(path, "id_a", "id_b")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(gp.toSeq == Seq((1L, 1L, 0L, None),
+      (2L, 2L, 0L, Some(0.0)), (3L, 1L, 0L, None)))
+
+    // star: hub of 4 spokes — no triangles, hub coef 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("id_a", "id_b")
+    val gs = Clusters.triangleStats(star, "id_a", "id_b")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(gs.forall(_._3 == 0L))
+    assert(gs.find(_._1 == 0L).get._4.contains(0.0))
+
+    // stitched hub: node 0 joins two K3s it belongs to — hub tri = 2
+    // but coef = 2*2/(4*3) = 1/3 < 1 (the template-vs-hub separation)
+    val hub = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (0L, 3L), (0L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val gh = Clusters.triangleStats(hub, "id_a", "id_b")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    val h = gh.find(_._1 == 0L).get
+    assert(h._2 == 4L && h._3 == 2L && h._4.contains(1.0 / 3))
+    assert(gh.filter(_._1 != 0L).forall(r => r._3 == 1L &&
+      r._4.contains(1.0)))
+  }
+
+  test("triangleStats: duplicated / reversed / self pairs dedupe") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)).toDF("id_a", "id_b")
+    val got = Clusters.triangleStats(messy, "id_a", "id_b")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 1L, Some(1.0)),
+      (2L, 2L, 1L, Some(1.0)), (3L, 2L, 1L, Some(1.0))))
+  }
+
+  test("triangleStats: empty graph yields an empty typed frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Clusters.triangleStats(empty, "id_a", "id_b")
+    assert(got.columns.toSeq == Seq("id", "deg", "tri", "coef"))
+    assert(got.count() == 0)
+  }
 }

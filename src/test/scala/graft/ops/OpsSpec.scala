@@ -816,6 +816,50 @@ class EventsSpec extends SparkSpec {
       ("D", 20L, 0.0, false, 5L)))
   }
 
+  test("welchT: hand-computed t and Welch df, n<2 / zero-variance / " +
+    "missing-arm all yield NULL, off-design variants drop") {
+    val rows =
+      Seq(10L, 20L, 30L, 40L).map(x => ("A", 0L, x)) ++
+      Seq(20L, 30L, 40L, 50L, 60L).map(x => ("A", 1L, x)) ++
+      Seq(("B", 0L, 5L)) ++ Seq(7L, 9L).map(x => ("B", 1L, x)) ++
+      Seq(5L, 5L).map(x => ("C", 0L, x)) ++
+      Seq(7L, 7L).map(x => ("C", 1L, x)) ++
+      Seq(1L, 2L, 3L).map(x => ("D", 1L, x)) ++
+      Seq(("A", 2L, 999L)) // off-design variant: dropped
+    val units = rows.toDF("exp", "variant", "x")
+    val got = Events.welchT(units, "exp", "variant", "x")
+      .orderBy("exp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), Option(r.get(7)), Option(r.get(8))))
+    // replay the op's exact IEEE expression tree for experiment A
+    val v0 = (3000.0 - 100.0 * 100.0 / 4) / (4 - 1)
+    val v1 = (9000.0 - 200.0 * 200.0 / 5) / (5 - 1)
+    val se2 = v0 / 4 + v1 / 5
+    val tA = (25.0 - 40.0) / math.sqrt(se2)
+    val dfA = se2 * se2 /
+      ((v0 / 4) * (v0 / 4) / (4 - 1) + (v1 / 5) * (v1 / 5) / (5 - 1))
+    val byExp = got.map(r => r._1 -> r).toMap
+    assert(byExp("A") == ("A", 4L, 5L, Some(25.0), Some(40.0),
+      Some(v0), Some(v1), Some(tA), Some(dfA)))
+    // B: control arm n=1 -> var_0 NULL -> t/df NULL (mean still reported)
+    assert(byExp("B")._2 == 1L && byExp("B")._4.contains(5.0) &&
+      byExp("B")._6.isEmpty && byExp("B")._8.isEmpty)
+    // C: both arms zero variance -> se2 = 0 -> NULL, never ±Inf
+    assert(byExp("C")._6.contains(0.0) && byExp("C")._8.isEmpty &&
+      byExp("C")._9.isEmpty)
+    // D: no control arm at all -> n_0 = 0, everything control-side NULL
+    assert(byExp("D") == ("D", 0L, 3L, None, Some(2.0), None,
+      Some(1.0), None, None))
+  }
+
+  test("welchT refuses a non-quantized (non-long) metric") {
+    val units = Seq(("A", 0L, 1.5)).toDF("exp", "variant", "x")
+    intercept[IllegalArgumentException] {
+      Events.welchT(units, "exp", "variant", "x")
+    }
+  }
+
   test("funnelStages requires strict temporal order across steps") {
     val e = Seq(
       // user 1: full funnel in order
