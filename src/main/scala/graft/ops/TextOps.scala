@@ -201,6 +201,109 @@ object TextOps {
       graft.functions.BpeEncodeExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
 
+  /** Train a WordPiece vocabulary (Schuster & Nakajima 2012 — the BERT
+    * tokenizer family): merge selection runs the Sennrich loop but
+    * scores a candidate pair by LIKELIHOOD GAIN
+    * `count(ab) / (count(a)·count(b))` instead of raw pair frequency —
+    * a rare pair whose halves occur nowhere else beats a frequent pair
+    * of promiscuous symbols (WordPieceSpec pins the separation).
+    * Scores compare by exact cross-multiplication (BigInt, driver-side
+    * — no float ever ranks a merge); ties break on the
+    * lexicographically greatest pair, the [[trainBpeMerges]]
+    * convention. Continuation symbols carry BERT's `##` marker; a
+    * merge strips the right half's marker (`a + b.stripPrefix("##")`).
+    *
+    * Returns the vocabulary as an ordered piece list: `[UNK]` at id 0
+    * (the encoder's contract), then every base piece seen in the
+    * training head (word-initial chars bare, continuations `##`-marked,
+    * lexicographic), then merge outputs in merge order. Persist as a
+    * 1-column table next to the corpus like the BPE merges — training
+    * is separable from encoding.
+    *
+    * Scale shape = [[trainBpeMerges]]: the corpus collapses to the
+    * bounded (word, freq) head; the loop is corpus-size-independent.
+    */
+  def trainWordPieceVocab(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxWords: Int = 65536): Seq[String] = {
+    val wf = df
+      .select(explode(expr(
+        s"regexp_extract_all($textCol, '[A-Za-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Map[Vector[String], Long] = wf.toSeq
+      .map { case (w, f) =>
+        (w.head.toString +: w.tail.map("##" + _)).toVector -> f
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val base = vocab.keys.flatten.toSeq.distinct.sorted
+    val merges = Vector.newBuilder[String]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val units = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length) {
+          units(syms(j)) = units.getOrElse(syms(j), 0L) + f
+          if (j + 1 < syms.length) {
+            val p = (syms(j), syms(j + 1))
+            pairs(p) = pairs.getOrElse(p, 0L) + f
+          }
+          j += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        // argmax of c_ab/(c_a·c_b) by exact cross-multiplication
+        val (a, b) = pairs.keysIterator.reduceLeft { (p, q) =>
+          val lhs = BigInt(pairs(p)) * units(q._1) * units(q._2)
+          val rhs = BigInt(pairs(q)) * units(p._1) * units(p._2)
+          val tie = Ordering.Tuple2[String, String].compare(p, q)
+          if (lhs > rhs || (lhs == rhs && tie >= 0)) p else q
+        }
+        val merged = a + b.stripPrefix("##")
+        merges += merged
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += merged; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        i += 1
+      }
+    }
+    "[UNK]" +: (base ++ merges.result())
+  }
+
+  /** Exact per-document token count under a trained WordPiece
+    * vocabulary ([[graft.functions.WordPieceCountExpr]]) — greedy
+    * longest-match-first with BERT's whole-word `[UNK]` rule; alpha
+    * segmentation matches [[bpeTokenCountTrained]] so the four trained
+    * counters compare directly.
+    */
+  def wordPieceCount(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordPieceCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), vocab))
+
+  /** Tokenize to WordPiece training ids (vocabulary indices, `[UNK]` =
+    * 0) — [[graft.functions.WordPieceEncodeExpr]]; `size` equals
+    * [[wordPieceCount]] by construction.
+    */
+  def wordPieceEncodeIds(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordPieceEncodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), vocab))
+
   /** Train BYTE-level BPE merges (GPT-2-style byte fallback — Radford
     * et al. 2019): the 256 byte values are the base alphabet, so every
     * glyph — CJK, emoji, punctuation runs — tokenizes with zero OOV

@@ -2836,8 +2836,33 @@ object CorpusPack {
             FROM passed p JOIN keep USING (doc_id)
             ORDER BY doc_id"""))
 
+  private val t40 = Q(
+    "t40_wordpiece_ids",
+    // WordPiece (BERT-family) count + emit under a corpus-trained
+    // likelihood-gain vocabulary — the fourth production tokenizer
+    // beside alpha BPE (t17/t30), unigram-LM (t25/t31), and byte BPE
+    // (t32/t33); greedy longest-match-first with the whole-word [UNK]
+    // rule. No SQL oracle (DuckDB cannot WordPiece-encode);
+    // WordPieceSpec gates greedy-longest-match, the UNK rule, the
+    // likelihood-vs-frequency trainer separation, decode round-trip,
+    // totality, and count == size(ids). n_unk audits OOV mass
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val vocab = TextOps.trainWordPieceVocab(docs, "text", nMerges = 150)
+      docs.select(col("doc_id"),
+        TextOps.wordPieceEncodeIds(col("text"), vocab).as("ids"),
+        TextOps.wordPieceCount(col("text"), vocab).as("n_tok"))
+        // harness boundary: digest + size, never the raw array
+        .select(col("doc_id"),
+          Relational.harnessDigest(col("ids")).as("ids_md5"),
+          size(col("ids")).as("n_ids"), col("n_tok"),
+          size(filter(col("ids"), _ === 0)).as("n_unk"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27)

@@ -75,6 +75,10 @@ class ContractSpec extends AnyFunSuite {
       // strict equality vs an independent reference, total round-trip,
       // zero-OOV id range, and count ≡ size(ids)
       "t32_byte_bpe_count", "t33_byte_bpe_ids",
+      // WordPiece count + emit; WordPieceSpec gates greedy longest
+      // match, the whole-word [UNK] rule, the likelihood-gain trainer,
+      // decode round-trip, totality, and count ≡ size(ids)
+      "t40_wordpiece_ids",
       // s13's IVF scale twin: trained lists have no SQL mirror;
       // RecallSpec gates the fused top-10 vs the exact s13 fusion
       "s14_hybrid_rrf_ivf",
