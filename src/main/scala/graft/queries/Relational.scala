@@ -977,8 +977,97 @@ object Relational {
             FROM orders WHERE o_orderkey < 200
             GROUP BY 1 ORDER BY 1"""))
 
+  private val q43 = Q(
+    "q43_merge_upsert",
+    // SQL:2003 MERGE / CDC-apply: a change batch (update / insert /
+    // delete arms + a SUPERSEDED stale version that last-writer-wins
+    // must discard) applied to the customer dimension —
+    // Warehouse.latestByVersion collapse then applyChanges full-outer
+    // CASE; balances in integer cents so every arm is hash-exact
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("spend_c"))
+      val upd = cust
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"),
+          (col("bal_c") + col("spend_c")).as("bal_c"),
+          lit(false).as("deleted"), lit(2L).as("ver"))
+      val stale = upd // an earlier CDC version the collapse must drop
+        .withColumn("bal_c", lit(-1L)).withColumn("ver", lit(1L))
+      val ins = spend.filter(col("o_custkey") % 3 === 1)
+        .select((col("o_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("Customer#new"), col("o_custkey").cast("string"))
+            .as("c_name"),
+          lit(0).cast("int").as("c_nationkey"),
+          lit("NEWSEG").as("c_mktsegment"),
+          col("spend_c").as("bal_c"),
+          lit(false).as("deleted"), lit(2L).as("ver"))
+      val del = cust.filter(col("c_custkey") % 3 === 2)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"), col("bal_c"),
+          lit(true).as("deleted"), lit(2L).as("ver"))
+      val latest = graft.ops.Warehouse.latestByVersion(
+        upd.unionByName(stale).unionByName(ins).unionByName(del),
+        Seq("c_custkey"), "ver").drop("ver")
+      graft.ops.Warehouse.applyChanges(cust, latest,
+          Seq("c_custkey"), "deleted")
+        .orderBy("c_custkey")
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_name, c_nationkey,
+                c_mktsegment,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer),
+            spend AS (SELECT o_custkey,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_c
+              FROM orders GROUP BY 1),
+            upd AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                bal_c + spend_c AS bal_c, false AS deleted, 2 AS ver
+              FROM cust JOIN spend ON c_custkey = o_custkey
+              WHERE c_custkey % 3 = 0),
+            stale AS (SELECT c_custkey, c_name, c_nationkey,
+                c_mktsegment, -1 AS bal_c, false AS deleted, 1 AS ver
+              FROM upd),
+            ins AS (SELECT o_custkey + 1000000 AS c_custkey,
+                'Customer#new' || CAST(o_custkey AS VARCHAR) AS c_name,
+                0 AS c_nationkey, 'NEWSEG' AS c_mktsegment,
+                spend_c AS bal_c, false AS deleted, 2 AS ver
+              FROM spend WHERE o_custkey % 3 = 1),
+            del AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                bal_c, true AS deleted, 2 AS ver
+              FROM cust WHERE c_custkey % 3 = 2),
+            chg AS (SELECT * FROM upd UNION ALL SELECT * FROM stale
+              UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del),
+            latest AS (SELECT c_custkey, c_name, c_nationkey,
+                c_mktsegment, bal_c, deleted
+              FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                  ORDER BY ver DESC) AS rn FROM chg)
+              WHERE rn = 1)
+            SELECT
+              COALESCE(l.c_custkey, t.c_custkey) AS c_custkey,
+              CASE WHEN l.c_custkey IS NOT NULL
+                THEN l.c_name ELSE t.c_name END AS c_name,
+              CAST(CASE WHEN l.c_custkey IS NOT NULL
+                THEN l.c_nationkey ELSE t.c_nationkey END
+                AS INTEGER) AS c_nationkey,
+              CASE WHEN l.c_custkey IS NOT NULL
+                THEN l.c_mktsegment ELSE t.c_mktsegment END
+                AS c_mktsegment,
+              CAST(CASE WHEN l.c_custkey IS NOT NULL
+                THEN l.bal_c ELSE t.bal_c END AS BIGINT) AS bal_c
+            FROM cust t FULL JOIN latest l USING (c_custkey)
+            WHERE NOT COALESCE(l.deleted, false)
+            ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42)
+    q42, q43)
 }

@@ -71,6 +71,10 @@ object ScaleSmoke {
     // d26 rides d02's pair machinery at tau=1/4 (denser candidate set)
     // plus 5 fixed edge-proportional rank rounds
     "d26_graph_rank",
+    // d28 shares d26's edge construction; the wedge join is bounded by
+    // degree ordering (Σ outdeg² = O(m^1.5)) — candidate-driven, never
+    // the Σ deg² a hub would force unoriented
+    "d28_triangle_count",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -95,7 +99,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 27, s"expected 27 d-tier queries, got $dTier")
+    require(dTier.size == 28, s"expected 28 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -213,7 +217,11 @@ object ScaleSmoke {
         // pair sims + 3 fixed window-argmax steps; s18 = two pinned-
         // probe brute scans + eval-sized decimal metric rollups
         "t39_hist_quantiles", "t38_luhn_redact", "s17_mmr_rerank",
-        "s18_graded_ndcg")
+        "s18_graded_ndcg",
+        // t40 = WordPiece trainer (word-frequency head, driver loop,
+        // corpus-size-independent) + memoized pure-map greedy encode —
+        // the t17/t30 class
+        "t40_wordpiece_ids")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim(rows: (Long, String, Long)*) =
+    rows.toDF("id", "name", "bal")
+
+  test("applyChanges: update-all, insert, delete, no-op tombstone, " +
+    "and untouched passthrough in one batch") {
+    val target = dim((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+    val changes = Seq(
+      (2L, "b2", 25L, false), // matched -> replace
+      (4L, "d", 40L, false),  // unmatched -> insert
+      (3L, "c", 0L, true),    // matched + tombstone -> delete
+      (9L, "x", 0L, true)     // unmatched tombstone -> no-op
+    ).toDF("id", "name", "bal", "deleted")
+    val got = Warehouse.applyChanges(target, changes, Seq("id"), "deleted")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10L), (2L, "b2", 25L),
+      (4L, "d", 40L)))
+  }
+
+  test("applyChanges is idempotent under re-delivery of the same batch") {
+    val target = dim((1L, "a", 10L), (2L, "b", 20L))
+    val changes = Seq((2L, "b2", 25L, false), (1L, "a", 0L, true))
+      .toDF("id", "name", "bal", "deleted")
+    val once = Warehouse.applyChanges(target, changes, Seq("id"), "deleted")
+    val twice = Warehouse.applyChanges(once, changes, Seq("id"), "deleted")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(twice.toSeq == Seq((2L, "b2", 25L)))
+  }
+
+  test("applyChanges fails fast on a duplicate change key and on a " +
+    "null change key") {
+    val target = dim((1L, "a", 10L))
+    val dup = Seq((1L, "x", 1L, false), (1L, "y", 2L, false))
+      .toDF("id", "name", "bal", "deleted")
+    intercept[Exception] {
+      Warehouse.applyChanges(target, dup, Seq("id"), "deleted").collect()
+    }
+    val nul = Seq((Option.empty[Long], "x", 1L, false))
+      .toDF("id", "name", "bal", "deleted")
+    intercept[Exception] {
+      Warehouse.applyChanges(target, nul, Seq("id"), "deleted").collect()
+    }
+  }
+
+  test("applyChanges refuses a change schema that is not target + " +
+    "tombstone") {
+    val target = dim((1L, "a", 10L))
+    val bad = Seq((1L, "x", false)).toDF("id", "name", "deleted")
+    intercept[IllegalArgumentException] {
+      Warehouse.applyChanges(target, bad, Seq("id"), "deleted")
+    }
+  }
+
+  test("latestByVersion: last writer wins; duplicate (key, version) " +
+    "fails fast instead of picking a shuffle-order survivor") {
+    val log = Seq(
+      (1L, "old", 1L), (1L, "new", 3L), (1L, "mid", 2L),
+      (2L, "only", 7L)
+    ).toDF("id", "name", "ver")
+    val got = Warehouse.latestByVersion(log, Seq("id"), "ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "new", 3L), (2L, "only", 7L)))
+
+    val dup = Seq((1L, "a", 1L), (1L, "b", 1L)).toDF("id", "name", "ver")
+    intercept[Exception] {
+      Warehouse.latestByVersion(dup, Seq("id"), "ver").collect()
+    }
+  }
+}
