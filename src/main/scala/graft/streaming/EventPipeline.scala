@@ -565,4 +565,27 @@ object EventPipeline {
           }
       }
   }
+
+  /** Streaming maintenance of [[graft.ops.Events.welchT]]'s UNIT-METRIC
+    * state — the continuous experiment monitor: per-unit metric totals
+    * are commutative long sums, so a plain streaming aggregation keyed
+    * by (experiment, unit, variant) IS the batch rollup (the t39
+    * histBinStream argument applied to experiments), and update-mode
+    * emissions re-publish only units a micro-batch touched. The arm
+    * rollup and the t/df IEEE chain CANNOT fold incrementally (Σx² must
+    * square FINAL unit totals, not per-batch deltas), so they finish
+    * read-side: run `Events.welchT` over the sink — a units-sized
+    * frame, never the event stream. `metricCol` must already be the
+    * integer-quantized per-event metric (cents), welchT's contract.
+    *
+    * State = one long per live (experiment, unit) — the streaming
+    * exact-dedup seen-set class (32h): bounded by units, not events.
+    * EventStreamSpec asserts streamed unit cells ≡ the batch rollup and
+    * the finished t/df ≡ batch welchT across micro-batches.
+    */
+  def unitMetricStream(events: DataFrame, expCol: String,
+      unitCol: String, variantCol: String, metricCol: String): DataFrame =
+    events
+      .groupBy(col(expCol), col(unitCol), col(variantCol))
+      .agg(sum(col(metricCol)).as("metric"))
 }

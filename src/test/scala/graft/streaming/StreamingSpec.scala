@@ -659,4 +659,44 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((1L, "click", 30000000L, 40000000L)))
     } finally q.stop()
   }
+
+  test("unitMetricStream: streamed unit cells equal the batch rollup " +
+    "and finish to the batch welchT, across micro-batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // (exp, user, variant, cents) — user 10's metric accumulates ACROSS
+    // micro-batches, the case a naive arm-level sum-of-squares fold
+    // would get wrong
+    val evs = Seq(
+      ("A", 10L, 0L, 100L), ("A", 11L, 0L, 300L), ("A", 20L, 1L, 250L),
+      ("A", 10L, 0L, 50L), ("A", 21L, 1L, 150L), ("A", 22L, 1L, 500L),
+      ("B", 30L, 0L, 10L), ("B", 31L, 0L, 30L), ("B", 40L, 1L, 20L),
+      ("B", 41L, 1L, 60L))
+    val src = MemoryStream[(String, Long, Long, Long)]
+    val q = EventPipeline.unitMetricStream(
+        src.toDF().toDF("exp", "user_id", "variant", "cents"),
+        "exp", "user_id", "variant", "cents")
+      .writeStream.format("memory").queryName("unit_metrics")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      src.addData(evs.take(4): _*)
+      q.processAllAvailable()
+      src.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("unit_metrics")
+      val batch = evs.toDF("exp", "user_id", "variant", "cents")
+        .groupBy("exp", "user_id", "variant")
+        .agg(sum("cents").as("metric"))
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+          r.getLong(3)).toMap
+      assert(cells(streamed) == cells(batch))
+      // read-side finisher over the SINK equals the batch decision
+      def tmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(
+        tmap(graft.ops.Events.welchT(streamed, "exp", "variant", "metric")) ==
+        tmap(graft.ops.Events.welchT(batch, "exp", "variant", "metric")))
+    } finally q.stop()
+  }
 }
