@@ -715,6 +715,31 @@ class PlanSpec extends SparkSpec {
       s"queries emitting non-scalar columns at the harness boundary: " +
         s"${offenders.mkString("; ")}")
   }
+
+  test("d28: triangle counting is equi-joins end to end — no cartesian; " +
+    "the wedge ordering filter rides the src-keyed join, never a " +
+    "nested loop") {
+    val p = plan("d28_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("e23: Welch arms reduce map-side — one fixed-width rollup, " +
+    "no cartesian, no window over the unit frame") {
+    val p = plan("e23_welch_t")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q43: MERGE applies as ONE full-outer equi join on the key — " +
+    "no cartesian, no nested loop") {
+    val p = plan("q43_merge_upsert")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p)
+  }
 }
 
 
