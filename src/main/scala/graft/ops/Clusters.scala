@@ -404,4 +404,50 @@ object Clusters {
             (col("deg") * (col("deg") - 1L)).cast("double"))
           .as("coef"))
   }
+
+  /** The k-core of an undirected pair graph (Seidman 1983): the
+    * maximal subgraph where every node keeps degree ≥ k — the DEPTH
+    * signal beside [[connectedComponents]] (membership),
+    * [[graphRank]] (centrality), and [[triangleStats]] (cohesion): a
+    * doc surviving the 2-core sits inside a duplication STRUCTURE,
+    * while pendant near-dup edges (one-off boilerplate hits) peel
+    * away. Returns the surviving nodes with their within-core degree.
+    *
+    * Bounded-round peel: exactly `rounds` filter passes (drop nodes
+    * under k, keep edges with both endpoints alive), each ONE
+    * fixed-width degree rollup + two semi joins — work ∝ surviving
+    * edges, monotonically shrinking. A FIXED round count keeps the
+    * loop bit-deterministic and lets the DuckDB oracle unroll it
+    * CTE-for-CTE (the d26 discipline); the spec asserts the probe
+    * graphs reach their fixpoint inside the bound (one more round
+    * changes nothing), so the emitted set IS the true k-core there.
+    * Each round materializes via eager localCheckpoint and frees its
+    * predecessor (the [[graphRank]] lesson — without it round r's
+    * plan nests rounds 1..r−1).
+    */
+  def kCoreNodes(pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad shape: k=$k rounds=$rounds")
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def degOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    (1 to rounds).foreach { _ =>
+      val keep = degOf(edges).filter(col("deg") >= k)
+      val old = edges
+      edges = edges
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      freeCheckpoint(old)
+    }
+    degOf(edges).filter(col("deg") >= k)
+  }
 }

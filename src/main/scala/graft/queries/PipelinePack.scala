@@ -633,6 +633,66 @@ object PipelinePack {
             FROM deg d LEFT JOIN pn USING (id)
             ORDER BY tri DESC, id ASC"""))
 
+  /** The unrolled peel rounds of d29's oracle, CTE-for-CTE the Spark
+    * loop in `Clusters.kCoreNodes`: each round recomputes degrees over
+    * the surviving edges and keeps edges whose BOTH endpoints clear k.
+    */
+  private def kcoreIterCtes(rounds: Int, k: Int): String =
+    (1 to rounds).map { r =>
+      // MATERIALIZED: each round references its predecessor three
+      // times — inlined CTEs would expand the base pipeline 3^rounds
+      // times (observed: DuckDB ran out of file handles re-opening the
+      // parquet)
+      s"""dg$r AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+              SELECT u AS id FROM e${r - 1}
+              UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+          kp$r AS (SELECT id FROM dg$r WHERE deg >= $k),
+          e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+            JOIN kp$r a ON e.u = a.id JOIN kp$r b ON e.v = b.id)"""
+    }.mkString(",\n")
+
+  private val d29 = Q(
+    "d29_kcore",
+    // 2-core of the SAME d02 near-dup pair graph d26 ranks and d28
+    // triangulates (Seidman 1983): the DEPTH signal — docs surviving
+    // the 2-core sit inside duplication structure, pendant one-off
+    // boilerplate hits peel away. Bounded 6-round peel (fixpoint on
+    // the probe graphs spec-asserted) so the oracle unrolls the loop
+    // CTE-for-CTE; all arithmetic exact longs
+    (s, dir) => Clusters.kCoreNodes(
+        Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", k = 2, rounds = 6)
+      .orderBy(col("deg").desc, col("id").asc),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (SELECT ia, ib FROM com
+              JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+              WHERE c * 4 >= (sa.n + sb.n - c) * 1),
+            e0 AS MATERIALIZED (SELECT DISTINCT least(ia, ib) u,
+                greatest(ia, ib) v
+              FROM pairs WHERE ia <> ib),
+            ${kcoreIterCtes(6, 2)}
+            SELECT id, CAST(deg AS BIGINT) AS deg FROM (
+              SELECT id, COUNT(*) AS deg FROM (
+                SELECT u AS id FROM e6
+                UNION ALL SELECT v FROM e6) GROUP BY 1)
+            WHERE deg >= 2
+            ORDER BY deg DESC, id ASC"""))
+
   private val s18 = Q(
     "s18_graded_ndcg",
     // graded-relevance nDCG@10 (the TREC-qrel form above s15's binary
@@ -1679,7 +1739,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
     m01, m02, m03, m04, m05)

@@ -75,6 +75,10 @@ object ScaleSmoke {
     // degree ordering (Σ outdeg² = O(m^1.5)) — candidate-driven, never
     // the Σ deg² a hub would force unoriented
     "d28_triangle_count",
+    // d29 shares the same edges; each peel round is one fixed-width
+    // degree rollup + two semi joins over a monotonically SHRINKING
+    // edge set — candidate-driven
+    "d29_kcore",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -99,7 +103,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 28, s"expected 28 d-tier queries, got $dTier")
+    require(dTier.size == 29, s"expected 29 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

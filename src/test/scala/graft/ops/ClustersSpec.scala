@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ClustersSpec extends SparkSpec {
   import spark.implicits._
@@ -170,6 +171,50 @@ class ClustersSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 2L, 1L, Some(1.0)),
       (2L, 2L, 1L, Some(1.0)), (3L, 2L, 1L, Some(1.0))))
+  }
+
+  test("kCoreNodes: pendant and chain peel away in cascading rounds, " +
+    "the triangle core survives with within-core degrees") {
+    // triangle 1-2-3 with a chain 3-4-5-6: the 2-core is the triangle,
+    // and the chain needs THREE peel rounds (6, then 5, then 4)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("id_a", "id_b")
+    val got = Clusters.kCoreNodes(g, "id_a", "id_b", k = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+
+    // fixpoint inside the bound: one more round changes nothing
+    val more = Clusters.kCoreNodes(g, "id_a", "id_b", k = 2, rounds = 7)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(more.toSeq == got.toSeq)
+
+    // K4 at k=3: everything survives at degree 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val g4 = Clusters.kCoreNodes(k4, "id_a", "id_b", k = 3)
+      .as[(Long, Long)].collect()
+    assert(g4.length == 4 && g4.forall(_._2 == 3L))
+
+    // a bare path has no 2-core at all
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    assert(Clusters.kCoreNodes(path, "id_a", "id_b", k = 2).count() == 0)
+
+    // empty input stays empty and typed
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Clusters.kCoreNodes(empty, "id_a", "id_b", k = 2)
+    assert(e.columns.toSeq == Seq("id", "deg") && e.count() == 0)
+  }
+
+  test("kCoreNodes: the default bound reaches the fixpoint on the real " +
+    "near-dup pair graph (sf0.001)") {
+    val pairs = Dedup.nGramJaccard(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "text", "doc_id", tauNum = 1, tauDen = 4)
+      .select(col("id_a"), col("id_b"))
+    def run(r: Int) = Clusters.kCoreNodes(pairs, "id_a", "id_b",
+        k = 2, rounds = r)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(6) == run(7), "6 peel rounds must reach the fixpoint")
   }
 
   test("triangleStats: empty graph yields an empty typed frame") {
