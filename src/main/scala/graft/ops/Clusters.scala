@@ -297,11 +297,16 @@ object Clusters {
   def graphRank(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && scale >= 1000L, s"bad shape: $iters/$scale")
+    // sym materializes FIRST: deg and edges both consume it, and the
+    // upstream pair finder (inverted-index join) is the expensive part
+    // — without this it runs once per consumer
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val edges = sym.join(deg, "src").localCheckpoint()
+    freeCheckpoint(sym) // deg/edges carry everything the rounds need
     val n = deg.count()
     if (n == 0) {
       return pairs.sparkSession.createDataFrame(
