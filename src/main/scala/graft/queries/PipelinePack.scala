@@ -1479,6 +1479,63 @@ object PipelinePack {
               END AS df
             FROM fj ORDER BY event_type"""))
 
+  private val e24 = Q(
+    "e24_conversion_lag",
+    // funnel-latency percentiles: per user, seconds from FIRST view to
+    // the first click / first purchase after it, summarized as
+    // bounded-state histogram quantiles (t39's mergeable-bin machinery
+    // over event lags instead of token counts — 10-minute bins, pure
+    // integer arithmetic end to end, so hash-exact where an exact
+    // percentile would buffer every lag per group)
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      def lagFor(t: String) = ev.filter(col("event_type") === t)
+        .join(firstView, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id", "v_us").agg(min("us").as("t_us"))
+        .select(lit(s"view->$t").as("conv"),
+          expr("(t_us - v_us) div 1000000").as("lag_s"))
+      val binned = lagFor("click").unionByName(lagFor("purchase"))
+        .withColumn("bin", expr("lag_s div 600L"))
+        .groupBy("conv", "bin").agg(count(lit(1)).as("cnt"))
+      Corpus.quantilesFromBins(binned, "conv", 600L).orderBy("conv")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+                epoch_us(ts) AS us FROM events),
+            fv AS (SELECT user_id, MIN(us) AS v_us FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+            lags AS (
+              SELECT 'view->click' AS conv,
+                  (MIN(us) - v_us) // 1000000 AS lag_s
+                FROM ev JOIN fv USING (user_id)
+                WHERE event_type = 'click' AND us > v_us
+                GROUP BY user_id, v_us
+              UNION ALL
+              SELECT 'view->purchase',
+                  (MIN(us) - v_us) // 1000000
+                FROM ev JOIN fv USING (user_id)
+                WHERE event_type = 'purchase' AND us > v_us
+                GROUP BY user_id, v_us),
+            binned AS (SELECT conv, lag_s // 600 AS bin,
+                COUNT(*) AS cnt FROM lags GROUP BY 1, 2),
+            cum AS (SELECT conv, bin, cnt,
+                SUM(cnt) OVER (PARTITION BY conv ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                SUM(cnt) OVER (PARTITION BY conv) AS total
+              FROM binned)
+            SELECT conv, CAST(MAX(total) AS BIGINT) AS n_docs,
+              CAST(MIN(CASE WHEN cum >= (total * 1 + 1) // 2
+                THEN (bin + 1) * 600 END) AS BIGINT) AS p50_hi,
+              CAST(MIN(CASE WHEN cum >= (total * 9 + 9) // 10
+                THEN (bin + 1) * 600 END) AS BIGINT) AS p90_hi,
+              CAST(MIN(CASE WHEN cum >= (total * 99 + 99) // 100
+                THEN (bin + 1) * 600 END) AS BIGINT) AS p99_hi
+            FROM cum GROUP BY conv ORDER BY conv"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -1741,6 +1798,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     m01, m02, m03, m04, m05)
 }
