@@ -476,6 +476,28 @@ object ScaleProbe {
     require(deltaRatio <= 0.5,
       f"delta cut is $deltaRatio%.2fx the full re-cut — not batch-bound")
 
+    // --- graph tier at 5M edges / 2M nodes (r10): the d26/d28/d29
+    // machinery on the same supercritical random graph as the CC case —
+    // centrality, cohesion, and depth must all run edge-proportionally
+    // (no all-pairs, no unoriented hub wedges) at a scale 1000× the
+    // bench's pair graphs
+    val gEdges = spark.range(5000000L).select(
+      pmod(xxhash64(col("id"), lit(0)), lit(n)).as("a"),
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("b"))
+    val (rankRows, rankSec) = timed {
+      Clusters.graphRank(gEdges, "a", "b", iters = 5).count()
+    }
+    require(rankRows > 1000000L, s"graphRank ranked only $rankRows")
+    val (triSum, triSec) = timed {
+      Clusters.triangleStats(gEdges, "a", "b")
+        .agg(sum("tri")).head().getLong(0)
+    }
+    val (coreRows, coreSec) = timed {
+      Clusters.kCoreNodes(gEdges, "a", "b", k = 3, rounds = 8).count()
+    }
+    require(coreRows > 0 && coreRows < rankRows,
+      s"3-core kept $coreRows of $rankRows — peel did nothing")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -494,7 +516,10 @@ object ScaleProbe {
       f""""lm_noboost_sec":$lmExSec%.1f,"lm_skew_sec":$skewSec%.1f,""" +
       f""""lm_skew_ratio":$skewRatio%.1f,""" +
       f""""delta_kept":$deltaKept,"delta_sec":$deltaSec%.1f,""" +
-      f""""full_sec":$fullSec%.1f,"delta_ratio":$deltaRatio%.2f}""")
+      f""""full_sec":$fullSec%.1f,"delta_ratio":$deltaRatio%.2f,""" +
+      f""""rank_rows":$rankRows,"rank_sec":$rankSec%.1f,""" +
+      f""""tri_sum":$triSum,"tri_sec":$triSec%.1f,""" +
+      f""""kcore_rows":$coreRows,"kcore_sec":$coreSec%.1f}""")
     spark.stop()
   }
 }
