@@ -759,4 +759,38 @@ object TextOps {
       lit(0.2) * (lit(1.0) - punctR) + lit(0.1) * (lit(1.0) - upperR)
   }
 
+  /** Flesch–Kincaid readability counts (Kincaid et al. 1975) — the
+    * classic formula-based rung of the quality-signal family below the
+    * trained classifier (32l5): grade ≈ `0.39·W/S + 11.8·Y/W − 15.59`
+    * over words W, sentences S, syllables Y. Counts are EXACT longs
+    * from three linear regex scans (no shuffle, no explode):
+    *
+    *  - words    = alpha runs `[A-Za-z]+`;
+    *  - sentences = `[.!?]+` runs, floored at 1 (headline convention);
+    *  - syllables = vowel-group runs `[aeiouyAEIOUY]+` PLUS one for
+    *    each vowel-less word (every word counts ≥ 1 syllable — the
+    *    published heuristic), counted without per-word explode as
+    *    `vowel_groups + (words − words_containing_a_vowel)`.
+    *
+    * The grade itself is a FIXED IEEE expression tree over the three
+    * longs (the e23 discipline — both engines replay it bit-for-bit);
+    * zero-word docs yield NULL. Plain character classes behave
+    * identically in Java regex and RE2, so the DuckDB oracle mirrors
+    * every scan.
+    */
+  def readability(text: Column): Column = {
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+    val w = cnt("[A-Za-z]+")
+    val s = greatest(cnt("[.!?]+"), lit(1L))
+    val vg = cnt("[aeiouyAEIOUY]+")
+    val wv = cnt("[A-Za-z]*[aeiouyAEIOUY][A-Za-z]*")
+    val y = vg + (w - wv)
+    struct(w.as("n_words"), s.as("n_sent"), y.as("n_syll"),
+      when(w === 0, lit(null)).otherwise(
+        lit(0.39) * (w.cast("double") / s) +
+          lit(11.8) * (y.cast("double") / w) - lit(15.59))
+        .as("fk_grade"))
+  }
+
 }

@@ -2861,8 +2861,43 @@ object CorpusPack {
     },
     None)
 
+  private val t41 = Q(
+    "t41_readability",
+    // Flesch-Kincaid grade (Kincaid et al. 1975): the formula-based
+    // readability rung of the quality family below the trained
+    // classifier — three linear regex scans to exact long counts
+    // (words / sentence runs floored at 1 / vowel-group syllables with
+    // the every-word->=1 fallback), then ONE fixed IEEE expression
+    // tree for the grade (the e23 discipline, so DuckDB hash-matches)
+    (s, dir) => {
+      val r = TextOps.readability(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_sent").as("n_sent"), col("r.n_syll").as("n_syll"),
+          col("r.fk_grade").as("fk_grade"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                  AS BIGINT) AS w,
+                greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                  AS BIGINT), 1) AS s,
+                CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                  AS BIGINT) AS vg,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]*[aeiouyAEIOUY][A-Za-z]*')) AS BIGINT) AS wv
+              FROM documents)
+            SELECT doc_id, w AS n_words, s AS n_sent,
+              vg + (w - wv) AS n_syll,
+              CASE WHEN w = 0 THEN NULL
+                ELSE 0.39 * (CAST(w AS DOUBLE) / s)
+                  + 11.8 * (CAST(vg + (w - wv) AS DOUBLE) / w) - 15.59
+              END AS fk_grade
+            FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27)

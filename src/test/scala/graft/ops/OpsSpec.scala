@@ -17,6 +17,31 @@ class TextOpsSpec extends SparkSpec {
     assert(one("", size(TextOps.tokens(col("text")))) == 0)
   }
 
+  test("readability: hand-pinned Flesch-Kincaid counts — vowel-less " +
+    "words still count one syllable, sentence floor, zero-word NULL") {
+    def r(text: String) = Seq(text).toDF("text")
+      .select(TextOps.readability(col("text")).as("r"))
+      .select("r.n_words", "r.n_sent", "r.n_syll", "r.fk_grade")
+      .collect().head
+    // "The cat sat. It ran!" -> W=5, S=2, one vowel group per word
+    // (e, a, a, I, a) -> Y=5
+    val a = r("The cat sat. It ran!")
+    assert(a.getLong(0) == 5 && a.getLong(1) == 2 && a.getLong(2) == 5)
+    val g = 0.39 * (5.0 / 2) + 11.8 * (5.0 / 5) - 15.59
+    assert(a.getDouble(3) == g, "grade must replay the exact IEEE tree")
+    // vowel-less words fall back to one syllable each: "xz hm." ->
+    // W=2, vowel groups 0, syllables 0 + (2 - 0) = 2
+    val b = r("xz hm.")
+    assert(b.getLong(0) == 2 && b.getLong(2) == 2)
+    // y counts as a vowel: "rhythm" -> one group
+    val c = r("rhythm")
+    assert(c.getLong(2) == 1 && c.getLong(1) == 1) // sentence floor
+    // zero words -> NULL grade
+    assert(r("123 !!!").isNullAt(3))
+    // adjacent vowels collapse to one group: "queue" -> 1
+    assert(r("queue").getLong(2) == 1)
+  }
+
   test("bigramSet bridges multi-space gaps like the token stream") {
     val bs = one("a  b c", TextOps.bigramSet(col("text")))
       .asInstanceOf[scala.collection.Seq[String]].toSet
