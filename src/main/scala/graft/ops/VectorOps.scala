@@ -447,6 +447,73 @@ object VectorOps {
     * kSel is a literal loop bound (steps unroll into the plan), not a
     * data-dependent iteration.
     */
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 — the criterion
+    * CCMatrix/LASER bitext mining runs at web scale): for each left
+    * vector, score its forward top-`k` right candidates by
+    * `margin(x,y) = cos(x,y) / ((avgK(x→right) + avgK(y→left)) / 2)`
+    * and keep the argmax — raw cosine alone systematically selects HUB
+    * vectors (close to everything); dividing by the two local
+    * neighborhood averages demotes them, which is exactly why the
+    * ratio-margin replaced absolute thresholds in published mining.
+    * Margin > 1 means the pair is closer than its neighborhoods'
+    * baseline; the caller thresholds on it.
+    *
+    * Oracle-exact by the repo's vector conventions: quantized integer
+    * dots, ONE IEEE division per cosine; the k-neighborhood averages
+    * accumulate as DECIMAL(18,6) per-term sums (the e21 recipe — no
+    * engine-ordered float summation) before ONE division each, and the
+    * margin is one more IEEE division. Ties break to min id at every
+    * window.
+    *
+    * Scale shape: the all-pairs cosine here is the exact BASELINE
+    * (left broadcast against the right scan — fine while one side is
+    * probe-sized); at corpus×corpus scale swap the candidate generator
+    * for [[knnIvf]] in batch mode exactly as s09 does for hard
+    * negatives — the margin arithmetic is unchanged, it only ever
+    * consumes the two bounded top-k frames.
+    */
+  def marginMine(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val l = spread(left)
+      .select(col(idCol).as("lid"), quantize(col(vecCol)).as("lq"))
+      .withColumn("ln2", norm2(col("lq")))
+    val r = spread(right)
+      .select(col(idCol).as("rid"), quantize(col(vecCol)).as("rq"))
+      .withColumn("rn2", norm2(col("rq")))
+    val cosAll = r.crossJoin(broadcast(l))
+      .select(col("lid"), col("rid"),
+        cosine(dot(col("lq"), col("rq")), col("ln2"), col("rn2"))
+          .as("cos"))
+    val wF = Window.partitionBy("lid")
+      .orderBy(col("cos").desc, col("rid").asc)
+    val wB = Window.partitionBy("rid")
+      .orderBy(col("cos").desc, col("lid").asc)
+    val fwd = cosAll.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= k)
+    val bwd = cosAll.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val avgL = fwd.groupBy("lid")
+      .agg((sum(col("cos").cast(dec)).cast("double") /
+        count(lit(1))).as("avg_l"))
+    val avgR = bwd.groupBy("rid")
+      .agg((sum(col("cos").cast(dec)).cast("double") /
+        count(lit(1))).as("avg_r"))
+    val wM = Window.partitionBy("lid")
+      .orderBy(col("margin").desc, col("rid").asc)
+    fwd.join(avgL, Seq("lid")).join(avgR, Seq("rid"))
+      .withColumn("margin",
+        col("cos") / ((col("avg_l") + col("avg_r")) / 2))
+      .withColumn("mrk", row_number().over(wM))
+      .filter(col("mrk") === 1)
+      .select(col("lid"), col("rid"), col("cos"), col("margin"))
+  }
+
   def mmrRerank(
       probes: DataFrame,
       corpus: DataFrame,

@@ -772,6 +772,56 @@ object PipelinePack {
                     JOIN ideal ON nr.qid = ideal.qid
             ORDER BY query_id"""))
 
+  private val s19 = Q(
+    "s19_bitext_margin",
+    // CCMatrix/LASER margin-based pair mining (Artetxe & Schwenk
+    // 2019): label-0 vectors mined against label-1 — each left's
+    // forward top-4 candidates scored by cos / mean-of-local-kNN-
+    // averages, argmax kept; the ratio demotes hub vectors that raw
+    // cosine would select for every probe. Quantized dots, decimal-
+    // accumulated neighborhood averages, three IEEE divisions
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.marginMine(emb.filter(col("label") === 0),
+          emb.filter(col("label") === 1), "vec_id", "embedding", k = 4)
+        .orderBy(col("margin").desc, col("lid").asc)
+    },
+    Some("""WITH q AS (SELECT vec_id, label,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                generate_subscripts(embedding, 1) i
+              FROM embeddings WHERE label IN (0, 1)),
+            nrm AS (SELECT vec_id, SUM(v * v) n2 FROM q GROUP BY 1),
+            dots AS (SELECT l.vec_id lid, r.vec_id rid,
+                SUM(l.v * r.v) dot
+              FROM q l JOIN q r ON l.i = r.i
+              WHERE l.label = 0 AND r.label = 1 GROUP BY 1, 2),
+            cosa AS (SELECT lid, rid,
+                dot / sqrt(nl.n2 * nr.n2) AS cos
+              FROM dots JOIN nrm nl ON lid = nl.vec_id
+                        JOIN nrm nr ON rid = nr.vec_id),
+            fwd AS (SELECT lid, rid, cos FROM (SELECT lid, rid, cos,
+                row_number() OVER (PARTITION BY lid
+                  ORDER BY cos DESC, rid ASC) rk FROM cosa)
+              WHERE rk <= 4),
+            bwd AS (SELECT lid, rid, cos FROM (SELECT lid, rid, cos,
+                row_number() OVER (PARTITION BY rid
+                  ORDER BY cos DESC, lid ASC) rk FROM cosa)
+              WHERE rk <= 4),
+            al AS (SELECT lid, CAST(SUM(CAST(cos AS DECIMAL(18, 6)))
+                AS DOUBLE) / COUNT(*) AS avg_l FROM fwd GROUP BY 1),
+            ar AS (SELECT rid, CAST(SUM(CAST(cos AS DECIMAL(18, 6)))
+                AS DOUBLE) / COUNT(*) AS avg_r FROM bwd GROUP BY 1),
+            sc AS (SELECT f.lid, f.rid, f.cos,
+                f.cos / ((al.avg_l + ar.avg_r) / 2) AS margin
+              FROM fwd f JOIN al ON f.lid = al.lid
+                         JOIN ar ON f.rid = ar.rid),
+            best AS (SELECT lid, rid, cos, margin FROM (SELECT lid,
+                rid, cos, margin, row_number() OVER (PARTITION BY lid
+                  ORDER BY margin DESC, rid ASC) mrk FROM sc)
+              WHERE mrk = 1)
+            SELECT lid, rid, cos, margin FROM best
+            ORDER BY margin DESC, lid ASC"""))
+
   private val s17 = Q(
     "s17_mmr_rerank",
     // MMR diversified re-ranking over each probe's exact top-10: 3
@@ -1796,7 +1846,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, s01, s12, s13, s14, s15, s16, s17, s18, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     m01, m02, m03, m04, m05)

@@ -548,6 +548,58 @@ class DedupSpec extends SparkSpec {
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("marginMine equals an independent reference replay of the exact " +
+    "arithmetic: quantized dots, HALF_UP decimal sums, three IEEE " +
+    "divisions, min-id ties") {
+    // deterministic pseudo-random frames (xxhash-free: plain LCG)
+    def gen(seed: Long, n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+      var x = seed
+      def next(): Float = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
+      }
+      (0 until n).map(i => (seed * 100 + i,
+        Array.fill(dim)(next())))
+    }
+    val L = gen(1, 5, 4); val R = gen(2, 7, 4)
+    val k = 3
+    val got = VectorOps.marginMine(L.toDF("vec_id", "embedding"),
+        R.toDF("vec_id", "embedding"), "vec_id", "embedding", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq.sortBy(_._1)
+
+    // reference: same formula, driver-side
+    def q(v: Array[Float]): Array[Double] =
+      v.map(x => math.round(x.toDouble * 1000).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (qa, qb) = (q(a), q(b))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(qa.map(x => x * x).sum * qb.map(x => x * x).sum)
+    }
+    val all = for ((lid, lv) <- L; (rid, rv) <- R)
+      yield (lid, rid, cos(lv, rv))
+    def topk(by: ((Long, Long, Double)) => Long,
+        key: ((Long, Long, Double)) => Long) =
+      all.groupBy(by).map { case (g, rows) =>
+        g -> rows.sortBy(r => (-r._3, key(r))).take(k) }
+    val fwd = topk(_._1, _._2)
+    val bwd = topk(_._2, _._1)
+    def decAvg(rows: Seq[(Long, Long, Double)]): Double =
+      rows.map(r => BigDecimal(r._3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        rows.size
+    val avgL = fwd.map { case (g, rows) => g -> decAvg(rows) }
+    val avgR = bwd.map { case (g, rows) => g -> decAvg(rows) }
+    val want = fwd.toSeq.map { case (lid, rows) =>
+      val scored = rows.map { case (_, rid, c) =>
+        (lid, rid, c, c / ((avgL(lid) + avgR(rid)) / 2)) }
+      scored.sortBy(r => (-r._4, r._2)).head
+    }.sortBy(_._1)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.map(_._1).distinct.size == L.size,
+      "exactly one mined pair per left vector")
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.999f, 0.01f, 0.0f)), // near dup of 0
