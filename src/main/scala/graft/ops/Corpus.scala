@@ -132,6 +132,85 @@ object Corpus {
     * assignment is portable (the DuckDB oracle reproduces it exactly) and
     * permanent — a document's split never changes as the corpus grows.
     */
+  /** Deterministic Poisson(1) multiplicity from an md5-hex prefix —
+    * the inverse CDF as a fixed CASE over 8-hex thresholds
+    * `floor(P(X≤k)·16⁸)`: equal-length lowercase hex compares
+    * lexicographically like the number it encodes, so BOTH engines map
+    * the same (id, replica) to the same multiplicity with no float
+    * parsing anywhere. Tail clamps at 8 (P ≈ 1e−5). */
+  private def poissonMult(h: Column): Column =
+    when(h <= "5e2d58d8", 0L).when(h <= "bc5ab1b1", 1L)
+      .when(h <= "eb715e1d", 2L).when(h <= "fb239797", 3L)
+      .when(h <= "ff1025f5", 4L).when(h <= "ffd90f3b", 5L)
+      .when(h <= "fffa8b71", 6L).when(h <= "ffff540c", 7L)
+      .otherwise(8L)
+
+  /** The replica half of [[bootstrapMeanCi]]: per (group, replica b),
+    * the Poisson-resampled mean of `valCol` — `Σ m·v / Σ m` over
+    * multiplicities m = Poisson(1) derived from md5(id ":" b). Exact
+    * long sums, ONE IEEE division per replica. Public so the CI
+    * selection is independently checkable. */
+  def bootstrapReplicaMeans(
+      df: DataFrame, idCol: String, valCol: String, groupCol: String,
+      replicas: Int): DataFrame = {
+    require(replicas >= 2, s"replicas must be >= 2: $replicas")
+    df.select(col(groupCol), col(idCol), col(valCol))
+      .withColumn("b",
+        explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("m", poissonMult(substring(md5(concat(
+        col(idCol).cast("string"), lit(":"), col("b").cast("string"))),
+        1, 8)))
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum(col("m") * col(valCol)).as("s"), sum("m").as("c"))
+      .select(col(groupCol), col("b"),
+        when(col("c") === 0, lit(null))
+          .otherwise(col("s").cast("double") / col("c")).as("mean_b"))
+  }
+
+  /** Poisson-bootstrap percentile confidence interval (Efron 1979;
+    * the Poisson(1) approximation to multinomial resampling is the
+    * standard DISTRIBUTED bootstrap — Chamandy et al. 2012 "Estimating
+    * uncertainty for massive data streams") for a per-group mean: the
+    * error bars a release card should print beside every corpus
+    * statistic. Deterministic end to end — multiplicities come from
+    * md5(id ":" replica) through a fixed hex-threshold inverse CDF, so
+    * retries and engines agree; no RNG state anywhere.
+    *
+    * CI = the ceil-rank 5th/95th percentile replica means (ties broken
+    * by replica index), alongside the unresampled point estimate.
+    * Empty replicas (possible only for tiny groups) are excluded and
+    * the ranks computed against the surviving count.
+    *
+    * Scale shape: the replica explode is SCAN-STAGE (×B rows before
+    * the partial agg — map-side combine collapses to groups×B cells,
+    * the only exchange); the CI window runs over groups×B rows. At
+    * 100 TB the cost is B linear passes fused into one, which is the
+    * published trade for exact resampling error bars.
+    */
+  def bootstrapMeanCi(
+      df: DataFrame, idCol: String, valCol: String, groupCol: String,
+      replicas: Int = 20): DataFrame = {
+    val reps = bootstrapReplicaMeans(df, idCol, valCol, groupCol,
+      replicas).filter(col("mean_b").isNotNull)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("mean_b").asc, col("b").asc)
+    val wAll = Window.partitionBy(groupCol)
+    val ranked = reps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nb", count(lit(1)).over(wAll))
+    val ci = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("rn") === expr("(nb * 5 + 99) div 100"),
+        col("mean_b"))).as("ci_lo"),
+      max(when(col("rn") === expr("(nb * 95 + 99) div 100"),
+        col("mean_b"))).as("ci_hi"))
+    val point = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col(valCol)).cast("double") / count(lit(1))).as("mean"))
+    point.join(ci, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   def splitLabel(idCol: Column): Column = {
     val nib = substring(md5(idCol.cast("string")), 32, 1)
     when(nib.isInCollection("0123456789ab".map(_.toString)), "train")

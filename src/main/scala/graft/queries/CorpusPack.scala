@@ -2896,9 +2896,67 @@ object CorpusPack {
               END AS fk_grade
             FROM c ORDER BY doc_id"""))
 
+  private val p26 = Q(
+    "p26_bootstrap_ci",
+    // Poisson-bootstrap 90% percentile CI for mean tokens per language
+    // (Efron 1979; Poisson(1) resampling is the standard distributed
+    // bootstrap, Chamandy et al. 2012) — the error bars a release card
+    // should print beside every corpus statistic. Deterministic:
+    // multiplicities from md5(id ':' replica) through a fixed
+    // hex-threshold inverse CDF, exact long sums, one IEEE division
+    // per replica, ceil-rank percentile selection
+    (s, dir) => Corpus.bootstrapMeanCi(
+        Tables.loadParallel(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", "lang", replicas = 20)
+      .orderBy("lang"),
+    Some("""WITH d AS (SELECT doc_id, lang,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS v
+              FROM documents),
+            reps AS (SELECT lang, doc_id, v,
+                unnest(range(0, 20)) AS b FROM d),
+            mult AS (SELECT lang, b, v,
+                CASE WHEN h <= '5e2d58d8' THEN 0
+                     WHEN h <= 'bc5ab1b1' THEN 1
+                     WHEN h <= 'eb715e1d' THEN 2
+                     WHEN h <= 'fb239797' THEN 3
+                     WHEN h <= 'ff1025f5' THEN 4
+                     WHEN h <= 'ffd90f3b' THEN 5
+                     WHEN h <= 'fffa8b71' THEN 6
+                     WHEN h <= 'ffff540c' THEN 7
+                     ELSE 8 END AS m
+              FROM (SELECT lang, b, v,
+                  substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(b AS VARCHAR)), 1, 8) AS h
+                FROM reps)),
+            rm AS (SELECT lang, b,
+                CASE WHEN SUM(m) = 0 THEN NULL
+                  ELSE CAST(SUM(m * v) AS DOUBLE) / SUM(m)
+                END AS mean_b
+              FROM mult GROUP BY 1, 2),
+            nn AS (SELECT lang, b, mean_b,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY mean_b ASC, b ASC) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS nb
+              FROM rm WHERE mean_b IS NOT NULL),
+            ci AS (SELECT lang,
+                MAX(CASE WHEN rn = (nb * 5 + 99) // 100
+                  THEN mean_b END) AS ci_lo,
+                MAX(CASE WHEN rn = (nb * 95 + 99) // 100
+                  THEN mean_b END) AS ci_hi
+              FROM nn GROUP BY 1),
+            pt AS (SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+              FROM d GROUP BY 1)
+            SELECT pt.lang, n_docs, mean, ci_lo, ci_hi
+            FROM pt LEFT JOIN ci USING (lang)
+            ORDER BY lang"""))
+
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27)
 }

@@ -723,4 +723,38 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bootstrapMeanCi: CI equals the ceil-rank pick over the replica " +
+    "means, degenerate groups collapse to the point estimate") {
+    import spark.implicits._
+    // heterogeneous group 'a', constant group 'b'
+    val docs = ((1 to 40).map(i => (i.toLong, "a",
+        (if (i % 4 == 0) 100L else 10L))) ++
+      (101 to 120).map(i => (i.toLong, "b", 7L)))
+      .toDF("id", "lang", "v")
+    val b = 20
+    val got = Corpus.bootstrapMeanCi(docs, "id", "v", "lang", b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+
+    // independent CI selection from the public replica half
+    val means = Corpus.bootstrapReplicaMeans(docs, "id", "v", "lang", b)
+      .filter(col("mean_b").isNotNull)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    def pick(lang: String, qn: Int): Double = {
+      val ms = means.filter(_._1 == lang).sortBy(r => (r._3, r._2))
+      ms(((ms.size * qn + 99) / 100) - 1)._3
+    }
+    assert(got("a")._3 == pick("a", 5) && got("a")._4 == pick("a", 95))
+    assert(got("a")._3 <= got("a")._4)
+    // constant group: every resampled mean is the constant
+    assert(got("b") == ((20L, 7.0, 7.0, 7.0)))
+    // point estimate: exact mean of the raw values
+    val exactA = ((1 to 40).map(i => if (i % 4 == 0) 100L else 10L)
+      .sum).toDouble / 40
+    assert(got("a")._2 == exactA && got("a")._1 == 40L)
+    // the resampling really varies for the heterogeneous group
+    assert(means.filter(_._1 == "a").map(_._3).distinct.size > 1)
+  }
 }
