@@ -225,7 +225,11 @@ object ScaleSmoke {
         // t40 = WordPiece trainer (word-frequency head, driver loop,
         // corpus-size-independent) + memoized pure-map greedy encode —
         // the t17/t30 class
-        "t40_wordpiece_ids")
+        "t40_wordpiece_ids",
+        // t41 = three scan-stage regex counts + a per-row IEEE chain
+        // (no shuffle at all); p26 = a ×B scan-stage explode collapsed
+        // map-side to groups×B cells — both linear
+        "t41_readability", "p26_bootstrap_ci")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
