@@ -915,4 +915,45 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Pairwise source-overlap matrix: for every ordered source pair
+    * (a, b), the fraction of a's DISTINCT word bigrams that also occur
+    * in b — the cross-corpus contamination diagnostic a release card
+    * prints before mixing sources (is "books" secretly re-crawled web?
+    * how much of CC does the curated slice already cover?). Asymmetric
+    * by design: a tiny curated source can be fully contained in a
+    * crawl (cover → 1) while covering almost none of it.
+    *
+    * Shape: ONE distinct (source, gram) rollup (map-side combine on
+    * the exploded scan), per-source sizes from it, then a gram-keyed
+    * self-join — each gram emits at most S² rows for S sources, so the
+    * join output is bounded by S²·|gram vocabulary|, never corpus².
+    * The rollup's string-keyed exchange is the cost at 100 TB — swap
+    * the gram string for `xxhash64(gram)` there exactly as d02 does
+    * (the ratio is count arithmetic either way; plain strings here
+    * keep the DuckDB oracle hash-exact). Coverage is ONE IEEE division
+    * of exact longs.
+    */
+  def sourceOverlap(
+      df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val grams = graft.Tables.spreadIfNarrow(df)
+      .select(col(srcCol).as("src"),
+        explode(graft.ops.TextOps.bigramList(col(textCol))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val common = grams.select(col("src").as("src_a"), col("g"))
+      .join(grams.select(col("src").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    sizes.select(col("src").as("src_a"), col("n_grams").as("n_a"))
+      .join(sizes.select(col("src").as("src_b")), lit(true))
+      .filter(col("src_a") =!= col("src_b"))
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("n_a"),
+        when(col("n_a") === 0, lit(null))
+          .otherwise(coalesce(col("n_common"), lit(0L)).cast("double") /
+            col("n_a")).as("cover"))
+  }
 }

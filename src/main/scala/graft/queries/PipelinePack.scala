@@ -693,6 +693,43 @@ object PipelinePack {
             WHERE deg >= 2
             ORDER BY deg DESC, id ASC"""))
 
+  private val d30 = Q(
+    "d30_source_overlap",
+    // pairwise source-overlap matrix: the fraction of each source's
+    // distinct word bigrams that also occur in every other source —
+    // the cross-corpus contamination diagnostic a release card prints
+    // before mixing sources (asymmetric: a small curated slice can be
+    // fully contained in a crawl while covering almost none of it).
+    // One distinct (source, gram) rollup + a gram-keyed self-join
+    // bounded by sources^2 per gram; coverage one IEEE division
+    (s, dir) => Dedup.sourceOverlap(
+        Tables.load(s, dir, "documents"), "text", "source")
+      .orderBy("src_a", "src_b"),
+    Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, source, unnest(l) w,
+                generate_subscripts(l, 1) i FROM t),
+            tok AS (SELECT doc_id, source, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.source, a.w || ' ' || b.w AS g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT source, COUNT(*) AS n FROM big GROUP BY 1),
+            com AS (SELECT a.source sa, b.source sb, COUNT(*) AS c
+              FROM big a JOIN big b
+                ON a.g = b.g AND a.source <> b.source
+              GROUP BY 1, 2)
+            SELECT x.source AS src_a, y.source AS src_b,
+              CAST(COALESCE(c, 0) AS BIGINT) AS n_common,
+              CAST(x.n AS BIGINT) AS n_a,
+              CASE WHEN x.n = 0 THEN NULL
+                ELSE CAST(COALESCE(c, 0) AS DOUBLE) / x.n
+              END AS cover
+            FROM sz x JOIN sz y ON x.source <> y.source
+            LEFT JOIN com ON sa = x.source AND sb = y.source
+            ORDER BY src_a, src_b"""))
+
   private val s18 = Q(
     "s18_graded_ndcg",
     // graded-relevance nDCG@10 (the TREC-qrel form above s15's binary
@@ -1846,7 +1883,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     m01, m02, m03, m04, m05)

@@ -79,6 +79,9 @@ object ScaleSmoke {
     // degree rollup + two semi joins over a monotonically SHRINKING
     // edge set — candidate-driven
     "d29_kcore",
+    // d30's gram self-join emits at most sources² rows per gram (20
+    // sources here) on top of the d02-class gram-keyed exchange
+    "d30_source_overlap",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -103,7 +106,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 29, s"expected 29 d-tier queries, got $dTier")
+    require(dTier.size == 30, s"expected 30 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -545,6 +545,28 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class DedupOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sourceOverlap: asymmetric containment, zero-overlap pairs " +
+    "present, and sub-bigram docs contribute nothing") {
+    val docs = Seq(
+      ("A", "a b c"),        // bigrams {a b, b c}
+      ("B", "a b c d"),      // {a b, b c, c d} — contains ALL of A's
+      ("C", "x y"),          // {x y} — disjoint
+      ("C", "solo")          // no bigram: must add nothing to C
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 6, "full ordered matrix over 3 sources")
+    assert(got(("A", "B")) == ((2L, 2L, 1.0)), "A fully inside B")
+    assert(got(("B", "A")) == ((2L, 3L, 2.0 / 3)), "B only 2/3 covered")
+    assert(got(("A", "C")) == ((0L, 2L, 0.0)))
+    assert(got(("C", "B")) == ((0L, 1L, 0.0)), "solo doc added nothing")
+  }
+}
+
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
