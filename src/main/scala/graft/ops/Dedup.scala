@@ -934,6 +934,63 @@ object Dedup {
     * keep the DuckDB oracle hash-exact). Coverage is ONE IEEE division
     * of exact longs.
     */
+  /** Edit-distance near-dup pairs: `(id_a, id_b, dist, max_len)` where
+    * the character-level Levenshtein distance between the two texts is
+    * at most `tauNum/tauDen` of the longer text's length — the
+    * typo/diff-class duplicate rung BETWEEN exact-normalized dedup
+    * (d15/d19: zero tolerance) and gram-set Jaccard (d02: order-blind).
+    * Jaccard over bigram SETS cannot distinguish a transposed sentence
+    * from a verbatim copy; edit distance is the order-sensitive metric
+    * the diff family (rsync, git) uses, and unit-cost Levenshtein is
+    * implemented identically in Spark (`functions.levenshtein`) and
+    * DuckDB (`levenshtein`) — integer output, so the oracle is
+    * hash-exact with no float discipline needed.
+    *
+    * Shape: candidates come from the d02 inverted index restricted to
+    * COLD grams (document frequency <= maxGramDf — near-dup pairs share
+    * many grams, most of them rare, so recall loss needs every shared
+    * gram hotter than the cap), then a cheap necessary length bound
+    * (`|len_a - len_b| <= tau * max` — edit distance >= length gap)
+    * prunes before the O(L_a * L_b) DP verify, which runs ONLY on
+    * surviving candidate pairs. Join keys and candidate rows are
+    * fixed-width longs; the two texts meet only in the final verify
+    * join. At 10x data the candidate count (not N^2) drives cost —
+    * the same contract as d02-capped / minHashLsh.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tauNum: Int,
+      tauDen: Int,
+      maxGramDf: Int): DataFrame = {
+    val docs = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        length(col(textCol)).cast("long").as("len"))
+    val grams = docs
+      .select(col("id"),
+        explode(graft.ops.TextOps.bigramSet(col("txt"))).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val cold = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= maxGramDf).select("gh")
+    val idx = grams.join(cold, "gh")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("txt").as("ta"),
+        col("len").as("la")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("txt").as("tb"),
+        col("len").as("lb")), "id_b")
+      .withColumn("mx", greatest(col("la"), col("lb")))
+      // necessary bound, checked BEFORE the DP: dist >= |la - lb|
+      .filter(abs(col("la") - col("lb")) * tauDen <= col("mx") * tauNum)
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") * tauDen <= col("mx") * tauNum)
+      .select(col("id_a"), col("id_b"), col("dist"), col("mx").as("max_len"))
+  }
+
   def sourceOverlap(
       df: DataFrame, textCol: String, srcCol: String): DataFrame = {
     val grams = graft.Tables.spreadIfNarrow(df)

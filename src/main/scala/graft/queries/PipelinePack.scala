@@ -730,6 +730,43 @@ object PipelinePack {
             LEFT JOIN com ON sa = x.source AND sb = y.source
             ORDER BY src_a, src_b"""))
 
+  private val d31 = Q(
+    "d31_edit_distance",
+    // character-level Levenshtein near-dups at normalized distance
+    // <= 1/4: the order-SENSITIVE rung between exact-normalized dedup
+    // and set-based Jaccard. Candidates from the d02 inverted index
+    // restricted to cold grams (df <= 20), length-gap prefilter, DP
+    // verify on survivors only; integer distances, hash-exact oracle
+    (s, dir) => Dedup.editDistancePairs(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        tauNum = 1, tauDen = 4, maxGramDf = 20)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            cold AS (SELECT g FROM big GROUP BY g HAVING COUNT(*) <= 20),
+            cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              JOIN cold c ON a.g = c.g),
+            d AS (SELECT ia, ib,
+                levenshtein(x.text, y.text) AS dist,
+                greatest(length(x.text), length(y.text)) AS mx
+              FROM cand JOIN documents x ON ia = x.doc_id
+              JOIN documents y ON ib = y.doc_id
+              WHERE abs(length(x.text) - length(y.text)) * 4 <= 1 *
+                greatest(length(x.text), length(y.text)))
+            SELECT ia AS id_a, ib AS id_b, CAST(dist AS BIGINT) AS dist,
+              CAST(mx AS BIGINT) AS max_len
+            FROM d WHERE dist * 4 <= mx * 1
+            ORDER BY id_a, id_b"""))
+
   private val s18 = Q(
     "s18_graded_ndcg",
     // graded-relevance nDCG@10 (the TREC-qrel form above s15's binary
@@ -1883,7 +1920,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     m01, m02, m03, m04, m05)

@@ -82,6 +82,10 @@ object ScaleSmoke {
     // d30's gram self-join emits at most sources² rows per gram (20
     // sources here) on top of the d02-class gram-keyed exchange
     "d30_source_overlap",
+    // d31 generates candidates from the cold-gram inverted index
+    // (d02-capped contract) and runs the Levenshtein DP only on
+    // length-compatible survivors — work tracks candidate count
+    "d31_edit_distance",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -106,7 +110,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 30, s"expected 30 d-tier queries, got $dTier")
+    require(dTier.size == 31, s"expected 31 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -565,6 +565,27 @@ class DedupOverlapSpec extends SparkSpec {
     assert(got(("A", "C")) == ((0L, 2L, 0.0)))
     assert(got(("C", "B")) == ((0L, 1L, 0.0)), "solo doc added nothing")
   }
+
+  test("editDistancePairs: reports the small-edit pair with its exact " +
+    "Levenshtein distance, prunes length-gap candidates before the DP, " +
+    "and loses the pair when every shared gram is hotter than the cap") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // dist 2
+      (3L, "a completely different sentence with no overlap at all"),
+      (4L, "the quick brown fox") // shares grams; length gap prunes it
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id",
+        tauNum = 1, tauDen = 4, maxGramDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 2L)))
+    // df cap 1: the (1,2) pair's shared grams all have df 2 — dropped
+    // from candidate generation, so the pair is missed (documented
+    // recall contract of the cold-gram blocker)
+    val capped = Dedup.editDistancePairs(docs, "text", "doc_id",
+        tauNum = 1, tauDen = 4, maxGramDf = 1).count()
+    assert(capped == 0L)
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
