@@ -133,6 +133,77 @@ object TokenStatsExpr {
   }
 }
 
+/** Whole-bit byte-entropy statistics in ONE pass over the raw text:
+  * `n_bytes` and the integer surprisal sum
+  * `h_bits = sum over bytes b of count(b) * floor(log2(n / count(b)))`
+  * — the zeroth-order analytic twin of t18's deflate compression ratio
+  * (a uniform-random byte stream maximizes it, a single repeated byte
+  * zeroes it; real prose sits in a narrow band, so both tails flag
+  * junk). Dividing by n gives floor-quantized bits-per-byte.
+  *
+  * Exactness: the same whole-bit discipline as t16's surprisal —
+  * `floor(log2(x)) = length(bin(x)) - 1` on exact integer quotients,
+  * so every value is a long and the DuckDB oracle hash-matches with no
+  * float anywhere. BYTE-level (like [[RollingHash]]): identical to
+  * per-character entropy on ASCII; multi-byte codepoints contribute
+  * per-byte (documented divergence, the RollingHash precedent — the
+  * unicode-aware rung is t21's script profile).
+  *
+  * Scale: a pure map in the scan stage — a 256-long histogram on the
+  * stack, no explode, no shuffle, no aggregation state. The
+  * pure-functions alternative (explode chars + two groupBy levels)
+  * puts one row per corpus BYTE through an exchange.
+  */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = CharEntropyExpr.schema
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CharEntropyExpr.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("h_bits", LongType, nullable = false)))
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val cnt = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) {
+      cnt(bytes(i) & 0xFF) += 1
+      i += 1
+    }
+    val n = bytes.length.toLong
+    var h = 0L
+    var b = 0
+    while (b < 256) {
+      val c = cnt(b)
+      // floor(log2(n / c)): 63 - nlz of the exact integer quotient
+      if (c > 0L)
+        h += c * (63 - java.lang.Long.numberOfLeadingZeros(n / c))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, h))
+  }
+}
+
 /** Unicode text normalization for near-exact dedup (r8): NFKC
   * (compatibility decomposition + canonical composition — folds
   * ligatures, fullwidth forms, compatibility variants, and composes
@@ -1084,6 +1155,10 @@ object TextExpressions {
   /** Codegen'd fused (n_tok, top_tok_n, n_uniq_bigram) struct. */
   def tokenStats(text: Column): Column =
     Bridge.column(TokenStatsExpr(Bridge.expression(text)))
+
+  /** Codegen'd fused (n_bytes, h_bits) whole-bit byte-entropy struct. */
+  def charEntropy(text: Column): Column =
+    Bridge.column(CharEntropyExpr(Bridge.expression(text)))
 
   /** Codegen'd NFKC + case-fold + whitespace-collapse normalizer. */
   def nfkcFold(text: Column): Column =

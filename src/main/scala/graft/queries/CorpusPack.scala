@@ -2896,6 +2896,42 @@ object CorpusPack {
               END AS fk_grade
             FROM c ORDER BY doc_id"""))
 
+  private val t42 = Q(
+    "t42_char_entropy",
+    // whole-bit byte-entropy quality signal: the zeroth-order analytic
+    // twin of t18's deflate ratio (uniform-random bytes maximize it, a
+    // single repeated byte zeroes it; prose sits in a narrow band, so
+    // both tails flag junk). ONE codegen'd scan-stage pass per doc —
+    // 256-long stack histogram, no explode, no shuffle; h_bits =
+    // sum c*(floor log2(n/c)) exact longs, one IEEE division at the end
+    (s, dir) => {
+      val e = graft.functions.TextExpressions.charEntropy(col("text"))
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), e.as("e"))
+        .select(col("doc_id"), col("e.n_bytes").as("n_bytes"),
+          col("e.h_bits").as("h_bits"))
+        .withColumn("bits_per_byte",
+          when(col("n_bytes") === 0, lit(null).cast("double"))
+            .otherwise(col("h_bits").cast("double") / col("n_bytes")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents),
+            h AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+              FROM c GROUP BY 1, 2),
+            n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+              FROM h GROUP BY 1),
+            e AS (SELECT h.doc_id, n.n,
+                CAST(SUM(c * (length(bin(n.n // c)) - 1)) AS BIGINT)
+                  AS h_bits
+              FROM h JOIN n ON h.doc_id = n.doc_id GROUP BY 1, 2)
+            SELECT d.doc_id, COALESCE(e.n, 0) AS n_bytes,
+              COALESCE(e.h_bits, 0) AS h_bits,
+              CASE WHEN COALESCE(e.n, 0) = 0 THEN NULL
+                ELSE CAST(e.h_bits AS DOUBLE) / e.n END AS bits_per_byte
+            FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+            ORDER BY d.doc_id"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -2955,7 +2991,7 @@ object CorpusPack {
             ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27)

@@ -42,6 +42,21 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("CharEntropyExpr: hand-computed whole-bit entropy, empty string, " +
+    "and per-byte multi-byte accounting") {
+    val df = Seq("aaaa", "ab", "aab", "", "é").toDF("text")
+    val rows = df.select(
+        TextExpressions.charEntropy(col("text")).as("e"))
+      .select(col("e.n_bytes"), col("e.h_bits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // aaaa: n=4, one byte with c=4 -> floor(log2(1))=0 per byte -> 0
+    // ab:   n=2, two bytes c=1 -> floor(log2(2))=1 each -> 2
+    // aab:  n=3, a:c=2 -> floor(log2(3/2=1))=0; b:c=1 -> floor(log2(3))=1
+    // "":   (0, 0)
+    // é:    2 UTF-8 bytes, each once -> 1 bit each -> 2 (per-BYTE contract)
+    assert(rows == Seq((4L, 0L), (2L, 2L), (3L, 1L), (0L, 0L), (2L, 2L)))
+  }
+
   test("SignPack interpreted eval matches codegen and is deterministic") {
     val vecs = Seq(
       Array(1.0, -2.0, 3.0, 0.5),
