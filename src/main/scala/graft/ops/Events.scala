@@ -866,6 +866,58 @@ object Events {
     * `max(struct(us, event_id, type))` — a hash-agg with map-side
     * partials, never a per-day sort (the d18 keep-best idiom).
     */
+  /** EWMA-smoothed hourly volume anomaly monitor: the RECENCY-weighted
+    * rung above [[hourlyAnomaly]]'s whole-series z-scores — a z-score
+    * flags "unusual vs the whole history" (a slow ramp re-baselines
+    * it), while an exponentially-weighted trailing mean flags "unusual
+    * vs the last few hours", which is what a burst detector wants.
+    *
+    * Exactness: the classic EWMA recursion is float-unfriendly
+    * (alpha^k compounds rounding differently per engine), so this is
+    * the TRUNCATED integer form — weights 2^(lags-1)..2^0 over the
+    * previous `lags` hours with fixed denominator 2^lags - 1. The
+    * weighted sum stays an exact long; the spike test
+    * `n > boost * ewma` is integer cross-multiplication
+    * `n * (2^lags - 1) > boost * num`; only the REPORTED ewma value is
+    * one IEEE division. Gap hours are zero-filled on a per-type dense
+    * hour spine first (lag() over a sparse series would silently skip
+    * silent hours — the e17 lesson); the first `lags` spine hours have
+    * no full window and report NULL/0.
+    *
+    * Scale: the only corpus-sized reduction is the raw→hourly rollup
+    * (map-side combine, e01's shape); spine, window, and flags run
+    * over type×hours rows (bounded: ~9k/year/type).
+    */
+  def ewmaAnomaly(events: DataFrame, lags: Int = 8, boost: Int = 3)
+      : DataFrame = {
+    require(lags >= 1 && lags <= 62, "lags must fit a long weight")
+    val hourly = events.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
+    val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    // null until all `lags` predecessors exist (null propagation)
+    val num = (1 to lags)
+      .map(i => lit(1L << (lags - i)) * lag(col("n"), i).over(w))
+      .reduce(_ + _)
+    val den = (1L << lags) - 1
+    dense
+      .select(col("event_type"), col("h").as("hour_epoch"), col("n"),
+        num.as("ewma_num"))
+      .select(col("event_type"), col("hour_epoch"), col("n"),
+        col("ewma_num"),
+        (col("ewma_num").cast("double") / den).as("ewma"),
+        when(col("ewma_num").isNotNull &&
+            col("n") * den > lit(boost.toLong) * col("ewma_num"), lit(1))
+          .otherwise(lit(0)).as("spike"))
+  }
+
   def gapFillDaily(events: DataFrame): DataFrame = {
     // explicit user_id partitioning up front: every downstream stage's
     // required distribution is satisfied by it (see scaladoc), so no

@@ -1660,6 +1660,45 @@ object PipelinePack {
                 THEN (bin + 1) * 600 END) AS BIGINT) AS p99_hi
             FROM cum GROUP BY conv ORDER BY conv"""))
 
+  private val e25 = Q(
+    "e25_ewma_anomaly",
+    // burst detector: truncated integer EWMA (weights 128..1 over the
+    // previous 8 hours, denominator 255) on the zero-filled dense hour
+    // spine — the recency-weighted rung above e11's whole-series
+    // z-scores (a slow ramp re-baselines a z-score; a burst vs the
+    // last few hours is what pages an on-call). Weighted sums exact
+    // longs, spike = integer cross-multiply n*255 > 3*num, ONE IEEE
+    // division for the reported ewma
+    (s, dir) => Events.ewmaAnomaly(Tables.load(s, dir, "events"),
+        lags = 8, boost = 3)
+      .orderBy("event_type", "hour_epoch"),
+    Some("""WITH hourly AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            spine AS (SELECT event_type,
+                unnest(range(mn, mx + 3600, 3600)) AS h
+              FROM (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+                FROM hourly GROUP BY 1)),
+            dense AS (SELECT s.event_type, s.h,
+                COALESCE(cnt, 0) AS n
+              FROM spine s LEFT JOIN hourly
+                ON s.event_type = hourly.event_type AND s.h = hourly.h),
+            wn AS (SELECT event_type, h, n,
+                128 * lag(n, 1) OVER w + 64 * lag(n, 2) OVER w
+                  + 32 * lag(n, 3) OVER w + 16 * lag(n, 4) OVER w
+                  + 8 * lag(n, 5) OVER w + 4 * lag(n, 6) OVER w
+                  + 2 * lag(n, 7) OVER w + 1 * lag(n, 8) OVER w
+                  AS ewma_num
+              FROM dense
+              WINDOW w AS (PARTITION BY event_type ORDER BY h))
+            SELECT event_type, h AS hour_epoch, n,
+              CAST(ewma_num AS BIGINT) AS ewma_num,
+              CAST(ewma_num AS DOUBLE) / 255 AS ewma,
+              CASE WHEN ewma_num IS NOT NULL AND n * 255 > 3 * ewma_num
+                THEN 1 ELSE 0 END AS spike
+            FROM wn ORDER BY event_type, hour_epoch"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -1922,6 +1961,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25,
     m01, m02, m03, m04, m05)
 }

@@ -810,6 +810,30 @@ class EventsSpec extends SparkSpec {
     assert(z(("vary", 3600L)).exists(v => v.isFinite && v < 0))
   }
 
+  test("ewmaAnomaly: zero-filled gap hours enter the weighted window, " +
+    "warm-up rows stay NULL, and only the burst hour flags") {
+    // hours 0-4 and 6-8 one event each, hour 5 silent, hour 9 bursts
+    val rows = ((0 to 8).filter(_ != 5).map(h => (h.toLong, ts(h * 3600L))) ++
+        (100 to 109).map(i => (i.toLong, ts(9 * 3600L + i)))).map {
+      case (id, t) => (id, t, 1L, "burst", 1.0)
+    }
+    val got = Events.ewmaAnomaly(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        lags = 8, boost = 3)
+      .orderBy("hour_epoch").collect()
+    assert(got.length == 10)
+    // warm-up: first 8 spine hours have no full lag window
+    (0 until 8).foreach(i => assert(got(i).isNullAt(3) &&
+      got(i).getInt(5) == 0, s"hour $i"))
+    // hour 8: weights (128,64,32,16,8,4,2,1) over n=(1,1,0,1,1,1,1,1)
+    // newest-first — the silent hour 5 contributes 0 at weight 32
+    assert(got(8).getLong(3) == 223L && got(8).getInt(5) == 0)
+    // hour 9: num = 239, n = 10 -> 10*255 > 3*239 flags
+    assert(got(9).getLong(2) == 10L && got(9).getLong(3) == 239L &&
+      got(9).getInt(5) == 1)
+    assert(got(9).getDouble(4) == 239.0 / 255.0)
+  }
+
   test("asofJoin matches the latest right row at-or-before, left-outer") {
     val l = Seq((1L, 100L, 10L), (1L, 5L, 11L), (2L, 50L, 12L))
       .toDF("k", "t", "lid")
