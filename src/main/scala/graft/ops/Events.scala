@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -574,6 +574,62 @@ object Events {
           (col("varx_num").cast("double") /
             (col("n_users") * (col("n_users") - 1)).cast("double")))
           .otherwise(lit(null)).as("var_y_adj"))
+  }
+
+  /** Difference-in-differences estimator (Card & Krueger 1994 made it
+    * the quasi-experimental workhorse): with a PANEL unit frame — one
+    * row per unit carrying its quantized pre-period and post-period
+    * metric plus a variant flag — the 2×2 estimate
+    * `(post_T − pre_T) − (post_C − pre_C)` nets out both the common
+    * time trend and the fixed group gap. For panel data the estimator
+    * and its uncertainty reduce EXACTLY to a two-sample Welch t on the
+    * per-unit period DIFFS (d = post − pre), so the t machinery here
+    * is [[welchT]]'s formula on d.
+    *
+    * Exactness: inputs are integer-quantized longs (the e21/e23 cent
+    * convention); sums and sums-of-squares accumulate as exact
+    * decimals; every reported float (4 cell means, did, t) is a fixed
+    * IEEE expression tree the oracle replays cast-for-cast. Arms with
+    * n < 2 (or zero diff variance) read NULL t; a missing arm reads
+    * NULL everywhere but the present arm's cells.
+    *
+    * Shape: one unit-level rollup to per-arm moments (≤ 2 fixed-width
+    * rows), then a 1×1 join — nothing after the rollup scales.
+    */
+  def did(units: DataFrame, variantCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val per = units.select(col(variantCol).as("variant"),
+      col(preCol).cast(d18).as("x"), col(postCol).cast(d18).as("y"),
+      (col(postCol) - col(preCol)).cast(d18).as("d"))
+    val arm = per.groupBy("variant").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum("d").as("sd"), sum(col("d") * col("d")).as("qd"))
+    def cells(v: Int, suf: String) = arm.filter(col("variant") === v)
+      .select(col("n").as(s"n$suf"), col("sx").as(s"sx$suf"),
+        col("sy").as(s"sy$suf"), col("sd").as(s"sd$suf"),
+        col("qd").as(s"qd$suf"))
+    def mean(s: Column, n: Column) = s.cast("double") / n
+    val j = cells(0, "0").join(cells(1, "1"), lit(true), "full")
+    val md0 = mean(col("sd0"), col("n0"))
+    val md1 = mean(col("sd1"), col("n1"))
+    def dvar(q: Column, s: Column, n: Column) =
+      when(n >= 2, (q.cast("double") - s.cast("double") * s.cast("double") / n)
+        / (n - 1)).otherwise(lit(null).cast("double"))
+    val se2 = dvar(col("qd0"), col("sd0"), col("n0")) / col("n0") +
+      dvar(col("qd1"), col("sd1"), col("n1")) / col("n1")
+    j.select(
+      coalesce(col("n0"), lit(0L)).as("n_0"),
+      coalesce(col("n1"), lit(0L)).as("n_1"),
+      mean(col("sx0"), col("n0")).as("mean_pre_0"),
+      mean(col("sy0"), col("n0")).as("mean_post_0"),
+      mean(col("sx1"), col("n1")).as("mean_pre_1"),
+      mean(col("sy1"), col("n1")).as("mean_post_1"),
+      ((mean(col("sy1"), col("n1")) - mean(col("sx1"), col("n1"))) -
+        (mean(col("sy0"), col("n0")) - mean(col("sx0"), col("n0"))))
+        .as("did"),
+      when(se2.isNotNull && se2 > 0, (md1 - md0) / sqrt(se2))
+        .otherwise(lit(null).cast("double")).as("t_stat"))
   }
 
   /** Sample-ratio-mismatch check (the experimentation platform's first

@@ -1699,6 +1699,83 @@ object PipelinePack {
                 THEN 1 ELSE 0 END AS spike
             FROM wn ORDER BY event_type, hour_epoch"""))
 
+  private val e26 = Q(
+    "e26_did",
+    // difference-in-differences (Card & Krueger 1994): per-user cent
+    // totals pre/post the e21 split date, arms by the e22/e23 md5
+    // 50/50 assignment, a PLANTED +10% integer lift on the treatment
+    // arm's post period (the effect DiD must recover while netting
+    // out the common time trend). Panel DiD reduces exactly to a
+    // Welch t on per-user period diffs — same fixed IEEE chain as e23
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val split = "2024-01-16 00:00:00"
+      val per = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          when(col("ts") < lit(split).cast("timestamp"),
+            round(col("value") * 100).cast("long")).otherwise(0L).as("xq"),
+          when(col("ts") >= lit(split).cast("timestamp"),
+            round(col("value") * 100).cast("long")).otherwise(0L).as("yq"))
+        .groupBy("user_id", "variant")
+        .agg(sum("xq").as("pre"), sum("yq").as("post0"))
+        .withColumn("post", when(col("variant") === 1L,
+          col("post0") + expr("post0 div 10")).otherwise(col("post0")))
+      Events.did(per, "variant", "pre", "post")
+    },
+    Some("""WITH ev AS (SELECT user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS xq,
+                CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS yq
+              FROM events),
+            per0 AS (SELECT user_id, variant,
+                CAST(SUM(xq) AS BIGINT) AS pre,
+                CAST(SUM(yq) AS BIGINT) AS post0
+              FROM ev GROUP BY 1, 2),
+            per AS (SELECT variant, pre AS x,
+                CASE WHEN variant = 1 THEN post0 + post0 // 10
+                  ELSE post0 END AS y,
+                CASE WHEN variant = 1 THEN post0 + post0 // 10
+                  ELSE post0 END - pre AS d
+              FROM per0),
+            arm AS (SELECT variant, COUNT(*) AS n,
+                SUM(x) AS sx, SUM(y) AS sy,
+                SUM(d) AS sd, SUM(d * d) AS qd
+              FROM per GROUP BY 1),
+            a0 AS (SELECT n AS n0, sx AS sx0, sy AS sy0, sd AS sd0,
+                qd AS qd0 FROM arm WHERE variant = 0),
+            a1 AS (SELECT n AS n1, sx AS sx1, sy AS sy1, sd AS sd1,
+                qd AS qd1 FROM arm WHERE variant = 1),
+            j AS (SELECT * FROM a0 FULL JOIN a1 ON TRUE),
+            v AS (SELECT *,
+                CASE WHEN n0 >= 2 THEN (CAST(qd0 AS DOUBLE)
+                  - CAST(sd0 AS DOUBLE) * CAST(sd0 AS DOUBLE) / n0)
+                  / (n0 - 1) END AS v0,
+                CASE WHEN n1 >= 2 THEN (CAST(qd1 AS DOUBLE)
+                  - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n1)
+                  / (n1 - 1) END AS v1
+              FROM j)
+            SELECT CAST(COALESCE(n0, 0) AS BIGINT) AS n_0,
+              CAST(COALESCE(n1, 0) AS BIGINT) AS n_1,
+              CAST(sx0 AS DOUBLE) / n0 AS mean_pre_0,
+              CAST(sy0 AS DOUBLE) / n0 AS mean_post_0,
+              CAST(sx1 AS DOUBLE) / n1 AS mean_pre_1,
+              CAST(sy1 AS DOUBLE) / n1 AS mean_post_1,
+              (CAST(sy1 AS DOUBLE) / n1 - CAST(sx1 AS DOUBLE) / n1)
+                - (CAST(sy0 AS DOUBLE) / n0 - CAST(sx0 AS DOUBLE) / n0)
+                AS did,
+              CASE WHEN v0 / n0 + v1 / n1 IS NOT NULL
+                  AND v0 / n0 + v1 / n1 > 0
+                THEN (CAST(sd1 AS DOUBLE) / n1 - CAST(sd0 AS DOUBLE) / n0)
+                  / sqrt(v0 / n0 + v1 / n1) END AS t_stat
+            FROM v"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -1961,6 +2038,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     m01, m02, m03, m04, m05)
 }

@@ -810,6 +810,24 @@ class EventsSpec extends SparkSpec {
     assert(z(("vary", 3600L)).exists(v => v.isFinite && v < 0))
   }
 
+  test("did: recovers a planted effect net of the common trend, and a " +
+    "missing arm yields NULL estimate") {
+    // control diffs {10, 14}, treatment diffs {60, 64}: common trend
+    // ~12, planted effect +50
+    val units = Seq(
+      (0L, 100L, 110L), (0L, 200L, 214L),
+      (1L, 100L, 160L), (1L, 200L, 264L)
+    ).toDF("variant", "pre", "post")
+    val r = Events.did(units, "variant", "pre", "post").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(6) == 50.0, "did nets out the trend")
+    // t = (62 - 12) / sqrt(8/2 + 8/2)
+    assert(math.abs(r.getDouble(7) - 50.0 / math.sqrt(8.0)) < 1e-12)
+    val solo = Events.did(units.filter(col("variant") === 0L),
+      "variant", "pre", "post").collect().head
+    assert(solo.getLong(1) == 0L && solo.isNullAt(6) && solo.isNullAt(7))
+  }
+
   test("ewmaAnomaly: zero-filled gap hours enter the weighted window, " +
     "warm-up rows stay NULL, and only the burst hour flags") {
     // hours 0-4 and 6-8 one event each, hour 5 silent, hour 9 bursts
