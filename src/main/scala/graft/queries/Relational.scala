@@ -1066,8 +1066,71 @@ object Relational {
             WHERE NOT COALESCE(l.deleted, false)
             ORDER BY c_custkey"""))
 
+  private val q44 = Q(
+    "q44_percentile",
+    // exact distributed PERCENTILE_CONT via rank arithmetic — the
+    // EXACT twin of t39's approximate histogram quantiles. Spark's
+    // percentile() and DuckDB's quantile_cont() both interpolate in
+    // floats with engine-specific accumulation, so neither is oracle-
+    // safe; this computes the same linear interpolation exactly:
+    // cents-quantized values, target offset (n-1)*p split into integer
+    // quotient/remainder base 100, and the interpolated value as the
+    // exact long v_lo*(100-rem) + v_hi*rem over ONE final IEEE
+    // division by 10000. Ties need no tiebreak: equal cents at
+    // adjacent ranks interpolate to themselves.
+    (s, dir) => {
+      val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val w = Window.partitionBy("l_returnflag").orderBy("c")
+      val ranked = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      def pct(p: Int): Column = {
+        // Column./ is double division; floor() recovers the exact
+        // integer quotient (values far below 2^53)
+        val lo = floor((col("n") - 1) * p / 100).cast("long") + 1
+        val rem = (col("n") - 1) * p % 100
+        val vlo = max(when(col("rn") === lo, col("c")))
+        val vhi = max(when(col("rn") === lo + 1, col("c")))
+        ((vlo * (lit(100) - max(rem)) +
+          coalesce(vhi, vlo) * max(rem)).cast("double") / 10000.0)
+      }
+      ranked.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_rows"),
+          pct(25).as("p25"), pct(50).as("p50"), pct(75).as("p75"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH base AS (SELECT l_returnflag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem),
+            ranked AS (SELECT l_returnflag, c,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY c)
+                  AS rn,
+                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM base)
+            SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+              CAST(MAX(CASE WHEN rn = (n-1)*25//100 + 1 THEN c END)
+                  * (100 - MAX((n-1)*25%100))
+                + COALESCE(MAX(CASE WHEN rn = (n-1)*25//100 + 2
+                    THEN c END),
+                  MAX(CASE WHEN rn = (n-1)*25//100 + 1 THEN c END))
+                  * MAX((n-1)*25%100) AS DOUBLE) / 10000.0 AS p25,
+              CAST(MAX(CASE WHEN rn = (n-1)*50//100 + 1 THEN c END)
+                  * (100 - MAX((n-1)*50%100))
+                + COALESCE(MAX(CASE WHEN rn = (n-1)*50//100 + 2
+                    THEN c END),
+                  MAX(CASE WHEN rn = (n-1)*50//100 + 1 THEN c END))
+                  * MAX((n-1)*50%100) AS DOUBLE) / 10000.0 AS p50,
+              CAST(MAX(CASE WHEN rn = (n-1)*75//100 + 1 THEN c END)
+                  * (100 - MAX((n-1)*75%100))
+                + COALESCE(MAX(CASE WHEN rn = (n-1)*75//100 + 2
+                    THEN c END),
+                  MAX(CASE WHEN rn = (n-1)*75//100 + 1 THEN c END))
+                  * MAX((n-1)*75%100) AS DOUBLE) / 10000.0 AS p75
+            FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43)
+    q42, q43, q44)
 }
