@@ -430,6 +430,51 @@ object Clusters {
     * predecessor (the [[graphRank]] lesson — without it round r's
     * plan nests rounds 1..r−1).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007): COMMUNITY
+    * detection over the near-dup pair graph — the densitometric rung
+    * between connected components (min-label closure: one bridge edge
+    * merges two dense groups) and [[graphRank]]'s per-node centrality.
+    * Each round every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label — fully deterministic (the
+    * published algorithm breaks ties randomly; a seeded deterministic
+    * rule is what makes the run reproducible and the oracle mirrorable).
+    * Labels start as node ids; after `rounds` synchronous sweeps, the
+    * label IS the community. Bounded rounds, not convergence-tested:
+    * synchronous LPA can 2-cycle on bipartite structure, and a fixed
+    * round count replays identically in the unrolled oracle either way.
+    *
+    * Shape per round: one fixed-width (edge ⋈ label) join + a
+    * (node, label) count rollup + a struct-min argmax — work tracks
+    * EDGE count, never n². Eager checkpoint per round + freeing the
+    * predecessor (the d26/graphRank lesson) keeps the plan flat; sym
+    * materializes once so the expensive upstream pair finder runs once.
+    */
+  def labelProp(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"bad shape: rounds=$rounds")
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val cnt = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst"), col("lab"))
+        .groupBy("dst", "lab").agg(count(lit(1)).as("c"))
+      val old = labels
+      labels = cnt
+        .groupBy("dst")
+        .agg(min(struct((lit(0L) - col("c")).as("nc"),
+          col("lab").as("l"))).as("m"))
+        .select(col("dst").as("id"), col("m.l").as("lab"))
+        .localCheckpoint()
+      freeCheckpoint(old)
+    }
+    labels
+  }
+
   def kCoreNodes(pairs: DataFrame, aCol: String, bCol: String,
       k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1 && rounds >= 1, s"bad shape: k=$k rounds=$rounds")

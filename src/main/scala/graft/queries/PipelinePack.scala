@@ -767,6 +767,58 @@ object PipelinePack {
             FROM d WHERE dist * 4 <= mx * 1
             ORDER BY id_a, id_b"""))
 
+  /** Unrolled synchronous-LPA rounds of d32's oracle, CTE-for-CTE the
+    * Spark loop in `Clusters.labelProp`: count neighbor labels, adopt
+    * the most frequent with ties to the smallest label.
+    */
+  private def lpaIterCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""cnt$r AS (SELECT s.dst AS id, l.lab, COUNT(*) AS c
+            FROM sym s JOIN lbl${r - 1} l ON s.src = l.id GROUP BY 1, 2),
+          lbl$r AS MATERIALIZED (SELECT id, lab FROM (
+            SELECT id, lab, row_number() OVER (PARTITION BY id
+              ORDER BY c DESC, lab ASC) AS rn FROM cnt$r) WHERE rn = 1)"""
+    }.mkString(",\n")
+
+  private val d32 = Q(
+    "d32_lpa_communities",
+    // synchronous label propagation (Raghavan et al. 2007) over the
+    // SAME d02 pair graph d26 ranks, d28 triangulates, and d29 peels:
+    // the DENSITY-aware community split CC cannot make (one bridge
+    // edge merges two dense groups under min-label closure; majority
+    // vote keeps them apart). Deterministic min-label tie-break, 4
+    // fixed sweeps — the oracle unrolls the loop CTE-for-CTE
+    (s, dir) => Clusters.labelProp(
+        Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b", rounds = 4)
+      .orderBy("lab", "id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (SELECT ia, ib FROM com
+              JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+              WHERE c * 4 >= (sa.n + sb.n - c) * 1),
+            sym AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+            lbl0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab
+              FROM sym),
+            ${lpaIterCtes(4)}
+            SELECT id, CAST(lab AS BIGINT) AS lab
+            FROM lbl4 ORDER BY lab, id"""))
+
   private val s18 = Q(
     "s18_graded_ndcg",
     // graded-relevance nDCG@10 (the TREC-qrel form above s15's binary
@@ -2036,7 +2088,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
     m01, m02, m03, m04, m05)

@@ -86,6 +86,9 @@ object ScaleSmoke {
     // (d02-capped contract) and runs the Levenshtein DP only on
     // length-compatible survivors — work tracks candidate count
     "d31_edit_distance",
+    // d32 rides the d02 pair machinery plus 4 fixed edge-proportional
+    // label sweeps (the d26 shape with a count rollup per round)
+    "d32_lpa_communities",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -110,7 +113,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 31, s"expected 31 d-tier queries, got $dTier")
+    require(dTier.size == 32, s"expected 32 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -223,4 +223,21 @@ class ClustersSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "deg", "tri", "coef"))
     assert(got.count() == 0)
   }
+
+  test("labelProp: a bridge edge between two triangles does NOT merge " +
+    "them (the split connected components cannot make)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val lab = Clusters.labelProp(pairs, "id_a", "id_b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.size == 6)
+    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L))
+    assert(lab(4L) == lab(5L) && lab(5L) == lab(6L))
+    assert(lab(1L) != lab(4L), "majority vote keeps the triangles apart")
+    // CC on the same graph collapses everything across the bridge
+    assert(Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().map(_._2).distinct.length == 1)
+  }
 }
