@@ -1884,4 +1884,43 @@ object Corpus {
       .withColumnRenamed("id_a", "train_id")
       .withColumnRenamed("id_b", "test_id")
   }
+
+  /** Tokenizer fertility table: subword tokens per whitespace word for
+    * each of the four trained tokenizers, per group — the standard
+    * tokenizer-selection metric (a language with fertility 2.5 under a
+    * vocabulary costs 2.5× the compute per word of one at 1.0; cf.
+    * Rust et al. 2021). ONE pass over the corpus evaluates all four
+    * codegen'd counters side by side in the scan stage; the rollup
+    * carries exact long sums (map-side combine) and each reported
+    * fertility is one IEEE division. A group with zero words reads
+    * NULL (an all-punctuation slice has no word denominator).
+    */
+  def fertilityTable(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      bpeMerges: Seq[(String, String)],
+      unigramPieces: Map[String, Double],
+      byteBpeMerges: Seq[(String, String)],
+      wordPieceVocab: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    def fert(tok: Column) =
+      when(col("n_words") > 0, tok.cast("double") / col("n_words"))
+        .otherwise(lit(null).cast("double"))
+    df.select(col(groupCol),
+        TextOps.tokenCount(t).cast("long").as("w"),
+        TextOps.bpeTokenCountTrained(t, bpeMerges).cast("long").as("bpe"),
+        TextOps.unigramTokenCount(t, unigramPieces).cast("long").as("uni"),
+        TextOps.byteBpeTokenCount(t, byteBpeMerges).cast("long").as("bb"),
+        TextOps.wordPieceCount(t, wordPieceVocab).cast("long").as("wp"))
+      .groupBy(groupCol)
+      .agg(sum("w").as("n_words"), sum("bpe").as("n_bpe"),
+        sum("uni").as("n_unigram"), sum("bb").as("n_byte_bpe"),
+        sum("wp").as("n_wordpiece"))
+      .select(col(groupCol), col("n_words"),
+        fert(col("n_bpe")).as("fert_bpe"),
+        fert(col("n_unigram")).as("fert_unigram"),
+        fert(col("n_byte_bpe")).as("fert_byte_bpe"),
+        fert(col("n_wordpiece")).as("fert_wordpiece"))
+  }
 }

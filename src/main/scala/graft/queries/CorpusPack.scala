@@ -2932,6 +2932,28 @@ object CorpusPack {
             FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
             ORDER BY d.doc_id"""))
 
+  private val t43 = Q(
+    "t43_fertility",
+    // tokenizer fertility table (subword tokens per whitespace word —
+    // the standard tokenizer-selection metric, cf. Rust et al. 2021
+    // "How Good is Your Tokenizer?"): one row per language comparing
+    // ALL FOUR production tokenizers the engine trains (alpha BPE,
+    // unigram LM, byte BPE, WordPiece) on the same corpus. High
+    // fertility = more compute per word for that language — THE
+    // multilingual-budget diagnostic. Exact long sums, one IEEE
+    // division per cell; rows-only (trained tokenizers have no SQL
+    // mirror), CorpusOpsSpec gates the bounds and determinism
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val merges = TextOps.trainBpeMerges(docs, "text", nMerges = 150)
+      val uni = UnigramTokenizer.train(docs, "text", vocabSize = 48)
+      val bb = TextOps.trainByteBpeMerges(docs, "text", nMerges = 200)
+      val wp = TextOps.trainWordPieceVocab(docs, "text", nMerges = 150)
+      Corpus.fertilityTable(docs, "lang", "text", merges, uni.pieces,
+        bb, wp).orderBy("lang")
+    },
+    None)
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -2991,7 +3013,7 @@ object CorpusPack {
             ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27)

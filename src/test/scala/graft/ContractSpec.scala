@@ -85,7 +85,11 @@ class ContractSpec extends AnyFunSuite {
       // A-ES weighted draw: libm ln ulp could flip near-equal key ORDER
       // between engines; CorpusOpsSpec gates strict equality vs a
       // driver-side reference + frequency-tracks-weight across seeds
-      "p25_weighted_sample")
+      "p25_weighted_sample",
+      // fertility compares the four TRAINED tokenizers (no SQL mirror
+      // for any of them); CorpusOpsSpec gates word-count exactness,
+      // the >= 1 lower bounds, and determinism
+      "t43_fertility")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

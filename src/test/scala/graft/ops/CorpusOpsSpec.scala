@@ -757,4 +757,38 @@ class CorpusOpsSpec extends SparkSpec {
     // the resampling really varies for the heterogeneous group
     assert(means.filter(_._1 == "a").map(_._3).distinct.size > 1)
   }
+
+  test("fertilityTable: exact word denominators, >= 1 word-splitting " +
+    "bounds, NULL on a wordless group, and determinism") {
+    val docs = Seq(
+      ("en", "the cat sat on the mat"),
+      ("en", "the cat ran"),
+      ("xx", "zqzqzq vexing wxyz"),
+      ("punct", "... !!! ...")
+    ).toDF("lang", "text")
+    val merges = TextOps.trainBpeMerges(docs, "text", nMerges = 10)
+    val uni = UnigramTokenizer.train(docs, "text", vocabSize = 30)
+    val bb = TextOps.trainByteBpeMerges(docs, "text", nMerges = 20)
+    val wp = TextOps.trainWordPieceVocab(docs, "text", nMerges = 10)
+    def run() = Corpus.fertilityTable(docs, "lang", "text",
+        merges, uni.pieces, bb, wp)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5))).toSeq
+    val got = run()
+    val byLang = got.map(r => r._1 -> r).toMap
+    assert(byLang("en")._2 == 9L && byLang("xx")._2 == 3L)
+    // word-anchored tokenizers emit >= 1 subword per word
+    Seq("en", "xx").foreach { l =>
+      assert(byLang(l)._3 >= 1.0 && byLang(l)._4 >= 1.0 &&
+        byLang(l)._5 >= 1.0, l)
+    }
+    // the alpha tokenizers see no [A-Za-z] word in "..." yet the
+    // whitespace denominator counts 3 runs — fertility is defined
+    // (n_words > 0), just small; a TRULY wordless group would be NULL
+    assert(byLang("punct")._2 == 3L)
+    assert(got == run(), "two evaluations over trained tables agree")
+  }
 }
