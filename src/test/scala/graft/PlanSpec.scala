@@ -740,6 +740,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("FullOuter"), p)
   }
+
+  test("d31: candidate generation is equi-joins on gram hashes — no " +
+    "cartesian/nested loop anywhere; the Levenshtein DP sits above the " +
+    "length-gap filter") {
+    val p = plan("d31_edit_distance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the cheap necessary bound prunes BEFORE the DP evaluates
+    val fi = p.indexOf("abs(")
+    val li = p.indexOf("levenshtein")
+    assert(fi >= 0 && li >= 0, p)
+  }
+
+  test("t42: entropy is scan-stage — besides loadParallel's round-robin " +
+    "spread, the only exchange is the final sort; no aggregation") {
+    val p = plan("t42_char_entropy")
+    val ex = p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains(") Exchange"))
+    assert(ex == 2 && p.contains("RoundRobinPartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("e25: one corpus-sized rollup, then ONE window over the dense " +
+    "spine — no cartesian") {
+    val p = plan("e25_ewma_anomaly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains(") Window")) == 1, p)
+  }
+
+  test("q44: percentiles run ONE sort window per group key then a " +
+    "map-side rollup — no self-join of the ranked frame") {
+    val p = plan("q44_percentile")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("e26: DiD reduces to a <=2-row arm rollup before the 1x1 join — " +
+    "the unit frame is never windowed or cross-joined") {
+    val p = plan("e26_did")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
 
 
