@@ -1885,6 +1885,77 @@ object Corpus {
       .withColumnRenamed("id_b", "test_id")
   }
 
+  /** Corpus scaling-law fits: the Heaps'-law vocabulary-growth exponent
+    * (V(n) ~ K·n^beta — how fast new types keep appearing as the corpus
+    * grows; the planning input for open-vocabulary state like t06/t09)
+    * and the Zipf rank-frequency exponent (f(r) ~ C·r^s over the head
+    * of the vocabulary — corpus "naturalness": real prose sits near
+    * s = −1, templated/boilerplate corpora flatten or steepen it).
+    *
+    * Exactness: both are least-squares slopes in log-log space, fitted
+    * on WHOLE-BIT logs (`length(bin(v)) − 1` = floor(log2 v) — the t16
+    * discipline), so every point is an exact integer and the slope
+    * clears to the exact rational `(k·Σxy − Σx·Σy) / (k·Σx² − (Σx)²)`
+    * — emitted as num/den longs plus ONE IEEE division. Bit-floor
+    * quantization costs precision (slopes step in ~1/bit-range units)
+    * but buys a bit-identical oracle; the fit is documented as the
+    * whole-bit estimator, not the float MLE.
+    *
+    * Shape: Heaps points come from `ceil(doc_id/stride)` buckets — one
+    * per-doc token rollup and one first-seen-per-word rollup (both
+    * map-side combined, fixed-width), then cumulative sums over the
+    * BUCKET frame (n/stride rows; choose stride so this stays small —
+    * it is the only windowed state). Zipf points are the top `topR`
+    * tokens by frequency (TakeOrdered-bounded; the head is where the
+    * law lives). Degenerate fits (all x equal → den = 0) read NULL.
+    */
+  def scalingLaws(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stride: Long,
+      topR: Int): DataFrame = {
+    require(stride >= 1 && topR >= 2, s"bad shape: $stride/$topR")
+    val toks = df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("l"))
+    val bucket = floor((col("id") + stride - 1) / stride).cast("long")
+    val tb = toks.select(bucket.as("b"), size(col("l")).cast("long").as("t"))
+      .groupBy("b").agg(sum("t").as("t"))
+    val vb = toks.select(col("id"), explode(col("l")).as("w"))
+      .groupBy("w").agg(min("id").as("fd"))
+      .select(floor((col("fd") + stride - 1) / stride).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("v"))
+    val cumW = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hp = tb.join(vb, Seq("b"), "full")
+      .select(col("b"), coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .select(sum("t").over(cumW).as("ct"), sum("v").over(cumW).as("cv"))
+      .filter(col("ct") > 0 && col("cv") > 0)
+      .select((length(bin(col("ct"))) - 1).cast("long").as("x"),
+        (length(bin(col("cv"))) - 1).cast("long").as("y"))
+    val zp = toks.select(explode(col("l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w").asc)))
+      .filter(col("r") <= topR)
+      .select((length(bin(col("r"))) - 1).cast("long").as("x"),
+        (length(bin(col("c"))) - 1).cast("long").as("y"))
+    def fit(points: DataFrame, law: String) = points
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(lit(law).as("law"), col("k").as("k_points"),
+        (col("k") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("k") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .select(col("law"), col("k_points"), col("slope_num"),
+        col("slope_den"),
+        when(col("slope_den") =!= 0,
+          col("slope_num").cast("double") / col("slope_den"))
+          .otherwise(lit(null).cast("double")).as("slope"))
+    fit(hp, "heaps").unionByName(fit(zp, "zipf"))
+  }
+
   /** Tokenizer fertility table: subword tokens per whitespace word for
     * each of the four trained tokenizers, per group — the standard
     * tokenizer-selection metric (a language with fertility 2.5 under a

@@ -2954,6 +2954,63 @@ object CorpusPack {
     },
     None)
 
+  private val t44 = Q(
+    "t44_scaling_fit",
+    // corpus scaling-law exponents: Heaps' vocabulary growth (Heaps
+    // 1978 — sizes open-vocabulary state) and the Zipf head exponent
+    // (Zipf 1949 — corpus naturalness; templated corpora flatten it).
+    // WHOLE-BIT log-log least squares: every point an exact integer,
+    // the slope cleared to the exact rational (k·Σxy−ΣxΣy)/(k·Σx²−Σx²)
+    // emitted as num/den longs + one IEEE division
+    (s, dir) => Corpus.scalingLaws(
+        Tables.loadParallel(s, dir, "documents"),
+        "doc_id", "text", stride = 50L, topR = 256)
+      .orderBy("law"),
+    Some("""WITH d AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            tb AS (SELECT (doc_id + 49) // 50 AS b,
+                CAST(SUM(len(l)) AS BIGINT) AS t FROM d GROUP BY 1),
+            fs AS (SELECT w, MIN(doc_id) AS fd FROM (
+                SELECT doc_id, unnest(l) AS w FROM d) GROUP BY 1),
+            vb AS (SELECT (fd + 49) // 50 AS b,
+                CAST(COUNT(*) AS BIGINT) AS v FROM fs GROUP BY 1),
+            jb AS (SELECT COALESCE(tb.b, vb.b) AS b, COALESCE(t, 0) AS t,
+                COALESCE(v, 0) AS v FROM tb FULL JOIN vb ON tb.b = vb.b),
+            cum AS (SELECT
+                CAST(SUM(t) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ct,
+                CAST(SUM(v) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cv FROM jb),
+            hp AS (SELECT length(bin(ct)) - 1 AS x,
+                length(bin(cv)) - 1 AS y
+              FROM cum WHERE ct > 0 AND cv > 0),
+            tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT unnest(l) AS w FROM d) GROUP BY 1),
+            zr AS (SELECT w, c, row_number() OVER (
+                ORDER BY c DESC, w ASC) AS r FROM tf),
+            zp AS (SELECT length(bin(r)) - 1 AS x,
+                length(bin(c)) - 1 AS y FROM zr WHERE r <= 256)
+            SELECT 'heaps' AS law, CAST(COUNT(*) AS BIGINT) AS k_points,
+              CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT)
+                AS slope_num,
+              CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT)
+                AS slope_den,
+              CASE WHEN COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) <> 0
+                THEN CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
+                  / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE)
+              END AS slope
+            FROM hp
+            UNION ALL
+            SELECT 'zipf', CAST(COUNT(*) AS BIGINT),
+              CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT),
+              CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT),
+              CASE WHEN COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) <> 0
+                THEN CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
+                  / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE)
+              END
+            FROM zp ORDER BY law"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -3013,7 +3070,7 @@ object CorpusPack {
             ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27)

@@ -758,6 +758,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(means.filter(_._1 == "a").map(_._3).distinct.size > 1)
   }
 
+  test("scalingLaws: a doubling corpus fits Heaps slope exactly 1, a " +
+    "uniform head fits Zipf slope 0, and a one-point fit reads NULL") {
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "c d"),
+      (3L, "e f g h"),
+      (4L, "i j k l m n o p")
+    ).toDF("doc_id", "text")
+    // stride 1: checkpoints (ct, cv) = (2,2),(4,4),(8,8),(16,16) ->
+    // whole-bit points (1,1)..(4,4), slope exactly 1
+    val got = Corpus.scalingLaws(docs, "doc_id", "text",
+        stride = 1L, topR = 4)
+      .orderBy("law").collect()
+    val heaps = got(0); val zipf = got(1)
+    assert(heaps.getString(0) == "heaps" && heaps.getLong(1) == 4L &&
+      heaps.getLong(2) == 20L && heaps.getLong(3) == 20L &&
+      heaps.getDouble(4) == 1.0)
+    // every head token has c=1 -> y=0 everywhere -> slope exactly 0
+    assert(zipf.getString(0) == "zipf" && zipf.getLong(1) == 4L &&
+      zipf.getLong(2) == 0L && zipf.getLong(3) == 8L &&
+      zipf.getDouble(4) == 0.0)
+    // one bucket -> one Heaps point -> zero denominator -> NULL slope
+    val one = Corpus.scalingLaws(docs, "doc_id", "text",
+        stride = 50L, topR = 4)
+      .orderBy("law").collect().head
+    assert(one.getString(0) == "heaps" && one.getLong(1) == 1L &&
+      one.isNullAt(4))
+  }
+
   test("fertilityTable: exact word denominators, >= 1 word-splitting " +
     "bounds, NULL on a wordless group, and determinism") {
     val docs = Seq(
