@@ -576,6 +576,79 @@ object Events {
           .otherwise(lit(null)).as("var_y_adj"))
   }
 
+  /** Group-sequential experiment monitor (Pocock 1977 / O'Brien &
+    * Fleming 1979): the "peek correctly" rung above [[welchT]]'s
+    * single-look decision — reading a fixed-α test daily inflates the
+    * false-positive rate several-fold; a group-sequential boundary
+    * spends α across the looks instead. Each DAY with data is a look:
+    * cumulative two-sample z over everything seen so far, compared to
+    * the OBF-shaped boundary `boundC · sqrt(D / d)` (strict early, ≈
+    * boundC at the final look; boundC = 2.797 is the classic K≈5
+    * α=0.05 OBF constant — tune per design).
+    *
+    * Exactness: observations are integer-quantized by the caller (the
+    * e21/e23 cent convention); per-(day, arm) moments are exact
+    * decimal sums; the cumulative moments are window prefix-sums of
+    * those exact values, and z, the boundary, and the crossing flag
+    * are a fixed IEEE chain replayed cast-for-cast by the oracle.
+    * Looks with an arm under 2 cumulative observations (or zero
+    * pooled variance) read NULL z and never flag.
+    *
+    * Shape: ONE corpus-sized (day, arm) rollup with map-side combine;
+    * everything after runs on the looks×2 frame (the cum window's
+    * single partition holds ~days rows — bounded by the calendar).
+    */
+  def sequentialMonitor(obs: DataFrame, dayCol: String,
+      variantCol: String, xCol: String,
+      boundC: Double = 2.797): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val per = obs.select(col(dayCol).as("day"),
+        col(variantCol).as("variant"), col(xCol).cast(d18).as("x"))
+      .groupBy("day", "variant")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+    def side(v: Int, suf: String) = per.filter(col("variant") === v)
+      .select(col("day"), col("n").as(s"n$suf"), col("s").as(s"s$suf"),
+        col("q").as(s"q$suf"))
+    val z0 = lit(new java.math.BigDecimal(0)).cast(d18)
+    val j = side(0, "0").join(side(1, "1"), Seq("day"), "full")
+      .select(col("day"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("s0"), z0).as("s0"),
+        coalesce(col("q0"), z0).as("q0"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("s1"), z0).as("s1"),
+        coalesce(col("q1"), z0).as("q1"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = j.select(col("day"),
+      sum("n0").over(w).as("cn0"), sum("s0").over(w).as("cs0"),
+      sum("q0").over(w).as("cq0"),
+      sum("n1").over(w).as("cn1"), sum("s1").over(w).as("cs1"),
+      sum("q1").over(w).as("cq1"),
+      row_number().over(Window.orderBy("day")).as("look"),
+      count(lit(1)).over(
+        Window.orderBy("day").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("looks"))
+    def m(s: Column, n: Column) = s.cast("double") / n
+    def v(q: Column, s: Column, n: Column) =
+      when(n >= 2, (q.cast("double") - s.cast("double") * s.cast("double") / n)
+        / (n - 1)).otherwise(lit(null).cast("double"))
+    val se2 = v(col("cq0"), col("cs0"), col("cn0")) / col("cn0") +
+      v(col("cq1"), col("cs1"), col("cn1")) / col("cn1")
+    val z = when(se2.isNotNull && se2 > 0,
+      (m(col("cs1"), col("cn1")) - m(col("cs0"), col("cn0"))) / sqrt(se2))
+      .otherwise(lit(null).cast("double"))
+    val bound = lit(boundC) *
+      sqrt(col("looks").cast("double") / col("look").cast("double"))
+    c.select(col("day"), col("look").cast("long").as("look"),
+      col("cn0").as("n_0"),
+      col("cn1").as("n_1"), z.as("z"), bound.as("bound"),
+      when(z.isNotNull && abs(z) > bound, lit(1)).otherwise(lit(0))
+        .as("crossed"))
+  }
+
   /** Difference-in-differences estimator (Card & Krueger 1994 made it
     * the quasi-experimental workhorse): with a PANEL unit frame — one
     * row per unit carrying its quantized pre-period and post-period

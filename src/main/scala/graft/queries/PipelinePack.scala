@@ -1828,6 +1828,87 @@ object PipelinePack {
                   / sqrt(v0 / n0 + v1 / n1) END AS t_stat
             FROM v"""))
 
+  private val e27 = Q(
+    "e27_sequential_monitor",
+    // group-sequential monitoring (Pocock 1977 / O'Brien–Fleming
+    // 1979): daily interim looks at the purchase-value experiment
+    // (e23's arms + planted +10% lift) against the OBF-shaped
+    // boundary 2.797·sqrt(D/d) — the "peek every day without
+    // inflating alpha" discipline a naive daily welch-t read violates.
+    // Exact cumulative moments, fixed IEEE z/boundary chain
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val obs = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("day"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("x", when(col("variant") === 1L,
+          col("cents") + expr("cents div 10")).otherwise(col("cents")))
+      Events.sequentialMonitor(obs, "day", "variant", "x")
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (SELECT
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS day,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            obs AS (SELECT day, variant,
+                CASE WHEN variant = 1 THEN cents + cents // 10
+                  ELSE cents END AS x
+              FROM ev),
+            per AS (SELECT day, variant, COUNT(*) AS n,
+                SUM(x) AS s, SUM(x * x) AS q
+              FROM obs GROUP BY 1, 2),
+            a0 AS (SELECT day, n AS n0, s AS s0, q AS q0 FROM per
+              WHERE variant = 0),
+            a1 AS (SELECT day, n AS n1, s AS s1, q AS q1 FROM per
+              WHERE variant = 1),
+            j AS (SELECT day,
+                COALESCE(n0, 0) AS n0, COALESCE(s0, 0) AS s0,
+                COALESCE(q0, 0) AS q0,
+                COALESCE(n1, 0) AS n1, COALESCE(s1, 0) AS s1,
+                COALESCE(q1, 0) AS q1
+              FROM a0 FULL JOIN a1 USING (day)),
+            c AS (SELECT day,
+                SUM(n0) OVER w AS cn0, SUM(s0) OVER w AS cs0,
+                SUM(q0) OVER w AS cq0,
+                SUM(n1) OVER w AS cn1, SUM(s1) OVER w AS cs1,
+                SUM(q1) OVER w AS cq1,
+                row_number() OVER (ORDER BY day) AS look,
+                COUNT(*) OVER () AS looks
+              FROM j
+              WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+            vz AS (SELECT *,
+                CASE WHEN cn0 >= 2 THEN (CAST(cq0 AS DOUBLE)
+                  - CAST(cs0 AS DOUBLE) * CAST(cs0 AS DOUBLE) / cn0)
+                  / (cn0 - 1) END AS v0,
+                CASE WHEN cn1 >= 2 THEN (CAST(cq1 AS DOUBLE)
+                  - CAST(cs1 AS DOUBLE) * CAST(cs1 AS DOUBLE) / cn1)
+                  / (cn1 - 1) END AS v1
+              FROM c),
+            zz AS (SELECT day, look, looks, cn0, cn1,
+                CASE WHEN v0 / cn0 + v1 / cn1 IS NOT NULL
+                    AND v0 / cn0 + v1 / cn1 > 0
+                  THEN (CAST(cs1 AS DOUBLE) / cn1
+                    - CAST(cs0 AS DOUBLE) / cn0)
+                    / sqrt(v0 / cn0 + v1 / cn1) END AS z,
+                2.797 * sqrt(CAST(looks AS DOUBLE)
+                  / CAST(look AS DOUBLE)) AS bound
+              FROM vz)
+            SELECT day, CAST(look AS BIGINT) AS look,
+              CAST(cn0 AS BIGINT) AS n_0, CAST(cn1 AS BIGINT) AS n_1,
+              z, bound,
+              CASE WHEN z IS NOT NULL AND abs(z) > bound THEN 1 ELSE 0
+                END AS crossed
+            FROM zz ORDER BY day"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2090,6 +2171,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
     m01, m02, m03, m04, m05)
 }

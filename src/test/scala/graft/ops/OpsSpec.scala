@@ -810,6 +810,30 @@ class EventsSpec extends SparkSpec {
     assert(z(("vary", 3600L)).exists(v => v.isFinite && v < 0))
   }
 
+  test("sequentialMonitor: OBF boundary shrinks to boundC at the final " +
+    "look, zero-variance looks read NULL and never flag, and a clean " +
+    "separation crosses") {
+    // two quiet days (identical constant arms -> zero variance -> NULL)
+    val quiet = Seq(
+      (1L, 0L, 10L), (1L, 0L, 10L), (1L, 1L, 10L), (1L, 1L, 10L),
+      (2L, 0L, 10L), (2L, 0L, 10L), (2L, 1L, 10L), (2L, 1L, 10L)
+    ).toDF("day", "variant", "x")
+    val q = Events.sequentialMonitor(quiet, "day", "variant", "x")
+      .orderBy("day").collect()
+    assert(q.length == 2)
+    assert(q.forall(r => r.isNullAt(4) && r.getInt(6) == 0))
+    // bound: look1 = 2.797*sqrt(2), look2 = 2.797 exactly
+    assert(q(0).getDouble(5) == 2.797 * math.sqrt(2.0))
+    assert(q(1).getDouble(5) == 2.797)
+    // one look, clean separation: z = (1001-11)/sqrt(2) >> 2.797
+    val sep = Seq((1L, 0L, 10L), (1L, 0L, 12L),
+      (1L, 1L, 1000L), (1L, 1L, 1002L)).toDF("day", "variant", "x")
+    val s1 = Events.sequentialMonitor(sep, "day", "variant", "x")
+      .collect().head
+    assert(s1.getDouble(4) == 990.0 / math.sqrt(2.0) &&
+      s1.getInt(6) == 1)
+  }
+
   test("did: recovers a planted effect net of the common trend, and a " +
     "missing arm yields NULL estimate") {
     // control diffs {10, 14}, treatment diffs {60, 64}: common trend
