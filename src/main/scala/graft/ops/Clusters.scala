@@ -430,6 +430,40 @@ object Clusters {
     * predecessor (the [[graphRank]] lesson — without it round r's
     * plan nests rounds 1..r−1).
     */
+  /** Soft dedup: keep EVERY document, down-weight duplicates — the
+    * sampling-weight alternative to hard cluster dedup (d08/d18 drop
+    * all but a canonical; the data-constrained regime — Muennighoff et
+    * al. 2023 — keeps near-dups but discounts repeated content so a
+    * cluster of k copies contributes ~one document's worth of
+    * training signal). weight = 1/cluster_size; docs outside the pair
+    * graph are singletons at weight 1. `eff_tok = n_tok / csize` is
+    * the per-doc expected token contribution under one weighted epoch
+    * — summing it gives the DEDUPLICATED token budget without
+    * deleting anything.
+    *
+    * Shape: the d08 contraction-CC chain on the pair frame, one
+    * label-cardinality size rollup, two equi joins back onto the doc
+    * frame (left: non-paired docs fall through to singleton defaults).
+    * Integer sizes; weight and eff_tok are one IEEE division each.
+    */
+  def softDedupWeights(pairs: DataFrame, aCol: String, bCol: String,
+      docs: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("doc_id"), col("cluster_id").as("cl"))
+    val sizes = comp.groupBy("cl").agg(count(lit(1)).as("sz"))
+    docs.select(col(idCol).as("doc_id"),
+        col(tokCol).cast("long").as("n_tok"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(sizes, Seq("cl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cl"), col("doc_id")).as("cluster_id"),
+        coalesce(col("sz"), lit(1L)).as("csize"),
+        col("n_tok"),
+        (lit(1.0) / coalesce(col("sz"), lit(1L))).as("weight"),
+        (col("n_tok").cast("double") / coalesce(col("sz"), lit(1L)))
+          .as("eff_tok"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007): COMMUNITY
     * detection over the near-dup pair graph — the densitometric rung
     * between connected components (min-label closure: one bridge edge

@@ -622,6 +622,51 @@ object CorpusPack {
             FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
             ORDER BY 1"""))
 
+  private val d33 = Q(
+    "d33_soft_dedup",
+    // soft dedup (Muennighoff et al. 2023's data-constrained regime):
+    // keep every document, weight = 1/cluster_size over the d08
+    // cluster graph — a cluster of k near-copies contributes one
+    // document's worth of expected training signal; eff_tok sums to
+    // the deduplicated token budget without deleting anything.
+    // Non-paired docs are singletons at weight 1
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Clusters.softDedupWeights(
+          Dedup.nGramJaccard(docs, "text", "doc_id",
+            tauNum = 1, tauDen = 2),
+          "id_a", "id_b",
+          docs.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tok")),
+          "doc_id", "n_tok")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCte,
+               edges AS (SELECT ia AS u, ib AS v FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+               reach(u, v) AS (
+                 SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                 UNION
+                 SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+               comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                        FROM reach GROUP BY u),
+               cs AS (SELECT cluster_id, COUNT(*) AS csize
+                      FROM comp GROUP BY 1),
+               dt AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     x -> x <> '')) AS BIGINT) AS n_tok
+                 FROM documents)
+             SELECT dt.doc_id,
+               COALESCE(comp.cluster_id, dt.doc_id) AS cluster_id,
+               CAST(COALESCE(cs.csize, 1) AS BIGINT) AS csize,
+               dt.n_tok,
+               CAST(1 AS DOUBLE) / COALESCE(cs.csize, 1) AS weight,
+               CAST(dt.n_tok AS DOUBLE) / COALESCE(cs.csize, 1)
+                 AS eff_tok
+             FROM dt LEFT JOIN comp ON dt.doc_id = comp.doc_id
+             LEFT JOIN cs ON comp.cluster_id = cs.cluster_id
+             ORDER BY dt.doc_id"""))
+
   private val d08 = Q(
     "d08_dedup_clusters",
     // pair finding (d02's exact inverted-index jaccard) -> transitive
@@ -3073,5 +3118,5 @@ object CorpusPack {
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25, d27)
+      d22, d23, d24, d25, d27, d33)
 }

@@ -89,6 +89,9 @@ object ScaleSmoke {
     // d32 rides the d02 pair machinery plus 4 fixed edge-proportional
     // label sweeps (the d26 shape with a count rollup per round)
     "d32_lpa_communities",
+    // d33 is the d08 CC chain + a label-cardinality size rollup and
+    // two doc-keyed equi joins — candidate-driven like d08/d24
+    "d33_soft_dedup",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -113,7 +116,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 32, s"expected 32 d-tier queries, got $dTier")
+    require(dTier.size == 33, s"expected 33 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

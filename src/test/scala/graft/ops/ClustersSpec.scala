@@ -224,6 +224,25 @@ class ClustersSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("softDedupWeights: cluster members weight 1/k, singletons keep " +
+    "weight 1, and eff_tok sums to the deduplicated budget") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (9L, 7L))
+      .toDF("doc_id", "n_tok")
+    val got = Clusters.softDedupWeights(pairs, "id_a", "id_b",
+        docs, "doc_id", "n_tok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((1L, 3L, 1.0 / 3, 10.0 / 3)))
+    assert(got(2L) == ((1L, 3L, 1.0 / 3, 20.0 / 3)))
+    assert(got(3L) == ((1L, 3L, 1.0 / 3, 30.0 / 3)))
+    assert(got(9L) == ((9L, 1L, 1.0, 7.0)), "singleton untouched")
+    // deduplicated budget: one cluster's worth (20) + the singleton (7)
+    assert(math.abs(got.values.map(_._4).sum - 27.0) < 1e-9)
+  }
+
   test("labelProp: a bridge edge between two triangles does NOT merge " +
     "them (the split connected components cannot make)") {
     import spark.implicits._
