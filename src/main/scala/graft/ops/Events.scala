@@ -576,6 +576,57 @@ object Events {
           .otherwise(lit(null)).as("var_y_adj"))
   }
 
+  /** CUSUM change-point detector (Page 1954): the LEVEL-SHIFT rung of
+    * the monitoring ladder — [[hourlyAnomaly]] flags single outlier
+    * hours against the whole series, [[ewmaAnomaly]] flags bursts
+    * against the recent past; CUSUM accumulates SMALL persistent
+    * deviations until a sustained mean shift crosses a decision
+    * interval, which is what catches a slow regression neither z nor
+    * EWMA sees.
+    *
+    * Exactness: the classic recursion S_t = max(0, S_{t-1} + x_t − μ
+    * − slack) is not window-expressible directly, but unrolls exactly
+    * to `S_t = P_t − min(0, min_{j≤t} P_j)` over the prefix sums P of
+    * the drift-corrected deviations — two stacked windows (running
+    * sum, running min), no recursion. With slack = μ/4 and decision
+    * interval h = 2μ, everything clears to integers scaled by 4c:
+    * D_t = 4·c·n_t − 5·s (c hours, s total count per type), flag when
+    * S_t > 8·s — exact longs end to end; the REPORTED cusum (in count
+    * units) is one IEEE division by 4c. Computed on the zero-filled
+    * dense hour spine (a silent hour IS evidence of a downward shift).
+    *
+    * Shape: the e25 rollup+spine, one tiny per-type moment join, two
+    * windows over type×hours rows. Magnitudes hold while 8·c·max(n)·
+    * hours < 2^63.
+    */
+  def cusumShift(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
+    val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("n").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(stats), "event_type")
+      .withColumn("d", lit(4L) * col("c") * col("n") - lit(5L) * col("s"))
+      .withColumn("p", sum("d").over(w))
+      .withColumn("cusum_num",
+        col("p") - least(min("p").over(w), lit(0L)))
+      .select(col("event_type"), col("h").as("hour_epoch"), col("n"),
+        col("cusum_num"),
+        (col("cusum_num").cast("double") / (lit(4L) * col("c")))
+          .as("cusum"),
+        when(col("cusum_num") > lit(8L) * col("s"), lit(1))
+          .otherwise(lit(0)).as("shift_flag"))
+  }
+
   /** Group-sequential experiment monitor (Pocock 1977 / O'Brien &
     * Fleming 1979): the "peek correctly" rung above [[welchT]]'s
     * single-look decision — reading a fixed-α test daily inflates the

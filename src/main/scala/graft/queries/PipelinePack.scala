@@ -1909,6 +1909,50 @@ object PipelinePack {
                 END AS crossed
             FROM zz ORDER BY day"""))
 
+  private val e28 = Q(
+    "e28_cusum_shift",
+    // CUSUM level-shift detection (Page 1954): the slow-regression
+    // catcher beside e11's outlier z and e25's burst EWMA — the
+    // max(0, S+x-mu-slack) recursion unrolled exactly to prefix-sum
+    // minus running-min, all integers scaled by 4c (slack mu/4,
+    // decision interval 2*mu), on the zero-filled dense hour spine
+    (s, dir) => Events.cusumShift(Tables.load(s, dir, "events"))
+      .orderBy("event_type", "hour_epoch"),
+    Some("""WITH hourly AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            spine AS (SELECT event_type,
+                unnest(range(mn, mx + 3600, 3600)) AS h
+              FROM (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+                FROM hourly GROUP BY 1)),
+            dense AS (SELECT s.event_type, s.h,
+                COALESCE(cnt, 0) AS n
+              FROM spine s LEFT JOIN hourly
+                ON s.event_type = hourly.event_type AND s.h = hourly.h),
+            st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+                CAST(SUM(n) AS BIGINT) AS s
+              FROM dense GROUP BY 1),
+            dd AS (SELECT d.event_type, d.h, d.n, st.c, st.s,
+                4 * st.c * d.n - 5 * st.s AS dv
+              FROM dense d JOIN st ON d.event_type = st.event_type),
+            pp AS (SELECT *,
+                SUM(dv) OVER w AS p
+              FROM dd
+              WINDOW w AS (PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING)),
+            cc AS (SELECT *,
+                p - least(MIN(p) OVER w, 0) AS cusum_num
+              FROM pp
+              WINDOW w AS (PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING))
+            SELECT event_type, h AS hour_epoch, n,
+              CAST(cusum_num AS BIGINT) AS cusum_num,
+              CAST(cusum_num AS DOUBLE) / (4 * c) AS cusum,
+              CASE WHEN cusum_num > 8 * s THEN 1 ELSE 0 END
+                AS shift_flag
+            FROM cc ORDER BY event_type, hour_epoch"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2171,6 +2215,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
     m01, m02, m03, m04, m05)
 }

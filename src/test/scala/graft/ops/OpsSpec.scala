@@ -810,6 +810,29 @@ class EventsSpec extends SparkSpec {
     assert(z(("vary", 3600L)).exists(v => v.isFinite && v < 0))
   }
 
+  test("cusumShift: the window form equals a direct replay of Page's " +
+    "recursion, and a sustained shift accumulates before flagging") {
+    // five quiet hours at 10 events, five shifted hours at 100
+    val counts = Seq.fill(5)(10) ++ Seq.fill(5)(100)
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h * 1000L + i, ts(h * 3600L), 1L, "x", 1.0))
+    }
+    val got = Events.cusumShift(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("hour_epoch").collect()
+    // direct recursion: S = max(0, S + 4*c*n - 5*s), c=10, s=550
+    var sRec = 0L
+    val expect = counts.map { n =>
+      sRec = math.max(0L, sRec + 4L * 10 * n - 5L * 550)
+      sRec
+    }
+    assert(got.map(_.getLong(3)).toSeq == expect)
+    // quiet hours never flag; the shift accumulates to cross 8*s=4400
+    // only at the FOURTH shifted hour (1250*4=5000) — not instantly
+    assert(got.map(_.getInt(5)).toSeq ==
+      Seq(0, 0, 0, 0, 0, 0, 0, 0, 1, 1))
+  }
+
   test("sequentialMonitor: OBF boundary shrinks to boundC at the final " +
     "look, zero-variance looks read NULL and never flag, and a clean " +
     "separation crosses") {
