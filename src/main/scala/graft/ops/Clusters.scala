@@ -534,4 +534,52 @@ object Clusters {
     }
     degOf(edges).filter(col("deg") >= k)
   }
+
+  /** Degree assortativity (Newman 2002, "Assortative Mixing in
+    * Networks") over the undirected pair graph: the Pearson
+    * correlation of the degrees at the two ends of an edge.
+    * Positive = hubs link hubs (social shape); negative = hubs link
+    * leaves — for a near-dup graph, strongly negative assortativity
+    * is the template-hub signature (one boilerplate doc pairing with
+    * thousands of singletons), a release-card diagnostic beside the
+    * clustering coefficient (d28) and community structure (d32).
+    *
+    * Exactness: summing over BOTH orientations of every undirected
+    * edge makes the x- and y-marginals identical, so Pearson r
+    * collapses to `(M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)` — every term
+    * an exact long from integer degrees, r ONE IEEE division (no
+    * sqrt). Returns a single row (m_ends, sx, sxy, sx2, num, den, r);
+    * r is NULL for a degenerate graph (all degrees equal, den = 0).
+    *
+    * Shape: distinct undirected edges → symmetrize → one (node → deg)
+    * rollup → two equi-joins to attach end degrees → ONE global agg.
+    * Work tracks edge count; nothing is n². The long products cap at
+    * M²·maxdeg² — switch the three sums to DECIMAL(38,0) past ~10⁹
+    * edge ends (the moment sums are the only overflow surface).
+    */
+  def assortativity(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("m_ends"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sx2"))
+      .select(col("m_ends"), col("sx"), col("sxy"), col("sx2"),
+        (col("m_ends") * col("sxy") - col("sx") * col("sx")).as("num"),
+        (col("m_ends") * col("sx2") - col("sx") * col("sx")).as("den"))
+      .withColumn("r",
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den")))
+  }
 }

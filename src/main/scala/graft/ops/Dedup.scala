@@ -139,6 +139,85 @@ object Dedup {
     }
   }
 
+  /** Prefix-filtered exact Jaccard pairs — [[nGramJaccard]]'s output
+    * contract with candidate generation that is PROVABLY COMPLETE
+    * without the hot-gram cap (SSJoin prefix filtering: Chaudhuri,
+    * Ganti & Kaushik 2006; All-Pairs: Bayardo, Ma & Srikant 2007;
+    * PPJoin: Xiao et al. 2008 — the VLDB-standard similarity-join
+    * family).
+    *
+    * d02's inverted index pays Σ df(g)² per gram: one stop-bigram
+    * shared by millions of docs owns the join, and the `maxGramDf`
+    * cap that bounds it is a HEURISTIC (a pair whose every shared gram
+    * is hot is silently missed). Prefix filtering removes the blowup
+    * with a completeness PROOF instead of a cap: order every doc's
+    * gram set by one global canonical order — ascending document
+    * frequency, ties by hash (rarest first; the order is shared by
+    * every doc, which is all the lemma needs) — and index only each
+    * doc's first `n − ⌈τ·n⌉ + 1` grams. For any pair with
+    * `jaccard ≥ τ`, the common-gram count obeys
+    * `o ≥ τ·|A∪B| ≥ τ·n_small`, so if the SMALLER doc's prefix shared
+    * nothing with the larger doc's FULL set, all `o` common grams
+    * would sit in the smaller doc's last `⌈τ·n_small⌉ − 1` grams —
+    * fewer than `o`. Contradiction; the prefix-vs-full equi-join
+    * (oriented smaller-prefix → full index, with the d02 length
+    * filter `n_big·τ ≤ n_small` inlined) finds every qualifying pair.
+    * Survivors are re-verified against full gram sets exactly as
+    * d02's capped branch, so the output is bit-identical to the
+    * uncapped exact join — CORRECTNESS hash-equality against the
+    * plain all-pairs oracle is itself a completeness check on real
+    * data, and DedupSpec replays it against [[nGramJaccard]].
+    *
+    * Scale: candidate work per gram is `dfPrefix(g)·df(g)`, and the
+    * ascending-df order pushes hot grams to the BACK of every doc's
+    * ordering — a gram in millions of docs appears in almost no
+    * prefix, so `dfPrefix(hot) ≈ 0` and the df² term d02 must cap
+    * simply vanishes. Added cost: one (gram → df) rollup and one
+    * per-doc rank window, both over fixed-width long rows.
+    */
+  def prefixJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    require(tauNum >= 1 && tauDen >= tauNum,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val withN = gramsWithSizes(df, textCol, idCol)
+    val gdf = withN.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    // minOverlap = ceil(tau * n) in exact integer arithmetic
+    def minOverlap(n: Column): Column =
+      floor((n * tauNum + (tauDen - 1)) / lit(tauDen)).cast("long")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gdf").asc, col("gh").asc)
+    val pref = withN.join(gdf, "gh")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n") - minOverlap(col("n")) + 1)
+      .select(col("id"), col("n"), col("gh"))
+    // orient: the strictly-smaller (ties: smaller-id) doc contributes
+    // the prefix side; the full index is the probe target. The length
+    // filter n_big*tau <= n_small is necessary for jaccard >= tau.
+    val a = pref.as("a"); val b = withN.as("b")
+    val cand = a.join(b, col("a.gh") === col("b.gh") &&
+        (col("a.n") < col("b.n") ||
+          (col("a.n") === col("b.n") && col("a.id") < col("b.id"))) &&
+        col("b.n") * tauNum <= col("a.n") * tauDen)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
+    cand
+      .join(sets.select(col("sid").as("id_a"), col("gs").as("ga")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("gs").as("gb")), "id_b")
+      .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("u",
+        size(col("ga")).cast("long") + size(col("gb")) - col("c"))
+      .filter(col("c") * tauDen >= col("u") * tauNum)
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / col("u")).as("jaccard"))
+  }
+
   /** Containment dedup: pairs `(contained_id, container_id)` where one
     * document's FULL token sequence occurs as a contiguous run inside
     * another's — the prefix/suffix/quote-wrap duplicate class exact-hash
@@ -478,6 +557,48 @@ object Dedup {
         (coalesce(col("n_covered"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))
             .cast("double")).as("coverage"))
+  }
+
+  /** Per-document duplicated-n-gram fraction — the memorization-risk
+    * signal Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") report per example: what fraction of
+    * this doc's distinct n-gram windows also occur in at least
+    * `minDf − 1` OTHER documents. Cluster-level down-weighting (d33)
+    * scores whole near-dup groups; this is the finer per-doc dial —
+    * a doc can sit in no dup cluster yet be 80% boilerplate n-grams,
+    * exactly the text a trained model regurgitates.
+    *
+    * Shape: one distinct-(doc, gramhash) explode (the d12/d20 index),
+    * a (gram → df) map-side-combined rollup, one semi join back, two
+    * per-doc counts, ONE IEEE division. Everything shuffled is a
+    * fixed-width long; linear in corpus gram volume. Docs with fewer
+    * than `n` tokens carry no window and report (0, 0, NULL).
+    */
+  def dupGramFraction(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minDf: Long = 2L): DataFrame = {
+    val grams = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.HashExpressions.ngramHashSet(
+          col(textCol), n)).as("gh"))
+    val hot = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= minDf).select("gh")
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(hot, Seq("gh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams")).as("dup_frac"))
   }
 
   /** C4-style repeated-line scrub: remove every line that occurs in more

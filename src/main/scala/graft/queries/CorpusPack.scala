@@ -3056,6 +3056,54 @@ object CorpusPack {
               END
             FROM zp ORDER BY law"""))
 
+  private val t45 = Q(
+    "t45_dup_fraction",
+    // per-doc duplicated-n-gram fraction (Lee et al. 2022 report this
+    // per example): what share of a doc's distinct 8-gram windows also
+    // occur in >= 1 other doc. The finer memorization-risk dial below
+    // d33's cluster-level down-weighting — a doc in no dup cluster can
+    // still be 80% boilerplate n-grams. One gram explode + df rollup +
+    // semi join; ONE IEEE division per doc
+    (s, dir) => Dedup.dupGramFraction(
+        Tables.loadParallel(s, dir, "documents"),
+        "text", "doc_id", n = 8).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            g8 AS (SELECT doc_id,
+                w || ' ' || LEAD(w, 1) OVER win
+                  || ' ' || LEAD(w, 2) OVER win
+                  || ' ' || LEAD(w, 3) OVER win
+                  || ' ' || LEAD(w, 4) OVER win
+                  || ' ' || LEAD(w, 5) OVER win
+                  || ' ' || LEAD(w, 6) OVER win
+                  || ' ' || LEAD(w, 7) OVER win AS g,
+                LEAD(w, 7) OVER win AS tail
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY rn)),
+            gd AS (SELECT DISTINCT doc_id, g FROM g8
+              WHERE tail IS NOT NULL),
+            gdf AS (SELECT g, COUNT(*) AS df FROM gd GROUP BY 1),
+            tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM gd GROUP BY 1),
+            dup AS (SELECT gd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+              FROM gd JOIN gdf ON gd.g = gdf.g
+              WHERE gdf.df >= 2 GROUP BY 1)
+            SELECT d.doc_id,
+              COALESCE(tot.n_grams, 0) AS n_grams,
+              COALESCE(dup.n_dup, 0) AS n_dup,
+              CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN NULL
+                ELSE CAST(COALESCE(dup.n_dup, 0) AS DOUBLE) / tot.n_grams
+              END AS dup_frac
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN dup ON d.doc_id = dup.doc_id
+            ORDER BY d.doc_id"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -3115,7 +3163,7 @@ object CorpusPack {
             ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33)

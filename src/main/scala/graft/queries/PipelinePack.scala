@@ -693,6 +693,85 @@ object PipelinePack {
             WHERE deg >= 2
             ORDER BY deg DESC, id ASC"""))
 
+  private val d34 = Q(
+    "d34_prefix_jaccard",
+    // prefix-filtered exact Jaccard join (SSJoin/All-Pairs/PPJoin,
+    // Chaudhuri et al. 2006 / Bayardo et al. 2007 / Xiao et al. 2008):
+    // d02's output contract with PROVABLY complete candidates and no
+    // hot-gram cap — the oracle is the plain uncapped all-pairs SQL,
+    // so the hash-equality row is itself a completeness proof on real
+    // data. tau = 3/5 (a distinct operating point from d02's 1/2)
+    (s, dir) => Dedup.prefixJaccard(Tables.load(s, dir, "documents"),
+      "text", "doc_id", tauNum = 3, tauDen = 5).orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+              raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i FROM t),
+              tok AS (SELECT doc_id, w,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+                      FROM raw WHERE w <> ''),
+              big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+                      FROM tok a JOIN tok b
+                        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+              sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+              com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+                      FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+            FROM com JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+            WHERE c * 5 >= (sa.n + sb.n - c) * 3
+            ORDER BY 1, 2"""))
+
+  private val d35 = Q(
+    "d35_assortativity",
+    // degree assortativity (Newman 2002) over the SAME tau=1/4
+    // near-dup graph d26 ranks: Pearson correlation of edge-end
+    // degrees. Strongly negative = template-hub signature (one
+    // boilerplate doc paired with many singletons). Both-orientation
+    // summing makes the marginals equal, collapsing r to
+    // (M*Sxy - Sx^2)/(M*Sx2 - Sx^2) — exact longs, ONE IEEE division
+    (s, dir) => Clusters.assortativity(
+        Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+          "text", "doc_id", tauNum = 1, tauDen = 4)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (SELECT ia, ib FROM com
+              JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+              WHERE c * 4 >= (sa.n + sb.n - c) * 1),
+            und AS (SELECT DISTINCT least(ia, ib) u, greatest(ia, ib) v
+              FROM pairs WHERE ia <> ib),
+            sym AS (SELECT u AS src, v AS dst FROM und
+              UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM sym GROUP BY 1),
+            ends AS (SELECT a.deg AS dx, b.deg AS dy
+              FROM sym JOIN deg a ON sym.src = a.src
+                JOIN deg b ON sym.dst = b.src),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_ends,
+                CAST(SUM(dx) AS BIGINT) AS sx,
+                CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                CAST(SUM(dx * dx) AS BIGINT) AS sx2 FROM ends)
+            SELECT m_ends, sx, sxy, sx2,
+              m_ends * sxy - sx * sx AS num,
+              m_ends * sx2 - sx * sx AS den,
+              CASE WHEN m_ends * sx2 - sx * sx = 0 THEN NULL
+                ELSE CAST(m_ends * sxy - sx * sx AS DOUBLE)
+                  / (m_ends * sx2 - sx * sx) END AS r
+            FROM m"""))
+
   private val d30 = Q(
     "d30_source_overlap",
     // pairwise source-overlap matrix: the fraction of each source's
@@ -2213,7 +2292,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
     m01, m02, m03, m04, m05)

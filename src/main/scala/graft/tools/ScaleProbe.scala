@@ -497,6 +497,14 @@ object ScaleProbe {
     }
     require(coreRows > 0 && coreRows < rankRows,
       s"3-core kept $coreRows of $rankRows — peel did nothing")
+    // r10b: LPA communities — each sweep is one edge⋈label join + a
+    // count rollup, so 4 sweeps must stay in the same edge-
+    // proportional envelope as 5 rank rounds
+    val (lpaRows, lpaSec) = timed {
+      Clusters.labelProp(gEdges, "a", "b", rounds = 4).count()
+    }
+    require(lpaRows == rankRows,
+      s"LPA labeled $lpaRows of $rankRows nodes")
 
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
@@ -519,7 +527,8 @@ object ScaleProbe {
       f""""full_sec":$fullSec%.1f,"delta_ratio":$deltaRatio%.2f,""" +
       f""""rank_rows":$rankRows,"rank_sec":$rankSec%.1f,""" +
       f""""tri_sum":$triSum,"tri_sec":$triSec%.1f,""" +
-      f""""kcore_rows":$coreRows,"kcore_sec":$coreSec%.1f}""")
+      f""""kcore_rows":$coreRows,"kcore_sec":$coreSec%.1f,""" +
+      f""""lpa_rows":$lpaRows,"lpa_sec":$lpaSec%.1f}""")
     spark.stop()
   }
 }

@@ -92,6 +92,13 @@ object ScaleSmoke {
     // d33 is the d08 CC chain + a label-cardinality size rollup and
     // two doc-keyed equi joins — candidate-driven like d08/d24
     "d33_soft_dedup",
+    // d34's candidate work is Σ dfPrefix(g)·df(g) — strictly below
+    // d02's Σ df(g)² since prefixes hold only each doc's RAREST grams
+    // (hot grams vanish from the prefix side); same candidate class
+    "d34_prefix_jaccard",
+    // d35 rides the d02 tau=1/4 pair machinery + one degree rollup,
+    // two id-keyed equi joins and ONE global agg — candidate-driven
+    "d35_assortativity",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -116,7 +123,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 33, s"expected 33 d-tier queries, got $dTier")
+    require(dTier.size == 35, s"expected 35 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -242,10 +249,26 @@ object ScaleSmoke {
         // t41 = three scan-stage regex counts + a per-row IEEE chain
         // (no shuffle at all); p26 = a ×B scan-stage explode collapsed
         // map-side to groups×B cells — both linear
-        "t41_readability", "p26_bootstrap_ci")
+        "t41_readability", "p26_bootstrap_ci",
+        // t42 = ONE codegen'd scan-stage histogram pass (no shuffle);
+        // t43 = four driver-bounded trainers (word-frequency heads,
+        // corpus-size-independent) + one corpus pass of memoized
+        // pure-map counters; t44 = two map-side rollups + windows over
+        // the n/stride-row BUCKET frame — all linear in corpus rows
+        "t42_char_entropy", "t43_fertility", "t44_scaling_fit",
+        // t45 = one distinct-gram explode + a map-side-combined df
+        // rollup + a semi join — the d12/d20 linear index shape
+        "t45_dup_fraction")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
-      Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")))
+      Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),
+        // s19's candidate generation is the declared exact brute
+        // baseline and BOTH sides scale with the corpus (label-0 ×
+        // label-1 ≈ N²/25 dots) — the d21 class: ratio-exempt by
+        // contract, wall-capped so a regression can't hide; the scale
+        // path swaps knnIvf batch mode exactly as s09 does
+        measure("s19_bitext_margin", Double.PositiveInfinity,
+          queryFn("s19_bitext_margin"), wallCap = 60.0))
 
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum

@@ -259,4 +259,24 @@ class ClustersSpec extends SparkSpec {
     assert(Clusters.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().map(_._2).distinct.length == 1)
   }
+
+  test("assortativity: star -1, 4-path -1/2, regular graph NULL; " +
+    "duplicates, reversals and self-loops collapse") {
+    import spark.implicits._
+    def r(edges: (Long, Long)*): (Long, Option[Double]) = {
+      val row = Clusters
+        .assortativity(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect()(0)
+      (row.getLong(0), Option(row.get(6)).map(_.asInstanceOf[Double]))
+    }
+    // star K1,3: M=6, Σx=12, Σxy=18, Σx²=30 → r = (108−144)/(180−144)
+    assert(r((0L, 1L), (0L, 2L), (0L, 3L)) == ((6L, Some(-1.0))))
+    // path 1-2-3-4: degs (1,2,2,1) → r = (96−100)/(108−100) = −1/2
+    assert(r((1L, 2L), (2L, 3L), (3L, 4L)) == ((6L, Some(-0.5))))
+    // K3: every degree equal → den = 0 → NULL (degenerate by contract)
+    assert(r((1L, 2L), (2L, 3L), (1L, 3L)) == ((6L, None)))
+    // duplicate + reversed edges and a self-loop reduce to the star
+    assert(r((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (0L, 2L), (0L, 3L))
+      == ((6L, Some(-1.0))))
+  }
 }

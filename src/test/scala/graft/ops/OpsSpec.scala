@@ -402,6 +402,58 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4 || p._2 == 4))
   }
 
+  test("prefixJaccard == nGramJaccard exactly: hot grams pruned from " +
+    "prefixes without losing a single pair") {
+    // a bigram shared by EVERY doc ("shared tail") dominates d02's df²
+    // index work; the ascending-df canonical order pushes it to the
+    // back of every doc's prefix ordering, so it vanishes from
+    // candidate generation — yet the reported exact pair set must be
+    // bit-identical to the uncapped inverted-index join
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta shared tail"),
+      (2L, "alpha beta gamma delta shared tail"),   // exact dup of 1
+      (3L, "alpha beta gamma epsilon shared tail"), // near dup of 1/2
+      (4L, "one two three four shared tail"),
+      (5L, "five six seven eight shared tail"),
+      (6L, "nine ten eleven twelve shared tail")
+    ).toDF("doc_id", "text")
+    for ((tn, td) <- Seq((1, 2), (3, 5), (1, 4))) {
+      val want = Dedup.nGramJaccard(corpus, "text", "doc_id", tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = Dedup.prefixJaccard(corpus, "text", "doc_id", tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"tau=$tn/$td: got=$got want=$want")
+    }
+    // sanity on the fixture itself: the exact dup is reported at 1.0,
+    // and the docs related only through the hot gram are NOT pairs
+    val half = Dedup.prefixJaccard(corpus, "text", "doc_id", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(half.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 1.0))
+    assert(!half.exists(p => p._1 >= 4 || p._2 >= 4))
+  }
+
+  test("dupGramFraction: shared 8-gram windows counted per doc, " +
+    "short docs report (0, 0, NULL)") {
+    // docs 1 and 2 share exactly their first 8-token window; doc 3 is
+    // too short to carry any window; doc 4 overlaps nothing
+    val corpus = Seq(
+      (1L, "a b c d e f g h x y"), // 3 windows, one shared
+      (2L, "a b c d e f g h z"),   // 2 windows, one shared
+      (3L, "tiny doc"),            // 0 windows
+      (4L, "p q r s t u v w k m")  // 3 windows, none shared
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupGramFraction(corpus, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((3L, 1L, Some(1.0 / 3))))
+    assert(got(2L) == ((2L, 1L, Some(0.5))))
+    assert(got(3L) == ((0L, 0L, None)))
+    assert(got(4L) == ((3L, 0L, Some(0.0))))
+  }
+
   test("minHashLsh catches the exact-dup pair with jaccard 1.0") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id", 32, 4, 1, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
