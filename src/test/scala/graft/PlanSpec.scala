@@ -784,6 +784,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("d34: prefix-filtered join is equi-only (no cartesian) and every " +
+    "exchange before the verify stage carries fixed-width rows, never " +
+    "gram text") {
+    val p = plan("d34_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate generation joins on the 64-bit gram hash; the prefix
+    // rank window partitions on doc id — no exchange ships gram strings
+    val lines = p.linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty)
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("g#"), s"exchange shuffles gram text: $in")
+    }
+  }
+
+  test("d35: assortativity is equi-joins + ONE global agg — no " +
+    "cartesian, no window") {
+    val p = plan("d35_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t45: dup-gram fraction shuffles only hashed gram longs (the " +
+    "d12/d20 index shape) — no cartesian, no gram text in exchanges") {
+    val p = plan("t45_dup_fraction")
+    assert(!p.contains("CartesianProduct"), p)
+    val lines = p.linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty)
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("g#"), s"exchange shuffles gram text: $in")
+    }
+  }
 }
 
 
