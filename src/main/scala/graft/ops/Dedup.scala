@@ -601,6 +601,62 @@ object Dedup {
             col("n_grams")).as("dup_frac"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each window of `w`
+    * consecutive token-`k`-gram hashes, select the RIGHTMOST minimal
+    * hash; the distinct selected (position, hash) set is the document's
+    * fingerprint. The winnowing guarantee: any match of at least
+    * `w + k − 1` tokens between two documents shares at least one
+    * fingerprint, at expected density `2/(w+1)` — the principled
+    * selection rule above t04's select-nothing rolling hash (word-gram
+    * variant; the paper hashes char k-grams).
+    *
+    * Exactness: the gram hash is `md5` HEX — equal-length lowercase
+    * hex compares lexicographically exactly like the number it
+    * encodes in BOTH engines (the p26 threshold trick applied to an
+    * ORDERING), so "minimal hash, rightmost on ties" is
+    * `min(struct(h, −pos))` here and `ORDER BY h, pos DESC` in the
+    * oracle, bit-identically. At 100 TB swap md5 for the xxhash64
+    * pair [[spanHotTable]] uses (fixed-width shuffle rows; the
+    * selection logic is hash-agnostic).
+    *
+    * Shape: one scan-stage gram explode (positions over EMPTY-FILTERED
+    * tokens — the d12 oracle convention), a ×w bounded window-start
+    * explode, one (doc, start) hash-agg argmin, one distinct — linear
+    * in token volume. Docs with fewer than `w + k − 1` tokens carry no
+    * full window and emit no fingerprint (documented; MOSS assumes the
+    * noise threshold exceeds the window).
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad shape: k=$k w=$w")
+    val toks = filter(split(col(textCol), " "), x => x =!= "")
+    val grams = graft.Tables.spreadIfNarrow(df)
+      .select(col(idCol).as("id"), toks.as("t"))
+      .select(col("id"), posexplode(
+        when(size(col("t")) >= k,
+          transform(sequence(lit(0), size(col("t")) - k),
+            p => concat_ws(" ", slice(col("t"), p + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "g")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("g")).as("h"))
+    val ng = grams.groupBy("id").agg(count(lit(1)).as("ng"))
+    grams.join(ng, "id")
+      .select(col("id"), col("pos"), col("h"), col("ng"),
+        explode(sequence(col("pos") - (w - 1), col("pos"))).as("s"))
+      .filter(col("s") >= 0 && col("s") <= col("ng") - w)
+      .groupBy("id", "s")
+      .agg(min(struct(col("h"), (lit(0L) - col("pos")).as("np"))).as("m"))
+      .select(col("id"), (lit(0L) - col("m.np")).as("pos"),
+        col("m.h").as("fp"))
+      .distinct()
+      .withColumnRenamed("id", idCol)
+  }
+
   /** C4-style repeated-line scrub: remove every line that occurs in more
     * than `maxLineDf` distinct documents (navigation chrome, cookie
     * banners, boilerplate footers — the intra-corpus repetition that

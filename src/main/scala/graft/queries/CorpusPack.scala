@@ -3104,6 +3104,48 @@ object CorpusPack {
             LEFT JOIN dup ON d.doc_id = dup.doc_id
             ORDER BY d.doc_id"""))
 
+  private val t46 = Q(
+    "t46_winnowing",
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 —
+    // the MOSS selection rule): rightmost-minimal md5 of each window
+    // of 5 consecutive token-4-gram hashes. Any >= 8-token match
+    // between two docs shares a fingerprint (the winnowing guarantee);
+    // density ~2/(w+1). Equal-length hex ORDERS like the number it
+    // encodes in both engines, so min-by-(h, pos desc) mirrors exactly
+    (s, dir) => Dedup.winnowFingerprints(
+        Tables.loadParallel(s, dir, "documents"),
+        "text", "doc_id", k = 4, w = 5)
+      .orderBy("doc_id", "pos", "fp"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            g4 AS (SELECT doc_id, CAST(rn - 1 AS BIGINT) AS pos,
+                md5(w || ' ' || LEAD(w, 1) OVER win
+                  || ' ' || LEAD(w, 2) OVER win
+                  || ' ' || LEAD(w, 3) OVER win) AS h,
+                LEAD(w, 3) OVER win AS tail
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY rn)),
+            gg AS (SELECT doc_id, pos, h FROM g4 WHERE tail IS NOT NULL),
+            cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+              FROM gg GROUP BY 1),
+            wins AS (SELECT doc_id, pos, h,
+                unnest(range(pos - 4, pos + 1)) AS s FROM gg),
+            winf AS (SELECT w.doc_id, w.pos, w.h, w.s
+              FROM wins w JOIN cnt c ON w.doc_id = c.doc_id
+              WHERE w.s >= 0 AND w.s <= c.ng - 5),
+            sel AS (SELECT doc_id, s, pos, h,
+                row_number() OVER (PARTITION BY doc_id, s
+                  ORDER BY h ASC, pos DESC) AS rk
+              FROM winf)
+            SELECT DISTINCT doc_id, pos, h AS fp
+            FROM sel WHERE rk = 1
+            ORDER BY doc_id, pos, fp"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -3163,7 +3205,7 @@ object CorpusPack {
             ORDER BY lang"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33)

@@ -258,7 +258,10 @@ object ScaleSmoke {
         "t42_char_entropy", "t43_fertility", "t44_scaling_fit",
         // t45 = one distinct-gram explode + a map-side-combined df
         // rollup + a semi join — the d12/d20 linear index shape
-        "t45_dup_fraction")
+        "t45_dup_fraction",
+        // t46 = one positional gram explode + a ×w bounded window-start
+        // explode + one (doc, start) hash-agg argmin — linear in tokens
+        "t46_winnowing")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

@@ -454,6 +454,30 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((3L, 0L, Some(0.0))))
   }
 
+  test("winnowFingerprints: the w+k-1 guarantee, rightmost tie-break, " +
+    "and the short-doc cutoff") {
+    // k=4, w=5: any shared run of >= 8 tokens must share a fingerprint
+    val corpus = Seq(
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 c7 c8"),
+      (2L, "b1 b2 b3 c1 c2 c3 c4 c5 c6 c7 c8 b4"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7") // 7 tokens -> 4 grams < w -> none
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(corpus, "text", "doc_id",
+        k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "8-token shared run must share a fingerprint")
+    assert(!byDoc.contains(3L), "sub-(w+k-1) docs emit no fingerprint")
+    // all-identical grams: every window's min is its RIGHTMOST position
+    val same = Seq((9L, "x x x x x x x")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(same, "text", "doc_id", k = 2, w = 3)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    // 6 identical "x x" grams, starts 0..3, rightmost of [s, s+2] = s+2
+    assert(got.map(_._1).sorted.toSeq == Seq(2L, 3L, 4L, 5L), got.toSeq)
+    assert(got.map(_._2).toSet.size == 1)
+  }
+
   test("minHashLsh catches the exact-dup pair with jaccard 1.0") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id", 32, 4, 1, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
