@@ -582,4 +582,91 @@ object Clusters {
         when(col("den") === 0, lit(null).cast("double"))
           .otherwise(col("num").cast("double") / col("den")))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): per-
+    * document PageRank over the adjacent-word co-occurrence graph, top-k
+    * words by rank — the GRAPH rung above tf-idf keywords (t24): tf-idf
+    * scores a word by corpus rarity, TextRank by how central it sits in
+    * THIS document's co-occurrence structure, which surfaces multi-hub
+    * connector terms tf-idf misses.
+    *
+    * Same scaled-integer discipline as [[graphRank]] (ranks in units of
+    * 1/`scale`, every division a floor `div`) so the fixed `iters`-round
+    * iteration is bit-deterministic and a DuckDB oracle replays it
+    * CTE-for-CTE — but keyed by (doc, word): every document's graph
+    * iterates independently inside the same five DataFrame rounds, and
+    * the per-doc node count `n_d` (not a global n) feeds teleport and
+    * the uniform start. Edges are DISTINCT undirected adjacent pairs
+    * (window w=2, the published default); self-loops (`w w`) dropped.
+    * Docs with no non-self adjacency contribute no rows.
+    *
+    * Scale shape: one token scan + one per-doc lead window (sort keyed
+    * by doc), then per round ONE (doc, word)-keyed equi-join + one
+    * (doc, word) hash-agg — work tracks token volume × iters, never
+    * all-pairs; rounds materialize via eager localCheckpoint and free
+    * their predecessor (the d26 lesson: nested-plan re-execution
+    * otherwise re-runs the whole history each action). Final top-k is a
+    * per-doc row_number window over node-count rows.
+    */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+      iters: Int = 5, topK: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && topK >= 1 && scale >= 1000L,
+      s"bad shape: $iters/$topK/$scale")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val adj = df
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("pos", "w")))
+      .withColumn("nw", lead(col("w"), 1).over(byPos))
+      .filter(col("nw").isNotNull && col("w") =!= col("nw"))
+    val und = adj
+      .select(col(idCol), least(col("w"), col("nw")).as("u"),
+        greatest(col("w"), col("nw")).as("v"))
+      .distinct()
+    val sym = und
+      .select(col(idCol), col("u").as("src"), col("v").as("dst"))
+      .unionByName(
+        und.select(col(idCol), col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col(idCol), col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val nd = deg.groupBy(col(idCol)).agg(count(lit(1)).as("n_d"))
+    // nodes carries everything a round needs: per-doc teleport and the
+    // uniform start, both floor-exact in scale units
+    val nodes = deg.join(nd, Seq(idCol))
+      .select(col(idCol), col("src").as("word"),
+        expr(s"(15 * ${scale}L) div (100 * n_d)").as("tele"),
+        expr(s"${scale}L div n_d").as("r0"))
+      .localCheckpoint()
+    val edges = sym.join(
+        deg.select(col(idCol), col("src"), col("deg")), Seq(idCol, "src"))
+      .localCheckpoint()
+    freeCheckpoint(sym)
+    var ranks = nodes.select(col(idCol), col("word"), col("r0").as("rank"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(ranks, edges(idCol) === ranks(idCol) &&
+          edges("src") === ranks("word"))
+        .select(edges(idCol).as(idCol), col("dst").as("word"),
+          expr("rank div deg").as("c"))
+        .groupBy(col(idCol), col("word")).agg(sum("c").as("sum_c"))
+      val oldRanks = ranks
+      ranks = nodes.select(col(idCol), col("word"), col("tele"))
+        .join(contrib, Seq(idCol, "word"), "left")
+        .select(col(idCol), col("word"),
+          (col("tele") +
+            expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
+        .localCheckpoint()
+      freeCheckpoint(oldRanks)
+    }
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("rank").desc, col("word").asc)
+    ranks.withColumn("rn", row_number().over(byRank))
+      .filter(col("rn") <= topK)
+      .select(col(idCol), col("word"), col("rank"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col(idCol), col("rn"))
+  }
 }

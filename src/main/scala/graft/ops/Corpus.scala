@@ -1994,4 +1994,102 @@ object Corpus {
         fert(col("n_byte_bpe")).as("fert_byte_bpe"),
         fert(col("n_wordpiece")).as("fert_wordpiece"))
   }
+
+  /** Empirical-Bayes shrunk per-group pass rate — the m-estimate
+    * (Cestnik, ECAI 1990; equivalently a Beta(m·μ, m·(1−μ)) prior on a
+    * binomial rate): `(k_g + m·μ) / (n_g + m)` with μ the corpus-wide
+    * rate. This is the DOMAIN-level quality prior real crawl pipelines
+    * rank sources by: a source with 2/2 docs passing is NOT better than
+    * one with 950/1000 — the raw rate says it is, the shrunk rate pulls
+    * small-sample groups toward the corpus mean so ranking by it is
+    * sane at every group size. `m` is the prior strength in
+    * pseudo-docs.
+    *
+    * Exactness: cleared to `(k_g·N + m·K) / (N·(n_g + m))` — every term
+    * an exact long, ONE IEEE division (plus one for the reported raw
+    * rate). Longs hold while k_g·N < 2^63 (N < ~3·10⁹ docs; beyond
+    * that, swap the numerator to DECIMAL(38,0) — same plan shape).
+    *
+    * Scale: ONE map-side-combined group rollup of (count, passes); the
+    * global totals are a 1-row broadcast. Nothing else touches the
+    * corpus.
+    */
+  def shrunkGroupRate(df: DataFrame, groupCol: String, passCol: String,
+      m: Int): DataFrame = {
+    require(m >= 0, s"prior strength must be >= 0: $m")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(passCol).cast("long")).as("n_pass"))
+    val tot = g.agg(sum("n_docs").as("nn"), sum("n_pass").as("kk"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs")).as("raw_rate"),
+        ((col("n_pass") * col("nn") + lit(m.toLong) * col("kk"))
+          .cast("double") /
+          (col("nn") * (col("n_docs") + lit(m.toLong))).cast("double"))
+          .as("shrunk_rate"))
+  }
+
+  /** Exactly-k stratified sample with Hamilton largest-remainder
+    * apportionment (Hamilton 1792 / Birkhoff 1976 analysis) — the
+    * EXACTLY-k twin of p04's per-stratum RATE sampling and the
+    * stratified twin of p16's global exactly-k draw: "give me a 100-doc
+    * eval set whose language/source shares match the corpus" needs
+    * integer quotas that sum to k, which per-stratum rates cannot
+    * guarantee and a global draw only hits in expectation.
+    *
+    * Quotas are the canonical largest-remainder rule, all integer:
+    * base_s = ⌊k·n_s/N⌋, and the k − Σbase leftover seats go to the
+    * strata with the largest remainders (k·n_s mod N), ties to the
+    * lexicographically smaller stratum. k ≤ N implies quota_s ≤ n_s
+    * (⌈k·n_s/N⌉ ≤ n_s), so every quota is satisfiable. Within each
+    * stratum the draw is the p16 reservoir: the quota_s smallest
+    * md5(seed:id) keys — deterministic, retry-stable, disjoint by seed.
+    *
+    * Scale shape: one map-side-combined stratum count and ONE
+    * per-stratum window sort of the corpus (exchange keyed by stratum);
+    * the apportionment itself runs on the strata-cardinality frame
+    * (sources × languages — trivially small), where the unpartitioned
+    * windows are a single free task. A hot stratum is the e03/e14
+    * salting story; quotas ≪ n_s admit a per-partition bounded-heap
+    * prefilter before the window if the sort ever dominates.
+    */
+  /** Hamilton largest-remainder apportionment of `k` seats over a
+    * (stratum, w) weight frame: base ⌊k·w/W⌋, then the k − Σbase
+    * leftover seats to the largest remainders k·w mod W, ties to the
+    * lexicographically smaller stratum. All integer. Runs on the
+    * strata-cardinality frame, where the unpartitioned windows are a
+    * single free task.
+    */
+  private def hamiltonQuotas(weights: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy()
+    weights
+      .withColumn("w_tot", sum("w").over(w))
+      .withColumn("base", expr(s"(w * ${k}L) div w_tot"))
+      .withColumn("rem", expr(s"(w * ${k}L) % w_tot"))
+      .withColumn("leftover", lit(k.toLong) - sum("base").over(w))
+      .withColumn("rk_rem", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("stratum").asc)))
+      .select(col("stratum"),
+        (col("base") + when(col("rk_rem") <= col("leftover"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
+  def stratifiedExactK(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+    val quota = hamiltonQuotas(
+      counts.select(col("stratum"), col("n_s").as("w")), k)
+    val byKey = Window.partitionBy(col(stratumCol))
+      .orderBy(col("draw_key"), col(idCol))
+    df.select(col(idCol), col(stratumCol),
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+          .as("draw_key"))
+      .withColumn("rk", row_number().over(byKey).cast("long"))
+      .join(broadcast(quota), col(stratumCol) === col("stratum"))
+      .filter(col("rk") <= col("quota"))
+      .select(col(idCol), col(stratumCol), col("rk"), col("quota"))
+  }
 }

@@ -1098,6 +1098,54 @@ object Events {
           .otherwise(lit(0)).as("spike"))
   }
 
+  /** Seasonal (hour-of-day) volume anomaly monitor — the rung the
+    * whole-series z-score ([[hourlyAnomaly]]) and the recency EWMA
+    * ([[ewmaAnomaly]]) both miss: traffic with a daily cycle makes every
+    * quiet night hour an "anomaly" under a whole-series baseline and
+    * every morning ramp a "burst" under a trailing mean. The seasonal
+    * baseline compares each hour against the SAME slot on other days
+    * (the seasonal-naive decomposition, Hyndman & Athanasopoulos, FPP
+    * §3.1/§5.4), so only deviation from the profile flags. Completes
+    * the monitoring ladder: point outliers (e11), bursts vs the recent
+    * past (e25), sustained small shifts (e28), cycle-relative here.
+    *
+    * Exactness: identical discipline to [[hourlyAnomaly]] — per
+    * (type, slot) moments stay exact integers (c, Σn, Σn²) over the
+    * ZERO-FILLED dense hour spine (a slot that is usually silent must
+    * count its zeros — the e17/e25 lesson), and the z is the same ONE
+    * fixed double expression. Degenerate slots (c ≤ 1 or zero variance)
+    * read NULL, never NaN/Inf.
+    *
+    * Scale: the only corpus-sized reduction is the raw→hourly rollup
+    * (map-side combine); spine, slot moments (24·types rows, broadcast
+    * back), and flags run over type×hours rows.
+    */
+  def seasonalAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
+    val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        expr("(h % 86400) div 3600").as("slot"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val stats = dense.groupBy("event_type", "slot")
+      .agg(count(lit(1)).as("c"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("q"))
+    val varNum = col("q") * col("c") - col("s") * col("s")
+    dense.join(broadcast(stats), Seq("event_type", "slot"))
+      .select(col("event_type"), col("h").as("hour_epoch"), col("slot"),
+        col("n"),
+        when(col("c") > 1 && varNum > 0,
+          (col("n") * col("c") - col("s")).cast("double") /
+            (col("c") * sqrt(varNum.cast("double") /
+              (col("c") * (col("c") - 1)))))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   def gapFillDaily(events: DataFrame): DataFrame = {
     // explicit user_id partitioning up front: every downstream stage's
     // required distribution is satisfied by it (see scaladoc), so no
@@ -1129,5 +1177,47 @@ object Events {
         last(col("day_last"), ignoreNulls = true).over(ff).as("last_type"),
         (col("d") - last(when(col("n_events").isNotNull, col("d")),
           ignoreNulls = true).over(ff)).as("days_since"))
+  }
+
+  /** Point-in-interval join by bucket decomposition — the SCALE path for
+    * the q07 non-equi join class (IP→geo lookups, price-band tagging,
+    * time-slot assignment): a plain `p BETWEEN lo AND hi` predicate has
+    * no equi key, so Spark plans BroadcastNestedLoopJoin — O(N·M) work
+    * and a broadcast that stops fitting long before 100 TB. Decomposing
+    * each interval into the fixed-width buckets it covers turns the
+    * predicate into an EQUI join on bucket id (+ the residual BETWEEN
+    * filter inlined in the join), the standard interval-join rewrite
+    * (e.g. Spark RangeJoin literature / Databricks range-join hints,
+    * GeoSpark grid partitioning).
+    *
+    * Correctness is containment algebra, not sampling: a point lands in
+    * exactly ONE bucket (`p div width`), every interval row is exploded
+    * to ALL buckets it overlaps (`lo div width .. hi div width`), so a
+    * qualifying (point, interval) pair meets on exactly one bucket id —
+    * no misses, no duplicates. Work = N + M·(mean interval span /
+    * width): `width` trades explode fan-out against per-bucket join
+    * selectivity; pick it near the median interval span. Shuffles carry
+    * fixed-width longs. Preconditions: integral `pCol`/`loCol`/`hiCol`
+    * and lo ≤ hi rows (violators simply match nothing: an empty
+    * `sequence(lo div w, hi div w)` explodes to no rows when reversed —
+    * we filter them explicitly to keep the explode total).
+    *
+    * Returns the inner join: all `ranges` columns + all `points`
+    * columns; aggregate/outer-extend in the caller.
+    */
+  def rangeBucketJoin(points: DataFrame, pCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val rb = ranges
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"$loCol div ${bucketWidth}L"),
+        expr(s"$hiCol div ${bucketWidth}L"))))
+    val pb = points
+      .withColumn("__bkt", expr(s"$pCol div ${bucketWidth}L"))
+    rb.join(pb, Seq("__bkt"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__bkt")
   }
 }

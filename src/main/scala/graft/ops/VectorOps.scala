@@ -425,6 +425,46 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Intra-list diversity (ILD) of a retrieval result list — the METRIC
+    * for what [[mmrRerank]] optimizes (Smyth & McClave 2001; the
+    * standard redundancy dial of the diversity-reranking literature):
+    * per probe, the mean pairwise cosine among its returned items,
+    * reported as similarity and as `ild = 1 − mean_sim`. Completes the
+    * self-measurement family: s15/s18 score a list's RELEVANCE, this
+    * scores its redundancy — a RAG stack tuning the MMR λ needs both.
+    *
+    * Exactness: pairwise cosines use the repo's quantized-integer dots
+    * (ONE IEEE division each); the k(k−1)/2-term mean accumulates each
+    * cosine as DECIMAL(18,12) before ONE final division (the s13 trick —
+    * a double sum would be partition-order-sensitive). Lists are bounded
+    * top-k frames, so pair work is k²/2 per probe, never corpus-sized;
+    * the embedding attach is two id-keyed equi joins. Probes with fewer
+    * than 2 items emit no row (no pairs — ILD undefined).
+    */
+  def ildDiversity(results: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol).as("vid"), quantize(col(vecCol)).as("vq"))
+      .withColumn("vn2", norm2(col("vq")))
+    val a = results.select(col("probe_id"), col("corpus_id").as("ia"))
+    val b = results.select(col("probe_id"), col("corpus_id").as("ib"))
+    val pairs = a.join(b, Seq("probe_id")).filter(col("ia") < col("ib"))
+    val sims = pairs
+      .join(vecs.select(col("vid").as("ia"), col("vq").as("qa"),
+        col("vn2").as("na")), Seq("ia"))
+      .join(vecs.select(col("vid").as("ib"), col("vq").as("qb"),
+        col("vn2").as("nb")), Seq("ib"))
+      .select(col("probe_id"),
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+    sims.groupBy("probe_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos").cast(
+          org.apache.spark.sql.types.DecimalType(18, 12))).as("sd"))
+      .select(col("probe_id"), col("n_pairs"),
+        (col("sd").cast("double") / col("n_pairs")).as("mean_sim"))
+      .withColumn("ild", lit(1.0) - col("mean_sim"))
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein 1998): greedily
     * select `kSel` of each probe's top-`kCand` exact candidates, each
     * step maximizing `rel − max sim to already-selected` — the λ=1/2

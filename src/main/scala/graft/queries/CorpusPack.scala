@@ -3204,9 +3204,133 @@ object CorpusPack {
             FROM pt LEFT JOIN ci USING (lang)
             ORDER BY lang"""))
 
+  // the per-round TextRank CTE pair, doc-keyed (d26's rankIterCtes with
+  // (doc_id, word) keys and the PER-DOC teleport/damping from `nodes`)
+  private def textRankIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""s$k AS (SELECT e.doc_id, e.dst AS word,
+              SUM(r${k - 1}.rank // e.deg) AS sum_c
+            FROM e JOIN r${k - 1}
+              ON e.doc_id = r${k - 1}.doc_id AND e.src = r${k - 1}.word
+            GROUP BY 1, 2),
+          r$k AS MATERIALIZED (SELECT n.doc_id, n.word,
+              n.tele + (COALESCE(s$k.sum_c, 0) * 85 // 100) AS rank
+            FROM nodes n LEFT JOIN s$k
+              ON n.doc_id = s$k.doc_id AND n.word = s$k.word)"""
+    }.mkString(",\n")
+
+  private val t47 = Q(
+    "t47_textrank",
+    // TextRank keywords (Mihalcea & Tarau 2004): per-doc PageRank over
+    // the adjacent-word co-occurrence graph, top-5 by rank — the GRAPH
+    // keyword rung above t24's tf-idf (centrality in THIS doc's
+    // structure vs corpus rarity). d26's scaled-integer floor-division
+    // discipline keyed by (doc, word), so the oracle unrolls all 5
+    // rounds CTE-for-CTE with the per-doc teleport 15·scale/(100·n_d)
+    (s, dir) => Clusters.textRank(
+      Tables.loadParallel(s, dir, "documents"),
+      "doc_id", "text", iters = 5, topK = 5),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            adj AS (SELECT a.doc_id, a.w AS wa, b.w AS wb
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w),
+            und AS (SELECT DISTINCT doc_id, least(wa, wb) AS u,
+                greatest(wa, wb) AS v FROM adj),
+            e0 AS (SELECT doc_id, u AS src, v AS dst FROM und
+              UNION ALL SELECT doc_id, v, u FROM und),
+            deg AS MATERIALIZED (SELECT doc_id, src, COUNT(*) AS deg
+              FROM e0 GROUP BY 1, 2),
+            nd AS (SELECT doc_id, COUNT(*) AS n_d FROM deg GROUP BY 1),
+            nodes AS MATERIALIZED (SELECT deg.doc_id, deg.src AS word,
+                (15 * 1000000000000) // (100 * nd.n_d) AS tele,
+                1000000000000 // nd.n_d AS r0
+              FROM deg JOIN nd USING (doc_id)),
+            e AS MATERIALIZED (SELECT e0.doc_id, e0.src, e0.dst, deg.deg
+              FROM e0 JOIN deg USING (doc_id, src)),
+            r0 AS (SELECT doc_id, word, r0 AS rank FROM nodes),
+            ${textRankIterCtes(5)},
+            sel AS (SELECT doc_id, word, rank,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY rank DESC, word ASC) AS rn
+              FROM r5)
+            SELECT doc_id, word, CAST(rank AS BIGINT) AS rank,
+              CAST(rn AS BIGINT) AS rn
+            FROM sel WHERE rn <= 5
+            ORDER BY doc_id, rn"""))
+
+  private val t48 = Q(
+    "t48_source_prior",
+    // empirical-Bayes shrunk per-source quality rate (the m-estimate,
+    // Cestnik 1990 — a Beta prior of strength m=20 pseudo-docs on each
+    // source's gopher pass rate): the DOMAIN-level quality prior crawl
+    // pipelines rank sources by — a 2/2 source must not outrank a
+    // 950/1000 one. Cleared to (k_g*N + m*K)/(N*(n_g + m)): exact
+    // longs, ONE IEEE division (+ one for the reported raw rate)
+    (s, dir) => Corpus.shrunkGroupRate(
+        Tables.loadParallel(s, dir, "documents")
+          .select(col("source"),
+            TextOps.gopherPass(col("text"), 10, 100000, minStops = 1)
+              .as("pass")),
+        "source", "pass", m = 20)
+      .orderBy("source"),
+    Some(s"""WITH $gopherCte,
+            g AS (SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pass
+              FROM gp GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+                CAST(SUM(n_pass) AS BIGINT) AS kk FROM g)
+            SELECT g.source, g.n_docs, g.n_pass,
+              CAST(g.n_pass AS DOUBLE) / g.n_docs AS raw_rate,
+              CAST(g.n_pass * tot.nn + 20 * tot.kk AS DOUBLE) /
+                CAST(tot.nn * (g.n_docs + 20) AS DOUBLE) AS shrunk_rate
+            FROM g CROSS JOIN tot
+            ORDER BY source"""))
+
+  private val p27 = Q(
+    "p27_stratified_k",
+    // exactly-100 stratified eval draw over language shares: Hamilton
+    // largest-remainder quotas (base floor + leftover seats to the
+    // largest k*n_s mod N, ties to the smaller stratum) + the p16
+    // seeded-md5 reservoir within each stratum — integer end to end,
+    // so quota arithmetic and the draw both mirror exactly
+    (s, dir) => Corpus.stratifiedExactK(
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        k = 100, seed = "strat0")
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang AS stratum, COUNT(*) AS n_s
+              FROM documents GROUP BY 1),
+            q0 AS (SELECT stratum, n_s, SUM(n_s) OVER () AS n_tot FROM c),
+            q1 AS (SELECT stratum, n_s, n_tot,
+                (n_s * 100) // n_tot AS base,
+                (n_s * 100) % n_tot AS rem FROM q0),
+            q2 AS (SELECT *, 100 - SUM(base) OVER () AS leftover,
+                row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk_rem
+              FROM q1),
+            quota AS (SELECT stratum,
+                base + CASE WHEN rk_rem <= leftover THEN 1 ELSE 0 END
+                  AS quota FROM q2),
+            d AS (SELECT doc_id, lang,
+                md5('strat0:' || CAST(doc_id AS VARCHAR)) AS draw_key
+              FROM documents),
+            r AS (SELECT doc_id, lang, CAST(row_number() OVER
+                (PARTITION BY lang ORDER BY draw_key, doc_id) AS BIGINT)
+                AS rk
+              FROM d)
+            SELECT r.doc_id, r.lang, r.rk, CAST(q.quota AS BIGINT) AS quota
+            FROM r JOIN quota q ON r.lang = q.stratum
+            WHERE r.rk <= q.quota
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33)
 }

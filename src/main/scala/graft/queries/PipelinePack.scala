@@ -111,6 +111,56 @@ object PipelinePack {
             SELECT pid AS probe_id, cid AS corpus_id, cos, rk
             FROM ranked WHERE rk <= 10 ORDER BY probe_id, rk"""))
 
+  private val s20 = Q(
+    "s20_ild_diversity",
+    // intra-list diversity of the s01 exact top-10 lists (Smyth &
+    // McClave 2001): mean pairwise cosine within each probe's results +
+    // ild = 1 - mean_sim — the redundancy dial s17's MMR optimizes,
+    // measured. Pair cosines are the quantized-integer dots; the
+    // 45-term mean accumulates DECIMAL(18,12) per pair (the s13 trick)
+    // before ONE final division
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.ildDiversity(
+        VectorOps.knnBrute(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "embedding", k = 10),
+        emb, "vec_id", "embedding")
+        .orderBy("probe_id")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+                         round(CAST(unnest(embedding) AS DOUBLE) * 1000) v,
+                         generate_subscripts(embedding, 1) i
+                       FROM embeddings),
+              nrm AS (SELECT vec_id, SUM(v * v) nn FROM q GROUP BY 1),
+              dotp AS (SELECT p.vec_id pid, c.vec_id cid, SUM(p.v * c.v) dot
+                       FROM q p JOIN q c ON p.i = c.i
+                       WHERE p.vec_id < 8 AND p.vec_id <> c.vec_id
+                       GROUP BY 1, 2),
+              scored AS (SELECT pid, cid, dot / sqrt(np.nn * nc.nn) AS cos
+                         FROM dotp JOIN nrm np ON pid = np.vec_id
+                                   JOIN nrm nc ON cid = nc.vec_id),
+              ranked AS (SELECT pid, cid, cos,
+                           ROW_NUMBER() OVER (PARTITION BY pid
+                             ORDER BY cos DESC, cid ASC) rk
+                         FROM scored),
+              top AS (SELECT pid, cid FROM ranked WHERE rk <= 10),
+              pr AS (SELECT a.pid, a.cid AS ia, b.cid AS ib
+                     FROM top a JOIN top b
+                       ON a.pid = b.pid AND a.cid < b.cid),
+              pd AS (SELECT pr.pid, pr.ia, pr.ib, SUM(x.v * y.v) AS dot
+                     FROM pr JOIN q x ON x.vec_id = pr.ia
+                             JOIN q y ON y.vec_id = pr.ib AND x.i = y.i
+                     GROUP BY 1, 2, 3),
+              ps AS (SELECT pd.pid,
+                       CAST(pd.dot / sqrt(na.nn * nb.nn)
+                         AS DECIMAL(18, 12)) AS cs
+                     FROM pd JOIN nrm na ON pd.ia = na.vec_id
+                             JOIN nrm nb ON pd.ib = nb.vec_id)
+            SELECT pid AS probe_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(cs) AS DOUBLE) / COUNT(*) AS mean_sim,
+              1.0 - CAST(SUM(cs) AS DOUBLE) / COUNT(*) AS ild
+            FROM ps GROUP BY pid ORDER BY probe_id"""))
+
   private val s03 = Q(
     "s03_knn_ivf",
     (s, dir) => {
@@ -2032,6 +2082,45 @@ object PipelinePack {
                 AS shift_flag
             FROM cc ORDER BY event_type, hour_epoch"""))
 
+  private val e29 = Q(
+    "e29_seasonal_anomaly",
+    // seasonal (hour-of-day) anomaly: each hour vs the SAME slot on
+    // other days (seasonal-naive baseline, Hyndman & Athanasopoulos FPP)
+    // — completes the monitoring ladder: whole-series z (e11) flags
+    // every quiet night hour of cyclic traffic, the EWMA (e25) flags
+    // every morning ramp; slot-relative z flags only profile deviation.
+    // Same exact-integer moments + ONE fixed IEEE expression as e11,
+    // over the zero-filled dense spine (silent slots count their zeros)
+    (s, dir) => Events.seasonalAnomaly(Tables.load(s, dir, "events"))
+      .orderBy("event_type", "hour_epoch"),
+    Some("""WITH hourly AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            spine AS (SELECT event_type,
+                unnest(range(mn, mx + 3600, 3600)) AS h
+              FROM (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+                FROM hourly GROUP BY 1)),
+            dense AS (SELECT s.event_type, s.h,
+                (s.h % 86400) // 3600 AS slot,
+                COALESCE(cnt, 0) AS n
+              FROM spine s LEFT JOIN hourly
+                ON s.event_type = hourly.event_type AND s.h = hourly.h),
+            st AS (SELECT event_type, slot,
+                CAST(COUNT(*) AS BIGINT) AS c,
+                CAST(SUM(n) AS BIGINT) AS s,
+                CAST(SUM(n * n) AS BIGINT) AS q
+              FROM dense GROUP BY 1, 2)
+            SELECT d.event_type, d.h AS hour_epoch, d.slot, d.n,
+              CASE WHEN st.c > 1 AND st.q * st.c - st.s * st.s > 0
+                THEN CAST(d.n * st.c - st.s AS DOUBLE) /
+                  (st.c * sqrt(CAST(st.q * st.c - st.s * st.s AS DOUBLE)
+                    / (st.c * (st.c - 1))))
+                ELSE NULL END AS z
+            FROM dense d JOIN st
+              ON d.event_type = st.event_type AND d.slot = st.slot
+            ORDER BY d.event_type, hour_epoch"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2292,8 +2381,8 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
     m01, m02, m03, m04, m05)
 }

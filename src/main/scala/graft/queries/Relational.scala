@@ -1129,8 +1129,53 @@ object Relational {
                   * MAX((n-1)*75%100) AS DOUBLE) / 10000.0 AS p75
             FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  private val q45 = Q(
+    "q45_range_bucket_join",
+    // point-in-interval join by bucket decomposition — the SCALE path
+    // for the q07 non-equi class (IP→geo, price bands, time slots):
+    // `p BETWEEN lo AND hi` alone plans BroadcastNestedLoopJoin (O(N·M)
+    // and a broadcast that stops fitting at 100 TB); exploding each
+    // interval into the fixed-width buckets it covers turns it into an
+    // EQUI join on bucket id + the residual filter. The oracle runs the
+    // PLAIN inequality join, so the hash-equality row is itself the
+    // completeness proof of the decomposition (the d34 trick). Ranges
+    // derive deterministically from supplier keys, points from
+    // cents-quantized customer balances (the q44 quantization)
+    (s, dir) => {
+      val ranges = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          expr("(s_suppkey * 37) % 2000").as("lo"))
+        .withColumn("hi", col("lo") + expr("s_suppkey % 97"))
+      val pts = t(s, dir, "customer").select(
+        (abs(round(col("c_acctbal") * 100).cast("long")) % 2100).as("p"))
+      val m = graft.ops.Events
+        .rangeBucketJoin(pts, "p", ranges, "lo", "hi", bucketWidth = 128L)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_pts"), sum("p").as("sum_p"))
+      ranges.join(m, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"), col("lo"), col("hi"),
+          coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+          coalesce(col("sum_p"), lit(0L)).as("sum_p"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH r AS (SELECT s_suppkey,
+                (s_suppkey * 37) % 2000 AS lo,
+                (s_suppkey * 37) % 2000 + s_suppkey % 97 AS hi
+              FROM supplier),
+            p AS (SELECT abs(CAST(round(c_acctbal * 100) AS BIGINT))
+                % 2100 AS p
+              FROM customer),
+            m AS (SELECT s_suppkey, COUNT(*) AS n_pts, SUM(p.p) AS sum_p
+              FROM r JOIN p ON p.p BETWEEN r.lo AND r.hi
+              GROUP BY 1)
+            SELECT r.s_suppkey, r.lo, r.hi,
+              COALESCE(m.n_pts, 0) AS n_pts,
+              CAST(COALESCE(m.sum_p, 0) AS BIGINT) AS sum_p
+            FROM r LEFT JOIN m USING (s_suppkey)
+            ORDER BY s_suppkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44)
+    q42, q43, q44, q45)
 }

@@ -506,6 +506,31 @@ object ScaleProbe {
     require(lpaRows == rankRows,
       s"LPA labeled $lpaRows of $rankRows nodes")
 
+    // --- bucket range join at 5M points × 200k intervals (r10c): the
+    // q45 machinery at ~1000× the bench table sizes. A plain BETWEEN
+    // join here is a 10^12-pair nested loop; the bucket decomposition
+    // must keep work at N + M·(span/width) + matched pairs (~65M here:
+    // mean span 64 over a 1M-value domain)
+    val rPts = spark.range(5000000L)
+      .select(pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("p"))
+    val rIvl = spark.range(200000L)
+      .select(col("id").as("rid"),
+        pmod(xxhash64(col("id"), lit(8)), lit(1000000L)).as("lo"))
+      .withColumn("hi",
+        col("lo") + pmod(xxhash64(col("rid"), lit(9)), lit(128L)))
+    val (rjPairs, rjSec) = timed {
+      // sum BOTH a count and a payload column (the r9 lesson: a
+      // count-only sink can let Catalyst prune the join inputs)
+      val r = Events
+        .rangeBucketJoin(rPts, "p", rIvl, "lo", "hi", bucketWidth = 64L)
+        .groupBy("rid")
+        .agg(count(lit(1)).as("n"), sum("p").as("sp"))
+        .agg(sum("n").as("tn"), sum("sp").as("tp")).head()
+      r.getLong(0) + r.getLong(1) % 2L
+    }
+    require(rjPairs > 10000000L,
+      s"range join matched only $rjPairs pairs — fixture broke")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -528,7 +553,8 @@ object ScaleProbe {
       f""""rank_rows":$rankRows,"rank_sec":$rankSec%.1f,""" +
       f""""tri_sum":$triSum,"tri_sec":$triSec%.1f,""" +
       f""""kcore_rows":$coreRows,"kcore_sec":$coreSec%.1f,""" +
-      f""""lpa_rows":$lpaRows,"lpa_sec":$lpaSec%.1f}""")
+      f""""lpa_rows":$lpaRows,"lpa_sec":$lpaSec%.1f,""" +
+      f""""rjoin_pairs":$rjPairs,"rjoin_sec":$rjSec%.1f}""")
     spark.stop()
   }
 }

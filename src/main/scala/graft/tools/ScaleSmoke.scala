@@ -261,7 +261,21 @@ object ScaleSmoke {
         "t45_dup_fraction",
         // t46 = one positional gram explode + a ×w bounded window-start
         // explode + one (doc, start) hash-agg argmin — linear in tokens
-        "t46_winnowing")
+        "t46_winnowing",
+        // t47 = one token scan + per-doc lead window, then 5 fixed
+        // rounds of ONE (doc, word)-keyed equi join + hash-agg each —
+        // work tracks token volume × iters (the d26 discipline keyed
+        // per doc); p27 = one map-side-combined stratum count + ONE
+        // per-stratum window sort (the apportionment frame is
+        // strata-cardinality-sized) — both linear in corpus rows
+        // (q45's supplier/customer tables are outside this corpus's
+        // schema; its N + M·span/width work is pinned in OpsSpec and
+        // PlanSpec instead — as are the events-table e29 spine rollups)
+        "t47_textrank", "p27_stratified_k",
+        // t48 = ONE map-side-combined source rollup + a 1-row broadcast;
+        // s20 = the s01 pinned-probe brute scan + k²/2-bounded pairs +
+        // two id-keyed equi joins — both linear in corpus rows
+        "t48_source_prior", "s20_ild_diversity")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

@@ -827,6 +827,54 @@ class PlanSpec extends SparkSpec {
       assert(!in.contains("g#"), s"exchange shuffles gram text: $in")
     }
   }
+
+  test("q45: the bucket decomposition turns the BETWEEN join into an " +
+    "EQUI join — no nested-loop, no cartesian, an explode feeds it") {
+    val p = plan("q45_range_bucket_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p) // the interval→buckets explode
+  }
+
+  test("p27: stratified draw runs ONE corpus window keyed by stratum + " +
+    "map-side-combined counts; the apportionment frame never cross-joins") {
+    val p = plan("p27_stratified_k")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t47: textrank rounds are (doc, word)-keyed equi joins — no " +
+    "cartesian anywhere in the materialized round chain") {
+    val p = plan("t47_textrank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e29: seasonal moments reduce via hash-agg and broadcast back — " +
+    "no window over the spine, no cartesian") {
+    val p = plan("e29_seasonal_anomaly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // slot stats attach
+  }
+
+  test("t48: source prior is ONE rollup + a 1-row broadcast — no " +
+    "window, no cartesian; the corpus is touched once") {
+    val p = plan("t48_source_prior")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("s20: ILD pair work rides bounded top-k lists — the only " +
+    "non-equi join is the declared s01 probe broadcast") {
+    val p = plan("s20_ild_diversity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p) // the s01 top-k rank
+    assert(p.contains("HashAggregate"), p)
+  }
 }
 
 

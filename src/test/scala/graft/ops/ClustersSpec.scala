@@ -279,4 +279,55 @@ class ClustersSpec extends SparkSpec {
     assert(r((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (0L, 2L), (0L, 3L))
       == ((6L, Some(-1.0))))
   }
+
+  test("textRank: scalar replay on a star doc; uniform 2-node doc is a " +
+    "fixed point at scale/2; self-repeat and empty docs emit nothing") {
+    val docs = Seq(
+      (1L, "h a h b h c"), // co-occurrence star: h is the hub
+      (2L, "a b a b"),     // one undirected edge: symmetric ranks
+      (3L, "x x x"),       // self-adjacency only: no non-self edges
+      (4L, "")             // empty text
+    ).toDF("doc_id", "text")
+    val scale = 1000000L
+    val got = Clusters
+      .textRank(docs, "doc_id", "text", iters = 5, topK = 5, scale = scale)
+      .as[(Long, String, Long, Long)].collect()
+
+    // scalar replay of the exact integer recurrence for doc 1
+    val adj = Map("h" -> Seq("a", "b", "c"), "a" -> Seq("h"),
+      "b" -> Seq("h"), "c" -> Seq("h"))
+    val tele = 15L * scale / (100L * adj.size)
+    var r = adj.keys.map(_ -> scale / adj.size).toMap
+    (1 to 5).foreach { _ =>
+      r = adj.map { case (u, nbrs) =>
+        u -> (tele + nbrs.map(v => r(v) / adj(v).length).sum * 85L / 100L)
+      }
+    }
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(x => x._2 -> x._3).toMap == r, "doc-1 scalar replay")
+    assert(d1.minBy(_._4)._2 == "h", "hub keyword must rank first")
+
+    // doc 2: uniform rank is a PageRank fixed point — exactly scale/2,
+    // tie broken by word: a before b
+    val d2 = got.filter(_._1 == 2L).sortBy(_._4)
+    assert(d2.map(x => (x._2, x._3)).toSeq ==
+      Seq(("a", scale / 2), ("b", scale / 2)))
+
+    // docs 3 and 4 contribute no rows at all
+    assert(!got.exists(x => x._1 == 3L || x._1 == 4L))
+    // global ordering: (doc_id, rn)
+    assert(got.map(x => (x._1, x._4)).toSeq ==
+      got.map(x => (x._1, x._4)).sortBy(identity).toSeq)
+  }
+
+  test("textRank: topK bounds the per-doc output and ranks are " +
+    "deterministic across runs") {
+    val doc = Seq((7L, "a b c d e f g a c e g b d f")).toDF("doc_id", "text")
+    val top2 = Clusters.textRank(doc, "doc_id", "text", topK = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(top2.length == 2 && top2.map(_._4).toSeq == Seq(1L, 2L))
+    val again = Clusters.textRank(doc, "doc_id", "text", topK = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(top2.toSeq == again.toSeq, "deterministic")
+  }
 }

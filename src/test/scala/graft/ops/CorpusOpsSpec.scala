@@ -820,4 +820,65 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byLang("punct")._2 == 3L)
     assert(got == run(), "two evaluations over trained tables agree")
   }
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    f"${new java.math.BigInteger(1, d)}%032x"
+  }
+
+  test("shrunkGroupRate: small perfect-rate groups shrink below large " +
+    "near-perfect ones, values match the cleared rational, m=0 is the " +
+    "raw rate") {
+    // A: 2/2, B: 95/100, C: 3/98 -> N=200, K=100, corpus rate 1/2
+    val df = (Seq.fill(2)("A" -> true) ++
+      Seq.fill(95)("B" -> true) ++ Seq.fill(5)("B" -> false) ++
+      Seq.fill(3)("C" -> true) ++ Seq.fill(95)("C" -> false))
+      .toDF("source", "pass")
+    val got = Corpus.shrunkGroupRate(df, "source", "pass", m = 20)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(got("A")._2 == 2L && got("A")._3 == 2L && got("A")._4 == 1.0)
+    // the cleared rational (k*N + m*K) / (N*(n + m)), same IEEE division
+    assert(got("A")._5 == (2.0 * 200 + 20 * 100) / (200.0 * 22))
+    assert(got("B")._5 == (95.0 * 200 + 20 * 100) / (200.0 * 120))
+    // the EB point: raw says A > B, shrunk says B > A
+    assert(got("A")._4 > got("B")._4 && got("B")._5 > got("A")._5)
+    // m=0 degenerates to the raw rate
+    val raw = Corpus.shrunkGroupRate(df, "source", "pass", m = 0)
+      .as[(String, Long, Long, Double, Double)].collect()
+    raw.foreach(x => assert(x._5 == x._4, s"m=0 must be raw: $x"))
+  }
+
+  test("stratifiedExactK: Hamilton quotas sum to k, leftover seats go " +
+    "to the largest remainders (ties to the smaller stratum), and each " +
+    "stratum draws exactly its quota smallest md5 keys") {
+    val df = ((1L to 5L).map(_ -> "A") ++ (6L to 8L).map(_ -> "B") ++
+      (9L to 10L).map(_ -> "C")).toDF("id", "s")
+    // N=10, k=4: bases A=2 B=1 C=0, remainders 0/2/8, one leftover -> C
+    val got = Corpus.stratifiedExactK(df, "id", "s", k = 4, seed = "sd")
+      .as[(Long, String, Long, Long)].collect()
+    val quotas = got.map(x => x._2 -> x._4).toMap
+    assert(quotas == Map("A" -> 2L, "B" -> 1L, "C" -> 1L))
+    val byStratum = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStratum.map { case (s, ids) => s -> ids.size.toLong } == quotas,
+      "each stratum draws exactly its quota")
+    // driver replay of the p16 reservoir per stratum
+    val strata = Map("A" -> (1L to 5L), "B" -> (6L to 8L), "C" -> (9L to 10L))
+    strata.foreach { case (s, ids) =>
+      val want = ids.sortBy(id => (md5hex(s"sd:$id"), id))
+        .take(quotas(s).toInt).toSet
+      assert(byStratum(s) == want, s"stratum $s draw")
+    }
+    // remainder TIE goes to the lexicographically smaller stratum:
+    // sizes 3/3/4, k=5 -> bases 1/1/2, remainders 5/5/0, one seat -> A
+    val tie = ((1L to 3L).map(_ -> "A") ++ (4L to 6L).map(_ -> "B") ++
+      (7L to 10L).map(_ -> "C")).toDF("id", "s")
+    val tq = Corpus.stratifiedExactK(tie, "id", "s", k = 5, seed = "sd")
+      .as[(Long, String, Long, Long)].collect().map(x => x._2 -> x._4).toMap
+    assert(tq == Map("A" -> 2L, "B" -> 1L, "C" -> 2L))
+    // k = N keeps everything; k = 0 keeps nothing
+    assert(Corpus.stratifiedExactK(df, "id", "s", 10, "sd").count() == 10L)
+    assert(Corpus.stratifiedExactK(df, "id", "s", 0, "sd").count() == 0L)
+  }
 }

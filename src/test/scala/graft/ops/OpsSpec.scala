@@ -789,6 +789,26 @@ class VectorOpsSpec extends SparkSpec {
       .select("id", "cluster").as[(Long, Int)].collect().toMap
     assert(got == again)
   }
+
+  test("ildDiversity: hand-computed pairwise mean on a dup-laden list, " +
+    "single-item lists emit no row, a fully-duplicate list reads ild 0") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), // exact duplicates
+      (3L, Array(0f, 1f)),
+      (4L, Array(1f, 0f)), (5L, Array(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val results = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), // pairs: cos 1, 0, 0
+      (200L, 4L),                         // single item: no pairs
+      (300L, 4L), (300L, 5L), (300L, 1L)  // all-duplicates: every cos 1
+    ).toDF("probe_id", "corpus_id")
+    val got = VectorOps.ildDiversity(results, corpus, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    assert(got(100L) == ((100L, 3L, 1.0 / 3, 1.0 - 1.0 / 3)))
+    assert(!got.contains(200L), "ILD undefined below 2 items")
+    assert(got(300L) == ((300L, 3L, 1.0, 0.0)), "all-dup list: zero " +
+      "diversity")
+  }
 }
 
 class EventsSpec extends SparkSpec {
@@ -1244,6 +1264,64 @@ class EventsSpec extends SparkSpec {
       (1L, 2, 0L, "view", 2),
       (1L, 3, 1L, "buy", 0),
       (2L, 9, 1L, "c", 0)))
+  }
+
+  test("seasonalAnomaly: z is slot-relative (a constant daily profile " +
+    "reads NULL where a whole-series z would flag), zero-filled slots " +
+    "stay degenerate, and the burst day scores the hand moments") {
+    val day = 86400L
+    // one type, 3 days: hour-0 count is ALWAYS 2 (constant profile —
+    // zero slot variance), hour-1 counts 1/1/3 (day-2 burst)
+    val rows = Seq(0L, 10L, day, day + 10L, 2 * day, 2 * day + 10L, // slot 0
+      3600L, day + 3600L,                                           // slot 1
+      2 * day + 3600L, 2 * day + 3610L, 2 * day + 3620L)            // burst
+    val ev = rows.zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(t), 1L, "a", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.seasonalAnomaly(ev).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // slot 0: counts 2,2,2 -> zero variance -> NULL (e11's whole-series
+    // z over this mixed series would be nonzero for these hours)
+    assert(got(0L) == ((0L, 2L, None)))
+    assert(got(day) == ((0L, 2L, None)))
+    // slot 1: c=3, s=5, q=11 — the same fixed IEEE expression
+    def zOf(n: Long, c: Long, s: Long, q: Long): Double =
+      (n * c - s).toDouble /
+        (c * math.sqrt((q * c - s * s).toDouble / (c * (c - 1))))
+    assert(got(3600L) == ((1L, 1L, Some(zOf(1, 3, 5, 11)))))
+    assert(got(2 * day + 3600L) == ((1L, 3L, Some(zOf(3, 3, 5, 11)))))
+    assert(got(2 * day + 3600L)._3.get > 1.0, "burst flags positive")
+    // zero-filled slots (2..23 exist on 2 spine days, both zero) are
+    // degenerate: present, n=0, NULL z
+    assert(got(7200L) == ((2L, 0L, None)))
+    // the whole dense spine is emitted: 2 full days + 2 hours
+    assert(got.size == 50)
+  }
+
+  test("rangeBucketJoin == the plain inequality join at every bucket " +
+    "width: boundaries, multi-bucket spans, negatives, duplicates; " +
+    "reversed ranges match nothing") {
+    val ranges = Seq(
+      (1L, 0L, 10L),      // spans buckets at small widths
+      (2L, 5L, 5L),       // degenerate single-point interval
+      (3L, -300L, -1L),   // all-negative interval
+      (4L, 250L, 260L),   // far bucket
+      (5L, 7L, 3L)        // REVERSED: must match nothing
+    ).toDF("rid", "lo", "hi")
+    val pts = Seq(-300L, -150L, -1L, 0L, 3L, 5L, 5L, 7L, 10L, 11L, 255L)
+      .toDF("p") // note the duplicate 5: multiplicity must be preserved
+    val want = ranges.crossJoin(pts)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("rid", "lo", "hi", "p")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty && !want.exists(_._1 == 5L), "fixture sanity")
+    for (w <- Seq(1L, 4L, 128L, 100000L)) {
+      val got = Events.rangeBucketJoin(pts, "p", ranges, "lo", "hi", w)
+        .select("rid", "lo", "hi", "p")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"bucketWidth=$w")
+    }
   }
 }
 
