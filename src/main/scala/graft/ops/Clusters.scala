@@ -624,6 +624,11 @@ object Clusters {
       .select(col(idCol), least(col("w"), col("nw")).as("u"),
         greatest(col("w"), col("nw")).as("v"))
       .distinct()
+    // sym/nodes/edges materialize ONCE (the d26 shape): nodes and edges
+    // are each consumed by all 5 rounds, and the token explode + lead
+    // window upstream is the expensive part — without these three
+    // checkpoints the round chain re-executes it per reference
+    // (measured 3x slower at sf0.1)
     val sym = und
       .select(col(idCol), col("u").as("src"), col("v").as("dst"))
       .unionByName(
@@ -643,6 +648,12 @@ object Clusters {
         deg.select(col(idCol), col("src"), col("deg")), Seq(idCol, "src"))
       .localCheckpoint()
     freeCheckpoint(sym)
+    // rounds do NOT checkpoint (unlike graphRank): each round's frame is
+    // referenced exactly once by the next round, there is no count
+    // action between rounds, and edges/nodes are already materialized —
+    // so the 5 rounds compile into ONE linear-size plan and execute as a
+    // single job (checkpointing here was measured 3x slower at sf0.1:
+    // 10+ sequential materialization jobs for no reuse — the t37 lesson)
     var ranks = nodes.select(col(idCol), col("word"), col("r0").as("rank"))
     (1 to iters).foreach { _ =>
       val contrib = edges
@@ -651,14 +662,11 @@ object Clusters {
         .select(edges(idCol).as(idCol), col("dst").as("word"),
           expr("rank div deg").as("c"))
         .groupBy(col(idCol), col("word")).agg(sum("c").as("sum_c"))
-      val oldRanks = ranks
       ranks = nodes.select(col(idCol), col("word"), col("tele"))
         .join(contrib, Seq(idCol, "word"), "left")
         .select(col(idCol), col("word"),
           (col("tele") +
             expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
-        .localCheckpoint()
-      freeCheckpoint(oldRanks)
     }
     val byRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
