@@ -1120,23 +1120,42 @@ object Events {
     * (map-side combine); spine, slot moments (24·types rows, broadcast
     * back), and flags run over type×hours rows.
     */
-  def seasonalAnomaly(events: DataFrame): DataFrame = {
-    val hourly = events.groupBy(col("event_type"),
+  def seasonalAnomaly(events: DataFrame): DataFrame =
+    seasonalAnomalyFromHourly(events.groupBy(col("event_type"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[seasonalAnomaly]]'s finisher over a PRE-BUILT `(event_type, h,
+    * cnt)` hourly cell frame — the standing-state shape: a streaming
+    * ingest maintains exactly these cells
+    * ([[graft.streaming.EventPipeline.hourlyCounts]] keyed the same
+    * way), so the seasonal monitor reads off the live sink without
+    * re-scanning raw events (the unitMetricStream/welchT read-side
+    * finisher contract, applied to the monitoring ladder).
+    */
+  def seasonalAnomalyFromHourly(hourly: DataFrame): DataFrame = {
+    // the cells side re-aliases its join columns (fresh exprIds): a
+    // memory-sink VIEW fed in twice (spine derives from the same frame)
+    // would otherwise self-join on conflicting references
     val spine = hourly.groupBy("event_type")
       .agg(min("h").as("mn"), max("h").as("mx"))
       .select(col("event_type"),
         explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
-    val dense = spine.join(hourly, Seq("event_type", "h"), "left")
+    val cells = hourly.select(col("event_type").as("et2"),
+      col("h").as("h2"), col("cnt"))
+    val dense = spine.join(cells,
+        col("event_type") === col("et2") && col("h") === col("h2"), "left")
       .select(col("event_type"), col("h"),
         expr("(h % 86400) div 3600").as("slot"),
         coalesce(col("cnt"), lit(0L)).as("n"))
     val stats = dense.groupBy("event_type", "slot")
       .agg(count(lit(1)).as("c"), sum("n").as("s"),
         sum(col("n") * col("n")).as("q"))
+      .select(col("event_type").as("et3"), col("slot").as("sl3"),
+        col("c"), col("s"), col("q"))
     val varNum = col("q") * col("c") - col("s") * col("s")
-    dense.join(broadcast(stats), Seq("event_type", "slot"))
+    dense.join(broadcast(stats),
+        col("event_type") === col("et3") && col("slot") === col("sl3"))
       .select(col("event_type"), col("h").as("hour_epoch"), col("slot"),
         col("n"),
         when(col("c") > 1 && varNum > 0,
