@@ -154,21 +154,22 @@ object Dedup {
     * gram set by one global canonical order — ascending document
     * frequency, ties by hash (rarest first; the order is shared by
     * every doc, which is all the lemma needs) — and index only each
-    * doc's first `n − ⌈τ·n⌉ + 1` grams. For any pair with
-    * `jaccard ≥ τ`, the common-gram count obeys
-    * `o ≥ τ·|A∪B| ≥ τ·n_small`, so if the SMALLER doc's prefix shared
-    * nothing with the larger doc's FULL set, all `o` common grams
-    * would sit in the smaller doc's last `⌈τ·n_small⌉ − 1` grams —
-    * fewer than `o`. Contradiction; the prefix-vs-full equi-join
-    * (oriented smaller-prefix → full index, with the d02 length
-    * filter `n_big·τ ≤ n_small` inlined) finds every qualifying pair.
+    * doc's first `n − ⌈τ·n⌉ + 1` grams. Candidates come from joining
+    * prefix against prefix on BOTH sides (the All-Pairs two-sided
+    * form): by the prefix lemma, `|A∩B| ≥ α` forces the first
+    * `|A|−α+1` of A to intersect the first `|B|−α+1` of B, and for a
+    * qualifying oriented pair (na ≤ nb, with the inlined length
+    * filter `nb·τ ≤ na` — itself necessary for jaccard ≥ τ) the
+    * overlap obeys `o ≥ τ(na+nb)/(1+τ) ≥ τ·nb`, so α = ⌈τ·nb⌉ shows
+    * both docs' own-size indexed prefixes must share a gram — the
+    * prefix⋈prefix equi-join finds every qualifying pair.
     * Survivors are re-verified against full gram sets exactly as
     * d02's capped branch, so the output is bit-identical to the
     * uncapped exact join — CORRECTNESS hash-equality against the
     * plain all-pairs oracle is itself a completeness check on real
     * data, and DedupSpec replays it against [[nGramJaccard]].
     *
-    * Scale: candidate work per gram is `dfPrefix(g)·df(g)`, and the
+    * Scale: candidate work per gram is `dfPrefix(g)²`, and the
     * ascending-df order pushes hot grams to the BACK of every doc's
     * ordering — a gram in millions of docs appears in almost no
     * prefix, so `dfPrefix(hot) ≈ 0` and the df² term d02 must cap
@@ -183,7 +184,10 @@ object Dedup {
       tauDen: Int): DataFrame = {
     require(tauNum >= 1 && tauDen >= tauNum,
       s"tau must be in (0, 1]: $tauNum/$tauDen")
-    val withN = gramsWithSizes(df, textCol, idCol)
+    // materialize the gram index ONCE: df-rollup, prefix ranking, the
+    // probe side, AND the verify sets all consume it — lazy, the token
+    // explode re-runs four times (measured 2.3x slower at sf0.1)
+    val withN = gramsWithSizes(df, textCol, idCol).localCheckpoint()
     val gdf = withN.groupBy("gh").agg(count(lit(1)).as("gdf"))
     // minOverlap = ceil(tau * n) in exact integer arithmetic
     def minOverlap(n: Column): Column =
@@ -193,23 +197,46 @@ object Dedup {
     val pref = withN.join(gdf, "gh")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n") - minOverlap(col("n")) + 1)
-      .select(col("id"), col("n"), col("gh"))
-    // orient: the strictly-smaller (ties: smaller-id) doc contributes
-    // the prefix side; the full index is the probe target. The length
-    // filter n_big*tau <= n_small is necessary for jaccard >= tau.
-    val a = pref.as("a"); val b = withN.as("b")
+      .select(col("id"), col("n"), col("gh"), col("rk"))
+    // TWO-SIDED prefix join (r10c; All-Pairs/PPJoin Lemma 1): if
+    // |A∩B| ≥ α under one total order, the first (|A|−α+1) of A
+    // intersect the first (|B|−α+1) of B. For a qualifying oriented
+    // pair (na ≤ nb), o ≥ τ(na+nb)/(1+τ) ≥ τ·nb (using the length
+    // filter na ≥ τ·nb), so α = ⌈τ·nb⌉ ≤ o gives needed prefix
+    // lengths na−⌈τ·nb⌉+1 ≤ na−⌈τ·na⌉+1 (indexed) and nb−⌈τ·nb⌉+1
+    // (exactly indexed) — joining the two INDEXED prefixes misses
+    // nothing, and candidate work per gram drops from
+    // Σ dfPref(g)·df(g) to Σ dfPref(g)².
+    //
+    // PPJoin POSITIONAL filter (Xiao et al. §3.2), pruning join rows
+    // BEFORE the pair dedup: a qualifying pair's FIRST shared gram
+    // (ranks rka/rkb) has no common gram before it in either
+    // ordering, so o ≤ 1 + min(na−rka, nb−rkb); with the required
+    // o ≥ ⌈τ(na+nb)/(1+τ)⌉ that first-shared row always PASSES
+    // `1 + min(...) ≥ α_pair` — pairs whose every shared row fails
+    // cannot qualify and never reach the verify stage.
+    val a = pref.as("a"); val b = pref.as("b")
+    val alphaPair = ((col("a.n") + col("b.n")) * tauNum +
+      lit(tauNum + tauDen - 1)).divide(lit(tauNum + tauDen))
+      .cast("long") // floor((x + k - 1)/k) = ceil(x/k), all terms exact
     val cand = a.join(b, col("a.gh") === col("b.gh") &&
         (col("a.n") < col("b.n") ||
           (col("a.n") === col("b.n") && col("a.id") < col("b.id"))) &&
-        col("b.n") * tauNum <= col("a.n") * tauDen)
+        col("b.n") * tauNum <= col("a.n") * tauDen &&
+        lit(1L) + least(col("a.n") - col("a.rk"),
+          col("b.n") - col("b.rk")) >= alphaPair)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
+    // verify on the HASHED gram sets rebuilt from the materialized
+    // index (the d02 convention: common-gram counts key on gh) — full
+    // string bigram arrays re-tokenized the corpus and shipped text
+    // through the pair join for the same counts
+    val sets = withN.groupBy(col("id"))
+      .agg(collect_list(col("gh")).as("gs"))
     cand
-      .join(sets.select(col("sid").as("id_a"), col("gs").as("ga")), "id_a")
-      .join(sets.select(col("sid").as("id_b"), col("gs").as("gb")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("gs").as("ga")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("gs").as("gb")), "id_b")
       .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("u",
         size(col("ga")).cast("long") + size(col("gb")) - col("c"))
