@@ -599,14 +599,15 @@ object PipelinePack {
             com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
               FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-            pairs AS (SELECT ia, ib FROM com
+            pairs AS MATERIALIZED (SELECT ia, ib FROM com
               JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
               WHERE c * 4 >= (sa.n + sb.n - c) * 1),
             e0 AS (SELECT ia AS src, ib AS dst FROM pairs
               UNION ALL SELECT ib, ia FROM pairs),
-            deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+            deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg
+              FROM e0 GROUP BY 1),
             nn AS (SELECT COUNT(*) AS n FROM deg),
-            e AS (SELECT e0.src, e0.dst, deg.deg
+            e AS MATERIALIZED (SELECT e0.src, e0.dst, deg.deg
               FROM e0 JOIN deg USING (src)),
             r0 AS (SELECT src AS id, 1000000000000 // nn.n AS rank
               FROM deg CROSS JOIN nn),
@@ -645,18 +646,19 @@ object PipelinePack {
             com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
               FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-            pairs AS (SELECT ia, ib FROM com
+            pairs AS MATERIALIZED (SELECT ia, ib FROM com
               JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
               WHERE c * 4 >= (sa.n + sb.n - c) * 1),
-            und AS (SELECT DISTINCT least(ia, ib) u, greatest(ia, ib) v
+            und AS MATERIALIZED (SELECT DISTINCT least(ia, ib) u,
+                greatest(ia, ib) v
               FROM pairs WHERE ia <> ib),
-            deg AS (SELECT id, COUNT(*) AS deg FROM (
+            deg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
                 SELECT u AS id FROM und
                 UNION ALL SELECT v FROM und) GROUP BY 1),
             wd AS (SELECT und.u, und.v, a.deg AS du, b.deg AS dv
               FROM und JOIN deg a ON und.u = a.id
                 JOIN deg b ON und.v = b.id),
-            ore AS (SELECT
+            ore AS MATERIALIZED (SELECT
                 CASE WHEN du < dv OR (du = dv AND u < v)
                   THEN u ELSE v END AS src,
                 CASE WHEN du < dv OR (du = dv AND u < v)
