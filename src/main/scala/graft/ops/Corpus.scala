@@ -2053,6 +2053,10 @@ object Corpus {
     * windows are a single free task. A hot stratum is the e03/e14
     * salting story; quotas ≪ n_s admit a per-partition bounded-heap
     * prefilter before the window if the sort ever dominates.
+    * Preconditions: k ≤ N (the quota bound argument needs it; with
+    * k > N the draw returns every row of the over-allocated strata and
+    * fewer than k total), and a non-null stratum column (a NULL
+    * stratum never equi-joins its quota row — coalesce upstream).
     */
   /** Hamilton largest-remainder apportionment of `k` seats over a
     * (stratum, w) weight frame: base ⌊k·w/W⌋, then the k − Σbase

@@ -1228,6 +1228,12 @@ object Events {
       ranges: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // fail fast on shared column names (the rrfFuse lesson): the result
+    // carries BOTH inputs' columns, and a silent duplicate would make
+    // every downstream col() reference ambiguous at a distance
+    val shared = points.columns.toSet.intersect(ranges.columns.toSet)
+    require(shared.isEmpty,
+      s"points and ranges share column names: ${shared.mkString(", ")}")
     val rb = ranges
       .filter(col(loCol) <= col(hiCol))
       .withColumn("__bkt", explode(sequence(

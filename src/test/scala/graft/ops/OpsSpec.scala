@@ -1322,6 +1322,11 @@ class EventsSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().sorted.toSeq
       assert(got == want, s"bucketWidth=$w")
     }
+    // shared column names fail fast (the result carries both inputs)
+    intercept[IllegalArgumentException] {
+      Events.rangeBucketJoin(pts.withColumnRenamed("p", "lo"), "lo",
+        ranges, "lo", "hi", 4L)
+    }
   }
 }
 
