@@ -327,6 +327,43 @@ object Corpus {
     * design — the sketch is the scale path; swap it for t06 when the
     * key space stops fitting a shuffle.
     */
+  private def cmsCellsOf(t: Column, width: Int, depth: Int): Column =
+    array((0 until depth).map(j =>
+      pmod(xxhash64(lit(j.toLong), t), lit(width.toLong))): _*)
+
+  /** The count-min sketch CELL frame of a token stream: one count per
+    * live (row, bucket) cell, ≤ depth·width rows total REGARDLESS of
+    * vocabulary — the fixed-state rollup [[cmsHeavyHitters]] queries,
+    * exposed separately because the counts are commutative sums and so
+    * fold identically as a STREAMING aggregation
+    * ([[graft.streaming.CorpusStream.cmsCellStream]] maintains exactly
+    * this frame over a live ingest; CorpusStreamSpec asserts parity).
+    */
+  def cmsCells(df: DataFrame, textCol: String,
+      width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1,
+      s"bad cms shape: width=$width depth=$depth")
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(posexplode(cmsCellsOf(col("token"), width, depth))
+        .as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates over a pre-built [[cmsCells]] frame: for each
+    * candidate token, the min over its depth cells — the read-side
+    * finisher (Cormode–Muthukrishnan: over-estimate only, within ε·N
+    * with the usual width/depth bounds). The cell frame broadcasts
+    * (≤ depth·width rows by construction).
+    */
+  def cmsEstimateFromCells(cells: DataFrame, cand: DataFrame,
+      tokenCol: String, width: Int, depth: Int): DataFrame =
+    cand
+      .select(col(tokenCol).as("token"),
+        posexplode(cmsCellsOf(col(tokenCol), width, depth))
+          .as(Seq("j", "bucket")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("token").agg(min("cnt").as("est_n"))
+
   def cmsHeavyHitters(
       df: DataFrame, textCol: String, k: Int,
       width: Int = 8192, depth: Int = 4,
@@ -335,11 +372,7 @@ object Corpus {
       s"bad cms shape: k=$k width=$width depth=$depth")
     val m = if (candidatesPerPartition > 0) candidatesPerPartition else 8 * k
     val toks = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
-    def cellsOf(t: Column): Column = array((0 until depth).map(j =>
-      pmod(xxhash64(lit(j.toLong), t), lit(width.toLong))): _*)
-    val sketch = toks
-      .select(posexplode(cellsOf(col("token"))).as(Seq("j", "bucket")))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val sketch = cmsCells(df, textCol, width, depth)
     import df.sparkSession.implicits._
     val cand = toks.as[String].mapPartitions { it =>
       val local = scala.collection.mutable.HashMap.empty[String, Long]
@@ -347,11 +380,7 @@ object Corpus {
       local.toSeq.sortBy { case (t, c) => (-c, t) }.take(m)
         .iterator.map(_._1)
     }.toDF("token").distinct()
-    cand
-      .select(col("token"),
-        posexplode(cellsOf(col("token"))).as(Seq("j", "bucket")))
-      .join(broadcast(sketch), Seq("j", "bucket"))
-      .groupBy("token").agg(min("cnt").as("est_n"))
+    cmsEstimateFromCells(sketch, cand, "token", width, depth)
       .orderBy(col("est_n").desc, col("token").asc)
       .limit(k)
   }

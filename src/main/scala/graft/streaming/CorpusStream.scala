@@ -264,4 +264,22 @@ object CorpusStream {
   def histBinStream(docs: DataFrame, textCol: String, groupCol: String,
       binWidth: Long = 16L): DataFrame =
     graft.ops.Corpus.binDocs(docs, textCol, groupCol, binWidth)
+
+  /** Streaming maintenance of the count-min sketch
+    * ([[graft.ops.Corpus.cmsCells]]): the state store holds ONE count
+    * per live (row, bucket) cell — ≤ depth·width rows REGARDLESS of the
+    * token stream's vocabulary, which is the whole point: an
+    * open-vocabulary live ingest (URLs, ids, n-gram keys) is monitored
+    * with FIXED state where an exact streaming top-k would grow its
+    * store with every new key. Cell counts are commutative sums, so
+    * micro-batch folds ARE the batch sketch; heavy-hitter estimates
+    * finish read-side with [[graft.ops.Corpus.cmsEstimateFromCells]]
+    * over the sink (a sketch-sized rollup, never a corpus one).
+    * CorpusStreamSpec asserts cell parity with the batch sketch across
+    * micro-batches and that the finished top-k recovers the exact
+    * heavy hitters on the probe corpus.
+    */
+  def cmsCellStream(docs: DataFrame, textCol: String,
+      width: Int = 8192, depth: Int = 4): DataFrame =
+    graft.ops.Corpus.cmsCells(docs, textCol, width, depth)
 }

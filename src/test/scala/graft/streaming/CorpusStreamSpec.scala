@@ -397,4 +397,49 @@ class CorpusStreamSpec extends SparkSpec {
           hdocs.toDF("lang", "text"), "text", "lang", 4L)))
     } finally q.stop()
   }
+
+  test("cmsCellStream: streamed sketch cells equal the batch sketch " +
+    "across micro-batches, and the finished top-k recovers the exact " +
+    "heavy hitters with over-estimate-only error") {
+    import graft.ops.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    // 'hot' dominates, 'warm' second, singles trail; hot counts split
+    // ACROSS the two micro-batches so cell folding is exercised
+    val cdocs = Seq(
+      ("hot hot hot warm a"), ("hot warm b hot"),
+      ("hot hot warm c"), ("hot warm d hot hot"))
+    val src = MemoryStream[String]
+    val q = CorpusStream.cmsCellStream(
+        src.toDF().toDF("text"), "text", width = 512, depth = 3)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      src.addData(cdocs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(cdocs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_cells")
+      val batch = Corpus.cmsCells(cdocs.toDF("text"), "text", 512, 3)
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(cells(streamed) == cells(batch))
+      // state is sketch-bounded: <= depth * width cells however many
+      // distinct tokens arrive
+      assert(streamed.count() <= 3L * 512L)
+      // read-side finisher over the SINK: estimates >= exact (CMS
+      // over-estimates only) and the top-2 set is the exact top-2
+      val exact = Map("hot" -> 9L, "warm" -> 4L, "a" -> 1L, "b" -> 1L,
+        "c" -> 1L, "d" -> 1L)
+      val cand = exact.keys.toSeq.toDF("token")
+      val est = Corpus
+        .cmsEstimateFromCells(streamed, cand, "token", 512, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (t, n) =>
+        assert(est(t) >= n, s"CMS must never under-count: $t")
+      }
+      val top2 = est.toSeq.sortBy { case (t, n) => (-n, t) }.take(2)
+        .map(_._1).toSet
+      assert(top2 == Set("hot", "warm"))
+    } finally q.stop()
+  }
 }
