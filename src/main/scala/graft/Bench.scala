@@ -128,11 +128,10 @@ object Bench {
       js(results.map(r => r._1 -> r._3))},"reps_sec":${
       jsArr(results.map(r => r._1 -> r._4))},"reps":$reps,"calibration_sec":${
       f"$calib%.3f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the line as a machine-readable artifact (r6): stdout
-    // capture has truncated mid-dict before, and round-over-round
-    // comparison should never depend on it. SPARK_GRAFT_BENCH_OUT
-    // overrides; empty disables.
+    // persist the FULL line (per-rep arrays included) as a machine-readable
+    // artifact (r6): stdout capture has truncated mid-dict before, and
+    // round-over-round comparison should never depend on it.
+    // SPARK_GRAFT_BENCH_OUT overrides; empty disables.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     if (outPath.nonEmpty) {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
@@ -140,5 +139,17 @@ object Bench {
       System.err.println(s"[bench] wrote $outPath")
     }
     spark.stop()
+    // stdout contract with the driver (r10: BENCH_r10.json came back
+    // `parsed: null` with only a tail fragment — the 40 KB full line got
+    // chopped in capture). Print a COMPACT line (no per-rep arrays, no
+    // spread — those live in bench_last.json) as the very last stdout
+    // line, after spark.stop(), behind a fixed marker and bare.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${
+      f"$totalNorm%.3f"},"queries":${
+      js(results.map(r => r._1 -> r._2))},"reps":$reps,"calibration_sec":${
+      f"$calib%.3f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
+    println(s"BENCH_JSON: $compact")
+    println(compact)
+    System.out.flush()
   }
 }

@@ -94,6 +94,15 @@ class ContractSpec extends AnyFunSuite {
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }
 
+  test("SURVEY §2 row ids are unique (coverage table keys on them)") {
+    // r10 verdict: 32bf7 and 32bi each numbered two different rows, which
+    // breaks the mechanical join the judge does over §2 row ids
+    val rowId = """(?m)^\| ([0-9][0-9a-z]*) \|""".r
+    val ids = rowId.findAllMatchIn(surveyText).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate SURVEY §2 row ids: ${dups.mkString(", ")}")
+  }
+
   test("SURVEY §7 tally line matches the artifacts (r8 drift lesson)") {
     val tally = """TALLY queries=(\d+) oracle=(\d+) rows_only=(\d+)""".r
     val m = tally.findFirstMatchIn(surveyText)
