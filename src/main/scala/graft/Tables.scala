@@ -89,6 +89,44 @@ object Tables {
       _.getFooter.getBlocks.asScala.map(_.getTotalByteSize).sum)
   }
 
+  /** Distinct-value counts for the named columns — the second line of the
+    * reference's `.stat` files (src/qp/optimizer/PlanCost.java reads
+    * "number of distinct values per attribute" to price each join). One
+    * approx_count_distinct rollup per table, memoized per
+    * (dir, table, column set superset) so repeated compiles in a session
+    * (SpjMain, the golden specs) pay once. HLL++ at default precision is
+    * within ~2% — selectivity estimation only needs the magnitude.
+    */
+  def columnNdv(
+      spark: SparkSession, dir: String, name: String,
+      cols: Seq[String]): Map[String, Long] = {
+    val key = (dir, name.toLowerCase)
+    val cached = ndvCache.get(key)
+    val missing = cols.map(_.toLowerCase).distinct
+      .filterNot(c => cached.exists(_.contains(c)))
+    if (missing.isEmpty) cached.getOrElse(Map.empty)
+    else {
+      import org.apache.spark.sql.functions.approx_count_distinct
+      val df = load(spark, dir, name)
+      val present = missing.filter(c =>
+        df.columns.exists(_.equalsIgnoreCase(c)))
+      val fresh: Map[String, Long] =
+        if (present.isEmpty) Map.empty
+        else {
+          val row = df.agg(
+            approx_count_distinct(present.head).as(present.head),
+            present.tail.map(c => approx_count_distinct(c).as(c)): _*
+          ).head()
+          present.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+        }
+      val merged = cached.getOrElse(Map.empty) ++ fresh
+      ndvCache.put(key, merged)
+      merged
+    }
+  }
+  private val ndvCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Map[String, Long]]
+
   private def footerSum(spark: SparkSession, dir: String, name: String)(
       f: org.apache.parquet.hadoop.ParquetFileReader => Long): Long = {
     import org.apache.hadoop.fs.Path

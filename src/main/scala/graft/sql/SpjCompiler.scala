@@ -9,14 +9,23 @@ import graft.Tables
 /** Compiles an [[SpjAst.SpjQuery]] to a declarative DataFrame plan.
   *
   * This is where the reference's optimizer concerns live
-  * (src/qp/optimizer/RandomOptimizer.java + PlanCost.java): instead of
-  * randomized iterative improvement over join order/method, we do a greedy
-  * smallest-relation-first join ordering from parquet-footer row stats and
-  * emit broadcast hints for small build sides — then let Catalyst + AQE
-  * finish the job (predicate pushdown, column pruning, runtime join-strategy
-  * switch, skew handling). Join METHOD selection (NestedJoin vs HashJoin vs
-  * BlockNested in the reference) is deliberately NOT re-implemented: that is
-  * exactly what Spark's physical planning + AQE does better.
+  * (src/qp/optimizer/RandomOptimizer.java + PlanCost.java): join ORDER is
+  * chosen by a cost-based dynamic program over the same statistics the
+  * reference's PlanCost reads from its .stat files — per-table row counts
+  * and per-attribute distinct-value counts — estimating every intermediate
+  * cardinality as |L ⋈ R| = |L|·|R| / max(V(l), V(r)) (the PlanCost
+  * formula) and minimizing the SUM of intermediate sizes over all
+  * connected left-deep orders. Where the reference explores that space by
+  * randomized iterative improvement (RandomOptimizer's 2^24-bounded
+  * neighbor walk), an SPJ FROM list is small enough to search EXACTLY
+  * (subset DP, ≤ 12 relations), so we return the true optimum of the same
+  * cost model. When stats are missing the compiler falls back to greedy
+  * smallest-relation-first. Either way we emit broadcast hints for small
+  * build sides and let Catalyst + AQE finish the job (predicate pushdown,
+  * column pruning, runtime join-strategy switch, skew handling). Join
+  * METHOD selection (NestedJoin vs HashJoin vs BlockNested in the
+  * reference) is deliberately NOT re-implemented: that is exactly what
+  * Spark's physical planning + AQE does better.
   *
   * Semantics notes vs the reference:
   *  - selections are applied per-table BEFORE joins (the reference pushes
@@ -45,11 +54,135 @@ object SpjCompiler {
     */
   val BroadcastBytes = 64L << 20
 
+  /** Default equality selectivity when the attribute's distinct count is
+    * unknown (System R's 1/10). */
+  val DefaultEqSel = 0.1
+  /** Range-predicate selectivity (System R's 1/3). */
+  val RangeSel = 1.0 / 3.0
+
+  /** Cost-based join order over the query's join graph: exact subset DP
+    * minimizing Σ intermediate cardinalities under the PlanCost estimate
+    * |L ⋈ R| = |L|·|R| / max(V(l), V(r)). Per-table base cardinalities are
+    * row counts reduced by selection selectivities (eq → 1/V or 1/10,
+    * range → 1/3). Cardinality of a table SET is order-independent
+    * (product of base cards × product of in-set join selectivities), so
+    * the DP is over subsets with left-deep reconstruction; disconnected
+    * extensions (cross joins) are only considered when no connected one
+    * exists — mirroring RandomInitialPlan, which never volunteers a
+    * cartesian product.
+    *
+    * Returns the lowercase table names in join order. `ndv` maps
+    * lowercase table -> lowercase column -> distinct count.
+    */
+  def joinOrder(
+      q: SpjQuery,
+      rows: String => Long,
+      ndv: Map[String, Map[String, Long]]): Seq[String] = {
+    val tables = q.from.map(_.toLowerCase).distinct.toVector
+    val n = tables.size
+    val idx = tables.zipWithIndex.toMap
+    def ndvOf(a: Attr): Option[Long] =
+      ndv.get(a.table.toLowerCase).flatMap(_.get(a.column.toLowerCase))
+
+    // base cardinality: rows after per-table selections
+    val base: Vector[Double] = tables.map { t =>
+      val r = rows(t).toDouble
+      val sel = q.selections.collect {
+        case LitCond(a, op, _) if a.table.equalsIgnoreCase(t) => (op, ndvOf(a))
+        case AttrCond(l, op, r2) if l.table.equalsIgnoreCase(t) &&
+          r2.table.equalsIgnoreCase(t) => (op, ndvOf(l))
+      }.map {
+        case (Eq, Some(v)) => 1.0 / math.max(v, 1L)
+        case (Eq, None) => DefaultEqSel
+        case (Ne, _) => 1.0
+        case (_, _) => RangeSel
+      }.product
+      math.max(r * sel, 1.0)
+    }
+
+    // join selectivity per condition; conds keyed by their table pair
+    def condSel(c: AttrCond): Double = {
+      if (c.op == Eq) {
+        val vl = ndvOf(c.lhs).getOrElse(rows(c.lhs.table.toLowerCase))
+        val vr = ndvOf(c.rhs).getOrElse(rows(c.rhs.table.toLowerCase))
+        1.0 / math.max(math.max(vl, vr), 1L).toDouble
+      } else if (c.op == Ne) 1.0
+      else RangeSel
+    }
+    val condEdges: Seq[(Int, Int, Double)] = q.joins.flatMap { c =>
+      for {
+        li <- idx.get(c.lhs.table.toLowerCase)
+        ri <- idx.get(c.rhs.table.toLowerCase)
+        if li != ri
+      } yield (li, ri, condSel(c))
+    }
+
+    // card(mask) = Π base × Π sel(conds inside mask) — order-independent
+    val cardMemo = new scala.collection.mutable.HashMap[Int, Double]
+    def card(mask: Int): Double = cardMemo.getOrElseUpdate(mask, {
+      var c = 1.0
+      var i = 0
+      while (i < n) { if ((mask & (1 << i)) != 0) c *= base(i); i += 1 }
+      condEdges.foreach { case (l, r, s) =>
+        if ((mask & (1 << l)) != 0 && (mask & (1 << r)) != 0) c *= s
+      }
+      math.max(c, 1.0)
+    })
+    def connected(mask: Int, t: Int): Boolean = condEdges.exists {
+      case (l, r, _) =>
+        (l == t && (mask & (1 << r)) != 0) || (r == t && (mask & (1 << l)) != 0)
+    }
+
+    // left-deep DP: best(mask) = min over last-joined t of
+    //   best(mask - t) + card(mask)
+    val best = new scala.collection.mutable.HashMap[Int, (Double, List[Int])]
+    def solve(mask: Int): (Double, List[Int]) = best.getOrElseUpdate(mask, {
+      val bits = (0 until n).filter(i => (mask & (1 << i)) != 0)
+      if (bits.size == 1) (0.0, bits.toList)
+      else {
+        val conn = bits.filter(t => connected(mask & ~(1 << t), t))
+        val pool = if (conn.nonEmpty) conn else bits
+        pool.map { t =>
+          val (subCost, subOrder) = solve(mask & ~(1 << t))
+          (subCost + card(mask), subOrder :+ t)
+        }.minBy(_._1)
+      }
+    })
+    solve((1 << n) - 1)._2.map(tables)
+  }
+
+  /** Greedy smallest-relation-first order (the no-stats fallback). */
+  private[sql] def greedyOrder(q: SpjQuery, rows: String => Long): Seq[String] = {
+    val joins = q.joins
+    var remaining = q.from.map(_.toLowerCase).distinct
+    var joined: Set[String] = Set.empty
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def connects(inSet: Set[String], t: String): Boolean = joins.exists { c =>
+      val lt = c.lhs.table.toLowerCase; val rt = c.rhs.table.toLowerCase
+      (inSet.contains(lt) && rt == t) || (inSet.contains(rt) && lt == t)
+    }
+    while (remaining.nonEmpty) {
+      val next =
+        if (joined.isEmpty) {
+          val inJoin = remaining.filter(t => joins.exists(c =>
+            c.lhs.table.equalsIgnoreCase(t) || c.rhs.table.equalsIgnoreCase(t)))
+          (if (inJoin.nonEmpty) inJoin else remaining).minBy(rows)
+        } else {
+          val connected = remaining.filter(t => connects(joined, t))
+          if (connected.nonEmpty) connected.minBy(rows)
+          else remaining.minBy(rows)
+        }
+      out += next; joined += next; remaining = remaining.filterNot(_ == next)
+    }
+    out.toSeq
+  }
+
   def compile(
       q: SpjQuery,
       catalog: Map[String, DataFrame],
       stats: Map[String, Long] = Map.empty,
-      byteStats: Map[String, Long] = Map.empty): DataFrame = {
+      byteStats: Map[String, Long] = Map.empty,
+      ndvStats: Map[String, Map[String, Long]] = Map.empty): DataFrame = {
 
     def lookup(name: String): DataFrame =
       catalog.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
@@ -116,13 +249,18 @@ object SpjCompiler {
       tname.toLowerCase -> df
     }.toMap
 
-    // 2. Greedy smallest-first join ordering over the join graph.
-    //    Components without a join condition are cross-joined last
-    //    (reference: NestedJoin with no condition).
+    // 2. Join ordering: exact cost-based DP when row stats cover every
+    //    table (the PlanCost model — see joinOrder), greedy smallest-first
+    //    otherwise. Components without a join condition are cross-joined
+    //    as late as the order allows (reference: NestedJoin, no condition).
     val joins = q.joins
-    var joined: Set[String] = Set.empty
-    var plan: DataFrame = null
-    var remaining = q.from.map(_.toLowerCase).distinct
+    val tableNames = q.from.map(_.toLowerCase).distinct
+    val statsKnown = tableNames.forall(t => rowsOf(t) != Long.MaxValue)
+    val order: Seq[String] =
+      if (statsKnown && tableNames.size >= 2 && tableNames.size <= 12)
+        joinOrder(q, rowsOf, ndvStats.map { case (k, v) =>
+          k.toLowerCase -> v.map { case (c, n) => c.toLowerCase -> n } })
+      else greedyOrder(q, rowsOf)
 
     def joinCondsBetween(inSet: Set[String], t: String): Seq[AttrCond] =
       joins.filter { c =>
@@ -130,19 +268,11 @@ object SpjCompiler {
         (inSet.contains(lt) && rt == t) || (inSet.contains(rt) && lt == t)
       }
 
-    while (remaining.nonEmpty) {
-      if (plan == null) {
-        // seed: smallest relation that participates in a join (or smallest)
-        val inJoin = remaining.filter(t => joins.exists(c =>
-          c.lhs.table.equalsIgnoreCase(t) || c.rhs.table.equalsIgnoreCase(t)))
-        val pool = if (inJoin.nonEmpty) inJoin else remaining
-        val seed = pool.minBy(rowsOf)
-        plan = rels(seed); joined = Set(seed); remaining = remaining.filterNot(_ == seed)
-      } else {
-        val connected = remaining.filter(t => joinCondsBetween(joined, t).nonEmpty)
-        val nextT =
-          if (connected.nonEmpty) connected.minBy(rowsOf)
-          else remaining.minBy(rowsOf) // disconnected -> cross join
+    var joined: Set[String] = Set.empty
+    var plan: DataFrame = null
+    order.foreach { nextT =>
+      if (plan == null) { plan = rels(nextT); joined = Set(nextT) }
+      else {
         val conds = joinCondsBetween(joined, nextT)
         val rightRaw = rels(nextT)
         val right =
@@ -155,7 +285,7 @@ object SpjCompiler {
               cmp(c.op)(colRef(env, c.lhs), colRef(env, c.rhs))).reduce(_ && _)
             plan.join(right, expr)
           }
-        joined += nextT; remaining = remaining.filterNot(_ == nextT)
+        joined += nextT
       }
     }
     if (plan == null) throw new SpjParseException("empty FROM list")
@@ -227,6 +357,13 @@ object SpjCompiler {
 
   /** Parse + compile + run against the parquet catalog under `dir`.
     * Loads only the tables the query references (schema reads are eager).
+    *
+    * Distinct-value stats (the reference .stat files' second line) are
+    * collected lazily for exactly the attributes the cost model consults —
+    * join keys and eq-selection columns — one approx_count_distinct rollup
+    * per table, memoized per (dir, table) in [[Tables.columnNdv]]. This is
+    * the ANALYZE analog: at 100 TB the same map would come from a stats
+    * catalog maintained offline, and the compiler takes it as plain data.
     */
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val q = SpjParser.parse(sql)
@@ -234,6 +371,12 @@ object SpjCompiler {
     val catalog = names.map(n => n -> Tables.load(spark, dir, n)).toMap
     val stats = names.map(n => n -> Tables.rowCount(spark, dir, n)).toMap
     val bytes = names.map(n => n -> Tables.uncompressedBytes(spark, dir, n)).toMap
-    compile(q, catalog, stats, bytes)
+    val wanted: Seq[Attr] = q.joins.flatMap(c => Seq(c.lhs, c.rhs)) ++
+      q.selections.collect { case LitCond(a, Eq, _) => a }
+    val ndv = wanted.groupBy(_.table.toLowerCase).map { case (t, attrs) =>
+      t -> Tables.columnNdv(spark, dir, t,
+        attrs.map(_.column.toLowerCase).distinct)
+    }
+    compile(q, catalog, stats, bytes, ndv)
   }
 }

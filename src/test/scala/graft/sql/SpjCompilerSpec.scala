@@ -155,6 +155,58 @@ class SpjCompilerSpec extends SparkSpec {
       Seq((1, "open"), (1, "paid"), (2, "paid")))
   }
 
+  test("cost-based DP join order beats greedy where greedy provably loses") {
+    // The RandomOptimizer/PlanCost closure (reference
+    // src/qp/optimizer/RandomOptimizer.java + PlanCost.java): a catalog
+    // where smallest-relation-first is the WRONG order. FACT ⋈ SM on s is
+    // a multiplying join (5 distinct s values: 10000·50/5 = 100k rows);
+    // FACT ⋈ BG on b is a key join (10000·2000/10000 = 2k rows). Greedy
+    // seeds the smallest relation (SM, 50 rows) and pays the 100k
+    // intermediate; the DP's Σ-intermediate cost model joins FACT ⋈ BG
+    // first (2k + 20k vs 100k + 20k) and defers the blow-up to the top.
+    val sql = """SELECT FACT.b FROM FACT, SM, BG
+                |WHERE FACT.s = SM.s, FACT.b = BG.b""".stripMargin
+    val q = SpjParser.parse(sql)
+    val rowsOf = Map("fact" -> 10000L, "sm" -> 50L, "bg" -> 2000L)
+    val ndv = Map(
+      "fact" -> Map("s" -> 5L, "b" -> 10000L),
+      "sm" -> Map("s" -> 5L),
+      "bg" -> Map("b" -> 2000L))
+    val dp = SpjCompiler.joinOrder(q, rowsOf, ndv)
+    assert(dp.toSet == Set("fact", "sm", "bg"))
+    assert(dp.last == "sm",
+      s"DP must defer the multiplying SM join to the top, got $dp")
+    val greedy = SpjCompiler.greedyOrder(q, rowsOf)
+    assert(greedy.head == "sm",
+      s"the catalog is crafted so greedy seeds SM, got $greedy")
+    // end-to-end on real data shaped like the stats: results are exact
+    // regardless of order, so the reorder is a pure plan win
+    val fact = spark.range(10000).selectExpr(
+      "cast(id % 5 as int) AS s", "cast(id as int) AS b")
+    val sm = spark.range(50).selectExpr(
+      "cast(id % 5 as int) AS s", "cast(id as int) AS tag")
+    val bg = spark.range(2000).selectExpr("cast(id as int) AS b")
+    val out = SpjCompiler.compile(q,
+      Map("FACT" -> fact, "SM" -> sm, "BG" -> bg),
+      rowsOf.map { case (k, v) => k.toUpperCase -> v }, Map.empty, ndv)
+    // every FACT.b < 2000 matches one BG row and 10 SM rows
+    assert(out.count() == 20000L)
+    assert(out.distinct().count() == 2000L)
+  }
+
+  test("DP order with no useful stats still avoids cartesian products") {
+    // all-equal row counts and no NDVs: the connected-extensions-only rule
+    // must still hold (RandomInitialPlan never volunteers a cross join)
+    val sql = """SELECT CUSTOMER.cid FROM CUSTOMER, CART, BILL
+                |WHERE CUSTOMER.cid = CART.cid, CART.cartid = BILL.cartid""".stripMargin
+    val order = SpjCompiler.joinOrder(SpjParser.parse(sql),
+      Map("customer" -> 3L, "cart" -> 3L, "bill" -> 3L), Map.empty)
+    // every prefix of the order must be connected: customer and bill may
+    // never be the first two tables
+    assert(order.take(2).toSet != Set("customer", "bill"),
+      s"disconnected prefix in $order")
+  }
+
   test("projected non-aggregate column absent from GROUPBY becomes a key") {
     val rows = run(
       """SELECT CART.status, COUNT(CART.cartid) FROM CART
