@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Corpus, Dedup, Packing, QualityModel, TextOps, UnigramTokenizer}
+import graft.ops.{Clusters, Corpus, Dedup, LangIdModel, Packing, QualityModel, TextOps, UnigramTokenizer}
 import Relational.Q
 
 /** SURVEY §2.2 corpus-analysis and dataset-prep operators as
@@ -3293,6 +3293,27 @@ object CorpusPack {
             FROM g CROSS JOIN tot
             ORDER BY source"""))
 
+  private val t49 = Q(
+    "t49_trained_lang_id",
+    // trained multiclass language ID (the fastText/CCNet rung above
+    // t01's marker heuristic): fit a softmax hashed-BoW model on the
+    // even-doc_id half's lang labels, predict the held-out odd half with
+    // the fused one-pass argmax expression. Trained-float margins have
+    // no DuckDB mirror (rows-only); LangIdSpec gates planted-population
+    // accuracy >= 0.9, bit-reproducible training, save/load, and
+    // expression ≡ reference-predictor strict equality
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+      val model = LangIdModel.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang").as("lang_label"),
+          model.predict(col("text")).as("lang_pred"))
+        .withColumn("hit", (col("lang_pred") === col("lang_label")).cast("int"))
+        .orderBy("doc_id")
+    },
+    None) // trained-float argmax: rows-only, LangIdSpec-gated
+
   private val p27 = Q(
     "p27_stratified_k",
     // exactly-100 stratified eval draw over language shares: Hamilton
@@ -3329,7 +3350,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33)

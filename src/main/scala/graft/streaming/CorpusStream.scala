@@ -112,7 +112,8 @@ object CorpusStream {
       c4MinLineWords: Int = 0,
       maxVocab: Int = 1 << 20,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
-      minLogit: Double = 0.0): DataFrame = {
+      minLogit: Double = 0.0,
+      langModel: Option[graft.ops.LangIdModel.MulticlassLangModel] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.ops.TextOps
     val cleanedText = {
@@ -129,7 +130,11 @@ object CorpusStream {
       else cleaned0.drop("__orig")
     val gatedHeur = cleaned
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
-      .filter(TextOps.langId(col(textCol)).isInCollection(langs) &&
+      // lang gate: trained multiclass argmax when a model is supplied
+      // (the SAME stage ReleaseBuild applies batch-side), marker
+      // heuristic otherwise — both stateless, so they stream unchanged
+      .filter(langModel.fold(TextOps.langId(col(textCol)))(
+          _.predict(col(textCol))).isInCollection(langs) &&
         col("quality") >= minQuality)
     // opt-in trained-model gate — the SAME stage ReleaseBuild applies
     // batch-side (model_gated), here one more stateless scan conjunct

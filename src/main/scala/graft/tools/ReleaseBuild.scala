@@ -140,6 +140,7 @@ object ReleaseBuild {
       byteBpeMerges: Option[Seq[(String, String)]] = None,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
       minLogit: Double = 0.0,
+      langModel: Option[graft.ops.LangIdModel.MulticlassLangModel] = None,
       stripMarkup: Boolean = false,
       calibrate: Boolean = false,
       targetPrecision: Double = 0.9,
@@ -199,7 +200,12 @@ object ReleaseBuild {
     val effMinQuality = pinned.map(_.qualityThreshold)
       .orElse(calibratedCut.map(_._1)).getOrElse(minQuality)
     val gatedHeur = lineClean.select(col(idCol), col(textCol),
-        TextOps.langId(col(textCol)).as("lang_pred"),
+        // lang gate: trained multiclass argmax when a model is supplied
+        // (the CCNet fastText stage), marker heuristic otherwise — both
+        // stateless scan-stage expressions, so the choice never adds a
+        // pass or a shuffle
+        langModel.fold(TextOps.langId(col(textCol)))(
+          _.predict(col(textCol))).as("lang_pred"),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .filter(col("lang_pred").isInCollection(langs) &&
@@ -396,6 +402,7 @@ object ReleaseBuild {
       c4MinSentences: Int = 3,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
       minLogit: Double = 0.0,
+      langModel: Option[graft.ops.LangIdModel.MulticlassLangModel] = None,
       stripMarkup: Boolean = false): Delta = {
     val stats = base.stats
     // monotone-id contract: a batch id at-or-below a standing id would
@@ -425,7 +432,12 @@ object ReleaseBuild {
           c4MinSentences))
         .select(col(idCol), col("__c4").as(textCol))
     val gatedHeur = lineClean.select(col(idCol), col(textCol),
-        TextOps.langId(col(textCol)).as("lang_pred"),
+        // lang gate: trained multiclass argmax when a model is supplied
+        // (the CCNet fastText stage), marker heuristic otherwise — both
+        // stateless scan-stage expressions, so the choice never adds a
+        // pass or a shuffle
+        langModel.fold(TextOps.langId(col(textCol)))(
+          _.predict(col(textCol))).as("lang_pred"),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .filter(col("lang_pred").isInCollection(langs) &&

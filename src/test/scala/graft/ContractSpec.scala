@@ -89,7 +89,11 @@ class ContractSpec extends AnyFunSuite {
       // fertility compares the four TRAINED tokenizers (no SQL mirror
       // for any of them); CorpusOpsSpec gates word-count exactness,
       // the >= 1 lower bounds, and determinism
-      "t43_fertility")
+      "t43_fertility",
+      // trained-float multiclass argmax (driver-fit softmax model);
+      // LangIdSpec gates planted-population accuracy, reproducibility,
+      // save/load, and expression ≡ reference-predictor equality
+      "t49_trained_lang_id")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -1547,3 +1547,81 @@ class QualitySpec extends SparkSpec {
     assert(viaExpr.toSeq == texts.map(m.scoreText))
   }
 }
+
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+  import LangIdModel.MulticlassLangModel
+
+  // deterministic three-language corpus: disjoint function-word pools
+  // plus a SHARED content pool (the realistic shape — languages differ
+  // in their closed-class words, not their topic nouns); held-out rows
+  // reuse the same pools, so a model that learns the per-language
+  // vocabulary generalizes
+  private val pools = Map(
+    "en" -> Vector("the", "and", "of", "is", "with", "from", "that"),
+    "fr" -> Vector("le", "et", "des", "est", "avec", "une", "que"),
+    "de" -> Vector("der", "und", "von", "ist", "mit", "eine", "dass"))
+  private val shared = Vector("data", "table", "query", "join", "spark",
+    "row", "batch", "filter")
+  private def doc(lang: String, seed: Int, len: Int): String = {
+    val p = pools(lang)
+    (0 until len).map { i =>
+      val r = seed * 31 + i * 7
+      if (r % 3 == 0) shared(r % shared.size) else p((r / 3) % p.size)
+    }.mkString(" ")
+  }
+  private def corpus(nPerLang: Int) =
+    pools.keys.toSeq.sorted.zipWithIndex.flatMap { case (l, li) =>
+      (0 until nPerLang).map(i =>
+        ((li * nPerLang + i).toLong, doc(l, i, 10 + i % 8), l))
+    }.toDF("doc_id", "text", "lang")
+
+  test("trained model hits >= 0.9 on held-out planted populations") {
+    val train = corpus(60).filter($"doc_id" % 3 =!= 0)
+    val test = corpus(60).filter($"doc_id" % 3 === 0)
+    val m = LangIdModel.train(train, "text", "lang", dim = 1024,
+      iters = 150, lr = 2.0)
+    assert(m.labels.toSeq == Seq("de", "en", "fr"))
+    val scored = test.select($"lang", m.predict($"text").as("pred")).collect()
+    val acc = scored.count(r => r.getString(1) == r.getString(0))
+      .toDouble / scored.length
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+  }
+
+  test("training is bit-reproducible") {
+    val df = corpus(20)
+    val m1 = LangIdModel.train(df, "text", "lang", dim = 256, iters = 20)
+    val m2 = LangIdModel.train(df, "text", "lang", dim = 256, iters = 20)
+    assert(m1.biases.sameElements(m2.biases) &&
+      m1.weights.zip(m2.weights).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("save/load round-trips the model exactly") {
+    val m = LangIdModel.train(corpus(15), "text", "lang", dim = 128,
+      iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("langmodel").toString
+    m.save(spark, dir)
+    val back = MulticlassLangModel.load(spark, dir)
+    assert(back.labels.sameElements(m.labels) &&
+      back.biases.sameElements(m.biases) &&
+      back.weights.zip(m.weights).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("fused argmax expression strictly equals the sequential reference " +
+    "predictor (incl. empty/padded/tie inputs)") {
+    val m = LangIdModel.train(corpus(15), "text", "lang", dim = 512,
+      iters = 30)
+    val texts = Seq("", "a", "the cat", "le der the", " padded  runs ",
+      doc("en", 7, 25), doc("fr", 3, 25), doc("de", 5, 3))
+    val viaExpr = texts.toDF("text").select(m.predict($"text")).collect()
+      .map(_.getString(0))
+    assert(viaExpr.toSeq == texts.map(m.predictText))
+  }
+
+  test("sample selection plans as TakeOrderedAndProject (bounded)") {
+    val p = LangIdModel.sampleFrame(corpus(30), "text", "lang", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+}

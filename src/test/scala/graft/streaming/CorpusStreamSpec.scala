@@ -216,6 +216,49 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream trained lang gate admits exactly the model's language " +
+    "allowlist, parity with the batch predicate") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = new java.sql.Timestamp(86400L * 1000)
+    // planted bilingual seed: disjoint function words; the heuristic
+    // markers ('the' for en, 'le' for fr) appear in BOTH so only the
+    // trained model separates them
+    val enDocs = Seq("the data is the with from that join le",
+      "the and of is with from the that le")
+    val frDocs = Seq("le et des est avec une que data the",
+      "le des est avec et une le que the")
+    val labeled = (enDocs.map((_, "en")) ++ frDocs.map((_, "fr")))
+      .zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val m = graft.ops.LangIdModel.train(labeled, "text", "lang",
+      dim = 256, iters = 100)
+    val counts = Seq("the").toDF("token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.curateStream(
+        src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        counts, langs = Seq("en"), minQuality = 0.0,
+        langModel = Some(m))
+      .writeStream.format("memory").queryName("curate_lang_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((1L, ts0, enDocs(0)), (2L, ts0, frDocs(0)),
+        (3L, ts0, enDocs(1)), (4L, ts0, frDocs(1)))
+      q.processAllAvailable()
+      val got = spark.table("curate_lang_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L), s"admitted $got")
+      // batch parity: the same predicate on the same frame admits the
+      // same ids (the stream adds only the dedup/watermark machinery)
+      val batchIds = labeled
+        .filter(m.predict(col("text")) === "en")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchIds == Set(0L, 1L),
+        s"batch gate admitted $batchIds")
+    } finally q.stop()
+  }
+
   test("textChunks runs unchanged on a stream (stateless scan-stage op) " +
     "and equals the batch chunker across batches") {
     implicit val sqlCtx = spark.sqlContext
