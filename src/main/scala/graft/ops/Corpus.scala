@@ -1614,10 +1614,14 @@ object Corpus {
     */
   def budgetShards(
       df: DataFrame, orderCols: Seq[String], weightCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, offset: Long = 0L): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(offset >= 0, s"offset must be non-negative: $offset")
+    // `offset` continues a FROZEN prefix sum (an epoch delta appends
+    // after a standing corpus of `offset` total weight): shard ids pick
+    // up exactly where the standing build's left off
     prefixSumBy(df, orderCols, weightCol, "__pre")
-      .withColumn("shard_id", expr(s"__pre DIV $budget"))
+      .withColumn("shard_id", expr(s"(__pre + $offset) DIV $budget"))
       .drop("__pre")
   }
 

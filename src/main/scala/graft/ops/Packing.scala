@@ -78,11 +78,24 @@ object Packing {
       textCol: String,
       budget: Int,
       shardDocs: Int,
-      countExpr: Column => Column = TextOps.tokenCount): DataFrame = {
+      countExpr: Column => Column = TextOps.tokenCount): DataFrame =
+    chunkBoundariesFromCounts(
+      df.select(col(idCol).as("id"),
+        countExpr(col(textCol)).cast("long").as("n_tok")),
+      budget, shardDocs)
+
+  /** [[chunkBoundaries]] over PRE-COMPUTED token counts — input is
+    * (`id`, `n_tok`) rows. Split out so callers that already hold counts
+    * (the epoch order table, a delta continuation seeded with the
+    * standing tail's rows) can pack without re-touching text.
+    */
+  def chunkBoundariesFromCounts(
+      counts: DataFrame,
+      budget: Int,
+      shardDocs: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol).as("id"),
-        countExpr(col(textCol)).cast("long").as("n_tok"))
+    counts.select(col("id"), col("n_tok").cast("long").as("n_tok"))
       .withColumn("shard", expr(s"id DIV $shardDocs"))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("pre", col("cum") - col("n_tok"))

@@ -48,6 +48,22 @@ object EpochBuild {
     * undercounts OOV subword fan-out (measured in BpeFidelitySpec);
     * packing on it overfills real contexts.
     */
+  private def resolveCountExpr(
+      bpeMerges: Option[Seq[(String, String)]],
+      unigramPieces: Option[Map[String, Double]],
+      byteBpeMerges: Option[Seq[(String, String)]])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    require(Seq(bpeMerges, unigramPieces, byteBpeMerges).count(_.nonEmpty) <= 1,
+      "supply ONE tokenizer: bpeMerges, unigramPieces, or byteBpeMerges")
+    unigramPieces.map(pcs =>
+        (c: org.apache.spark.sql.Column) => TextOps.unigramTokenCount(c, pcs))
+      .orElse(bpeMerges.map(m =>
+        (c: org.apache.spark.sql.Column) => TextOps.bpeTokenCountTrained(c, m)))
+      .orElse(byteBpeMerges.map(m =>
+        (c: org.apache.spark.sql.Column) => TextOps.byteBpeTokenCount(c, m)))
+      .getOrElse(TextOps.tokenCount _)
+  }
+
   def build(
       docs: DataFrame,
       idCol: String,
@@ -59,16 +75,7 @@ object EpochBuild {
       bpeMerges: Option[Seq[(String, String)]] = None,
       unigramPieces: Option[Map[String, Double]] = None,
       byteBpeMerges: Option[Seq[(String, String)]] = None): Epoch = {
-    require(Seq(bpeMerges, unigramPieces, byteBpeMerges).count(_.nonEmpty) <= 1,
-      "supply ONE tokenizer: bpeMerges, unigramPieces, or byteBpeMerges")
-    val countExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      unigramPieces.map(pcs =>
-          (c: org.apache.spark.sql.Column) => TextOps.unigramTokenCount(c, pcs))
-        .orElse(bpeMerges.map(m =>
-          (c: org.apache.spark.sql.Column) => TextOps.bpeTokenCountTrained(c, m)))
-        .orElse(byteBpeMerges.map(m =>
-          (c: org.apache.spark.sql.Column) => TextOps.byteBpeTokenCount(c, m)))
-        .getOrElse(TextOps.tokenCount _)
+    val countExpr = resolveCountExpr(bpeMerges, unigramPieces, byteBpeMerges)
     val toks = docs.select(col(idCol).as("doc_id"),
       countExpr(col(textCol)).cast("long").as("n_tok"))
     val order = Corpus.seededShuffle(
@@ -85,6 +92,86 @@ object EpochBuild {
     val bounds = Packing.chunkBoundaries(
       posDocs.select(col("train_pos"), col("__text")),
       "train_pos", "__text", seqLen, packShardDocs, countExpr)
+      .withColumnRenamed("shard", "pack_shard")
+      .withColumnRenamed("doc_id", "train_pos")
+      .join(withTok.select("doc_id", "train_pos"), "train_pos")
+      .select("pack_shard", "seq_idx", "doc_id", "start", "len")
+    Epoch(sharded, bounds)
+  }
+
+  /** Epoch DELTA materialization — the missing epoch leg of
+    * [[ReleaseBuild.deltaCut]]: fold a batch of NEW documents into a
+    * standing epoch WITHOUT touching the standing tables, emitting
+    * append-only delta shards a trainer consumes after the base epoch.
+    *
+    * The appended-epoch permutation is defined as: standing docs keep
+    * their frozen positions 0..N−1 (a mid-training reader has already
+    * consumed a prefix — reshuffling them is exactly what a delta must
+    * NOT do), and batch docs take positions N.. in seeded order among
+    * themselves. Under that definition the delta is EXACT (spec-asserted
+    * ≡ a from-scratch build of the appended corpus):
+    *
+    *  - '''order/shards''': batch prefix sums continue the standing
+    *    total T ([[Corpus.budgetShards]] `offset = T`), so the first
+    *    delta docs fill the base's final partially-filled shard (same
+    *    `shard_id` — a reader treats that shard as base part + delta
+    *    part) and later docs open fresh shards.
+    *  - '''boundaries''': the boundary pack-shard (`N div packShardDocs`)
+    *    is seeded with the base ORDER rows ≥ its start — (train_pos,
+    *    n_tok) pairs, ids + integers only, never text — so the window
+    *    cumsum reproduces the standing prefix exactly and delta
+    *    sequences continue the shard's tail sequence mid-fill. Base
+    *    boundary rows are recomputed identically and dropped
+    *    (append-only windows are prefix-stable: later rows cannot
+    *    change earlier rows' cum).
+    *
+    * [[manifest]] over the returned delta covers the delta's per-shard
+    * CONTRIBUTION; for the one shared boundary shard a consumer merges
+    * base + delta rows (n_docs/n_tokens add; the checksum covers each
+    * side's own id run).
+    *
+    * Scale shape: cost is batch-proportional — the only standing-side
+    * reads are one (count, sum) aggregate over the order table and the
+    * ≤ packShardDocs boundary-shard rows; standing text is never read.
+    */
+  def deltaBuild(
+      baseOrder: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: String,
+      shardTokens: Long,
+      seqLen: Int,
+      packShardDocs: Int = 1 << 20,
+      bpeMerges: Option[Seq[(String, String)]] = None,
+      unigramPieces: Option[Map[String, Double]] = None,
+      byteBpeMerges: Option[Seq[(String, String)]] = None): Epoch = {
+    val countExpr = resolveCountExpr(bpeMerges, unigramPieces, byteBpeMerges)
+    val baseStats = baseOrder
+      .agg(count(lit(1)).as("n"), coalesce(sum("n_tok"), lit(0L)).as("t"))
+      .head()
+    val nBase = baseStats.getLong(0)
+    val tBase = baseStats.getLong(1)
+    val toks = batch.select(col(idCol).as("doc_id"),
+      countExpr(col(textCol)).cast("long").as("n_tok"))
+    val order = Corpus.seededShuffle(
+        toks.select(col("doc_id")), "doc_id", seed)
+      .withColumn("train_pos", col("train_pos") + nBase)
+    val withTok = order.join(toks, "doc_id")
+    val sharded = Corpus.budgetShards(
+        withTok, Seq("train_pos"), "n_tok", shardTokens, offset = tBase)
+      .select("doc_id", "train_pos", "n_tok", "shard_id")
+    // boundary-shard seeding: base rows sharing the first delta pack
+    // shard re-enter the cumsum (and are filtered back out by position)
+    val boundaryShardStart = (nBase / packShardDocs) * packShardDocs
+    val seedRows = baseOrder
+      .filter(col("train_pos") >= boundaryShardStart)
+      .select(col("train_pos").as("id"), col("n_tok"))
+    val bounds = Packing.chunkBoundariesFromCounts(
+        seedRows.unionByName(
+          withTok.select(col("train_pos").as("id"), col("n_tok"))),
+        seqLen, packShardDocs)
+      .filter(col("doc_id") >= nBase)
       .withColumnRenamed("shard", "pack_shard")
       .withColumnRenamed("doc_id", "train_pos")
       .join(withTok.select("doc_id", "train_pos"), "train_pos")

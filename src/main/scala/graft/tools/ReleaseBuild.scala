@@ -378,9 +378,12 @@ object ReleaseBuild {
     * ids; checked against the released corpus below, contractually
     * against the full base input), so the full cut's min-id dedup keeps
     * exactly the standing representatives the delta reuses. Epoch
-    * materialization is deliberately NOT part of a delta (token offsets
-    * are global — run [[EpochBuild.build]] over `corpus` when shipping;
-    * the delta saves the SCORING, the write cost is irreducible).
+    * materialization has its own delta leg: [[EpochBuild.deltaBuild]]
+    * folds `deltaKept` into the standing epoch as append-only shards
+    * (standing positions frozen, batch positions after N, shard ids and
+    * pack sequences continuing the frozen prefix sums) — ≡ a
+    * from-scratch build of the appended corpus, at batch-proportional
+    * cost (EpochDeltaSpec / the ScaleProbe epoch-delta case).
     *
     * Scale: nothing here touches standing TEXT — the standing side
     * contributes only its hash manifest, hot-span table, and LM counts

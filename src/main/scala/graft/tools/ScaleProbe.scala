@@ -236,17 +236,47 @@ object ScaleProbe {
     val epochN = 10000000L
     val epochDocs = spark.range(epochN).select(col("id").as("doc_id"),
       lit("t0 t1 t2 t3 t4 t5 t6 t7").as("text"))
+    // packShardDocs = 1 << 20 (not a divisor of 10M) so the delta case
+    // below exercises a NONEMPTY boundary-shard seed (562816 rows).
+    // The order table is written inside the timed region — production
+    // materializes it (it is what the delta folds into), and the delta
+    // case must read it as parquet (timed() drops persistent RDDs).
+    val epochDir = "/tmp/graft_scaleprobe_epoch"
     val (epochRows, epochSec) = timed {
       val e = EpochBuild.build(epochDocs, "doc_id", "text", "probe0",
-        shardTokens = 1000000L, seqLen = 1024, packShardDocs = 1000000)
-      val nOrder = e.order.count()
+        shardTokens = 1000000L, seqLen = 1024, packShardDocs = 1 << 20)
+      e.order.write.mode("overwrite").parquet(s"$epochDir/order")
+      val nOrder = spark.read.parquet(s"$epochDir/order").count()
       require(nOrder == epochN, s"epoch order lost docs: $nOrder")
       e.boundaries.count()
     }
-    // 8M tokens per pack shard / 1024 = 7813 sequences, each straddle
-    // adds one row: docs + straddles, bounded by docs + sequences
-    require(epochRows >= epochN && epochRows <= epochN + 10L * 7813L,
+    // 2^20 * 8 tokens per pack shard / 1024 = 8192 sequences, each
+    // straddle adds one row: docs + straddles, bounded by docs + seqs
+    require(epochRows >= epochN && epochRows <= epochN + 10L * 8192L,
       s"epoch boundary rows $epochRows")
+
+    // --- epoch DELTA: fold a 5% batch into the standing epoch -----------
+    // the epoch leg of the release delta (r11): append-only shards after
+    // the frozen standing tail. Cost must be batch-proportional — the
+    // standing side contributes one (count, sum) aggregate over the
+    // order table plus the boundary pack shard's rows, never text.
+    val epochBatch = spark.range(20000000L, 20500000L)
+      .select(col("id").as("doc_id"),
+        lit("t0 t1 t2 t3 t4 t5 t6 t7").as("text"))
+    val (deltaEpochRows, deltaEpochSec) = timed {
+      val d = EpochBuild.deltaBuild(
+        spark.read.parquet(s"$epochDir/order"), epochBatch,
+        "doc_id", "text", "probe0",
+        shardTokens = 1000000L, seqLen = 1024, packShardDocs = 1 << 20)
+      val nOrder = d.order.count()
+      require(nOrder == 500000L, s"delta order lost docs: $nOrder")
+      d.boundaries.count()
+    }
+    require(deltaEpochRows >= 500000L,
+      s"delta boundary rows $deltaEpochRows")
+    val deltaEpochRatio = deltaEpochSec / math.max(epochSec, 0.5)
+    require(deltaEpochRatio <= 0.5,
+      f"epoch delta is $deltaEpochRatio%.2fx the full build — not batch-bound")
 
     // --- n-gram overlap: 1M x 100k docs, planted leaks ------------------
     // every doc is a distinct 8-token window over a shared id-derived
@@ -538,6 +568,8 @@ object ScaleProbe {
       s""""kmeans_sec":$kmSec,"semdedup_drops":$sdDrops,"semdedup_sec":$sdSec,""" +
       s""""asof_sec":$asofSec,"rid_sec":$ridSec,"prefix_sec":$preSec,""" +
       s""""epoch_rows":$epochRows,"epoch_sec":$epochSec,""" +
+      f""""epoch_delta_sec":$deltaEpochSec%.1f,""" +
+      f""""epoch_delta_ratio":$deltaEpochRatio%.2f,""" +
       s""""ngram_leaks":$leaks,"ngram_sec":$ngSec,""" +
       s""""crossjac_pairs":$contaminated,"crossjac_sec":$cjSec,""" +
       s""""pq_sec":$pqSec,"batch_ann_rows":$batchRows,""" +

@@ -216,3 +216,112 @@ class EpochBuildSpec extends SparkSpec {
     }
   }
 }
+
+class EpochDeltaSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  // standing corpus 1..40, appended batch 100..119; packShardDocs = 13
+  // (prime, not dividing 40) forces the delta to ENTER a partially
+  // filled boundary pack shard, and shardTokens = 11 with ragged doc
+  // lengths leaves the base's last token shard partially filled
+  private val standing = (1L to 40L)
+    .map(i => (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
+    .toDF("doc_id", "text")
+  private val batch = (100L to 119L)
+    .map(i => (i, Seq.fill((i % 4).toInt + 1)("w").mkString(" ")))
+    .toDF("doc_id", "text")
+  private val appended = standing.unionByName(batch)
+
+  private lazy val base = EpochBuild.build(standing, "doc_id", "text",
+    "epoch0", shardTokens = 11L, seqLen = 8, packShardDocs = 13)
+  private lazy val delta = EpochBuild.deltaBuild(base.order, batch,
+    "doc_id", "text", "epoch0", shardTokens = 11L, seqLen = 8,
+    packShardDocs = 13)
+
+  test("base + delta ≡ from-scratch build of the appended corpus under " +
+    "the append-ordered permutation") {
+    // the appended-epoch permutation: standing positions FROZEN (a
+    // mid-training reader has consumed a prefix), batch docs seeded
+    // among themselves after N. From scratch = that order fed through
+    // the same global prefix-sum shard cut and per-shard packing.
+    val fullOrder = base.order.select("doc_id", "train_pos", "n_tok")
+      .unionByName(
+        graft.ops.Corpus.seededShuffle(batch.select("doc_id"), "doc_id",
+            "epoch0")
+          .withColumn("train_pos", col("train_pos") + 40L)
+          .join(batch.select(col("doc_id"),
+            graft.ops.TextOps.tokenCount(col("text")).cast("long")
+              .as("n_tok")), "doc_id")
+          .select("doc_id", "train_pos", "n_tok"))
+    val fullSharded = graft.ops.Corpus.budgetShards(
+        fullOrder, Seq("train_pos"), "n_tok", 11L)
+      .select("doc_id", "train_pos", "n_tok", "shard_id")
+    val gotOrder = base.order.unionByName(delta.order)
+    assert(gotOrder.collect().map(_.toSeq).toSet ==
+      fullSharded.collect().map(_.toSeq).toSet)
+
+    val fullBounds = graft.ops.Packing.chunkBoundariesFromCounts(
+        fullOrder.select(col("train_pos").as("id"), col("n_tok")),
+        budget = 8, shardDocs = 13)
+      .withColumnRenamed("shard", "pack_shard")
+      .withColumnRenamed("doc_id", "train_pos")
+      .join(fullOrder.select("doc_id", "train_pos"), "train_pos")
+      .select("pack_shard", "seq_idx", "doc_id", "start", "len")
+    val gotBounds = base.boundaries.unionByName(delta.boundaries)
+    assert(gotBounds.collect().map(_.toSeq).toSet ==
+      fullBounds.collect().map(_.toSeq).toSet)
+  }
+
+  test("delta continues the base's partially filled token shard and the " +
+    "boundary pack shard's tail sequence") {
+    val baseRows = base.order.collect()
+    val baseLastShard = baseRows.map(_.getAs[Long]("shard_id")).max
+    val baseTokens = baseRows.map(_.getAs[Long]("n_tok")).sum
+    // crafted so the base total is NOT a multiple of the budget: the
+    // first delta doc must land in the base's final shard
+    assert(baseTokens % 11L != 0L, s"fixture degenerate: $baseTokens")
+    val deltaRows = delta.order.collect()
+    val firstDelta = deltaRows.minBy(_.getAs[Long]("train_pos"))
+    assert(firstDelta.getAs[Long]("shard_id") == baseLastShard)
+    // positions are the standing tail continuation
+    assert(deltaRows.map(_.getAs[Long]("train_pos")).sorted.toSeq ==
+      (40L until 60L))
+    // the shared boundary pack shard (40 div 13 = 3) continues: the
+    // delta's first sequence index there is >= the base's last
+    val sb = 40L / 13L
+    val baseMaxSeq = base.boundaries.filter(col("pack_shard") === sb)
+      .collect().map(_.getAs[Long]("seq_idx")).max
+    val deltaMinSeq = delta.boundaries.filter(col("pack_shard") === sb)
+      .collect().map(_.getAs[Long]("seq_idx")).min
+    assert(deltaMinSeq >= baseMaxSeq,
+      s"delta must continue, not restart: base max $baseMaxSeq, " +
+        s"delta min $deltaMinSeq")
+  }
+
+  test("deltaBuild is deterministic (byte-identical on a re-run)") {
+    val again = EpochBuild.deltaBuild(base.order, batch, "doc_id", "text",
+      "epoch0", shardTokens = 11L, seqLen = 8, packShardDocs = 13)
+    assert(delta.order.collect().map(_.toSeq).toSet ==
+      again.order.collect().map(_.toSeq).toSet)
+    assert(delta.boundaries.collect().map(_.toSeq).toSet ==
+      again.boundaries.collect().map(_.toSeq).toSet)
+  }
+
+  test("manifest totals over base + delta reconcile with the appended " +
+    "corpus (boundary shard merges by addition)") {
+    val merged = EpochBuild.manifest(base).select("shard_id", "n_docs",
+        "n_tokens")
+      .unionByName(EpochBuild.manifest(delta).select("shard_id", "n_docs",
+        "n_tokens"))
+      .groupBy("shard_id")
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+      .collect()
+    assert(merged.map(_.getAs[Long]("n_docs")).sum == 60L)
+    val wantTok = appended.select(
+      graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sum
+    assert(merged.map(_.getAs[Long]("n_tokens")).sum == wantTok)
+  }
+}
