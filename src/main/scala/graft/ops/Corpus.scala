@@ -494,6 +494,102 @@ object Corpus {
         col("s").cast("double").as("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft 1998;
+    * Zhai & Lafferty 2001) — the LANGUAGE-MODEL ranking rung beside
+    * [[bm25TopK]]'s tf-idf family: score a document by how surprising
+    * the query is under the document's Dirichlet-smoothed unigram LM,
+    * `p(w|d) = (c(w,d) + μ·cf(w)/|C|) / (|d| + μ)` with the canonical
+    * μ = 2000. Lower total surprisal ranks first.
+    *
+    * Exactness — the t16/t37 whole-bit discipline applied to retrieval:
+    * each term's probability clears to the exact rational
+    * `num/den = (c·|C| + μ·cf) / ((|d|+μ)·|C|)` and scores
+    * `bits = length(bin(den div num))` (num = 0 — a term unseen in the
+    * entire corpus — caps at `length(bin(den))`); a document's score is
+    * the plain LONG SUM of its per-term bits over ALL the query's terms
+    * (absent terms score their background bits, which still depend on
+    * |d| — the reason candidates join the full term list, not just
+    * their matches). No decimal accumulation needed: this ranking is
+    * integer end to end, ties broken by doc_id.
+    *
+    * Candidate generation is the standard matching-term union (a doc
+    * scoring zero query terms can never beat one matching a term under
+    * equal lengths, and the fixed query list is broadcast); per-doc
+    * work is candidates × query terms.
+    *
+    * Longs hold while `(|d|+μ)·|C| < 2⁶³` — |C| ≤ ~4×10¹⁵ tokens at
+    * μ = 2000 and kilotoken docs, far past 100 TB.
+    */
+  def dirichletQlTopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, mu: Long = 2000L): DataFrame = {
+    require(k > 0 && mu > 0, s"bad k=$k mu=$mu")
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(sum("dl").as("csize")))
+    val cfT = toks.groupBy("token").agg(count(lit(1)).as("cf"))
+    val q = broadcast(queries.select(col("query_id"), col("term")))
+    val cand = q.join(tf, col("term") === col("token"))
+      .select("query_id", "id").distinct()
+    val scored = cand
+      .join(q, Seq("query_id"))
+      .join(cfT.withColumnRenamed("token", "term"), Seq("term"), "left")
+      .join(tf.withColumnRenamed("token", "term"), Seq("id", "term"), "left")
+      .join(dl, Seq("id"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("id"),
+        (coalesce(col("tf"), lit(0L)) * col("csize") +
+          lit(mu) * coalesce(col("cf"), lit(0L))).as("num"),
+        ((col("dl") + lit(mu)) * col("csize")).as("den"),
+        coalesce(col("tf"), lit(0L)).as("mtf"))
+      .select(col("query_id"), col("id"),
+        when(col("num") > 0,
+          length(bin(expr("den div num"))).cast("long"))
+          .otherwise(length(bin(col("den"))).cast("long")).as("bits"),
+        col("mtf"))
+      .groupBy("query_id", "id")
+      .agg(sum("bits").as("sum_bits"), sum("mtf").as("match_tf"))
+    // whole-bit scores step in factor-2 likelihood increments (the
+    // price of exactness), so within-bit ties are common; break them by
+    // matched term mass — relevance-driven — before the id tiebreak
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("sum_bits").asc, col("match_tf").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("id").as(idCol),
+        col("sum_bits"), col("match_tf"))
+  }
+
+  /** Yule's characteristic K (Yule 1944; Tweedie & Baayen 1998 show it
+    * is the rare length-stable lexical-diversity statistic) — a
+    * repetitiveness/vocabulary-richness quality signal:
+    * `K = 10⁴·(Σ_t c_t² − N)/N²` over a document's per-type token
+    * counts. High K = few types dominate (boilerplate, keyword
+    * stuffing); all-distinct tokens give K = 0. Unlike type/token
+    * ratio, K does not drift with document length, so ONE threshold
+    * works across the length distribution.
+    *
+    * Exactness: Σc² and N are exact longs from one (doc, token) rollup;
+    * K is ONE IEEE expression `10⁴·(sq − n)/(n·n)`. Zero-token docs
+    * read NULL. Longs hold while Σc² < 2⁶³ (petatoken documents).
+    */
+  def yuleK(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("c"))
+    val agg = c.groupBy("id")
+      .agg(sum(col("c") * col("c")).as("sum_sq"), sum("c").as("n_tok"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("sum_sq"), lit(0L)).as("sum_sq"),
+        when(coalesce(col("n_tok"), lit(0L)) > 0,
+          lit(10000.0) * (col("sum_sq") - col("n_tok")).cast("double") /
+            (col("n_tok").cast("double") * col("n_tok")))
+          .otherwise(lit(null).cast("double")).as("yule_k"))
+  }
+
   /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES): draw exactly `k` rows with inclusion probability
     * proportional to `weightCol` — the resampling step a DSIR/DoReMi

@@ -1165,6 +1165,151 @@ object Events {
           .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** MAD (median-absolute-deviation) robust volume anomaly — the ROBUST
+    * rung of the monitoring ladder (Hampel 1974's identifier; Leys et
+    * al. 2013 argue it over z-scores): [[hourlyAnomaly]]'s mean/std are
+    * themselves dragged by the outliers they are meant to flag (one
+    * 100× spike inflates σ and masks every later spike — masking), while
+    * the median and MAD have a 50% breakdown point. Robust z =
+    * (n − median)/(1.4826·MAD), 1.4826 the consistency constant
+    * (1/Φ⁻¹(3/4)) that makes MAD estimate σ under normality, so the
+    * usual |z| > 3 / 3.5 cutoffs carry over.
+    *
+    * Exactness: medians via RANK ARITHMETIC over the zero-filled dense
+    * hour spine — never percentile functions, whose interpolation
+    * differs between engines. Doubled units keep half-integers exact:
+    * `m2 = n@lo + n@hi` (lo = (c+1) div 2, hi = (c+2) div 2) is twice
+    * the median, deviations `|2n − m2|` are exact longs, `mad4 = 2×`
+    * their median is 4×MAD, and the ONE IEEE expression is
+    * `2·(2n − m2)/(1.4826·mad4)`. Slots with MAD = 0 (over half the
+    * hours share the median — typical for silent types) read NULL,
+    * never ±Inf: a MAD-0 series needs the seasonal or CUSUM rung, not
+    * a division by zero.
+    *
+    * Scale: the raw→hourly rollup is the only corpus-sized reduction;
+    * the rank windows run per event_type over the SPINE (types × hours
+    * — 8 760 rows per type-year), bounded state by construction.
+    */
+  def madAnomaly(events: DataFrame): DataFrame =
+    madAnomalyFromHourly(events.groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[madAnomaly]]'s finisher over a PRE-BUILT `(event_type, h, cnt)`
+    * hourly cell frame — the same read-side contract as
+    * [[seasonalAnomalyFromHourly]]: a streaming ingest maintains the
+    * cells ([[graft.streaming.EventPipeline.hourlyCounts]]) and the
+    * robust monitor reads off the live sink without re-scanning raw
+    * events.
+    */
+  def madAnomalyFromHourly(hourly: DataFrame): DataFrame = {
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
+    val cells = hourly.select(col("event_type").as("et2"),
+      col("h").as("h2"), col("cnt"))
+    val dense = spine.join(cells,
+        col("event_type") === col("et2") && col("h") === col("h2"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    def median2(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.select(col("event_type"), col(valueCol),
+          row_number().over(byType.orderBy(valueCol)).as("rk"),
+          count(lit(1)).over(byType).as("c"))
+        .groupBy("event_type")
+        .agg((sum(when(col("rk") === expr("(c + 1) div 2"), col(valueCol))
+            .otherwise(0L)) +
+          sum(when(col("rk") === expr("(c + 2) div 2"), col(valueCol))
+            .otherwise(0L))).as(out))
+    val med = median2(dense, "n", "m2")
+      .select(col("event_type").as("et3"), col("m2"))
+    val dev = dense.join(broadcast(med), col("event_type") === col("et3"))
+      .select(col("event_type"), col("h"), col("n"), col("m2"),
+        abs(lit(2L) * col("n") - col("m2")).as("dv"))
+    val madt = median2(dev, "dv", "mad4")
+      .select(col("event_type").as("et4"), col("mad4"))
+    dev.join(broadcast(madt), col("event_type") === col("et4"))
+      .select(col("event_type"), col("h").as("hour_epoch"), col("n"),
+        col("m2"), col("mad4"),
+        when(col("mad4") > 0,
+          lit(2.0) * (lit(2L) * col("n") - col("m2")).cast("double") /
+            (lit(1.4826) * col("mad4")))
+          .otherwise(lit(null).cast("double")).as("rz"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947; Wilcoxon 1945)
+    * — the NONPARAMETRIC rung beside [[welchT]]: revenue-per-user
+    * metrics are heavy-tailed enough that a handful of whales dominate
+    * the t-test's variance; the rank test compares distributions with
+    * no moment assumptions and is the standard robustness companion an
+    * experimentation platform runs next to the t.
+    *
+    * Exactness: tied ranks are half-integers, so everything is carried
+    * DOUBLED — per distinct metric value v with t(v) occurrences (ta of
+    * them in arm 0) sitting above `below(v)` smaller units, twice the
+    * tie-averaged rank sum of arm 0 is `r2a = Σ ta·(2(below+1)+(t−1))`,
+    * twice the U statistic is `u2 = r2a − n0(n0+1)`, both exact longs.
+    * The normal approximation with the standard tie correction
+    * (Σ(t³−t)) is ONE fixed IEEE tree: `z = (u2 − n0·n1) /
+    * (2·sqrt(n0·n1·((N³−N) − Σ(t³−t))/(12·N(N−1))))`, no continuity
+    * correction (the large-sample form). `cles = u2/(2·n0·n1)` is the
+    * common-language effect size (P(X₀ > X₁) + ½P(=)). Degenerate
+    * designs (an empty arm, N ≤ 1, all values tied) read NULL.
+    *
+    * Longs hold while N³ < 2⁶³ — N ≤ ~2M units per experiment; beyond
+    * that, pre-scale the tie term (monotone, no longer oracle-exact) —
+    * the t12/32ah documentation convention.
+    *
+    * Scale shape: one corpus-sized rollup to (exp, value) cells, then
+    * [[Corpus.prefixSumBy]] over (exp, value) for the below-counts —
+    * the range-partitioned prefix machinery, never a one-task window —
+    * with per-exp base offsets broadcast back; everything after is
+    * per-exp rows.
+    */
+  def mannWhitney(units: DataFrame, expCol: String, variantCol: String,
+      metricCol: String): DataFrame = {
+    require(units.schema(metricCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$metricCol must be an integer-quantized LONG metric")
+    val vals = units
+      .select(col(expCol).as("exp"),
+        col(variantCol).cast("long").as("variant"),
+        col(metricCol).as("x"))
+      .filter(col("variant").isin(0L, 1L))
+      .groupBy("exp", "x")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("ta"))
+    val pre = Corpus.prefixSumBy(vals, Seq("exp", "x"), "t", "__pre")
+    val offs = pre.groupBy("exp").agg(min("__pre").as("__off"))
+      .select(col("exp").as("e2"), col("__off"))
+    val rk = pre.join(broadcast(offs), col("exp") === col("e2"))
+      .withColumn("below", col("__pre") - col("__off"))
+    val agg = rk.groupBy("exp")
+      .agg(sum(col("ta") * (lit(2L) * (col("below") + 1L) +
+          (col("t") - 1L))).as("r2a"),
+        sum("ta").as("na"), sum(col("t") - col("ta")).as("nb"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val nn = col("na") + col("nb")
+    val n3n = nn * nn * nn - nn
+    agg
+      .withColumn("u2a", col("r2a") - col("na") * (col("na") + 1L))
+      .select(col("exp").as(expCol),
+        col("na").as("n_0"), col("nb").as("n_1"),
+        col("u2a").as("u2"), col("tie3"),
+        when(col("na") > 0 && col("nb") > 0 && nn > 1 &&
+          col("na") * col("nb") * (n3n - col("tie3")) > 0,
+          (col("u2a") - col("na") * col("nb")).cast("double") /
+            (lit(2.0) * sqrt(col("na").cast("double") * col("nb") *
+              (n3n - col("tie3")) /
+              (lit(12.0) * nn * (nn - 1)))))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("u2a") / (lit(2.0) * col("na") * col("nb")))
+          .otherwise(lit(null).cast("double")).as("cles"))
+  }
+
   def gapFillDaily(events: DataFrame): DataFrame = {
     // explicit user_id partitioning up front: every downstream stage's
     // required distribution is satisfied by it (see scaladoc), so no

@@ -3314,6 +3314,89 @@ object CorpusPack {
     },
     None) // trained-float argmax: rows-only, LangIdSpec-gated
 
+  private val t50 = Q(
+    "t50_dirichlet_ql",
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001): the
+    // LM-retrieval rung beside t34's BM25 — same fixture queries, ranked
+    // by total whole-bit surprisal of the query under each candidate
+    // doc's smoothed unigram LM (mu=2000). Integer end to end: cleared
+    // rationals, length(bin(den div num)) per term, LONG sums; within-
+    // bit ties by matched term mass then doc_id
+    (s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (0, "join"), (0, "hash"), (1, "vector"), (1, "stream"),
+        (2, "customer"))).toDF("query_id", "term")
+      Corpus.dirichletQlTopK(Tables.load(s, dir, "documents"),
+          "doc_id", "text", queries, k = 10)
+        .orderBy("query_id", "rk")
+    },
+    Some("""WITH q(query_id, term) AS (VALUES
+              (0, 'join'), (0, 'hash'), (1, 'vector'), (1, 'stream'),
+              (2, 'customer')),
+            tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                   FROM tok GROUP BY 1),
+            stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS csize FROM dl),
+            cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+                   FROM tok GROUP BY 1),
+            cand AS (SELECT DISTINCT q.query_id, tf.doc_id
+              FROM q JOIN tf ON q.term = tf.token),
+            scored AS (
+              SELECT c.query_id, c.doc_id,
+                SUM(CASE WHEN COALESCE(tf.tf, 0) * csize
+                      + 2000 * COALESCE(cf.cf, 0) > 0
+                  THEN length(bin((dl.dl + 2000) * csize //
+                    (COALESCE(tf.tf, 0) * csize
+                     + 2000 * COALESCE(cf.cf, 0))))
+                  ELSE length(bin((dl.dl + 2000) * csize)) END) AS sum_bits,
+                CAST(SUM(COALESCE(tf.tf, 0)) AS BIGINT) AS match_tf
+              FROM cand c
+              JOIN q ON q.query_id = c.query_id
+              LEFT JOIN cf ON cf.token = q.term
+              LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.token = q.term
+              JOIN dl ON dl.doc_id = c.doc_id
+              CROSS JOIN stats
+              GROUP BY 1, 2),
+            ranked AS (SELECT query_id, doc_id, sum_bits, match_tf,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sum_bits ASC, match_tf DESC, doc_id) AS rk
+              FROM scored)
+            SELECT query_id, rk, doc_id,
+              CAST(sum_bits AS BIGINT) AS sum_bits, match_tf
+            FROM ranked WHERE rk <= 10 ORDER BY query_id, rk"""))
+
+  private val t51 = Q(
+    "t51_yule_k",
+    // Yule's characteristic K (Yule 1944): length-stable lexical
+    // diversity — the repetitiveness quality signal ONE threshold can
+    // gate across the document length distribution (TTR can't). Exact
+    // longs (sum of squared type counts), one IEEE expression
+    (s, dir) => Corpus.yuleK(
+        Tables.loadParallel(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS w
+              FROM documents),
+            c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tok GROUP BY 1, 2),
+            d AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS sum_sq,
+                CAST(SUM(c) AS BIGINT) AS n_tok FROM c GROUP BY 1)
+            SELECT docs.doc_id,
+              COALESCE(n_tok, 0) AS n_tok,
+              COALESCE(sum_sq, 0) AS sum_sq,
+              CASE WHEN COALESCE(n_tok, 0) > 0
+                THEN 10000.0 * (sum_sq - n_tok)
+                  / (CAST(n_tok AS DOUBLE) * n_tok)
+                ELSE NULL END AS yule_k
+            FROM (SELECT doc_id FROM documents) docs
+            LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
+
   private val p27 = Q(
     "p27_stratified_k",
     // exactly-100 stratified eval draw over language shares: Hamilton
@@ -3350,7 +3433,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33)

@@ -2123,6 +2123,127 @@ object PipelinePack {
               ON d.event_type = st.event_type AND d.slot = st.slot
             ORDER BY d.event_type, hour_epoch"""))
 
+  private val e30 = Q(
+    "e30_mad_anomaly",
+    // MAD robust anomaly (Hampel identifier): the ROBUST rung of the
+    // monitoring ladder — e11's mean/std are dragged by the outliers
+    // they flag (masking); median/MAD have a 50% breakdown point.
+    // Medians by rank arithmetic in doubled units (m2 = 2·median,
+    // mad4 = 4·MAD, all exact longs over the zero-filled spine), ONE
+    // IEEE expression 2·(2n−m2)/(1.4826·mad4); MAD-0 series read NULL
+    (s, dir) => Events.madAnomaly(Tables.load(s, dir, "events"))
+      .orderBy("event_type", "hour_epoch"),
+    Some("""WITH hourly AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            spine AS (SELECT event_type,
+                unnest(range(mn, mx + 3600, 3600)) AS h
+              FROM (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+                FROM hourly GROUP BY 1)),
+            dense AS (SELECT s.event_type, s.h, COALESCE(cnt, 0) AS n
+              FROM spine s LEFT JOIN hourly
+                ON s.event_type = hourly.event_type AND s.h = hourly.h),
+            ord1 AS (SELECT event_type, h, n,
+                row_number() OVER (PARTITION BY event_type ORDER BY n)
+                  AS rk,
+                COUNT(*) OVER (PARTITION BY event_type) AS c
+              FROM dense),
+            med AS (SELECT event_type,
+                CAST(SUM(CASE WHEN rk = (c+1)//2 THEN n ELSE 0 END)
+                   + SUM(CASE WHEN rk = (c+2)//2 THEN n ELSE 0 END)
+                  AS BIGINT) AS m2
+              FROM ord1 GROUP BY 1),
+            dev AS (SELECT d.event_type, d.h, d.n,
+                ABS(2*d.n - m.m2) AS dv, m.m2
+              FROM dense d JOIN med m ON d.event_type = m.event_type),
+            ord2 AS (SELECT event_type, dv,
+                row_number() OVER (PARTITION BY event_type ORDER BY dv)
+                  AS rk,
+                COUNT(*) OVER (PARTITION BY event_type) AS c
+              FROM dev),
+            madt AS (SELECT event_type,
+                CAST(SUM(CASE WHEN rk = (c+1)//2 THEN dv ELSE 0 END)
+                   + SUM(CASE WHEN rk = (c+2)//2 THEN dv ELSE 0 END)
+                  AS BIGINT) AS mad4
+              FROM ord2 GROUP BY 1)
+            SELECT d.event_type, d.h AS hour_epoch, d.n, d.m2, madt.mad4,
+              CASE WHEN madt.mad4 > 0
+                THEN 2.0 * (2*d.n - d.m2) / (1.4826 * madt.mad4)
+                ELSE NULL END AS rz
+            FROM dev d JOIN madt ON d.event_type = madt.event_type
+            ORDER BY d.event_type, hour_epoch"""))
+
+  private val e31 = Q(
+    "e31_mann_whitney",
+    // Mann-Whitney U rank-sum test: the NONPARAMETRIC decision rung
+    // beside e23's Welch t (heavy-tailed revenue metrics — a whale
+    // inflates the t's variance; ranks don't care). Same unit frame,
+    // arms, and planted purchase lift as e23. Tied ranks carried
+    // DOUBLED (r2a, u2 exact longs), tie-corrected normal z + CLES as
+    // fixed IEEE trees
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val units = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "user_id", "variant")
+        .agg(sum("cents").as("m0"))
+        .withColumn("metric",
+          when(col("event_type") === "purchase" &&
+            col("variant") === 1L,
+            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+      Events.mannWhitney(units, "event_type", "variant", "metric")
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            um AS (SELECT event_type, user_id, variant,
+                CAST(SUM(cents) AS BIGINT) AS m0
+              FROM ev GROUP BY 1, 2, 3),
+            un AS (SELECT event_type, user_id, variant,
+                CASE WHEN event_type = 'purchase' AND variant = 1
+                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+              FROM um),
+            vals AS (SELECT event_type, metric,
+                CAST(COUNT(*) AS BIGINT) AS t,
+                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ta
+              FROM un GROUP BY 1, 2),
+            rk AS (SELECT event_type, metric, t, ta,
+                CAST(COALESCE(SUM(t) OVER (PARTITION BY event_type
+                  ORDER BY metric
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+              FROM vals),
+            agg AS (SELECT event_type,
+                CAST(SUM(ta * (2*(below + 1) + (t - 1))) AS BIGINT) AS r2a,
+                CAST(SUM(ta) AS BIGINT) AS na,
+                CAST(SUM(t - ta) AS BIGINT) AS nb,
+                CAST(SUM(t*t*t - t) AS BIGINT) AS tie3
+              FROM rk GROUP BY 1),
+            fin AS (SELECT event_type, na, nb, na + nb AS nn, tie3,
+                r2a - na*(na+1) AS u2a
+              FROM agg)
+            SELECT event_type,
+              na AS n_0, nb AS n_1, u2a AS u2, tie3,
+              CASE WHEN na > 0 AND nb > 0 AND nn > 1
+                  AND na*nb*((nn*nn*nn - nn) - tie3) > 0
+                THEN (u2a - na*nb) / (2.0 * sqrt(
+                  CAST(na AS DOUBLE)*nb*((nn*nn*nn - nn) - tie3)
+                    / (12.0*nn*(nn-1))))
+                ELSE NULL END AS z,
+              CASE WHEN na > 0 AND nb > 0
+                THEN u2a / (2.0 * na * nb) ELSE NULL END AS cles
+            FROM fin ORDER BY event_type"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2385,6 +2506,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31,
     m01, m02, m03, m04, m05)
 }

@@ -881,4 +881,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Corpus.stratifiedExactK(df, "id", "s", 10, "sd").count() == 10L)
     assert(Corpus.stratifiedExactK(df, "id", "s", 0, "sd").count() == 0L)
   }
+
+  test("yuleK: hand example, all-distinct K = 0, empty doc NULL") {
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.yuleK(df, "doc_id", "text").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3))))
+    // counts a:3 b:2 -> sq = 13, n = 5, K = 1e4 * 8 / 25 = 3200
+    assert(got(0) == ((1L, 5L, 13L, Some(3200.0))))
+    assert(got(1) == ((2L, 3L, 3L, Some(0.0))))
+    assert(got(2) == ((3L, 0L, 0L, None)))
+  }
+
+  test("dirichletQlTopK: hand-pinned whole-bit surprisal, absent terms " +
+    "score background bits, within-bit ties break by matched mass") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // corpus: |C| = 5, cf(x)=2, cf(y)=2, cf(z)=1
+    val queries = Seq((0, "x"), (1, "y"), (2, "x"), (2, "z"))
+      .toDF("query_id", "term")
+    val got = Corpus.dirichletQlTopK(docs, "doc_id", "text", queries,
+        k = 10)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // q0 "x": only d1 matches; num = 2*5 + 2000*2 = 4010,
+    // den = (3+2000)*5 = 10015, 10015 div 4010 = 2 -> bits 2
+    assert(got.filter(_._1 == 0).toSeq == Seq((0, 1L, 1L, 2L, 2L)))
+    // q1 "y": both match with bits 2; tie (equal mtf 1) -> id order
+    assert(got.filter(_._1 == 1).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 1L, 2L), (2L, 2L, 2L)))
+    // q2 "x z": both candidates total 5 bits (match 2 + background 3);
+    // d1's matched mass 2 beats d2's 1
+    assert(got.filter(_._1 == 2).map(r => (r._2, r._3, r._4, r._5)).toSeq
+      == Seq((1L, 1L, 5L, 2L), (2L, 2L, 5L, 1L)))
+  }
 }

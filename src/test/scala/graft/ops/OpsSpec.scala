@@ -1158,6 +1158,65 @@ class EventsSpec extends SparkSpec {
       Some(1.0), None, None))
   }
 
+  test("madAnomalyFromHourly: rank-arithmetic medians over the " +
+    "zero-filled spine, hand-pinned robust z, MAD-0 reads NULL") {
+    // one type, 5 spine hours (one silent -> n=0): counts [1,2,3,10,0]
+    // median 2 (m2=4), deviations |2n-4| = [2,0,2,16,4] -> MAD4 = 4
+    val cells = Seq(("a", 0L, 1L), ("a", 3600L, 2L), ("a", 7200L, 3L),
+      ("a", 14400L, 10L),
+      // type b: constant counts -> MAD 0 -> rz NULL, never Inf
+      ("b", 0L, 5L), ("b", 3600L, 5L), ("b", 7200L, 5L))
+      .toDF("event_type", "h", "cnt")
+    val got = Events.madAnomalyFromHourly(cells)
+      .orderBy("event_type", "hour_epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5))))
+    val a = got.filter(_._1 == "a")
+    assert(a.map(_._2).toSeq == Seq(0L, 3600L, 7200L, 10800L, 14400L))
+    assert(a.map(_._3).toSeq == Seq(1L, 2L, 3L, 0L, 10L))
+    assert(a.forall(r => r._4 == 4L && r._5 == 4L))
+    val spike = a.find(_._3 == 10L).get
+    assert(spike._6.contains(2.0 * (2 * 10 - 4) / (1.4826 * 4)))
+    val silent = a.find(_._3 == 0L).get
+    assert(silent._6.contains(2.0 * (2 * 0 - 4) / (1.4826 * 4)))
+    val b = got.filter(_._1 == "b")
+    assert(b.forall(r => r._5 == 0L && r._6.isEmpty))
+  }
+
+  test("mannWhitney: hand-computed U/z/CLES with and without ties; " +
+    "all-tied and missing-arm designs read NULL") {
+    val rows =
+      // A: complete separation, no ties: U_A = 0, z = -9/(2*sqrt(5.25))
+      Seq(1L, 2L, 3L).map(x => ("A", 0L, x)) ++
+      Seq(4L, 5L, 6L).map(x => ("A", 1L, x)) ++
+      // B: tie group of 3 at value 5 -> tie3 = 24, U_A = 1, z = -1
+      Seq(5L, 5L).map(x => ("B", 0L, x)) ++ Seq(("B", 1L, 5L), ("B", 1L, 7L)) ++
+      // C: ALL values tied -> tie term zeroes the variance -> z NULL
+      Seq(("C", 0L, 3L), ("C", 0L, 3L), ("C", 1L, 3L)) ++
+      // D: no control arm
+      Seq(("D", 1L, 1L), ("D", 1L, 2L)) ++
+      Seq(("A", 2L, 999L)) // off-design variant: dropped
+    val got = Events.mannWhitney(rows.toDF("exp", "variant", "x"),
+        "exp", "variant", "x")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(5)), Option(r.get(6))))).toMap
+    val zA = (0.0 - 9.0) / (2.0 * math.sqrt(
+      3.0 * 3 * (216 - 6) / (12.0 * 6 * 5)))
+    assert(got("A") == ((3L, 3L, 0L, Some(zA), Some(0.0))))
+    assert(got("B") == ((2L, 2L, 2L, Some(-1.0), Some(0.25))))
+    assert(got("C")._4.isEmpty && got("C")._5.contains(0.5))
+    assert(got("D") == ((0L, 2L, -1L * 0L, None, None)) ||
+      (got("D")._1 == 0L && got("D")._4.isEmpty && got("D")._5.isEmpty))
+  }
+
+  test("mannWhitney refuses a non-quantized metric") {
+    val units = Seq(("A", 0L, 1.5)).toDF("exp", "variant", "x")
+    intercept[IllegalArgumentException] {
+      Events.mannWhitney(units, "exp", "variant", "x")
+    }
+  }
+
   test("welchT refuses a non-quantized (non-long) metric") {
     val units = Seq(("A", 0L, 1.5)).toDF("exp", "variant", "x")
     intercept[IllegalArgumentException] {

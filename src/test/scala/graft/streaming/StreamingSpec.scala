@@ -87,6 +87,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MAD robust monitor reads off the streamed hourly cells: the e30 " +
+    "finisher over the live sink equals batch madAnomaly across batches") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // same fixture shape as the seasonal parity case: a burst hour
+    // accumulating ACROSS micro-batches
+    val day = 86400L
+    val evs = Seq(
+      ev(0, 0, 1, "a", 1.0), ev(1, 10, 1, "a", 1.0),
+      ev(2, day, 1, "a", 1.0), ev(3, day + 10, 1, "a", 1.0),
+      ev(4, 2 * day, 1, "a", 1.0), ev(5, 2 * day + 10, 1, "a", 1.0),
+      ev(6, 3600, 1, "a", 1.0), ev(7, day + 3600, 1, "a", 1.0),
+      ev(8, 2 * day + 3600, 1, "a", 1.0),
+      ev(9, 2 * day + 3610, 1, "a", 1.0), ev(10, 2 * day + 3620, 1, "a", 1.0))
+    val src = MemoryStream[Event]
+    val q = EventPipeline.hourlyCounts(src.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("mad_cells")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      src.addData(evs.take(9): _*)
+      q.processAllAvailable()
+      src.addData(evs.drop(9): _*)
+      q.processAllAvailable()
+      val cells = spark.table("mad_cells")
+        .select(col("event_type"), col("hour_epoch").as("h"),
+          col("n_events").as("cnt"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      val streamed = rows(graft.ops.Events.madAnomalyFromHourly(cells))
+      val batch = rows(graft.ops.Events.madAnomaly(
+        evs.toDF().select(col("ts"), col("event_type"))))
+      assert(streamed == batch && streamed.size == 50)
+      // the burst hour carries the cross-batch count of 3
+      assert(streamed.exists(x => x._2 == 2 * day + 3600L && x._3 == 3L))
+    } finally q.stop()
+  }
+
   test("rollingActiveStream: chained stateful aggs equal the batch " +
     "DAU/WAU once windows close") {
     implicit val sqlCtx = spark.sqlContext
