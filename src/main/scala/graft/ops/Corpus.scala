@@ -561,6 +561,53 @@ object Corpus {
         col("sum_bits"), col("match_tf"))
   }
 
+  /** Pairwise Pearson correlation matrix over integer-quantized signal
+    * columns — the quality-signal REDUNDANCY calibration (complement of
+    * t28's kappa, which compares binary GATES; this compares the raw
+    * scores): a curation pipeline carrying ten quality signals wants to
+    * know which ones measure the same thing before paying ten gates'
+    * worth of thresholds and disagreement analysis.
+    *
+    * Exactness: ONE pass accumulates every moment as exact longs (n,
+    * Σx, Σx², Σxy per pair) in a single global partial-agg rollup, and
+    * each pair's r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is a
+    * fixed IEEE tree over those longs. Zero-variance signals read NULL.
+    * Longs hold while n·Σxy < 2⁶³ — e.g. kilotoken docs × 10¹¹ rows;
+    * beyond, pre-quantize coarser (the 32ah convention).
+    *
+    * Output: one row per unordered column pair (sig_x < sig_y in the
+    * given order), columns (sig_x, sig_y, n, r).
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"need >= 2 distinct signal columns: $cols")
+    cols.foreach { c =>
+      require(df.schema(c).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"signal '$c' must be an integer-quantized LONG column")
+    }
+    val prs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.flatMap(c => Seq(sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"q_$c"))) ++
+      prs.map { case (a, b) =>
+        sum(col(a) * col(b)).as(s"p_${a}__$b") } :+
+      count(lit(1)).as("n")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    prs.map { case (a, b) =>
+      val num = col("n") * col(s"p_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      val dx = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
+      val dy = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      m.select(lit(a).as("sig_x"), lit(b).as("sig_y"), col("n"),
+        when(dx > 0 && dy > 0,
+          num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .otherwise(lit(null).cast("double")).as("r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Yule's characteristic K (Yule 1944; Tweedie & Baayen 1998 show it
     * is the rare length-stable lexical-diversity statistic) — a
     * repetitiveness/vocabulary-richness quality signal:

@@ -86,6 +86,53 @@ object Dedup {
     * (no cap) is the oracle-exact configuration; at 100 TB, set a cap, or
     * use [[minHashLsh]] for adversarially dense corpora.
     */
+  /** Transitive contamination propagation — min-hop BFS from leak SEEDS
+    * over a near-dup pair graph: exact matching (d12/d27) flags the doc
+    * that SHARES an n-gram with the eval suite, but its near-duplicates
+    * carry the same content in paraphrase and slip every exact check —
+    * the same reasoning that makes decontamination pipelines pair an
+    * exact pass with a fuzzy pass (Lee et al. 2022 §6.2 find near-dup
+    * leakage exact dedup misses; Yang et al. 2023 "rephrased samples"
+    * evade n-gram decontamination by construction). Hop = suspicion
+    * rank: hop 0 is the direct leak, hop 1 its near-dups, hop 2 their
+    * near-dups — a release decision can gate each tier differently.
+    *
+    * `pairs` is any (id_a, id_b) near-dup pair table (typically
+    * [[prefixJaccard]] at a deliberately WIDE threshold — suspicion
+    * casts a larger net than dedup, precision is recovered by the hop
+    * tiers); `seeds` carries the hop-0 ids in `idCol`. Output: (id,
+    * hop) with the MINIMUM hop ≤ maxHop per reached doc — BFS order
+    * guarantees first-visit = min-hop, and every tier is a distinct
+    * anti-joined frontier, so the result is deterministic with no
+    * per-round tie-breaking.
+    *
+    * Scale shape: maxHop rounds of (frontier ⋈ edges) equi-joins +
+    * anti-joins against the visited set — work ∝ edges touched per
+    * round, the d11 incremental-CC shape; no iteration-to-convergence,
+    * the hop bound is the contract. The round chain is left lazy (3
+    * single-reference stages, no interleaved actions — the t47 rule).
+    */
+  def contaminationHops(
+      pairs: DataFrame, seeds: DataFrame, idCol: String,
+      maxHop: Int): DataFrame = {
+    require(maxHop >= 0, s"maxHop must be >= 0: $maxHop")
+    val sym = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    val h0 = seeds.select(col(idCol).as("id")).distinct()
+    var visited = h0.withColumn("hop", lit(0L))
+    var frontier = h0
+    var h = 1
+    while (h <= maxHop) {
+      frontier = sym.join(frontier, col("s") === col("id"))
+        .select(col("d").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+      visited = visited.unionByName(
+        frontier.withColumn("hop", lit(h.toLong)))
+      h += 1
+    }
+    visited
+  }
+
   def nGramJaccard(
       df: DataFrame,
       textCol: String,

@@ -264,6 +264,97 @@ object CorpusPack {
             WHERE la.split = 'train' AND lb.split = 'test'
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val d37 = Q(
+    "d37_transitive_contamination",
+    // transitive contamination: min-hop BFS from direct-leak seeds over
+    // the near-dup graph — exact n-gram checks (d12/d27) miss the
+    // near-duplicates OF leaked docs (Lee et al. 2022 §6.2; rephrased
+    // samples evade n-gram matching by construction). Seeds = train
+    // docs near-dup to a TEST doc; edges = train-train near-dups at a
+    // deliberately WIDE tau (1/10 — suspicion casts a larger net than
+    // dedup, the hop tiers recover precision); 3 hops. Pairs from
+    // prefixJaccard (the d34 exact scale path), so this oracle row also
+    // re-proves prefix-filter completeness at the wide threshold
+    (s, dir) => {
+      val labeled = Tables.load(s, dir, "documents")
+        .withColumn("split", Corpus.splitLabel(col("doc_id")))
+        .filter(col("split").isin("train", "test"))
+      val splits = labeled.select(col("doc_id"), col("split"))
+      // pairs feed seeds AND edges: persist, never checkpoint, the
+      // multi-consumer rule
+      val pairs = Dedup.prefixJaccard(labeled, "text", "doc_id", 1, 10)
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("sp_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("sp_b")), "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = pairs
+        .filter(col("sp_a") === "train" && col("sp_b") === "test")
+        .select(col("id_a").as("doc_id"))
+        .unionByName(pairs
+          .filter(col("sp_a") === "test" && col("sp_b") === "train")
+          .select(col("id_b").as("doc_id")))
+      val edges = pairs
+        .filter(col("sp_a") === "train" && col("sp_b") === "train")
+        .select("id_a", "id_b")
+      Dedup.contaminationHops(edges, seeds, "doc_id", maxHop = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                  IN ('c','d') THEN 'val' ELSE 'test' END AS split
+              FROM documents),
+            t AS (SELECT doc_id, split, string_split(text, ' ') l
+                  FROM docs WHERE split IN ('train','test')),
+            raw AS (SELECT doc_id, split, unnest(l) w,
+                generate_subscripts(l, 1) i FROM t),
+            tok AS (SELECT doc_id, split, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.split,
+                a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, a.split spa, b.doc_id ib,
+                b.split spb, COUNT(*) c
+              FROM big a JOIN big b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            jp AS MATERIALIZED (SELECT ia, spa, ib, spb
+              FROM com JOIN sz za ON ia = za.doc_id
+                JOIN sz zb ON ib = zb.doc_id
+              WHERE c*10 >= (za.n + zb.n - c)),
+            seeds AS MATERIALIZED (SELECT DISTINCT
+                CASE WHEN spa = 'train' THEN ia ELSE ib END doc_id
+              FROM jp WHERE (spa = 'train' AND spb = 'test')
+                OR (spa = 'test' AND spb = 'train')),
+            edges AS MATERIALIZED (SELECT ia, ib FROM jp
+              WHERE spa = 'train' AND spb = 'train'),
+            sym AS MATERIALIZED (SELECT ia s, ib d FROM edges
+              UNION ALL SELECT ib, ia FROM edges),
+            h1 AS MATERIALIZED (SELECT DISTINCT d doc_id
+              FROM sym JOIN seeds ON s = seeds.doc_id
+              WHERE d NOT IN (SELECT doc_id FROM seeds)),
+            h2 AS MATERIALIZED (SELECT DISTINCT d doc_id
+              FROM sym JOIN h1 ON s = h1.doc_id
+              WHERE d NOT IN (SELECT doc_id FROM seeds)
+                AND d NOT IN (SELECT doc_id FROM h1)),
+            h3 AS (SELECT DISTINCT d doc_id
+              FROM sym JOIN h2 ON s = h2.doc_id
+              WHERE d NOT IN (SELECT doc_id FROM seeds)
+                AND d NOT IN (SELECT doc_id FROM h1)
+                AND d NOT IN (SELECT doc_id FROM h2))
+            SELECT doc_id, CAST(0 AS BIGINT) AS hop FROM seeds
+            UNION ALL SELECT doc_id, 1 FROM h1
+            UNION ALL SELECT doc_id, 2 FROM h2
+            UNION ALL SELECT doc_id, 3 FROM h3
+            ORDER BY doc_id"""))
+
   private val d27 = Q(
     "d27_decontaminate_bloom",
     // d12's train/test n-gram leak join with the 100 TB shuffle fixed:
@@ -1909,8 +2000,8 @@ object CorpusPack {
                   AS n_stopwords,
                 length(text) - length(regexp_replace(text, '[.,!?;:]',
                   '', 'g')) AS n_punct,
-                length(text) - length(regexp_replace(text, '[A-Z]', '',
-                  'g')) AS n_upper,
+                len(list_distinct(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS n_uniq,
                 length(text) AS n_chars
               FROM documents),
             q AS (SELECT doc_id,
@@ -3397,6 +3488,59 @@ object CorpusPack {
             FROM (SELECT doc_id FROM documents) docs
             LEFT JOIN d USING (doc_id) ORDER BY doc_id"""))
 
+  private val t52 = Q(
+    "t52_signal_corr",
+    // quality-signal redundancy: pairwise Pearson r over the five t02
+    // integer signals in ONE exact-moment pass — which signals measure
+    // the same thing (t28's kappa asks this of binary GATES; this asks
+    // it of the raw scores, BEFORE thresholds exist)
+    (s, dir) => Corpus.pearsonMatrix(
+        Tables.loadParallel(s, dir, "documents")
+          .select(TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+            TextOps.stopwordCount(col("text")).cast("long").as("n_stop"),
+            TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+            size(TextOps.wordSet(col("text"))).cast("long").as("n_uniq"),
+            length(col("text")).cast("long").as("n_chars")),
+        Seq("n_tok", "n_stop", "n_punct", "n_uniq", "n_chars"))
+      .orderBy("sig_x", "sig_y"),
+    Some {
+      val cols = Seq("n_tok", "n_stop", "n_punct", "n_uniq", "n_chars")
+      val prs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val pairSelects = prs.map { case (a, b) =>
+        s"""SELECT '$a' AS sig_x, '$b' AS sig_y, n,
+           CASE WHEN n*q_$a - s_$a*s_$a > 0 AND n*q_$b - s_$b*s_$b > 0
+             THEN CAST(n*p_${a}__$b - s_$a*s_$b AS DOUBLE) /
+               (sqrt(CAST(n*q_$a - s_$a*s_$a AS DOUBLE)) *
+                sqrt(CAST(n*q_$b - s_$b*s_$b AS DOUBLE)))
+             ELSE NULL END AS r FROM m"""
+      }.mkString("\n            UNION ALL ")
+      val moments = (cols.flatMap(c => Seq(
+        s"CAST(SUM($c) AS BIGINT) AS s_$c",
+        s"CAST(SUM($c*$c) AS BIGINT) AS q_$c")) ++
+        prs.map { case (a, b) =>
+          s"CAST(SUM($a*$b) AS BIGINT) AS p_${a}__$b" } :+
+        "CAST(COUNT(*) AS BIGINT) AS n").mkString(",\n                ")
+      s"""WITH sig AS (SELECT
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to')))
+                  AS n_stop,
+                length(text) - length(regexp_replace(text, '[.,!?;:]',
+                  '', 'g')) AS n_punct,
+                len(list_distinct(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS n_uniq,
+                length(text) AS n_chars
+              FROM documents),
+            m AS (SELECT
+                $moments
+              FROM sig)
+            $pairSelects
+            ORDER BY sig_x, sig_y"""
+    })
+
   private val p27 = Q(
     "p27_stratified_k",
     // exactly-100 stratified eval draw over language shares: Hamilton
@@ -3433,8 +3577,8 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25, d27, d33)
+      d22, d23, d24, d25, d27, d33, d37)
 }

@@ -917,4 +917,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == 2).map(r => (r._2, r._3, r._4, r._5)).toSeq
       == Seq((1L, 1L, 5L, 2L), (2L, 2L, 5L, 1L)))
   }
+
+  test("pearsonMatrix: perfect +/- correlation, an independent pair, " +
+    "zero variance NULL, non-long rejection") {
+    // y = 2x (r = 1), z = -x (r = -1 with x), w constant (NULL), and
+    // v = [1,3,2] partially correlated with x = [1,2,3]:
+    // num = 3*13 - 6*6 = 3, dx = dy = 3*14 - 36 = 6
+    val df = Seq((1L, 2L, -1L, 7L, 1L), (2L, 4L, -2L, 7L, 3L),
+      (3L, 6L, -3L, 7L, 2L)).toDF("x", "y", "z", "w", "v")
+    val got = Corpus.pearsonMatrix(df, Seq("x", "y", "z", "w", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // replay the op's exact IEEE trees: sqrt(6)*sqrt(24) is an ulp off
+    // 12, so r(x,y) is 1 + 1ulp — pinning the tree, not the ideal value
+    assert(got(("x", "y")).contains(
+      12.0 / (math.sqrt(6.0) * math.sqrt(24.0))))
+    assert(got(("x", "z")).contains(
+      -6.0 / (math.sqrt(6.0) * math.sqrt(6.0))))
+    assert(got(("x", "w")).isEmpty && got(("y", "w")).isEmpty)
+    // replay the exact IEEE tree for the (x, v) pair
+    val rxv = 3.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+    assert(got(("x", "v")).contains(rxv))
+    intercept[IllegalArgumentException] {
+      Corpus.pearsonMatrix(Seq((1.5, 2L)).toDF("a", "b"), Seq("a", "b"))
+    }
+  }
 }

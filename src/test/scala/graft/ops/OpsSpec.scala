@@ -619,6 +619,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSeq
     assert(pairs.exists(p => p._1 == 1 && p._2 == 2 && p._3 == 0))
   }
+  test("contaminationHops: min-hop BFS — shortcut edges win, the hop " +
+    "bound truncates, duplicate seeds collapse, off-graph docs absent") {
+    // chain 1-2-3-4-5 plus shortcut 1-3: min hops 2->1, 3->1 (via the
+    // shortcut, NOT 2 via the chain), 4->2, 5->3; node 6 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (6L, 7L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 1L).toDF("doc_id") // duplicate seed rows
+    val got = graft.ops.Dedup.contaminationHops(edges, seeds, "doc_id",
+        maxHop = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // hop bound truncates: maxHop = 1 stops at the direct near-dups
+    val h1 = graft.ops.Dedup.contaminationHops(edges, seeds, "doc_id",
+        maxHop = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }
 
 class DedupOverlapSpec extends SparkSpec {
