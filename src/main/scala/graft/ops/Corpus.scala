@@ -561,6 +561,40 @@ object Corpus {
         col("sum_bits"), col("match_tf"))
   }
 
+  /** Per-token dispersion (variance-to-mean ratio across documents) —
+    * burstiness (Church & Gale 1995's Poisson mixtures): a token whose
+    * occurrences are Poisson-spread over documents (VMR ≈ 1) behaves
+    * like a function word; VMR ≫ 1 means the token CLUMPS — it is
+    * topical/content-bearing. The induced split is what stopword-list
+    * induction and keyword weighting actually want, without a
+    * hand-curated list (the t24 tf-idf rung assumes df alone separates;
+    * dispersion measures the clumping directly).
+    *
+    * Exactness: one (doc, token) rollup gives per-token df, Σc, Σc² as
+    * exact longs; N is the document count (absent docs contribute zero
+    * occurrences, so the population moments over ALL N docs are
+    * `(N·Σc² − (Σc)²)/N²` — cleared, the VMR = var/mean is ONE IEEE
+    * division `(N·Σc² − (Σc)²)/(N·Σc)`). `minDf` bounds the output to
+    * tokens with support (rare tokens' VMR is noise and the row count
+    * would be the full vocabulary). Longs hold while N·Σc² < 2⁶³.
+    */
+  def tokenDispersion(
+      df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    val c = df.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("c"))
+    val n = broadcast(df.agg(count(lit(1)).as("n")))
+    c.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .filter(col("df") >= minDf)
+      .crossJoin(n)
+      .select(col("token"), col("df"), col("s").as("total"),
+        ((col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n").cast("double") * col("s"))).as("vmr"))
+  }
+
   /** Pairwise Pearson correlation matrix over integer-quantized signal
     * columns — the quality-signal REDUNDANCY calibration (complement of
     * t28's kappa, which compares binary GATES; this compares the raw

@@ -3541,6 +3541,34 @@ object CorpusPack {
             ORDER BY sig_x, sig_y"""
     })
 
+  private val t53 = Q(
+    "t53_token_dispersion",
+    // token burstiness (Church & Gale 1995): VMR across docs separates
+    // clumping content words (VMR >> 1) from Poisson-spread function
+    // words (VMR ~ 1) — stopword induction without a hand list. Exact
+    // longs, one IEEE division; df >= 5 bounds the output
+    (s, dir) => Corpus.tokenDispersion(
+        Tables.loadParallel(s, dir, "documents"), "doc_id", "text",
+        minDf = 5)
+      .orderBy("token"),
+    Some("""WITH tok AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS w
+              FROM documents),
+            c AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tok GROUP BY 1, 2),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            agg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+                CAST(SUM(c) AS BIGINT) AS s,
+                CAST(SUM(c*c) AS BIGINT) AS q
+              FROM c GROUP BY 1)
+            SELECT w AS token, df, s AS total,
+              CAST(nn.n * q - s * s AS DOUBLE)
+                / (CAST(nn.n AS DOUBLE) * s) AS vmr
+            FROM agg CROSS JOIN nn
+            WHERE df >= 5
+            ORDER BY token"""))
+
   private val p27 = Q(
     "p27_stratified_k",
     // exactly-100 stratified eval draw over language shares: Hamilton
@@ -3577,7 +3605,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37)
