@@ -2000,8 +2000,8 @@ object CorpusPack {
                   AS n_stopwords,
                 length(text) - length(regexp_replace(text, '[.,!?;:]',
                   '', 'g')) AS n_punct,
-                len(list_distinct(list_filter(string_split(text, ' '),
-                  x -> x <> ''))) AS n_uniq,
+                length(text) - length(regexp_replace(text, '[A-Z]', '',
+                  'g')) AS n_upper,
                 length(text) AS n_chars
               FROM documents),
             q AS (SELECT doc_id,
