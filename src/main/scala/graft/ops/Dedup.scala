@@ -116,9 +116,15 @@ object Dedup {
       pairs: DataFrame, seeds: DataFrame, idCol: String,
       maxHop: Int): DataFrame = {
     require(maxHop >= 0, s"maxHop must be >= 0: $maxHop")
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
-    val h0 = seeds.select(col(idCol).as("id")).distinct()
+      .persist(mad)
+    // each tier is consumed by EVERY later round's anti-join AND the
+    // final union — persist per tier (the multi-consumer rule; without
+    // it tier k's lineage re-executes tiers 0..k−1, and the 4-tier
+    // union re-runs the whole pair pipeline once per tier)
+    val h0 = seeds.select(col(idCol).as("id")).distinct().persist(mad)
     var visited = h0.withColumn("hop", lit(0L))
     var frontier = h0
     var h = 1
@@ -126,6 +132,7 @@ object Dedup {
       frontier = sym.join(frontier, col("s") === col("id"))
         .select(col("d").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
+        .persist(mad)
       visited = visited.unionByName(
         frontier.withColumn("hop", lit(h.toLong)))
       h += 1

@@ -272,9 +272,14 @@ object CorpusPack {
     // samples evade n-gram matching by construction). Seeds = train
     // docs near-dup to a TEST doc; edges = train-train near-dups at a
     // deliberately WIDE tau (1/10 — suspicion casts a larger net than
-    // dedup, the hop tiers recover precision); 3 hops. Pairs from
-    // prefixJaccard (the d34 exact scale path), so this oracle row also
-    // re-proves prefix-filter completeness at the wide threshold
+    // dedup, the hop tiers recover precision); 3 hops. Pair generation
+    // uses the inverted-index COUNT join (nGramJaccard), NOT the d34
+    // prefix filter: at tau = 0.1 the prefix keeps ~90% of each gram
+    // set, so prefix+positional filtering prunes nothing and its
+    // per-candidate hashed-set verify costs ~7x the count join's
+    // aggregation (measured 51.6 s -> see bench) — the selection rule
+    // is: prefix filter for tight dedup thresholds, count join for
+    // wide suspicion nets
     (s, dir) => {
       val labeled = Tables.load(s, dir, "documents")
         .withColumn("split", Corpus.splitLabel(col("doc_id")))
@@ -282,7 +287,7 @@ object CorpusPack {
       val splits = labeled.select(col("doc_id"), col("split"))
       // pairs feed seeds AND edges: persist, never checkpoint, the
       // multi-consumer rule
-      val pairs = Dedup.prefixJaccard(labeled, "text", "doc_id", 1, 10)
+      val pairs = Dedup.nGramJaccard(labeled, "text", "doc_id", 1, 10)
         .join(splits.select(col("doc_id").as("id_a"),
           col("split").as("sp_a")), "id_a")
         .join(splits.select(col("doc_id").as("id_b"),
