@@ -99,6 +99,10 @@ object ScaleSmoke {
     // d35 rides the d02 tau=1/4 pair machinery + one degree rollup,
     // two id-keyed equi joins and ONE global agg — candidate-driven
     "d35_assortativity",
+    // d37's pair stage is the d02 count join; the BFS tiers are
+    // bounded rounds of edge-sized equi/anti joins over persisted
+    // frontiers — candidate-class like its pair generator
+    "d37_transitive_contamination",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes")
   // d21's exact baseline is train × eval pair work; the smoke's eval
@@ -123,7 +127,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 35, s"expected 35 d-tier queries, got $dTier")
+    require(dTier.size == 36, s"expected 36 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -275,7 +279,16 @@ object ScaleSmoke {
         // t48 = ONE map-side-combined source rollup + a 1-row broadcast;
         // s20 = the s01 pinned-probe brute scan + k²/2-bounded pairs +
         // two id-keyed equi joins — both linear in corpus rows
-        "t48_source_prior", "s20_ild_diversity")
+        "t48_source_prior", "s20_ild_diversity",
+        // r11 additions, all linear in corpus rows: t49 = driver-
+        // bounded softmax trainer (TakeOrderedAndProject sample) + one
+        // fused scan-stage argmax; t50 = the t34 token-rollup joins
+        // with a fixed broadcast query list + bounded per-query top-k;
+        // t51/t53 = one (doc, token)/(token, doc) hash-agg rollup +
+        // one more rollup; t52 = ONE global moment aggregation
+        // (e30/e31's events tables are outside this corpus's schema)
+        "t49_trained_lang_id", "t50_dirichlet_ql", "t51_yule_k",
+        "t52_signal_corr", "t53_token_dispersion")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),
