@@ -561,6 +561,70 @@ object Corpus {
         col("sum_bits"), col("match_tf"))
   }
 
+  /** Token-budget-constrained selection — "the best B tokens": keep
+    * documents in descending score order until the budget is exhausted,
+    * the materialized form of classifier-quality data selection (GPT-3
+    * App. A and LLaMA select pre-training data by taking the
+    * top-classifier-scored documents to a size target; this emits that
+    * cut as a table). Greedy by score is the published shape; a
+    * value-density variant is the same call with score = density.
+    *
+    * Deterministic and exact: `scoreCol` must be an integer-quantized
+    * LONG (quantize floats before calling — the e23 cents convention),
+    * order is (score DESC, id ASC), and the running token total is the
+    * range-partitioned prefix-sum machinery ([[prefixSumBy]] — never a
+    * one-task window). A document is kept iff its INCLUSIVE cumulative
+    * weight fits the budget (documents are atomic — no partial keeps),
+    * so the output is the unique maximal score-ordered prefix within
+    * budget.
+    */
+  def budgetSelect(
+      df: DataFrame, idCol: String, weightCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(df.schema(scoreCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$scoreCol must be an integer-quantized LONG score")
+    val r = df.select(col(idCol), col(weightCol).cast("long")
+        .as(weightCol), col(scoreCol))
+      .withColumn("__negq", -col(scoreCol))
+    prefixSumBy(r, Seq("__negq", idCol), weightCol, "__pre")
+      .filter(col("__pre") + col(weightCol) <= budget)
+      .select(col(idCol), col(weightCol), col(scoreCol),
+        (col("__pre") + col(weightCol)).as("cum_weight"))
+  }
+
+  /** Per-document n-gram novelty rate — the corpus NOVELTY CURVE: the
+    * fraction of a document's distinct bigrams never seen in any
+    * EARLIER document (ingest order = ascending id). The diagnostic
+    * behind "is the crawl still adding new content or re-crawling the
+    * same pages": dedup asks if a whole doc repeats, novelty measures
+    * how much MARGINAL content each doc contributes (the declining
+    * tail of this curve is why data-constrained scaling work repeats
+    * epochs rather than crawling more). First occurrence via one
+    * min(doc_id)-per-gram rollup joined back — two hash-aggs + one
+    * equi-join, all exact integers, one IEEE division per doc. Docs
+    * with no bigram (< 2 tokens) read zeros and a NULL rate.
+    */
+  def noveltyRate(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(TextOps.bigramSet(col(textCol))).as("g"))
+    val first = grams.groupBy("g").agg(min("id").as("first_id"))
+    val per = grams.join(first, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_new"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_new").cast("double") / col("n_grams"))
+          .otherwise(lit(null).cast("double")).as("novelty"))
+  }
+
   /** Per-token dispersion (variance-to-mean ratio across documents) —
     * burstiness (Church & Gale 1995's Poisson mixtures): a token whose
     * occurrences are Poisson-spread over documents (VMR ≈ 1) behaves

@@ -3574,6 +3574,88 @@ object CorpusPack {
             WHERE df >= 5
             ORDER BY token"""))
 
+  private val p28 = Q(
+    "p28_budget_select",
+    // token-budget-constrained selection (the GPT-3/LLaMA "take the
+    // top classifier-scored docs to a size target" cut, materialized):
+    // keep docs in (quality desc, id) order while the running token
+    // total fits 10k. Score = t02's quality quantized to micros;
+    // running totals via the range-partitioned prefix machinery
+    (s, dir) => {
+      val docs = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+          round(TextOps.qualityScore(col("text")) * 1000000)
+            .cast("long").as("q_micro"))
+      Corpus.budgetSelect(docs, "doc_id", "n_tok", "q_micro",
+          budget = 10000L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tokens,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the','a','of','and','is','in','to')))
+                  AS n_stopwords,
+                length(text) - length(regexp_replace(text, '[.,!?;:]',
+                  '', 'g')) AS n_punct,
+                length(text) - length(regexp_replace(text, '[A-Z]', '',
+                  'g')) AS n_upper,
+                length(text) AS n_chars
+              FROM documents),
+            q AS (SELECT doc_id,
+                CAST(n_tokens AS BIGINT) AS n_tok,
+                CAST(round((0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0,
+                    1.0)
+                  + 0.3 * (CAST(n_stopwords AS DOUBLE)
+                      / greatest(CAST(n_tokens AS DOUBLE), 1.0))
+                  + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+                      / greatest(CAST(n_chars AS DOUBLE), 1.0))
+                  + 0.1 * (1.0 - CAST(n_upper AS DOUBLE)
+                      / greatest(CAST(n_chars AS DOUBLE), 1.0)))
+                  * 1000000) AS BIGINT) AS q_micro
+              FROM c),
+            o AS (SELECT doc_id, n_tok, q_micro,
+                CAST(SUM(n_tok) OVER (ORDER BY q_micro DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_weight
+              FROM q)
+            SELECT doc_id, n_tok, q_micro, cum_weight
+            FROM o WHERE cum_weight <= 10000 ORDER BY doc_id"""))
+
+  private val t54 = Q(
+    "t54_novelty_rate",
+    // corpus novelty curve: per doc, the fraction of its distinct
+    // bigrams never seen in any EARLIER doc — how much MARGINAL
+    // content each ingest contributes (the declining tail is why
+    // data-constrained runs repeat epochs instead of crawling more)
+    (s, dir) => Corpus.noveltyRate(
+        Tables.loadParallel(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+                  FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w,
+                generate_subscripts(l, 1) i FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            fo AS (SELECT g, MIN(doc_id) first_id FROM big GROUP BY 1),
+            per AS (SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                CAST(SUM(CASE WHEN fo.first_id = big.doc_id THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_new
+              FROM big JOIN fo ON big.g = fo.g GROUP BY 1)
+            SELECT d.doc_id,
+              COALESCE(n_grams, 0) AS n_grams,
+              COALESCE(n_new, 0) AS n_new,
+              CASE WHEN COALESCE(n_grams, 0) > 0
+                THEN CAST(n_new AS DOUBLE) / n_grams ELSE NULL END
+                AS novelty
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
+
   private val p27 = Q(
     "p27_stratified_k",
     // exactly-100 stratified eval draw over language shares: Hamilton
@@ -3610,8 +3692,8 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37)
 }

@@ -288,7 +288,11 @@ object ScaleSmoke {
         // one more rollup; t52 = ONE global moment aggregation
         // (e30/e31's events tables are outside this corpus's schema)
         "t49_trained_lang_id", "t50_dirichlet_ql", "t51_yule_k",
-        "t52_signal_corr", "t53_token_dispersion")
+        "t52_signal_corr", "t53_token_dispersion",
+        // p28 = one scan + the p13/p14 prefix-sum shape; t54 = one
+        // distinct-gram explode + a min rollup + an equi join (the
+        // d12/d20 linear index shape)
+        "p28_budget_select", "t54_novelty_rate")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

@@ -943,4 +943,36 @@ class CorpusOpsSpec extends SparkSpec {
       Corpus.pearsonMatrix(Seq((1.5, 2L)).toDF("a", "b"), Seq("a", "b"))
     }
   }
+
+  test("budgetSelect: maximal score-ordered prefix, docs atomic at the " +
+    "boundary, score-tie broken by id, non-long score rejected") {
+    val df = Seq((1L, 5L, 900L), (2L, 4L, 800L), (3L, 10L, 700L),
+      (4L, 1L, 800L)).toDF("id", "w", "q")
+    // order: 1(q900,w5), 2(q800,w4), 4(q800 tie -> id,w1), 3(q700,w10)
+    // budget 10: cum 5, 9, 10, 20 -> keep {1,2,4}; doc 3 would overflow
+    val got = Corpus.budgetSelect(df, "id", "w", "q", budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(1L -> 5L, 2L -> 9L, 4L -> 10L))
+    // zero budget keeps nothing; a doc larger than the budget is skipped
+    assert(Corpus.budgetSelect(df, "id", "w", "q", 0L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(Seq((1L, 2L, 1.5)).toDF("id", "w", "q"),
+        "id", "w", "q", 10L)
+    }
+  }
+
+  test("noveltyRate: first doc all-new, exact repeat contributes zero, " +
+    "partial overlap counted, sub-bigram docs NULL") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b c d e"),
+      (4L, "x")).toDF("doc_id", "text")
+    // doc 1: {a b, b c} both new (2/2); doc 2 exact repeat (0/2);
+    // doc 3: {b c, c d, d e} -> b c seen, 2/3 new; doc 4: no bigram
+    val got = Corpus.noveltyRate(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3))))).toMap
+    assert(got(1L) == ((2L, 2L, Some(1.0))))
+    assert(got(2L) == ((2L, 0L, Some(0.0))))
+    assert(got(3L) == ((3L, 2L, Some(2.0 / 3))))
+    assert(got(4L) == ((0L, 0L, None)))
+  }
 }
