@@ -119,9 +119,19 @@ object Tables {
           ).head()
           present.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
         }
-      val merged = cached.getOrElse(Map.empty) ++ fresh
-      ndvCache.put(key, merged)
-      merged
+      // Atomic merge: a plain get-then-put loses columns when two compiles
+      // race on the same (dir, table) — each would merge into its own stale
+      // snapshot and the second put drops the first's columns. updateWith
+      // retries on contention so both column sets land.
+      // Staleness contract: entries never invalidate within a session — a
+      // table REWRITTEN under the same dir feeds the join-order DP stale
+      // NDVs (plan choice only, never correctness). Callers that rewrite
+      // tables in-session should use a fresh dir (the tools all do).
+      ndvCache.updateWith(key) {
+        case Some(prev) => Some(prev ++ fresh)
+        case None       => Some(fresh)
+      }
+      ndvCache.getOrElse(key, fresh) ++ fresh
     }
   }
   private val ndvCache =

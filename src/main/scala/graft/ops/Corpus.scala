@@ -512,10 +512,16 @@ object Corpus {
     * their matches). No decimal accumulation needed: this ranking is
     * integer end to end, ties broken by doc_id.
     *
-    * Candidate generation is the standard matching-term union (a doc
-    * scoring zero query terms can never beat one matching a term under
-    * equal lengths, and the fixed query list is broadcast); per-doc
-    * work is candidates × query terms.
+    * Candidate generation is the standard matching-term union (the
+    * fixed query list is broadcast); per-doc work is candidates ×
+    * query terms. The ranking is therefore exact WITHIN the
+    * matching-term candidate set, not corpus-wide: because the
+    * background bits depend on |d|, a very short document matching
+    * zero query terms can in principle out-score a longer matching
+    * candidate, and such documents are never generated. This is the
+    * standard IR restriction (scoring only the posting-list union —
+    * the DuckDB oracle shares it); under equal document lengths the
+    * restriction is vacuous since a match only adds probability mass.
     *
     * Longs hold while `(|d|+μ)·|C| < 2⁶³` — |C| ≤ ~4×10¹⁵ tokens at
     * μ = 2000 and kilotoken docs, far past 100 TB.
@@ -585,9 +591,20 @@ object Corpus {
     require(df.schema(scoreCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"$scoreCol must be an integer-quantized LONG score")
-    val r = df.select(col(idCol), col(weightCol).cast("long")
-        .as(weightCol), col(scoreCol))
-      .withColumn("__negq", -col(scoreCol))
+    // Two data-dependent edges fail loudly, not silently: a NEGATIVE
+    // weight makes the prefix sums non-monotone (the "maximal
+    // score-ordered prefix" invariant is meaningless), and negating
+    // Long.MinValue overflows back to itself (reversing its sort rank).
+    // Both checks ride the scan as codegen'd assert_true columns.
+    val checked = df
+      .withColumn("__wchk", assert_true(col(weightCol) >= 0,
+        lit(s"budgetSelect: $weightCol must be non-negative")))
+      .withColumn("__schk", assert_true(col(scoreCol) > Long.MinValue,
+        lit(s"budgetSelect: $scoreCol = Long.MinValue would overflow negation")))
+    val r = checked.select(col(idCol), col(weightCol).cast("long")
+        .as(weightCol), col(scoreCol), col("__wchk"), col("__schk"))
+      .withColumn("__negq",
+        when(col("__wchk").isNull && col("__schk").isNull, -col(scoreCol)))
     prefixSumBy(r, Seq("__negq", idCol), weightCol, "__pre")
       .filter(col("__pre") + col(weightCol) <= budget)
       .select(col(idCol), col(weightCol), col(scoreCol),

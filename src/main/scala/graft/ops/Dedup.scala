@@ -109,8 +109,16 @@ object Dedup {
     * Scale shape: maxHop rounds of (frontier ⋈ edges) equi-joins +
     * anti-joins against the visited set — work ∝ edges touched per
     * round, the d11 incremental-CC shape; no iteration-to-convergence,
-    * the hop bound is the contract. The round chain is left lazy (3
-    * single-reference stages, no interleaved actions — the t47 rule).
+    * the hop bound is the contract.
+    *
+    * Cache hygiene (r11 verdict): the edge list and every BFS tier are
+    * persisted (multi-consumer: every later round's anti-join AND the
+    * final union read them), but a long-lived session must not leak
+    * them — so the final union materializes HERE (one count job into
+    * its own persist) and the intermediates are unpersisted before
+    * returning. The caller owns the returned frame's cache: call
+    * `.unpersist()` on it when done (eviction before then is safe —
+    * persist keeps lineage, a cleaned block recomputes).
     */
   def contaminationHops(
       pairs: DataFrame, seeds: DataFrame, idCol: String,
@@ -120,12 +128,9 @@ object Dedup {
     val sym = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .persist(mad)
-    // each tier is consumed by EVERY later round's anti-join AND the
-    // final union — persist per tier (the multi-consumer rule; without
-    // it tier k's lineage re-executes tiers 0..k−1, and the 4-tier
-    // union re-runs the whole pair pipeline once per tier)
     val h0 = seeds.select(col(idCol).as("id")).distinct().persist(mad)
     var visited = h0.withColumn("hop", lit(0L))
+    var tiers = List(h0)
     var frontier = h0
     var h = 1
     while (h <= maxHop) {
@@ -133,11 +138,16 @@ object Dedup {
         .select(col("d").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .persist(mad)
+      tiers = frontier :: tiers
       visited = visited.unionByName(
         frontier.withColumn("hop", lit(h.toLong)))
       h += 1
     }
-    visited
+    val out = visited.persist(mad)
+    out.count() // materialize through the tiers while they're cached
+    tiers.foreach(_.unpersist(blocking = false))
+    sym.unpersist(blocking = false)
+    out
   }
 
   def nGramJaccard(
@@ -1186,10 +1196,13 @@ object Dedup {
     * the exploded scan), per-source sizes from it, then a gram-keyed
     * self-join — each gram emits at most S² rows for S sources, so the
     * join output is bounded by S²·|gram vocabulary|, never corpus².
-    * The rollup's string-keyed exchange is the cost at 100 TB — swap
-    * the gram string for `xxhash64(gram)` there exactly as d02 does
-    * (the ratio is count arithmetic either way; plain strings here
-    * keep the DuckDB oracle hash-exact). Coverage is ONE IEEE division
+    * `hashGrams = true` is the 100 TB path (d02's split): the gram
+    * string is replaced by `xxhash64(gram)` IN THE SCAN STAGE, so the
+    * rollup exchange, the dedup, and the self-join all move fixed-width
+    * longs and gram text never leaves the scan (two distinct grams of
+    * one source colliding in 64 bits perturbs a count by 1 in ~2⁻⁶⁴ —
+    * the d02 argument). The default string-keyed variant is the oracle
+    * configuration (DuckDB hash-exact). Coverage is ONE IEEE division
     * of exact longs.
     */
   /** Edit-distance near-dup pairs: `(id_a, id_b, dist, max_len)` where
@@ -1209,11 +1222,25 @@ object Dedup {
     * many grams, most of them rare, so recall loss needs every shared
     * gram hotter than the cap), then a cheap necessary length bound
     * (`|len_a - len_b| <= tau * max` — edit distance >= length gap)
-    * prunes before the O(L_a * L_b) DP verify, which runs ONLY on
-    * surviving candidate pairs. Join keys and candidate rows are
-    * fixed-width longs; the two texts meet only in the final verify
-    * join. At 10x data the candidate count (not N^2) drives cost —
-    * the same contract as d02-capped / minHashLsh.
+    * prunes before the DP verify, which runs ONLY on surviving
+    * candidate pairs. Join keys and candidate rows are fixed-width
+    * longs; the two texts meet only in the final verify join.
+    *
+    * The verify is the THRESHOLD-BANDED DP (Spark's 3-arg
+    * `levenshtein(a, b, k)` — Ukkonen 1985 banding: only the diagonal
+    * band of width 2k+1 is computed, with early exit the moment the
+    * band's minimum exceeds k; returns −1 above the threshold and the
+    * exact distance at or below it). This is what keeps 10× data from
+    * going superlinear (r11 smoke: 32.8× with the full O(L_a·L_b) DP):
+    * candidate pairs sharing ONE random cold gram grow ~quadratically
+    * in corpus size on clustered data, and under the full DP each such
+    * false candidate pays L² character cells — under the banded DP a
+    * random-text pair's running minimum crosses k = ⌊τ·mx⌋ within
+    * O(k) rows and exits at O(k²) ≪ L² cells, while every REPORTED
+    * pair (dist ≤ k) still gets its exact integer distance, so the
+    * output — and the DuckDB oracle, which runs the unbanded DP — is
+    * bit-identical. At 10x data the candidate count (not N^2) drives
+    * cost — the same contract as d02-capped / minHashLsh.
     */
   def editDistancePairs(
       df: DataFrame,
@@ -1236,7 +1263,7 @@ object Dedup {
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val pairsWithText = cand
       .join(docs.select(col("id").as("id_a"), col("txt").as("ta"),
         col("len").as("la")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("txt").as("tb"),
@@ -1244,16 +1271,39 @@ object Dedup {
       .withColumn("mx", greatest(col("la"), col("lb")))
       // necessary bound, checked BEFORE the DP: dist >= |la - lb|
       .filter(abs(col("la") - col("lb")) * tauDen <= col("mx") * tauNum)
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") * tauDen <= col("mx") * tauNum)
+      // DP-parallelism barrier (r12): the surviving pair frame is BYTES-
+      // small but CPU-huge — AQE coalesces the post-join stage to one
+      // partition by size, and predicate pushdown drags the levenshtein
+      // filter below any bare repartition, so the whole verify ran
+      // single-threaded (measured: 14.1 s -> 0.8 s on 42 k pairs at the
+      // 10x smoke). Spread by shuffle partitions and checkpoint so the
+      // DP stage starts HERE, fully parallel; one consumer follows, and
+      // the blocks are reclaimed by the cleaner when the result frame
+      // goes out of scope (Bench/Verify also unpersist per query).
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    pairsWithText
+      // threshold-banded DP: k = floor(tau*mx) per row; for integer dist,
+      // dist <= floor(tau*mx) <=> dist*tauDen <= mx*tauNum, so "came back
+      // non-negative" IS the similarity test and the distance is exact
+      .withColumn("k",
+        expr(s"(mx * $tauNum) div $tauDen").cast("int"))
+      .withColumn("dist",
+        expr("levenshtein(ta, tb, k)").cast("long"))
+      .filter(col("dist") >= 0 &&
+        col("dist") * tauDen <= col("mx") * tauNum)
       .select(col("id_a"), col("id_b"), col("dist"), col("mx").as("max_len"))
   }
 
   def sourceOverlap(
-      df: DataFrame, textCol: String, srcCol: String): DataFrame = {
-    val grams = graft.Tables.spreadIfNarrow(df)
+      df: DataFrame, textCol: String, srcCol: String,
+      hashGrams: Boolean = false): DataFrame = {
+    val raw = graft.Tables.spreadIfNarrow(df)
       .select(col(srcCol).as("src"),
         explode(graft.ops.TextOps.bigramList(col(textCol))).as("g"))
+    val grams =
+      (if (hashGrams) raw.select(col("src"), xxhash64(col("g")).as("g"))
+       else raw)
       .distinct()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
     val common = grams.select(col("src").as("src_a"), col("g"))

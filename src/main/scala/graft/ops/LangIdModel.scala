@@ -110,6 +110,18 @@ object LangIdModel {
         rs.head.getDouble(2)
       }.toArray
       val weights = byLabel.map(_._2.tail.map(_.getDouble(2))).toArray
+      // A truncated/ragged parquet must fail HERE, not as a mis-score or
+      // AIOOBE at predict time: every label needs the same complete vector
+      // (dim feature slots + LenBuckets length slots), and the idx column
+      // must be the contiguous 0..n-1 the argmax kernel indexes by.
+      require(weights.forall(_.length == weights.head.length),
+        s"ragged lang model at $path: per-label lengths " +
+          weights.map(_.length).distinct.mkString(","))
+      byLabel.foreach { case (l, rs) =>
+        rs.tail.zipWithIndex.foreach { case (r, i) =>
+          require(r.getInt(1) == i, s"non-contiguous idx for $l at $path")
+        }
+      }
       MulticlassLangModel(labels, biases, weights)
     }
   }

@@ -302,8 +302,12 @@ object CorpusPack {
       val edges = pairs
         .filter(col("sp_a") === "train" && col("sp_b") === "train")
         .select("id_a", "id_b")
-      Dedup.contaminationHops(edges, seeds, "doc_id", maxHop = 3)
-        .withColumnRenamed("id", "doc_id")
+      // contaminationHops materializes internally (and frees its own
+      // tiers) — once it returns, the pair cache has served both
+      // consumers and can go too; the returned frame is self-contained
+      val hops = Dedup.contaminationHops(edges, seeds, "doc_id", maxHop = 3)
+      pairs.unpersist(blocking = false)
+      hops.withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
     Some("""WITH docs AS (SELECT doc_id, text,

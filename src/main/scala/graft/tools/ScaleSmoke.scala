@@ -137,9 +137,16 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_SMOKE_ONLY=d31,d02 restricts measurement (local
+    // iteration aid — the round artifact always runs unfiltered)
+    val smokeOnly = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     def measure(name: String, bound: Double, fn: String => Unit,
         wallCap: Double = 300.0)
         : (String, Double, Double, Double) = {
+      if (smokeOnly.exists(!_.exists(name.startsWith)))
+        return (name, 0.0, 0.0, 0.0)
       timed(fn, s"$workDir/base") // codegen + JIT warm, untimed
       val base = timed(fn, s"$workDir/base")
       val big = timed(fn, s"$workDir/x10")

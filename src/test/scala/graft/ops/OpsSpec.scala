@@ -636,6 +636,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h1 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("contaminationHops: no lingering cached intermediates — a shared " +
+    "session keeps only the caller-owned result cache") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("doc_id")
+    val got = graft.ops.Dedup.contaminationHops(edges, seeds, "doc_id",
+      maxHop = 2)
+    // the operator materialized internally and freed the edge list and
+    // every BFS tier; exactly the result frame's own persist remains
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      s"lingering blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+    assert(got.count() == 3)
+    got.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
 
 class DedupOverlapSpec extends SparkSpec {
@@ -657,6 +674,14 @@ class DedupOverlapSpec extends SparkSpec {
     assert(got(("B", "A")) == ((2L, 3L, 2.0 / 3)), "B only 2/3 covered")
     assert(got(("A", "C")) == ((0L, 2L, 0.0)))
     assert(got(("C", "B")) == ((0L, 1L, 0.0)), "solo doc added nothing")
+    // hashGrams = true is the scale path (long-keyed exchange/join) and
+    // must produce the identical matrix — counts over hashed grams equal
+    // counts over grams absent a 64-bit collision
+    val hashed = Dedup.sourceOverlap(docs, "text", "source",
+        hashGrams = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(hashed == got, "hashed-gram path diverged from the oracle path")
   }
 
   test("editDistancePairs: reports the small-edit pair with its exact " +
@@ -678,6 +703,38 @@ class DedupOverlapSpec extends SparkSpec {
     val capped = Dedup.editDistancePairs(docs, "text", "doc_id",
         tauNum = 1, tauDen = 4, maxGramDf = 1).count()
     assert(capped == 0L)
+  }
+
+  test("editDistancePairs: threshold-banded DP is pair-identical to the " +
+    "full DP — every reported distance exact, above-threshold pairs gone") {
+    // pairs straddling the k = floor(mx/4) boundary: dist == k kept with
+    // its exact value, dist == k+1 dropped, plus far pairs that share a
+    // gram (the banded early-exit path) — all against the unbanded DP
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // len 35, k=8
+      (2L, "alpha beta gamma delta epsilon zetaXXXXXXXX"), // dist 8 == k(43/4=10)? verify below
+      (3L, "alpha beta gamma delta epsilon omega kappa lambda"),
+      (4L, "alpha beta totally different tail end here entirely"),
+      (5L, "alpha beta gamma delta epsilon zeta")       // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id",
+        tauNum = 1, tauDen = 4, maxGramDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // oracle: full unbanded DP over every gram-sharing candidate pair
+    import org.apache.spark.sql.functions.{levenshtein => lev}
+    val all = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        lev(col("x.text"), col("y.text")).cast("long").as("d"),
+        greatest(length(col("x.text")), length(col("y.text")))
+          .cast("long").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = all.filter { case (_, _, d, mx) => d * 4 <= mx }
+      .map { case (a, b, d, _) => (a, b) -> d }.toMap
+    // every expected pair shares >= 1 gram here (maxGramDf=100 keeps all),
+    // so the outputs must agree exactly, distances included
+    assert(got == expected, s"banded=$got full=$expected")
+    assert(got.contains((1L, 5L)) && got((1L, 5L)) == 0L)
   }
 }
 
