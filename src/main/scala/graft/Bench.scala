@@ -137,6 +137,24 @@ object Bench {
     val calib = Seq(calibrationOnce(), calibrationOnce(), calibrationOnce())
       .sorted.apply(1)
     System.err.println(f"[bench] calibration_sec = $calib%.3f")
+    // JOB-LATENCY calibration (r12): the r11 graph-tier driver-host mystery
+    // (d29 2.8 s builder / 7.0 s driver on IDENTICAL code, same-session A/B
+    // proved r10==r11 parity) cannot be explained by the CPU calibration,
+    // which was equal on both hosts — but the graph tier is iterative
+    // (30-60 tiny jobs per query), so per-JOB scheduler latency multiplies
+    // into exactly those queries while the one-big-job CPU calibration never
+    // sees it. Measure it directly: median wall of 50 trivial one-partition
+    // jobs, reported per job in ms.
+    val jobLat = {
+      (1 to 5).foreach(_ => spark.range(1, 2, 1, 1).count()) // warm
+      val runs = (1 to 50).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1, 2, 1, 1).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      runs(runs.size / 2)
+    }
+    System.err.println(f"[bench] calibration_job_ms = $jobLat%.2f")
 
     def js(kvs: Seq[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -160,7 +178,8 @@ object Bench {
       js(results.map(r => r._1 -> r._2))},"spread":${
       js(results.map(r => r._1 -> r._3))},"reps_sec":${
       jsArr(results.map(r => r._1 -> r._4))},"reps":$reps,"calibration_sec":${
-      f"$calib%.3f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
+      f"$calib%.3f"},"calibration_job_ms":${
+      f"$jobLat%.2f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
     // stdout contract with the driver. r10 AND r11 both lost part of the
     // stdout capture (r10 the tail, r11 the head — `parsed: null` each time),
     // so the compact line (no per-rep arrays, no spread) is printed TWICE:
@@ -170,7 +189,8 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${
       f"$totalNorm%.3f"},"queries":${
       js(results.map(r => r._1 -> r._2))},"reps":$reps,"calibration_sec":${
-      f"$calib%.3f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
+      f"$calib%.3f"},"calibration_job_ms":${
+      f"$jobLat%.2f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
     println(s"BENCH_JSON: $compact")
     System.out.flush()
     // persist the FULL line (per-rep arrays included) as a machine-readable

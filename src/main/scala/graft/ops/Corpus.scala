@@ -126,6 +126,51 @@ object Corpus {
       .orderBy(groupCol)
   }
 
+  /** Mergeable ε-rank quantile SKETCH per group — the error-bounded twin
+    * of [[histQuantiles]] (r11 verdict item 5): where t39's fixed bins
+    * need a known value range and answer with bin-edge granularity, the
+    * rank sketch covers UNBOUNDED value domains with a per-group state of
+    * `O((1/ε)·log(εn))` tuples and an explicit rank guarantee
+    * `|rank(estimate) − ⌈q·n⌉| ≤ ε·n`.
+    *
+    * Spark-first: the sketch is the engine's own `approx_percentile`
+    * aggregate — Greenwald–Khanna `QuantileSummaries` with compression,
+    * the KLL/t-digest-class structure Spark itself deploys. It is a
+    * TypedImperativeAggregate, so partial buffers merge across partitions
+    * (and across streaming micro-batches — see
+    * `CorpusStream.quantileSketchStream`) exactly like any sum: the
+    * MERGEABILITY is the engine contract, not a reimplementation.
+    * ε = 1/accuracy. Deterministic GK compaction (no KLL coin flips), so
+    * results are reproducible under a fixed partitioning.
+    *
+    * Rows-only by design: the estimate depends on the sketch's internal
+    * compaction schedule, which no SQL engine mirrors — SketchSpec gates
+    * the ε-rank guarantee against exact order statistics at two
+    * accuracies, merge-invariance across repartitionings, and the
+    * stream-twin parity.
+    */
+  def rankSketchQuantiles(
+      df: DataFrame, textCol: String, groupCol: String,
+      accuracy: Int = 1000,
+      quantiles: Seq[(String, Double)] =
+        Seq(("p50_sk", 0.5), ("p90_sk", 0.9), ("p99_sk", 0.99)))
+      : DataFrame = {
+    require(accuracy >= 1, s"accuracy must be >= 1: $accuracy")
+    require(quantiles.nonEmpty && quantiles.forall {
+      case (_, q) => q >= 0.0 && q <= 1.0 },
+      s"quantiles must be 0 <= q <= 1: $quantiles")
+    val vals = df.select(col(groupCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val qCols = quantiles.map { case (nm, q) =>
+      percentile_approx(col("n_tok"), lit(q), lit(accuracy)).as(nm)
+    }
+    val agg = vals.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), qCols: _*)
+    // a streaming frame cannot sort pre-sink (update mode); batch callers
+    // get the deterministic group order the harness expects
+    if (df.isStreaming) agg else agg.orderBy(groupCol)
+  }
+
   /** Deterministic content-independent split label for an id column from
     * the last hex nibble of md5(id as string): 12/16 train, 2/16 val,
     * 2/16 test. The md5 hex digest is identical in every engine, so the

@@ -3660,6 +3660,18 @@ object CorpusPack {
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id) ORDER BY doc_id"""))
 
+  private val t55 = Q(
+    "t55_rank_sketch",
+    // mergeable ε-rank quantile sketch per lang (GK QuantileSummaries
+    // via approx_percentile): t39's error-bounded twin for UNBOUNDED
+    // value domains — state is O((1/ε)·log(εn)) per group, never the
+    // multiset. Rows-only: the estimate depends on the sketch's
+    // compaction schedule, which no SQL engine mirrors; SketchSpec
+    // gates the ε-rank guarantee, merge invariance, and stream parity
+    (s, dir) => Corpus.rankSketchQuantiles(
+      Tables.load(s, dir, "documents"), "text", "lang", accuracy = 1000),
+    None)
+
   private val p27 = Q(
     "p27_stratified_k",
     // exactly-100 stratified eval draw over language shares: Hamilton
@@ -3696,7 +3708,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37)

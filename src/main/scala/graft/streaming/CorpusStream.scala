@@ -287,4 +287,20 @@ object CorpusStream {
   def cmsCellStream(docs: DataFrame, textCol: String,
       width: Int = 8192, depth: Int = 4): DataFrame =
     graft.ops.Corpus.cmsCells(docs, textCol, width, depth)
+
+  /** Streaming maintenance of [[graft.ops.Corpus.rankSketchQuantiles]]:
+    * `approx_percentile` is a TypedImperativeAggregate, so the state
+    * store holds ONE serialized GK `QuantileSummaries` buffer per group
+    * (`O((1/ε)·log(εn))` tuples — bounded like the CMS and bin cells,
+    * never the value multiset) and each micro-batch MERGES into it —
+    * the mergeability that makes the sketch a sketch is exactly what
+    * makes its streaming twin a plain streaming aggregation. Update
+    * mode re-emits only groups a batch touched; estimates finish
+    * in-aggregate (no read-side step needed, unlike the bin cells).
+    * SketchSpec asserts the streamed estimates obey the same ε-rank
+    * gate as the batch operator across multiple micro-batches.
+    */
+  def quantileSketchStream(docs: DataFrame, textCol: String,
+      groupCol: String, accuracy: Int = 1000): DataFrame =
+    graft.ops.Corpus.rankSketchQuantiles(docs, textCol, groupCol, accuracy)
 }

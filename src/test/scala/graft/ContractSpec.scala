@@ -93,7 +93,11 @@ class ContractSpec extends AnyFunSuite {
       // trained-float multiclass argmax (driver-fit softmax model);
       // LangIdSpec gates planted-population accuracy, reproducibility,
       // save/load, and expression ≡ reference-predictor equality
-      "t49_trained_lang_id")
+      "t49_trained_lang_id",
+      // GK rank-sketch estimates depend on the compaction schedule (no
+      // SQL mirror); SketchSpec gates the ε-rank guarantee vs exact
+      // order statistics, merge invariance, and the streaming twin
+      "t55_rank_sketch")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }
