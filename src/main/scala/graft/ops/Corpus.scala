@@ -656,6 +656,56 @@ object Corpus {
         (col("__pre") + col(weightCol)).as("cum_weight"))
   }
 
+  /** Collocation mining by pointwise mutual information over adjacent
+    * word pairs (Church & Hanks 1990; Manning & Schütze ch. 5 — the
+    * classic multi-word-expression extractor): pairs occurring at least
+    * `minCount` times, scored by `pmi = log₂(c_xy·N / (c_x·c_y))` with
+    * N the corpus token count. High-PMI pairs are lexicalized units
+    * ("New York", "machine learning") — the phrase inventory a corpus
+    * card prints and a tokenizer-merge audit compares against; the
+    * minCount floor is the standard guard against PMI's low-count bias
+    * (a hapax pair maximizes PMI by construction).
+    *
+    * Whole-bit discipline (t16's convention): the PMI rational clears to
+    * `num/den = c_xy·N / (c_x·c_y)` in exact longs and the score is
+    * signed whole bits — `length(bin(num div den))` when num ≥ den,
+    * negated with the roles swapped otherwise — so the oracle matches
+    * bit-for-bit with no float log anywhere. Longs hold while
+    * `c_xy·N < 2⁶³`; past ~3×10⁹ tokens, cast the two products to
+    * DECIMAL(38,0) (10³⁸ covers N ≈ 10¹⁸ — far past 100 TB) with the
+    * same div/bin pipeline.
+    *
+    * Shape: one bigram explode + one token explode, two hash-aggs with
+    * map-side partials, two broadcast-sized joins onto the (filtered)
+    * pair list keyed on single words, one 1-row count broadcast.
+    */
+  def collocationPmi(
+      df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val pairs = df.select(
+      explode(TextOps.bigramList(col(textCol))).as("bg"))
+    val pc = pairs.groupBy("bg").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c_xy"))
+    val uc = df.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = broadcast(
+      df.select(explode(TextOps.tokens(col(textCol))).as("w"))
+        .agg(count(lit(1)).as("n_tok")))
+    pc
+      .join(uc.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(n)
+      .withColumn("num", col("c_xy") * col("n_tok"))
+      .withColumn("den", col("c_x") * col("c_y"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        when(col("num") >= col("den"),
+          length(bin(expr("num div den"))).cast("long"))
+          .otherwise(lit(0L) - length(bin(expr("den div num"))))
+          .as("pmi_bits"))
+  }
+
   /** Per-document n-gram novelty rate — the corpus NOVELTY CURVE: the
     * fraction of a document's distinct bigrams never seen in any
     * EARLIER document (ingest order = ascending id). The diagnostic
@@ -1926,6 +1976,49 @@ object Corpus {
     prefixSumBy(df, orderCols, weightCol, "__pre")
       .withColumn("shard_id", expr(s"(__pre + $offset) DIV $budget"))
       .drop("__pre")
+  }
+
+  /** Per-shard release-integrity MANIFEST over [[budgetShards]]'s write
+    * plan: shard_id → (n_docs, n_tokens, ids_md5, content_md5), where
+    * ids_md5 fingerprints the shard's doc-id sequence IN WRITE ORDER and
+    * content_md5 chains the per-doc md5(text) digests in the same order —
+    * the checksums a release card publishes so a consumer (or a later
+    * rebuild) can verify a shard byte-for-byte without re-reading the
+    * corpus, and the delta-build discipline (EpochBuild) can prove an
+    * appended epoch left standing shards untouched. Everything is exact
+    * and portable: md5 over a comma-joined decimal id list / concatenated
+    * hex digests is engine-independent, so the DuckDB oracle hash-matches.
+    *
+    * Scale shape: ONE prefix-sum pass (the p13/p14 machinery — range
+    * partition + local folds, never a one-task window) and ONE (shard_id)
+    * hash-agg. The collect_list per shard is budget-bounded by
+    * construction — a shard holds ~budget tokens, so per-group state is
+    * the write-plan row group a release materializes anyway, never the
+    * corpus.
+    */
+  def shardManifest(
+      df: DataFrame, idCol: String, textCol: String,
+      orderCols: Seq[String], weightCol: String, budget: Long)
+      : DataFrame = {
+    val withH = df.withColumn("__h", md5(col(textCol)))
+    val sharded = budgetShards(withH, orderCols, weightCol, budget)
+    // one ordered snapshot per shard: sort_array over (orderCols, id, h)
+    // structs reproduces the write order; both digests derive from it.
+    // Struct fields get positional aliases so an idCol that also appears
+    // in orderCols can't make getField ambiguous.
+    val sortStruct = struct(
+      (orderCols.zipWithIndex.map { case (c, i) => col(c).as(s"__o$i") } :+
+        col(idCol).as("__id") :+ col("__h")): _*)
+    sharded.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("n_tokens"),
+        sort_array(collect_list(sortStruct)).as("__rows"))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        md5(concat_ws(",", transform(col("__rows"),
+          x => x.getField("__id").cast("string")))).as("ids_md5"),
+        md5(concat_ws("", transform(col("__rows"),
+          x => x.getField("__h")))).as("content_md5"))
+      .orderBy("shard_id")
   }
 
   /** Mixture-weighted training order (r8): a deterministic global

@@ -748,6 +748,70 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** MOSS-style near-dup pair detection over WINNOWING fingerprints
+    * (Schleimer, Wilkerson & Aiken SIGMOD 2003 §4 — the deployed
+    * plagiarism/overlap detector): pairs of documents sharing at least
+    * `minShared` distinct fingerprints, scored by containment
+    * `n_shared / min(n_a, n_b)`. The rung BETWEEN d02's full gram-set
+    * Jaccard and d01's whole-doc hash: winnowing selects ~2/(w+1) of
+    * the k-gram hashes yet GUARANTEES any match of w+k−1 consecutive
+    * tokens shares a fingerprint — so long verbatim overlaps are
+    * detected from a fraction of the index d02 carries, and the
+    * containment score (unlike Jaccard) still fires when a small doc
+    * is pasted inside a much larger one.
+    *
+    * Shape: the d02-capped contract transplanted to fingerprints —
+    * candidates from a cold-fingerprint inverted index (df ≤ maxFpDf;
+    * a fingerprint shared by half the corpus is boilerplate, exactly
+    * the "too common to be interesting" fingerprints MOSS drops), then
+    * an exact re-verify of every candidate against the FULL distinct
+    * fingerprint sets, so reported counts and scores are exact and the
+    * cap can only miss a pair whose every shared fingerprint is hot.
+    * `hashFps = true` is the 100 TB path (the d30 split): fingerprints
+    * collapse to xxhash64 longs in the scan stage so the index,
+    * candidate join, and verify sets all move fixed-width longs
+    * (counting hashed fps equals counting fps absent a 64-bit
+    * collision); the md5-string default keeps the DuckDB oracle
+    * hash-exact.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int,
+      minShared: Int,
+      maxFpDf: Int = Int.MaxValue,
+      hashFps: Boolean = false): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val raw = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+    val fps = (if (hashFps) raw.select(col("id"), xxhash64(col("fp")).as("fp"))
+               else raw).distinct()
+    val cold =
+      if (maxFpDf == Int.MaxValue) fps.select("fp").distinct()
+      else fps.groupBy("fp").agg(count(lit(1)).as("fdf"))
+        .filter(col("fdf") <= maxFpDf).select("fp")
+    val idx = fps.join(cold, "fp")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = fps.groupBy("id").agg(collect_list("fp").as("fs"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("fs").as("fa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("fs").as("fb")), "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("n_a", size(col("fa")).cast("long"))
+      .withColumn("n_b", size(col("fb")).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
+
   /** C4-style repeated-line scrub: remove every line that occurs in more
     * than `maxLineDf` distinct documents (navigation chrome, cookie
     * banners, boilerplate footers — the intra-corpus repetition that

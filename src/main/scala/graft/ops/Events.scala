@@ -16,6 +16,61 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Events {
 
+  /** Daily conversion rate with WILSON score-interval bounds (Wilson
+    * 1927; Brown, Cai & DasGupta 2001 recommend it over the Wald
+    * interval, whose coverage collapses at small n and extreme p̂ — a
+    * dashboard printing `p ± 1.96·√(p(1−p)/n)` lies exactly where it
+    * matters): per day, n = distinct users with a `denomType` event,
+    * x = those of them with a `numerType` event the same day, and the
+    * 95% bounds
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)`.
+    *
+    * Oracle exactness (the e23 Welch discipline): counts are exact
+    * longs; the interval is ONE FIXED expression tree of
+    * correctly-rounded IEEE double ops (literals written `1.96E0` /
+    * `3.8416E0` so BOTH engines parse doubles, never decimals; every
+    * division by n casts to double explicitly; sqrt is correctly
+    * rounded in both) mirrored token-for-token in the DuckDB oracle —
+    * so the bounds hash-match bit-for-bit.
+    *
+    * Shape: two distinct (day, user) rollups (map-side combine), one
+    * equi-join on (day, user), one day-keyed count rollup, then a pure
+    * scan-stage float tree — fixed-width rows end to end.
+    */
+  def wilsonConversion(
+      events: DataFrame, denomType: String, numerType: String)
+      : DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val denom = e.filter(col("event_type") === denomType)
+      .select("day", "user_id").distinct()
+    val numer = e.filter(col("event_type") === numerType)
+      .select("day", "user_id").distinct()
+    val n = denom.groupBy("day").agg(count(lit(1)).as("n_users"))
+    val x = denom.join(numer, Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("n_conv"))
+    n.join(x, Seq("day"), "left")
+      .withColumn("n_conv", coalesce(col("n_conv"), lit(0L)))
+      .withColumn("p_hat",
+        expr("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+      .withColumn("wilson_lo", expr(
+        """((p_hat + 3.8416E0 / (2.0E0 * CAST(n_users AS DOUBLE)))
+          | - 1.96E0 * sqrt((p_hat * (1.0E0 - p_hat)
+          |     + 3.8416E0 / (4.0E0 * CAST(n_users AS DOUBLE)))
+          |   / CAST(n_users AS DOUBLE)))
+          | / (1.0E0 + 3.8416E0 / CAST(n_users AS DOUBLE))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("wilson_hi", expr(
+        """((p_hat + 3.8416E0 / (2.0E0 * CAST(n_users AS DOUBLE)))
+          | + 1.96E0 * sqrt((p_hat * (1.0E0 - p_hat)
+          |     + 3.8416E0 / (4.0E0 * CAST(n_users AS DOUBLE)))
+          |   / CAST(n_users AS DOUBLE)))
+          | / (1.0E0 + 3.8416E0 / CAST(n_users AS DOUBLE))"""
+          .stripMargin.replace("\n", " ")))
+      .select("day", "n_users", "n_conv", "p_hat", "wilson_lo",
+        "wilson_hi")
+  }
+
   /** Tumbling event-time window aggregate: (hour, event_type) counts and
     * exact-decimal value sums. Batch analog of the streaming
     * `window($"ts", "1 hour")` aggregation; map-side partial aggregation

@@ -379,6 +379,44 @@ object VectorOps {
       .agg((sum("col").cast("double") / count(lit(1)).cast("double"))
         .as("mean_q"))
 
+  /** Per-dimension embedding DRIFT between two release halves — the
+    * monitor a retrieval/training stack runs when the embedder, the
+    * crawler mix, or the dedup policy changes between corpus releases:
+    * a systematic per-dimension mean shift means downstream ANN indexes
+    * (IVF centroids, PQ codebooks, SQ8 ranges) were trained on a
+    * different distribution than they now serve. Split = deterministic
+    * md5 halves of the id space (the e31 variant convention), so the
+    * expected drift is 0 and any signal is distributional, not
+    * assignment bias.
+    *
+    * Exactness: values quantize to milli-units (the s12 convention),
+    * per-(side, dim) sums are exact longs, means and the shift are a
+    * fixed IEEE tree over them — hash-exact. Shape: one posexplode +
+    * ONE dim-keyed hash-agg with conditional partial sums (map-side
+    * combine; rows after the agg = dimensions, not vectors).
+    */
+  def embedDrift(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val side = when(substring(md5(col(idCol).cast("string")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L).otherwise(1L)
+    spread(df)
+      .select(side.as("side"), posexplode(quantize(col(vecCol))))
+      .withColumn("q", col("col").cast("long"))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("side") === 0L, col("q")).otherwise(0L))
+          .as("sum_a"),
+        sum(when(col("side") === 1L, col("q")).otherwise(0L))
+          .as("sum_b"))
+      .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"),
+        col("sum_b"),
+        expr("CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)" +
+          " - CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)")
+          .as("mean_shift_q"))
+  }
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this

@@ -3246,6 +3246,142 @@ object CorpusPack {
             FROM sel WHERE rk = 1
             ORDER BY doc_id, pos, fp"""))
 
+  private val t56 = Q(
+    "t56_collocations",
+    // collocation mining (Church & Hanks PMI over adjacent pairs, count
+    // floor 5 against low-count bias): the lexicalized-phrase inventory
+    // a corpus card prints. Whole-bit PMI — the cleared rational
+    // c_xy*N/(c_x*c_y) scored as signed bits, hash-exact
+    (s, dir) => Corpus.collocationPmi(
+        Tables.loadParallel(s, dir, "documents"), "text", minCount = 5L)
+      .orderBy("w1", "w2"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok),
+            uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1),
+            pc AS (SELECT a.w AS w1, b.w AS w2,
+                CAST(COUNT(*) AS BIGINT) AS c_xy
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            j AS (SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+                c_xy * n.n_tok AS num, ux.c * uy.c AS den
+              FROM pc
+              JOIN uc ux ON pc.w1 = ux.w
+              JOIN uc uy ON pc.w2 = uy.w
+              CROSS JOIN n)
+            SELECT w1, w2, c_xy, c_x, c_y,
+              CASE WHEN num >= den
+                THEN CAST(length(bin(num // den)) AS BIGINT)
+                ELSE 0 - CAST(length(bin(den // num)) AS BIGINT)
+              END AS pmi_bits
+            FROM j ORDER BY w1, w2"""))
+
+  private val p29 = Q(
+    "p29_shard_manifest",
+    // release-integrity manifest over p14's write plan: per shard, doc
+    // and token totals plus md5 checksums of the write-ordered id list
+    // and the chained per-doc content digests — what a release card
+    // publishes so consumers can verify shards without re-reading the
+    // corpus, and delta builds can prove standing shards untouched
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(concat_ws(":", lit("epoch0"), col("doc_id").cast("string")))
+            .as("sk"))
+      Corpus.shardManifest(docs, "doc_id", "text",
+        Seq("sk", "doc_id"), "n_tok", budget = 2000L)
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, md5(text) AS h,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok,
+                md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents),
+            p AS (
+              SELECT doc_id, h, n_tok, sk,
+                COALESCE(SUM(n_tok) OVER (ORDER BY sk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS pre
+              FROM w)
+            SELECT CAST(pre // 2000 AS BIGINT) AS shard_id,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                ORDER BY sk, doc_id)) AS ids_md5,
+              md5(string_agg(h, '' ORDER BY sk, doc_id)) AS content_md5
+            FROM p GROUP BY 1 ORDER BY 1"""))
+
+  private val d38 = Q(
+    "d38_winnow_pairs",
+    // MOSS-style overlap pairs over t46's winnowing fingerprints: docs
+    // sharing >= 2 distinct fingerprints, containment-scored (fires when
+    // a small doc is pasted into a large one, where Jaccard stays low).
+    // Candidates from the cold-fp inverted index (df <= 20), exact
+    // re-verify against full fp sets — the d02-capped contract on a
+    // ~2/(w+1)-density index
+    (s, dir) => Dedup.winnowPairs(
+        Tables.loadParallel(s, dir, "documents"),
+        "text", "doc_id", k = 4, w = 5, minShared = 2, maxFpDf = 20)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            g4 AS (SELECT doc_id, CAST(rn - 1 AS BIGINT) AS pos,
+                md5(w || ' ' || LEAD(w, 1) OVER win
+                  || ' ' || LEAD(w, 2) OVER win
+                  || ' ' || LEAD(w, 3) OVER win) AS h,
+                LEAD(w, 3) OVER win AS tail
+              FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY rn)),
+            gg AS MATERIALIZED (SELECT doc_id, pos, h FROM g4
+              WHERE tail IS NOT NULL),
+            cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng
+              FROM gg GROUP BY 1),
+            wins AS (SELECT doc_id, pos, h,
+                unnest(range(pos - 4, pos + 1)) AS s FROM gg),
+            winf AS (SELECT w.doc_id, w.pos, w.h, w.s
+              FROM wins w JOIN cnt c ON w.doc_id = c.doc_id
+              WHERE w.s >= 0 AND w.s <= c.ng - 5),
+            sel AS (SELECT doc_id, s, pos, h,
+                row_number() OVER (PARTITION BY doc_id, s
+                  ORDER BY h ASC, pos DESC) AS rk
+              FROM winf),
+            fps AS MATERIALIZED (SELECT DISTINCT doc_id, h AS fp
+              FROM sel WHERE rk = 1),
+            cold AS (SELECT fp FROM fps GROUP BY fp
+              HAVING COUNT(*) <= 20),
+            cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib
+              FROM fps a JOIN fps b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              JOIN cold c ON a.fp = c.fp),
+            sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM fps GROUP BY 1),
+            sh AS (SELECT ia, ib, CAST(COUNT(*) AS BIGINT) AS ns
+              FROM cand
+              JOIN fps fa ON fa.doc_id = ia
+              JOIN fps fb ON fb.doc_id = ib AND fa.fp = fb.fp
+              GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, ns AS n_shared,
+              sa.n AS n_a, sb.n AS n_b,
+              CAST(ns AS DOUBLE) / least(sa.n, sb.n) AS containment
+            FROM sh
+            JOIN sz sa ON ia = sa.doc_id
+            JOIN sz sb ON ib = sb.doc_id
+            WHERE ns >= 2
+            ORDER BY id_a, id_b"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -3708,8 +3844,8 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25, d27, d33, d37)
+      d22, d23, d24, d25, d27, d33, d37, d38)
 }

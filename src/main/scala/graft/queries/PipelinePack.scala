@@ -204,6 +204,39 @@ object PipelinePack {
               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
             FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val s21 = Q(
+    "s21_embed_drift",
+    // per-dimension embedding drift between md5 release halves: the
+    // monitor that catches an embedder/mix change before it silently
+    // degrades the standing IVF/PQ/SQ8 indexes trained on the old
+    // distribution. Milli-quantized exact sums, one fixed IEEE tree
+    (s, dir) => VectorOps.embedDrift(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("dim"),
+    Some("""WITH q AS (SELECT
+                CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS side,
+                round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS v,
+                generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+              CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+              CAST(SUM(CASE WHEN side = 0 THEN v ELSE 0 END) AS BIGINT)
+                AS sum_a,
+              CAST(SUM(CASE WHEN side = 1 THEN v ELSE 0 END) AS BIGINT)
+                AS sum_b,
+              CAST(SUM(CASE WHEN side = 1 THEN v ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+              - CAST(SUM(CASE WHEN side = 0 THEN v ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS mean_shift_q
+            FROM q GROUP BY 1 ORDER BY 1"""))
+
   private val s13 = Q(
     "s13_hybrid_rrf",
     // hybrid more-like-this retrieval: for probes 0..3 (the multimodal
@@ -2244,6 +2277,51 @@ object PipelinePack {
                 THEN u2a / (2.0 * na * nb) ELSE NULL END AS cles
             FROM fin ORDER BY event_type"""))
 
+  private val e32 = Q(
+    "e32_wilson_ci",
+    // daily view->purchase conversion with Wilson 95% bounds (the Wald
+    // interval a naive dashboard prints collapses at small n / extreme
+    // p-hat — Brown, Cai & DasGupta 2001). Counts exact; the interval
+    // is ONE fixed IEEE tree (double literals as 1.96E0/3.8416E0,
+    // explicit double casts, correctly-rounded sqrt) mirrored
+    // token-for-token in the oracle — hash-exact
+    (s, dir) => Events.wilsonConversion(
+        Tables.load(s, dir, "events"), "view", "purchase")
+      .orderBy("day"),
+    Some("""WITH e AS (SELECT user_id, event_type,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000
+                  AS day
+              FROM events),
+            d AS (SELECT DISTINCT day, user_id FROM e
+              WHERE event_type = 'view'),
+            m AS (SELECT DISTINCT day, user_id FROM e
+              WHERE event_type = 'purchase'),
+            n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM d GROUP BY 1),
+            x AS (SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_conv
+              FROM d JOIN m ON d.day = m.day AND d.user_id = m.user_id
+              GROUP BY 1),
+            j AS (SELECT n.day, n_users,
+                COALESCE(n_conv, CAST(0 AS BIGINT)) AS n_conv
+              FROM n LEFT JOIN x ON n.day = x.day),
+            p AS (SELECT day, n_users, n_conv,
+                CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_hat
+              FROM j)
+            SELECT day, n_users, n_conv, p_hat,
+              ((p_hat + 3.8416E0 / (2.0E0 * CAST(n_users AS DOUBLE)))
+                - 1.96E0 * sqrt((p_hat * (1.0E0 - p_hat)
+                    + 3.8416E0 / (4.0E0 * CAST(n_users AS DOUBLE)))
+                  / CAST(n_users AS DOUBLE)))
+                / (1.0E0 + 3.8416E0 / CAST(n_users AS DOUBLE))
+                AS wilson_lo,
+              ((p_hat + 3.8416E0 / (2.0E0 * CAST(n_users AS DOUBLE)))
+                + 1.96E0 * sqrt((p_hat * (1.0E0 - p_hat)
+                    + 3.8416E0 / (4.0E0 * CAST(n_users AS DOUBLE)))
+                  / CAST(n_users AS DOUBLE)))
+                / (1.0E0 + 3.8416E0 / CAST(n_users AS DOUBLE))
+                AS wilson_hi
+            FROM p ORDER BY day"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2504,8 +2582,8 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32,
     m01, m02, m03, m04, m05)
 }

@@ -83,9 +83,13 @@ object ScaleSmoke {
     // sources here) on top of the d02-class gram-keyed exchange
     "d30_source_overlap",
     // d31 generates candidates from the cold-gram inverted index
-    // (d02-capped contract) and runs the Levenshtein DP only on
-    // length-compatible survivors — work tracks candidate count
+    // (d02-capped contract) and runs the threshold-banded Levenshtein
+    // DP (repartitioned + checkpointed so the CPU-heavy verify stage
+    // parallelizes) on length-compatible survivors only
     "d31_edit_distance",
+    // d38 rides t46's winnowing index (~2/(w+1) of the gram density)
+    // with the d02-capped candidate contract + bounded set re-verify
+    "d38_winnow_pairs",
     // d32 rides the d02 pair machinery plus 4 fixed edge-proportional
     // label sweeps (the d26 shape with a count rollup per round)
     "d32_lpa_communities",
@@ -127,7 +131,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 36, s"expected 36 d-tier queries, got $dTier")
+    require(dTier.size == 37, s"expected 37 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -299,7 +303,15 @@ object ScaleSmoke {
         // p28 = one scan + the p13/p14 prefix-sum shape; t54 = one
         // distinct-gram explode + a min rollup + an equi join (the
         // d12/d20 linear index shape)
-        "p28_budget_select", "t54_novelty_rate")
+        "p28_budget_select", "t54_novelty_rate",
+        // r12 additions, all linear in corpus rows: t55 = ONE group
+        // agg whose per-group state is the bounded GK buffer; t56 =
+        // two token rollups + two word-keyed joins on the count-
+        // floored pair list; p29 = the p13/p14 prefix-sum shape + one
+        // budget-bounded shard rollup; s21 = one posexplode + ONE
+        // dim-keyed hash-agg (rows after agg = dims, not vectors)
+        "t55_rank_sketch", "t56_collocations", "p29_shard_manifest",
+        "s21_embed_drift")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

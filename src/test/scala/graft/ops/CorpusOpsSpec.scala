@@ -71,6 +71,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shards == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 4L))
   }
 
+  test("shardManifest: write-order checksums are partitioning-invariant, " +
+    "totals are exact, and any id or content change flips its digest") {
+    val docs = Seq(
+      (1L, "one two three"), (2L, "four five"), (3L, "six seven eight"),
+      (4L, "nine"), (5L, "ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shardManifest(df, "doc_id", "text", Seq("doc_id"), "n_tok",
+          budget = 5L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+        .toSeq
+    val m1 = manifest(docs.repartition(1))
+    val m7 = manifest(docs.repartition(7))
+    assert(m1 == m7, "manifest must not depend on input partitioning")
+    assert(m1.map(_._2._2).sum == 13L, "token totals fold exactly")
+    assert(m1.map(_._2._1).sum == 5L)
+    // changing one doc's text flips ONLY its shard's content digest,
+    // never the id digest (same ids, same order, same sizes... the
+    // changed doc keeps its token count here)
+    val docs2 = docs.withColumn("text",
+      when(col("doc_id") === 2L, lit("FOUR FIVE")).otherwise(col("text")))
+    val m2 = manifest(docs2.repartition(3))
+    assert(m1.map(x => x._1 -> x._2._3) == m2.map(x => x._1 -> x._2._3),
+      "ids_md5 unchanged when only content changes")
+    assert(m1.map(_._2._4) != m2.map(_._2._4), "content_md5 must change")
+    // dropping a doc flips the id digest of its shard
+    val m3 = manifest(docs.filter(col("doc_id") =!= 2L))
+    assert(m1.map(_._2._3) != m3.map(_._2._3))
+  }
+
   test("prefixSumBy: survives more partitions than rows; zero weights") {
     val tiny = Seq((5L, 0L), (9L, 3L), (2L, 0L)).toDF("doc_id", "n_tok")
       .repartition(8)

@@ -736,6 +736,44 @@ class DedupOverlapSpec extends SparkSpec {
     assert(got == expected, s"banded=$got full=$expected")
     assert(got.contains((1L, 5L)) && got((1L, 5L)) == 0L)
   }
+
+  test("winnowPairs: containment fires on a small doc pasted into a " +
+    "large one, minShared prunes glancing overlaps, disjoint docs are " +
+    "absent, and the hashed-fp scale path matches the string path") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, small),
+      // doc 2 = unrelated prefix + the WHOLE of doc 1 pasted in: every
+      // fingerprint of doc 1 comes from an 8-token window also present
+      // here, so containment(1, 2) = 1.0 by the winnowing guarantee
+      (2L, "lorem ipsum dolor sit amet consectetur " + small +
+        " omega psi chi phi upsilon"),
+      (3L, "totally disjoint content with no shared windows anywhere " +
+        "at all in any position"),
+      // doc 4 shares only one 4-gram with doc 1 — below minShared = 2
+      (4L, "alpha beta gamma delta UNRELATED tail words here now then")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 4, w = 5, minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"pairs: ${got.keySet}")
+    val (ns, na, _, cont) = got((1L, 2L))
+    assert(cont == 1.0, s"pasted doc must be fully contained: $cont")
+    assert(ns == na, "every fingerprint of the small doc is shared")
+    val hashed = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 4, w = 5, minShared = 2, hashFps = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(hashed == got, "hashed-fp path diverged")
+    // cap contract: df cap 1 drops the shared fingerprints (df 2) from
+    // candidate generation — the pair is missed, the documented recall
+    // trade of the cold-index blocker
+    assert(Dedup.winnowPairs(docs, "text", "doc_id",
+      k = 4, w = 5, minShared = 2, maxFpDf = 1).count() == 0L)
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
@@ -799,6 +837,36 @@ class VectorOpsSpec extends SparkSpec {
     (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
     (3L, Array(-1.0f, 0.0f, 0.0f))    // opposite
   ).toDF("vec_id", "embedding")
+
+  test("embedDrift: sides partition every vector per dim, sums fold " +
+    "exactly, identical halves read zero shift, a planted shift shows") {
+    val base = (0L until 200L).map(i => (i, Array(1.0f, 0.5f)))
+    val got = VectorOps.embedDrift(base.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .orderBy("dim").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == 200L, "sides partition")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, "md5 halves both live")
+      // every vector identical -> mean shift exactly 0 in exact sums
+      assert(r.getDouble(5) == 0.0)
+    }
+    assert(got(0).getLong(3) + got(0).getLong(4) == 200L * 1000L,
+      "quantized sums fold exactly")
+    // plant a +1.0 shift on dim 2 for side-b ids (md5 first hex 8..f):
+    // shift must appear on dim 2 only, ≈ +1000 milli-units
+    val sideB = base.map { case (i, v) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      if (h.head > '7') (i, Array(v(0), v(1) + 1.0f)) else (i, v)
+    }
+    val shifted = VectorOps.embedDrift(sideB.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .orderBy("dim").collect()
+    assert(shifted(0).getDouble(5) == 0.0, "dim 1 untouched")
+    assert(math.abs(shifted(1).getDouble(5) - 1000.0) < 1e-9,
+      s"planted shift: ${shifted(1).getDouble(5)}")
+  }
 
   test("cosinePairs finds only the near-duplicate pair at tau=0.9") {
     val pairs = VectorOps.cosinePairs(vecs, "vec_id", "embedding", 0.9)
@@ -885,6 +953,51 @@ class VectorOpsSpec extends SparkSpec {
   }
 }
 
+class CollocationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collocationPmi: a lexicalized pair scores high positive bits, an " +
+    "anti-collocation of frequent words goes negative, minCount prunes") {
+    // "new york" always adjacent (5x); "the" and "cat" both frequent but
+    // NEVER adjacent to each other except never; filler spreads mass
+    val docs = (1 to 5).map(i => s"new york f$i the cat$i") ++
+      (1 to 5).map(i => s"the g$i cat the h$i cat")
+    val got = Corpus.collocationPmi(docs.toDF("text"), "text", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (cxy, cx, cy, bits) = got(("new", "york"))
+    assert(cxy == 5L && cx == 5L && cy == 5L)
+    // num = 5*N, den = 25 -> ratio = N/5; N = 55 tokens -> 11 -> 4 bits
+    assert(bits == 4L, s"bits=$bits")
+    // "the cat": c_the=15, c_cat=10, c_xy=10 (every 'the ... cat'? only
+    // direct adjacency counts: 'the cat<i>' 5x + 'the h<i> cat' has a gap
+    // -> adjacent only in docs 1-5) => num=5*55=275, den=150 -> 1 bit
+    assert(got.contains(("the", s"cat1")) == false,
+      "per-i tokens fall under minCount")
+    // every surviving pair met the count floor
+    assert(got.values.forall(_._1 >= 2L))
+    // negative-bits arm: a pair whose num < den. 'the'(15) x 'the'(15)
+    // never adjacent... craft directly: w 'a a' unreachable here; assert
+    // the sign convention instead on ratio < 1 pairs if any
+    got.values.foreach { case (c2, cX, cY, b) =>
+      val num = BigInt(c2) * 55; val den = BigInt(cX) * BigInt(cY)
+      if (num >= den) assert(b >= 1L) else assert(b <= -1L)
+    }
+  }
+
+  test("collocationPmi: negative whole bits for an anti-collocation") {
+    // 'a' and 'b' each appear 8x but are adjacent only once in 32 tokens:
+    // num = 1*32 = 32 < den = 64 -> den div num = 2 -> -2 bits
+    val docs = Seq(
+      "a b " + Seq.fill(7)("a x").mkString(" ") + " " +
+        Seq.fill(7)("b y").mkString(" "))
+    val got = Corpus.collocationPmi(docs.toDF("text"), "text", 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(5))
+      .toMap
+    assert(got(("a", "b")) == -2L, s"got ${got(("a", "b"))}")
+  }
+}
+
 class EventsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -906,6 +1019,43 @@ class EventsSpec extends SparkSpec {
     assert(s1.getAs[Long]("start_epoch") == 0L &&
       s1.getAs[Long]("end_epoch") == 60L &&
       s1.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("wilsonConversion: exact counts, hand-checked bounds, zero-" +
+    "conversion day clamps at 0, purchase-only day absent") {
+    // day 0 (us < 86400e6): users 1..4 view, users 1,2 purchase -> p=1/2;
+    // day 1: users 5,6 view, none purchase; user 7 purchases WITHOUT a
+    // view on day 1 -> must not create a row or count
+    val ev = Seq(
+      (1L, ts(10), 1L, "view", 0.0), (2L, ts(20), 2L, "view", 0.0),
+      (3L, ts(30), 3L, "view", 0.0), (4L, ts(40), 4L, "view", 0.0),
+      (5L, ts(50), 1L, "purchase", 1.0), (6L, ts(60), 2L, "purchase", 1.0),
+      (7L, ts(70), 1L, "purchase", 1.0), // dup purchase: distinct users
+      (8L, ts(86400 + 10), 5L, "view", 0.0),
+      (9L, ts(86400 + 20), 6L, "view", 0.0),
+      (10L, ts(86400 + 30), 7L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.wilsonConversion(ev, "view", "purchase")
+      .orderBy("day").collect()
+    assert(got.length == 2)
+    val d0 = got(0); val d1 = got(1)
+    assert(d0.getAs[Long]("n_users") == 4L && d0.getAs[Long]("n_conv") == 2L)
+    assert(d0.getAs[Double]("p_hat") == 0.5)
+    // reference Wilson at x=2, n=4, z=1.96 (same fixed tree in doubles)
+    val n = 4.0; val p = 0.5
+    val c = p + 3.8416 / (2.0 * n)
+    val r = 1.96 * math.sqrt((p * (1.0 - p) + 3.8416 / (4.0 * n)) / n)
+    val den = 1.0 + 3.8416 / n
+    assert(math.abs(d0.getAs[Double]("wilson_lo") - (c - r) / den) < 1e-12)
+    assert(math.abs(d0.getAs[Double]("wilson_hi") - (c + r) / den) < 1e-12)
+    assert(d0.getAs[Double]("wilson_lo") > 0.0 &&
+      d0.getAs[Double]("wilson_hi") < 1.0,
+      "Wilson bounds stay inside (0,1) where Wald would not")
+    // zero conversions: lo clamps to ~0 (exactly 0 in exact arithmetic)
+    assert(d1.getAs[Long]("n_users") == 2L && d1.getAs[Long]("n_conv") == 0L)
+    assert(math.abs(d1.getAs[Double]("wilson_lo")) < 1e-15)
+    assert(d1.getAs[Double]("wilson_hi") > 0.3,
+      "n=2 zero-conversion upper bound is wide")
   }
 
   test("userSequences: last-maxLen truncation, ascending emit, exact length") {
