@@ -71,6 +71,54 @@ object Events {
         "wilson_hi")
   }
 
+  /** Seasonal-naive forecast BACKTEST over the hourly volume series —
+    * the monitoring baseline every real forecaster must beat
+    * (Hyndman & Athanasopoulos FPP §5.2: forecast hour h by the value
+    * at h − season): per event type, MAE / bias / MAPE of predicting
+    * each hour's count from its same-hour-yesterday count. An anomaly
+    * monitor (e11/e25/e28/e29) asks "is NOW weird"; the backtest asks
+    * "how predictable is this series at all" — the number that sizes
+    * alert thresholds and forecast-model ambitions.
+    *
+    * Exactness: counts and absolute/signed error sums are exact longs;
+    * MAE = one IEEE division; MAPE terms are each one IEEE division
+    * cast to DECIMAL(18,6) and SUMMED AS DECIMAL (the s15 discount
+    * convention — a float sum would expose engine accumulation order),
+    * finished by one division. Hours missing a season-ago predecessor
+    * (or with zero actuals, for MAPE) are excluded by construction.
+    *
+    * Shape: one (type, hour) hash-agg (map-side combine), ONE
+    * self-equi-join on (type, hour − season), one type-keyed rollup.
+    */
+  def naiveForecastBacktest(
+      events: DataFrame, seasonSeconds: Long = 86400L): DataFrame = {
+    require(seasonSeconds > 0, s"season must be positive: $seasonSeconds")
+    val hourly = events.groupBy(
+        col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val joined = hourly.as("now").join(hourly.as("past"),
+        col("now.event_type") === col("past.event_type") &&
+        col("now.h") === col("past.h") + seasonSeconds)
+      .select(col("now.event_type").as("event_type"),
+        col("now.cnt").as("actual"), col("past.cnt").as("pred"))
+      .withColumn("err", col("actual") - col("pred"))
+    joined.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("err"))).as("abs_err_sum"),
+        sum(col("err")).as("bias_sum"),
+        sum(when(col("actual") > 0,
+          expr("CAST(CAST(abs(err) AS DOUBLE) / CAST(actual AS DOUBLE)" +
+            " AS DECIMAL(18,6))"))).as("ape_sum"),
+        sum(when(col("actual") > 0, 1L).otherwise(0L)).as("n_mape"))
+      .select(col("event_type"), col("n_hours"), col("abs_err_sum"),
+        col("bias_sum"),
+        expr("CAST(abs_err_sum AS DOUBLE) / CAST(n_hours AS DOUBLE)")
+          .as("mae"),
+        expr("CASE WHEN n_mape > 0 THEN CAST(ape_sum AS DOUBLE) / " +
+          "CAST(n_mape AS DOUBLE) END").as("mape"))
+  }
+
   /** Tumbling event-time window aggregate: (hour, event_type) counts and
     * exact-decimal value sums. Batch analog of the streaming
     * `window($"ts", "1 hour")` aggregation; map-side partial aggregation

@@ -1544,6 +1544,61 @@ object CorpusPack {
                    ELSE 'arabic' END AS dominant
             FROM c ORDER BY doc_id"""))
 
+  private val t58 = Q(
+    "t58_mixed_script",
+    // homoglyph / mojibake triage: tokens mixing Latin with Cyrillic
+    // INSIDE one word (the spoofing-and-broken-decode signature t21's
+    // whole-doc script histogram cannot see — a doc can be 95% Latin
+    // and still carry 'pаypаl' with Cyrillic а), plus U+FFFD
+    // replacement-char counts (the universal broken-transcode tell).
+    // ASCII corpus, so both engines inject the same deterministic
+    // tails first (the t13/t21 pattern). Exact integer counts
+    (s, dir) => {
+      val page = when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" pаypаl sеcurе")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" brok�n t�xt")))
+        .otherwise(col("text"))
+      val toks = TextOps.tokens(col("page"))
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, t => t.rlike("[A-Za-z]") &&
+            t.rlike("[\\x{0400}-\\x{04FF}]"))).cast("long")
+            .as("n_mixed"),
+          TextOps.classCount(col("page"), "[\\x{FFFD}]").as("n_repl"))
+        .withColumn("suspect",
+          when(col("n_mixed") > 0 || col("n_repl") > 0, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
+    },
+    Some("""WITH inj AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 1
+                     THEN text || ' pаypаl sеcurе'
+                   WHEN doc_id % 7 = 2
+                     THEN text || ' brok�n t�xt'
+                   ELSE text END AS page
+              FROM documents),
+            c AS (SELECT doc_id,
+              list_filter(string_split(page, ' '), x -> x <> '') AS l,
+              len(page) - len(regexp_replace(page, '[\x{FFFD}]', '', 'g'))
+                AS n_repl
+              FROM inj)
+            SELECT doc_id,
+              CAST(len(l) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(l, x ->
+                regexp_matches(x, '[A-Za-z]') AND
+                regexp_matches(x, '[\x{0400}-\x{04FF}]')))
+                AS BIGINT) AS n_mixed,
+              CAST(n_repl AS BIGINT) AS n_repl,
+              CASE WHEN len(list_filter(l, x ->
+                  regexp_matches(x, '[A-Za-z]') AND
+                  regexp_matches(x, '[\x{0400}-\x{04FF}]'))) > 0
+                OR n_repl > 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS suspect
+            FROM c ORDER BY doc_id"""))
+
   private val t20 = Q(
     "t20_bigram_surprisal",
     // conditional bigram-LM surprisal (the KenLM rung above t16): whole
@@ -3844,7 +3899,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)

@@ -1332,7 +1332,10 @@ object PipelinePack {
 
   // ---- text analysis ----------------------------------------------------
 
-  private def langIdOracle: String = {
+  /** The t01 marker-vote CASE as a bare SQL expression — shared by the
+    * t01 oracle and t57's confusion rollup so the two can never drift.
+    */
+  private def langIdCaseSql: String = {
     def hits(markers: Seq[String]) =
       s"len(list_filter(list_distinct(list_filter(string_split(text, ' '), " +
         s"x -> x <> '')), x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
@@ -1341,10 +1344,13 @@ object PipelinePack {
       val rest = scores.drop(i + 1).map(_._2)
       s"WHEN ${rest.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$l'"
     }
-    s"""SELECT doc_id, lang AS lang_label,
-          CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END AS lang_pred
-        FROM documents ORDER BY doc_id"""
+    s"CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
   }
+
+  private def langIdOracle: String =
+    s"""SELECT doc_id, lang AS lang_label,
+          $langIdCaseSql AS lang_pred
+        FROM documents ORDER BY doc_id"""
 
   private val t01 = Q(
     "t01_lang_id",
@@ -1353,6 +1359,66 @@ object PipelinePack {
         TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id"),
     Some(langIdOracle))
+
+  private val t57 = Q(
+    "t57_langid_confusion",
+    // classifier AUDIT for the t01 marker language-ID: per-class
+    // confusion totals and precision/recall/F1 against the lang label
+    // — the eval table a gate's release card prints before trusting a
+    // classifier to route documents (t27/t29 grade the QUALITY model;
+    // this grades the language router). Exact long counts; P/R/F1 as
+    // one fixed IEEE tree with zero-denominator guards — hash-exact
+    (s, dir) => {
+      val preds = Tables.loadParallel(s, dir, "documents")
+        .select(col("lang").as("lang"),
+          TextOps.langId(col("text")).as("pred"))
+      val t = preds.groupBy("lang").agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+      val p = preds.groupBy(col("pred").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      t.join(p, Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision", expr(
+          "CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / " +
+            "CAST(n_pred AS DOUBLE) END"))
+        .withColumn("recall", expr(
+          "CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / " +
+            "CAST(n_true AS DOUBLE) END"))
+        .withColumn("f1", expr(
+          "CASE WHEN precision IS NOT NULL AND recall IS NOT NULL " +
+            "AND precision + recall > 0.0E0 THEN " +
+            "2.0E0 * precision * recall / (precision + recall) END"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH pr AS (SELECT lang, $langIdCaseSql AS pred
+              FROM documents),
+            t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+                CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp
+              FROM pr GROUP BY 1),
+            p AS (SELECT pred AS lang, CAST(COUNT(*) AS BIGINT)
+                AS n_pred FROM pr GROUP BY 1),
+            j AS (SELECT COALESCE(t.lang, p.lang) AS lang,
+                COALESCE(n_true, CAST(0 AS BIGINT)) AS n_true,
+                COALESCE(n_pred, CAST(0 AS BIGINT)) AS n_pred,
+                COALESCE(tp, CAST(0 AS BIGINT)) AS tp
+              FROM t FULL JOIN p ON t.lang = p.lang),
+            m AS (SELECT lang, n_true, n_pred, tp,
+                CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)
+                  / CAST(n_pred AS DOUBLE) END AS precision,
+                CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)
+                  / CAST(n_true AS DOUBLE) END AS recall
+              FROM j)
+            SELECT lang, n_true, n_pred, tp, precision, recall,
+              CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                AND precision + recall > 0.0E0 THEN
+                2.0E0 * precision * recall / (precision + recall) END
+                AS f1
+            FROM m ORDER BY lang"""))
 
   private val t02 = Q(
     "t02_quality_score",
@@ -2322,6 +2388,41 @@ object PipelinePack {
                 AS wilson_hi
             FROM p ORDER BY day"""))
 
+  private val e33 = Q(
+    "e33_naive_forecast",
+    // seasonal-naive backtest (FPP 5.2): predict each hour's volume by
+    // same-hour-yesterday, report per-type MAE/bias/MAPE — the baseline
+    // any real forecaster must beat and the number that sizes e11-class
+    // alert thresholds. Exact long error sums; MAPE terms DECIMAL(18,6)
+    // injected (the s15 convention) so no float accumulation anywhere
+    (s, dir) => Events.naiveForecastBacktest(
+        Tables.load(s, dir, "events"), seasonSeconds = 86400L)
+      .orderBy("event_type"),
+    Some("""WITH h AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            j AS (SELECT n.event_type, n.cnt AS actual,
+                p.cnt AS pred, n.cnt - p.cnt AS err
+              FROM h n JOIN h p ON n.event_type = p.event_type
+                AND n.h = p.h + 86400),
+            a AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_hours,
+                CAST(SUM(abs(err)) AS BIGINT) AS abs_err_sum,
+                CAST(SUM(err) AS BIGINT) AS bias_sum,
+                SUM(CASE WHEN actual > 0 THEN
+                  CAST(CAST(abs(err) AS DOUBLE) / CAST(actual AS DOUBLE)
+                    AS DECIMAL(18,6)) END) AS ape_sum,
+                CAST(SUM(CASE WHEN actual > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_mape
+              FROM j GROUP BY 1)
+            SELECT event_type, n_hours, abs_err_sum, bias_sum,
+              CAST(abs_err_sum AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                AS mae,
+              CASE WHEN n_mape > 0 THEN CAST(ape_sum AS DOUBLE)
+                / CAST(n_mape AS DOUBLE) END AS mape
+            FROM a ORDER BY event_type"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2583,7 +2684,7 @@ object PipelinePack {
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
-    t01, t02, t03, t04, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32,
+    t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33,
     m01, m02, m03, m04, m05)
 }

@@ -311,7 +311,10 @@ object ScaleSmoke {
         // budget-bounded shard rollup; s21 = one posexplode + ONE
         // dim-keyed hash-agg (rows after agg = dims, not vectors)
         "t55_rank_sketch", "t56_collocations", "p29_shard_manifest",
-        "s21_embed_drift")
+        "s21_embed_drift",
+        // t57 = one scan-stage prediction + two class-keyed rollups;
+        // t58 = pure scan-stage regex counts (no shuffle at all)
+        "t57_langid_confusion", "t58_mixed_script")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

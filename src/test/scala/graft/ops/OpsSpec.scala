@@ -1021,6 +1021,25 @@ class EventsSpec extends SparkSpec {
       s1.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("naiveForecastBacktest: exact same-hour-yesterday errors, hours " +
+    "without a predecessor excluded, MAPE skips zero actuals") {
+    // hour 0: 3 events, hour 24h: 1 event, hour 48h: 4 events -> matched
+    // pairs: (actual=1, pred=3, err=-2), (actual=4, pred=1, err=3)
+    val ev = (Seq.fill(3)(0L) ++ Seq.fill(1)(86400L) ++
+      Seq.fill(4)(172800L)).zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(t + 5), 1L, "view", 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.naiveForecastBacktest(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_hours") == 2L)
+    assert(row.getAs[Long]("abs_err_sum") == 5L)
+    assert(row.getAs[Long]("bias_sum") == 1L)
+    assert(row.getAs[Double]("mae") == 2.5)
+    // APE terms: 2/1=2.000000 and 3/4=0.750000 -> mean 1.375
+    assert(math.abs(row.getAs[Double]("mape") - 1.375) < 1e-9)
+  }
+
   test("wilsonConversion: exact counts, hand-checked bounds, zero-" +
     "conversion day clamps at 0, purchase-only day absent") {
     // day 0 (us < 86400e6): users 1..4 view, users 1,2 purchase -> p=1/2;
