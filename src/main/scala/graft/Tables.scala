@@ -101,6 +101,20 @@ object Tables {
       spark: SparkSession, dir: String, name: String,
       cols: Seq[String]): Map[String, Long] = {
     val key = (dir, name.toLowerCase)
+    // ANALYZE artifact first (the reference's persisted `.stat` file made
+    // real): a dir that `TableTools.analyze` has profiled carries every
+    // column's NDV in one parquet — a repeated compile (new session, CLI
+    // invocation, golden spec) then plans with ZERO stat jobs. Loaded
+    // once per dir and folded into the same in-session cache; the
+    // staleness contract below applies to the artifact too (re-run
+    // analyze after rewriting tables).
+    if (!ndvCache.contains(key)) statsFile(spark, dir).get(name.toLowerCase)
+      .foreach { fromFile =>
+        ndvCache.updateWith(key) {
+          case Some(prev) => Some(fromFile ++ prev)
+          case None       => Some(fromFile)
+        }
+      }
     val cached = ndvCache.get(key)
     val missing = cols.map(_.toLowerCase).distinct
       .filterNot(c => cached.exists(_.contains(c)))
@@ -136,6 +150,29 @@ object Tables {
   }
   private val ndvCache =
     new scala.collection.concurrent.TrieMap[(String, String), Map[String, Long]]
+
+  /** The per-dir ANALYZE artifact (`_graft_stats.parquet`, written by
+    * `TableTools.analyze`): table → column → ndv. Read at most once per
+    * dir per session; absent file memoizes as empty.
+    */
+  private def statsFile(
+      spark: SparkSession, dir: String): Map[String, Map[String, Long]] =
+    statsFileCache.getOrElseUpdate(dir, {
+      import org.apache.hadoop.fs.Path
+      val path = new Path(s"$dir/$StatsFileName")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Map.empty
+      else spark.read.parquet(path.toString)
+        .select("table", "column", "ndv").collect()
+        .groupBy(_.getString(0).toLowerCase)
+        .map { case (t, rows) =>
+          t -> rows.map(r => r.getString(1).toLowerCase -> r.getLong(2))
+            .toMap
+        }
+    })
+  private val statsFileCache =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Map[String, Long]]]
+  val StatsFileName = "_graft_stats.parquet"
 
   private def footerSum(spark: SparkSession, dir: String, name: String)(
       f: org.apache.parquet.hadoop.ParquetFileReader => Long): Long = {

@@ -3301,6 +3301,60 @@ object CorpusPack {
             FROM sel WHERE rk = 1
             ORDER BY doc_id, pos, fp"""))
 
+  private val p30 = Q(
+    "p30_dedup_shrinkage",
+    // per-source dedup-shrinkage table — the release-card before/after:
+    // raw vs surviving (keep-min exact dedup) doc and token counts and
+    // the retained fraction per source. The number that tells you which
+    // feed is re-crawl (web sources routinely lose 30-60% to dedup
+    // while curated sources lose ~0) and re-prices every mixture weight
+    // computed on RAW counts. Composition: d01's hash-groupBy keep-min
+    // + two source rollups; exact longs, one IEEE division
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val raw = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs_raw"),
+        sum("n_tok").as("n_tokens_raw"))
+      val kept = docs.join(keep,
+          docs("doc_id") === keep("keep_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum("n_tok").as("n_tokens_kept"))
+      raw.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs_raw"), col("n_tokens_raw"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+          coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+        .withColumn("token_retention", expr(
+          "CAST(n_tokens_kept AS DOUBLE) / CAST(n_tokens_raw AS DOUBLE)"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tok,
+                md5(text) AS h
+              FROM documents),
+            k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY 1),
+            raw AS (SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens_raw
+              FROM d GROUP BY 1),
+            kept AS (SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+              FROM d JOIN k ON d.doc_id = k.keep_id GROUP BY 1)
+            SELECT raw.source, n_docs_raw, n_tokens_raw,
+              COALESCE(n_docs_kept, CAST(0 AS BIGINT)) AS n_docs_kept,
+              COALESCE(n_tokens_kept, CAST(0 AS BIGINT))
+                AS n_tokens_kept,
+              CAST(COALESCE(n_tokens_kept, 0) AS DOUBLE)
+                / CAST(n_tokens_raw AS DOUBLE) AS token_retention
+            FROM raw LEFT JOIN kept ON raw.source = kept.source
+            ORDER BY raw.source"""))
+
   private val t56 = Q(
     "t56_collocations",
     // collocation mining (Church & Hanks PMI over adjacent pairs, count
@@ -3900,7 +3954,7 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)
 }

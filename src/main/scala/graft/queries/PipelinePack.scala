@@ -2423,6 +2423,81 @@ object PipelinePack {
                 / CAST(n_mape AS DOUBLE) END AS mape
             FROM a ORDER BY event_type"""))
 
+  private val e34 = Q(
+    "e34_power_mde",
+    // experiment sizing: minimum detectable effect at alpha=.05 (two-
+    // sided), power=.80 for the e23 unit metric under the CURRENT
+    // traffic split — the pre-registration number that belongs on the
+    // same card as e22's SRM and e23's t: an experiment whose observed
+    // lift ambitions sit below its MDE was never going to decide.
+    // MDE = (z_a2 + z_b) * sd * sqrt(1/n0 + 1/n1) with the canonical
+    // 2.8016 multiplier; moments exact longs, ONE fixed IEEE tree
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val units = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "user_id", "variant")
+        .agg(sum("cents").as("metric"))
+      units.groupBy("event_type")
+        .agg(
+          sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_0"),
+          sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_1"),
+          count(lit(1)).as("n"),
+          sum(col("metric")).as("s"),
+          sum(col("metric") * col("metric")).as("q"))
+        .filter(col("n") > 1 && col("n_0") > 0 && col("n_1") > 0)
+        .withColumn("mean_metric",
+          expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("sd", expr(
+          "sqrt(CAST(n * q - s * s AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"))
+        .withColumn("mde_abs", expr(
+          "2.8016E0 * sd * sqrt(1.0E0 / CAST(n_0 AS DOUBLE)" +
+            " + 1.0E0 / CAST(n_1 AS DOUBLE))"))
+        .withColumn("mde_rel", expr(
+          "CASE WHEN mean_metric > 0.0E0 THEN mde_abs / mean_metric" +
+            " END"))
+        .select("event_type", "n_0", "n_1", "mean_metric", "sd",
+          "mde_abs", "mde_rel")
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            um AS (SELECT event_type, user_id, variant,
+                CAST(SUM(cents) AS BIGINT) AS metric
+              FROM ev GROUP BY 1, 2, 3),
+            a AS (SELECT event_type,
+                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_0,
+                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_1,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(metric) AS BIGINT) AS s,
+                CAST(SUM(metric * metric) AS BIGINT) AS q
+              FROM um GROUP BY 1),
+            f AS (SELECT event_type, n_0, n_1,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_metric,
+                sqrt(CAST(n * q - s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd,
+                n
+              FROM a WHERE n > 1 AND n_0 > 0 AND n_1 > 0)
+            SELECT event_type, n_0, n_1, mean_metric, sd,
+              2.8016E0 * sd * sqrt(1.0E0 / CAST(n_0 AS DOUBLE)
+                + 1.0E0 / CAST(n_1 AS DOUBLE)) AS mde_abs,
+              CASE WHEN mean_metric > 0.0E0 THEN
+                (2.8016E0 * sd * sqrt(1.0E0 / CAST(n_0 AS DOUBLE)
+                  + 1.0E0 / CAST(n_1 AS DOUBLE))) / mean_metric
+              END AS mde_rel
+            FROM f ORDER BY event_type"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2685,6 +2760,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34,
     m01, m02, m03, m04, m05)
 }

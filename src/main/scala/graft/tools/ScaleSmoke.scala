@@ -314,7 +314,9 @@ object ScaleSmoke {
         "s21_embed_drift",
         // t57 = one scan-stage prediction + two class-keyed rollups;
         // t58 = pure scan-stage regex counts (no shuffle at all)
-        "t57_langid_confusion", "t58_mixed_script")
+        "t57_langid_confusion", "t58_mixed_script",
+        // p30 = d01's hash-groupBy keep-min + two source rollups
+        "p30_dedup_shrinkage")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

@@ -9,6 +9,34 @@ class WarehouseSpec extends SparkSpec {
   private def dim(rows: (Long, String, Long)*) =
     rows.toDF("id", "name", "bal")
 
+  test("analyze: the persisted stats artifact feeds columnNdv — a " +
+    "tampered ndv proves the compile path reads the FILE, not the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_analyze")
+      .toString
+    // a real 'region' table in the temp dir (Tables.load shape)
+    (0L until 40L).map(i => (i, s"name$i", s"c${i % 4}"))
+      .toDF("r_regionkey", "r_name", "r_comment")
+      .write.parquet(s"$dir/region.parquet")
+    val stats = graft.tools.TableTools.analyze(spark, dir, Seq("region"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(stats("r_regionkey")._2 == 40L, "footer row count exact")
+    assert(math.abs(stats("r_regionkey")._1 - 40L) <= 2, "HLL ndv ~exact")
+    assert(math.abs(stats("r_comment")._1 - 4L) <= 1)
+    // tamper: rewrite the artifact with a sentinel ndv; a FRESH dir key
+    // (statsFileCache memoizes per dir) must surface the sentinel
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_analyze2")
+      .toString
+    spark.read.parquet(s"$dir/region.parquet")
+      .write.parquet(s"$dir2/region.parquet")
+    Seq(("region", "r_name", 7777L, 40L))
+      .toDF("table", "column", "ndv", "n_rows")
+      .write.parquet(s"$dir2/${graft.Tables.StatsFileName}")
+    val got = graft.Tables.columnNdv(spark, dir2, "region", Seq("r_name"))
+    assert(got("r_name") == 7777L,
+      s"columnNdv must read the artifact, got $got")
+  }
+
   test("applyChanges: update-all, insert, delete, no-op tombstone, " +
     "and untouched passthrough in one batch") {
     val target = dim((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
