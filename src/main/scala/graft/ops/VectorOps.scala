@@ -417,6 +417,56 @@ object VectorOps {
           .as("mean_shift_q"))
   }
 
+  /** IVF index TUNING curve: recall@k of [[knnIvf]] against the exact
+    * [[knnBrute]] ground truth at each candidate `nProbe` setting over
+    * ONE shared trained index — the operational knob table an ANN
+    * deployment reads before pinning its probe count ("how many lists
+    * buy 0.95 recall, and what does the next step cost"). FAISS ships
+    * this as its standard tuning sweep; here it is a DataFrame so the
+    * release card can carry it.
+    *
+    * The index trains ONCE (the standing-structure rule) and every
+    * sweep point probes the same lists, so the curve isolates the
+    * nProbe effect; recall is exact set-intersection counting against
+    * the brute-force top-k. Driver-side loop over the HANDFUL of sweep
+    * points only — each point is one distributed probe run + one count.
+    * Rows-only by design (trained centroids have no SQL mirror);
+    * RecallSpec-class gates ride the query: monotone non-decreasing
+    * recall in nProbe, and full-sweep recall at nProbe = nCentroids
+    * (probing every list IS the brute scan, modulo quantization ties).
+    */
+  def ivfTuningCurve(
+      probes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 32,
+      probeSweep: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+    require(probeSweep.nonEmpty && probeSweep.forall(_ >= 1),
+      s"bad sweep: $probeSweep")
+    val spark = corpus.sparkSession
+    val truth = knnBrute(probes, corpus, idCol, vecCol, k)
+      .select(col("probe_id"), col("corpus_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+    val model = trainIvfModel(corpus, idCol, vecCol, nCentroids)
+    val rows = probeSweep.sorted.map { p =>
+      val hits = knnIvf(probes, corpus, idCol, vecCol, k, nCentroids,
+          nProbe = p, model = Some(model))
+        .select(col("probe_id"), col("corpus_id"))
+        .join(truth, Seq("probe_id", "corpus_id"))
+        .count()
+      (p.toLong, hits, nTruth)
+    }
+    truth.unpersist(blocking = false)
+    import spark.implicits._
+    rows.toDF("n_probe", "n_hits", "n_truth")
+      .withColumn("recall", expr(
+        "CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE)" +
+          " / CAST(n_truth AS DOUBLE) END"))
+  }
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this

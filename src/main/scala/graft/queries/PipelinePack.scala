@@ -237,6 +237,22 @@ object PipelinePack {
                   AS DOUBLE) AS mean_shift_q
             FROM q GROUP BY 1 ORDER BY 1"""))
 
+  private val s22 = Q(
+    "s22_ivf_tuning",
+    // IVF probe-count tuning curve: recall@10 vs nProbe over ONE shared
+    // trained index against the exact ground truth — the knob table an
+    // ANN deployment pins its probe setting from (FAISS's standard
+    // sweep as a DataFrame). Rows-only (trained centroids);
+    // RecallSpec-class gates: monotone recall, full-sweep ~1.0
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      VectorOps.ivfTuningCurve(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32,
+        probeSweep = Seq(1, 2, 4, 8, 16, 32))
+        .orderBy("n_probe")
+    },
+    None)
+
   private val s13 = Q(
     "s13_hybrid_rrf",
     // hybrid more-like-this retrieval: for probes 0..3 (the multimodal
@@ -2758,7 +2774,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34,
     m01, m02, m03, m04, m05)

@@ -97,7 +97,10 @@ class ContractSpec extends AnyFunSuite {
       // GK rank-sketch estimates depend on the compaction schedule (no
       // SQL mirror); SketchSpec gates the ε-rank guarantee vs exact
       // order statistics, merge invariance, and the streaming twin
-      "t55_rank_sketch")
+      "t55_rank_sketch",
+      // IVF tuning sweep rides trained centroids (no SQL mirror);
+      // RecallSpec gates monotone recall and ~1.0 at the full sweep
+      "s22_ivf_tuning")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

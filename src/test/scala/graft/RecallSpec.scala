@@ -79,6 +79,28 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.50, f"recall regressed: $recall%.3f < 0.50")
   }
 
+  test("s22: ivfTuningCurve — recall monotone non-decreasing in nProbe, " +
+    "full sweep recovers ~all of brute force, counts consistent (sf0.01)") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val curve = graft.ops.VectorOps.ivfTuningCurve(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32,
+        probeSweep = Seq(1, 4, 8, 32))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(curve.map(_._1).toSeq == Seq(1L, 4L, 8L, 32L))
+    assert(curve.forall(_._3 == curve.head._3), "shared ground truth")
+    val recalls = curve.map(_._4)
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"recall must not decrease with nProbe: $recalls")
+    }
+    println(s"[recall] s22 curve: ${curve.mkString(", ")}")
+    assert(recalls.head < recalls.last,
+      "the sweep must actually show the knob doing something")
+    assert(recalls.last >= 0.95,
+      s"probing every list ~is the brute scan: ${recalls.last}")
+  }
+
   test("s03: knnIvf recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val ivf = topkSet(SparkEntry.queries("s03_knn_ivf")(spark, dir))
