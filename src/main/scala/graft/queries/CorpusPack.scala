@@ -3361,8 +3361,11 @@ object CorpusPack {
     // floor 5 against low-count bias): the lexicalized-phrase inventory
     // a corpus card prints. Whole-bit PMI — the cleared rational
     // c_xy*N/(c_x*c_y) scored as signed bits, hash-exact
+    // plain load (the t05 convention): every consumer aggregates, so the
+    // exchanges already carry narrow rows — a pre-repartition would
+    // shuffle full document text first
     (s, dir) => Corpus.collocationPmi(
-        Tables.loadParallel(s, dir, "documents"), "text", minCount = 5L)
+        Tables.load(s, dir, "documents"), "text", minCount = 5L)
       .orderBy("w1", "w2"),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
               FROM documents),

@@ -1385,7 +1385,9 @@ object PipelinePack {
     // this grades the language router). Exact long counts; P/R/F1 as
     // one fixed IEEE tree with zero-denominator guards — hash-exact
     (s, dir) => {
-      val preds = Tables.loadParallel(s, dir, "documents")
+      // plain load (the t05 convention): the prediction is scan-stage and
+      // everything after is class-keyed aggregation of narrow rows
+      val preds = Tables.load(s, dir, "documents")
         .select(col("lang").as("lang"),
           TextOps.langId(col("text")).as("pred"))
       val t = preds.groupBy("lang").agg(
