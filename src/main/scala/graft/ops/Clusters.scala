@@ -215,7 +215,7 @@ object Clusters {
     * resulting LogicalRDD plan, and is otherwise only reclaimed when the
     * ContextCleaner notices the RDD got GC'd.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[ops] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -114,11 +114,16 @@ object Dedup {
     * Cache hygiene (r11 verdict): the edge list and every BFS tier are
     * persisted (multi-consumer: every later round's anti-join AND the
     * final union read them), but a long-lived session must not leak
-    * them — so the final union materializes HERE (one count job into
-    * its own persist) and the intermediates are unpersisted before
-    * returning. The caller owns the returned frame's cache: call
-    * `.unpersist()` on it when done (eviction before then is safe —
-    * persist keeps lineage, a cleaned block recomputes).
+    * them — so the result is EAGERLY localCheckpoint'ed (one job, and
+    * the checkpoint truncates lineage so the result no longer
+    * references the tier caches) and the intermediates are unpersisted
+    * before returning. A persist-then-unpersist-tiers order does NOT
+    * work: uncaching a tier invalidates the dependent result cache and
+    * the caller's first action recomputes the whole BFS uncached
+    * (measured 2.7 s → 10.4 s on d37 before this ordering). The
+    * returned frame's checkpoint blocks are reclaimed by the
+    * ContextCleaner once the frame is unreferenced (or by a session's
+    * unpersist-all, as Bench/Verify do per query).
     */
   def contaminationHops(
       pairs: DataFrame, seeds: DataFrame, idCol: String,
@@ -128,7 +133,12 @@ object Dedup {
     val sym = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .persist(mad)
-    val h0 = seeds.select(col(idCol).as("id")).distinct().persist(mad)
+    // the graphRank/CC discipline: each tier materializes EAGERLY via
+    // localCheckpoint (lineage truncated, so a tier never re-executes
+    // its predecessors and freeing one tier cannot invalidate another),
+    // and the rounds run in ORDER — no union-branch race recomputing
+    // earlier tiers through uncached lineage
+    val h0 = seeds.select(col(idCol).as("id")).distinct().localCheckpoint()
     var visited = h0.withColumn("hop", lit(0L))
     var tiers = List(h0)
     var frontier = h0
@@ -137,15 +147,16 @@ object Dedup {
       frontier = sym.join(frontier, col("s") === col("id"))
         .select(col("d").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .persist(mad)
+        .localCheckpoint()
       tiers = frontier :: tiers
       visited = visited.unionByName(
         frontier.withColumn("hop", lit(h.toLong)))
       h += 1
     }
-    val out = visited.persist(mad)
-    out.count() // materialize through the tiers while they're cached
-    tiers.foreach(_.unpersist(blocking = false))
+    // the final union reads only the (tiny, already-materialized) tier
+    // checkpoints; checkpoint it too so the tiers can be freed NOW
+    val out = visited.localCheckpoint()
+    tiers.foreach(Clusters.freeCheckpoint)
     sym.unpersist(blocking = false)
     out
   }

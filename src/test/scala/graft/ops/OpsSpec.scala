@@ -645,12 +645,19 @@ class DedupSpec extends SparkSpec {
     val seeds = Seq(1L).toDF("doc_id")
     val got = graft.ops.Dedup.contaminationHops(edges, seeds, "doc_id",
       maxHop = 2)
-    // the operator materialized internally and freed the edge list and
-    // every BFS tier; exactly the result frame's own persist remains
+    // the operator materialized internally (eager localCheckpoint) and
+    // freed the edge list and every BFS tier; exactly the result
+    // frame's own checkpoint blocks remain
     assert(spark.sparkContext.getPersistentRDDs.size == 1,
       s"lingering blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
     assert(got.count() == 3)
-    got.unpersist(blocking = true)
+    // a checkpoint's storage lives on the RDD inside the LogicalRDD
+    // plan (Dataset.unpersist only touches cache-manager entries)
+    got.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }
