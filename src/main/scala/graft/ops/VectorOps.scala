@@ -417,6 +417,39 @@ object VectorOps {
           .as("mean_shift_q"))
   }
 
+  /** IVF index BALANCE audit: per-list occupancy plus the imbalance
+    * summary an index operator watches — `imbalance = nLists·max/N` (a
+    * perfectly balanced index reads 1.0; FAISS prints the equivalent
+    * `nlist·Σp²` factor) and the mean coverage residual per list. Skewed
+    * lists are the ANN tail-latency story: a probe landing on a hot list
+    * scans its whole occupancy, so p99 query cost tracks MAX list size
+    * while recall tracks nProbe — the s22 tuning curve and this audit
+    * together are the index-health page of a release card. Shape: one
+    * assignment pass (fused nearest-centroid scan) + ONE list-keyed
+    * hash-agg + a 1-row broadcast summary joined back; rows out =
+    * nLists. Rows-only (trained centroids).
+    */
+  def ivfBalanceAudit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 32): DataFrame = {
+    val model = trainIvfModel(corpus, idCol, vecCol, nCentroids)
+    val assigned = assignLists(corpus, idCol, vecCol, model)
+    val per = assigned.groupBy("list")
+      .agg(count(lit(1)).as("n_vecs"),
+        avg(when(col("resid").isNotNull && !col("resid").isNaN,
+          col("resid"))).as("mean_resid"))
+    val summary = broadcast(per.agg(
+      sum("n_vecs").as("n_total"), max("n_vecs").as("n_max"),
+      count(lit(1)).as("n_lists")))
+    per.crossJoin(summary)
+      .select(col("list").cast("long").as("list"), col("n_vecs"),
+        col("mean_resid"),
+        expr("CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE)")
+          .as("occupancy"),
+        expr("CAST(n_lists AS DOUBLE) * CAST(n_max AS DOUBLE)" +
+          " / CAST(n_total AS DOUBLE)").as("imbalance"))
+  }
+
   /** IVF index TUNING curve: recall@k of [[knnIvf]] against the exact
     * [[knnBrute]] ground truth at each candidate `nProbe` setting over
     * ONE shared trained index — the operational knob table an ANN

@@ -253,6 +253,19 @@ object PipelinePack {
     },
     None)
 
+  private val s23 = Q(
+    "s23_ivf_balance",
+    // IVF list-occupancy audit: per-list sizes, coverage residuals, and
+    // the nLists*max/N imbalance factor — the ANN tail-latency page of
+    // the index-health card (p99 probe cost tracks MAX list size while
+    // recall tracks nProbe). Rows-only (trained centroids); RecallSpec
+    // gates conservation, sane imbalance, and finite residuals
+    (s, dir) => VectorOps.ivfBalanceAudit(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = 32)
+      .orderBy("list"),
+    None)
+
   private val s13 = Q(
     "s13_hybrid_rrf",
     // hybrid more-like-this retrieval: for probes 0..3 (the multimodal
@@ -2776,7 +2789,7 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34,
     m01, m02, m03, m04, m05)

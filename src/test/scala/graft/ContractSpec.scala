@@ -100,7 +100,10 @@ class ContractSpec extends AnyFunSuite {
       "t55_rank_sketch",
       // IVF tuning sweep rides trained centroids (no SQL mirror);
       // RecallSpec gates monotone recall and ~1.0 at the full sweep
-      "s22_ivf_tuning")
+      "s22_ivf_tuning",
+      // list-balance audit rides the same trained centroids; RecallSpec
+      // gates corpus conservation, sane imbalance, finite residuals
+      "s23_ivf_balance")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

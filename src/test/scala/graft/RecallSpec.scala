@@ -101,6 +101,26 @@ class RecallSpec extends SparkSpec {
       s"probing every list ~is the brute scan: ${recalls.last}")
   }
 
+  test("s23: ivfBalanceAudit — occupancy conserves the corpus, imbalance " +
+    "= nLists*max/N >= 1 and sane, residuals finite in [0, 2] (sf0.01)") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val rows = graft.ops.VectorOps.ivfBalanceAudit(
+        emb, "vec_id", "embedding", nCentroids = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).sum == n, "every vector lands in one list")
+    assert(rows.map(_._4).sum > 0.999 && rows.map(_._4).sum < 1.001)
+    val imb = rows.head._5
+    assert(rows.forall(_._5 == imb), "one shared imbalance factor")
+    assert(imb >= 1.0 && imb < 32.0, s"imbalance $imb")
+    rows.foreach { case (_, _, resid, _, _) =>
+      assert(!resid.isNaN && resid >= 0.0 && resid <= 2.0)
+    }
+    println(f"[recall] s23 imbalance=$imb%.2f maxList=${rows.map(_._2).max}")
+  }
+
   test("s03: knnIvf recall@10 vs brute force (sf0.01)") {
     val brute = topkSet(SparkEntry.queries("s01_knn_brute")(spark, dir))
     val ivf = topkSet(SparkEntry.queries("s03_knn_ivf")(spark, dir))
