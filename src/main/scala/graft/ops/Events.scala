@@ -71,6 +71,74 @@ object Events {
         "wilson_hi")
   }
 
+  /** Kaplan–Meier time-to-event curve (Kaplan & Meier 1958) over
+    * funnel conversion — the censoring-honest answer to "how long
+    * until a viewer purchases": a user's clock starts at their first
+    * `startType` day, the event is their first `deathType` day at or
+    * after it, and the study ends at an ADMINISTRATIVE cutoff
+    * (`studyDays` after the corpus's first day) — users who have not
+    * converted by the cutoff are right-censored at their observation
+    * time, NOT counted as never-converting (dropping them is the
+    * classic conversion-rate over-estimate this estimator fixes; e24
+    * reads lag percentiles among CONVERTERS only, KM reads the whole
+    * population). At each death time t: n_risk = users observed ≥ t,
+    * d = conversions at exactly t, `S(t) = Π_{u ≤ t} (1 − d_u/n_u)`.
+    *
+    * Exactness: counts are exact longs; the survival product is a
+    * deterministic LEFT-TO-RIGHT fold of `1 − d/n` factors in IEEE
+    * doubles. The distinct event times are bounded by the CALENDAR
+    * span (days — the corpus horizon, not the corpus), so the fold
+    * runs on the driver over the collected time table (the
+    * bounded-pull convention), and the DuckDB oracle replays the
+    * identical fold as a recursive CTE in day order —
+    * multiply-for-multiply the same doubles, hash-exact.
+    *
+    * Shape: two (user) rollups + one equi-join + one 1-row cutoff
+    * broadcast + one time-keyed rollup (rows ≤ calendar days); only
+    * that table reaches the driver.
+    */
+  def kaplanMeier(
+      events: DataFrame, startType: String, deathType: String,
+      studyDays: Long): DataFrame = {
+    require(studyDays >= 0, s"studyDays must be >= 0: $studyDays")
+    val spark = events.sparkSession
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val starts = e.filter(col("event_type") === startType)
+      .groupBy("user_id").agg(min("day").as("fd"))
+    val deaths = e.filter(col("event_type") === deathType)
+      .join(starts, "user_id")
+      .filter(col("day") >= col("fd"))
+      .groupBy("user_id").agg(min("day").as("pd"))
+    val cutoff = broadcast(e.agg((min("day") + studyDays).as("cut")))
+    val lives = starts.join(deaths, Seq("user_id"), "left")
+      .crossJoin(cutoff)
+      .filter(col("fd") <= col("cut")) // entered the study at all
+      .select(
+        when(col("pd").isNotNull && col("pd") <= col("cut"),
+          col("pd") - col("fd"))
+          .otherwise(col("cut") - col("fd")).as("lt"),
+        (col("pd").isNull || col("pd") > col("cut")).as("cens"))
+    val byLt = lives.groupBy("lt")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(!col("cens"), 1L).otherwise(0L)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = byLt.map(_._2).sum
+    // n_risk at t = users with lifetime >= t; walk ascending, fold S
+    var atRisk = total
+    var surv = 1.0
+    val rows = byLt.map { case (t, nAll, d) =>
+      val n = atRisk
+      if (d > 0) surv = surv * (1.0 - d.toDouble / n.toDouble)
+      atRisk -= nAll
+      (t, n, d, nAll - d, surv)
+    }.filter(_._3 > 0) // the KM step function moves at death times only
+    import spark.implicits._
+    rows.toSeq
+      .toDF("t_days", "n_risk", "n_churn", "n_exit_censored", "survival")
+  }
+
   /** Seasonal-naive forecast BACKTEST over the hourly volume series —
     * the monitoring baseline every real forecaster must beat
     * (Hyndman & Athanasopoulos FPP §5.2: forecast hour h by the value

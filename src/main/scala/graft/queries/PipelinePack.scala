@@ -2529,6 +2529,62 @@ object PipelinePack {
               END AS mde_rel
             FROM f ORDER BY event_type"""))
 
+  private val e35 = Q(
+    "e35_kaplan_meier",
+    // censoring-honest time-to-conversion: KM survival of first-view ->
+    // first-purchase with an administrative cutoff 12 days into the
+    // study — users unconverted by the cutoff are right-censored, not
+    // dropped (the classic conversion over-estimate). Counts exact;
+    // survival = deterministic left-to-right IEEE fold over the
+    // calendar-bounded time table, replayed by the oracle as a
+    // recursive CTE in the same order — hash-exact
+    (s, dir) => Events.kaplanMeier(
+        Tables.load(s, dir, "events"), "view", "purchase",
+        studyDays = 12L)
+      .orderBy("t_days"),
+    Some("""WITH RECURSIVE e AS (SELECT user_id, event_type,
+                CAST(epoch_ns(ts) // 1000 AS BIGINT) // 86400000000
+                  AS day
+              FROM events),
+            st AS (SELECT user_id, MIN(day) AS fd FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+            dt AS (SELECT e.user_id, MIN(day) AS pd
+              FROM e JOIN st USING (user_id)
+              WHERE event_type = 'purchase' AND day >= st.fd
+              GROUP BY 1),
+            h AS (SELECT MIN(day) + 12 AS cut FROM e),
+            lv AS (SELECT
+                CASE WHEN pd IS NOT NULL AND pd <= cut THEN pd - fd
+                  ELSE cut - fd END AS lt,
+                (pd IS NULL OR pd > cut) AS cens
+              FROM st LEFT JOIN dt USING (user_id) CROSS JOIN h
+              WHERE fd <= cut),
+            bl AS (SELECT lt, CAST(COUNT(*) AS BIGINT) AS n_all,
+                CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+              FROM lv GROUP BY 1),
+            ord AS (SELECT lt, n_all, d,
+                row_number() OVER (ORDER BY lt) AS rn,
+                CAST(SUM(n_all) OVER (ORDER BY lt DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+              FROM bl),
+            km AS (
+              SELECT rn, lt, n_risk, d, n_all,
+                CASE WHEN d > 0 THEN 1.0E0
+                    - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                  ELSE 1.0E0 END AS s
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.lt, o.n_risk, o.d, o.n_all,
+                km.s * CASE WHEN o.d > 0 THEN 1.0E0
+                    - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE)
+                  ELSE 1.0E0 END
+              FROM km JOIN ord o ON o.rn = km.rn + 1)
+            SELECT lt AS t_days, n_risk, d AS n_churn,
+              n_all - d AS n_exit_censored, s AS survival
+            FROM km WHERE d > 0 ORDER BY t_days"""))
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2791,6 +2847,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35,
     m01, m02, m03, m04, m05)
 }

@@ -1028,6 +1028,36 @@ class EventsSpec extends SparkSpec {
       s1.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("kaplanMeier: hand-checked survival with administrative " +
+    "censoring — censored users leave the risk set without a death, " +
+    "late entrants are excluded, the curve steps at death times only") {
+    val day = 86400L
+    // cutoff = min_day + 3 = day 3. Users:
+    //  u1: view d0, purchase d0 -> death t=0
+    //  u2: view d0, purchase d2 -> death t=2
+    //  u3: view d1, purchase d4 (after cutoff) -> censored at t=2
+    //  u4: view d2, no purchase -> censored at t=1
+    //  u5: view d4 (after cutoff) -> excluded entirely
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(10), 1L, "purchase", 1.0),
+      (3L, ts(5), 2L, "view", 0.0), (4L, ts(2 * day), 2L, "purchase", 1.0),
+      (5L, ts(day), 3L, "view", 0.0), (6L, ts(4 * day), 3L, "purchase", 1.0),
+      (7L, ts(2 * day), 4L, "view", 0.0),
+      (8L, ts(4 * day), 5L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.kaplanMeier(ev, "view", "purchase", studyDays = 3L)
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // times: t=0 {u1 death; risk 4}, t=1 {u4 censored}, t=2 {u2 death,
+    // u3 censored; risk 2}. Steps at t=0 and t=2 only:
+    // S(0) = 1 - 1/4 = 0.75; S(2) = 0.75 * (1 - 1/2) = 0.375
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 1.0 - 1.0 / 4.0),
+      (2L, 2L, 1L, 1L, (1.0 - 1.0 / 4.0) * (1.0 - 1.0 / 2.0))),
+      s"got ${got.toSeq}")
+  }
+
   test("naiveForecastBacktest: exact same-hour-yesterday errors, hours " +
     "without a predecessor excluded, MAPE skips zero actuals") {
     // hour 0: 3 events, hour 24h: 1 event, hour 48h: 4 events -> matched
