@@ -316,7 +316,11 @@ object ScaleSmoke {
         // t58 = pure scan-stage regex counts (no shuffle at all)
         "t57_langid_confusion", "t58_mixed_script",
         // p30 = d01's hash-groupBy keep-min + two source rollups
-        "p30_dedup_shrinkage")
+        "p30_dedup_shrinkage",
+        // s22 = one brute pass + train + |sweep| probe runs, each
+        // linear in corpus rows (pinned probe set); s23 = one fused
+        // assignment pass + a list-keyed rollup
+        "s22_ivf_tuning", "s23_ivf_balance")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),
