@@ -741,16 +741,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
   }
 
-  test("d31: candidate generation is equi-joins on gram hashes — no " +
-    "cartesian/nested loop anywhere; the Levenshtein DP sits above the " +
-    "length-gap filter") {
+  test("d31: the banded DP runs above the repartition+checkpoint " +
+    "parallelism barrier (r12) — levenshtein filters a Scan ExistingRDD, " +
+    "never a coalesced join stage; no cartesian/nested loop") {
     val p = plan("d31_edit_distance")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the cheap necessary bound prunes BEFORE the DP evaluates
-    val fi = p.indexOf("abs(")
+    // the candidate machinery (equi-joins on gram hashes + the abs()
+    // length-gap prune) sits BELOW the checkpoint and materializes in
+    // its own job — the final plan must show the DP evaluating directly
+    // over the checkpointed pair snapshot, which is the whole point of
+    // the barrier (predicate pushdown would otherwise drag it into the
+    // AQE-coalesced single-partition join stage)
+    assert(p.contains("ExistingRDD"), p)
     val li = p.indexOf("levenshtein")
-    assert(fi >= 0 && li >= 0, p)
+    assert(li >= 0, p)
+    assert(p.contains("(mx"), "threshold k derives from mx per row: " + p)
   }
 
   test("t42: entropy is scan-stage — besides loadParallel's round-robin " +
