@@ -2220,6 +2220,61 @@ object Corpus {
             col("__len").cast("int")), " ")).as("chunk_md5"))
   }
 
+  /** Sentence-boundary-respecting chunk packing — the RAG/embedding
+    * chunker a retrieval corpus actually wants: [[textChunks]] cuts at
+    * fixed token offsets and splits sentences mid-thought; this splits
+    * the document into sentences (at `. `, `! `, `? ` — regex
+    * lookbehind keeps the punctuation on its sentence) and GREEDILY
+    * packs consecutive sentences into chunks of at most `budgetTokens`
+    * whitespace tokens: a chunk closes when the next sentence would
+    * overflow it; a single overlong sentence becomes its own (oversize)
+    * chunk rather than being split — the first-fit fold every
+    * production chunker (LangChain/LlamaIndex recursive splitters)
+    * converges on. Output: one row per chunk with
+    * (chunk_id, n_sents, n_tok, sent_lo, sent_hi).
+    *
+    * Exactness: pure integer arithmetic (token counts, a deterministic
+    * in-document fold), so a SQL oracle replays it exactly — the fold
+    * is a recursive CTE over sentence indexes.
+    *
+    * Scale shape: the fold is PER-DOCUMENT (a document's sentence list
+    * is bounded — the p03 in-group sequential-fold class, here a
+    * scan-stage `aggregate` lambda, no mapPartitions and no shuffle);
+    * the only exchange is the final (doc, chunk) rollup over exploded
+    * sentence rows, map-side combinable. Nothing global ever sorts.
+    */
+  def sentenceChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val sents = filter(split(col(textCol), "(?<=[.!?]) "),
+      s => s =!= lit(""))
+    val counts = transform(sents,
+      s => size(filter(split(s, " "), t => t =!= lit(""))))
+    // drop all-whitespace "sentences" (count 0 — e.g. trailing blanks)
+    val cs = filter(counts, n => n > 0)
+    val zero = struct(lit(0).as("c"), lit(0).as("u"),
+      array().cast("array<int>").as("ids"))
+    val assigned = aggregate(cs, zero, (acc, n) => {
+      val overflow = acc.getField("u") > 0 &&
+        (acc.getField("u") + n > budgetTokens)
+      val c2 = when(overflow, acc.getField("c") + 1)
+        .otherwise(acc.getField("c"))
+      val u2 = when(overflow, n).otherwise(acc.getField("u") + n)
+      struct(c2.as("c"), u2.as("u"),
+        concat(acc.getField("ids"), array(c2)).as("ids"))
+    }, acc => acc.getField("ids"))
+    df.select(col(idCol), cs.as("__n"), assigned.as("__c"))
+      .select(col(idCol), posexplode(zip_with(col("__n"), col("__c"),
+        (n, c) => struct(n.as("n"), c.as("c")))).as(Seq("sent_idx", "__s")))
+      .groupBy(col(idCol),
+        col("__s.c").cast("long").as("chunk_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(col("__s.n")).cast("long").as("n_tok"),
+        min(col("sent_idx")).cast("long").as("sent_lo"),
+        max(col("sent_idx")).cast("long").as("sent_hi"))
+  }
+
   /** Repeat-capped token-budget mixing — the data-constrained scaling
     * recipe (Muennighoff et al. 2023: when the token budget exceeds a
     * source's corpus, repeat it, but cap the repeats — past ~4 epochs
@@ -2524,5 +2579,88 @@ object Corpus {
       .join(broadcast(quota), col(stratumCol) === col("stratum"))
       .filter(col("rk") <= col("quota"))
       .select(col(idCol), col(stratumCol), col("rk"), col("quota"))
+  }
+
+  /** Per-document χ² goodness-of-fit against the corpus unigram
+    * background — the statistical outlier gate that catches documents
+    * whose token DISTRIBUTION is wrong even when every individual
+    * quality rule passes (machine-generated spam, keyword stuffing,
+    * template debris repeat a few tokens far beyond corpus rates;
+    * `(obs − exp)²/exp` grows quadratically in exactly that excess).
+    * Buckets: the corpus-wide top-`topK` tokens (count-desc,
+    * token-asc tiebreak — deterministic in any engine) plus one TAIL
+    * bucket for everything else; expected counts are
+    * `n_tok · cnt_bucket / N`.
+    *
+    * Exactness: zero-observed buckets are folded in CLOSED FORM —
+    * `Σ_{obs=0}(exp) = n_tok·Σtop/N − Σ_{present}(exp)` — so only
+    * PRESENT (doc, top-token) pairs ever materialize (a doc×topK grid
+    * never exists at any scale). Each present term
+    * `(obs−exp)²/exp − exp`, the per-doc base `n_tok·Σtop/N`, and the
+    * tail term are each ONE fixed IEEE tree injected to DECIMAL(18,6)
+    * and summed as decimals (the e33 MAPE convention), so engine
+    * accumulation order cannot diverge. A zero-count tail bucket is
+    * excluded from the statistic (exp = 0 has no χ² contribution).
+    *
+    * Scale: one exploded token rollup (map-side partials) for the
+    * background, TakeOrdered top-K, a K-row + 1-row broadcast, one
+    * broadcast semi-join of the exploded stream onto the top-K set,
+    * one doc-keyed hash-agg. `flagged` marks chi2 ≥ 2·topK (≈ twice
+    * the bucket dof — the conventional screening line; the chi2 value
+    * itself is the release-card column).
+    */
+  def chi2Outliers(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(topK > 0, s"topK must be positive: $topK")
+    val dec = DecimalType(18, 6)
+    // n_tok rides BESIDE the explode in one projection (the late-r5
+    // lesson): a per-doc constant needed on exploded rows is computed at
+    // the source, never aggregated and joined back
+    val tf = df.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val docs = df.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val bg = tf.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = bg.orderBy(col("cnt").desc, col("token").asc).limit(topK)
+    val stats = bg.agg(sum("cnt").as("n_total"))
+      .crossJoin(top.agg(sum("cnt").as("n_top")))
+      .select(col("n_total"), col("n_top"),
+        (col("n_total") - col("n_top")).as("n_tail"))
+    val obs = tf.join(broadcast(top), "token")
+      .groupBy(col(idCol), col("n_tok"), col("token"), col("cnt"))
+      .agg(count(lit(1)).as("obs"))
+    // per PRESENT pair: (obs-exp)^2/exp - exp; the "- exp" converts the
+    // per-doc zero-observed buckets into the closed-form base term below
+    val presentAgg = obs
+      .crossJoin(broadcast(stats.select("n_total")))
+      .withColumn("__exp",
+        col("n_tok").cast("double") * col("cnt") / col("n_total"))
+      .withColumn("__d", col("obs").cast("double") - col("__exp"))
+      .withColumn("__term",
+        (col("__d") * col("__d") / col("__exp") - col("__exp")).cast(dec))
+      .groupBy(col(idCol))
+      .agg(sum("__term").as("__s"), sum("obs").as("__sum_obs"))
+    docs.join(presentAgg, Seq(idCol), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__base",
+        (col("n_tok").cast("double") * col("n_top") / col("n_total"))
+          .cast(dec))
+      .withColumn("__tobs",
+        (col("n_tok") - coalesce(col("__sum_obs"), lit(0L)))
+          .cast("double"))
+      .withColumn("__texp",
+        col("n_tok").cast("double") * col("n_tail") / col("n_total"))
+      .withColumn("__tail",
+        when(col("n_tail") > 0 && col("n_tok") > 0,
+          ((col("__tobs") - col("__texp")) * (col("__tobs") - col("__texp"))
+            / col("__texp")).cast(dec))
+          .otherwise(lit(0).cast(dec)))
+      .withColumn("chi2",
+        (coalesce(col("__s"), lit(0).cast(dec)) + col("__base") +
+          col("__tail")).cast("double"))
+      .select(col(idCol), col("n_tok"), col("chi2"),
+        (col("chi2") >= lit(2.0) * topK).as("flagged"))
   }
 }

@@ -1540,6 +1540,204 @@ object Events {
     * Returns the inner join: all `ranges` columns + all `points`
     * columns; aggregate/outer-extend in the caller.
     */
+  /** Two-sided p-value of a test statistic under the standard normal —
+    * the LARGE-SAMPLE approximation to the Welch-t reference distribution
+    * (arms here hold hundreds of units, where t and z are
+    * indistinguishable next to the erf-polynomial's own 1.5e-7 bound).
+    * Abramowitz & Stegun 7.1.26: with x = |t|/√2 and s = 1/(1+0.3275911x),
+    * `p = (a₁s + a₂s² + a₃s³ + a₄s⁴ + a₅s⁵)·e^(−x²)` — one fixed IEEE
+    * expression tree. `exp` is the single non-correctly-rounded op in the
+    * tree (Java Math.exp vs the oracle's libm may differ in the last
+    * ulp), so the result is ROUNDED TO 7 DECIMALS — far above any ulp
+    * divergence, far below any decision threshold (the §6
+    * round-away-from-thresholds convention). NULL t yields NULL p.
+    */
+  def normalTwoSidedP(t: Column): Column = {
+    val x = abs(t) * lit(7.071067811865476e-1)
+    val s = lit(1.0) / (lit(1.0) + lit(3.275911e-1) * x)
+    val poly = ((((lit(1.061405429e0) * s - lit(1.453152027e0)) * s +
+      lit(1.421413741e0)) * s - lit(2.84496736e-1)) * s +
+      lit(2.54829592e-1)) * s
+    round(poly * exp(-(x * x)), 7)
+  }
+
+  /** Absorbing-Markov funnel attribution: for each event type, the
+    * probability that a user chain starting there reaches `targetType`
+    * within `steps` transitions, under the observed first-order
+    * transition kernel ([[transitionMatrix]]'s counts with the target
+    * made ABSORBING — its outgoing edges removed so mass that converts
+    * stays converted). The number e09's ordered funnel cannot give:
+    * e09 counts one fixed stage path; this scores EVERY state by its
+    * eventual-conversion mass, the standard absorbing-chain read of
+    * "which entry behaviors are worth acquiring".
+    *
+    * Exactness: the value iteration runs in INTEGER MICRO-UNITS —
+    * `V₀(target) = 10⁹`, `V_{k+1}(s) = (Σ_next c(s,next)·V_k(next))
+    * div t(s)` with TRUNCATING division — so every iterate is exact in
+    * any engine (no float accumulates anywhere; each step's floor
+    * costs < 1e-9 absolute). The reported p = V/10⁹ is one IEEE
+    * division. Long headroom: Σ_next c·V ≤ t·10⁹, so states with up to
+    * ~9×10⁹ outgoing transitions fit; beyond that, scale the unit
+    * down or move the fold to DECIMAL(38,0).
+    *
+    * Shape: ONE distributed pass (the lag window + (prev, next)
+    * rollup); the kernel is then event-type² rows — bounded by the
+    * SCHEMA's type cardinality, not the corpus — pulled to the driver
+    * and folded `steps` times (the kaplanMeier bounded-pull
+    * convention). The oracle replays the fold as unrolled integer
+    * CTEs, div-for-div.
+    */
+  def markovAbsorption(events: DataFrame, targetType: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps out of range: $steps")
+    val Unit9 = 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = events
+      .select(col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(byUser).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val live = trans.filter(_._1 != targetType) // absorbing target
+    val outTotal: Map[String, Long] =
+      live.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    var v: Map[String, Long] =
+      states.map(s => s -> (if (s == targetType) Unit9 else 0L)).toMap
+    for (_ <- 1 to steps) {
+      val next = states.map { s =>
+        if (s == targetType) s -> Unit9
+        else outTotal.get(s) match {
+          case None | Some(0L) => s -> 0L
+          case Some(t) =>
+            val num = live.filter(_._1 == s)
+              .map { case (_, to, c) => c * v(to) }.sum
+            s -> num / t
+        }
+      }.toMap
+      v = next
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.map(s => (s, outTotal.getOrElse(s, 0L), v(s),
+        v(s).toDouble / Unit9.toDouble)).toSeq
+      .toDF("event_type", "n_out", "v_micro", "p_absorb")
+  }
+
+  /** One-way ANOVA F statistic (Fisher) per experiment — the MULTI-ARM
+    * decision [[welchT]] cannot make: with k > 2 variants, k² pairwise
+    * t-tests inflate false positives (the 32bf14 problem at the design
+    * level); the omnibus F asks "does ANY arm differ" in one test.
+    * `F = (SSB/(k−1)) / (SSW/(N−k))` with the computational forms
+    * `SSB = Σₐ sₐ²/nₐ − S²/N`, `SSW = Q − Σₐ sₐ²/nₐ` over an
+    * INTEGER-QUANTIZED metric (the welchT contract).
+    *
+    * Oracle exactness: per-arm (n, Σx, Σx²) are exact longs from ONE
+    * fixed-width rollup. Each arm's sₐ²/nₐ is split EUCLIDEANLY —
+    * integer quotient `(sₐ·sₐ) div nₐ` summed as exact longs, plus the
+    * sub-1 remainder fraction `(sₐ² mod nₐ)/nₐ` injected to
+    * DECIMAL(18,6) and decimal-summed (the e33 convention is only safe
+    * at SMALL magnitude: casting a ~1e14 double to decimal records
+    * digits below the double's own ulp, where Spark's shortest-repr
+    * and a C engine's exact-expansion rounding diverge — r12b measured
+    * exactly that; the sub-1 fraction keeps the cast far above ulp).
+    * Everything after is one fixed IEEE expression both engines
+    * replay. Long headroom: sₐ² < 2⁶³ (the welchT n·max(x)² bound one
+    * power up — pre-scale the quantization beyond ~3e9-cent arm sums).
+    * Degenerate cases (k < 2, N ≤ k, SSW ≤ 0) yield NULL F, never
+    * ±Inf.
+    *
+    * Shape: ONE (experiment, variant) partial-agg rollup — the
+    * exchange carries experiments × k rows — then an experiment-keyed
+    * rollup over k-row groups. Nothing downstream scales with units.
+    */
+  def anovaF(units: DataFrame, expCol: String, variantCol: String,
+      metricCol: String): DataFrame = {
+    require(units.schema(metricCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$metricCol must be an integer-quantized LONG metric")
+    val dec = DecimalType(18, 6)
+    val arm = units
+      .select(col(expCol).as("exp"), col(variantCol).as("variant"),
+        col(metricCol).as("x"))
+      .groupBy("exp", "variant")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .withColumn("__da", expr("(s * s) div n"))
+      .withColumn("__fa",
+        ((col("s") * col("s") % col("n")).cast("double") /
+          col("n").cast("double")).cast(dec))
+    arm.groupBy("exp")
+      .agg(count(lit(1)).as("k_arms"), sum("n").as("n_units"),
+        sum("s").as("__S"), sum("q").as("__Q"),
+        sum("__da").as("__AI"), sum("__fa").as("__AF"))
+      .withColumn("__a",
+        col("__AI").cast("double") + col("__AF").cast("double"))
+      .withColumn("ssb",
+        col("__a") -
+          col("__S").cast("double") * col("__S").cast("double") /
+            col("n_units"))
+      .withColumn("ssw",
+        col("__Q").cast("double") - col("__a"))
+      .withColumn("f_stat",
+        when(col("k_arms") >= 2 && col("n_units") > col("k_arms") &&
+          col("ssw") > 0,
+          (col("ssb") / (col("k_arms") - 1)) /
+            (col("ssw") / (col("n_units") - col("k_arms")))))
+      .select(col("exp").as(expCol), col("k_arms"), col("n_units"),
+        col("ssb"), col("ssw"), col("f_stat"))
+  }
+
+  /** Benjamini–Hochberg false-discovery-rate control (Benjamini &
+    * Hochberg 1995) across a PORTFOLIO of tests — the multiple-testing
+    * correction that belongs beside [[welchT]]/[[mannWhitneyU]] the
+    * moment more than one experiment is read at once: at α=.05 a
+    * 20-experiment dashboard flags one false positive per page by
+    * construction; BH caps the EXPECTED FALSE-DISCOVERY FRACTION at α
+    * instead. Input: one row per test with a p-value column. Output: the
+    * input row plus `p_rank` (ascending p, key-tiebroken), `q_value` =
+    * min_{j ≥ rank}(p₍ⱼ₎·m/j) clamped to 1 (the monotone step-up
+    * adjustment), and `reject` (q ≤ α).
+    *
+    * Exactness: q is double arithmetic on the (already-rounded) p-values
+    * — multiplication, division by exact small ints, running min — all
+    * correctly-rounded IEEE ops any engine replays bit-for-bit. NULL
+    * p-values (degenerate arms) are excluded from m and ranked last with
+    * NULL q/reject.
+    *
+    * Scale: the two windows run over m rows — the number of EXPERIMENTS,
+    * not units (bounded by construction: a portfolio is dozens of rows).
+    * All per-unit work happened upstream in the welchT rollup.
+    */
+  def bhFdr(tests: DataFrame, keyCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val ranked = tests
+      .withColumn("__m",
+        count(when(col(pCol).isNotNull, 1)).over(
+          Window.partitionBy(lit(1))))
+      // NULLs last: a degenerate test neither gains nor blocks rank
+      .withColumn("p_rank", row_number().over(
+        Window.orderBy(col(pCol).isNull, col(pCol), col(keyCol))))
+    val back = Window.orderBy(col("p_rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("__raw",
+        col(pCol) * col("__m") / col("p_rank"))
+      // explicit NULL guard: least() in both engines SKIPS nulls, so an
+      // unguarded least(1.0, NULL) would read 1.0 for a degenerate test
+      .withColumn("q_value",
+        when(col(pCol).isNull, lit(null).cast("double"))
+          .otherwise(least(lit(1.0), min(col("__raw")).over(back))))
+      .withColumn("reject",
+        when(col(pCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col("q_value") <= alpha))
+      .drop("__m", "__raw")
+  }
+
   def rangeBucketJoin(points: DataFrame, pCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {

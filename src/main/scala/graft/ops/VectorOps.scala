@@ -500,6 +500,60 @@ object VectorOps {
           " / CAST(n_truth AS DOUBLE) END"))
   }
 
+  /** Re-index MIGRATION audit between two trained index generations —
+    * the page that decides whether release R+1 keeps the standing
+    * assignment or pays the rebuild: per OLD list, how many of its
+    * vectors a retrain would move elsewhere. [[embedDrift]] watches the
+    * raw distribution; this measures the consequence in index terms.
+    * List ids of independently trained models don't correspond, so each
+    * NEW centroid is first matched to its nearest OLD centroid (k×k
+    * driver arithmetic over the two centroid matrices — L2 on the unit
+    * sphere, lowest-old-index ties); a vector "migrates" when the old
+    * image of its new list differs from its old list.
+    *
+    * Shape: BOTH assignments are fused nearest-centroid argmins in ONE
+    * scan projection (no join, no shuffle), the new→old map rides as an
+    * array literal, and the only exchange is the list-keyed hash-agg;
+    * rows out = occupied old lists. Identical models ⇒ the map is the
+    * identity and every migration count is 0 (spec-pinned). Rows-only
+    * by design (trained centroids have no SQL mirror).
+    */
+  def centroidMigration(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      modelOld: IvfModel, modelNew: IvfModel): DataFrame = {
+    val matOld = modelOld.centroids
+    val matNew = modelNew.centroids
+    require(matOld.nonEmpty && matNew.nonEmpty, "empty centroid set")
+    val mapping: Seq[Int] = matNew.toSeq.map { cn =>
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < matOld.length) {
+        var d = 0.0; var j = 0
+        while (j < cn.length) {
+          val t = cn(j) - matOld(i)(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    spread(corpus)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .select(col("id"),
+        graft.functions.VectorExpressions.nearestCentroid(col("q"), matOld)
+          .as("list_old"),
+        graft.functions.VectorExpressions.nearestCentroid(col("q"), matNew)
+          .as("list_new"))
+      .withColumn("__mapped",
+        element_at(typedlit(mapping), col("list_new") + 1))
+      .groupBy(col("list_old").cast("long").as("list_old"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__mapped") =!= col("list_old"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_frac",
+        col("n_moved").cast("double") / col("n_vecs").cast("double"))
+  }
+
   /** All pairs (id_a < id_b) with cosine >= tau. Exact brute force over the
     * pair space — the verification baseline. The 100 TB path is
     * [[lshBuckets]]-blocked candidates or MinHash-style banding; this

@@ -1599,6 +1599,163 @@ object CorpusPack {
                 ELSE CAST(0 AS BIGINT) END AS suspect
             FROM c ORDER BY doc_id"""))
 
+  private val t59 = Q(
+    "t59_blocklist_gate",
+    // lexicon-based content screen (the C4 "bad words" gate made an
+    // operator): per doc, blocked-term occurrences WITH multiplicity,
+    // distinct lexicon terms present, hit density per 1000 tokens (ONE
+    // IEEE division of exact longs), and the gate flag. Pure scan-stage
+    // token arithmetic — no shuffle at all; the lexicon ships in the
+    // expression like t01's marker lists. 'crash' never occurs in the
+    // corpus (exercises the absent-term path)
+    (s, dir) => {
+      val lex = Seq("slow", "dup", "crash")
+      val toks = TextOps.tokens(col("text"))
+      Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => t.isInCollection(lex))).cast("long")
+            .as("hits"),
+          lex.map(t => when(array_contains(toks, t), 1L).otherwise(0L))
+            .reduce(_ + _).as("n_terms"))
+        .withColumn("hits_per_1k",
+          (col("hits") * 1000L).cast("double") /
+            col("n_tok").cast("double"))
+        .withColumn("flagged", col("hits_per_1k") >= 60.0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            h AS (SELECT doc_id,
+                CAST(len(l) AS BIGINT) AS n_tok,
+                CAST(len(list_filter(l,
+                  t -> t IN ('slow', 'dup', 'crash'))) AS BIGINT) AS hits,
+                CAST((CASE WHEN list_contains(l, 'slow') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(l, 'dup') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(l, 'crash') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_terms
+              FROM d)
+            SELECT doc_id, n_tok, hits, n_terms,
+              CAST(hits * 1000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                AS hits_per_1k,
+              CAST(hits * 1000 AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 60.0
+                AS flagged
+            FROM h ORDER BY doc_id"""))
+
+  private val t60 = Q(
+    "t60_chi2_outlier",
+    // per-doc chi-square goodness-of-fit vs the corpus unigram
+    // background (top-16 tokens + tail bucket): the DISTRIBUTION-level
+    // outlier gate that catches keyword stuffing / template debris when
+    // every per-rule gate passes. Zero-observed buckets folded in closed
+    // form (no doc x topK grid); every float term decimal-injected (e33
+    // convention) — hash-exact
+    (s, dir) => Corpus.chi2Outliers(
+        Tables.load(s, dir, "documents"), "doc_id", "text", topK = 16)
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            docs AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok
+              FROM d),
+            tf AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+                unnest(l) AS token
+              FROM d),
+            bg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tf GROUP BY 1),
+            top AS (SELECT token, cnt FROM bg
+              ORDER BY cnt DESC, token LIMIT 16),
+            st AS (SELECT
+                (SELECT CAST(SUM(cnt) AS BIGINT) FROM bg) AS n_total,
+                (SELECT CAST(SUM(cnt) AS BIGINT) FROM top) AS n_top),
+            st2 AS (SELECT n_total, n_top, n_total - n_top AS n_tail
+              FROM st),
+            obs AS (SELECT doc_id, n_tok, t.token, t.cnt,
+                CAST(COUNT(*) AS BIGINT) AS obs
+              FROM tf JOIN top t USING (token) GROUP BY 1, 2, 3, 4),
+            pt AS (SELECT doc_id, obs,
+                CAST(n_tok AS DOUBLE) * cnt / n_total AS e
+              FROM obs CROSS JOIN st2),
+            pa AS (SELECT doc_id,
+                SUM(CAST((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE)
+                  - e) / e - e AS DECIMAL(18,6))) AS s,
+                CAST(SUM(obs) AS BIGINT) AS sum_obs
+              FROM pt GROUP BY 1),
+            fin AS (SELECT dd.doc_id, dd.n_tok,
+                COALESCE(pa.s, CAST(0 AS DECIMAL(18,6)))
+                + CAST(CAST(dd.n_tok AS DOUBLE) * n_top / n_total
+                    AS DECIMAL(18,6))
+                + (CASE WHEN n_tail > 0 AND dd.n_tok > 0 THEN
+                    CAST((CAST(dd.n_tok - COALESCE(sum_obs, 0) AS DOUBLE)
+                        - CAST(dd.n_tok AS DOUBLE) * n_tail / n_total)
+                      * (CAST(dd.n_tok - COALESCE(sum_obs, 0) AS DOUBLE)
+                        - CAST(dd.n_tok AS DOUBLE) * n_tail / n_total)
+                      / (CAST(dd.n_tok AS DOUBLE) * n_tail / n_total)
+                      AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS chi2d
+              FROM docs dd LEFT JOIN pa USING (doc_id) CROSS JOIN st2)
+            SELECT doc_id, n_tok, CAST(chi2d AS DOUBLE) AS chi2,
+              CAST(chi2d AS DOUBLE) >= 32.0 AS flagged
+            FROM fin ORDER BY doc_id"""))
+
+  private val p31 = Q(
+    "p31_sentence_chunks",
+    // sentence-boundary-respecting RAG chunking: greedy first-fit pack
+    // of consecutive sentences into <=24-token chunks (t22 cuts at
+    // fixed offsets mid-sentence; this is the boundary-honest form).
+    // The ASCII corpus has no punctuation, so both engines inject the
+    // same deterministic sentence breaks first (the t13/t58 pattern:
+    // a '.' after token i of doc d iff the first md5 nibble of "d:i"
+    // is 0-2, mean sentence ~5.3 tokens). Pure integer fold, replayed
+    // by the oracle as a recursive CTE — hash-exact
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val dotted = transform(toks, (t, i) =>
+        concat(t, when(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), i.cast("string"))), 1, 1)
+          .isin("0", "1", "2"), lit(".")).otherwise(lit(""))))
+      Corpus.sentenceChunks(
+        Tables.loadParallel(s, dir, "documents")
+          .select(col("doc_id"), concat_ws(" ", dotted).as("text")),
+        "doc_id", "text", budgetTokens = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH RECURSIVE d AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents),
+            tk AS (SELECT doc_id, unnest(l) AS tok,
+                CAST(unnest(range(len(l))) AS BIGINT) AS i
+              FROM d),
+            bd AS (SELECT doc_id, i,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(i AS VARCHAR)), 1, 1)
+                  IN ('0', '1', '2') THEN 1 ELSE 0 END AS brk
+              FROM tk),
+            sg AS (SELECT doc_id, i,
+                CAST(COALESCE(SUM(brk) OVER (PARTITION BY doc_id
+                  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS sent
+              FROM bd),
+            sc AS (SELECT doc_id, sent, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sg GROUP BY 1, 2),
+            f AS (SELECT doc_id, sent, n, CAST(0 AS BIGINT) AS chunk,
+                n AS used
+              FROM sc WHERE sent = 0
+              UNION ALL
+              SELECT s.doc_id, s.sent, s.n,
+                CASE WHEN f.used + s.n > 24 THEN f.chunk + 1
+                  ELSE f.chunk END,
+                CASE WHEN f.used + s.n > 24 THEN s.n
+                  ELSE f.used + s.n END
+              FROM f JOIN sc s ON s.doc_id = f.doc_id
+                AND s.sent = f.sent + 1)
+            SELECT doc_id, chunk AS chunk_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sents,
+              CAST(SUM(n) AS BIGINT) AS n_tok,
+              MIN(sent) AS sent_lo, MAX(sent) AS sent_hi
+            FROM f GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""))
+
   private val t20 = Q(
     "t20_bigram_surprisal",
     // conditional bigram-LM surprisal (the KenLM rung above t16): whole
@@ -3956,8 +4113,8 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)
 }

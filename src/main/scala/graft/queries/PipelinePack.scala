@@ -52,6 +52,77 @@ object PipelinePack {
             WHERE c * 2 >= (sa.n + sb.n - c) * 1
             ORDER BY 1, 2"""))
 
+  private val d39 = Q(
+    "d39_threshold_sweep",
+    // dedup threshold sensitivity: pair count, affected-doc count and
+    // affected fraction at each candidate Jaccard cutoff — the knob
+    // table a release pins its dedup threshold from BEFORE committing
+    // a corpus to it (s22's tuning-curve idea applied to the dedup
+    // family). One exact pair pass at the LOOSEST tau; the sweep is a
+    // 6-row broadcast — hash-exact
+    (s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
+        "text", "doc_id", tauNum = 1, tauDen = 4)
+      val sw = broadcast(
+        Seq(0.25, 0.4, 0.5, 0.6, 0.75, 0.9).toDF("tau"))
+      val hit = pairs.crossJoin(sw).filter(col("jaccard") >= col("tau"))
+      val nTotal = broadcast(Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs")))
+      val perTau = hit.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+      val aff = hit
+        .select(col("tau"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .distinct()
+        .groupBy("tau").agg(count(lit(1)).as("n_docs_affected"))
+      sw.join(perTau, Seq("tau"), "left").join(aff, Seq("tau"), "left")
+        .crossJoin(nTotal)
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_affected"), lit(0L))
+            .as("n_docs_affected"),
+          (coalesce(col("n_docs_affected"), lit(0L)).cast("double") /
+            col("n_docs").cast("double")).as("affected_frac"))
+        .orderBy("tau")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
+              FROM documents),
+            raw AS (SELECT doc_id, unnest(l) w, generate_subscripts(l, 1) i
+              FROM t),
+            tok AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) rn
+              FROM raw WHERE w <> ''),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w g
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+            sz AS (SELECT doc_id, COUNT(*) n FROM big GROUP BY 1),
+            com AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c
+              FROM big a JOIN big b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pr AS (SELECT ia, ib,
+                CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+              FROM com JOIN sz sa ON ia = sa.doc_id
+                JOIN sz sb ON ib = sb.doc_id
+              WHERE c * 4 >= (sa.n + sb.n - c) * 1),
+            sw AS (SELECT unnest([0.25E0, 0.4E0, 0.5E0, 0.6E0,
+                0.75E0, 0.9E0]) AS tau),
+            hit AS (SELECT tau, ia, ib FROM pr JOIN sw ON j >= tau),
+            np AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              FROM hit GROUP BY 1),
+            af AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_aff
+              FROM (SELECT DISTINCT tau, d FROM
+                (SELECT tau, unnest([ia, ib]) AS d FROM hit))
+              GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents)
+            SELECT sw.tau,
+              COALESCE(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+              COALESCE(n_aff, CAST(0 AS BIGINT)) AS n_docs_affected,
+              CAST(COALESCE(n_aff, CAST(0 AS BIGINT)) AS DOUBLE)
+                / CAST(n_docs AS DOUBLE) AS affected_frac
+            FROM sw LEFT JOIN np USING (tau) LEFT JOIN af USING (tau)
+            CROSS JOIN nd ORDER BY tau"""))
+
   private val d03 = Q(
     "d03_dedup_minhash",
     (s, dir) => Dedup.minHashLsh(Tables.load(s, dir, "documents"),
@@ -264,6 +335,30 @@ object PipelinePack {
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         nCentroids = 32)
       .orderBy("list"),
+    None)
+
+  private val s24 = Q(
+    "s24_centroid_migration",
+    // re-index migration audit: per old IVF list, the fraction of its
+    // vectors a retrain on the grown corpus would move — the number
+    // that decides whether a release reuses the standing index or pays
+    // the rebuild. Old model trains on the md5 release-half (s21's
+    // split), new on the full corpus; both assignments are fused
+    // argmins in one scan pass. Rows-only (trained centroids);
+    // VectorOpsSpec pins conservation, [0,1] fractions, and zero
+    // migration under identical models
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val half = emb.filter(
+        substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      val mOld = VectorOps.trainIvfModel(half, "vec_id", "embedding",
+        nCentroids = 16)
+      val mNew = VectorOps.trainIvfModel(emb, "vec_id", "embedding",
+        nCentroids = 16)
+      VectorOps.centroidMigration(emb, "vec_id", "embedding", mOld, mNew)
+        .orderBy("list_old")
+    },
     None)
 
   private val s13 = Q(
@@ -2585,6 +2680,228 @@ object PipelinePack {
               n_all - d AS n_exit_censored, s AS survival
             FROM km WHERE d > 0 ORDER BY t_days"""))
 
+  private val e36 = Q(
+    "e36_bh_fdr",
+    // Benjamini-Hochberg FDR across the e23 experiment portfolio: the
+    // multiple-testing page a dashboard needs the moment it reads more
+    // than one test at once. p-values from the A&S 7.1.26 erf polynomial
+    // (large-sample normal, rounded to 7 dp — the one exp() in the tree
+    // is the only non-correctly-rounded op); q-values and rejects are
+    // pure IEEE arithmetic over those rounded p's — hash-exact
+    (s, dir) => {
+      val h = md5(col("user_id").cast("string"))
+      val units = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          when(substring(h, 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0L)
+            .otherwise(1L).as("variant"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "user_id", "variant")
+        .agg(sum("cents").as("m0"))
+        .withColumn("metric",
+          when(col("event_type") === "purchase" &&
+            col("variant") === 1L,
+            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+      val tests = Events.welchT(units, "event_type", "variant", "metric")
+        .select(col("event_type"),
+          Events.normalTwoSidedP(col("t_stat")).as("p_value"))
+      Events.bhFdr(tests, "event_type", "p_value", alpha = 0.05)
+        .select(col("event_type"), col("p_value"),
+          col("p_rank").cast("long").as("p_rank"),
+          col("q_value"), col("reject"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+                  THEN 0 ELSE 1 END AS variant,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            um AS (SELECT event_type, user_id, variant,
+                CAST(SUM(cents) AS BIGINT) AS m0
+              FROM ev GROUP BY 1, 2, 3),
+            un AS (SELECT event_type, user_id, variant,
+                CASE WHEN event_type = 'purchase' AND variant = 1
+                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+              FROM um),
+            arm AS (SELECT event_type, variant, COUNT(*) AS n,
+                CAST(SUM(metric) AS BIGINT) AS s,
+                CAST(SUM(metric * metric) AS BIGINT) AS q
+              FROM un GROUP BY 1, 2),
+            armv AS (SELECT event_type, variant, n,
+                CAST(s AS DOUBLE) / n AS m,
+                CASE WHEN n < 2 THEN NULL
+                  ELSE (CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1) END AS v
+              FROM arm),
+            a0 AS (SELECT event_type, n AS n_0, m AS mean_0, v AS var_0
+              FROM armv WHERE variant = 0),
+            a1 AS (SELECT event_type, n AS n_1, m AS mean_1, v AS var_1
+              FROM armv WHERE variant = 1),
+            fj AS (SELECT event_type,
+                var_0 / n_0 + var_1 / n_1 AS se2, mean_0, mean_1
+              FROM a0 FULL JOIN a1 USING (event_type)),
+            ts AS (SELECT event_type,
+                CASE WHEN se2 IS NULL OR se2 <= 0 THEN NULL
+                  ELSE (mean_0 - mean_1) / sqrt(se2) END AS t_stat
+              FROM fj),
+            px AS (SELECT event_type,
+                abs(t_stat) * 7.071067811865476E-1 AS x FROM ts),
+            pe AS (SELECT event_type,
+                1.0E0 / (1.0E0 + 3.275911E-1 * x) AS s, x FROM px),
+            pr AS (SELECT event_type,
+                round(((((1.061405429E0 * s - 1.453152027E0) * s
+                  + 1.421413741E0) * s - 2.84496736E-1) * s
+                  + 2.54829592E-1) * s * exp(-(x * x)), 7) AS p_value
+              FROM pe),
+            mm AS (SELECT COUNT(p_value) AS m FROM pr),
+            rk AS (SELECT event_type, p_value,
+                CAST(row_number() OVER (ORDER BY p_value IS NULL,
+                  p_value, event_type) AS BIGINT) AS p_rank
+              FROM pr),
+            qv AS (SELECT event_type, p_value, p_rank,
+                CASE WHEN p_value IS NULL THEN NULL
+                  ELSE least(1.0E0, min(p_value * m / p_rank)
+                    OVER (ORDER BY p_rank DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  END AS q_value
+              FROM rk CROSS JOIN mm)
+            SELECT event_type, p_value, p_rank, q_value,
+              CASE WHEN p_value IS NULL THEN NULL
+                ELSE q_value <= 0.05 END AS reject
+            FROM qv ORDER BY event_type"""))
+
+  private val e37 = Q(
+    "e37_anova_f",
+    // one-way ANOVA omnibus F over a FOUR-arm experiment (k2 pairwise
+    // t-tests inflate false positives — the multi-arm decision e23
+    // cannot make): arms by md5 nibble quartile, metric = user cents
+    // with a planted +10% lift on purchase's arm 3. Exact long moments;
+    // per-arm s^2/n decimal-injected; one fixed IEEE tree — hash-exact
+    (s, dir) => {
+      val nib = substring(md5(col("user_id").cast("string")), 1, 1)
+      val units = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          when(nib.isin("0", "1", "2", "3"), 0L)
+            .when(nib.isin("4", "5", "6", "7"), 1L)
+            .when(nib.isin("8", "9", "a", "b"), 2L)
+            .otherwise(3L).as("variant"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "user_id", "variant")
+        .agg(sum("cents").as("m0"))
+        .withColumn("metric",
+          when(col("event_type") === "purchase" &&
+            col("variant") === 3L,
+            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+      Events.anovaF(units, "event_type", "variant", "metric")
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3') THEN 0
+                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                    IN ('4','5','6','7') THEN 1
+                  WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                    IN ('8','9','a','b') THEN 2
+                  ELSE 3 END AS variant,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            um AS (SELECT event_type, user_id, variant,
+                CAST(SUM(cents) AS BIGINT) AS m0
+              FROM ev GROUP BY 1, 2, 3),
+            un AS (SELECT event_type, user_id, variant,
+                CASE WHEN event_type = 'purchase' AND variant = 3
+                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+              FROM um),
+            arm AS (SELECT event_type, variant,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(metric) AS BIGINT) AS s,
+                CAST(SUM(metric * metric) AS BIGINT) AS q
+              FROM un GROUP BY 1, 2),
+            arm2 AS (SELECT event_type, n, s, q,
+                CAST((s * s) // n AS BIGINT) AS da,
+                CAST(CAST((s * s) % n AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS DECIMAL(18,6)) AS fa
+              FROM arm),
+            per AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS k_arms,
+                CAST(SUM(n) AS BIGINT) AS n_units,
+                CAST(SUM(s) AS BIGINT) AS ss,
+                CAST(SUM(q) AS BIGINT) AS qq,
+                CAST(SUM(da) AS BIGINT) AS ai,
+                SUM(fa) AS af
+              FROM arm2 GROUP BY 1),
+            fin AS (SELECT event_type, k_arms, n_units,
+                (CAST(ai AS DOUBLE) + CAST(af AS DOUBLE))
+                  - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n_units
+                  AS ssb,
+                CAST(qq AS DOUBLE)
+                  - (CAST(ai AS DOUBLE) + CAST(af AS DOUBLE)) AS ssw
+              FROM per)
+            SELECT event_type, k_arms, n_units, ssb, ssw,
+              CASE WHEN k_arms >= 2 AND n_units > k_arms AND ssw > 0
+                THEN (ssb / (k_arms - 1)) / (ssw / (n_units - k_arms))
+                END AS f_stat
+            FROM fin ORDER BY event_type"""))
+
+  private val e38 = Q(
+    "e38_markov_absorption",
+    // absorbing-Markov funnel attribution: P(reach purchase within 6
+    // transitions | current state) under the observed transition
+    // kernel with purchase absorbing — scores EVERY entry behavior by
+    // eventual-conversion mass where e09 counts one fixed path. The
+    // value iteration runs in integer micro-units with truncating
+    // division (no float accumulates anywhere), replayed by the
+    // oracle as unrolled integer CTEs — hash-exact
+    (s, dir) => Events.markovAbsorption(
+        Tables.load(s, dir, "events"), "purchase", steps = 6)
+      .orderBy("event_type"),
+    Some {
+      val base = """WITH tr AS (SELECT prev_type, next_type,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT event_type AS next_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_type
+                    FROM events)
+              WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            live AS (SELECT * FROM tr WHERE prev_type <> 'purchase'),
+            tot AS (SELECT prev_type AS state,
+                CAST(SUM(c) AS BIGINT) AS t
+              FROM live GROUP BY 1),
+            states AS (SELECT DISTINCT event_type AS state FROM events),
+            v0 AS (SELECT state,
+                CASE WHEN state = 'purchase'
+                  THEN CAST(1000000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS val
+              FROM states)"""
+      val steps = (1 to 6).map { k =>
+        s"""
+            s$k AS (SELECT l.prev_type AS state,
+                CAST(SUM(l.c * v.val) AS BIGINT) AS num
+              FROM live l JOIN v${k - 1} v ON v.state = l.next_type
+              GROUP BY 1),
+            v$k AS (SELECT s.state,
+                CASE WHEN s.state = 'purchase'
+                    THEN CAST(1000000000 AS BIGINT)
+                  WHEN tt.t IS NULL OR tt.t = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(COALESCE(k$k.num, 0) // tt.t AS BIGINT)
+                  END AS val
+              FROM states s
+              LEFT JOIN tot tt ON tt.state = s.state
+              LEFT JOIN s$k k$k ON k$k.state = s.state)"""
+      }.mkString(",", ",", "")
+      base + steps + """
+            SELECT s.state AS event_type,
+              COALESCE(tt.t, CAST(0 AS BIGINT)) AS n_out,
+              v6.val AS v_micro,
+              CAST(v6.val AS DOUBLE) / 1000000000.0E0 AS p_absorb
+            FROM states s
+            LEFT JOIN tot tt ON tt.state = s.state
+            JOIN v6 ON v6.state = s.state
+            ORDER BY event_type"""
+    })
+
   private val e11 = Q(
     "e11_hourly_anomaly",
     // volume-anomaly monitor: z-score of each hour's count within its
@@ -2845,8 +3162,8 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
     m01, m02, m03, m04, m05)
 }

@@ -108,7 +108,10 @@ object ScaleSmoke {
     // frontiers — candidate-class like its pair generator
     "d37_transitive_contamination",
     // d24 is the d08 chain + two label-cardinality rollups
-    "d24_cluster_sizes")
+    "d24_cluster_sizes",
+    // d39 is ONE d02 pair pass at tau=1/4 (the d26 candidate class)
+    // plus a 6-row broadcast sweep and two tau-keyed rollups
+    "d39_threshold_sweep")
   // d21's exact baseline is train × eval pair work; the smoke's eval
   // slice scales WITH the corpus, so it is a declared baseline here
   // (the production eval side is a fixed-size suite — linear in train)
@@ -131,7 +134,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 37, s"expected 37 d-tier queries, got $dTier")
+    require(dTier.size == 38, s"expected 38 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -320,7 +323,17 @@ object ScaleSmoke {
         // s22 = one brute pass + train + |sweep| probe runs, each
         // linear in corpus rows (pinned probe set); s23 = one fused
         // assignment pass + a list-keyed rollup
-        "s22_ivf_tuning", "s23_ivf_balance")
+        "s22_ivf_tuning", "s23_ivf_balance",
+        // r12b additions, all linear in corpus rows: t59 = pure
+        // scan-stage token arithmetic (no shuffle at all); t60 = one
+        // exploded background rollup + TakeOrdered top-K + a K-row
+        // broadcast semi-join + one doc-keyed hash-agg; p31 = a
+        // scan-stage per-doc fold + one (doc, chunk) rollup; s24 = two
+        // fused argmin assignments in one scan pass + a list-keyed
+        // rollup (e36's events table is outside this corpus's schema —
+        // and its windows run over #experiments rows by construction)
+        "t59_blocklist_gate", "t60_chi2_outlier", "p31_sentence_chunks",
+        "s24_centroid_migration")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

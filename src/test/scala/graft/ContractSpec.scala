@@ -103,7 +103,11 @@ class ContractSpec extends AnyFunSuite {
       "s22_ivf_tuning",
       // list-balance audit rides the same trained centroids; RecallSpec
       // gates corpus conservation, sane imbalance, finite residuals
-      "s23_ivf_balance")
+      "s23_ivf_balance",
+      // re-index migration audit rides two trained centroid sets;
+      // VectorOpsSpec gates conservation, [0,1] fractions, and zero
+      // migration under identical models
+      "s24_centroid_migration")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -881,6 +881,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p) // the s01 top-k rank
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("t59: blocklist gate is pure scan-stage arithmetic — no " +
+    "hash exchange, no join, no aggregation; only the deterministic " +
+    "final sort moves rows") {
+    val p = plan("t59_blocklist_gate")
+    // formatted mode prints partitioning on the Exchange node's
+    // Arguments line, so match the partitioning function itself
+    assert(!p.contains("hashpartitioning("), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("t60: chi2 outliers never build a doc x topK grid — broadcast " +
+    "joins only for the K-row/1-row sides, no cartesian, no window") {
+    val p = plan("t60_chi2_outlier")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p31: the sentence-pack fold is scan-stage; exactly ONE hash " +
+    "exchange (the (doc, chunk) rollup) moves fixed-width rows") {
+    val p = plan("p31_sentence_chunks")
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("s24: migration audit is two fused argmins in one scan pass — " +
+    "no join of any kind, one list-keyed rollup") {
+    val p = plan("s24_centroid_migration")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("graft_nearest_centroid"), p)
+  }
 }
 
 

@@ -1007,4 +1007,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, Some(2.0 / 3))))
     assert(got(4L) == ((0L, 0L, None)))
   }
+
+  test("chi2Outliers: hand-computed statistic incl. the closed-form " +
+    "zero-observed fold, and the stuffed doc flags while balanced docs " +
+    "pass") {
+    // background: a=3, b=2, c=3 -> top-2 by (cnt desc, token asc) =
+    // {a:3, c:3}, N=8, sum_top=6, tail=2
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val got = Corpus.chi2Outliers(docs, "doc_id", "text", topK = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    // doc1 (a a b): buckets a(exp 1.125, obs 2), c(exp 1.125, obs 0),
+    //   tail(exp .75, obs 1) -> 0.68056 + 1.125 + 0.08333 = 1.88889
+    // doc2 (a b):   a(.75, 1), c(.75, 0), tail(.5, 1) -> 1.33333
+    // doc3 (c c c): a(1.125, 0), c(1.125, 3), tail(.75, 0) -> 5.0
+    val eps = 1e-4
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2) == Seq(3L, 2L, 3L))
+    assert(math.abs(got(0)._3 - (0.875 * 0.875 / 1.125 + 1.125 +
+      0.25 * 0.25 / 0.75)) < eps)
+    assert(math.abs(got(1)._3 - (0.25 * 0.25 / 0.75 + 0.75 +
+      0.5 * 0.5 / 0.5)) < eps)
+    assert(math.abs(got(2)._3 - 5.0) < eps)
+    // flag line = 2*topK = 4: only the stuffed doc3 crosses it
+    assert(got.map(_._4) == Seq(false, false, true))
+  }
+
+  test("sentenceChunks: greedy boundary-respecting pack — a chunk " +
+    "closes when the next sentence would overflow, an overlong " +
+    "sentence gets its own oversize chunk") {
+    val docs = Seq(
+      (1L, "a b. c d e. f g. h."),        // 2,3,2,1 tokens
+      (2L, "x. a b c d e f. y.")          // 1,6,1 — middle overflows
+    ).toDF("doc_id", "text")
+    def run(budget: Int) =
+      Corpus.sentenceChunks(docs, "doc_id", "text", budget)
+        .orderBy("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // budget 5: doc1 packs (s0,s1)=5 tok then (s2,s3)=3;
+    // doc2: s0 alone can't host s1 (1+6>5) -> s1 is its own OVERSIZE
+    // chunk (6 > budget), s2 starts chunk 2
+    assert(run(5) == Seq(
+      (1L, 0L, 2L, 5L, 0L, 1L), (1L, 1L, 2L, 3L, 2L, 3L),
+      (2L, 0L, 1L, 1L, 0L, 0L), (2L, 1L, 1L, 6L, 1L, 1L),
+      (2L, 2L, 1L, 1L, 2L, 2L)))
+    // a huge budget packs each doc into one chunk
+    assert(run(100) == Seq(
+      (1L, 0L, 4L, 8L, 0L, 3L), (2L, 0L, 3L, 8L, 0L, 2L)))
+  }
 }

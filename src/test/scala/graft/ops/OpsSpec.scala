@@ -875,6 +875,41 @@ class VectorOpsSpec extends SparkSpec {
       s"planted shift: ${shifted(1).getDouble(5)}")
   }
 
+  test("centroidMigration: identity and RELABELED models read zero " +
+    "migration (the new->old correspondence absorbs list renumbering), " +
+    "a collapsed retrain moves exactly the orphaned list, counts " +
+    "conserve the corpus") {
+    val data = (Seq(
+      (10L, Array(1.0f, 0.01f)), (11L, Array(0.99f, 0.02f)),
+      (12L, Array(1.0f, -0.01f)),
+      (20L, Array(0.01f, 1.0f)), (21L, Array(-0.02f, 0.99f))
+    )).toDF("vec_id", "embedding")
+    val mOld = VectorOps.IvfModel(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    def rows(m2: VectorOps.IvfModel) =
+      VectorOps.centroidMigration(data, "vec_id", "embedding", mOld, m2)
+        .orderBy("list_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    // identical model: zero movement everywhere
+    assert(rows(mOld) == Seq((0L, 3L, 0L, 0.0), (1L, 2L, 0L, 0.0)))
+    // same centroids, SWAPPED list ids: still zero movement — migration
+    // is about assignment geometry, not label numbering
+    val swapped = VectorOps.IvfModel(
+      Array(Array(0.0, 1.0), Array(1.0, 0.0)))
+    assert(rows(swapped) == Seq((0L, 3L, 0L, 0.0), (1L, 2L, 0L, 0.0)))
+    // retrain collapsed to ONE centroid at x: every old-list-1 vector
+    // maps to old list 0 and counts as moved; old list 0 is unmoved
+    val collapsed = VectorOps.IvfModel(Array(Array(1.0, 0.0)))
+    assert(rows(collapsed) == Seq((0L, 3L, 0L, 0.0), (1L, 2L, 2L, 1.0)))
+    // conservation at trained models too (end-to-end shape)
+    val trained = VectorOps.trainIvfModel(data, "vec_id", "embedding",
+      nCentroids = 2)
+    val t = rows(trained)
+    assert(t.map(_._2).sum == 5L, "counts conserve the corpus")
+    assert(t.forall(r => r._4 >= 0.0 && r._4 <= 1.0), "fractions in [0,1]")
+  }
+
   test("cosinePairs finds only the near-duplicate pair at tau=0.9") {
     val pairs = VectorOps.cosinePairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -1666,6 +1701,104 @@ class EventsSpec extends SparkSpec {
       Events.rangeBucketJoin(pts.withColumnRenamed("p", "lo"), "lo",
         ranges, "lo", "hi", 4L)
     }
+  }
+
+  test("anovaF: hand-computed F over two separated arms; single-arm " +
+    "and zero-within-variance experiments read NULL") {
+    val units = Seq(
+      ("x", 0L, 1L), ("x", 0L, 2L), ("x", 1L, 4L), ("x", 1L, 6L),
+      ("y", 0L, 5L), ("y", 0L, 9L),
+      ("z", 0L, 5L), ("z", 0L, 5L), ("z", 1L, 7L), ("z", 1L, 7L)
+    ).toDF("exp", "variant", "metric")
+    val got = Events.anovaF(units, "exp", "variant", "metric")
+      .orderBy("exp").collect()
+    // x: A = 9/2 + 100/2 = 54.5, S=13, Q=57, N=4, k=2
+    //    SSB = 54.5 - 169/4 = 12.25; SSW = 57 - 54.5 = 2.5
+    //    F = (12.25/1)/(2.5/2) = 9.8
+    val x = got(0)
+    assert(x.getAs[Long]("k_arms") == 2L && x.getAs[Long]("n_units") == 4L)
+    assert(math.abs(x.getAs[Double]("ssb") - 12.25) < 1e-9)
+    assert(math.abs(x.getAs[Double]("ssw") - 2.5) < 1e-9)
+    assert(math.abs(x.getAs[Double]("f_stat") - 9.8) < 1e-9)
+    // y: one arm -> no between-groups df -> NULL
+    assert(got(1).getAs[Long]("k_arms") == 1L && got(1).isNullAt(5))
+    // z: arms internally constant -> SSW = 0 -> NULL (never +Inf)
+    assert(math.abs(got(2).getAs[Double]("ssw")) < 1e-9 &&
+      got(2).isNullAt(5))
+  }
+
+  test("markovAbsorption: hand-iterated 3-state chain — integer " +
+    "micro-unit value iteration with truncating division, absorbing " +
+    "target holds mass, no-outgoing states read zero") {
+    // transitions: A->B x2, A->T x1 (t_A=3); B->T x1, B->B x1 (t_B=2)
+    val ev = Seq(
+      (0L, ts(0), 1L, "A", 0.0), (1L, ts(10), 1L, "B", 0.0),
+      (2L, ts(0), 2L, "A", 0.0), (3L, ts(10), 2L, "B", 0.0),
+      (4L, ts(0), 3L, "A", 0.0), (5L, ts(10), 3L, "T", 0.0),
+      (6L, ts(0), 4L, "B", 0.0), (7L, ts(10), 4L, "T", 0.0),
+      (8L, ts(0), 5L, "B", 0.0), (9L, ts(10), 5L, "B", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.markovAbsorption(ev, "T", steps = 2)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // V1: A = (2*0 + 1e9)/3 = 333333333, B = (1e9 + 0)/2 = 500000000
+    // V2: A = (2*5e8 + 1e9)/3 = 666666666, B = (1e9 + 5e8)/2 = 75e7
+    assert(got == Seq(
+      ("A", 3L, 666666666L, 666666666L.toDouble / 1e9),
+      ("B", 2L, 750000000L, 0.75),
+      ("T", 0L, 1000000000L, 1.0)), s"got $got")
+    // one step only: the truncation is per-iteration, not compounded
+    val one = Events.markovAbsorption(ev, "T", steps = 1)
+      .orderBy("event_type").collect().map(_.getLong(2)).toSeq
+    assert(one == Seq(333333333L, 500000000L, 1000000000L))
+  }
+
+  test("normalTwoSidedP: p(0)=1, the 1.96 critical point reads ~0.05, " +
+    "symmetric in t, NULL t yields NULL p") {
+    val r = Seq((1L, Some(0.0)), (2L, Some(1.959963985)),
+      (3L, Some(-1.959963985)), (4L, None: Option[Double]))
+      .toDF("id", "t")
+      .select(col("id"), Events.normalTwoSidedP(col("t")).as("p"))
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) == 1.0)
+    assert(math.abs(r(1).getDouble(1) - 0.05) < 1e-4)
+    assert(r(1).getDouble(1) == r(2).getDouble(1), "two-sided symmetry")
+    assert(r(3).isNullAt(1))
+  }
+
+  test("bhFdr: hand-computed step-up table — the running min repairs " +
+    "non-monotone raw q's, NULLs are excluded from m and ranked last " +
+    "with NULL q/reject") {
+    // classic BH shape: raw q's (.03, .06, .045) are non-monotone; the
+    // step-up min pulls b down to c's .045
+    val tests = Seq(("a", Some(0.01)), ("b", Some(0.04)),
+      ("c", Some(0.045)), ("d", None: Option[Double]))
+      .toDF("exp", "p")
+    val got = Events.bhFdr(tests, "exp", "p", alpha = 0.05)
+      .orderBy("exp").collect()
+      .map(r => (r.getString(0), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSeq
+    val qc = 0.045 * 3 / 3
+    val qb = math.min(0.04 * 3 / 2, qc)
+    val qa = math.min(0.01 * 3 / 1, qb)
+    assert(got == Seq(
+      ("a", 1, Some(qa), Some(true)),
+      ("b", 2, Some(qb), Some(true)),
+      ("c", 3, Some(qc), Some(true)),
+      ("d", 4, None, None)), s"got $got")
+    // high-p regime: a raw q above 1 (0.9·2/1 = 1.8) resolves through
+    // the running min to the last rank's p·m/m = p, which is ≤ 1 by
+    // construction — q never exceeds 1
+    val one = Events.bhFdr(Seq(("x", 0.9)).toDF("exp", "p"),
+      "exp", "p", alpha = 0.05).collect().head
+    assert(one.getDouble(3) == 0.9 && !one.getBoolean(4))
+    val big = Events.bhFdr(Seq(("x", 0.9), ("y", 0.95)).toDF("exp", "p"),
+      "exp", "p", alpha = 0.05).orderBy("exp").collect()
+    assert(big(0).getDouble(3) == math.min(0.9 * 2 / 1, 0.95 * 2 / 2) &&
+      big(1).getDouble(3) == math.min(1.0, 0.95 * 2 / 2) &&
+      big(0).getDouble(3) <= 1.0)
   }
 }
 
