@@ -1780,6 +1780,40 @@ object Corpus {
         col("n_docs") * col("max_tok") - col("sum_tok"))
   }
 
+  /** Batch-size sweep over [[lengthBatches]]' padding-waste account —
+    * the knob table a batch-shape tuning loop reads BEFORE pinning its
+    * dataloader batch size (the d39/s22 measured-knob discipline
+    * applied to batching): for each candidate size, the number of
+    * batches, total pad tokens a fixed-shape tensor would waste, total
+    * real tokens, and the waste fraction `pad / (pad + real)`.
+    *
+    * ONE ranked pass (the same no-global-window [[contiguousIdsBy]]
+    * rank [[lengthBatches]] uses) serves every sweep point: the rank
+    * explodes by the |sizes|-row sweep, and two bounded rollups do the
+    * rest. All integer arithmetic + one IEEE division per sweep row.
+    */
+  def batchSizeSweep(df: DataFrame, idCol: String, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), s"bad sizes: $sizes")
+    val t = df.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("__neg", -col("n_tok"))
+    contiguousIdsBy(t, Seq("__neg", idCol), "__pos")
+      .select(col("n_tok"), col("__pos"),
+        explode(array(sizes.map(s => lit(s.toLong)): _*)).as("batch_size"))
+      .withColumn("__bid", expr("__pos div batch_size"))
+      .groupBy("batch_size", "__bid")
+      .agg(count(lit(1)).as("__nd"), max("n_tok").as("__mx"),
+        sum("n_tok").as("__sm"))
+      .groupBy("batch_size")
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("__nd") * col("__mx") - col("__sm")).as("total_padding"),
+        sum("__sm").as("total_tok"))
+      .withColumn("waste_frac",
+        col("total_padding").cast("double") /
+          (col("total_padding") + col("total_tok")).cast("double"))
+  }
+
   /** Exclusive prefix sum of `weightCol` in the lexicographic order of
     * `orderCols`: row i gets the sum of all earlier rows' weights.
     * [[contiguousIdsBy]] generalized from counts to weights, same scale

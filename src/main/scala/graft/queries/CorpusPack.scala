@@ -2002,6 +2002,41 @@ object CorpusPack {
               COUNT(*) * MAX(n_tok) - CAST(SUM(n_tok) AS BIGINT) AS padding
             FROM pos GROUP BY 1 ORDER BY 1"""))
 
+  private val p32 = Q(
+    "p32_batch_size_sweep",
+    // batch-size knob table: padding waste / batch counts at each
+    // candidate dataloader batch size from ONE descending-length
+    // ranked pass (the d39/s22 measured-knob discipline applied to
+    // p23's batching audit). Integer arithmetic + one IEEE division
+    // per sweep row — hash-exact
+    (s, dir) => Corpus.batchSizeSweep(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        sizes = Seq(8, 16, 32, 64, 128))
+      .orderBy("batch_size"),
+    Some("""WITH t AS (SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS n_tok
+              FROM documents),
+            pos AS (SELECT n_tok,
+                ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS p
+              FROM t),
+            sw AS (SELECT CAST(unnest([8, 16, 32, 64, 128]) AS BIGINT)
+                AS batch_size),
+            b AS (SELECT batch_size, p // batch_size AS bid,
+                CAST(COUNT(*) AS BIGINT) AS nd,
+                CAST(MAX(n_tok) AS BIGINT) AS mx,
+                CAST(SUM(n_tok) AS BIGINT) AS sm
+              FROM pos CROSS JOIN sw GROUP BY 1, 2),
+            f AS (SELECT batch_size,
+                CAST(COUNT(*) AS BIGINT) AS n_batches,
+                CAST(SUM(nd * mx - sm) AS BIGINT) AS total_padding,
+                CAST(SUM(sm) AS BIGINT) AS total_tok
+              FROM b GROUP BY 1)
+            SELECT batch_size, n_batches, total_padding, total_tok,
+              CAST(total_padding AS DOUBLE)
+                / CAST(total_padding + total_tok AS DOUBLE) AS waste_frac
+            FROM f ORDER BY batch_size"""))
+
   private val p22 = Q(
     "p22_repeat_cap_mix",
     // data-constrained repeat-capped mixing (Muennighoff et al. 2023):
@@ -4114,7 +4149,7 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)
 }

@@ -333,7 +333,9 @@ object ScaleSmoke {
         // rollup (e36's events table is outside this corpus's schema —
         // and its windows run over #experiments rows by construction)
         "t59_blocklist_gate", "t60_chi2_outlier", "p31_sentence_chunks",
-        "s24_centroid_migration")
+        // p32 = ONE p13-class ranked pass + a |sweep|-bounded explode
+        // + two bounded rollups
+        "s24_centroid_migration", "p32_batch_size_sweep")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),
