@@ -1592,16 +1592,19 @@ object Events {
     require(steps >= 1 && steps <= 16, s"steps out of range: $steps")
     val Unit9 = 1000000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val trans = events
+    // null-prev rows (each user's FIRST event) stay in the rollup:
+    // every event is a next exactly once, so the rollup's next column
+    // carries the complete state set — one pass serves transitions AND
+    // states, no second corpus scan
+    val rollup = events
       .select(col("event_type").as("next_type"),
         lag(col("event_type"), 1).over(byUser).as("prev_type"))
-      .filter(col("prev_type").isNotNull)
       .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("c"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val states = events.select(col("event_type")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2)))
+    val states = rollup.map(_._2).distinct.sorted
+    val trans = rollup.collect { case (Some(p), n, c) => (p, n, c) }
     val live = trans.filter(_._1 != targetType) // absorbing target
     val outTotal: Map[String, Long] =
       live.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
@@ -1676,10 +1679,14 @@ object Events {
         sum("__da").as("__AI"), sum("__fa").as("__AF"))
       .withColumn("__a",
         col("__AI").cast("double") + col("__AF").cast("double"))
+      // SSB >= 0 by Cauchy–Schwarz, but the subtraction of two nearly
+      // equal ~1e16 doubles can cancel below their ulp and read
+      // negative — clamp so no release card ever prints F < 0
       .withColumn("ssb",
-        col("__a") -
-          col("__S").cast("double") * col("__S").cast("double") /
-            col("n_units"))
+        greatest(lit(0.0),
+          col("__a") -
+            col("__S").cast("double") * col("__S").cast("double") /
+              col("n_units")))
       .withColumn("ssw",
         col("__Q").cast("double") - col("__a"))
       .withColumn("f_stat",

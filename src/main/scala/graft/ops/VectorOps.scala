@@ -524,6 +524,12 @@ object VectorOps {
     val matOld = modelOld.centroids
     val matNew = modelNew.centroids
     require(matOld.nonEmpty && matNew.nonEmpty, "empty centroid set")
+    // an embedder dim change is exactly what this audit watches for —
+    // fail loudly rather than index out of bounds / silently compare
+    // truncated prefixes
+    require((matOld ++ matNew).map(_.length).distinct.size == 1,
+      s"centroid dimension mismatch: old=${matOld.head.length} " +
+        s"new=${matNew.head.length}")
     val mapping: Seq[Int] = matNew.toSeq.map { cn =>
       var best = 0; var bestD = Double.MaxValue
       var i = 0

@@ -1618,10 +1618,15 @@ object CorpusPack {
             .as("hits"),
           lex.map(t => when(array_contains(toks, t), 1L).otherwise(0L))
             .reduce(_ + _).as("n_terms"))
+        // zero-token guard: an unguarded 0/0 reads NaN, and NaN sorts
+        // ABOVE every threshold in both engines — an empty doc would
+        // silently flag
         .withColumn("hits_per_1k",
-          (col("hits") * 1000L).cast("double") /
-            col("n_tok").cast("double"))
-        .withColumn("flagged", col("hits_per_1k") >= 60.0)
+          when(col("n_tok") > 0,
+            (col("hits") * 1000L).cast("double") /
+              col("n_tok").cast("double")))
+        .withColumn("flagged",
+          coalesce(col("hits_per_1k") >= 60.0, lit(false)))
         .orderBy("doc_id")
     },
     Some("""WITH d AS (SELECT doc_id,
@@ -1637,10 +1642,12 @@ object CorpusPack {
                   AS BIGINT) AS n_terms
               FROM d)
             SELECT doc_id, n_tok, hits, n_terms,
-              CAST(hits * 1000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
-                AS hits_per_1k,
-              CAST(hits * 1000 AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 60.0
-                AS flagged
+              CASE WHEN n_tok > 0 THEN
+                CAST(hits * 1000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                END AS hits_per_1k,
+              COALESCE(CASE WHEN n_tok > 0 THEN
+                CAST(hits * 1000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                END >= 60.0, false) AS flagged
             FROM h ORDER BY doc_id"""))
 
   private val t60 = Q(

@@ -62,8 +62,13 @@ object PipelinePack {
     // 6-row broadcast — hash-exact
     (s, dir) => {
       import s.implicits._
+      // the pair frame feeds BOTH the pair-count and affected-doc
+      // rollups: persist, never checkpoint (the multi-consumer rule —
+      // without it the O(pairs) inverted-index join runs twice
+      // whenever exchange reuse is defeated)
       val pairs = Dedup.nGramJaccard(Tables.load(s, dir, "documents"),
         "text", "doc_id", tauNum = 1, tauDen = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sw = broadcast(
         Seq(0.25, 0.4, 0.5, 0.6, 0.75, 0.9).toDF("tau"))
       val hit = pairs.crossJoin(sw).filter(col("jaccard") >= col("tau"))
@@ -2833,8 +2838,8 @@ object PipelinePack {
                 SUM(fa) AS af
               FROM arm2 GROUP BY 1),
             fin AS (SELECT event_type, k_arms, n_units,
-                (CAST(ai AS DOUBLE) + CAST(af AS DOUBLE))
-                  - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n_units
+                greatest(0.0E0, (CAST(ai AS DOUBLE) + CAST(af AS DOUBLE))
+                  - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n_units)
                   AS ssb,
                 CAST(qq AS DOUBLE)
                   - (CAST(ai AS DOUBLE) + CAST(af AS DOUBLE)) AS ssw

@@ -908,6 +908,11 @@ class VectorOpsSpec extends SparkSpec {
     val t = rows(trained)
     assert(t.map(_._2).sum == 5L, "counts conserve the corpus")
     assert(t.forall(r => r._4 >= 0.0 && r._4 <= 1.0), "fractions in [0,1]")
+    // an embedder dimension change fails loudly, never a silent
+    // truncated comparison
+    intercept[IllegalArgumentException] {
+      rows(VectorOps.IvfModel(Array(Array(1.0, 0.0, 0.0))))
+    }
   }
 
   test("cosinePairs finds only the near-duplicate pair at tau=0.9") {
