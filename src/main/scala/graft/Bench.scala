@@ -197,7 +197,12 @@ object Bench {
     // artifact (r6): stdout capture has truncated mid-dict before, and
     // round-over-round comparison should never depend on it.
     // SPARK_GRAFT_BENCH_OUT overrides; empty disables.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // filtered (SPARK_GRAFT_ONLY) iteration runs land in their own file:
+    // a one-query A/B must never clobber the full-suite artifact the
+    // round notes cite (r12b: a t60 probe overwrote the closing run)
+    val defaultOut =
+      if (only.isDefined) "bench_only.json" else "bench_last.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     if (outPath.nonEmpty) {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
         line + "\n")

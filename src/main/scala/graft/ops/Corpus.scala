@@ -2651,9 +2651,14 @@ object Corpus {
     // n_tok rides BESIDE the explode in one projection (the late-r5
     // lesson): a per-doc constant needed on exploded rows is computed at
     // the source, never aggregated and joined back
+    // tf feeds the background rollup AND the per-doc observation join:
+    // persist (the multi-consumer rule) so the tokenize+explode runs
+    // once — the cached projection is fixed-width (id, n_tok, token)
+    // rows, the same materialization class as the d02 gram index
     val tf = df.select(col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"),
       explode(TextOps.tokens(col(textCol))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = df.select(col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
     val bg = tf.groupBy("token").agg(count(lit(1)).as("cnt"))

@@ -113,7 +113,9 @@ object CorpusStream {
       maxVocab: Int = 1 << 20,
       qualityModel: Option[graft.ops.QualityModel.LinearQualityModel] = None,
       minLogit: Double = 0.0,
-      langModel: Option[graft.ops.LangIdModel.MulticlassLangModel] = None): DataFrame = {
+      langModel: Option[graft.ops.LangIdModel.MulticlassLangModel] = None,
+      blocklist: Seq[String] = Nil,
+      maxBlockedPer1k: Double = 60.0): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.ops.TextOps
     val cleanedText = {
@@ -140,8 +142,23 @@ object CorpusStream {
     // batch-side (model_gated), here one more stateless scan conjunct
     // against broadcast weights, so admission criteria cannot drift
     // between the stream and the release cut
-    val gated = qualityModel.fold(gatedHeur)(m =>
+    val gatedModel = qualityModel.fold(gatedHeur)(m =>
       gatedHeur.filter(m.logit(col(textCol)) >= minLogit))
+    // opt-in lexicon blocklist gate — the t59 batch expression verbatim
+    // (occurrences per 1k tokens, zero-token docs never NaN-flag), one
+    // more stateless scan conjunct so stream and release-cut admission
+    // cannot drift
+    val gated =
+      if (blocklist.isEmpty) gatedModel
+      else {
+        val toks = TextOps.tokens(col(textCol))
+        val nTok = size(toks).cast("long")
+        val hits = size(filter(toks, t => t.isInCollection(blocklist)))
+          .cast("long")
+        val density = when(nTok > 0,
+          (hits * 1000L).cast("double") / nTok.cast("double"))
+        gatedModel.filter(!coalesce(density >= maxBlockedPer1k, lit(false)))
+      }
     val admitted = gated
       .withColumn("__h", md5(col(textCol)))
       .withWatermark(tsCol, lateness)

@@ -178,6 +178,36 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream blocklist gate drops term-stuffed docs at the t59 " +
+    "density line and admits clean docs — stream/batch admission parity") {
+    import org.apache.spark.sql.functions.{count, lit}
+    implicit val sqlCtx = spark.sqlContext
+    val ts0 = new java.sql.Timestamp(86400L * 1000)
+    val in = Seq(
+      // clean en doc, no blocked terms
+      (1L, ts0, "the cat sat on the mat and all was good"),
+      // same register but stuffed: 3/14 tokens blocked = 214 per 1k
+      (2L, ts0, "the spam cat spam sat on the spam mat and all was good"),
+      // one hit in 10 tokens = 100 per 1k -> still over the 60 line
+      (3L, ts0, "the dog ran spam through the field and found a bone"))
+    val counts = Seq("the", "cat").toDF("token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CorpusStream.curateStream(
+        src.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        counts, langs = Seq("en"), minQuality = 0.35,
+        blocklist = Seq("spam"), maxBlockedPer1k = 60.0)
+      .writeStream.format("memory").queryName("curate_block")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(in: _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_block").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("curateStream model gate drops what the trained classifier was " +
     "taught to drop, same stage as the batch release cut") {
     import org.apache.spark.sql.functions.{count, lit}
