@@ -1780,6 +1780,62 @@ object Corpus {
         col("n_docs") * col("max_tok") - col("sum_tok"))
   }
 
+  /** χ² test of independence between two categorical document columns
+    * (language × source here) plus Cramér's V — the mixture-confounding
+    * diagnostic a release card prints before trusting per-source or
+    * per-language statistics: if language is NOT independent of source,
+    * every "quality by source" number is partly a language effect (and
+    * vice versa), and mixture reweighting on one axis silently moves
+    * the other. V ∈ [0,1] normalizes χ² to table size so the strength
+    * is comparable across corpora.
+    *
+    * Exactness: cell and margin counts are exact longs from ONE
+    * (a, b) rollup; each cell's `(obs − exp)²/exp` with
+    * `exp = rowTot·colTot/N` is ONE IEEE tree injected to
+    * DECIMAL(18,6) and decimal-summed (cell terms are bounded by cell
+    * counts — the small-magnitude regime where the e33 convention is
+    * safe, unlike the 32bf15 hazard); χ², df, V are one fixed IEEE
+    * expression. Zero-margin cells cannot occur (margins come from the
+    * same rollup). df = (R−1)(C−1); degenerate single-row/column
+    * tables yield NULL χ²/V.
+    *
+    * Shape: one fixed-width hash-agg (map-side combined), two margin
+    * rollups of the R×C cell frame (bounded by category cardinality),
+    * broadcast margins joined back, one global decimal sum. Nothing
+    * after the first rollup scales with documents.
+    */
+  def chi2Independence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rowm = cells.groupBy("a").agg(sum("n").as("ra"))
+    val colm = cells.groupBy("b").agg(sum("n").as("cb"))
+    val tot = cells.agg(sum("n").as("nn"),
+      countDistinct("a").as("r"), countDistinct("b").as("c"))
+    cells
+      .join(broadcast(rowm), "a")
+      .join(broadcast(colm), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("__e",
+        col("ra").cast("double") * col("cb").cast("double") /
+          col("nn").cast("double"))
+      .withColumn("__d", col("n").cast("double") - col("__e"))
+      .withColumn("__t", (col("__d") * col("__d") / col("__e")).cast(dec))
+      .groupBy("nn", "r", "c")
+      .agg(sum("__t").as("__chi"))
+      .select(col("nn").as("n_docs"), col("r").as("n_rows"),
+        col("c").as("n_cols"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        when(col("r") >= 2 && col("c") >= 2,
+          col("__chi").cast("double")).as("chi2"),
+        when(col("r") >= 2 && col("c") >= 2,
+          sqrt(col("__chi").cast("double") /
+            (col("nn") * least(col("r") - 1, col("c") - 1))
+              .cast("double"))).as("cramers_v"))
+  }
+
   /** Batch-size sweep over [[lengthBatches]]' padding-waste account —
     * the knob table a batch-shape tuning loop reads BEFORE pinning its
     * dataloader batch size (the d39/s22 measured-knob discipline

@@ -1706,6 +1706,47 @@ object CorpusPack {
               CAST(chi2d AS DOUBLE) >= 32.0 AS flagged
             FROM fin ORDER BY doc_id"""))
 
+  private val t61 = Q(
+    "t61_mix_independence",
+    // language x source chi-square independence + Cramer's V: the
+    // mixture-confounding diagnostic — if language is NOT independent
+    // of source, every per-source statistic is partly a language
+    // effect and reweighting one axis silently moves the other. Cell
+    // terms are bounded by cell counts (the safe small-magnitude
+    // decimal-injection regime) — hash-exact
+    (s, dir) => Corpus.chi2Independence(
+        Tables.load(s, dir, "documents"), "lang", "source")
+      .orderBy("n_docs"),
+    Some("""WITH cells AS (SELECT lang AS a, source AS b,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2),
+            rowm AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra
+              FROM cells GROUP BY 1),
+            colm AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb
+              FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+              FROM cells),
+            j AS (SELECT cells.n, tot.nn, tot.r, tot.c,
+                CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                  / CAST(nn AS DOUBLE) AS e
+              FROM cells JOIN rowm USING (a) JOIN colm USING (b)
+              CROSS JOIN tot),
+            t AS (SELECT nn, r, c,
+                SUM(CAST((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE)
+                  - e) / e AS DECIMAL(18,6))) AS chi
+              FROM j GROUP BY 1, 2, 3)
+            SELECT nn AS n_docs, r AS n_rows, c AS n_cols,
+              (r - 1) * (c - 1) AS df,
+              CASE WHEN r >= 2 AND c >= 2
+                THEN CAST(chi AS DOUBLE) END AS chi2,
+              CASE WHEN r >= 2 AND c >= 2
+                THEN sqrt(CAST(chi AS DOUBLE)
+                  / CAST(nn * least(r - 1, c - 1) AS DOUBLE))
+                END AS cramers_v
+            FROM t ORDER BY n_docs"""))
+
   private val p31 = Q(
     "p31_sentence_chunks",
     // sentence-boundary-respecting RAG chunking: greedy first-fit pack
@@ -4155,7 +4196,7 @@ object CorpusPack {
             ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)

@@ -335,7 +335,10 @@ object ScaleSmoke {
         "t59_blocklist_gate", "t60_chi2_outlier", "p31_sentence_chunks",
         // p32 = ONE p13-class ranked pass + a |sweep|-bounded explode
         // + two bounded rollups
-        "s24_centroid_migration", "p32_batch_size_sweep")
+        // t61 = ONE fixed-width (lang, source) hash-agg; everything
+        // after is bounded by category cardinality
+        "s24_centroid_migration", "p32_batch_size_sweep",
+        "t61_mix_independence")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),

@@ -1035,6 +1035,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._4) == Seq(false, false, true))
   }
 
+  test("chi2Independence: hand-computed 2x2 chi-square and Cramer's V; " +
+    "a single-category axis reads NULL") {
+    // cells: (en,s1)=3 (en,s2)=1 (fr,s1)=1 (fr,s2)=3; N=8, all
+    // margins 4 -> exp=2 everywhere -> chi2 = 4 * (1/2) = 2.0,
+    // df=1, V = sqrt(2 / (8*1)) = 0.5
+    val docs = (Seq.fill(3)(("en", "s1")) ++ Seq(("en", "s2")) ++
+      Seq(("fr", "s1")) ++ Seq.fill(3)(("fr", "s2")))
+      .toDF("lang", "source")
+    val r = Corpus.chi2Independence(docs, "lang", "source").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 8L &&
+      row.getAs[Long]("df") == 1L)
+    assert(math.abs(row.getAs[Double]("chi2") - 2.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("cramers_v") - 0.5) < 1e-9)
+    // degenerate: one language only -> NULL chi2 and V
+    val one = Corpus.chi2Independence(
+      docs.withColumn("lang", lit("en")), "lang", "source").collect().head
+    assert(one.isNullAt(one.fieldIndex("chi2")) &&
+      one.isNullAt(one.fieldIndex("cramers_v")))
+  }
+
   test("sentenceChunks: greedy boundary-respecting pack — a chunk " +
     "closes when the next sentence would overflow, an overlong " +
     "sentence gets its own oversize chunk") {
