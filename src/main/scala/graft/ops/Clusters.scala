@@ -600,30 +600,27 @@ object Clusters {
     * (window w=2, the published default); self-loops (`w w`) dropped.
     * Docs with no non-self adjacency contribute no rows.
     *
-    * Scale shape: one token scan + one per-doc lead window (sort keyed
-    * by doc), then per round ONE (doc, word)-keyed equi-join + one
-    * (doc, word) hash-agg — work tracks token volume × iters, never
-    * all-pairs; rounds materialize via eager localCheckpoint and free
-    * their predecessor (the d26 lesson: nested-plan re-execution
-    * otherwise re-runs the whole history each action). Final top-k is a
-    * per-doc row_number window over node-count rows.
+    * Scale shape: edge generation is a PURE MAP — the fused
+    * [[graft.functions.AdjacentPairSetExpr]] emits each doc's distinct
+    * undirected adjacent pairs straight from the raw text in the scan
+    * stage (r13, replacing a posexplode + lead window that exchanged
+    * and per-doc-sorted every corpus token, plus a global DISTINCT —
+    * two exchanges removed ahead of the rounds; per-doc dedup in the
+    * expression makes the global distinct redundant because callers
+    * pass one text row per id, the documents-table contract). Then per
+    * round ONE (doc, word)-keyed equi-join + one (doc, word) hash-agg —
+    * work tracks token volume × iters, never all-pairs. Final top-k is
+    * a per-doc row_number window over node-count rows.
     */
   def textRank(df: DataFrame, idCol: String, textCol: String,
       iters: Int = 5, topK: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && topK >= 1 && scale >= 1000L,
       s"bad shape: $iters/$topK/$scale")
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val adj = df
-      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
-        .as(Seq("pos", "w")))
-      .withColumn("nw", lead(col("w"), 1).over(byPos))
-      .filter(col("nw").isNotNull && col("w") =!= col("nw"))
-    val und = adj
-      .select(col(idCol), least(col("w"), col("nw")).as("u"),
-        greatest(col("w"), col("nw")).as("v"))
-      .distinct()
+    val und = df
+      .select(col(idCol),
+        explode(TextOps.adjacentPairSet(col(textCol))).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"))
     // sym/nodes/edges materialize ONCE (the d26 shape): nodes and edges
     // are each consumed by all 5 rounds, and the token explode + lead
     // window upstream is the expensive part — without these three

@@ -1803,12 +1803,22 @@ object Corpus {
     * rollups of the R×C cell frame (bounded by category cardinality),
     * broadcast margins joined back, one global decimal sum. Nothing
     * after the first rollup scales with documents.
+    *
+    * NULL policy (r13): rows where either category is NULL are
+    * excluded BEFORE the cell rollup — a χ² table has no "unknown"
+    * margin, and the previous behavior (count NULL rows in N but drop
+    * their cells at the margin joins, since equi-joins never match
+    * NULL keys and countDistinct skips NULL) silently biased every
+    * expected count on nullable data. n_docs now reports the
+    * complete-case count the statistic is actually computed over.
     */
   def chi2Independence(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(18, 6)
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
     val rowm = cells.groupBy("a").agg(sum("n").as("ra"))
     val colm = cells.groupBy("b").agg(sum("n").as("cb"))
@@ -2737,7 +2747,7 @@ object Corpus {
         (col("__d") * col("__d") / col("__exp") - col("__exp")).cast(dec))
       .groupBy(col(idCol))
       .agg(sum("__term").as("__s"), sum("obs").as("__sum_obs"))
-    docs.join(presentAgg, Seq(idCol), "left")
+    val out = docs.join(presentAgg, Seq(idCol), "left")
       .crossJoin(broadcast(stats))
       .withColumn("__base",
         (col("n_tok").cast("double") * col("n_top") / col("n_total"))
@@ -2757,5 +2767,15 @@ object Corpus {
           col("__tail")).cast("double"))
       .select(col(idCol), col("n_tok"), col("chi2"),
         (col("chi2") >= lit(2.0) * topK).as("flagged"))
+      // cache hygiene (r12 advice): a library caller composing this op
+      // must not inherit the tf cache for the session's lifetime — the
+      // contaminationHops discipline: materialize the (fixed-width,
+      // one-row-per-doc) result eagerly via localCheckpoint, THEN free
+      // tf before returning. The checkpoint blocks are reclaimed by the
+      // ContextCleaner when the returned frame is unreferenced (or by a
+      // session's unpersist-all, as Bench/Verify do per query).
+      .localCheckpoint()
+    tf.unpersist(blocking = false)
+    out
   }
 }

@@ -1608,6 +1608,19 @@ object Events {
     val live = trans.filter(_._1 != targetType) // absorbing target
     val outTotal: Map[String, Long] =
       live.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    // enforce the documented headroom bound instead of wrapping
+    // silently (r12 advice): Σ_next c·V ≤ t·Unit9 must fit a long, so
+    // any state with t > Long.MaxValue/Unit9 (~9.2e9 outgoing
+    // transitions) fails LOUDLY here — the centroidMigration dim-check
+    // discipline. Past it, scale Unit9 down or move the fold to
+    // DECIMAL(38,0).
+    outTotal.foreach { case (s, t) =>
+      require(t <= Long.MaxValue / Unit9,
+        s"markovAbsorption: state '$s' has $t outgoing transitions — " +
+          s"exceeds the long headroom bound ${Long.MaxValue / Unit9} " +
+          "for the integer value iteration; reduce the unit or use a " +
+          "decimal fold")
+    }
     var v: Map[String, Long] =
       states.map(s => s -> (if (s == targetType) Unit9 else 0L)).toMap
     for (_ <- 1 to steps) {

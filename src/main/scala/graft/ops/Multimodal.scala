@@ -215,25 +215,34 @@ object Multimodal {
 
   /** Perceptual image hash (average-hash variant of the pHash family):
     * decode → grayscale → 8×8 downsample → mean-threshold → 64 packed
-    * sign bits. The decode+downsample is the STUB (64 evenly-sampled
-    * payload bytes stand in for the luma grid — a real decoder replaces
-    * exactly that sampling); the hash construction and everything
-    * downstream are real. Locality: payloads differing in a few bytes
-    * flip few luma cells, hence few bits — which is what makes the
-    * Hamming blocking work. IMAGE rows only, one decoder init per
-    * partition.
+    * sign bits.
+    *
+    * The decode is REAL for actual image payloads (r13): `javax.imageio`
+    * ships with the JDK, so PNG/JPEG/GIF/BMP bytes decode to pixels and
+    * the 8×8 luma grid is a true average-pool of Rec.601 luma
+    * (integer arithmetic — (299R+587G+114B)/1000, cell boundaries
+    * `floor(k·dim/8)`). Payloads ImageIO cannot decode (the synthetic
+    * corpus's opaque bytes; exotic codecs absent from the JDK) fall back
+    * to the original deterministic stub sampling — 64 evenly-sampled
+    * payload bytes as the luma grid — so the plumbing stays testable
+    * without codec fixtures. Locality either way: small pixel (or byte)
+    * perturbations flip few luma cells, hence few bits — which is what
+    * makes the Hamming blocking work. IMAGE rows only; one decoder init
+    * per partition; ImageIO's disk cache is disabled (pure in-memory
+    * decode, nothing written to executor tmp).
     */
   def imagePhash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val decoder = new StubDecoder
+      javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { rec =>
         if (rec.media_type != "image" || rec.payload.isEmpty) Iterator.empty
         else {
-          decoder.decode(rec.media_type, rec.payload) // handle init path
-          val n = rec.payload.length
-          val luma = Array.tabulate(64)(i =>
-            rec.payload(((i.toLong * n) / 64).toInt) & 0xFF)
+          val luma = lumaGrid8x8(rec.payload).getOrElse {
+            val n = rec.payload.length
+            Array.tabulate(64)(i =>
+              rec.payload(((i.toLong * n) / 64).toInt) & 0xFF)
+          }
           val mean = luma.sum / 64
           var h = 0L
           var i = 0
@@ -246,6 +255,58 @@ object Multimodal {
       }
     }
   }
+
+  /** Real decode path: payload bytes → 8×8 average-pooled integer luma
+    * grid, or None when the bytes are not a decodable image (ImageIO
+    * returns null / throws on garbage input — both map to the stub
+    * fallback). Deterministic: PNG/BMP/GIF decode bit-exactly by spec;
+    * a JPEG decodes identically within one JVM, and the hash tolerates
+    * decoder drift by construction (a ±1 luma wobble flips at most the
+    * cells sitting exactly on the mean). Cells are
+    * `[floor(cy·h/8), floor((cy+1)·h/8))` — images smaller than 8×8
+    * clamp to at least one pixel per cell. Bit order matches the stub:
+    * bit i = cell (i div 8, i mod 8).
+    */
+  private[ops] def lumaGrid8x8(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = new Array[Int](64)
+        var cy = 0
+        while (cy < 8) {
+          val y0 = (cy.toLong * h / 8).toInt
+          val y1 = math.max((cy + 1).toLong * h / 8, y0 + 1).toInt
+          var cx = 0
+          while (cx < 8) {
+            val x0 = (cx.toLong * w / 8).toInt
+            val x1 = math.max((cx + 1).toLong * w / 8, x0 + 1).toInt
+            var sum = 0L
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                val rgb = img.getRGB(x, y)
+                sum += (299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) +
+                  114L * (rgb & 0xFF)) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+            val n = (math.min(y1, h) - y0).toLong *
+              (math.min(x1, w) - x0).toLong
+            grid(cy * 8 + cx) = if (n > 0) (sum / n).toInt else 0
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(grid)
+      }
+    } catch { case _: Exception => None }
 
   /** Near-duplicate IMAGE pairs by pHash Hamming distance ≤ `maxHamming`
     * — [[graft.ops.Dedup.hammingPairs]] (the d04 pigeonhole blocking)

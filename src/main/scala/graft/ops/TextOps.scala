@@ -34,6 +34,15 @@ object TextOps {
   def bigramSet(text: Column): Column =
     graft.functions.HashExpressions.bigramSet(text)
 
+  /** Distinct UNDIRECTED adjacent word-pair set as
+    * `array<struct<u,v>>` with `u < v` binary order — TextRank's
+    * co-occurrence edges fused into the scan stage (no posexplode, no
+    * lead window, no per-doc sort). Native expression
+    * (graft.functions.AdjacentPairSetExpr).
+    */
+  def adjacentPairSet(text: Column): Column =
+    graft.functions.HashExpressions.adjacentPairSet(text)
+
   /** Adjacent word-pair LIST — document order, with multiplicity — the
     * scoring unit for conditional bigram surprisal ([[Corpus
     * .bigramSurprisalPerDoc]]); [[bigramSet]] is the distinct blocking

@@ -1719,7 +1719,9 @@ object CorpusPack {
       .orderBy("n_docs"),
     Some("""WITH cells AS (SELECT lang AS a, source AS b,
                 CAST(COUNT(*) AS BIGINT) AS n
-              FROM documents GROUP BY 1, 2),
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
             rowm AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra
               FROM cells GROUP BY 1),
             colm AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb

@@ -80,7 +80,12 @@ object PipelinePack {
           explode(array(col("id_a"), col("id_b"))).as("d"))
         .distinct()
         .groupBy("tau").agg(count(lit(1)).as("n_docs_affected"))
-      sw.join(perTau, Seq("tau"), "left").join(aff, Seq("tau"), "left")
+      // cache hygiene (r12 advice): the 6-row sweep result is
+      // localCheckpoint'ed eagerly so the pairs cache can be freed
+      // HERE instead of leaking into a library caller's session (the
+      // contaminationHops discipline)
+      val res = sw.join(perTau, Seq("tau"), "left")
+        .join(aff, Seq("tau"), "left")
         .crossJoin(nTotal)
         .select(col("tau"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
@@ -89,6 +94,9 @@ object PipelinePack {
           (coalesce(col("n_docs_affected"), lit(0L)).cast("double") /
             col("n_docs").cast("double")).as("affected_frac"))
         .orderBy("tau")
+        .localCheckpoint()
+      pairs.unpersist(blocking = false)
+      res
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') l
               FROM documents),
@@ -1967,7 +1975,7 @@ object PipelinePack {
         .withColumn("metric",
           when(col("event_type") === "purchase" &&
             col("variant") === 1L,
-            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+            col("m0") + expr("greatest(m0, 0) div 10")).otherwise(col("m0")))
       Events.welchT(units, "event_type", "variant", "metric")
         .orderBy("event_type")
     },
@@ -1982,7 +1990,7 @@ object PipelinePack {
               FROM ev GROUP BY 1, 2, 3),
             un AS (SELECT event_type, user_id, variant,
                 CASE WHEN event_type = 'purchase' AND variant = 1
-                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+                  THEN m0 + greatest(m0, 0) // 10 ELSE m0 END AS metric
               FROM um),
             arm AS (SELECT event_type, variant, COUNT(*) AS n,
                 CAST(SUM(metric) AS BIGINT) AS s,
@@ -2135,7 +2143,7 @@ object PipelinePack {
         .groupBy("user_id", "variant")
         .agg(sum("xq").as("pre"), sum("yq").as("post0"))
         .withColumn("post", when(col("variant") === 1L,
-          col("post0") + expr("post0 div 10")).otherwise(col("post0")))
+          col("post0") + expr("greatest(post0, 0) div 10")).otherwise(col("post0")))
       Events.did(per, "variant", "pre", "post")
     },
     Some("""WITH ev AS (SELECT user_id,
@@ -2152,9 +2160,9 @@ object PipelinePack {
                 CAST(SUM(yq) AS BIGINT) AS post0
               FROM ev GROUP BY 1, 2),
             per AS (SELECT variant, pre AS x,
-                CASE WHEN variant = 1 THEN post0 + post0 // 10
+                CASE WHEN variant = 1 THEN post0 + greatest(post0, 0) // 10
                   ELSE post0 END AS y,
-                CASE WHEN variant = 1 THEN post0 + post0 // 10
+                CASE WHEN variant = 1 THEN post0 + greatest(post0, 0) // 10
                   ELSE post0 END - pre AS d
               FROM per0),
             arm AS (SELECT variant, COUNT(*) AS n,
@@ -2208,7 +2216,7 @@ object PipelinePack {
             .otherwise(1L).as("variant"),
           round(col("value") * 100).cast("long").as("cents"))
         .withColumn("x", when(col("variant") === 1L,
-          col("cents") + expr("cents div 10")).otherwise(col("cents")))
+          col("cents") + expr("greatest(cents, 0) div 10")).otherwise(col("cents")))
       Events.sequentialMonitor(obs, "day", "variant", "x")
         .orderBy("day")
     },
@@ -2221,7 +2229,7 @@ object PipelinePack {
                 CAST(round(value * 100) AS BIGINT) AS cents
               FROM events WHERE event_type = 'purchase'),
             obs AS (SELECT day, variant,
-                CASE WHEN variant = 1 THEN cents + cents // 10
+                CASE WHEN variant = 1 THEN cents + greatest(cents, 0) // 10
                   ELSE cents END AS x
               FROM ev),
             per AS (SELECT day, variant, COUNT(*) AS n,
@@ -2425,7 +2433,7 @@ object PipelinePack {
         .withColumn("metric",
           when(col("event_type") === "purchase" &&
             col("variant") === 1L,
-            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+            col("m0") + expr("greatest(m0, 0) div 10")).otherwise(col("m0")))
       Events.mannWhitney(units, "event_type", "variant", "metric")
         .orderBy("event_type")
     },
@@ -2440,7 +2448,7 @@ object PipelinePack {
               FROM ev GROUP BY 1, 2, 3),
             un AS (SELECT event_type, user_id, variant,
                 CASE WHEN event_type = 'purchase' AND variant = 1
-                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+                  THEN m0 + greatest(m0, 0) // 10 ELSE m0 END AS metric
               FROM um),
             vals AS (SELECT event_type, metric,
                 CAST(COUNT(*) AS BIGINT) AS t,
@@ -2706,7 +2714,7 @@ object PipelinePack {
         .withColumn("metric",
           when(col("event_type") === "purchase" &&
             col("variant") === 1L,
-            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+            col("m0") + expr("greatest(m0, 0) div 10")).otherwise(col("m0")))
       val tests = Events.welchT(units, "event_type", "variant", "metric")
         .select(col("event_type"),
           Events.normalTwoSidedP(col("t_stat")).as("p_value"))
@@ -2727,7 +2735,7 @@ object PipelinePack {
               FROM ev GROUP BY 1, 2, 3),
             un AS (SELECT event_type, user_id, variant,
                 CASE WHEN event_type = 'purchase' AND variant = 1
-                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+                  THEN m0 + greatest(m0, 0) // 10 ELSE m0 END AS metric
               FROM um),
             arm AS (SELECT event_type, variant, COUNT(*) AS n,
                 CAST(SUM(metric) AS BIGINT) AS s,
@@ -2798,7 +2806,7 @@ object PipelinePack {
         .withColumn("metric",
           when(col("event_type") === "purchase" &&
             col("variant") === 3L,
-            col("m0") + expr("m0 div 10")).otherwise(col("m0")))
+            col("m0") + expr("greatest(m0, 0) div 10")).otherwise(col("m0")))
       Events.anovaF(units, "event_type", "variant", "metric")
         .orderBy("event_type")
     },
@@ -2817,7 +2825,7 @@ object PipelinePack {
               FROM ev GROUP BY 1, 2, 3),
             un AS (SELECT event_type, user_id, variant,
                 CASE WHEN event_type = 'purchase' AND variant = 3
-                  THEN m0 + m0 // 10 ELSE m0 END AS metric
+                  THEN m0 + greatest(m0, 0) // 10 ELSE m0 END AS metric
               FROM um),
             arm AS (SELECT event_type, variant,
                 CAST(COUNT(*) AS BIGINT) AS n,

@@ -1,0 +1,285 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{FloatType, IntegerType, StringType, StructField, StructType}
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+/** Reader for the reference engine's NATIVE table files — `.tbl` (data)
+  * and `.md` (schema) — so a user holding reference-format data can run
+  * it directly, without regenerating from `.txt`
+  * (reference src/ConvertTxtToTbl.java writes these: one
+  * `ObjectOutputStream`, one serialized `qp.utils.Tuple` per row, each
+  * wrapping an `ArrayList` of Integer/Float/String;
+  * reference src/RandomDB.java writes the `.md` as one serialized
+  * `qp.utils.Schema` of `qp.utils.Attribute`s with
+  * INT=1 / STRING=2 / REAL=3 type tags — reference
+  * src/qp/utils/Attribute.java:11).
+  *
+  * This is NOT a port of the reference's readers: those deserialize with
+  * `ObjectInputStream` against the engine's own classes, which this repo
+  * deliberately does not contain. Instead the stream is parsed directly
+  * against the PUBLIC Java Object Serialization Stream Protocol (Java
+  * Object Serialization Specification, ch. 6 — the `0xACED` grammar),
+  * implementing exactly the subset these files can contain: class
+  * descriptors, objects, strings, back-references, block data, and the
+  * `writeObject` annotation convention `ArrayList` uses (default `size`
+  * field, a 4-byte block, then the elements). Unknown stream features
+  * (arrays, enums, proxies, resets) fail loudly with the tag byte.
+  *
+  * Scale shape: the format is a sequential single-node interchange —
+  * one serialization stream cannot be split — so parallelism is PER
+  * FILE: [[TblReader.loadTbl]] maps each `.tbl` file to one task via
+  * `binaryFiles` and parses it streaming (constant-ish memory: the
+  * protocol's back-reference table grows with distinct handles, which
+  * for these tuple streams is bounded by the class descriptors plus the
+  * string values — the format is for estate-boundary ingest, convert to
+  * parquet once and scan that).
+  */
+object TblReader {
+
+  // ---- the parsed-object model (only what the subset needs) -----------
+  /** A parsed class descriptor: name, flags, fields as (typeCode, name)
+    * in stream order, and the superclass chain.
+    */
+  final case class PClass(
+      name: String, flags: Byte, fields: Seq[(Char, String)],
+      parent: Option[PClass])
+
+  /** A parsed object: its class, field values keyed by name (the whole
+    * hierarchy flattened — these classes have no shadowed fields), and
+    * any objects found in `writeObject` annotation data (for ArrayList:
+    * the elements).
+    */
+  final class PObj(val cls: PClass) {
+    val fields = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val extras = scala.collection.mutable.ArrayBuffer[Any]()
+  }
+
+  private object EndBlock
+  private final case class BlockData(n: Int)
+
+  /** Streaming parser over one serialization stream. `next()` returns
+    * each top-level content element; EOF returns None.
+    */
+  final class JavaSerialStream(in0: InputStream) {
+    private val in = new DataInputStream(new java.io.BufferedInputStream(in0))
+    private val handles = scala.collection.mutable.ArrayBuffer[Any]()
+
+    locally {
+      val magic = in.readUnsignedShort()
+      val version = in.readUnsignedShort()
+      require(magic == 0xACED && version == 5,
+        f"not a Java serialization stream: magic=0x$magic%04X ver=$version")
+    }
+
+    def next(): Option[Any] = {
+      val tag =
+        try in.readUnsignedByte()
+        catch { case _: EOFException => return None }
+      Some(content(tag))
+    }
+
+    private def newHandle(v: Any): Int = { handles += v; handles.size - 1 }
+
+    private def content(tag: Int): Any = tag match {
+      case 0x70 => null // TC_NULL
+      case 0x71 => // TC_REFERENCE
+        val h = in.readInt() - 0x7E0000
+        require(h >= 0 && h < handles.size, s"bad handle $h")
+        handles(h)
+      case 0x72 => classDesc() // TC_CLASSDESC
+      case 0x73 => obj()       // TC_OBJECT
+      case 0x74 =>             // TC_STRING
+        val s = in.readUTF(); newHandle(s); s
+      case 0x7C =>             // TC_LONGSTRING
+        val n = in.readLong()
+        require(n <= Int.MaxValue, s"string too long: $n")
+        val b = new Array[Byte](n.toInt); in.readFully(b)
+        val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        newHandle(s); s
+      case 0x77 =>             // TC_BLOCKDATA
+        val n = in.readUnsignedByte(); in.skipNBytes(n); BlockData(n)
+      case 0x7A =>             // TC_BLOCKDATALONG
+        val n = in.readInt(); in.skipNBytes(n); BlockData(n)
+      case 0x78 => EndBlock    // TC_ENDBLOCKDATA
+      case t => throw new IllegalArgumentException(
+        f"unsupported serialization tag 0x$t%02X (subset reader: " +
+          "no arrays/enums/proxies/resets in reference .tbl/.md streams)")
+    }
+
+    private def classDesc(): PClass = {
+      val name = in.readUTF()
+      in.readLong() // serialVersionUID: layout-driven parse, UID unused
+      // handle is assigned BEFORE classDescInfo (spec §6.4.2) — a field
+      // type string may be the next handle; reserve the slot and patch
+      val slot = newHandle(null)
+      val flags = in.readByte()
+      val nFields = in.readUnsignedShort()
+      val fields = (0 until nFields).map { _ =>
+        val tc = in.readUnsignedByte().toChar
+        val fname = in.readUTF()
+        if (tc == 'L' || tc == '[') {
+          // field type name: a String object (TC_STRING or a back-ref)
+          content(in.readUnsignedByte()) match {
+            case _: String => ()
+            case other => throw new IllegalArgumentException(
+              s"field type of $fname not a string: $other")
+          }
+        }
+        (tc, fname)
+      }
+      // classAnnotation: these streams write none — expect end marker
+      require(content(in.readUnsignedByte()) == EndBlock,
+        s"unexpected class annotation on $name")
+      val parent = content(in.readUnsignedByte()) match {
+        case null         => None
+        case p: PClass    => Some(p)
+        case other        => throw new IllegalArgumentException(
+          s"bad super descriptor of $name: $other")
+      }
+      val pc = PClass(name, flags, fields, parent)
+      handles(slot) = pc
+      pc
+    }
+
+    private def obj(): PObj = {
+      val cls = content(in.readUnsignedByte()) match {
+        case c: PClass => c
+        case other => throw new IllegalArgumentException(
+          s"object without class descriptor: $other")
+      }
+      val o = new PObj(cls)
+      newHandle(o) // before data: the stream may back-reference it
+      // classdata: superclass first (spec §6.4.2.2)
+      val chain = Iterator.iterate(Option(cls))(_.flatMap(_.parent))
+        .takeWhile(_.isDefined).map(_.get).toSeq.reverse
+      chain.foreach { c =>
+        require((c.flags & 0x02) != 0, // SC_SERIALIZABLE
+          s"${c.name}: externalizable/unserializable flags=${c.flags}")
+        c.fields.foreach { case (tc, fname) =>
+          val v: Any = tc match {
+            case 'I' => in.readInt()
+            case 'F' => in.readFloat()
+            case 'J' => in.readLong()
+            case 'D' => in.readDouble()
+            case 'S' => in.readShort()
+            case 'B' => in.readByte()
+            case 'C' => in.readChar()
+            case 'Z' => in.readBoolean()
+            case 'L' | '[' => content(in.readUnsignedByte())
+            case t => throw new IllegalArgumentException(
+              s"bad field type code $t")
+          }
+          o.fields(fname) = v
+        }
+        if ((c.flags & 0x01) != 0) { // SC_WRITE_METHOD: annotation data
+          var done = false
+          while (!done) content(in.readUnsignedByte()) match {
+            case EndBlock     => done = true
+            case _: BlockData => () // primitive block (ArrayList's size)
+            case v            => o.extras += v
+          }
+        }
+      }
+      o
+    }
+  }
+
+  // ---- reference-schema and tuple decoding -----------------------------
+  /** (colname, typeTag) per column from a `.md` stream; typeTag is the
+    * reference's INT=1 / STRING=2 / REAL=3.
+    */
+  def readSchema(in: InputStream): Seq[(String, Int)] = {
+    val s = new JavaSerialStream(in)
+    val schema = s.next() match {
+      case Some(o: PObj) if o.cls.name == "qp.utils.Schema" => o
+      case other => throw new IllegalArgumentException(
+        s"not a qp.utils.Schema stream: $other")
+    }
+    val attList = schema.fields.collectFirst {
+      case (_, l: PObj) if l.cls.name == "java.util.ArrayList" => l
+    }.getOrElse(throw new IllegalArgumentException("schema has no attset"))
+    attList.extras.toSeq.map {
+      case a: PObj if a.cls.name == "qp.utils.Attribute" =>
+        (a.fields("colname").asInstanceOf[String],
+          a.fields("type").asInstanceOf[Int])
+      case other => throw new IllegalArgumentException(s"bad attribute: $other")
+    }
+  }
+
+  /** Streaming iterator of decoded rows from a `.tbl` stream: each
+    * `qp.utils.Tuple`'s ArrayList unwrapped to Scala values
+    * (Integer → Int, Float → Float, String → String).
+    */
+  def readTuples(in: InputStream): Iterator[Seq[Any]] = {
+    val s = new JavaSerialStream(in)
+    Iterator.continually(s.next()).takeWhile(_.isDefined).map {
+      case Some(t: PObj) if t.cls.name == "qp.utils.Tuple" =>
+        val lst = t.fields.collectFirst {
+          case (_, l: PObj) if l.cls.name == "java.util.ArrayList" => l
+        }.getOrElse(throw new IllegalArgumentException("tuple has no list"))
+        lst.extras.toSeq.map(unbox)
+      case other =>
+        throw new IllegalArgumentException(s"not a tuple: $other")
+    }
+  }
+
+  private def unbox(v: Any): Any = v match {
+    case s: String => s
+    case o: PObj if o.cls.name == "java.lang.Integer" => o.fields("value")
+    case o: PObj if o.cls.name == "java.lang.Float"   => o.fields("value")
+    case o: PObj if o.cls.name == "java.lang.Long"    => o.fields("value")
+    case o: PObj if o.cls.name == "java.lang.Double"  => o.fields("value")
+    case other => throw new IllegalArgumentException(s"bad cell: $other")
+  }
+
+  /** Spark type for a reference type tag. */
+  def sparkType(tag: Int): org.apache.spark.sql.types.DataType = tag match {
+    case 1 => IntegerType
+    case 2 => StringType
+    case 3 => FloatType
+    case t => throw new IllegalArgumentException(s"unknown .md type tag $t")
+  }
+
+  /** Load reference-format data as a DataFrame: `.md` read once on the
+    * driver (a few hundred bytes), `.tbl` files parsed in executors —
+    * one task per file via `binaryFiles` (the format is sequential; a
+    * directory of shard files parallelizes per file).
+    */
+  def loadTbl(
+      spark: SparkSession, tblPath: String, mdPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(mdPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = {
+      val in = fs.open(p)
+      try readSchema(in) finally in.close()
+    }
+    val schema = StructType(cols.map { case (n, t) =>
+      StructField(n, sparkType(t), nullable = false)
+    })
+    val rows = spark.sparkContext.binaryFiles(tblPath)
+      .flatMap { case (_, stream) =>
+        val in = stream.open()
+        readTuples(in).map(Row.fromSeq)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+/** `runMain graft.tools.TblToParquet <table.tbl> <table.md> <outDir>` —
+  * reference-native data straight to parquet (the `.txt` route is
+  * [[CsvToParquet]]; this one needs no text re-export).
+  */
+object TblToParquet {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: TblToParquet <table.tbl> <table.md> <outDir>")
+    val spark = RandomTableGen.local()
+    val df = TblReader.loadTbl(spark, args(0), args(1))
+    df.write.mode("overwrite").parquet(args(2))
+    println(s"[tbl] wrote ${args(2)}")
+    spark.stop()
+  }
+}

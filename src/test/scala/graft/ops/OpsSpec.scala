@@ -1906,6 +1906,56 @@ class MultimodalSpec extends SparkSpec {
     assert(keep(2L) == !pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("imagePhash real decode: PNG/JPEG fixtures — identical images at " +
+    "hamming 0 across codecs, perturbed nearer than unrelated") {
+    implicit val s = spark
+    import Multimodal.MediaRecord
+    import java.awt.image.BufferedImage
+    // deterministic 64x64 gradient-with-blocks scene; paint(perturb=true)
+    // flips one 8x8 block slightly, scene B is a different pattern
+    def paint(kind: Int): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = kind match {
+          case 0 => (x * 2 + y) % 256                  // base scene
+          case 1 => // base with one brightened block (near dup)
+            val b = (x * 2 + y) % 256
+            if (x >= 16 && x < 24 && y >= 16 && y < 24)
+              math.min(b + 40, 255) else b
+          case _ => (255 - x * 3 + (y % 7) * 31) % 256 // unrelated
+        }
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(0L, "image", encode(paint(0), "png")),
+      MediaRecord(1L, "image", encode(paint(0), "png")), // exact dup
+      MediaRecord(2L, "image", encode(paint(1), "png")), // near dup
+      MediaRecord(3L, "image", encode(paint(2), "png")), // unrelated
+      MediaRecord(4L, "image", encode(paint(0), "jpg"))  // same SCENE, jpeg
+    ).toDS()
+    val h = Multimodal.imagePhash(media).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(0L) == h(1L)) // identical bytes, identical hash
+    assert(ham(h(0L), h(2L)) < ham(h(0L), h(3L))) // locality on pixels
+    // cross-codec: the jpeg of the SAME scene hashes (near-)identically —
+    // the point of a PERCEPTUAL hash; the byte-sampling stub could never
+    // do this (png and jpeg bytes of one scene share nothing)
+    assert(ham(h(0L), h(4L)) <= 2)
+    assert(ham(h(4L), h(3L)) > ham(h(4L), h(0L)))
+    // direct grid check: real decode path engaged (not the stub fallback)
+    assert(Multimodal.lumaGrid8x8(encode(paint(0), "png")).isDefined)
+    // garbage bytes take the stub path, not an exception
+    assert(Multimodal.lumaGrid8x8(Array.tabulate(64)(_.toByte)).isEmpty)
+  }
+
   test("chunkAudio tiles audio rows only: stride, overlap, true tail") {
     implicit val s = spark
     val docs = (0L until 9L).map(i => (i, s"audio document payload $i"))
