@@ -57,8 +57,46 @@ object SpjCompiler {
   /** Default equality selectivity when the attribute's distinct count is
     * unknown (System R's 1/10). */
   val DefaultEqSel = 0.1
-  /** Range-predicate selectivity (System R's 1/3). */
+  /** Range-predicate selectivity when no range statistics are available
+    * (System R's 1/3). When the dir has been ANALYZEd
+    * (TableTools.analyze → `_graft_stats.parquet` min/max + equi-width
+    * histogram, surfaced via Tables.columnRanges), range predicates are
+    * priced by [[rangeSel]] instead. */
   val RangeSel = 1.0 / 3.0
+
+  /** Estimated fraction of rows satisfying `col op x` from the column's
+    * histogram: cumulative bucket counts below x, linearly interpolated
+    * inside the boundary bucket; pure min/max interpolation when the
+    * histogram is absent. Estimation only — plan choice, never
+    * correctness — so Le/Lt (and Ge/Gt) share an estimate.
+    */
+  private[sql] def rangeSel(
+      cs: graft.Tables.ColStats, op: CompOp, x: Double): Double = {
+    def below: Double =
+      if (x <= cs.min) 0.0
+      else if (x >= cs.max) 1.0
+      else if (cs.hist.nonEmpty && cs.max > cs.min) {
+        val b = cs.hist.size
+        val w = (cs.max - cs.min) / b
+        val pos = (x - cs.min) / w
+        val i = math.min(pos.toInt, b - 1)
+        val total = cs.hist.sum.toDouble
+        if (total <= 0) (x - cs.min) / (cs.max - cs.min)
+        else (cs.hist.take(i).sum + cs.hist(i) * (pos - i)) / total
+      } else (x - cs.min) / (cs.max - cs.min)
+    val f = op match {
+      case Lt | Le => below
+      case Gt | Ge => 1.0 - below
+      case Eq | Ne => RangeSel // not a range op; callers never pass these
+    }
+    math.min(1.0, math.max(f, 0.0))
+  }
+
+  /** SPJ literal → the double domain the ANALYZE artifact uses (numerics
+    * as-is, dates as epoch days). Non-orderable literals → None. */
+  private[sql] def litDouble(s: String): Option[Double] =
+    s.trim.toDoubleOption.orElse(scala.util.Try(
+      java.time.LocalDate.parse(s.trim).toEpochDay.toDouble).toOption)
 
   /** Cost-based join order over the query's join graph: exact subset DP
     * minimizing Σ intermediate cardinalities under the PlanCost estimate
@@ -77,25 +115,41 @@ object SpjCompiler {
   def joinOrder(
       q: SpjQuery,
       rows: String => Long,
-      ndv: Map[String, Map[String, Long]]): Seq[String] = {
+      ndv: Map[String, Map[String, Long]],
+      ranges: Map[String, Map[String, graft.Tables.ColStats]] = Map.empty)
+      : Seq[String] = {
     val tables = q.from.map(_.toLowerCase).distinct.toVector
     val n = tables.size
     val idx = tables.zipWithIndex.toMap
     def ndvOf(a: Attr): Option[Long] =
       ndv.get(a.table.toLowerCase).flatMap(_.get(a.column.toLowerCase))
+    def rangeOf(a: Attr): Option[graft.Tables.ColStats] =
+      ranges.get(a.table.toLowerCase).flatMap(_.get(a.column.toLowerCase))
 
-    // base cardinality: rows after per-table selections
+    // base cardinality: rows after per-table selections. Equality → 1/V
+    // (or 1/10 unknown); range → histogram fraction when the dir has been
+    // ANALYZEd, System R's 1/3 otherwise.
     val base: Vector[Double] = tables.map { t =>
       val r = rows(t).toDouble
       val sel = q.selections.collect {
-        case LitCond(a, op, _) if a.table.equalsIgnoreCase(t) => (op, ndvOf(a))
+        case LitCond(a, op, v) if a.table.equalsIgnoreCase(t) =>
+          op match {
+            case Eq => ndvOf(a).map(x => 1.0 / math.max(x, 1L))
+              .getOrElse(DefaultEqSel)
+            case Ne => 1.0
+            case _ => (rangeOf(a), litDouble(v)) match {
+              case (Some(cs), Some(x)) => rangeSel(cs, op, x)
+              case _ => RangeSel
+            }
+          }
         case AttrCond(l, op, r2) if l.table.equalsIgnoreCase(t) &&
-          r2.table.equalsIgnoreCase(t) => (op, ndvOf(l))
-      }.map {
-        case (Eq, Some(v)) => 1.0 / math.max(v, 1L)
-        case (Eq, None) => DefaultEqSel
-        case (Ne, _) => 1.0
-        case (_, _) => RangeSel
+          r2.table.equalsIgnoreCase(t) =>
+          op match {
+            case Eq => ndvOf(l).map(x => 1.0 / math.max(x, 1L))
+              .getOrElse(DefaultEqSel)
+            case Ne => 1.0
+            case _ => RangeSel
+          }
       }.product
       math.max(r * sel, 1.0)
     }
@@ -182,7 +236,9 @@ object SpjCompiler {
       catalog: Map[String, DataFrame],
       stats: Map[String, Long] = Map.empty,
       byteStats: Map[String, Long] = Map.empty,
-      ndvStats: Map[String, Map[String, Long]] = Map.empty): DataFrame = {
+      ndvStats: Map[String, Map[String, Long]] = Map.empty,
+      rangeStats: Map[String, Map[String, graft.Tables.ColStats]] =
+        Map.empty): DataFrame = {
 
     def lookup(name: String): DataFrame =
       catalog.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
@@ -259,7 +315,9 @@ object SpjCompiler {
     val order: Seq[String] =
       if (statsKnown && tableNames.size >= 2 && tableNames.size <= 12)
         joinOrder(q, rowsOf, ndvStats.map { case (k, v) =>
-          k.toLowerCase -> v.map { case (c, n) => c.toLowerCase -> n } })
+          k.toLowerCase -> v.map { case (c, n) => c.toLowerCase -> n } },
+          rangeStats.map { case (k, v) =>
+            k.toLowerCase -> v.map { case (c, s) => c.toLowerCase -> s } })
       else greedyOrder(q, rowsOf)
 
     def joinCondsBetween(inSet: Set[String], t: String): Seq[AttrCond] =
@@ -367,6 +425,29 @@ object SpjCompiler {
     */
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val q = SpjParser.parse(sql)
+    val (catalog, stats, bytes, ndv, ranges) = gatherStats(spark, dir, q)
+    compile(q, catalog, stats, bytes, ndv, ranges)
+  }
+
+  /** The join order [[run]] would choose for `sql` against `dir` — the
+    * user-facing EXPLAIN for the SPJ dialect, and the introspection hook
+    * the specs pin plan decisions on. Same statistics path as run:
+    * footer row counts, NDV (artifact-first via Tables.columnNdv), range
+    * stats from the persisted ANALYZE artifact only.
+    */
+  def explainOrder(spark: SparkSession, dir: String, sql: String): Seq[String] = {
+    val q = SpjParser.parse(sql)
+    val (_, stats, _, ndv, ranges) = gatherStats(spark, dir, q)
+    val names = q.from.map(_.toLowerCase).distinct
+    def rowsOf(n: String): Long = stats.getOrElse(n.toLowerCase, Long.MaxValue)
+    if (names.size >= 2 && names.size <= 12) joinOrder(q, rowsOf, ndv, ranges)
+    else greedyOrder(q, rowsOf)
+  }
+
+  private def gatherStats(spark: SparkSession, dir: String, q: SpjQuery): (
+      Map[String, DataFrame], Map[String, Long], Map[String, Long],
+      Map[String, Map[String, Long]],
+      Map[String, Map[String, graft.Tables.ColStats]]) = {
     val names = q.from.map(_.toLowerCase).distinct
     val catalog = names.map(n => n -> Tables.load(spark, dir, n)).toMap
     val stats = names.map(n => n -> Tables.rowCount(spark, dir, n)).toMap
@@ -377,6 +458,15 @@ object SpjCompiler {
       t -> Tables.columnNdv(spark, dir, t,
         attrs.map(_.column.toLowerCase).distinct)
     }
-    compile(q, catalog, stats, bytes, ndv)
+    // range stats come only from the persisted ANALYZE artifact (no
+    // in-session histogram jobs at compile time — an un-ANALYZEd dir
+    // prices ranges at the System R 1/3 exactly as before)
+    val rangeTables = q.selections.collect {
+      case LitCond(a, op, _) if op != Eq && op != Ne => a.table.toLowerCase
+    }.distinct
+    val ranges = rangeTables
+      .map(t => t -> Tables.columnRanges(spark, dir, t)).toMap
+      .filter(_._2.nonEmpty)
+    (catalog, stats, bytes, ndv, ranges)
   }
 }

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object TableTools {
 
+  /** One `_graft_stats.parquet` artifact row (see [[analyze]]): NDV +
+    * n_rows for every column; min/max/histogram only for orderable ones.
+    */
+  final case class StatRow(
+      table: String, column: String, ndv: Long, n_rows: Long,
+      min_val: Option[Double], max_val: Option[Double],
+      hist: Option[Seq[Long]])
+
   /** Schema spec mini-language matching the reference's .det type system
     * (INT, STRING, REAL, TIME — reference src/qp/utils/Attribute.java):
     * `"id:INT,name:STRING,price:REAL,created:TIME"`.
@@ -192,27 +200,86 @@ object TableTools {
     * One approx_count_distinct rollup per table — the same ~2% HLL++
     * the in-session path computes, paid once at publish time instead of
     * once per session.
+    *
+    * r13: the artifact also carries per-column `min_val`/`max_val` and a
+    * [[HistBins]]-bin equi-width histogram for orderable columns (numerics
+    * as-is, dates as epoch days, timestamps as epoch seconds — matching
+    * the literal coercion in SpjCompiler's range estimator). This is the
+    * remaining half of PlanCost.java's role: NDV prices equi-joins;
+    * min/max + histogram price RANGE predicates, so `c < lit` contributes
+    * its measured fraction to the join-order DP instead of System R's
+    * blanket 1/3. Two scans per table (min/max must exist before buckets
+    * can be assigned), both single-pass partial aggregations.
     */
+  val HistBins = 32
+
   def analyze(
       spark: SparkSession, dir: String,
       tables: Seq[String] = graft.Tables.names): DataFrame = {
     import spark.implicits._
-    val rows = tables.flatMap { t =>
+    import org.apache.spark.sql.types._
+    def orderable(dt: DataType, c: String): Option[Column] = dt match {
+      case _: NumericType => Some(col(c).cast("double"))
+      case DateType => Some(unix_date(col(c)).cast("double"))
+      case TimestampType | TimestampNTZType =>
+        Some(col(c).cast("timestamp").cast("double"))
+      case _ => None
+    }
+    val rows: Seq[StatRow] = tables.flatMap { t =>
       val df = graft.Tables.load(spark, dir, t)
       val cols = df.columns.filterNot(
         df.schema(_).dataType.typeName.matches("array.*|map.*|struct.*"))
       if (cols.isEmpty) Seq.empty
       else {
         val nRows = graft.Tables.rowCount(spark, dir, t)
-        val row = df.agg(
-          approx_count_distinct(cols.head).as(cols.head),
-          cols.tail.map(c => approx_count_distinct(c).as(c)): _*).head()
-        cols.zipWithIndex.map { case (c, i) =>
-          (t.toLowerCase, c.toLowerCase, row.getLong(i), nRows)
+        val numCols = cols.flatMap(c =>
+          orderable(df.schema(c).dataType, c).map(c -> _))
+        // pass 1: NDV for every column + min/max for the orderable ones
+        val aggs = cols.map(c => approx_count_distinct(c).as(s"ndv_$c")) ++
+          numCols.flatMap { case (c, e) =>
+            Seq(min(e).as(s"min_$c"), max(e).as(s"max_$c")) }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val bounds: Map[String, (Double, Double)] = numCols.flatMap {
+          case (c, _) =>
+            val lo = row.getAs[Any](s"min_$c")
+            val hi = row.getAs[Any](s"max_$c")
+            if (lo == null || hi == null) None
+            else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+        }.toMap
+        // pass 2: equi-width histogram over [min, max] for columns with a
+        // non-degenerate domain — HistBins conditional sums per column,
+        // all columns in ONE partial-aggregating scan
+        val histCols = numCols.filter { case (c, _) =>
+          bounds.get(c).exists { case (lo, hi) => hi > lo } }
+        val hists: Map[String, Seq[Long]] =
+          if (histCols.isEmpty) Map.empty
+          else {
+            val hAggs = histCols.flatMap { case (c, e) =>
+              val (lo, hi) = bounds(c)
+              val w = (hi - lo) / HistBins
+              val bucket = least(floor((e - lit(lo)) / lit(w)),
+                lit(HistBins - 1L))
+              (0 until HistBins).map(b => sum(when(bucket === b, 1L)
+                .otherwise(0L)).as(s"h_${c}_$b"))
+            }
+            val hRow = df.agg(hAggs.head, hAggs.tail: _*).head()
+            histCols.map { case (c, _) =>
+              c -> (0 until HistBins).map(b =>
+                hRow.getAs[Long](s"h_${c}_$b"))
+            }.toMap
+          }
+        cols.map { c =>
+          val b = bounds.get(c)
+          StatRow(t.toLowerCase, c.toLowerCase,
+            row.getAs[Long](s"ndv_$c"), nRows,
+            b.map(_._1), b.map(_._2),
+            hists.get(c).orElse(b.map { case (lo, _) =>
+              // degenerate domain (constant column): all mass in one bin
+              Seq(nRows) ++ Seq.fill(HistBins - 1)(0L) }))
         }
       }
     }
-    val out = rows.toDF("table", "column", "ndv", "n_rows")
+    val out = rows.toDS().toDF()
     out.repartition(1).write.mode("overwrite")
       .parquet(s"$dir/${graft.Tables.StatsFileName}")
     out

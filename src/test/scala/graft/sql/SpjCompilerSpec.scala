@@ -207,6 +207,69 @@ class SpjCompilerSpec extends SparkSpec {
       s"disconnected prefix in $order")
   }
 
+  test("rangeSel interpolates the histogram, not just [min,max]") {
+    // skewed 4-bin histogram over [0,4]: half the mass in [0,1), half in
+    // [3,4]. Linear min/max interpolation would say P(x<0.5)=0.125; the
+    // histogram knows the first bin is heavy.
+    val cs = graft.Tables.ColStats(20L, 0.0, 4.0, Seq(10L, 0L, 0L, 10L))
+    assert(math.abs(SpjCompiler.rangeSel(cs, SpjAst.Lt, 2.0) - 0.5) < 1e-9)
+    assert(math.abs(SpjCompiler.rangeSel(cs, SpjAst.Lt, 0.5) - 0.25) < 1e-9)
+    assert(math.abs(SpjCompiler.rangeSel(cs, SpjAst.Gt, 3.5) - 0.25) < 1e-9)
+    // out-of-domain literals clamp to 0/1
+    assert(SpjCompiler.rangeSel(cs, SpjAst.Lt, -1.0) == 0.0)
+    assert(SpjCompiler.rangeSel(cs, SpjAst.Lt, 99.0) == 1.0)
+    assert(SpjCompiler.rangeSel(cs, SpjAst.Ge, 99.0) == 0.0)
+    // date literals coerce to epoch days, numerics pass through
+    assert(SpjCompiler.litDouble("42.5").contains(42.5))
+    assert(SpjCompiler.litDouble("1970-01-11").contains(10.0))
+    assert(SpjCompiler.litDouble("bob").isEmpty)
+  }
+
+  test("ANALYZE range stats flip the DP join order (persisted artifact)") {
+    // Catalog crafted so the range predicate's TRUE selectivity (~0.9,
+    // WC.x uniform on [0,59], pred x < 54) contradicts the System R 1/3
+    // default. card(WA⋈WB) = 1000·50/100 = 500 either way;
+    // card(WA⋈WC) = 1000·|WC_f|/60 — 333 under the 1/3 default (join WC
+    // first), ~900 under the histogram (join WB first). The flip must come
+    // from the PERSISTED _graft_stats.parquet artifact: the same data in
+    // an un-ANALYZEd dir keeps the default order.
+    val sql = """SELECT WA.k FROM WA, WB, WC
+                |WHERE WA.k = WB.k, WA.j = WC.j, WC.x < "54"""".stripMargin
+    def writeTables(dir: String): Unit = {
+      spark.range(1000).selectExpr(
+          "cast(id % 100 as int) AS k", "cast(id % 60 as int) AS j")
+        .write.parquet(s"$dir/wa.parquet")
+      spark.range(50).selectExpr("cast(id as int) AS k")
+        .write.parquet(s"$dir/wb.parquet")
+      spark.range(60).selectExpr(
+          "cast(id as int) AS j", "cast(id as double) AS x")
+        .write.parquet(s"$dir/wc.parquet")
+    }
+    val plain = java.nio.file.Files.createTempDirectory("spj_plain").toString
+    val stats = java.nio.file.Files.createTempDirectory("spj_stats").toString
+    writeTables(plain); writeTables(stats)
+    graft.tools.TableTools.analyze(spark, stats, Seq("wa", "wb", "wc"))
+
+    // the artifact round-trips the domain + histogram
+    val wcStats = graft.Tables.columnRanges(spark, stats, "wc")
+    val xs = wcStats("x")
+    assert(xs.min == 0.0 && xs.max == 59.0 && xs.hist.sum == 60L)
+    assert(wcStats.contains("j") && !wcStats.contains("nonexistent"))
+
+    val defOrder = SpjCompiler.explainOrder(spark, plain, sql)
+    val histOrder = SpjCompiler.explainOrder(spark, stats, sql)
+    assert(defOrder.indexOf("wc") < defOrder.indexOf("wb"),
+      s"1/3 default must join the 'filtered' WC early, got $defOrder")
+    assert(histOrder.indexOf("wb") < histOrder.indexOf("wc"),
+      s"histogram (sel≈0.9) must join WB first, got $histOrder")
+
+    // end-to-end through run() on the ANALYZEd dir: plan choice only,
+    // results exact. Each WA row matches ≤1 WB row (k<50) and exactly one
+    // WC row; x<54 keeps j<54 ⇒ count = |{id: id%100<50 ∧ id%60<54}|.
+    val expect = (0 until 1000).count(i => i % 100 < 50 && i % 60 < 54)
+    assert(SpjCompiler.run(spark, stats, sql).count() == expect)
+  }
+
   test("projected non-aggregate column absent from GROUPBY becomes a key") {
     val rows = run(
       """SELECT CART.status, COUNT(CART.cartid) FROM CART
