@@ -317,6 +317,55 @@ object Corpus {
       .filter(col("rk") <= k)
   }
 
+  /** Top-k Porter STEMS per group — [[topTokensPerGroup]] with the
+    * morphological collapse in front: inflected variants (connect,
+    * connected, connection, connecting) pool into one stem row, so the
+    * rollup reads topical weight instead of inflection frequency. The
+    * stem is a codegen'd scan-stage scalar (PorterStemExpr) applied
+    * AFTER the token explode — the shuffle carries (group, stem) pairs,
+    * and the map-side partial aggregation collapses variant counts
+    * before the exchange, so stemming strictly SHRINKS shuffle volume
+    * versus the raw-token rollup. No SQL mirror (the stemmer is the
+    * algorithm, not an expression DuckDB has) — StemSpec gates the
+    * expression against the published algorithm's vectors.
+    */
+  def topStemsPerGroup(
+      df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col("n").desc, col("stem").asc)
+    df.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .select(col(groupCol), TextOps.porterStem(col("token")).as("stem"))
+      .groupBy(groupCol, "stem")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Per-group vocabulary from PERSISTABLE DataSketches HLL sketches,
+    * built per shard then unioned — the artifact-shaped scale path that
+    * [[approxVocabPerGroup]]'s one-shot HLL++ aggregate cannot give: a
+    * per-(group, shard) sketch frame is a TABLE (binary column) that a
+    * 100 TB pipeline materializes once per ingest batch, re-unions in
+    * milliseconds for any group rollup, and merges across days without
+    * touching raw tokens again (the t55 rank-sketch discipline, applied
+    * to distinct counting). Stage 1 shuffles one sketch per
+    * (group, shard) — constant size, never the token stream; stage 2
+    * unions shard sketches per group. SketchSpec gates the estimate
+    * against [[vocabPerGroup]]'s exact distinct and pins union
+    * invariance (sharded-then-unioned ≡ direct sketch).
+    */
+  def sketchVocabPerGroup(
+      df: DataFrame, textCol: String, groupCol: String,
+      shardCol: String): DataFrame = {
+    val shard = df.select(col(groupCol), col(shardCol),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, shardCol)
+      .agg(hll_sketch_agg(col("token")).as("sk"))
+    shard.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_shards"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("vocab_est"))
+  }
+
   /** Per-group vocabulary size (exact distinct whitespace tokens) and
     * total token volume. Exact COUNT(DISTINCT) is the oracle-checkable
     * configuration: it plans as a two-phase aggregate whose first phase
@@ -1965,6 +2014,105 @@ object Corpus {
         ((n * (col("a") + col("d")) - pe).cast("double") /
           (n * n - pe).cast("double")))
         .otherwise(lit(null)).as("kappa"))
+  }
+
+  /** Split-conformal calibration of a quality gate (Vovk et al.;
+    * Angelopoulos & Bates 2023 tutorial form): instead of hand-picking
+    * a score cutoff, hold out a CALIBRATION slice, take q̂ = the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest calibration score, and flag test
+    * rows with score > q̂ — by exchangeability the marginal flag rate
+    * is ≤ α, distribution-free, whatever the score measures. This is
+    * the principled version of every "where do I set the threshold"
+    * decision the quality tier makes (t14/t19/t23 use fixed rules).
+    *
+    * Exactness: the score and the rank arithmetic are integers —
+    * cum ≥ ⌈(n+1)·num/den⌉ is evaluated as den·cum ≥ num·(n+1), no
+    * floating point anywhere until the final flag-rate division —
+    * hash-exact against the oracle replaying the same construction.
+    * An infeasible rank (k > n_cal, i.e. α too small for the slice)
+    * reads q̂ = Long.MaxValue and flags nothing — the standard
+    * conformal convention.
+    *
+    * Scale: the calibration order statistic is NOT a global sort — a
+    * (score, count) rollup first (map-side combine; distinct integer
+    * scores are bounded — permille-style scores have ≤ a few thousand
+    * values), then the cumulative window runs over that bounded frame.
+    * The test pass is one scan + group rollup against the broadcast
+    * one-row threshold.
+    */
+  def conformalGate(
+      df: DataFrame, score: Column, calib: Column, groupCol: String,
+      covNum: Int = 9, covDen: Int = 10): DataFrame = {
+    require(covNum > 0 && covDen > covNum,
+      s"coverage num/den must satisfy 0 < $covNum < $covDen")
+    val s = df.select(col(groupCol), score.cast("long").as("s"),
+      calib.as("cal"))
+    val whole = Window.partitionBy(lit(1))
+    val cum = s.filter(col("cal")).groupBy("s")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(whole.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_cal", sum("c").over(whole))
+    val thr = cum.agg(coalesce(
+      min(when(col("cum") * covDen >= (col("n_cal") + 1) * covNum,
+        col("s"))),
+      lit(Long.MaxValue)).as("threshold"))
+    s.filter(!col("cal"))
+      .crossJoin(broadcast(thr))
+      .groupBy(groupCol, "threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") > col("threshold"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(col(groupCol), col("n_docs"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flag_rate"),
+        col("threshold"))
+  }
+
+  /** Krippendorff's alpha over m >= 2 binary gates — the multi-rater
+    * generalization of [[gateAgreement]]'s 2-rater Cohen's kappa
+    * (Krippendorff 1970/2004, nominal data, complete ratings: every
+    * gate rates every document). The question it answers that kappa
+    * cannot: do a PANEL of quality gates measure one underlying
+    * construct, or are any of them noise — the audit run before
+    * combining gates into a composite curation score.
+    *
+    * For binary nominal complete data the coincidence-matrix form
+    * collapses to integer moments: with per-unit positive counts n1_u,
+    * alpha = 1 − (n−1)/(m−1) · Σ_u n1_u(m−n1_u) / (n0·n1), n = N·m.
+    * ONE scan, three exact long sums, one final double expression the
+    * oracle replays cast-for-cast — hash-exact. Degenerate margins
+    * (all ratings equal) read NULL: alpha is undefined when there is
+    * no variance to agree about.
+    *
+    * Scale: the scan is embarrassingly parallel (gates are scan-stage
+    * expressions), the aggregate is 3 longs — no shuffle beyond the
+    * one-row rollup. Long overflow needs n²·m² > 2^63: n ≈ 10^9 units
+    * is safe at m ≤ 3 only in the DOUBLE-cast final expression, so the
+    * integer moments stay raw longs and the (n−1)·Σ product is formed
+    * in floating point.
+    */
+  def krippendorffAlpha(df: DataFrame, gates: Seq[Column]): DataFrame = {
+    require(gates.size >= 2, s"need >= 2 gates: ${gates.size}")
+    val m = gates.size.toLong
+    val n1 = gates.map(g =>
+      coalesce(g.cast("boolean"), lit(false)).cast("long")).reduce(_ + _)
+    df.select(n1.as("n1"))
+      .agg(count(lit(1)).as("n_units"),
+        sum("n1").as("n1_total"),
+        sum(col("n1") * (lit(m) - col("n1"))).as("pair_disagree"))
+      .select(col("n_units"), lit(m).as("m"), col("n1_total"),
+        (lit(m) * col("n_units") - col("n1_total")).as("n0_total"),
+        col("pair_disagree"))
+      .select(col("n_units"), col("m"), col("n1_total"), col("n0_total"),
+        col("pair_disagree"),
+        when(col("n1_total") === 0 || col("n0_total") === 0, lit(null))
+          .otherwise(lit(1.0) -
+            ((lit(m) * col("n_units") - 1).cast("double") *
+              col("pair_disagree").cast("double")) /
+              (lit(m - 1).cast("double") * col("n0_total").cast("double") *
+                col("n1_total").cast("double")))
+          .as("alpha"))
   }
 
   /** Exact precision/recall operating points at score-quantile

@@ -798,6 +798,63 @@ object Events {
           .otherwise(lit(0)).as("shift_flag"))
   }
 
+  /** Offline single change-point localization per event type — the
+    * batch complement of [[cusumShift]]'s sequential detector: cusum
+    * flags THAT the level shifted while monitoring; this names WHERE,
+    * over the full daily history, the series most likely split into
+    * two regimes (maximum-likelihood mean-shift estimate, equivalent
+    * to the argmax of the CUSUM deviation |S_k − (k/n)·S_n|) — the
+    * retrospective read a postmortem or a data-drift audit wants.
+    *
+    * Exactness: daily counts on a DENSE calendar (gap days are real
+    * zeros, same spine discipline as cusumShift), prefix sums exact
+    * longs, and the argmax ranks the INTEGER statistic d_k =
+    * |n·S_k − k·S_n| (ties → earliest day), so the split day never
+    * depends on floating point. Means and the normalized statistic
+    * d_k / (n·√(k(n−k))) are one fixed IEEE expression each, replayed
+    * cast-for-cast by the oracle — hash-exact.
+    *
+    * Scale: one corpus-sized rollup with map-side combine; everything
+    * after runs on the types × days frame (calendar-bounded). The
+    * per-type window sort holds days-per-type rows — thousands, not
+    * billions; skew cannot arise because the key is the calendar.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+    val tot = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum("n").as("s_tot"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val scored = dense.join(broadcast(tot), "event_type")
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("s_k", sum("n").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k") < col("nd")) // interior splits only
+      .withColumn("d", abs(col("nd") * col("s_k") - col("k") * col("s_tot")))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("d").desc, col("k").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("nd").as("n_days"), col("k"),
+        (col("s_k").cast("double") / col("k").cast("double"))
+          .as("mean_before"),
+        ((col("s_tot") - col("s_k")).cast("double") /
+          (col("nd") - col("k")).cast("double")).as("mean_after"),
+        (col("d").cast("double") / (col("nd").cast("double") *
+          sqrt(col("k").cast("double") *
+            (col("nd") - col("k")).cast("double")))).as("cusum_stat"))
+  }
+
   /** Group-sequential experiment monitor (Pocock 1977 / O'Brien &
     * Fleming 1979): the "peek correctly" rung above [[welchT]]'s
     * single-look decision — reading a fixed-α test daily inflates the

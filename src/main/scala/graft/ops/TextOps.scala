@@ -199,6 +199,14 @@ object TextOps {
       graft.functions.BpeCountExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
 
+  /** Porter-stem a single token ([[graft.functions.PorterStemExpr]] —
+    * codegen'd scan-stage scalar; see the expression's scaladoc).
+    */
+  def porterStem(token: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PorterStemExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(token)))
+
   /** Tokenize to training ids under trained BPE merges — the emit step
     * a model actually consumes ([[graft.functions.BpeEncodeExpr]];
     * `size` equals [[bpeTokenCountTrained]] by construction, so packing

@@ -450,6 +450,52 @@ object VectorOps {
           " / CAST(n_total AS DOUBLE)").as("imbalance"))
   }
 
+  /** Per-cluster simplified (centroid-based) SILHOUETTE audit — the
+    * cluster-quality read that [[ivfBalanceAudit]]'s occupancy numbers
+    * cannot give: a list can be perfectly sized yet semantically mushy.
+    * For each vector, a = cosine distance to its own (unit) centroid,
+    * b = cosine distance to the nearest OTHER centroid, s = (b−a) /
+    * max(a,b) ∈ [−1, 1]; per-cluster means localize which lists are
+    * tight (s → 1), boundary-straddling (s → 0), or mis-assigned
+    * (s < 0). The centroid-based form is the scalable variant of the
+    * classic pairwise silhouette (Rousseeuw 1987): O(N·k) as a PURE
+    * fused map over the scan — both distances come from ONE codegen'd
+    * top-2 argmin pass ([[graft.functions.VectorExpressions
+    * .nearestCentroids]]) against the broadcast-baked centroid matrix,
+    * so there is no pairwise join anywhere and the only shuffle is the
+    * k-row rollup. Pairwise silhouette is O(N²) and exists only as a
+    * within-sample diagnostic — at 100 TB it is not a real operator.
+    *
+    * Rows-only by design (trained centroids have no SQL mirror);
+    * VectorOpsSpec gates: planted well-separated clusters read mean
+    * silhouette near 1, a deliberately-overclustered run reads lower,
+    * all values in [−1, 1], zero-norm vectors excluded.
+    */
+  def silhouetteAudit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel): DataFrame = {
+    val mat = model.centroids
+    require(mat.length >= 2, s"silhouette needs >= 2 centroids: ${mat.length}")
+    import graft.functions.{VectorExpressions => V}
+    spread(corpus)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", norm2(col("q")))
+      .filter(col("n2") > 0) // zero-norm: cosine undefined (knnIvf rule)
+      .withColumn("nc", V.nearestCentroids(col("q"), mat, 2))
+      .withColumn("a", lit(1.0) -
+        V.centroidDot(col("q"), col("nc").getItem(0), mat) / sqrt(col("n2")))
+      .withColumn("b", lit(1.0) -
+        V.centroidDot(col("q"), col("nc").getItem(1), mat) / sqrt(col("n2")))
+      .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0)))
+      .groupBy(col("nc").getItem(0).cast("long").as("list"))
+      .agg(count(lit(1)).as("n_vecs"),
+        avg("sil").as("mean_sil"),
+        avg("a").as("mean_dist_own"),
+        avg("b").as("mean_dist_next"))
+  }
+
   /** IVF index TUNING curve: recall@k of [[knnIvf]] against the exact
     * [[knnBrute]] ground truth at each candidate `nProbe` setting over
     * ONE shared trained index — the operational knob table an ANN

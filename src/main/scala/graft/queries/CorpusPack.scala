@@ -4197,8 +4197,109 @@ object CorpusPack {
             WHERE r.rk <= q.quota
             ORDER BY doc_id"""))
 
+  private val t62 = Q(
+    "t62_krippendorff",
+    // Krippendorff's alpha across THREE binary quality gates (length,
+    // token-count, function-word) — the panel-reliability audit above
+    // t28's 2-rater kappa: do the gates measure one construct, or is
+    // one of them noise? Integer coincidence moments in one scan; the
+    // final alpha is a single fixed IEEE expression — hash-exact.
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Corpus.krippendorffAlpha(d, Seq(
+        col("n_chars") >= 200,
+        size(TextOps.tokens(col("text"))) >= 40,
+        contains(lower(col("text")), lit(" the "))))
+    },
+    Some("""WITH r AS (SELECT
+                (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                 + CASE WHEN len(list_filter(string_split(text, ' '),
+                     x -> x <> '')) >= 40 THEN 1 ELSE 0 END
+                 + CASE WHEN contains(lower(text), ' the ')
+                     THEN 1 ELSE 0 END) AS n1
+              FROM documents),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                CAST(SUM(n1) AS BIGINT) AS n1_total,
+                CAST(SUM(n1 * (3 - n1)) AS BIGINT) AS pair_disagree
+              FROM r)
+            SELECT n_units, CAST(3 AS BIGINT) AS m, n1_total,
+              3 * n_units - n1_total AS n0_total, pair_disagree,
+              CASE WHEN n1_total = 0 OR 3 * n_units - n1_total = 0
+                THEN NULL
+                ELSE 1.0E0 - (CAST(3 * n_units - 1 AS DOUBLE)
+                    * CAST(pair_disagree AS DOUBLE))
+                  / (CAST(2 AS DOUBLE)
+                    * CAST(3 * n_units - n1_total AS DOUBLE)
+                    * CAST(n1_total AS DOUBLE))
+              END AS alpha
+            FROM a"""))
+
+  private val t63 = Q(
+    "t63_stem_vocab",
+    // top-5 Porter stems per language: the morphology-collapsed vocab
+    // head (see Corpus.topStemsPerGroup / functions.PorterStemExpr).
+    // Rows-only: the stemmer is an algorithm, not a SQL expression —
+    // StemSpec gates the expression against the published algorithm's
+    // vectors and pins determinism + non-alpha passthrough.
+    (s, dir) => Corpus.topStemsPerGroup(
+        Tables.loadParallel(s, dir, "documents"), "text", "lang", k = 5)
+      .orderBy("lang", "rk"),
+    None)
+
+  private val t64 = Q(
+    "t64_sketch_vocab",
+    // per-language vocabulary from per-(lang, source) DataSketches HLL
+    // sketches unioned per language — the PERSISTABLE mergeable-sketch
+    // path (see Corpus.sketchVocabPerGroup). Rows-only: sketch
+    // estimates have no SQL mirror; SketchSpec gates the estimate
+    // against the exact distinct count and pins union invariance.
+    (s, dir) => Corpus.sketchVocabPerGroup(
+        Tables.loadParallel(s, dir, "documents"), "text", "lang", "source")
+      .orderBy("lang"),
+    None)
+
+  private val t65 = Q(
+    "t65_conformal_gate",
+    // split-conformal threshold calibration for a token-density score
+    // (see Corpus.conformalGate): calibration slice = md5 last hex
+    // 0-7 (the p01 split convention), target flag rate alpha = 0.1;
+    // per-language test-slice audit shows the marginal-vs-conditional
+    // coverage gap. Integer rank arithmetic end-to-end — hash-exact.
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").filter(col("n_chars") > 0)
+      Corpus.conformalGate(d,
+        expr("1000L * size(filter(split(text, ' '), x -> x != '')) div n_chars"),
+        substring(md5(col("doc_id").cast("string")), 32, 1)
+          .between("0", "7"),
+        "lang")
+        .orderBy("lang")
+    },
+    Some("""WITH sc AS (SELECT lang,
+                1000 * len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) // n_chars AS s,
+                substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                  BETWEEN '0' AND '7' AS cal
+              FROM documents WHERE n_chars > 0),
+            cals AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c
+              FROM sc WHERE cal GROUP BY s),
+            cum AS (SELECT s,
+                CAST(SUM(c) OVER (ORDER BY s) AS BIGINT) AS cum,
+                CAST(SUM(c) OVER () AS BIGINT) AS n_cal
+              FROM cals),
+            thr AS (SELECT COALESCE(MIN(CASE
+                  WHEN 10 * cum >= 9 * (n_cal + 1) THEN s END),
+                9223372036854775807) AS threshold FROM cum)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN s > threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+              CAST(SUM(CASE WHEN s > threshold THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flag_rate,
+              threshold
+            FROM sc CROSS JOIN thr WHERE NOT cal
+            GROUP BY lang, threshold ORDER BY lang"""))
+
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61, t62, t63, t64, t65,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)

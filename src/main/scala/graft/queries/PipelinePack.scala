@@ -3175,8 +3175,71 @@ object PipelinePack {
     },
     None) // stubbed decode -> rows-only (OpsSpec gates the composition)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  private val e39 = Q(
+    "e39_changepoint",
+    // offline change-point localization per event type: the batch
+    // complement of e28's sequential CUSUM — WHERE the daily series
+    // most likely split into two regimes (argmax of the INTEGER CUSUM
+    // deviation |n·S_k − k·S_n| over a dense calendar, ties to the
+    // earliest day); means and the normalized statistic are one fixed
+    // IEEE expression each — hash-exact (Events.changepoint).
+    (s, dir) => Events.changepoint(Tables.load(s, dir, "events"))
+      .orderBy("event_type"),
+    Some("""WITH dc AS (SELECT event_type,
+                datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS day,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            sp AS (SELECT event_type,
+                unnest(generate_series(mn, mx)) AS day
+              FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+                    FROM dc GROUP BY 1)),
+            dense AS (SELECT sp.event_type, sp.day,
+                COALESCE(dc.cnt, 0) AS n
+              FROM sp LEFT JOIN dc
+                ON sp.event_type = dc.event_type AND sp.day = dc.day),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+                CAST(SUM(n) AS BIGINT) AS s_tot
+              FROM dense GROUP BY 1),
+            pre AS (SELECT dense.event_type, dense.day, nd, s_tot,
+                CAST(ROW_NUMBER() OVER (PARTITION BY dense.event_type
+                  ORDER BY dense.day) AS BIGINT) AS k,
+                CAST(SUM(n) OVER (PARTITION BY dense.event_type
+                  ORDER BY dense.day) AS BIGINT) AS s_k
+              FROM dense JOIN tot
+                ON dense.event_type = tot.event_type),
+            sc AS (SELECT *, abs(nd * s_k - k * s_tot) AS dd
+              FROM pre WHERE k < nd),
+            best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY dd DESC, k ASC) AS rk FROM sc)
+            SELECT event_type, day AS change_day, nd AS n_days, k,
+              CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+              CAST(s_tot - s_k AS DOUBLE) / CAST(nd - k AS DOUBLE)
+                AS mean_after,
+              CAST(dd AS DOUBLE) / (CAST(nd AS DOUBLE) *
+                sqrt(CAST(k AS DOUBLE) * CAST(nd - k AS DOUBLE)))
+                AS cusum_stat
+            FROM best WHERE rk = 1 ORDER BY event_type"""))
+
+  private val s25 = Q(
+    "s25_silhouette",
+    // per-cluster centroid-based silhouette over the trained IVF model
+    // (VectorOps.silhouetteAudit): which lists are semantically tight
+    // vs boundary-straddling — the quality companion to s23's
+    // occupancy balance. Rows-only: trained centroids have no SQL
+    // mirror; VectorOpsSpec gates range, separation, and the
+    // overclustering direction.
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = VectorOps.trainIvfModel(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      VectorOps.silhouetteAudit(emb, "vec_id", "embedding", model)
+        .orderBy("list")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
     m01, m02, m03, m04, m05)
 }

@@ -338,7 +338,20 @@ object ScaleSmoke {
         // t61 = ONE fixed-width (lang, source) hash-agg; everything
         // after is bounded by category cardinality
         "s24_centroid_migration", "p32_batch_size_sweep",
-        "t61_mix_independence")
+        "t61_mix_independence",
+        // r13 additions, all linear in corpus rows: t62 = ONE scan
+        // with three scan-stage gates collapsing to a 1-row integer
+        // rollup; t63 = token explode + stem scalar + (group, stem)
+        // hash-agg with map-side collapse + per-group top-k window;
+        // t64 = one sketch per (group, shard) then a group union —
+        // shuffles carry constant-size sketch bytes, never tokens;
+        // t65 = bounded (score, count) rollup + cum window over the
+        // bounded frame + one broadcast-threshold test pass; s25 =
+        // one fused top-2 argmin scan + a k-row rollup (e39's events
+        // table is outside this corpus's schema; its calendar-bounded
+        // windows are pinned in EventsSpec)
+        "t62_krippendorff", "t63_stem_vocab", "t64_sketch_vocab",
+        "t65_conformal_gate", "s25_silhouette")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),
@@ -372,7 +385,7 @@ object ScaleSmoke {
   /** Seeded synthetic documents + embeddings at the requested scale —
     * same distributions at every N (see object doc).
     */
-  private def generate(
+  private[tools] def generate(
       spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
     def tok(seed: Column): Column =
       concat(lit("w"), pmod(xxhash64(seed), lit(4096L)).cast("string"))

@@ -107,7 +107,16 @@ class ContractSpec extends AnyFunSuite {
       // re-index migration audit rides two trained centroid sets;
       // VectorOpsSpec gates conservation, [0,1] fractions, and zero
       // migration under identical models
-      "s24_centroid_migration")
+      "s24_centroid_migration",
+      // Porter stemmer is an algorithm with no SQL mirror; StemSpec
+      // gates the paper's example vectors + codegen/engine parity
+      "t63_stem_vocab",
+      // DataSketches HLL estimates have no SQL mirror; SketchSpec gates
+      // estimate-vs-exact tolerance and shard-union invariance
+      "t64_sketch_vocab",
+      // silhouette rides trained/fixed centroids (no SQL mirror);
+      // VectorOpsSpec gates planted separation, range, conservation
+      "s25_silhouette")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -490,6 +490,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(deg.isNullAt(4))
   }
 
+  test("krippendorffAlpha: hand-checked alpha; degenerate margins NULL") {
+    import org.apache.spark.sql.functions.col
+    // n1 per unit = [3,3,0,1,2]: N=5 m=3 n=15, n1=9 n0=6, disagree=4
+    // alpha = 1 - (14*4)/(2*6*9) = 13/27
+    val df = Seq((true, true, true), (true, true, true),
+      (false, false, false), (true, false, false), (true, true, false))
+      .toDF("g1", "g2", "g3")
+    val r = Corpus.krippendorffAlpha(df,
+      Seq(col("g1"), col("g2"), col("g3"))).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 9L && r.getLong(3) == 6L && r.getLong(4) == 4L)
+    assert(math.abs(r.getDouble(5) - 13.0 / 27.0) < 1e-15)
+    // all raters constant-true on every unit: no variance -> NULL
+    val deg = Corpus.krippendorffAlpha(
+      Seq((true, true), (true, true)).toDF("g1", "g2"),
+      Seq(col("g1"), col("g2"))).collect().head
+    assert(deg.isNullAt(5))
+    // perfect agreement with mixed values: alpha = 1
+    val perfect = Corpus.krippendorffAlpha(
+      Seq((true, true), (false, false), (true, true))
+        .toDF("g1", "g2"),
+      Seq(col("g1"), col("g2"))).collect().head
+    assert(math.abs(perfect.getDouble(5) - 1.0) < 1e-15)
+  }
+
+  test("conformalGate: exact conformal rank, infeasible alpha flags " +
+    "nothing, marginal flag rate tracks alpha") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // calibration scores 1..10: q-hat = ceil(11*0.9)=10th smallest = 10
+    val cal = (1 to 10).map(s => ("g", s.toLong, true))
+    val tst = Seq(("g", 5L, false), ("g", 10L, false),
+      ("g", 11L, false), ("g", 12L, false))
+    val df = (cal ++ tst).toDF("g", "s", "cal")
+    val r = Corpus.conformalGate(df, col("s"), col("cal"), "g")
+      .collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L, // 11 and 12 flagged
+      s"flags: $r")
+    assert(r.getLong(4) == 10L, s"threshold: $r")
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-15)
+    // infeasible rank (alpha < 1/(n_cal+1)): threshold = MaxValue, 0 flags
+    val inf = Corpus.conformalGate(df, col("s"), col("cal"), "g",
+      covNum = 99, covDen = 100).collect().head
+    assert(inf.getLong(4) == Long.MaxValue && inf.getLong(2) == 0L)
+    // exchangeable draws: marginal flag rate ~ alpha (here exactly 10%:
+    // calibration 1..100, test 1..100 shifted by 0.5 rank-equivalent)
+    val big = ((1 to 100).map(s => ("g", s.toLong, true)) ++
+      (1 to 100).map(s => ("g", s.toLong, false))).toDF("g", "s", "cal")
+    val br = Corpus.conformalGate(big, col("s"), col("cal"), "g")
+      .collect().head
+    // q-hat = ceil(101*0.9) = 91st smallest = 91 -> flags 92..100 = 9
+    assert(br.getLong(4) == 91L && br.getLong(2) == 9L)
+  }
+
   test("prCurve: hand-checked operating points; monotone recall") {
     import org.apache.spark.sql.functions.col
     // scores 1..10, positives at 6..10 (perfect ranking): at the median

@@ -786,6 +786,40 @@ class DedupOverlapSpec extends SparkSpec {
 class VectorOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("silhouetteAudit: planted separated clusters read near-1 " +
+    "silhouette, overclustering reads lower, range bounded, zero-norm " +
+    "excluded, corpus conserved") {
+    // two tight orthogonal clusters + one zero vector
+    val data = ((0 until 20).map(i =>
+        (i.toLong, Array(1.0f, 0.001f * i))) ++
+      (20 until 40).map(i => (i.toLong, Array(0.001f * (i - 20), 1.0f))) :+
+      (99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val m2 = VectorOps.IvfModel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val rows = VectorOps.silhouetteAudit(data, "vec_id", "embedding", m2)
+      .orderBy("list").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == 40L,
+      "zero-norm vector must be excluded, all others assigned")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_sil")
+      assert(s > 0.9 && s <= 1.0, s"planted separation: $s")
+      assert(r.getAs[Double]("mean_dist_own") <
+        r.getAs[Double]("mean_dist_next"))
+    }
+    // overclustering: split cluster 0 across two near-identical
+    // centroids -> its members sit on a boundary, silhouette collapses
+    val m3 = VectorOps.IvfModel(Array(
+      Array(1.0, 0.0), Array(0.9995, 0.0316), Array(0.0, 1.0)))
+    val over = VectorOps.silhouetteAudit(data, "vec_id", "embedding", m3)
+      .collect()
+    val worst = over.map(_.getAs[Double]("mean_sil")).min
+    assert(worst < 0.5, s"overclustered lists must read low: $worst")
+    over.foreach { r =>
+      val s = r.getAs[Double]("mean_sil")
+      assert(s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12)
+    }
+  }
+
   test("marginMine equals an independent reference replay of the exact " +
     "arithmetic: quantized dots, HALF_UP decimal sums, three IEEE " +
     "divisions, min-id ties") {
@@ -1096,6 +1130,35 @@ class EventsSpec extends SparkSpec {
       (0L, 4L, 1L, 0L, 1.0 - 1.0 / 4.0),
       (2L, 2L, 1L, 1L, (1.0 - 1.0 / 4.0) * (1.0 - 1.0 / 2.0))),
       s"got ${got.toSeq}")
+  }
+
+  test("changepoint: planted mean shift localized to the exact day, " +
+    "integer argmax ties to the earliest split, gap days are zeros") {
+    // days 0-4: 2 events/day, days 5-9: 4/day -> argmax at k=5 (day 4),
+    // mean_before=2, mean_after=4
+    val ev = (0 until 10).flatMap(d =>
+        Seq.fill(if (d < 5) 2 else 4)(d))
+      .zipWithIndex.map { case (d, i) =>
+        (i.toLong, ts(d.toLong * 86400 + 3600), 1L, "a", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.changepoint(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Int]("change_day") == 4) // last pre-shift day
+    assert(row.getAs[Long]("n_days") == 10L && row.getAs[Long]("k") == 5L)
+    assert(row.getAs[Double]("mean_before") == 2.0)
+    assert(row.getAs[Double]("mean_after") == 4.0)
+    // d_k = |10*10 - 5*30| = 50; stat = 50 / (10*sqrt(5*5)) = 1.0
+    assert(math.abs(row.getAs[Double]("cusum_stat") - 1.0) < 1e-12)
+    // a day with NO events inside the span must read as a zero, not a
+    // missing row: drop day 7 entirely -> n_days still 10
+    val gappy = (0 until 10).filter(_ != 7).flatMap(d =>
+        Seq.fill(if (d < 5) 2 else 4)(d))
+      .zipWithIndex.map { case (d, i) =>
+        (i.toLong, ts(d.toLong * 86400 + 3600), 1L, "a", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.changepoint(gappy).collect().head
+      .getAs[Long]("n_days") == 10L)
   }
 
   test("naiveForecastBacktest: exact same-hour-yesterday errors, hours " +

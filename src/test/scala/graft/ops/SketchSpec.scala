@@ -47,6 +47,38 @@ class SketchSpec extends SparkSpec {
     df.collect().map(r => r.getString(0) ->
       Seq(r.getLong(2), r.getLong(3), r.getLong(4))).toMap
 
+  test("sketchVocabPerGroup: HLL estimate within tolerance of exact " +
+    "distinct, shard-union tracks the single-shard sketch (t64 gate)") {
+    val corpus = (0 until 200).map { i =>
+      val text = (0 until 20)
+        .map(j => s"w${(i * 7 + j * 13) % 500}").mkString(" ")
+      (i.toLong, text, s"l${i % 2}", s"s${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+    val est = Corpus.sketchVocabPerGroup(corpus, "text", "lang", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val exact = Corpus.vocabPerGroup(corpus, "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, (nShards, v)) =>
+      assert(nShards == 3L, s"$g shards: $nShards")
+      val ex = exact(g).toDouble
+      assert(math.abs(v - ex) <= 0.05 * ex + 2,
+        s"$g: sketch $v vs exact $ex")
+    }
+    // merge invariance: sharded-then-unioned ≈ one-shard sketch (the
+    // mergeable-artifact contract — per-batch sketches must re-union to
+    // what a monolithic pass would have published)
+    val single = Corpus.sketchVocabPerGroup(
+        corpus.withColumn("one", lit("x")), "text", "lang", "one")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    est.foreach { case (g, (_, v)) =>
+      val s = single(g).toDouble
+      assert(math.abs(v - s) <= 0.02 * math.max(s, 1.0) + 1,
+        s"$g: union $v vs single $s")
+    }
+  }
+
   test("rankSketchQuantiles: epsilon-rank guarantee vs exact order " +
     "statistics at two accuracies, on uneven group sizes") {
     val data = (docs("en", 2000) ++ docs("de", 500)).toDF("lang", "text")
