@@ -1106,6 +1106,45 @@ object Dedup {
       .select(col("id"), graft.functions.HashExpressions
         .minHashSig(col("grams"), minHashParams(numHashes)).as("sig"))
 
+  /** MinHash ESTIMATOR calibration audit: per true-Jaccard decile, how
+    * well the signature match-fraction tracks exact bigram Jaccard —
+    * the index-quality card for the TEXT side (the s22/s23 discipline
+    * applied to d03): E[match_frac] = J by the MinHash theorem with
+    * binomial sd √(J(1−J)/k), so a decile whose mean absolute error
+    * blows past that envelope means the permutation family or the
+    * banding math regressed — caught here, not in production recall.
+    *
+    * Shape: the exact pair frame (nGramJaccard, the d02 machinery with
+    * its cap contract) is pairs-sized; two id-keyed joins attach the
+    * fused-scan signatures; the match fraction is a codegen'd
+    * zip_with/aggregate over the two fixed-k arrays; the rollup is ≤ 11
+    * decile rows. Nothing new scales with the corpus beyond what d02
+    * and d03 already pay.
+    *
+    * Rows-only by design (the estimate depends on the engine's fixed
+    * permutation constants — no SQL mirror); DedupSpec gates exact-dup
+    * pairs at match_frac 1.0 and the per-decile error envelope.
+    */
+  def minhashCalibration(
+      df: DataFrame, textCol: String, idCol: String,
+      tauNum: Int, tauDen: Int, numHashes: Int = 128,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    val truth = nGramJaccard(df, textCol, idCol, tauNum, tauDen, maxGramDf)
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes)
+    truth
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("match_frac",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / numHashes)
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("jac_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        avg("jaccard").as("mean_true"),
+        avg("match_frac").as("mean_est"),
+        avg(abs(col("match_frac") - col("jaccard"))).as("mean_abs_err"))
+  }
+
   /** The banding step shared by [[minHashLsh]] and the streaming twin
     * (graft.streaming.CorpusStream.lshCandidateStream): (id, band,
     * bucket) keys, band j's bucket = xxhash64 over the signature slice

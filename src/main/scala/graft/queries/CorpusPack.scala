@@ -4298,8 +4298,150 @@ object CorpusPack {
             FROM sc CROSS JOIN thr WHERE NOT cal
             GROUP BY lang, threshold ORDER BY lang"""))
 
+  private val t66 = Q(
+    "t66_code_detect",
+    // code-vs-prose triage: symbol/semicolon/indent/camelCase counts
+    // per doc + a composite code flag, rolled per language — the
+    // mixture-routing gate a pretraining pipeline runs before deciding
+    // a document's tokenizer, packing lane, and mixture bucket (code
+    // and prose want different treatment end to end). The corpus is
+    // synthetic prose, so a deterministic slice (ids %19==0) gets a
+    // code block planted — the t13 injection pattern; the flag must
+    // recover exactly that slice. Integer counts + one division —
+    // hash-exact.
+    (s, dir) => {
+      val injected = Tables.load(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 19 === 0,
+            concat(col("text"),
+              lit(" int main() {\n  x = y;\n  foo(bar);\n  return 0;\n}")))
+          .otherwise(col("text")))
+      val sym = length(col("text")) -
+        length(regexp_replace(col("text"), "[{}()\\[\\];=<>]", ""))
+      val scored = injected.select(col("lang"),
+        sym.as("n_sym"),
+        regexp_count(col("text"), lit(";")).as("n_semi"),
+        regexp_count(col("text"), lit("\\n  ")).as("n_indent"),
+        regexp_count(col("text"), lit("[a-z][A-Z]")).as("n_camel"))
+        .withColumn("code_flag",
+          (col("n_semi") >= 3 && col("n_sym") >= 8 && col("n_indent") >= 2)
+            .cast("long"))
+      scored.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("code_flag").as("n_code"),
+          sum("n_sym").as("sym_total"),
+          sum("n_semi").as("semi_total"),
+          sum("n_camel").as("camel_total"))
+        .select(col("lang"), col("n_docs"), col("n_code"),
+          (col("n_code").cast("double") / col("n_docs").cast("double"))
+            .as("code_rate"),
+          col("sym_total"), col("semi_total"), col("camel_total"))
+        .orderBy("lang")
+    },
+    Some("""WITH inj AS (SELECT lang,
+              CASE WHEN doc_id % 19 = 0
+                THEN text || ' int main() {' || chr(10) || '  x = y;'
+                  || chr(10) || '  foo(bar);' || chr(10)
+                  || '  return 0;' || chr(10) || '}'
+                ELSE text END AS text
+              FROM documents),
+            sc AS (SELECT lang,
+              length(text) - length(regexp_replace(text,
+                '[{}()\[\];=<>]', '', 'g')) AS n_sym,
+              len(regexp_extract_all(text, ';')) AS n_semi,
+              len(regexp_extract_all(text, '\n  ')) AS n_indent,
+              len(regexp_extract_all(text, '[a-z][A-Z]')) AS n_camel
+              FROM inj),
+            fl AS (SELECT lang, n_sym, n_semi, n_camel,
+              CASE WHEN n_semi >= 3 AND n_sym >= 8 AND n_indent >= 2
+                THEN 1 ELSE 0 END AS code_flag
+              FROM sc)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(code_flag) AS BIGINT) AS n_code,
+              CAST(SUM(code_flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS code_rate,
+              CAST(SUM(n_sym) AS BIGINT) AS sym_total,
+              CAST(SUM(n_semi) AS BIGINT) AS semi_total,
+              CAST(SUM(n_camel) AS BIGINT) AS camel_total
+            FROM fl GROUP BY lang ORDER BY lang"""))
+
+  private val t67 = Q(
+    "t67_secret_scan",
+    // credential / high-entropy leak scan: key-assignment patterns,
+    // 32-hex runs, and base64-ish runs per doc, rolled per source —
+    // the secret-scrubbing gate a code-bearing corpus runs before
+    // release (trained models regurgitate verbatim keys; scanning at
+    // curation is the cheap place to stop that). Deterministic
+    // injection (the t13 pattern): ids %13==0 get a key assignment,
+    // ids %17==0 a 32-hex blob (which the base64-class detector also
+    // matches — hex is a subset, real scanner behavior). Integer
+    // counts + one division — hash-exact.
+    (s, dir) => {
+      val injected = Tables.load(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" cfg api_key=AK"),
+              substring(md5(concat(lit("k:"),
+                col("doc_id").cast("string"))), 1, 16)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            concat(lit(" blob "),
+              md5(concat(lit("b:"), col("doc_id").cast("string")))))
+            .otherwise(lit(""))))
+      val scored = injected.select(col("source"),
+        regexp_count(col("text"),
+          lit("(?i)(api_key|secret|token|passwd|password) *[=:] *[A-Za-z0-9/+_-]{8,}"))
+          .as("n_keyassign"),
+        regexp_count(col("text"), lit("[0-9a-f]{32}")).as("n_hexruns"),
+        regexp_count(col("text"), lit("[A-Za-z0-9+/]{28,}={0,2}"))
+          .as("n_b64runs"))
+        .withColumn("leak_flag",
+          (col("n_keyassign") > 0 || col("n_hexruns") > 0 ||
+            col("n_b64runs") > 0).cast("long"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("leak_flag").as("n_flagged"),
+          sum("n_keyassign").as("keyassign_total"),
+          sum("n_hexruns").as("hexrun_total"),
+          sum("n_b64runs").as("b64_total"))
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+            .as("leak_rate"),
+          col("keyassign_total"), col("hexrun_total"), col("b64_total"))
+        .orderBy("source")
+    },
+    Some("""WITH inj AS (SELECT source, text
+                || CASE WHEN doc_id % 13 = 0
+                  THEN ' cfg api_key=AK' || substr(md5('k:'
+                    || CAST(doc_id AS VARCHAR)), 1, 16)
+                  ELSE '' END
+                || CASE WHEN doc_id % 17 = 0
+                  THEN ' blob ' || md5('b:' || CAST(doc_id AS VARCHAR))
+                  ELSE '' END AS text
+              FROM documents),
+            sc AS (SELECT source,
+              len(regexp_extract_all(text,
+                '(?i)(api_key|secret|token|passwd|password) *[=:] *[A-Za-z0-9/+_-]{8,}'))
+                AS n_keyassign,
+              len(regexp_extract_all(text, '[0-9a-f]{32}')) AS n_hexruns,
+              len(regexp_extract_all(text, '[A-Za-z0-9+/]{28,}={0,2}'))
+                AS n_b64runs
+              FROM inj),
+            fl AS (SELECT source, n_keyassign, n_hexruns, n_b64runs,
+              CASE WHEN n_keyassign > 0 OR n_hexruns > 0 OR n_b64runs > 0
+                THEN 1 ELSE 0 END AS leak_flag
+              FROM sc)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(leak_flag) AS BIGINT) AS n_flagged,
+              CAST(SUM(leak_flag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS leak_rate,
+              CAST(SUM(n_keyassign) AS BIGINT) AS keyassign_total,
+              CAST(SUM(n_hexruns) AS BIGINT) AS hexrun_total,
+              CAST(SUM(n_b64runs) AS BIGINT) AS b64_total
+            FROM fl GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
-    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61, t62, t63, t64, t65,
+    Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)

@@ -143,6 +143,19 @@ object PipelinePack {
       .orderBy("id_a", "id_b"),
     None) // LSH banding has no portable SQL analog -> rows-only
 
+  private val d40 = Q(
+    "d40_minhash_calibration",
+    // MinHash estimator calibration: per true-Jaccard decile, signature
+    // match-fraction vs exact bigram Jaccard (Dedup.minhashCalibration)
+    // — the d03 index-quality card. Rows-only: the estimate rides the
+    // engine's fixed permutation constants; DedupSpec gates the
+    // exact-dup decile at 1.0 and the binomial error envelope.
+    (s, dir) => Dedup.minhashCalibration(Tables.load(s, dir, "documents"),
+        "text", "doc_id", tauNum = 1, tauDen = 4, numHashes = 128,
+        maxGramDf = 20)
+      .orderBy("jac_decile"),
+    None)
+
   private val d04 = Q(
     "d04_dedup_simhash",
     (s, dir) => Dedup.simHashPairs(Tables.load(s, dir, "documents"),
@@ -3238,7 +3251,7 @@ object PipelinePack {
     },
     None)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, d40, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
     m01, m02, m03, m04, m05)

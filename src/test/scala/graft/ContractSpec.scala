@@ -116,7 +116,11 @@ class ContractSpec extends AnyFunSuite {
       "t64_sketch_vocab",
       // silhouette rides trained/fixed centroids (no SQL mirror);
       // VectorOpsSpec gates planted separation, range, conservation
-      "s25_silhouette")
+      "s25_silhouette",
+      // the MinHash estimate rides the engine's fixed permutation
+      // constants (no SQL mirror); DedupSpec gates the exact-dup
+      // decile at 1.0 and the binomial error envelope
+      "d40_minhash_calibration")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

@@ -345,6 +345,29 @@ class DedupSpec extends SparkSpec {
     (4L, "completely different words entirely here now")
   ).toDF("doc_id", "text")
 
+  test("minhashCalibration: exact-dup decile reads match_frac 1.0, every " +
+    "decile's error sits inside the binomial envelope, deciles bounded") {
+    val rows = graft.ops.Dedup.minhashCalibration(docs, "text", "doc_id",
+      tauNum = 1, tauDen = 4, numHashes = 128).orderBy("jac_decile")
+      .collect()
+    assert(rows.nonEmpty)
+    val top = rows.last
+    // docs 1 and 2 are exact dups: true J = 1.0 -> decile 10, and every
+    // permutation min must agree -> estimate exactly 1.0
+    assert(top.getAs[Int]("jac_decile") == 10)
+    assert(top.getAs[Double]("mean_est") == 1.0 &&
+      top.getAs[Double]("mean_abs_err") == 0.0)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("jac_decile")
+      assert(d >= 0 && d <= 10, s"decile out of range: $d")
+      val j = r.getAs[Double]("mean_true")
+      // 4 sigma of the k=128 binomial + a small-count cushion
+      val env = 4.0 * math.sqrt(j * (1 - j) / 128) + 0.02
+      assert(r.getAs[Double]("mean_abs_err") <= env,
+        s"decile $d error ${r.getAs[Double]("mean_abs_err")} > $env")
+    }
+  }
+
   test("containment: token-run pairs only — word boundaries respected, " +
     "equal texts min-id-contained, sub-2-token docs silent") {
     val cdocs = Seq(
