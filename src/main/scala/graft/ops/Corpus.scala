@@ -2858,7 +2858,7 @@ object Corpus {
     * itself is the release-card column).
     */
   def chi2Outliers(df: DataFrame, idCol: String, textCol: String,
-      topK: Int): DataFrame = {
+      topK: Int, checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(topK > 0, s"topK must be positive: $topK")
     val dec = DecimalType(18, 6)
@@ -2915,15 +2915,20 @@ object Corpus {
           col("__tail")).cast("double"))
       .select(col(idCol), col("n_tok"), col("chi2"),
         (col("chi2") >= lit(2.0) * topK).as("flagged"))
-      // cache hygiene (r12 advice): a library caller composing this op
-      // must not inherit the tf cache for the session's lifetime — the
-      // contaminationHops discipline: materialize the (fixed-width,
-      // one-row-per-doc) result eagerly via localCheckpoint, THEN free
-      // tf before returning. The checkpoint blocks are reclaimed by the
-      // ContextCleaner when the returned frame is unreferenced (or by a
-      // session's unpersist-all, as Bench/Verify do per query).
-      .localCheckpoint()
-    tf.unpersist(blocking = false)
-    out
+    // cache hygiene (r12 advice): a library caller composing this op
+    // must not inherit the tf cache for the session's lifetime — the
+    // contaminationHops discipline: materialize the (fixed-width,
+    // one-row-per-doc) result eagerly via localCheckpoint, THEN free
+    // tf before returning. The checkpoint blocks are reclaimed by the
+    // ContextCleaner when the returned frame is unreferenced (or by a
+    // session's unpersist-all, as Bench/Verify do per query).
+    // checkpoint=false keeps the declarative plan (PlanSpec pins the
+    // join shape on it) and leaves tf's lifetime to the caller.
+    if (!checkpoint) out
+    else {
+      val fin = out.localCheckpoint()
+      tf.unpersist(blocking = false)
+      fin
+    }
   }
 }

@@ -285,6 +285,71 @@ object TableTools {
     out
   }
 
+  /** Export a table's statistics in the reference's NATIVE `.stat` text
+    * format (grammar from /root/reference/src/qp/optimizer/PlanCost.java
+    * getStatistics, lines 220–270: line 1 = tuple count, line 2 =
+    * per-attribute distinct counts, whitespace-separated, in schema
+    * column order) — the outbound half of stats interop: a user running
+    * the reference engine beside this one can hand the reference OUR
+    * measured statistics and its RandomOptimizer prices plans from the
+    * same numbers the SPJ DP here uses. NDVs come artifact-first via
+    * Tables.columnNdv (an ANALYZEd dir exports with zero stat jobs);
+    * complex-typed columns (the reference type system has none) fall
+    * back to the row count.
+    */
+  def exportStat(
+      spark: SparkSession, dir: String, table: String,
+      outDir: String): java.nio.file.Path = {
+    val df = graft.Tables.load(spark, dir, table)
+    val n = graft.Tables.rowCount(spark, dir, table)
+    val simple = df.columns.filterNot(
+      df.schema(_).dataType.typeName.matches("array.*|map.*|struct.*"))
+    val ndv = graft.Tables.columnNdv(spark, dir, table,
+      simple.toSeq.map(_.toLowerCase))
+    val line2 = df.columns.map(c =>
+      ndv.getOrElse(c.toLowerCase, n)).mkString(" ")
+    val p = java.nio.file.Paths.get(outDir, s"$table.stat")
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s"$n\n$line2\n")
+    p
+  }
+
+  /** Import reference-format `.stat` files into the engine's ANALYZE
+    * artifact — the inbound half: a user migrating FROM the reference
+    * brings their maintained stats catalog and every SPJ compile prices
+    * its join-order DP from it with zero stat jobs, before any ANALYZE
+    * has ever run here. Writes a fresh `_graft_stats.parquet` (NDV +
+    * n_rows only — the reference has no range stats; run [[analyze]]
+    * later to upgrade the artifact in place). Missing files skip their
+    * table; malformed files fail loudly (the reference exits on them
+    * too).
+    */
+  def importStats(
+      spark: SparkSession, statDir: String, dir: String,
+      tables: Seq[String] = graft.Tables.names): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[StatRow] = tables.flatMap { t =>
+      val p = java.nio.file.Paths.get(statDir, s"$t.stat")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val lines = java.nio.file.Files.readAllLines(p)
+        require(lines.size >= 2, s"malformed stat file $p: need 2 lines")
+        val n = lines.get(0).trim.toLong
+        val ndvs = lines.get(1).trim.split("\\s+").map(_.toLong).toSeq
+        val cols = graft.Tables.load(spark, dir, t).columns.toSeq
+        require(cols.length == ndvs.length,
+          s"$p: ${ndvs.length} distinct counts for ${cols.length} columns " +
+            "(the reference requires one per attribute in schema order)")
+        cols.zip(ndvs).map { case (c, v) =>
+          StatRow(t.toLowerCase, c.toLowerCase, v, n, None, None, None) }
+      }
+    }
+    val out = rows.toDS().toDF()
+    out.repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/${graft.Tables.StatsFileName}")
+    out
+  }
+
   def skewReport(
       df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
     require(keyCols.nonEmpty, "skewReport needs at least one key column")

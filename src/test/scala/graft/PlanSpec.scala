@@ -895,7 +895,14 @@ class PlanSpec extends SparkSpec {
 
   test("t60: chi2 outliers never build a doc x topK grid — broadcast " +
     "joins only for the K-row/1-row sides, no cartesian, no window") {
-    val p = plan("t60_chi2_outlier")
+    // checkpoint=false: the query's default eagerly localCheckpoints for
+    // cache hygiene (r12 advice), which truncates explain to a Scan
+    // ExistingRDD — pin the DECLARATIVE plan the op actually builds
+    val df = graft.ops.Corpus.chi2Outliers(
+      graft.Tables.load(spark, dir, "documents"), "doc_id", "text",
+      topK = 16, checkpoint = false)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastHashJoin") ||

@@ -37,6 +37,56 @@ class WarehouseSpec extends SparkSpec {
       s"columnNdv must read the artifact, got $got")
   }
 
+  test("exportStat emits the reference .stat grammar; importStats " +
+    "round-trips it into the artifact (sentinel proves file-sourced)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stat").toString
+    (0L until 40L).map(i => (i, s"name$i", s"c${i % 4}"))
+      .toDF("r_regionkey", "r_name", "r_comment")
+      .write.parquet(s"$dir/region.parquet")
+    // export: line 1 = tuple count, line 2 = one NDV per column in
+    // schema order (PlanCost.java getStatistics grammar)
+    val p = graft.tools.TableTools.exportStat(spark, dir, "region",
+      s"$dir/statout")
+    val lines = java.nio.file.Files.readAllLines(p)
+    assert(lines.get(0) == "40")
+    val ndvs = lines.get(1).trim.split(" ")
+    assert(ndvs.length == 3)
+    assert(math.abs(ndvs(0).toLong - 40L) <= 2 &&
+      math.abs(ndvs(2).toLong - 4L) <= 1)
+    // import a HAND-WRITTEN reference-format file with sentinel values
+    // into a fresh dir: columnNdv must surface the sentinels (file is
+    // the source, zero stat jobs)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_stat2")
+      .toString
+    spark.read.parquet(s"$dir/region.parquet")
+      .write.parquet(s"$dir2/region.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/statout", "region2.stat"),
+      "40\n1234 5678 9\n")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/statout", "region2.stat"),
+      java.nio.file.Paths.get(s"$dir/statout", "region.stat"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.tools.TableTools.importStats(spark, s"$dir/statout", dir2,
+      Seq("region"))
+    val got = graft.Tables.columnNdv(spark, dir2, "region",
+      Seq("r_regionkey", "r_name", "r_comment"))
+    assert(got == Map("r_regionkey" -> 1234L, "r_name" -> 5678L,
+      "r_comment" -> 9L), s"import must surface the file's values: $got")
+    // malformed: wrong NDV arity fails loudly (the reference exits too)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_stat3")
+      .toString
+    spark.read.parquet(s"$dir/region.parquet")
+      .write.parquet(s"$dir3/region.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/statout", "region.stat"),
+      "40\n1 2\n")
+    intercept[IllegalArgumentException] {
+      graft.tools.TableTools.importStats(spark, s"$dir/statout", dir3,
+        Seq("region"))
+    }
+  }
+
   test("applyChanges: update-all, insert, delete, no-op tombstone, " +
     "and untouched passthrough in one batch") {
     val target = dim((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
