@@ -2309,6 +2309,59 @@ object Corpus {
       .select(col(idCol), col(sourceCol), col("src_rank"), col("mix_pos"))
   }
 
+  /** Mixture-order FAIRNESS audit — did the materialized interleave
+    * ([[mixtureOrder]]) actually deliver each source its weight share in
+    * every training window? WFQ virtual time guarantees long-run rates;
+    * a curriculum reading the order in `window`-sized batches cares
+    * about the WORST window (a source starved for one window is a
+    * gradient-noise spike its loss curve will show). Reports, per
+    * source over all FULL windows: realized min/max per-window counts,
+    * the weight-implied expectation, and the worst absolute deviation.
+    *
+    * Exactness: window id and per-(source, window) counts are integer
+    * arithmetic; a source absent from some full window reads min 0 via
+    * the bucket-presence count (no join against a generated window
+    * spine needed); expectation and deviation are one fixed IEEE
+    * expression over integer min/max — order-safe (no float sums or
+    * avgs anywhere), so the oracle replays it hash-exact on top of the
+    * p17 SQL chain.
+    *
+    * Scale: one (source, window) hash-agg with map-side combine, then a
+    * source-keyed rollup of the window-counts frame (windows, not
+    * rows), one 1-row total broadcast. Nothing holds more than
+    * sources × windows rows.
+    */
+  def mixtureAudit(
+      ordered: DataFrame, sourceCol: String,
+      weights: Map[String, Double], window: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val sumW = weights.values.sum
+    val total = ordered.agg(count(lit(1)).as("n_total"))
+    val counts = ordered
+      .crossJoin(broadcast(total))
+      .withColumn("n_windows", expr(s"n_total div $window"))
+      .filter(col("mix_pos") < col("n_windows") * window) // full windows
+      .groupBy(col(sourceCol).as("source"),
+        expr(s"mix_pos div $window").as("w"))
+      .agg(count(lit(1)).as("cnt"), max("n_windows").as("nw"))
+    val wcol = element_at(typedlit(weights), col("source"))
+    counts.groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        max("nw").as("n_windows"),
+        count(lit(1)).as("n_present"),
+        min("cnt").as("min_present"),
+        max("cnt").as("max_cnt"))
+      .select(col("source"), col("n_docs"), col("n_windows"),
+        // a source missing from some full window has a true min of 0
+        when(col("n_present") < col("n_windows"), lit(0L))
+          .otherwise(col("min_present")).as("min_cnt"),
+        col("max_cnt"),
+        (lit(window.toDouble) * wcol / sumW).as("expected_per_window"))
+      .withColumn("max_abs_dev", greatest(
+        abs(col("min_cnt").cast("double") - col("expected_per_window")),
+        abs(col("max_cnt").cast("double") - col("expected_per_window"))))
+  }
+
   /** Deterministic global training shuffle: a seeded pseudo-random
     * permutation of the corpus as dense 0-based positions. Epoch ordering
     * must be (a) uniform — md5 of seed:id is as good as an RNG draw,

@@ -4440,9 +4440,76 @@ object CorpusPack {
               CAST(SUM(n_b64runs) AS BIGINT) AS b64_total
             FROM fl GROUP BY source ORDER BY source"""))
 
+  private val p33 = Q(
+    "p33_mixture_audit",
+    // fairness audit of p17's materialized interleave: per source over
+    // 100-doc training windows, realized min/max counts vs the
+    // weight-implied expectation and the worst absolute deviation —
+    // WFQ guarantees long-run rates, the curriculum cares about the
+    // worst WINDOW (Corpus.mixtureAudit). Integer window counts + one
+    // fixed IEEE expression over min/max — hash-exact on top of the
+    // p17 SQL chain.
+    (s, dir) => {
+      val weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 4.0 else 1.0)).toMap
+      Corpus.mixtureAudit(
+        Corpus.mixtureOrder(Tables.load(s, dir, "documents"),
+          "doc_id", "source", weights, seed = "mix0"),
+        "source", weights, window = 100)
+        .orderBy("source")
+    },
+    Some("""WITH k AS (SELECT doc_id, source,
+                md5('mix0:' || CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents),
+            r AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY sk, doc_id) - 1 AS src_rank
+              FROM k),
+            v AS (SELECT doc_id, source, src_rank,
+                (CAST(src_rank AS DOUBLE) + 0.5) /
+                  (CASE WHEN source IN
+                     ('src0','src1','src2','src3','src4')
+                    THEN 4.0 ELSE 1.0 END) AS vt
+              FROM r),
+            f AS (SELECT doc_id, source,
+                row_number() OVER (ORDER BY vt, doc_id) - 1 AS mix_pos
+              FROM v),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM f),
+            fb AS (SELECT source, mix_pos // 100 AS w
+              FROM f CROSS JOIN tot
+              WHERE mix_pos < (n_total // 100) * 100),
+            wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM fb GROUP BY 1, 2),
+            nw AS (SELECT n_total // 100 AS n_windows FROM tot),
+            agg AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_present,
+                CAST(MIN(cnt) AS BIGINT) AS min_present,
+                CAST(MAX(cnt) AS BIGINT) AS max_cnt
+              FROM wc GROUP BY 1)
+            SELECT source, n_docs, n_windows,
+              CASE WHEN n_present < n_windows THEN 0
+                ELSE min_present END AS min_cnt,
+              max_cnt,
+              100.0E0 * (CASE WHEN source IN
+                  ('src0','src1','src2','src3','src4')
+                THEN 4.0E0 ELSE 1.0E0 END) / 35.0E0
+                AS expected_per_window,
+              greatest(
+                abs(CAST(CASE WHEN n_present < n_windows THEN 0
+                    ELSE min_present END AS DOUBLE)
+                  - (100.0E0 * (CASE WHEN source IN
+                      ('src0','src1','src2','src3','src4')
+                    THEN 4.0E0 ELSE 1.0E0 END) / 35.0E0)),
+                abs(CAST(max_cnt AS DOUBLE)
+                  - (100.0E0 * (CASE WHEN source IN
+                      ('src0','src1','src2','src3','src4')
+                    THEN 4.0E0 ELSE 1.0E0 END) / 35.0E0)))
+                AS max_abs_dev
+            FROM agg CROSS JOIN nw ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67,
-      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32,
+      p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38)
 }

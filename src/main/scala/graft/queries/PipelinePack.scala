@@ -3251,7 +3251,29 @@ object PipelinePack {
     },
     None)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, d40, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
+  private val s26 = Q(
+    "s26_knn_filtered_ivf",
+    // filtered vector search, SCALE path: the SHARED full-corpus IVF
+    // index with the metadata predicate applied to the probed list
+    // scan (knnIvf corpusFilter) — s07 is the exact baseline; building
+    // a per-predicate index is not an option at 100 TB, and post-
+    // filtering a fixed top-k starves selective predicates, so the
+    // filter composes INSIDE the list scan before top-k. Rows-only
+    // (trained centroids); RecallSpec gates this path's recall against
+    // the exact filtered baseline.
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      // nProbe=20 of 32: the r7 RecallSpec finding — a ~1/5-selective
+      // filter thins each list's matching density ~5x, so holding
+      // recall (0.85 measured) needs a wider probe than unfiltered s03
+      VectorOps.knnIvf(emb.filter(col("vec_id") < 8), emb,
+        "vec_id", "embedding", k = 10, nCentroids = 32, nProbe = 20,
+        corpusFilter = col("label") === 2)
+        .orderBy("probe_id", "rk")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, d40, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
     e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
     m01, m02, m03, m04, m05)

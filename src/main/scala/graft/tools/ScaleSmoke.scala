@@ -107,6 +107,9 @@ object ScaleSmoke {
     // bounded rounds of edge-sized equi/anti joins over persisted
     // frontiers — candidate-class like its pair generator
     "d37_transitive_contamination",
+    // d40 rides d02's capped pair machinery (its truth side) plus two
+    // id-keyed signature joins and an 11-row rollup — candidate class
+    "d40_minhash_calibration",
     // d24 is the d08 chain + two label-cardinality rollups
     "d24_cluster_sizes",
     // d39 is ONE d02 pair pass at tau=1/4 (the d26 candidate class)
@@ -134,7 +137,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 38, s"expected 38 d-tier queries, got $dTier")
+    require(dTier.size == 39, s"expected 39 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -120,7 +120,11 @@ class ContractSpec extends AnyFunSuite {
       // the MinHash estimate rides the engine's fixed permutation
       // constants (no SQL mirror); DedupSpec gates the exact-dup
       // decile at 1.0 and the binomial error envelope
-      "d40_minhash_calibration")
+      "d40_minhash_calibration",
+      // filtered-IVF results ride trained centroids (no SQL mirror);
+      // RecallSpec gates recall vs the exact filtered baseline AND
+      // that no result escapes the predicate
+      "s26_knn_filtered_ivf")
     assert(rowsOnly == known,
       s"unexpected rows-only: ${rowsOnly -- known}; stale: ${known -- rowsOnly}")
   }

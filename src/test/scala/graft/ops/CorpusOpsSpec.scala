@@ -543,6 +543,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(br.getLong(4) == 91L && br.getLong(2) == 9L)
   }
 
+  test("mixtureAudit: hand-built order reads exact window min/max and " +
+    "deviation; a source absent from a full window reads min 0; the " +
+    "partial tail window is excluded") {
+    import org.apache.spark.sql.functions.col
+    // 10 positions per window, 25 rows -> 2 full windows + a tail of 5.
+    // window 0: a x6, b x4; window 1: a x10 (b starved); tail: b x5
+    val order = ((0 until 6).map(i => ("a", i)) ++
+      (6 until 10).map(i => ("b", i)) ++
+      (10 until 20).map(i => ("a", i)) ++
+      (20 until 25).map(i => ("b", i)))
+      .map { case (s, p) => (s, p.toLong) }.toDF("source", "mix_pos")
+    val w = Map("a" -> 3.0, "b" -> 1.0) // expected per window: 7.5 / 2.5
+    val got = Corpus.mixtureAudit(order, "source", w, window = 10)
+      .orderBy("source").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n_docs") == 16L && a.getAs[Long]("n_windows") == 2L)
+    assert(a.getAs[Long]("min_cnt") == 6L && a.getAs[Long]("max_cnt") == 10L)
+    assert(a.getAs[Double]("expected_per_window") == 7.5)
+    assert(a.getAs[Double]("max_abs_dev") == 2.5) // |10 - 7.5|
+    // b appears in window 0 only -> min 0 via presence count; the tail
+    // window's 5 b-rows are excluded everywhere
+    assert(b.getAs[Long]("n_docs") == 4L && b.getAs[Long]("min_cnt") == 0L)
+    assert(b.getAs[Long]("max_cnt") == 4L)
+    assert(b.getAs[Double]("max_abs_dev") == 2.5) // |0 - 2.5|
+  }
+
   test("prCurve: hand-checked operating points; monotone recall") {
     import org.apache.spark.sql.functions.col
     // scores 1..10, positives at 6..10 (perfect ranking): at the median
