@@ -354,7 +354,13 @@ object ScaleSmoke {
         // table is outside this corpus's schema; its calendar-bounded
         // windows are pinned in EventsSpec)
         "t62_krippendorff", "t63_stem_vocab", "t64_sketch_vocab",
-        "t65_conformal_gate", "s25_silhouette")
+        "t65_conformal_gate", "s25_silhouette",
+        // t66/t67 = pure scan-stage regexp counts + one rollup each;
+        // p33 = the p17 interleave (two p13-class ranked passes) + a
+        // (source, window) hash-agg over the windows frame; s26 = the
+        // s03 shape with a predicate on the list scan (pinned probes)
+        "t66_code_detect", "t67_secret_scan", "p33_mixture_audit",
+        "s26_knn_filtered_ivf")
       .map(n => measure(n, 15.0, queryFn(n))) ++
       // p24 rides the d02/d08 inverted-index pair machinery
       Seq(measure("p24_leakage_split", 60.0, queryFn("p24_leakage_split")),
