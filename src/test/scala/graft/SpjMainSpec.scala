@@ -19,6 +19,10 @@ class SpjMainSpec extends SparkSpec {
     Files.writeString(sqlFile, graft.queries.SqlPack.q14Text)
     val outDir = tmp.resolve("out").toString
     SpjMain.execute(spark, sqlFile.toString, dir, Some(outDir))
+    // --explain surface: join order line + a physical plan, no execution
+    val ex = SpjMain.explainText(spark, sqlFile.toString, dir)
+    assert(ex.startsWith("join order: "), ex.take(80))
+    assert(ex.contains("Physical Plan"), ex.take(200))
     val written = spark.read.parquet(outDir)
     val direct = SpjCompiler.run(spark, dir, graft.queries.SqlPack.q14Text)
     assert(written.columns.sorted.sameElements(direct.columns.sorted))
