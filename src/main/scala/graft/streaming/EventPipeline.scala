@@ -313,6 +313,71 @@ object EventPipeline {
     * (µs, event_id) then keep-newest equals the batch window's
     * row_number truncation.
     */
+  /** Per-type state for [[anomalyStream]]: open per-hour counts (bounded
+    * by the stream's out-of-orderness — hours still accumulating) plus
+    * exact integer moments (c, Σ, Σ²) of every CLOSED hour.
+    */
+  final case class AnomState(open: Map[Long, Long], c: Long, s: Long, q: Long)
+
+  /** One scored closed hour ([[anomalyStream]] output): the hour's count,
+    * how many closed hours the baseline held when it was scored, and the
+    * z-score (None until the baseline has ≥ 2 hours with variance).
+    */
+  final case class HourAnomaly(event_type: String, hour_epoch: Long,
+      n: Long, n_baseline: Long, z: Option[Double])
+
+  /** ONLINE hourly anomaly monitor — the streaming twin of
+    * [[graft.ops.Events.hourlyAnomaly]] with the one honest causal
+    * change: batch scores every hour against the FULL series' moments
+    * (retrospective audit); a live monitor can only score an hour
+    * against hours already closed, so each hour's z uses the exact
+    * integer moments (c, Σ, Σ²) of strictly EARLIER closed hours — the
+    * same guarded formula, NULL until the baseline has two hours and
+    * variance. An hour CLOSES when a later hour arrives for its type
+    * (the same-next-bucket closure rule a dashboard applies; pair with
+    * an upstream watermark so stragglers for closed hours are dropped
+    * rather than silently lost). Counts accumulate ACROSS micro-batches
+    * while an hour is open — the cross-batch fold a naive per-batch
+    * monitor gets wrong (StreamingSpec pins it).
+    *
+    * State per type is BOUNDED: the open-hours map (out-of-orderness
+    * wide, typically 1–2 entries) + three longs — no history of closed
+    * hours is ever kept, because the z only needs the moments.
+    */
+  def anomalyStream(events: Dataset[Event]): Dataset[HourAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, HourAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[Event], state: GroupState[AnomState]) =>
+          val st0 = state.getOption.getOrElse(AnomState(Map.empty, 0L, 0L, 0L))
+          var open = st0.open
+          it.foreach { e =>
+            val h = micros(e.ts) / 1000000L / 3600L * 3600L
+            open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+          }
+          if (open.isEmpty) Iterator.empty
+          else {
+            val maxH = open.keys.max
+            val (closing, stillOpen) = open.partition(_._1 < maxH)
+            var c = st0.c; var s = st0.s; var q = st0.q
+            val out = closing.toSeq.sortBy(_._1).map { case (h, n) =>
+              val varNum = q * c - s * s
+              val z = if (c > 1 && varNum > 0)
+                Some((n * c - s).toDouble /
+                  (c * math.sqrt(varNum.toDouble / (c * (c - 1)))))
+              else None
+              val baseline = c
+              c += 1; s += n; q += n * n
+              HourAnomaly(typ, h, n, baseline, z)
+            }
+            state.update(AnomState(stillOpen, c, s, q))
+            out.iterator
+          }
+      }
+  }
+
   def sequenceStream(
       events: Dataset[Event],
       maxLen: Int,

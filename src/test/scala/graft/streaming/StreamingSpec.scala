@@ -31,6 +31,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream: hours close on the next hour's arrival, counts " +
+    "accumulate across micro-batches, z scores against PRIOR closed " +
+    "moments only (guarded), the open hour never emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventPipeline.anomalyStream(src.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def hr(h: Long, k: Int, base: Long): Seq[Event] =
+        (0 until k).map(i => ev(h * 100 + i, h * 3600 + base + i, 1L, "a", 0.0))
+      // hour counts: h0=2, h1=3, h2=2, h3=3, then a spike h4=8
+      // batch 1: all of h0 + ONE h1 event -> closes h0 (baseline 0)
+      src.addData(hr(0, 2, 0) ++ hr(1, 1, 0): _*)
+      q.processAllAvailable()
+      // batch 2: h1's remaining TWO events + h2 -> closes h1 at the
+      // ACCUMULATED count 3 (the cross-batch fold)
+      src.addData(hr(1, 2, 10) ++ hr(2, 2, 0): _*)
+      q.processAllAvailable()
+      // batch 3: h3 -> closes h2; batch 4: h4 spike -> closes h3;
+      // batch 5: one h5 event -> closes h4 against baseline {2,3,2,3}
+      src.addData(hr(3, 3, 0): _*); q.processAllAvailable()
+      src.addData(hr(4, 8, 0): _*); q.processAllAvailable()
+      src.addData(hr(5, 1, 0): _*); q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1)
+      assert(rows.map(x => (x._1 / 3600, x._2)).toSeq ==
+        Seq((0L, 2L), (1L, 3L), (2L, 2L), (3L, 3L), (4L, 8L)),
+        s"closed hours/counts: ${rows.toSeq}")
+      assert(rows.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+        "baseline grows by one closed hour each time")
+      // guards: baselines of size < 2 -> None; {2,3} and {2,3,2} have
+      // variance, so h2 and h3 DO score; the spike's z vs {2,3,2,3}:
+      // (8*4-10)/(4*sqrt((26*4-100)/(4*3))) = 22/(4*sqrt(1/3)) = 9.5263
+      assert(rows(0)._4.isEmpty && rows(1)._4.isEmpty)
+      assert(rows(2)._4.isDefined && rows(3)._4.isDefined)
+      val zSpike = rows(4)._4.get
+      assert(math.abs(zSpike - 22.0 / (4.0 * math.sqrt(1.0 / 3.0))) < 1e-9,
+        s"spike z: $zSpike")
+      assert(!rows.map(_._1 / 3600).contains(5L), "open hour must not emit")
+    } finally q.stop()
+  }
+
   test("hourlyCounts: watermark drops too-late rows") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
