@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through instead of routing it via
+// sbt's logger: the logger prefixes every stdout line with "[info] ",
+// which breaks any line-wise JSON parse of the Bench/Verify stdout
+// contract (BENCH_r13 `parsed: null` — the final JSON line arrived as
+// "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

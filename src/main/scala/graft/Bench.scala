@@ -95,6 +95,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // PARALLEL-THROUGHPUT calibration (r14, verdict item 1): the CPU
+    // calibration above map-side-combines 30M longs down to 1M groups, so
+    // almost nothing crosses its exchange — it prices scalar CPU speed,
+    // not the shuffle path. On a shared 32-core host, contention hits
+    // shuffle-heavy queries (serialize + spill + fetch + deserialize
+    // across all cores at once) far harder than it hits that combine,
+    // which is exactly the shape of the recurring "unchanged-code
+    // regression clusters" (r12: 3 of 4 were measurement artifacts; r13:
+    // t02/t01/t37/t36). This job forces the full volume through a
+    // no-combine exchange: 8M wide rows (~40 B payload) repartitioned by
+    // a key the planner cannot pre-aggregate, then grouped on the far
+    // side. Reported as calibration_shuffle_sec; totals normalize by the
+    // CPU scalar as before (the shuffle scalar is the DIAGNOSTIC — when
+    // a query regresses but shuffle calibration regressed in the same
+    // ratio, the host was contended, not the plan).
+    def shuffleCalibrationOnce(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .selectExpr("id", "md5(cast(id as string)) AS s")
+        .repartition(cpus.toInt,
+          org.apache.spark.sql.functions.col("id"))
+        .selectExpr("pmod(xxhash64(s), 64) AS k", "s")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.max("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // SPARK_GRAFT_ONLY=q01,d02 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -141,6 +172,10 @@ object Bench {
     val calib = Seq(calibrationOnce(), calibrationOnce(), calibrationOnce())
       .sorted.apply(1)
     System.err.println(f"[bench] calibration_sec = $calib%.3f")
+    shuffleCalibrationOnce() // warm
+    val calibShuffle = Seq(shuffleCalibrationOnce(), shuffleCalibrationOnce(),
+      shuffleCalibrationOnce()).sorted.apply(1)
+    System.err.println(f"[bench] calibration_shuffle_sec = $calibShuffle%.3f")
     // JOB-LATENCY calibration (r12): the r11 graph-tier driver-host mystery
     // (d29 2.8 s builder / 7.0 s driver on IDENTICAL code, same-session A/B
     // proved r10==r11 parity) cannot be explained by the CPU calibration,
@@ -177,13 +212,20 @@ object Bench {
     // reference-host seconds, so round-over-round totals compare directly
     val RefCal = 2.053
     val totalNorm = if (calib > 0) total * RefCal / calib else -1.0
+    // RefShuffleCal: shuffle-calibration median locked in on the r14
+    // builder host (2.136 s, measured in a window whose CPU calibration
+    // read 2.238 vs RefCal 2.053 — i.e. ~9% slow on scalar CPU) —
+    // calibration_shuffle_sec/RefShuffleCal vs calib/RefCal tells a
+    // reader whether a slow window hit scalar CPU or the shuffle path.
+    val RefShuffleCal = 2.136
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${
       f"$totalNorm%.3f"},"queries":${
       js(results.map(r => r._1 -> r._2))},"spread":${
       js(results.map(r => r._1 -> r._3))},"reps_sec":${
       jsArr(results.map(r => r._1 -> r._4))},"reps":$reps,"calibration_sec":${
-      f"$calib%.3f"},"calibration_job_ms":${
-      f"$jobLat%.2f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir"}"""
+      f"$calib%.3f"},"calibration_shuffle_sec":${
+      f"$calibShuffle%.3f"},"calibration_job_ms":${
+      f"$jobLat%.2f"},"ref_calibration_sec":$RefCal,"ref_calibration_shuffle_sec":$RefShuffleCal,"sf":"$sfDir"}"""
     // stdout contract with the driver. r10 AND r11 both lost part of the
     // stdout capture (r10 the tail, r11 the head — `parsed: null` each time);
     // r12 shrank the line but still embedded the full per-query map (~5 KB)
@@ -205,8 +247,9 @@ object Bench {
     val nGood = results.count(_._2 >= 0)
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${
       f"$totalNorm%.3f"},"n":$nGood,"n_queries":${results.size},"reps":$reps,"calibration_sec":${
-      f"$calib%.3f"},"calibration_job_ms":${
-      f"$jobLat%.2f"},"ref_calibration_sec":$RefCal,"sf":"$sfDir","detail":"$outPath"}"""
+      f"$calib%.3f"},"calibration_shuffle_sec":${
+      f"$calibShuffle%.3f"},"calibration_job_ms":${
+      f"$jobLat%.2f"},"ref_calibration_sec":$RefCal,"ref_calibration_shuffle_sec":$RefShuffleCal,"sf":"$sfDir","detail":"$outPath"}"""
     println(s"BENCH_JSON: $compact")
     System.out.flush()
     if (outPath.nonEmpty) {

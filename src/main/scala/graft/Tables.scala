@@ -217,6 +217,20 @@ object Tables {
   private val rangeFileCache = new scala.collection.concurrent.TrieMap[
     String, Map[String, Map[String, ColStats]]]
 
+  /** Drop every per-dir stats memo for `dir`. Called by
+    * `TableTools.analyze`/`importStats` right after they rewrite
+    * `_graft_stats.parquet`, so a compile that already priced a query in
+    * this session (memoizing "artifact absent" or stale values) sees the
+    * fresh artifact on its next plan instead of silently falling back to
+    * the System-R 1/3 range estimate. Also clears the (dir, table) NDV
+    * memos, which fold artifact values in.
+    */
+  def invalidateStats(dir: String): Unit = {
+    statsFileCache.remove(dir)
+    rangeFileCache.remove(dir)
+    ndvCache.keys.filter(_._1 == dir).foreach(ndvCache.remove)
+  }
+
   private def footerSum(spark: SparkSession, dir: String, name: String)(
       f: org.apache.parquet.hadoop.ParquetFileReader => Long): Long = {
     import org.apache.hadoop.fs.Path

@@ -11,8 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * via the BpeCountExpr pattern: generated code calls the shared
   * [[PorterStemmer]] engine through a reference object, so the stem sits
   * in the scan stage next to the tokenizer — no UDF, no serialization
-  * cliff. Non-alphabetic and length ≤ 2 tokens pass through unchanged
-  * (the algorithm is defined over lowercase a–z words).
+  * cliff. Every token is case-folded (ROOT locale) FIRST; non-alphabetic
+  * and length ≤ 2 tokens then pass through in that folded form — e.g.
+  * "X1ING" → "x1ing", not "X1ING" (deliberate: vocab-rollup callers want
+  * one casing regardless of whether the suffix rules applied; the Porter
+  * rules themselves are defined only over lowercase a–z words).
   */
 case class PorterStemExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

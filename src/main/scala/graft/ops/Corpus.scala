@@ -2319,17 +2319,20 @@ object Corpus {
     * the weight-implied expectation, and the worst absolute deviation.
     *
     * Exactness: window id and per-(source, window) counts are integer
-    * arithmetic; a source absent from some full window reads min 0 via
-    * the bucket-presence count (no join against a generated window
-    * spine needed); expectation and deviation are one fixed IEEE
-    * expression over integer min/max — order-safe (no float sums or
-    * avgs anywhere), so the oracle replays it hash-exact on top of the
-    * p17 SQL chain.
+    * arithmetic; a source absent from SOME full windows reads min 0 via
+    * the bucket-presence count; a source absent from EVERY full window
+    * (all its docs in the tail, or declared in `weights` but absent from
+    * the frame — the maximally starved case this audit exists to catch)
+    * still reports a row, via a full join against the weights-key spine,
+    * with n_docs/min_cnt/max_cnt 0 and deviation = the full expectation;
+    * expectation and deviation are one fixed IEEE expression over
+    * integer min/max — order-safe (no float sums or avgs anywhere), so
+    * the oracle replays it hash-exact on top of the p17 SQL chain.
     *
     * Scale: one (source, window) hash-agg with map-side combine, then a
     * source-keyed rollup of the window-counts frame (windows, not
-    * rows), one 1-row total broadcast. Nothing holds more than
-    * sources × windows rows.
+    * rows), one 1-row total broadcast, one join against the tiny
+    * literal spine. Nothing holds more than sources × windows rows.
     */
   def mixtureAudit(
       ordered: DataFrame, sourceCol: String,
@@ -2337,25 +2340,37 @@ object Corpus {
     require(window > 0, s"window must be positive: $window")
     val sumW = weights.values.sum
     val total = ordered.agg(count(lit(1)).as("n_total"))
+      .withColumn("n_windows", expr(s"n_total div $window"))
     val counts = ordered
       .crossJoin(broadcast(total))
-      .withColumn("n_windows", expr(s"n_total div $window"))
       .filter(col("mix_pos") < col("n_windows") * window) // full windows
       .groupBy(col(sourceCol).as("source"),
         expr(s"mix_pos div $window").as("w"))
-      .agg(count(lit(1)).as("cnt"), max("n_windows").as("nw"))
-    val wcol = element_at(typedlit(weights), col("source"))
-    counts.groupBy("source")
+      .agg(count(lit(1)).as("cnt"))
+    val perSource = counts.groupBy("source")
       .agg(sum("cnt").as("n_docs"),
-        max("nw").as("n_windows"),
         count(lit(1)).as("n_present"),
         min("cnt").as("min_present"),
         max("cnt").as("max_cnt"))
-      .select(col("source"), col("n_docs"), col("n_windows"),
-        // a source missing from some full window has a true min of 0
-        when(col("n_present") < col("n_windows"), lit(0L))
-          .otherwise(col("min_present")).as("min_cnt"),
-        col("max_cnt"),
+    // the declared mixture IS the audit's row set: every weighted source
+    // gets a verdict even when it never reached a full window; a frame
+    // source outside `weights` (only possible when the frame did not come
+    // from mixtureOrder, which fails those) survives via the full join
+    // with a NULL expectation, as before
+    val spine = ordered.sparkSession
+      .createDataFrame(weights.keys.toSeq.sorted.map(Tuple1(_)))
+      .toDF("source")
+    val wcol = element_at(typedlit(weights), col("source"))
+    broadcast(spine).join(perSource, Seq("source"), "full")
+      .crossJoin(broadcast(total.select("n_windows")))
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_windows"),
+        // a source missing from some (or all) full windows has min 0
+        when(coalesce(col("n_present"), lit(0L)) < col("n_windows"),
+          lit(0L))
+          .otherwise(coalesce(col("min_present"), lit(0L))).as("min_cnt"),
+        coalesce(col("max_cnt"), lit(0L)).as("max_cnt"),
         (lit(window.toDouble) * wcol / sumW).as("expected_per_window"))
       .withColumn("max_abs_dev", greatest(
         abs(col("min_cnt").cast("double") - col("expected_per_window")),

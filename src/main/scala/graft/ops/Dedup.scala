@@ -161,13 +161,37 @@ object Dedup {
     out
   }
 
+  /** Inverted-index exact Jaccard pairs — the ORACLE CONFIGURATION of
+    * the near-dup family (r14; SURVEY row 19 vs 32ay7). Candidate work
+    * is Σ df(g)·(df(g)−1)/2 over gram document frequencies, which the
+    * r13 30× rehearsal MEASURED super-linear (α=1.34) on corpora whose
+    * duplicate density grows with N: one near-cap gram owns the join.
+    * The production rung is [[prefixJaccard]] (two-sided PPJoin prefix
+    * filter — bit-identical output, completeness proof, measured
+    * α=0.48 at 30×). Keep THIS form for oracle checks, small corpora,
+    * and the `maxGramDf`-capped approximate variant.
+    *
+    * `candidatePairBound` makes the ship-path explicit in code: when
+    * set, one tiny rollup prices the Σ df·(df−1)/2 candidate bound
+    * BEFORE the join runs (over the post-cap index when `maxGramDf` is
+    * set, so the guard prices the join actually executed), and a bound
+    * above the threshold either fails fast (`boundAction = "fail"`,
+    * the default) or logs and proceeds (`"warn"`) — both naming
+    * prefixJaccard as the proof-carrying equivalent. Default
+    * Long.MaxValue skips the pricing job entirely (oracle runs pay
+    * nothing).
+    */
   def nGramJaccard(
       df: DataFrame,
       textCol: String,
       idCol: String,
       tauNum: Int,
       tauDen: Int,
-      maxGramDf: Int = Int.MaxValue): DataFrame = {
+      maxGramDf: Int = Int.MaxValue,
+      candidatePairBound: Long = Long.MaxValue,
+      boundAction: String = "fail"): DataFrame = {
+    require(boundAction == "fail" || boundAction == "warn",
+      s"boundAction must be 'fail' or 'warn': $boundAction")
     // each gram row carries its doc's set size so the length-ratio
     // prefilter (|A| >= tau*|B| and vice versa — necessary for
     // jaccard >= tau) prunes candidate rows INSIDE the join, before the
@@ -175,9 +199,25 @@ object Dedup {
     // SCAN stage — late-r5: this replaced a groupBy+join of the whole
     // gram index back onto itself (an extra exchange of every gram row)
     val withN = gramsWithSizes(df, textCol, idCol)
+    def guardCandidates(index: DataFrame): Unit =
+      if (candidatePairBound != Long.MaxValue) {
+        val bound = index.groupBy("gh").agg(count(lit(1)).as("gdf"))
+          .agg(sum(col("gdf") * (col("gdf") - 1L) / 2L).cast("long"))
+          .head().getLong(0)
+        if (bound > candidatePairBound) {
+          val msg = s"nGramJaccard: inverted-index candidate bound " +
+            s"sum(df*(df-1)/2) = $bound exceeds $candidatePairBound — " +
+            "this corpus has hot grams that make the df^2 join " +
+            "super-linear; use Dedup.prefixJaccard (PPJoin prefix " +
+            "filter, bit-identical output, provably complete) instead"
+          if (boundAction == "fail") throw new IllegalStateException(msg)
+          else System.err.println(s"[graft] WARN $msg")
+        }
+      }
     def lengthOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
       col("b.n") * tauNum <= col("a.n") * tauDen
     if (maxGramDf == Int.MaxValue) {
+      guardCandidates(withN)
       val a = withN.as("a"); val b = withN.as("b")
       a.join(b, col("a.gh") === col("b.gh") && col("a.id") < col("b.id") &&
           lengthOk)
@@ -195,6 +235,7 @@ object Dedup {
       val coldGrams = withN.groupBy("gh").agg(count(lit(1)).as("gdf"))
         .filter(col("gdf") <= maxGramDf).select("gh")
       val idx = withN.join(coldGrams, "gh")
+      guardCandidates(idx) // price the join actually executed (post-cap)
       val a = idx.as("a"); val b = idx.as("b")
       val cand = a.join(b, col("a.gh") === col("b.gh") &&
           col("a.id") < col("b.id") && lengthOk)
@@ -1054,6 +1095,100 @@ object Dedup {
         concat_ws(" ", transform(col("keep_pos"),
           p => element_at(col("t"), p + 1))).as(textCol))
   }
+
+  /** Exact-substring duplicate spans between document PAIRS (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr rung real LLM pipelines run between d01's whole-doc
+    * hash and the set-similarity family): every maximal shared token run
+    * of at least `minSpanLen` tokens between two documents, reported as
+    * `(id_a, id_b, start_a, start_b, span_len)` with starts 0-based in
+    * token positions. [[scrubMaxSpans]] (d25) removes CORPUS-HOT spans —
+    * a frequency-thresholded scrub with no pair evidence; this is the
+    * PAIRWISE exact form the paper actually runs (their suffix-array
+    * "find any substring of ≥ 50 tokens shared between two examples"),
+    * re-expressed bulk-friendly: one window explode + one equi-join +
+    * one gaps-and-islands window, no suffix array needed because the
+    * span floor makes fixed-width `n`-token shingles complete.
+    *
+    * Completeness: a shared run of length m ≥ n yields window matches at
+    * every offset on ONE (id_a, id_b, diagonal = start_b − start_a)
+    * lattice line, mutually within n positions, so the island chain
+    * reconstructs exactly [start, start + m) — the d25 chaining lemma
+    * applied per (pair, diagonal). Maximality: a match extending the
+    * island would extend the run, so island bounds are run bounds.
+    * Within-doc repeats produce one island per diagonal — i.e. per
+    * (occurrence_a, occurrence_b) alignment, which is the removal-list
+    * semantics a scrubber wants (each aligned copy is evidence).
+    *
+    * Scale: the index is fixed-width (id, pos, h1, h2) rows hashed in
+    * the scan stage (text never crosses an exchange); candidate work per
+    * window value is df², so `maxWindowDf` prunes windows hotter than
+    * the cap — at 100 TB those are boilerplate the d17/d25 corpus-hot
+    * scrub already removes CHEAPER (df-threshold, no pairs), so the cap
+    * is a tiering contract with that ladder, not a silent loss: run
+    * scrubRepeatedSpans/scrubMaxSpans first, then pairwise ExactSubstr
+    * on the residue where every window's df is small. The islands
+    * window partitions by (pair, diagonal) — rows bounded by matched
+    * windows, never document size.
+    */
+  def substringDupSpans(
+      df0: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minSpanLen: Int,
+      maxWindowDf: Long = Long.MaxValue): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen below window size $n is incomplete: a " +
+        "shared run shorter than the window produces no match")
+    val df = df0.filter(col(textCol).isNotNull)
+    val wins0 = spanWindowIndex(df, textCol, idCol, n)
+    val wins =
+      if (maxWindowDf == Long.MaxValue) wins0
+      else {
+        val cold = wins0.select(col("id"), col("h1"), col("h2")).distinct()
+          .groupBy("h1", "h2").agg(count(lit(1)).as("wdf"))
+          .filter(col("wdf") <= maxWindowDf).select("h1", "h2")
+        wins0.join(cold, Seq("h1", "h2"))
+      }
+    val a = wins.as("a"); val b = wins.as("b")
+    val matches = a.join(b,
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pa"),
+        (col("b.pos") - col("a.pos")).as("diag"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    matches
+      .withColumn("newi",
+        when(col("pa") - lag("pa", 1).over(byDiag) > n, 1).otherwise(0))
+      .withColumn("island", sum("newi").over(
+        byDiag.rowsBetween(Long.MinValue, 0)))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min("pa").as("start_a"), (max(col("pa")) + n).as("ea"))
+      .withColumn("span_len", col("ea") - col("start_a"))
+      .filter(col("span_len") >= minSpanLen)
+      .select(col("id_a"), col("id_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("start_a") + col("diag")).cast("long").as("start_b"),
+        col("span_len").cast("long").as("span_len"))
+  }
+
+  /** [[substringDupSpans]] folded to per-document removal lists, the
+    * shape [[scrubWithHotSpans]]-style reconstruction consumes: for each
+    * span the HIGHER-id copy is the drop (keep-min-id, the d01
+    * convention — Lee et al. likewise remove all but one occurrence),
+    * overlapping spans from different pairs union into distinct removed
+    * positions. Output `(id, removed_pos)` one row per removed token
+    * position.
+    */
+  def substringRemovalLists(spans: DataFrame): DataFrame =
+    spans.select(col("id_b").as("id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("removed_pos"))
+      .distinct()
 
   /** Affine MinHash permutation constants (fixed seed, 31-bit so that
     * h*a + b stays far from long overflow under ANSI arithmetic).

@@ -3736,6 +3736,68 @@ object CorpusPack {
             WHERE ns >= 2
             ORDER BY id_a, id_b"""))
 
+  private val d41 = Q(
+    "d41_substring_dedup",
+    // pairwise ExactSubstr (Lee et al. 2022 — the 50-token rung between
+    // d01's whole-doc hash and the d02/d34 set-similarity family, at
+    // test scale n=8/minSpan=12): every 25th doc gets a 14-token paste
+    // between doc-unique anchors, so otherwise-unrelated docs share
+    // EXACTLY the paste (one span of 14 ≥ 12) while natural dup pairs
+    // surface their full shared runs; window equi-join on the hashed
+    // 8-token shingles, diagonal gaps-and-islands chain, hash-exact
+    (s, dir) => {
+      val src = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 25 === 0,
+            concat_ws(" ",
+              concat(lit("pre"), col("doc_id").cast("string")), col("text"),
+              lit("subscribe to our newsletter for weekly updates " +
+                "delivered straight to your inbox every friday"),
+              concat(lit("post"), col("doc_id").cast("string"))))
+            .otherwise(col("text")).as("text"))
+      Dedup.substringDupSpans(src, "text", "doc_id",
+          n = 8, minSpanLen = 12)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    },
+    Some("""WITH src AS (SELECT doc_id,
+              CASE WHEN doc_id % 25 = 0 THEN concat_ws(' ',
+                'pre' || CAST(doc_id AS VARCHAR), text,
+                'subscribe to our newsletter for weekly updates delivered straight to your inbox every friday',
+                'post' || CAST(doc_id AS VARCHAR))
+              ELSE text END AS text
+              FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM src),
+            wins AS (SELECT doc_id,
+                unnest(range(greatest(len(t) - 7, 0))) AS p,
+                unnest(list_transform(range(greatest(len(t) - 7, 0)),
+                  i -> array_to_string(t[i+1:i+8], ' '))) AS w
+              FROM toks),
+            m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.p AS pa, b.p - a.p AS diag
+              FROM wins a JOIN wins b
+                ON a.w = b.w AND a.doc_id < b.doc_id),
+            isl AS (SELECT id_a, id_b, diag, pa,
+                CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b,
+                    diag ORDER BY pa) > 8
+                  THEN 1 ELSE 0 END AS newi
+              FROM m),
+            isl2 AS (SELECT id_a, id_b, diag, pa,
+                SUM(newi) OVER (PARTITION BY id_a, id_b, diag
+                  ORDER BY pa
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+              FROM isl),
+            spans AS (SELECT id_a, id_b, diag, island,
+                MIN(pa) AS start_a, MAX(pa) + 8 AS ea
+              FROM isl2 GROUP BY 1, 2, 3, 4
+              HAVING MAX(pa) + 8 - MIN(pa) >= 12)
+            SELECT id_a, id_b, CAST(start_a AS BIGINT) AS start_a,
+              CAST(start_a + diag AS BIGINT) AS start_b,
+              CAST(ea - start_a AS BIGINT) AS span_len
+            FROM spans
+            ORDER BY id_a, id_b, start_a, start_b"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -4485,7 +4547,15 @@ object CorpusPack {
                 CAST(COUNT(*) AS BIGINT) AS n_present,
                 CAST(MIN(cnt) AS BIGINT) AS min_present,
                 CAST(MAX(cnt) AS BIGINT) AS max_cnt
-              FROM wc GROUP BY 1)
+              FROM wc GROUP BY 1),
+            spine AS (SELECT 'src' || CAST(i AS VARCHAR) AS source
+              FROM range(20) t(i)),
+            j AS (SELECT COALESCE(spine.source, agg.source) AS source,
+                CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+                CAST(COALESCE(n_present, 0) AS BIGINT) AS n_present,
+                CAST(COALESCE(min_present, 0) AS BIGINT) AS min_present,
+                CAST(COALESCE(max_cnt, 0) AS BIGINT) AS max_cnt
+              FROM spine FULL JOIN agg ON spine.source = agg.source)
             SELECT source, n_docs, n_windows,
               CASE WHEN n_present < n_windows THEN 0
                 ELSE min_present END AS min_cnt,
@@ -4505,11 +4575,11 @@ object CorpusPack {
                       ('src0','src1','src2','src3','src4')
                     THEN 4.0E0 ELSE 1.0E0 END) / 35.0E0)))
                 AS max_abs_dev
-            FROM agg CROSS JOIN nw ORDER BY source"""))
+            FROM j CROSS JOIN nw ORDER BY source"""))
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25, d27, d33, d37, d38)
+      d22, d23, d24, d25, d27, d33, d37, d38, d41)
 }

@@ -205,6 +205,25 @@ object SpjCompiler {
     solve((1 << n) - 1)._2.map(tables)
   }
 
+  /** The single order-selection rule shared by [[compile]] and
+    * [[explainOrder]]: cost-based DP when row stats cover EVERY table and
+    * the table count is in the DP's 2..12 range, greedy smallest-first
+    * otherwise. Factored so the explain can never report an order the
+    * executed plan would not choose (e.g. a table whose footer count
+    * resolves to Long.MaxValue forces greedy in both). `ndv`/`ranges`
+    * must be keyed by lowercase table/column names.
+    */
+  private[sql] def chooseOrder(
+      q: SpjQuery, rowsOf: String => Long,
+      ndv: Map[String, Map[String, Long]],
+      ranges: Map[String, Map[String, graft.Tables.ColStats]]): Seq[String] = {
+    val tableNames = q.from.map(_.toLowerCase).distinct
+    val statsKnown = tableNames.forall(t => rowsOf(t) != Long.MaxValue)
+    if (statsKnown && tableNames.size >= 2 && tableNames.size <= 12)
+      joinOrder(q, rowsOf, ndv, ranges)
+    else greedyOrder(q, rowsOf)
+  }
+
   /** Greedy smallest-relation-first order (the no-stats fallback). */
   private[sql] def greedyOrder(q: SpjQuery, rows: String => Long): Seq[String] = {
     val joins = q.joins
@@ -310,15 +329,11 @@ object SpjCompiler {
     //    otherwise. Components without a join condition are cross-joined
     //    as late as the order allows (reference: NestedJoin, no condition).
     val joins = q.joins
-    val tableNames = q.from.map(_.toLowerCase).distinct
-    val statsKnown = tableNames.forall(t => rowsOf(t) != Long.MaxValue)
-    val order: Seq[String] =
-      if (statsKnown && tableNames.size >= 2 && tableNames.size <= 12)
-        joinOrder(q, rowsOf, ndvStats.map { case (k, v) =>
-          k.toLowerCase -> v.map { case (c, n) => c.toLowerCase -> n } },
-          rangeStats.map { case (k, v) =>
-            k.toLowerCase -> v.map { case (c, s) => c.toLowerCase -> s } })
-      else greedyOrder(q, rowsOf)
+    val order: Seq[String] = chooseOrder(q, rowsOf,
+      ndvStats.map { case (k, v) =>
+        k.toLowerCase -> v.map { case (c, n) => c.toLowerCase -> n } },
+      rangeStats.map { case (k, v) =>
+        k.toLowerCase -> v.map { case (c, s) => c.toLowerCase -> s } })
 
     def joinCondsBetween(inSet: Set[String], t: String): Seq[AttrCond] =
       joins.filter { c =>
@@ -438,10 +453,8 @@ object SpjCompiler {
   def explainOrder(spark: SparkSession, dir: String, sql: String): Seq[String] = {
     val q = SpjParser.parse(sql)
     val (_, stats, _, ndv, ranges) = gatherStats(spark, dir, q)
-    val names = q.from.map(_.toLowerCase).distinct
     def rowsOf(n: String): Long = stats.getOrElse(n.toLowerCase, Long.MaxValue)
-    if (names.size >= 2 && names.size <= 12) joinOrder(q, rowsOf, ndv, ranges)
-    else greedyOrder(q, rowsOf)
+    chooseOrder(q, rowsOf, ndv, ranges)
   }
 
   private def gatherStats(spark: SparkSession, dir: String, q: SpjQuery): (

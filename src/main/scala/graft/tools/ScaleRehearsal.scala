@@ -15,14 +15,26 @@ import org.apache.spark.sql.SparkSession
   * Ops and declared classes (mirroring the 10× smoke):
   *  - d02 (gram-inverted-index Jaccard), d34 (PPJoin two-sided prefix),
   *    d37 (transitive-contamination BFS over the pair frame), d31
-  *    (banded-DP edit distance on cold-gram candidates): CANDIDATE class
-  *    — pair work tracks candidate count, ~linear on this corpus; bound
-  *    6× headroom over proportional growth (= 180 at 30×), the same
-  *    headroom factor the 10× smoke allows (60 at 10×).
+  *    (banded-DP edit distance on cold-gram candidates), d41 (pairwise
+  *    ExactSubstr window join, new r14): CANDIDATE class — pair work
+  *    tracks candidate count, ~linear on this corpus; bound 6× headroom
+  *    over proportional growth (= 180 at 30×), the same headroom factor
+  *    the 10× smoke allows (60 at 10×).
   *  - d10 (SemDeDup cluster-then-pairs at query-pinned k=10): QUADRATIC
   *    BASELINE by contract — report-only, wall-capped, because cluster
   *    populations grow with N at fixed k; its scale path is raising k
   *    with N (the op takes k as a parameter; the query pins it).
+  *  - r14 additions beyond the d-tier (verdict #2 — the d02-class
+  *    discipline applied to the t/s tiers): t47 (TextRank — worst
+  *    non-quadratic 10× ratio last round, 6.3), t37 (KN trigram — the
+  *    type/occurrence factoring is exactly the claim a 30× run
+  *    validates), s22 (IVF tuning sweep vs corpus): declared LINEAR,
+  *    bound 3× headroom (= 90 at 30×, vs the smoke's 1.5× at 10× —
+  *    sub-linear constants wash out over a longer step, so the wider
+  *    envelope keeps the run a measurement, not a coin flip; `alpha`
+  *    is the finding either way). d05 (exact all-pairs cosine):
+  *    QUADRATIC BASELINE by contract, report-only, 900 s wall (30² =
+  *    900× proportional work is the declared envelope being confirmed).
   *
   * `runMain graft.tools.ScaleRehearsal [workDir]` (env SPARK_GRAFT_CPUS)
   * — prints one JSON line and writes scalerehearsal_last.json with
@@ -62,7 +74,12 @@ object ScaleRehearsal {
       ("d34_prefix_jaccard", "candidate", 6.0 * Scale, 600.0),
       ("d37_transitive_contamination", "candidate", 6.0 * Scale, 600.0),
       ("d31_edit_distance", "candidate", 6.0 * Scale, 600.0),
-      ("d10_dedup_semantic", "quad_baseline", Double.PositiveInfinity, 600.0))
+      ("d41_substring_dedup", "candidate", 6.0 * Scale, 600.0),
+      ("t47_textrank", "linear", 3.0 * Scale, 600.0),
+      ("t37_kn_trigram", "linear", 3.0 * Scale, 600.0),
+      ("s22_ivf_tuning", "linear", 3.0 * Scale, 600.0),
+      ("d10_dedup_semantic", "quad_baseline", Double.PositiveInfinity, 600.0),
+      ("d05_dedup_embedding", "quad_baseline", Double.PositiveInfinity, 900.0))
 
     val rows = ops.map { case (name, cls, bound, wall) =>
       timed(name, s"$workDir/base") // codegen + JIT warm, untimed

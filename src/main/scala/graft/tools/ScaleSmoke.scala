@@ -114,7 +114,11 @@ object ScaleSmoke {
     "d24_cluster_sizes",
     // d39 is ONE d02 pair pass at tau=1/4 (the d26 candidate class)
     // plus a 6-row broadcast sweep and two tau-keyed rollups
-    "d39_threshold_sweep")
+    "d39_threshold_sweep",
+    // d41's window equi-join emits Σ df² rows per shingle value (the
+    // d02/d22 inverted-index class); the diagonal islands window runs
+    // over matched windows only — candidate-driven end to end
+    "d41_substring_dedup")
   // d21's exact baseline is train × eval pair work; the smoke's eval
   // slice scales WITH the corpus, so it is a declared baseline here
   // (the production eval side is a fixed-size suite — linear in train)
@@ -137,7 +141,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 39, s"expected 39 d-tier queries, got $dTier")
+    require(dTier.size == 40, s"expected 40 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -234,10 +234,13 @@ object TableTools {
         val nRows = graft.Tables.rowCount(spark, dir, t)
         val numCols = cols.flatMap(c =>
           orderable(df.schema(c).dataType, c).map(c -> _))
-        // pass 1: NDV for every column + min/max for the orderable ones
+        // pass 1: NDV for every column + min/max and non-null count for
+        // the orderable ones (histograms carry NON-NULL mass only, so the
+        // degenerate single-bin case below must use the same base)
         val aggs = cols.map(c => approx_count_distinct(c).as(s"ndv_$c")) ++
           numCols.flatMap { case (c, e) =>
-            Seq(min(e).as(s"min_$c"), max(e).as(s"max_$c")) }
+            Seq(min(e).as(s"min_$c"), max(e).as(s"max_$c"),
+              count(e).as(s"cnt_$c")) }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         val bounds: Map[String, (Double, Double)] = numCols.flatMap {
           case (c, _) =>
@@ -274,14 +277,22 @@ object TableTools {
             row.getAs[Long](s"ndv_$c"), nRows,
             b.map(_._1), b.map(_._2),
             hists.get(c).orElse(b.map { case (lo, _) =>
-              // degenerate domain (constant column): all mass in one bin
-              Seq(nRows) ++ Seq.fill(HistBins - 1)(0L) }))
+              // degenerate domain (constant column): all NON-NULL mass in
+              // one bin — same mass semantics as the regular histograms
+              // (nRows here would count nulls and overstate rangeSel for
+              // mostly-null constant columns)
+              Seq(row.getAs[Long](s"cnt_$c")) ++
+                Seq.fill(HistBins - 1)(0L) }))
         }
       }
     }
     val out = rows.toDS().toDF()
     out.repartition(1).write.mode("overwrite")
       .parquet(s"$dir/${graft.Tables.StatsFileName}")
+    // a compile earlier in this session may have memoized "artifact
+    // absent" (or stale values) for this dir — drop those memos so the
+    // next plan prices from the artifact just written
+    graft.Tables.invalidateStats(dir)
     out
   }
 
@@ -347,6 +358,7 @@ object TableTools {
     val out = rows.toDS().toDF()
     out.repartition(1).write.mode("overwrite")
       .parquet(s"$dir/${graft.Tables.StatsFileName}")
+    graft.Tables.invalidateStats(dir) // same staleness contract as analyze
     out
   }
 

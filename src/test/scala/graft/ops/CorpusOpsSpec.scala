@@ -567,6 +567,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_docs") == 4L && b.getAs[Long]("min_cnt") == 0L)
     assert(b.getAs[Long]("max_cnt") == 4L)
     assert(b.getAs[Double]("max_abs_dev") == 2.5) // |0 - 2.5|
+    // a weighted source absent from EVERY full window (here: absent from
+    // the frame entirely — the maximally starved case) still reports,
+    // with zero counts and deviation = its full expectation
+    val w3 = Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0)
+    val got3 = Corpus.mixtureAudit(order, "source", w3, window = 10)
+      .orderBy("source").collect()
+    assert(got3.length == 3)
+    val c = got3(2)
+    assert(c.getAs[String]("source") == "c")
+    assert(c.getAs[Long]("n_docs") == 0L && c.getAs[Long]("min_cnt") == 0L
+      && c.getAs[Long]("max_cnt") == 0L
+      && c.getAs[Long]("n_windows") == 2L)
+    assert(c.getAs[Double]("expected_per_window") == 2.0) // 10 * 1/5
+    assert(c.getAs[Double]("max_abs_dev") == 2.0)
   }
 
   test("prCurve: hand-checked operating points; monotone recall") {

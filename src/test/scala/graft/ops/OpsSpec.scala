@@ -457,6 +457,73 @@ class DedupSpec extends SparkSpec {
     assert(!half.exists(p => p._1 >= 4 || p._2 >= 4))
   }
 
+  test("nGramJaccard candidate-bound guard: fires on a hot-gram fixture " +
+    "naming prefixJaccard, warn mode proceeds, and d34 == d02 there") {
+    // every doc ends "... shared tail": that one bigram has df = 6 and
+    // alone contributes C(6,2) = 15 candidate rows; with the df=3 and
+    // df=2 grams the total bound is 23, so a bound of 20 must trip
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta shared tail"),
+      (2L, "alpha beta gamma delta shared tail"),
+      (3L, "alpha beta gamma epsilon shared tail"),
+      (4L, "one two three four shared tail"),
+      (5L, "five six seven eight shared tail"),
+      (6L, "nine ten eleven twelve shared tail")
+    ).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.nGramJaccard(corpus, "text", "doc_id", 1, 2,
+        candidatePairBound = 20L)
+    }
+    assert(e.getMessage.contains("prefixJaccard"),
+      s"guard must point at the ship path: ${e.getMessage}")
+    // warn mode proceeds and the output is unchanged — and equals the
+    // proof-carrying prefixJaccard the message recommends
+    val warned = Dedup.nGramJaccard(corpus, "text", "doc_id", 1, 2,
+      candidatePairBound = 20L, boundAction = "warn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ship = Dedup.prefixJaccard(corpus, "text", "doc_id", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(warned == ship && warned.nonEmpty)
+    // a generous bound never trips (and the capped branch guards the
+    // post-cap index: pruning the hot grams brings the bound under)
+    Dedup.nGramJaccard(corpus, "text", "doc_id", 1, 2,
+      candidatePairBound = 1000L).collect()
+    Dedup.nGramJaccard(corpus, "text", "doc_id", 1, 2,
+      maxGramDf = 3, candidatePairBound = 20L).collect()
+  }
+
+  test("substringDupSpans: maximal shared runs per (pair, diagonal), " +
+    "minSpanLen floor, hot-window cap, removal lists") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "x x a b c d e f g h i j k l y y"), // 12-token run vs doc 1
+      (3L, "p q r s t u"),                     // shares nothing
+      (4L, "a b c d z1 z2 z3"),                // 4-token share < floor
+      (5L, "a b c d e f a b c d e f")          // two aligned copies
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(corpus, "text", "doc_id",
+        n = 4, minSpanLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(spans == Set(
+      (1L, 2L, 0L, 2L, 12L),  // maximal: ends where doc2 diverges
+      (1L, 5L, 0L, 0L, 6L), (1L, 5L, 0L, 6L, 6L), // one per diagonal
+      (2L, 5L, 2L, 0L, 6L), (2L, 5L, 2L, 6L, 6L)),
+      s"got $spans")
+    // removal lists: higher-id copy is the drop; overlaps union
+    val rem = Dedup.substringRemovalLists(
+      Dedup.substringDupSpans(corpus, "text", "doc_id", 4, 6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rem.count(_._1 == 2L) == 12 && rem.count(_._1 == 5L) == 12)
+    assert(rem.filter(_._1 == 5L).map(_._2).sorted.toSeq == (0L to 11L))
+    // cap: every shared window has df >= 2, so maxWindowDf = 1 empties
+    assert(Dedup.substringDupSpans(corpus, "text", "doc_id", 4, 6,
+      maxWindowDf = 1L).count() == 0)
+    // floor at the window size reports the short share too
+    assert(Dedup.substringDupSpans(corpus, "text", "doc_id", 4, 4)
+      .collect().exists(r => r.getLong(1) == 4L && r.getLong(4) == 4L))
+  }
+
   test("dupGramFraction: shared 8-gram windows counted per doc, " +
     "short docs report (0, 0, NULL)") {
     // docs 1 and 2 share exactly their first 8-token window; doc 3 is
@@ -682,6 +749,22 @@ class DedupSpec extends SparkSpec {
       case other => fail(s"expected LogicalRDD, got ${other.getClass}")
     }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("d39_threshold_sweep: no lingering pair-frame cache — a library " +
+    "caller's session keeps only the result's own checkpoint blocks") {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    val res = graft.SparkEntry.queries("d39_threshold_sweep")(
+      spark, "/root/testdata/sf0.001")
+    // the query persists its O(pairs) frame internally; the eager
+    // localCheckpoint + unpersist discipline must free it before the
+    // frame is handed back (the contaminationHops contract) — only the
+    // 6-row result's checkpoint may remain
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      s"lingering blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+    assert(res.count() == 6)
   }
 }
 

@@ -270,6 +270,31 @@ class SpjCompilerSpec extends SparkSpec {
     assert(SpjCompiler.run(spark, stats, sql).count() == expect)
   }
 
+  test("analyze invalidates per-dir stats memos: a compile priced BEFORE " +
+    "ANALYZE sees the fresh artifact afterwards, not the memoized absence") {
+    // same catalog shape as the artifact test above; the difference is
+    // the ORDER of operations — price first (memoizing 'artifact absent'
+    // for the dir), then ANALYZE the SAME dir, then price again
+    val sql = """SELECT WA.k FROM WA, WB, WC
+                |WHERE WA.k = WB.k, WA.j = WC.j, WC.x < "54"""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("spj_inval").toString
+    spark.range(1000).selectExpr(
+        "cast(id % 100 as int) AS k", "cast(id % 60 as int) AS j")
+      .write.parquet(s"$dir/wa.parquet")
+    spark.range(50).selectExpr("cast(id as int) AS k")
+      .write.parquet(s"$dir/wb.parquet")
+    spark.range(60).selectExpr(
+        "cast(id as int) AS j", "cast(id as double) AS x")
+      .write.parquet(s"$dir/wc.parquet")
+    val before = SpjCompiler.explainOrder(spark, dir, sql)
+    assert(before.indexOf("wc") < before.indexOf("wb"),
+      s"pre-ANALYZE must price the range at the 1/3 default, got $before")
+    graft.tools.TableTools.analyze(spark, dir, Seq("wa", "wb", "wc"))
+    val after = SpjCompiler.explainOrder(spark, dir, sql)
+    assert(after.indexOf("wb") < after.indexOf("wc"),
+      s"stale per-dir memo survived analyze(): $after")
+  }
+
   test("projected non-aggregate column absent from GROUPBY becomes a key") {
     val rows = run(
       """SELECT CART.status, COUNT(CART.cartid) FROM CART
