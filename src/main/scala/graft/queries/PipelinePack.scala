@@ -1618,7 +1618,23 @@ object PipelinePack {
       .select(col("doc_id"),
         graft.functions.TextExpressions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id"),
-    None) // rolling-hash -> rows-only
+    // oracle upgraded r14 (verdict #8): the rolling polynomial hash IS
+    // SQL-expressible byte-exactly — hex-decode the UTF-8 bytes and
+    // left-fold h -> (h*31 + byte) mod 1e9+7 with list_reduce (init 0
+    // prepended); matches RollingHash's per-byte loop incl. multi-byte
+    // codepoints, since both walk the same UTF-8 encoding
+    Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx
+              FROM documents)
+            SELECT doc_id, list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(len(hx) // 2),
+                  i -> CAST(strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1
+                      AS BIGINT) * 16
+                    + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))),
+              (h, c) -> (h * 31 + c) % 1000000007) AS fp
+            FROM h ORDER BY doc_id"""))
 
   // ---- events -----------------------------------------------------------
 

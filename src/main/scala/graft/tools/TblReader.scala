@@ -268,6 +268,251 @@ object TblReader {
   }
 }
 
+/** Writer for the reference engine's native `.tbl` (data) and `.md`
+  * (schema) files — the EXPORT arm completing [[TblReader]]'s interop
+  * (r14; SURVEY row 52c): a user running the reference beside this
+  * engine can hand it tables this engine produced, with no `.txt` +
+  * `ConvertTxtToTbl` detour.
+  *
+  * Like the reader, this is NOT a port: it emits the PUBLIC Java Object
+  * Serialization Stream Protocol (JOSS ch. 6) directly. The class
+  * descriptors it writes (names, serialVersionUIDs, field layouts,
+  * flags) are interop constants observed in the reference's own shipped
+  * files (CUSTOMER.tbl/.md et al. — the same fixtures TblReaderSpec
+  * proves the reader against); the stream they describe is exactly what
+  * `ObjectOutputStream` produces for those classes: handle-accurate
+  * back-references for repeated descriptors and interned type-signature
+  * strings, `ArrayList`'s `writeObject` convention (default `size`
+  * field, a 4-byte capacity block, the elements), boxed Integer/Float
+  * cells, TC_STRING cells.
+  *
+  * `.md` field semantics mirror the reference's generators: `attrsize`
+  * is 4 for INT/REAL and the max byte length for STRING, `tupleSize` is
+  * the attrsize sum, `key` −1, `aggtype` 0 (values read from the shipped
+  * CUSTOMER.md). The format is a sequential single-node interchange, so
+  * the writer streams `toLocalIterator` through one file — estate-
+  * boundary export, not a cluster sink (the reference's own
+  * ConvertTxtToTbl is equally single-stream).
+  */
+object TblWriter {
+  import java.io.{DataOutputStream, OutputStream}
+
+  final case class Desc(
+      name: String, uid: Long, flags: Int,
+      fields: Seq[(Char, String, String)], parent: Option[Desc])
+
+  val NumberDesc = Desc("java.lang.Number", -8742448824652078965L, 0x02,
+    Nil, None)
+  val IntegerDesc = Desc("java.lang.Integer", 1360826667806852920L, 0x02,
+    Seq(('I', "value", "")), Some(NumberDesc))
+  val FloatDesc = Desc("java.lang.Float", -2671257302660747028L, 0x02,
+    Seq(('F', "value", "")), Some(NumberDesc))
+  val ArrayListDesc = Desc("java.util.ArrayList", 8683452581122892189L,
+    0x03, Seq(('I', "size", "")), None)
+  val TupleDesc = Desc("qp.utils.Tuple", 1928781161746223552L, 0x02,
+    Seq(('L', "_data", "Ljava/util/ArrayList;")), None)
+  val SchemaDesc = Desc("qp.utils.Schema", 2779193728130899404L, 0x02,
+    Seq(('I', "tupleSize", ""), ('L', "attset", "Ljava/util/ArrayList;")),
+    None)
+  val AttributeDesc = Desc("qp.utils.Attribute", -8217705756579532816L,
+    0x02, Seq(('I', "aggtype", ""), ('I', "attrsize", ""),
+      ('I', "key", ""), ('I', "type", ""),
+      ('L', "colname", "Ljava/lang/String;"),
+      ('L', "tblname", "Ljava/lang/String;")), None)
+
+  /** Streaming emitter for the serialization grammar subset. Handle
+    * accounting mirrors the spec (§6.4.2): every new class descriptor,
+    * string, and object consumes one handle in emission order; repeated
+    * descriptors and type-signature strings back-reference.
+    */
+  final class JavaSerialWriter(out0: OutputStream) {
+    private val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(out0))
+    private var nextHandle = 0
+    private val descHandles = scala.collection.mutable.HashMap[String, Int]()
+    private val metaStrings = scala.collection.mutable.HashMap[String, Int]()
+    out.writeShort(0xACED); out.writeShort(5)
+
+    def flush(): Unit = out.flush()
+    private def alloc(): Int = { val h = nextHandle; nextHandle += 1; h }
+    private def ref(h: Int): Unit = {
+      out.writeByte(0x71); out.writeInt(0x7E0000 + h)
+    }
+
+    /** Type-signature string: deduped by value, as ObjectOutputStream
+      * back-references the interned signature objects. */
+    private def metaString(s: String): Unit = metaStrings.get(s) match {
+      case Some(h) => ref(h)
+      case None =>
+        out.writeByte(0x74); out.writeUTF(s); metaStrings(s) = alloc()
+    }
+
+    /** Data string cell: fresh TC_STRING, consumes a handle (distinct
+      * runtime objects get distinct handles in the reference writer). */
+    def string(s: String): Unit = {
+      out.writeByte(0x74); out.writeUTF(s); alloc(); ()
+    }
+
+    def i4(v: Int): Unit = out.writeInt(v)
+    def f4(v: Float): Unit = out.writeFloat(v)
+
+    private def classDesc(d: Desc): Unit = descHandles.get(d.name) match {
+      case Some(h) => ref(h)
+      case None =>
+        out.writeByte(0x72) // TC_CLASSDESC
+        out.writeUTF(d.name)
+        out.writeLong(d.uid)
+        descHandles(d.name) = alloc() // handle BEFORE classDescInfo
+        out.writeByte(d.flags)
+        out.writeShort(d.fields.size)
+        d.fields.foreach { case (tc, fname, sig) =>
+          out.writeByte(tc)
+          out.writeUTF(fname)
+          if (tc == 'L' || tc == '[') metaString(sig)
+        }
+        out.writeByte(0x78) // classAnnotation: none
+        d.parent match {
+          case Some(p) => classDesc(p)
+          case None    => out.writeByte(0x70) // TC_NULL
+        }
+    }
+
+    /** TC_OBJECT header; caller writes the class-data (super first). */
+    def beginObject(d: Desc): Unit = {
+      out.writeByte(0x73); classDesc(d); alloc(); ()
+    }
+
+    /** ArrayList of `n` elements: default size field, the legacy
+      * capacity block, the elements (written by `elems`), end marker. */
+    def arrayList(n: Int)(elems: => Unit): Unit = {
+      beginObject(ArrayListDesc)
+      i4(n)                                 // default field: size
+      out.writeByte(0x77); out.writeByte(4) // writeObject capacity block
+      i4(n)
+      elems
+      out.writeByte(0x78) // TC_ENDBLOCKDATA
+    }
+
+    def cell(v: Any): Unit = v match {
+      case i: Int    => beginObject(IntegerDesc); i4(i)
+      case l: Long   =>
+        require(l >= Int.MinValue && l <= Int.MaxValue,
+          s"INT column value out of the reference's 32-bit range: $l")
+        beginObject(IntegerDesc); i4(l.toInt)
+      case f: Float  => beginObject(FloatDesc); f4(f)
+      case d: Double => beginObject(FloatDesc); f4(d.toFloat)
+      case s: String => string(s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported .tbl cell: $other (${other.getClass})")
+    }
+
+    def tuple(cells: Seq[Any]): Unit = {
+      beginObject(TupleDesc)
+      arrayList(cells.size)(cells.foreach(cell))
+    }
+  }
+
+  /** Write one `.tbl` stream of tuples. */
+  def writeTuples(out: OutputStream, rows: Iterator[Seq[Any]]): Unit = {
+    val w = new JavaSerialWriter(out)
+    rows.foreach(w.tuple)
+    w.flush()
+  }
+
+  /** Write one `.md` schema: `cols` = (colname, typeTag, attrsize) in
+    * column order with the reference's INT=1/STRING=2/REAL=3 tags. */
+  def writeSchema(
+      out: OutputStream, tblname: String,
+      cols: Seq[(String, Int, Int)]): Unit = {
+    val w = new JavaSerialWriter(out)
+    w.beginObject(SchemaDesc)
+    w.i4(cols.map(_._3).sum) // tupleSize = attrsize sum (CUSTOMER.md)
+    w.arrayList(cols.size) {
+      cols.foreach { case (colname, tag, size) =>
+        w.beginObject(AttributeDesc)
+        w.i4(0)    // aggtype
+        w.i4(size) // attrsize
+        w.i4(-1)   // key
+        w.i4(tag)  // type
+        w.string(colname)
+        w.string(tblname)
+      }
+    }
+    w.flush()
+  }
+
+  /** Export a DataFrame as `NAME.tbl` + `NAME.md` under `outDir`.
+    * Column typing follows the reference's three-type system: integral →
+    * INT (32-bit, out-of-range fails loudly), fractional → REAL (float),
+    * strings → STRING with attrsize = max observed byte length (the
+    * CUSTOMER.md convention; 20 when the column is all-empty). Rows
+    * stream through `toLocalIterator` — one sequential file, the
+    * format's own constraint.
+    */
+  def exportTbl(
+      df: org.apache.spark.sql.DataFrame, tblname: String,
+      outDir: String): (java.nio.file.Path, java.nio.file.Path) = {
+    import org.apache.spark.sql.functions.{col, length, max => smax}
+    import org.apache.spark.sql.types._
+    val tags: Seq[(String, Int)] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType => f.name -> 1
+        case StringType                                    => f.name -> 2
+        case FloatType | DoubleType                        => f.name -> 3
+        case t => throw new IllegalArgumentException(
+          s"${f.name}: $t has no reference .tbl type (INT/STRING/REAL)")
+      }
+    }
+    val strCols = tags.collect { case (n, 2) => n }
+    val sizes: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val row = df.agg(
+          smax(length(col(strCols.head))).as(strCols.head),
+          strCols.tail.map(c => smax(length(col(c))).as(c)): _*).head()
+        strCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(i) || row.getInt(i) <= 0) 20
+                else row.getInt(i))
+        }.toMap
+      }
+    val cols = tags.map { case (n, t) =>
+      (n, t, if (t == 2) sizes(n) else 4)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val mdPath = java.nio.file.Paths.get(outDir, s"$tblname.md")
+    val mdOut = java.nio.file.Files.newOutputStream(mdPath)
+    try writeSchema(mdOut, tblname, cols) finally mdOut.close()
+    val tblPath = java.nio.file.Paths.get(outDir, s"$tblname.tbl")
+    val tblOut = java.nio.file.Files.newOutputStream(tblPath)
+    try writeTuples(tblOut,
+      df.toLocalIterator().asScala.map(r =>
+        (0 until r.length).map(r.get)))
+    finally tblOut.close()
+    (tblPath, mdPath)
+  }
+  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}
+
+/** `runMain graft.tools.TblExport <parquetDir> <table> <outDir>` — export
+  * a catalog table to reference-native `NAME.tbl` + `NAME.md`.
+  */
+object TblExport {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: TblExport <parquetDir> <table> <outDir>")
+    val spark = RandomTableGen.local()
+    val df = graft.Tables.load(spark, args(0), args(1))
+    val (t, m) = TblWriter.exportTbl(df, args(1).toUpperCase, args(2))
+    println(s"[tbl] wrote $t and $m")
+    spark.stop()
+  }
+}
+
 /** `runMain graft.tools.TblToParquet <table.tbl> <table.md> <outDir>` —
   * reference-native data straight to parquet (the `.txt` route is
   * [[CsvToParquet]]; this one needs no text re-export).

@@ -50,7 +50,7 @@ class ContractSpec extends AnyFunSuite {
       "s02_knn_lsh", "s03_knn_ivf", "s04_kmeans", "s05_knn_pq",
       "s06_knn_ivfpq", "s09_hard_negatives_ivf", "s10_knn_sq8",
       "s11_knn_ivf_sq8",
-      "t04_fingerprint", "m01_multimodal_meta", "m02_frame_sample",
+      "m01_multimodal_meta", "m02_frame_sample",
       "m03_audio_chunks", "m04_phash_pairs", "m05_visual_dedup",
       "p03_pack_greedy",
       // DuckDB cannot BPE-encode; BpeFidelitySpec gates strict equality
@@ -119,7 +119,12 @@ class ContractSpec extends AnyFunSuite {
       "s25_silhouette",
       // the MinHash estimate rides the engine's fixed permutation
       // constants (no SQL mirror); DedupSpec gates the exact-dup
-      // decile at 1.0 and the binomial error envelope
+      // decile at 1.0 and the binomial error envelope. Oracle upgrade
+      // attempted r14 and impossible beyond that one decile: every
+      // other bucket's est_jaccard is a function of the 128 seeded
+      // (a, b) affine constants, which DuckDB cannot reproduce without
+      // re-implementing the signature — the t04 fold trick does not
+      // apply (the estimator, not the hash, is engine-private)
       "d40_minhash_calibration",
       // filtered-IVF results ride trained centroids (no SQL mirror);
       // RecallSpec gates recall vs the exact filtered baseline AND
