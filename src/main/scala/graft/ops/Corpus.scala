@@ -896,6 +896,46 @@ object Corpus {
           .otherwise(lit(null).cast("double")).as("yule_k"))
   }
 
+  /** Per-group Gini concentration of a non-negative value column
+    * (Gini 1912, via the exact rank formula — Sen 1973 eq. 2.8.1:
+    * `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` over ascending-sorted
+    * values) — the release-card INEQUALITY statistic beside t15's
+    * totals and t48's quality prior: token-count Gini near 0 means a
+    * source's documents contribute evenly; near 1 means a few
+    * megadocuments carry the source (dedup, chunking and mixture
+    * decisions all read differently when 2% of docs hold 80% of the
+    * tokens).
+    *
+    * Exactness: rank i is a row_number over (x, id) — ties make the
+    * tiebreak value-irrelevant (equal x at swapped ranks leave Σ i·x
+    * unchanged) — and Σ i·x, Σ x, n are exact longs folded in ONE
+    * hash-agg; the Gini is ONE final IEEE division. All-zero groups
+    * read NULL. Longs hold while n·Σx < 2⁶³ (quantize or shard the
+    * rank sum beyond ~10⁹ docs × 10⁹ tokens per group).
+    *
+    * Shape: one per-group sort window (the 17y percentile exchange) +
+    * one map-side-combined rollup — group cardinality rows out.
+    */
+  def tokenGini(
+      df: DataFrame, valueCol: String, groupCol: String,
+      idCol: String): DataFrame = {
+    val ranked = df.select(col(groupCol).as("grp"),
+        col(idCol).as("id"), col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("x").asc, col("id").asc)))
+    ranked.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("x").as("total_tokens"),
+        sum(col("i") * col("x")).as("iwx"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("total_tokens"),
+        when(col("total_tokens") > 0,
+          (lit(2L) * col("iwx") -
+            (col("n_docs") + 1L) * col("total_tokens")).cast("double") /
+            (col("n_docs") * col("total_tokens")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("gini"))
+  }
+
   /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES): draw exactly `k` rows with inclusion probability
     * proportional to `weightCol` — the resampling step a DSIR/DoReMi

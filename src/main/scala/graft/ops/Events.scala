@@ -770,6 +770,64 @@ object Events {
     * windows over type×hours rows. Magnitudes hold while 8·c·max(n)·
     * hours < 2^63.
     */
+  /** Theil–Sen robust trend + Mann–Kendall S per event type (Theil
+    * 1950; Sen 1968; Mann 1945; Kendall 1975 — the NONPARAMETRIC trend
+    * rung of the monitoring family: e25/e28/e29 detect bursts, shifts
+    * and seasonal outliers, this estimates the underlying monotone
+    * DRIFT in a way a single spike cannot drag, where an OLS slope —
+    * one corrupted hour — can move arbitrarily; Theil–Sen's breakdown
+    * point is ~29%). Estimator: the exact median of all pairwise
+    * slopes (n_b − n_a)/(h_b − h_a) over the hourly count series;
+    * Mann–Kendall S = Σ sign(n_b − n_a) over the same pairs is the
+    * classic companion significance statistic (S near ±n_pairs ⇒
+    * consistent monotone trend).
+    *
+    * Exactness: hour indices and count diffs are integers; each slope
+    * is ONE IEEE division; the median picks the one or two middle
+    * ranks by row_number over (slope, h_a, h_b) — equal slopes make
+    * the tiebreak value-irrelevant — and averages them (≤ 2 doubles:
+    * one add + one divide, bit-identical in DuckDB). S stays a long.
+    *
+    * Scale: the only corpus-sized pass is the hourly rollup (map-side
+    * combine); pair work is per-type C(H,2) where H is the SERIES
+    * length — bounded by the time horizon, never by event rows. For
+    * multi-year horizons run over a bounded lookback window (the e28
+    * convention); the query pins the natural testdata horizon.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val a = hourly.as("a"); val b = hourly.as("b")
+    val pairs = a.join(b,
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") < col("b.h"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.n") - col("a.n")).as("dn"),
+        (col("b.h") - col("a.h")).as("dh"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .withColumn("slope",
+        col("dn").cast("double") / col("dh").cast("double"))
+    val byType = Window.partitionBy("event_type")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("slope"), col("ha"), col("hb"))))
+      .withColumn("m", count(lit(1)).over(byType))
+    val med = ranked
+      .filter(expr("rn = (m + 1) div 2 OR rn = (m + 2) div 2"))
+      .groupBy("event_type")
+      .agg((sum("slope") / count(lit(1))).as("ts_slope"))
+    val agg = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("dn")).cast("long")).as("mk_s"))
+    val nh = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"))
+    nh.join(agg, "event_type").join(med, "event_type")
+      .select(col("event_type"), col("n_hours"), col("n_pairs"),
+        col("mk_s"), col("ts_slope"))
+  }
+
   def cusumShift(events: DataFrame): DataFrame = {
     val hourly = events.groupBy(col("event_type"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("h"))

@@ -3736,6 +3736,35 @@ object CorpusPack {
             WHERE ns >= 2
             ORDER BY id_a, id_b"""))
 
+  private val t68 = Q(
+    "t68_token_gini",
+    // per-source Gini concentration of token counts (Sen 1973 rank
+    // formula): the release-card inequality stat beside t15's totals —
+    // near 0 = docs contribute evenly, near 1 = a few megadocs carry
+    // the source. Exact long rank sums, one final IEEE division —
+    // hash-exact (Corpus.tokenGini).
+    (s, dir) => Corpus.tokenGini(
+        Tables.loadParallel(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+        "n_tok", "source", "doc_id")
+      .orderBy("source"),
+    Some("""WITH d AS (SELECT doc_id, source,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x <> '')) AS BIGINT) AS x
+              FROM documents),
+            r AS (SELECT source, x,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY x ASC, doc_id ASC) AS BIGINT) AS i
+              FROM d)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(x) AS BIGINT) AS total_tokens,
+              CASE WHEN SUM(x) > 0 THEN
+                CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+                  / CAST(COUNT(*) * SUM(x) AS DOUBLE)
+              ELSE NULL END AS gini
+            FROM r GROUP BY source ORDER BY source"""))
+
   private val d41 = Q(
     "d41_substring_dedup",
     // pairwise ExactSubstr (Lee et al. 2022 — the 50-token rung between
@@ -4579,6 +4608,7 @@ object CorpusPack {
 
   val all: Seq[Q] =
     Seq(t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55, t56, t58, t59, t60, t61, t62, t63, t64, t65, t66, t67,
+      t68,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
       d22, d23, d24, d25, d27, d33, d37, d38, d41)

@@ -3250,6 +3250,48 @@ object PipelinePack {
                 AS cusum_stat
             FROM best WHERE rk = 1 ORDER BY event_type"""))
 
+  private val e40 = Q(
+    "e40_theil_sen",
+    // robust trend per event type: Theil–Sen slope = the EXACT median
+    // of all pairwise hourly-count slopes, + Mann–Kendall S — the
+    // nonparametric drift rung of the monitoring family (e25 bursts,
+    // e28 shifts, e29 seasonal outliers, this the monotone trend a
+    // spike cannot drag). Integer hour indices and count diffs, one
+    // IEEE division per slope, rank-arithmetic median (the 17y trick),
+    // S an exact long — hash-exact (Events.theilSenTrend).
+    (s, dir) => Events.theilSenTrend(Tables.load(s, dir, "events"))
+      .orderBy("event_type"),
+    Some("""WITH hourly AS (SELECT event_type,
+                CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+                  AS h,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type, b.n - a.n AS dn, b.h - a.h AS dh,
+                a.h AS ha, b.h AS hb
+              FROM hourly a JOIN hourly b
+                ON a.event_type = b.event_type AND a.h < b.h),
+            sl AS (SELECT event_type, dn, ha, hb,
+                CAST(dn AS DOUBLE) / CAST(dh AS DOUBLE) AS slope
+              FROM p),
+            r AS (SELECT event_type, slope, dn,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY slope, ha, hb) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS m
+              FROM sl),
+            med AS (SELECT event_type, SUM(slope) / COUNT(*) AS ts_slope
+              FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+              GROUP BY 1),
+            agg AS (SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(CASE WHEN dn > 0 THEN 1 WHEN dn < 0 THEN -1
+                  ELSE 0 END) AS BIGINT) AS mk_s
+              FROM r GROUP BY 1),
+            hh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+              FROM hourly GROUP BY 1)
+            SELECT event_type, n_hours, n_pairs, mk_s, ts_slope
+            FROM hh JOIN agg USING (event_type) JOIN med USING (event_type)
+            ORDER BY event_type"""))
+
   private val s25 = Q(
     "s25_silhouette",
     // per-cluster centroid-based silhouette over the trained IVF model
@@ -3291,6 +3333,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, d40, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40,
     m01, m02, m03, m04, m05)
 }

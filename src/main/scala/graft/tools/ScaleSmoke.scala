@@ -327,6 +327,9 @@ object ScaleSmoke {
         "t57_langid_confusion", "t58_mixed_script",
         // p30 = d01's hash-groupBy keep-min + two source rollups
         "p30_dedup_shrinkage",
+        // t68 = one scan-stage token count + ONE per-source sort
+        // window + a map-side-combined rollup — linear in corpus rows
+        "t68_token_gini",
         // s22 = one brute pass + train + |sweep| probe runs, each
         // linear in corpus rows (pinned probe set); s23 = one fused
         // assignment pass + a list-keyed rollup

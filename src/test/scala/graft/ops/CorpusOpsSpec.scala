@@ -583,6 +583,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(c.getAs[Double]("max_abs_dev") == 2.0)
   }
 
+  test("tokenGini: equal docs read 0, one-megadoc group reads (n-1)/n, " +
+    "all-zero group reads NULL with its counts intact") {
+    val df = Seq(
+      (1L, "s1", 5L), (2L, "s1", 5L), (3L, "s1", 5L), (4L, "s1", 5L),
+      (5L, "s2", 0L), (6L, "s2", 0L), (7L, "s2", 0L), (8L, "s2", 10L),
+      (9L, "s3", 0L), (10L, "s3", 0L)
+    ).toDF("doc_id", "source", "n_tok")
+    val got = Corpus.tokenGini(df, "n_tok", "source", "doc_id")
+      .orderBy("source").collect()
+    assert(got(0).getAs[Double]("gini") == 0.0)  // perfectly even
+    assert(got(0).getAs[Long]("total_tokens") == 20L)
+    assert(got(1).getAs[Double]("gini") == 0.75) // max for n=4: (n-1)/n
+    assert(got(2).isNullAt(3) && got(2).getAs[Long]("n_docs") == 2L)
+  }
+
   test("prCurve: hand-checked operating points; monotone recall") {
     import org.apache.spark.sql.functions.col
     // scores 1..10, positives at 6..10 (perfect ranking): at the median

@@ -1238,6 +1238,30 @@ class EventsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("theilSenTrend: hand-computed pairwise-slope median (even and " +
+    "odd pair counts) and Mann–Kendall sign sum") {
+    // type a: hourly counts [1,3,2,6] -> 6 slopes
+    // {2, .5, 5/3, -1, 1.5, 4}; even count -> median (1.5 + 5/3)/2;
+    // S = 5 pos - 1 neg = 4. type b: [2,1,5] -> {-1, 1.5, 4}, odd ->
+    // median 1.5; S = 1
+    val ev = ((Seq.fill(1)(0) ++ Seq.fill(3)(1) ++ Seq.fill(2)(2) ++
+        Seq.fill(6)(3)).map(h => ("a", h)) ++
+      (Seq.fill(2)(0) ++ Seq.fill(1)(1) ++ Seq.fill(5)(2))
+        .map(h => ("b", h)))
+      .zipWithIndex.map { case ((t, h), i) =>
+        (i.toLong, ts(h.toLong * 3600 + (i % 60)), 1L, t, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.theilSenTrend(ev).orderBy("event_type").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n_hours") == 4L && a.getAs[Long]("n_pairs") == 6L)
+    assert(a.getAs[Long]("mk_s") == 4L)
+    assert(math.abs(a.getAs[Double]("ts_slope") -
+      (1.5 + 5.0 / 3.0) / 2) < 1e-12)
+    assert(b.getAs[Long]("n_hours") == 3L && b.getAs[Long]("n_pairs") == 3L)
+    assert(b.getAs[Long]("mk_s") == 1L)
+    assert(b.getAs[Double]("ts_slope") == 1.5)
+  }
+
   test("changepoint: planted mean shift localized to the exact day, " +
     "integer argmax ties to the earliest split, gap days are zeros") {
     // days 0-4: 2 events/day, days 5-9: 4/day -> argmax at k=5 (day 4),
