@@ -74,7 +74,12 @@ object CorpusMaintain {
     val crossEdges = Dedup.crossJaccard(
         admitted, corpus, textCol, idCol, tauNum, tauDen)
       .select(col("id_a"), col("id_b"))
-    val innerEdges = Dedup.nGramJaccard(
+    // r14: the PPJoin prefix-filtered form — bit-identical to the
+    // uncapped inverted-index join (DedupSpec/OpsSpec equality) with a
+    // completeness proof instead of a hot-gram cap; the maintenance
+    // loop is a standing-corpus production path, so it rides the
+    // ship rung (SURVEY 32ay7), not the d02 oracle configuration
+    val innerEdges = Dedup.prefixJaccard(
         admitted, textCol, idCol, tauNum, tauDen)
       .select(col("id_a"), col("id_b"))
     val newEdges = crossEdges.unionByName(innerEdges)
@@ -171,7 +176,7 @@ object CorpusMaintain {
       .join(ids, Seq(idCol), "left_anti")
     val remDocs = newCorpus.join(remainingMembers, Seq(idCol), "left_semi")
     val relabeled = Clusters.connectedComponents(
-      Dedup.nGramJaccard(remDocs, textCol, idCol, tauNum, tauDen),
+      Dedup.prefixJaccard(remDocs, textCol, idCol, tauNum, tauDen),
       "id_a", "id_b")
     Forget(newCorpus, keepLabels.unionByName(relabeled), removed)
   }
