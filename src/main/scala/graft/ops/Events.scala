@@ -770,6 +770,66 @@ object Events {
     * windows over type×hours rows. Magnitudes hold while 8·c·max(n)·
     * hours < 2^63.
     */
+  /** RFM segmentation (Hughes 1994, "Strategic Database Marketing" —
+    * the classic recency/frequency/monetary customer triage every
+    * warehouse runs): per purchasing user, days since last purchase
+    * (relative to the corpus' own max purchase time — a deterministic
+    * anchor, no wall clock), purchase count, and exact-decimal spend,
+    * each scored into rank-space quintiles (5 = best) and folded into
+    * a standard segment taxonomy (champion / loyal / big_spender /
+    * at_risk / hibernating / recent / regular — CASE arms evaluated in
+    * that order).
+    *
+    * Quintiles WITHOUT a one-task global window: scores come straight
+    * from dense global ranks ([[Corpus.contiguousIdsBy]] — range
+    * partition + local counters + broadcast offsets), score =
+    * `rank·5 div n + 1` (recency inverted), so no cutoff extraction
+    * and no ntile. Ties break by (metric, user_id) — equal metric
+    * values can land in adjacent quintiles either side of a boundary,
+    * but the assignment is DETERMINISTIC and the oracle replays it
+    * rank-for-rank. All arithmetic integer/decimal until the monetary
+    * display cast.
+    *
+    * Scale: one purchase-filtered rollup (map-side combine) reduces to
+    * user-cardinality rows; three contiguousIdsBy passes over THAT
+    * frame (users ≪ events); two 1-row broadcasts. Nothing holds more
+    * than the per-user frame.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("value"))
+    val perUser = purchases.groupBy("user_id")
+      .agg(max("es").as("last_es"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(18, 6))).as("monetary_d"))
+    val anchor = purchases.agg(max("es").as("anchor_es"))
+    val nUsers = perUser.agg(count(lit(1)).as("n_users"))
+    val base = perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", expr("(anchor_es - last_es) div 86400"))
+    val ranked = Corpus.contiguousIdsBy(
+      Corpus.contiguousIdsBy(
+        Corpus.contiguousIdsBy(base,
+          Seq("recency_days", "user_id"), "rk_r"),
+        Seq("frequency", "user_id"), "rk_f"),
+      Seq("monetary_d", "user_id"), "rk_m")
+    val scored = ranked.crossJoin(broadcast(nUsers))
+      .withColumn("r_score", lit(5L) - expr("(rk_r * 5) div n_users"))
+      .withColumn("f_score", expr("(rk_f * 5) div n_users") + lit(1L))
+      .withColumn("m_score", expr("(rk_m * 5) div n_users") + lit(1L))
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary_d").cast("double").as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, lit("champion"))
+        .when(col("f_score") >= 4, lit("loyal"))
+        .when(col("m_score") >= 4, lit("big_spender"))
+        .when(col("r_score") <= 2 && col("f_score") >= 3, lit("at_risk"))
+        .when(col("r_score") <= 2, lit("hibernating"))
+        .when(col("r_score") >= 4, lit("recent"))
+        .otherwise(lit("regular")).as("segment"))
+  }
+
   /** Theil–Sen robust trend + Mann–Kendall S per event type (Theil
     * 1950; Sen 1968; Mann 1945; Kendall 1975 — the NONPARAMETRIC trend
     * rung of the monitoring family: e25/e28/e29 detect bursts, shifts

@@ -3292,6 +3292,57 @@ object PipelinePack {
             FROM hh JOIN agg USING (event_type) JOIN med USING (event_type)
             ORDER BY event_type"""))
 
+  private val e41 = Q(
+    "e41_rfm_segments",
+    // RFM triage (Hughes 1994): per purchasing user, recency vs the
+    // corpus' own max purchase time, frequency, exact-decimal spend —
+    // each quintile-scored straight from dense global ranks (no
+    // one-task ntile window) and folded into the standard segment
+    // taxonomy. Integer/decimal arithmetic throughout; oracle replays
+    // ranks and score formula rank-for-rank — hash-exact
+    // (Events.rfmSegments).
+    (s, dir) => Events.rfmSegments(Tables.load(s, dir, "events"))
+      .orderBy("user_id"),
+    Some("""WITH p AS (SELECT user_id,
+                CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, value
+              FROM events WHERE event_type = 'purchase'),
+            u AS (SELECT user_id, MAX(es) AS last_es,
+                CAST(COUNT(*) AS BIGINT) AS frequency,
+                SUM(CAST(value AS DECIMAL(18,6))) AS monetary_d
+              FROM p GROUP BY 1),
+            a AS (SELECT MAX(es) AS anchor_es FROM p),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+            b AS (SELECT u.user_id, u.frequency, u.monetary_d,
+                (anchor_es - last_es) // 86400 AS recency_days
+              FROM u CROSS JOIN a),
+            r AS (SELECT *,
+                CAST(row_number() OVER (ORDER BY recency_days, user_id)
+                  AS BIGINT) - 1 AS rk_r,
+                CAST(row_number() OVER (ORDER BY frequency, user_id)
+                  AS BIGINT) - 1 AS rk_f,
+                CAST(row_number() OVER (ORDER BY monetary_d, user_id)
+                  AS BIGINT) - 1 AS rk_m
+              FROM b),
+            s AS (SELECT user_id, recency_days, frequency,
+                CAST(monetary_d AS DOUBLE) AS monetary,
+                5 - (rk_r * 5) // n_users AS r_score,
+                (rk_f * 5) // n_users + 1 AS f_score,
+                (rk_m * 5) // n_users + 1 AS m_score
+              FROM r CROSS JOIN n)
+            SELECT user_id, recency_days, frequency, monetary,
+              CAST(r_score AS BIGINT) AS r_score,
+              CAST(f_score AS BIGINT) AS f_score,
+              CAST(m_score AS BIGINT) AS m_score,
+              CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                WHEN r_score >= 4 THEN 'recent'
+                ELSE 'regular' END AS segment
+            FROM s ORDER BY user_id"""))
+
   private val s25 = Q(
     "s25_silhouette",
     // per-cluster centroid-based silhouette over the trained IVF model
@@ -3333,6 +3384,6 @@ object PipelinePack {
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d10, d21, d26, d28, d29, d30, d31, d32, d34, d35, d39, d40, s01, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11,
     t01, t02, t03, t04, t57, e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11,
-    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40,
+    e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41,
     m01, m02, m03, m04, m05)
 }

@@ -918,6 +918,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("d41: substring-dup candidates come from an EQUI join on the " +
+    "shingle hash pair — no cartesian, no nested loop; islands are one " +
+    "(pair, diagonal) window") {
+    val p = plan("d41_substring_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("e40: Theil-Sen pair work is an equi join on event_type over the " +
+    "HOURLY rollup (series-bounded, not event rows) — no cartesian, no " +
+    "nested loop; median via the per-type rank window") {
+    val p = plan("e40_theil_sen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p) // the hourly rollup reduces first
+  }
+
+  test("t68: token Gini is one per-source sort window + one hash rollup " +
+    "— no join of any kind") {
+    val p = plan("t68_token_gini")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("s24: migration audit is two fused argmins in one scan pass — " +
     "no join of any kind, one list-keyed rollup") {
     val p = plan("s24_centroid_migration")

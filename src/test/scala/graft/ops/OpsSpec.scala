@@ -1238,6 +1238,36 @@ class EventsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("rfmSegments: hand-computed quintile ranks, corpus-anchored " +
+    "recency, non-purchase events ignored, taxonomy arm order") {
+    // u1: last day 2, freq 2, spend 30; u2: day 9, 1, 100; u3: day 9,
+    // 2, 2. anchor = day 9 -> recency 7/0/0. n=3 quintile-from-rank:
+    // u1 (2,2,2) hibernating; u2 (5,1,4) big_spender; u3 (4,4,1) loyal
+    val ev = Seq(
+      (0L, ts(0L), 1L, "purchase", 10.0),
+      (1L, ts(2L * 86400), 1L, "purchase", 20.0),
+      (2L, ts(9L * 86400), 2L, "purchase", 100.0),
+      (3L, ts(8L * 86400), 3L, "purchase", 1.0),
+      (4L, ts(9L * 86400), 3L, "purchase", 1.0),
+      (5L, ts(9L * 86400 + 100), 1L, "view", 999.0) // must not count
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.rfmSegments(ev).orderBy("user_id").collect()
+    assert(got.length == 3)
+    val u1 = got(0); val u2 = got(1); val u3 = got(2)
+    assert(u1.getAs[Long]("recency_days") == 7L &&
+      u1.getAs[Long]("frequency") == 2L &&
+      u1.getAs[Double]("monetary") == 30.0)
+    assert((u1.getAs[Long]("r_score"), u1.getAs[Long]("f_score"),
+      u1.getAs[Long]("m_score")) == ((2L, 2L, 2L)))
+    assert(u1.getAs[String]("segment") == "hibernating")
+    assert((u2.getAs[Long]("r_score"), u2.getAs[Long]("f_score"),
+      u2.getAs[Long]("m_score")) == ((5L, 1L, 4L)))
+    assert(u2.getAs[String]("segment") == "big_spender")
+    assert((u3.getAs[Long]("r_score"), u3.getAs[Long]("f_score"),
+      u3.getAs[Long]("m_score")) == ((4L, 4L, 1L)))
+    assert(u3.getAs[String]("segment") == "loyal")
+  }
+
   test("theilSenTrend: hand-computed pairwise-slope median (even and " +
     "odd pair counts) and Mann–Kendall sign sum") {
     // type a: hourly counts [1,3,2,6] -> 6 slopes
