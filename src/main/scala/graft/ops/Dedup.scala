@@ -962,10 +962,18 @@ object Dedup {
     * TEXT never crosses an exchange.
     */
   private def spanWindowIndex(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    spanWindowProjection(graft.Tables.spreadIfNarrow(df), textCol, idCol, n)
+
+  /** The pure scan-stage window projection behind [[spanWindowIndex]],
+    * WITHOUT the batch-only narrow-source spread (`spreadIfNarrow`
+    * inspects the RDD, which a STREAMING plan forbids) — the form
+    * `CorpusStream.substringGuardStream` maps over arriving documents.
+    */
+  private[graft] def spanWindowProjection(
       df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("id"), toks.as("t"))
+    df.select(col(idCol).as("id"), toks.as("t"))
       .select(col("id"), posexplode(
         when(size(col("t")) >= n,
           transform(sequence(lit(0), size(col("t")) - n),
@@ -1159,6 +1167,16 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pa"),
         (col("b.pos") - col("a.pos")).as("diag"))
+    diagonalSpans(matches, n, minSpanLen)
+  }
+
+  /** Shared diagonal gaps-and-islands chain for the ExactSubstr family:
+    * `matches` = (id_a, id_b, pa, diag) window-match rows; output =
+    * (id_a, id_b, start_a, start_b, span_len) maximal spans ≥
+    * `minSpanLen` (the [[substringDupSpans]] lemma).
+    */
+  private def diagonalSpans(
+      matches: DataFrame, n: Int, minSpanLen: Int): DataFrame = {
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a", "id_b", "diag").orderBy("pa")
     matches
@@ -1174,6 +1192,53 @@ object Dedup {
         col("start_a").cast("long").as("start_a"),
         (col("start_a") + col("diag")).cast("long").as("start_b"),
         col("span_len").cast("long").as("span_len"))
+  }
+
+  /** The fixed-width `(id, pos, h1, h2)` shingle index of
+    * [[substringDupSpans]], exposed so a STANDING corpus can persist it
+    * once (parquet beside the corpus, the spanHotTable/SeriesStats
+    * freeze convention) and every later probe — batch
+    * [[crossSubstringSpans]] or the streaming guard
+    * (graft.streaming.CorpusStream.substringGuardStream) — joins
+    * against the frozen index instead of re-hashing the corpus.
+    */
+  def substringIndex(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"window must span tokens, got n=$n")
+    spanWindowIndex(df.filter(col(textCol).isNotNull), textCol, idCol, n)
+  }
+
+  /** Cross-corpus ExactSubstr evidence (r14): every maximal token run ≥
+    * `minSpanLen` shared between a PROBE document and a CORPUS document
+    * — the span-localized form of decontamination (d12/d20/d27 FLAG
+    * overlapping docs; this names the exact stolen span on both sides,
+    * the evidence a release review or a memorization audit reads).
+    * Output `(probe_id, corpus_id, start_p, start_c, span_len)`.
+    *
+    * Same lemma and shape as [[substringDupSpans]] with the self-join
+    * replaced by a probe⋈corpus equi join on the hash pair — candidate
+    * work per window value is df_probe·df_corpus, and the typical probe
+    * (an eval suite) is tiny against the 100 TB corpus side, so the
+    * join broadcasts the probe index; ids may collide across the two
+    * frames (they are different id spaces by contract).
+    */
+  def crossSubstringSpans(
+      probe: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      n: Int, minSpanLen: Int): DataFrame = {
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen below window size $n is incomplete")
+    val p = substringIndex(probe, textCol, idCol, n).as("p")
+    val c = substringIndex(corpus, textCol, idCol, n).as("c")
+    val matches = p.join(c,
+        col("p.h1") === col("c.h1") && col("p.h2") === col("c.h2"))
+      .select(col("p.id").as("id_a"), col("c.id").as("id_b"),
+        col("p.pos").as("pa"),
+        (col("c.pos") - col("p.pos")).as("diag"))
+    diagonalSpans(matches, n, minSpanLen)
+      .select(col("id_a").as("probe_id"), col("id_b").as("corpus_id"),
+        col("start_a").as("start_p"), col("start_b").as("start_c"),
+        col("span_len"))
   }
 
   /** [[substringDupSpans]] folded to per-document removal lists, the

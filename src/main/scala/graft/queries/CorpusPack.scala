@@ -3827,6 +3827,65 @@ object CorpusPack {
             FROM spans
             ORDER BY id_a, id_b, start_a, start_b"""))
 
+  private val d42 = Q(
+    "d42_substring_decontaminate",
+    // span-LOCALIZED decontamination (Lee et al. 2022 ExactSubstr, the
+    // cross form): every maximal token run >= 12 shared between a TEST
+    // doc and a TRAIN doc, with start offsets on BOTH sides — d12/d27
+    // flag overlapping docs, this names the exact stolen span (the
+    // evidence a release review or memorization audit reads). Same
+    // diagonal-islands lemma as d41 with the self-join replaced by a
+    // probe x corpus equi join on the shingle hash — hash-exact
+    (s, dir) => {
+      val labeled = Tables.load(s, dir, "documents")
+        .withColumn("split", Corpus.splitLabel(col("doc_id")))
+      Dedup.crossSubstringSpans(
+          labeled.filter(col("split") === "test"),
+          labeled.filter(col("split") === "train"),
+          "text", "doc_id", n = 8, minSpanLen = 12)
+        .orderBy("probe_id", "corpus_id", "start_p", "start_c")
+    },
+    Some("""WITH lab AS (SELECT doc_id, text,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                  IN ('c','d') THEN 'val'
+                ELSE 'test' END AS split
+              FROM documents),
+            toks AS (SELECT doc_id, split, string_split(text, ' ') AS t
+              FROM lab WHERE split IN ('train', 'test')),
+            wins AS (SELECT doc_id, split,
+                unnest(range(greatest(len(t) - 7, 0))) AS p,
+                unnest(list_transform(range(greatest(len(t) - 7, 0)),
+                  i -> array_to_string(t[i+1:i+8], ' '))) AS w
+              FROM toks),
+            m AS (SELECT a.doc_id AS pid, b.doc_id AS cid,
+                a.p AS pa, b.p - a.p AS diag
+              FROM wins a JOIN wins b ON a.w = b.w
+              WHERE a.split = 'test' AND b.split = 'train'),
+            isl AS (SELECT pid, cid, diag, pa,
+                CASE WHEN pa - lag(pa) OVER (PARTITION BY pid, cid,
+                    diag ORDER BY pa) > 8
+                  THEN 1 ELSE 0 END AS newi
+              FROM m),
+            isl2 AS (SELECT pid, cid, diag, pa,
+                SUM(newi) OVER (PARTITION BY pid, cid, diag
+                  ORDER BY pa
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+              FROM isl),
+            spans AS (SELECT pid, cid, diag, island,
+                MIN(pa) AS start_p, MAX(pa) + 8 AS ea
+              FROM isl2 GROUP BY 1, 2, 3, 4
+              HAVING MAX(pa) + 8 - MIN(pa) >= 12)
+            SELECT pid AS probe_id, cid AS corpus_id,
+              CAST(start_p AS BIGINT) AS start_p,
+              CAST(start_p + diag AS BIGINT) AS start_c,
+              CAST(ea - start_p AS BIGINT) AS span_len
+            FROM spans
+            ORDER BY probe_id, corpus_id, start_p, start_c"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -4611,5 +4670,5 @@ object CorpusPack {
       t68,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25, d27, d33, d37, d38, d41)
+      d22, d23, d24, d25, d27, d33, d37, d38, d41, d42)
 }

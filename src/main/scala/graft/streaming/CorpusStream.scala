@@ -83,6 +83,80 @@ object CorpusStream {
       }
   }
 
+  /** One cross-corpus ExactSubstr evidence row from the streaming
+    * guard: the arriving doc `id` shares a maximal run of `span_len`
+    * tokens with standing-corpus doc `corpus_id`, starting at token
+    * `start` (stream side) / `corpus_start` (standing side).
+    */
+  final case class SpanHit(
+      id: Long, corpus_id: Long, start: Long, corpus_start: Long,
+      span_len: Long)
+
+  /** Streaming ExactSubstr guard (r14): arriving documents checked
+    * against a STANDING corpus' frozen shingle index
+    * ([[graft.ops.Dedup.substringIndex]], persisted once beside the
+    * corpus — the spanHotTable freeze convention), emitting the exact
+    * shared spans ≥ `minSpanLen` — live decontamination/memorization
+    * screening at ingest, the streaming twin of
+    * [[graft.ops.Dedup.crossSubstringSpans]] (CorpusStreamSpec pins
+    * batch parity).
+    *
+    * Shape: the stream side is a pure scan-stage shingle projection
+    * (no per-doc state), the join is stream-static equi on the hash
+    * pair, and the diagonal gaps-and-islands chain runs per
+    * (doc, corpus doc, diagonal) group inside ONE
+    * flatMapGroupsWithState call. A document's match rows all travel
+    * in the micro-batch that carries the document, so the group is
+    * complete when seen and NO state is ever retained (NoTimeout,
+    * state never set — zero standing state at 100 TB; the operator
+    * exists for its group-complete iterator, not its store). Re-
+    * delivered documents re-emit identical evidence rows
+    * (at-least-once; sinks dedup on the natural key).
+    */
+  def substringGuardStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      standingIndex: DataFrame, n: Int, minSpanLen: Int)
+      : Dataset[SpanHit] = {
+    import docs.sparkSession.implicits._
+    require(minSpanLen >= n,
+      s"minSpanLen=$minSpanLen below window size $n is incomplete")
+    val stream = Dedup.spanWindowProjection(
+      docs.filter(org.apache.spark.sql.functions.col(textCol).isNotNull),
+      textCol, idCol, n)
+    val joined = stream.as("s").join(standingIndex.as("c"),
+        org.apache.spark.sql.functions.col("s.h1") ===
+          org.apache.spark.sql.functions.col("c.h1") &&
+        org.apache.spark.sql.functions.col("s.h2") ===
+          org.apache.spark.sql.functions.col("c.h2"))
+      .selectExpr("s.id AS id", "c.id AS cid", "CAST(s.pos AS INT) AS pa",
+        "CAST(c.pos - s.pos AS INT) AS diag")
+      .as[(Long, Long, Int, Int)]
+    joined
+      .groupByKey(r => (r._1, r._2, r._4))
+      .flatMapGroupsWithState[Int, SpanHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((id, cid, diag), it, _) =>
+          val pos = it.map(_._3).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer[SpanHit]()
+          var s0 = pos(0); var prev = pos(0)
+          def close(): Unit = {
+            val len = prev + n - s0
+            if (len >= minSpanLen)
+              out += SpanHit(id, cid, s0.toLong, (s0 + diag).toLong,
+                len.toLong)
+          }
+          var i = 1
+          while (i < pos.length) {
+            val p = pos(i)
+            if (p - prev > n) { close(); s0 = p }
+            prev = p
+            i += 1
+          }
+          close()
+          out.iterator
+      }
+  }
+
   /** Streaming ingest curation — the ADMIT path of the batch curation
     * pipeline (p12 / ReleaseBuild) as one composition, for documents
     * arriving continuously with an ingest timestamp:

@@ -118,7 +118,10 @@ object ScaleSmoke {
     // d41's window equi-join emits Σ df² rows per shingle value (the
     // d02/d22 inverted-index class); the diagonal islands window runs
     // over matched windows only — candidate-driven end to end
-    "d41_substring_dedup")
+    "d41_substring_dedup",
+    // d42 is d41's cross form: probe×corpus shingle equi join (work
+    // Σ df_p·df_c per shingle value) + the same bounded islands window
+    "d42_substring_decontaminate")
   // d21's exact baseline is train × eval pair work; the smoke's eval
   // slice scales WITH the corpus, so it is a declared baseline here
   // (the production eval side is a fixed-size suite — linear in train)
@@ -141,7 +144,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 40, s"expected 40 d-tier queries, got $dTier")
+    require(dTier.size == 41, s"expected 41 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()

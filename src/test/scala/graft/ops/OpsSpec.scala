@@ -524,6 +524,19 @@ class DedupSpec extends SparkSpec {
       .collect().exists(r => r.getLong(1) == 4L && r.getLong(4) == 4L))
   }
 
+  test("crossSubstringSpans: probe-vs-corpus maximal spans with offsets " +
+    "on both sides; non-overlapping probes emit nothing") {
+    val corpus = Seq((100L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "x x a b c d e f g h y y"),
+      (2L, "none of these words match at all")).toDF("doc_id", "text")
+    val got = Dedup.crossSubstringSpans(probe, corpus, "text", "doc_id",
+        n = 4, minSpanLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 100L, 2L, 0L, 8L)), s"got $got")
+  }
+
   test("dupGramFraction: shared 8-gram windows counted per doc, " +
     "short docs report (0, 0, NULL)") {
     // docs 1 and 2 share exactly their first 8-token window; doc 3 is

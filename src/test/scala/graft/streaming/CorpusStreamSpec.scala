@@ -63,6 +63,47 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("substringGuardStream: arriving docs emit exactly the spans the " +
+    "batch crossSubstringSpans computes, across micro-batches, with " +
+    "zero retained state") {
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq(
+      (100L, "a b c d e f g h i j k l"),
+      (101L, "p q r s t u v w")).toDF("doc_id", "text")
+    val idx = Dedup.substringIndex(standing, "text", "doc_id", n = 4)
+    val probes = Seq(
+      (1L, "x x a b c d e f g h y y"),        // shares a..h with 100
+      (2L, "totally unrelated tokens only here today"),
+      (3L, "p q r s t u zz"))                 // shares p..u with 101
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusStream.substringGuardStream(
+        src.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        idx, n = 4, minSpanLen = 5)
+      .writeStream.format("memory").queryName("span_hits")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      src.addData(probes.drop(2): _*) // doc 3 arrives a batch later
+      q.processAllAvailable()
+      val got = spark.table("span_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = Dedup.crossSubstringSpans(
+          probes.toDF("doc_id", "text"), standing, "text", "doc_id",
+          n = 4, minSpanLen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want && got.nonEmpty, s"stream $got vs batch $want")
+      assert(got.exists(h => h._1 == 1L && h._2 == 100L && h._5 == 8L))
+      assert(!got.exists(_._1 == 2L))
+      // the operator keeps no standing state: groups are complete in
+      // their micro-batch and the state store is never written
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
+
   test("surprisalScoreStream equals the batch join form, across batches") {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
     implicit val sqlCtx = spark.sqlContext
