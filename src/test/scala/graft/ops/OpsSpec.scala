@@ -524,6 +524,51 @@ class DedupSpec extends SparkSpec {
       .collect().exists(r => r.getLong(1) == 4L && r.getLong(4) == 4L))
   }
 
+  test("substringDupSpans equals a brute-force per-diagonal maximal-run " +
+    "reference on seeded random corpora (the completeness lemma, checked)") {
+    // high-collision alphabet so shared runs, near-misses, repeats and
+    // multi-diagonal alignments all occur; the reference scans every
+    // (pair, diagonal) for maximal runs of per-position token equality
+    val rnd = new scala.util.Random(4242)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 20) {
+      val nDocs = 3 + rnd.nextInt(4)
+      val docs = (1 to nDocs).map { i =>
+        (i.toLong,
+          Vector.fill(rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      val n = 2 + rnd.nextInt(2)
+      val minLen = n + rnd.nextInt(3)
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        d <- -ta.length to tb.length
+      } yield {
+        val lo = math.max(0, -d)
+        val hi = math.min(ta.length, tb.length - d)
+        var spans = List.empty[(Long, Long, Long, Long, Long)]
+        var p = lo
+        while (p < hi) {
+          if (ta(p) == tb(p + d)) {
+            val s = p
+            while (p < hi && ta(p) == tb(p + d)) p += 1
+            val len = p - s
+            if (len >= minLen)
+              spans ::= ((ia, ib, s.toLong, (s + d).toLong, len.toLong))
+          } else p += 1
+        }
+        spans
+      }).flatten.toSet
+      val df = docs.map { case (i, t) => (i, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.substringDupSpans(df, "text", "doc_id", n, minLen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected,
+        s"trial $trial n=$n minLen=$minLen: spurious ${got -- expected}, " +
+          s"missing ${expected -- got}, docs=$docs")
+    }
+  }
+
   test("crossSubstringSpans: probe-vs-corpus maximal spans with offsets " +
     "on both sides; non-overlapping probes emit nothing") {
     val corpus = Seq((100L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
