@@ -569,6 +569,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossSubstringSpans equals the brute reference on seeded random " +
+    "probe/corpus splits (ids may collide across the two frames)") {
+    val rnd = new scala.util.Random(777)
+    val alphabet = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 10) {
+      def mk(k: Int) = (1 to k).map { i =>
+        (i.toLong,
+          Vector.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      val probe = mk(2 + rnd.nextInt(2))
+      val corpus = mk(2 + rnd.nextInt(3)) // same id space on purpose
+      val n = 2 + rnd.nextInt(2)
+      val minLen = n + rnd.nextInt(2)
+      val expected = (for {
+        (ip, tp) <- probe; (ic, tc) <- corpus
+        d <- -tp.length to tc.length
+      } yield {
+        val lo = math.max(0, -d)
+        val hi = math.min(tp.length, tc.length - d)
+        var spans = List.empty[(Long, Long, Long, Long, Long)]
+        var p = lo
+        while (p < hi) {
+          if (tp(p) == tc(p + d)) {
+            val s = p
+            while (p < hi && tp(p) == tc(p + d)) p += 1
+            if (p - s >= minLen)
+              spans ::= ((ip, ic, s.toLong, (s + d).toLong, (p - s).toLong))
+          } else p += 1
+        }
+        spans
+      }).flatten.toSet
+      val got = Dedup.crossSubstringSpans(
+          probe.map { case (i, t) => (i, t.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          corpus.map { case (i, t) => (i, t.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "text", "doc_id", n, minLen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected,
+        s"trial $trial n=$n minLen=$minLen: spurious ${got -- expected}, " +
+          s"missing ${expected -- got}")
+    }
+  }
+
   test("crossSubstringSpans: probe-vs-corpus maximal spans with offsets " +
     "on both sides; non-overlapping probes emit nothing") {
     val corpus = Seq((100L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
