@@ -149,6 +149,24 @@ object Bench {
     val primeSec = sys.env.getOrElse("SPARK_GRAFT_PRIME_SEC", "2.0").toDouble
     val primeRatio = sys.env.getOrElse("SPARK_GRAFT_PRIME_RATIO", "1.5").toDouble
 
+    // Per-query shuffle-WRITE volume (r15, r14 verdict item 5): with two
+    // calibration scalars (CPU vs shuffle path), mover triage needs to
+    // know WHICH one applies to a flagged query before reaching for the
+    // isolated-A/B harness. A task-metrics listener sums shuffle bytes
+    // written; the per-query delta across its reps lands in
+    // bench_last.json as shuffle_mb (MB per rep, averaged — approximate
+    // by a listener-drain window, a diagnostic, not a benchmark).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+
     val results = names.map { name =>
       def rep(): Double = {
         barrier()
@@ -156,6 +174,7 @@ object Bench {
         val ok = exec(name, sfDir)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      val sb0 = { barrier(); shuffleBytes.get() } // barrier drains the bus
       val first = (1 to reps).map(_ => rep())
       val primed = first.size >= 2 && first.head > primeSec &&
         first.head > primeRatio * first(1) && first(1) >= 0
@@ -166,7 +185,10 @@ object Bench {
       val spread = if (good.isEmpty) -1.0 else good.last - good.head
       if (primed) System.err.println(
         f"[bench] $name: rep1 ${first.head}%.1fs treated as priming (steady ${median}%.1fs)")
-      (name, median, spread, times)
+      barrier()
+      val shuffleMb = (shuffleBytes.get() - sb0).toDouble /
+        math.max(times.size, 1) / 1048576.0
+      (name, median, spread, times, shuffleMb)
     }
     calibrationOnce() // warm (codegen for the calibration plan itself)
     val calib = Seq(calibrationOnce(), calibrationOnce(), calibrationOnce())
@@ -221,7 +243,8 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${
       f"$totalNorm%.3f"},"queries":${
       js(results.map(r => r._1 -> r._2))},"spread":${
-      js(results.map(r => r._1 -> r._3))},"reps_sec":${
+      js(results.map(r => r._1 -> r._3))},"shuffle_mb":${
+      js(results.map(r => r._1 -> r._5))},"reps_sec":${
       jsArr(results.map(r => r._1 -> r._4))},"reps":$reps,"calibration_sec":${
       f"$calib%.3f"},"calibration_shuffle_sec":${
       f"$calibShuffle%.3f"},"calibration_job_ms":${

@@ -3886,6 +3886,68 @@ object CorpusPack {
             FROM spans
             ORDER BY probe_id, corpus_id, start_p, start_c"""))
 
+  private val d43 = Q(
+    "d43_paragraph_bloom",
+    // paragraph-level dedup (Dolma "BFF" — Soldaini et al. 2024; the
+    // SlimPajama rung between d01's whole-doc hash and d41's span
+    // evidence): synthesize multi-paragraph docs — a shared wire-desk
+    // header on every 3rd doc (uppercased on every 6th, so the case/
+    // whitespace NORMALIZATION is exercised), the doc's own unique
+    // text, a 20-way repeated refrain, a shared footer on every 5th —
+    // then keep each normalized paragraph only at its corpus-wide
+    // FIRST (doc_id, pos) occurrence, duplicates dropped IN PLACE.
+    // md5 keys (128-bit, the d01 convention — 64-bit birthdays are
+    // real at 100 TB paragraph cardinality); hash-exact
+    (s, dir) => {
+      val header = lit("Breaking News From The Wire Desk")
+      val src = Tables.loadParallel(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n",
+            when(col("doc_id") % 3 === 0,
+              when(col("doc_id") % 6 === 0, upper(header)).otherwise(header))
+              .otherwise(concat(lit("intro "),
+                col("doc_id").cast("string"))),
+            col("text"),
+            concat(lit("refrain block "),
+              (col("doc_id") % 20).cast("string")),
+            when(col("doc_id") % 5 === 0,
+              lit("subscribe to our newsletter today"))).as("text"))
+      Dedup.paragraphDedup(src, "text", "doc_id").orderBy("doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, concat_ws(chr(10),
+              CASE WHEN doc_id % 3 = 0 THEN
+                (CASE WHEN doc_id % 6 = 0
+                   THEN upper('Breaking News From The Wire Desk')
+                   ELSE 'Breaking News From The Wire Desk' END)
+                ELSE 'intro ' || CAST(doc_id AS VARCHAR) END,
+              text,
+              'refrain block ' || CAST(doc_id % 20 AS VARCHAR),
+              CASE WHEN doc_id % 5 = 0
+                THEN 'subscribe to our newsletter today' END) AS text
+              FROM documents),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS l
+              FROM src),
+            p AS (SELECT doc_id, unnest(l) AS para,
+                generate_subscripts(l, 1) AS pos FROM sp),
+            nn AS (SELECT doc_id, pos, para,
+                lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) AS norm
+              FROM p
+              WHERE length(lower(trim(
+                regexp_replace(para, '\s+', ' ', 'g')))) > 0),
+            k AS (SELECT doc_id, pos, para,
+                row_number() OVER (PARTITION BY norm
+                  ORDER BY doc_id, pos) AS rn
+              FROM nn)
+            SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_paras,
+              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                ORDER BY pos) AS text
+            FROM k GROUP BY doc_id
+            HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+            ORDER BY doc_id"""))
+
   private val p26 = Q(
     "p26_bootstrap_ci",
     // Poisson-bootstrap 90% percentile CI for mean tokens per language
@@ -4670,5 +4732,5 @@ object CorpusPack {
       t68,
       p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24, p25, p26, p27, p28, p29, p30, p31, p32, p33,
       d06, d07, d08, d09, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-      d22, d23, d24, d25, d27, d33, d37, d38, d41, d42)
+      d22, d23, d24, d25, d27, d33, d37, d38, d41, d42, d43)
 }

@@ -101,6 +101,15 @@ object CorpusStream {
     * [[graft.ops.Dedup.crossSubstringSpans]] (CorpusStreamSpec pins
     * batch parity).
     *
+    * Hot-window bound (r15): freeze the standing index with
+    * `maxWindowDf` — `substringIndex(corpus, …, maxWindowDf)` — and
+    * this guard INHERITS the cap: a boilerplate window with corpus df
+    * ~10⁸ contributes zero join candidates because it is absent from
+    * the frozen side (persist `substringHotWindows` beside the index
+    * as the d17/d25 tiering handoff). Per arriving doc the candidate
+    * work is then ≤ windows(doc)·cap, never df² (CorpusStreamSpec pins
+    * capped-index parity with the equally-capped batch form).
+    *
     * Shape: the stream side is a pure scan-stage shingle projection
     * (no per-doc state), the join is stream-static equi on the hash
     * pair, and the diagonal gaps-and-islands chain runs per
@@ -154,6 +163,68 @@ object CorpusStream {
           }
           close()
           out.iterator
+      }
+  }
+
+  /** One admitted document from the streaming paragraph-Bloom guard:
+    * `n_paras` normalized paragraphs arrived, `n_kept` were novel
+    * against the standing corpus, `text` rejoins the kept ones in
+    * order. A doc whose every paragraph is known emits nothing.
+    */
+  final case class ParaAdmit(
+      id: Long, n_paras: Long, n_kept: Long, text: String)
+
+  /** Streaming paragraph-level Bloom dedup — the Dolma "BFF" ingest
+    * twin (r15; batch forms graft.ops.Dedup.paragraphDedup /
+    * paragraphIncremental): arriving documents drop the paragraphs a
+    * STANDING corpus already contains and admit the rest, rejoined in
+    * order. The standing side is the frozen paragraph-hash set
+    * ([[graft.ops.Dedup.paragraphHashSet]], persisted beside the
+    * corpus) plus its Bloom sketch
+    * ([[graft.ops.Dedup.paragraphBloom]]).
+    *
+    * Shape: the stream side is a pure scan-stage paragraph projection;
+    * the Bloom probes IN THAT STAGE, so every definite-new paragraph
+    * (the bulk of healthy ingest) bypasses the join entirely — only
+    * might-contain survivors reach the stream-static left join on the
+    * fixed-width md5 key, and false positives resolve there, so
+    * admission is EXACT. The per-doc fold is a group-complete
+    * flatMapGroupsWithState (a doc's paragraph rows travel in its
+    * micro-batch; NoTimeout, state never set — zero standing state,
+    * the substringGuardStream discipline). Batch paragraphs dedup
+    * against the CORPUS, not each other; fold admitted docs and
+    * re-freeze to advance the filter (the CorpusMaintain cycle).
+    */
+  def paragraphAdmitStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      standingParas: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      : Dataset[ParaAdmit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val paras = Dedup.paraProjection(docs, textCol, idCol)
+      .select(col("id"), col("pos"), col("para"),
+        xxhash64(col("norm")).as("h64"), md5(col("norm")).as("m"))
+    val probe = graft.functions.HashExpressions
+      .bloomMightContain(col("h64"), bloom)
+    val definiteNew = paras.filter(!probe)
+      .select(col("id"), col("pos"), col("para"), lit(false).as("is_dup"))
+    val maybe = paras.filter(probe)
+      .join(standingParas.select(col("m"), lit(1).as("hit")).distinct(),
+        Seq("m"), "left")
+      .select(col("id"), col("pos"), col("para"),
+        col("hit").isNotNull.as("is_dup"))
+    definiteNew.unionByName(maybe)
+      .as[(Long, Int, String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, ParaAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (id, it, _) =>
+          val rows = it.toArray.sortBy(_._2)
+          val kept = rows.filter(!_._4)
+          if (kept.isEmpty) Iterator.empty
+          else Iterator.single(ParaAdmit(id, rows.length.toLong,
+            kept.length.toLong, kept.map(_._3).mkString("\n")))
       }
   }
 

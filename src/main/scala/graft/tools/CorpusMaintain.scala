@@ -315,4 +315,57 @@ object CorpusMaintain {
       .unionByName(delta)
       .groupBy("bigram").agg(sum("cnt").as("cnt"))
   }
+
+  /** The capped frozen shingle index after a fold: the cold `(id, pos,
+    * h1, h2)` rows every ExactSubstr consumer joins (d42 batch probes
+    * via `crossSubstringSpansWithIndex`, the streaming guard's standing
+    * side) and the merged per-window df table the NEXT fold needs.
+    * The hot handoff list is `wdf.filter(_ > cap)` (the
+    * substringHotWindows shape).
+    */
+  final case class SubstrFold(index: DataFrame, wdf: DataFrame)
+
+  /** ExactSubstr-index leg of [[foldBatch]] (r15, r14 verdict item 7):
+    * fold the ADMITTED rows into the standing capped shingle index
+    * ([[graft.ops.Dedup.substringIndex]] with `maxWindowDf`, persisted
+    * beside the corpus with its [[graft.ops.Dedup.substringWindowDf]]
+    * table) so the streaming guard's standing side stays current
+    * WITHOUT re-hashing the corpus. Per-doc-distinct window dfs are
+    * associative across disjoint id sets (foldBatch admits new ids
+    * only), so:
+    *
+    *  1. the admitted delta hashes once (scan-stage, batch-sized);
+    *  2. merged wdf = standing ⊕ delta (fixed-width window-cardinality
+    *     rollup — no document text moves);
+    *  3. windows whose merged df CROSSES the cap this fold (cold
+    *     before, hot now — a batch-sized set) leave the standing index
+    *     via a broadcastable anti join; delta rows drop every now-hot
+    *     window the same way.
+    *
+    * fold ≡ full re-freeze of (corpus ∪ batch), spec-asserted on
+    * index rows, df table, and the derived hot list
+    * (CorpusMaintainSpec), and the guard sees new-corpus spans without
+    * a re-freeze.
+    */
+  def foldSubstringIndex(
+      standingIndex: DataFrame, standingWdf: DataFrame,
+      admitted: DataFrame, textCol: String, idCol: String,
+      n: Int, maxWindowDf: Long): SubstrFold = {
+    val deltaIdx = Dedup.substringIndex(admitted, textCol, idCol, n)
+    val deltaWdf = Dedup.substringWindowDf(admitted, textCol, idCol, n)
+    val mergedWdf = standingWdf.unionByName(deltaWdf)
+      .groupBy("h1", "h2").agg(sum("wdf").as("wdf"))
+    val hotNow = mergedWdf.filter(col("wdf") > maxWindowDf)
+      .select("h1", "h2")
+    // cold->hot crossings only: already-hot windows are absent from the
+    // standing index, so the big side anti-joins a batch-bounded set
+    val crossed = hotNow.join(
+      standingWdf.filter(col("wdf") <= maxWindowDf).select("h1", "h2"),
+      Seq("h1", "h2"), "left_semi")
+    val index = standingIndex.join(crossed, Seq("h1", "h2"), "left_anti")
+      .select("id", "pos", "h1", "h2")
+      .unionByName(deltaIdx.join(hotNow, Seq("h1", "h2"), "left_anti")
+        .select("id", "pos", "h1", "h2"))
+    SubstrFold(index, mergedWdf)
+  }
 }

@@ -600,6 +600,39 @@ object ScaleProbe {
     }
     require(subPairs == 1000L, s"substr spans $subPairs (want 1000)")
 
+    // --- cross-corpus ExactSubstr under the SHARED-boilerplate adversary
+    // (r15 — the r14 verdict's one weak): the probe (an eval suite, 1000
+    // docs) and 30% of the same 1M-doc corpus carry the identical
+    // 15-token paste, so each pure-paste window owes df_p·df_c = 1000 ·
+    // 300k = 3·10^8 candidate rows — ~2.4·10^9 across the 8 paste
+    // windows — through the UNCAPPED probe⋈corpus join. The
+    // maxWindowDf=100 freeze drops the paste windows from the corpus
+    // index, and every consumer of the frozen index (this batch probe,
+    // the streaming guard) inherits the bound. Planted evidence: probe
+    // doc i prepends the paste to corpus doc (1000i+4)'s 20 base tokens
+    // (the mod-10 arm 4 carries no paste, and only doc 1000i+4 has that
+    // base), so EXACTLY 1000 spans of exactly 20 tokens at
+    // start_p=15/start_c=0 must surface, and nothing else.
+    val crossProbe = spark.range(1000L).select(col("id"),
+      concat(lit("b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14 b15 "),
+        baseOf(col("id") * 1000L + 4L)).as("text"))
+    val (xsubPairs, xsubSec) = timed {
+      val idx = Dedup.substringIndex(subDocs, "text", "id",
+        n = 8, maxWindowDf = 100L)
+      val r = Dedup.crossSubstringSpansWithIndex(crossProbe, idx,
+          "text", "id", n = 8, minSpanLen = 12)
+        .agg(count(lit(1)).as("n"), sum("span_len").as("s"),
+          sum(when(col("start_p") === 15L && col("start_c") === 0L &&
+            col("corpus_id") === col("probe_id") * 1000L + 4L, 1L)
+            .otherwise(0L)).as("ok")).head()
+      require(r.getLong(1) == 20L * r.getLong(0) &&
+        r.getLong(2) == r.getLong(0),
+        s"cross spans: n=${r.getLong(0)} lens=${r.getLong(1)} " +
+          s"placed=${r.getLong(2)}")
+      r.getLong(0)
+    }
+    require(xsubPairs == 1000L, s"cross substr spans $xsubPairs (want 1000)")
+
     println(s"""{"probe":"r6","cc_clusters":$nClusters,"cc_sec":$ccSec,""" +
       s""""inc_cc_clusters":$nIncClusters,"inc_cc_sec":$incSec,""" +
       s""""bloom_admitted":$admitted,"bloom_sec":$bloomSec,""" +
@@ -626,7 +659,8 @@ object ScaleProbe {
       f""""kcore_rows":$coreRows,"kcore_sec":$coreSec%.1f,""" +
       f""""lpa_rows":$lpaRows,"lpa_sec":$lpaSec%.1f,""" +
       f""""rjoin_pairs":$rjPairs,"rjoin_sec":$rjSec%.1f,""" +
-      f""""substr_pairs":$subPairs,"substr_sec":$subSec%.1f}""")
+      f""""substr_pairs":$subPairs,"substr_sec":$subSec%.1f,""" +
+      f""""xsubstr_pairs":$xsubPairs,"xsubstr_sec":$xsubSec%.1f}""")
     spark.stop()
   }
 }

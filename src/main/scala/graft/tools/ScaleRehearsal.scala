@@ -75,6 +75,11 @@ object ScaleRehearsal {
       ("d37_transitive_contamination", "candidate", 6.0 * Scale, 600.0),
       ("d31_edit_distance", "candidate", 6.0 * Scale, 600.0),
       ("d41_substring_dedup", "candidate", 6.0 * Scale, 600.0),
+      // e40 (r15 slot, the r14 verdict's ask): FIXED 720-hour horizon
+      // at every N, so the C(H,2) pair/median stage is constant and
+      // only the hourly rollup scales — the ratio should sit well
+      // under linear, which is exactly the factoring claim to check
+      ("e40_theil_sen", "linear", 3.0 * Scale, 600.0),
       ("t47_textrank", "linear", 3.0 * Scale, 600.0),
       ("t37_kn_trigram", "linear", 3.0 * Scale, 600.0),
       ("s22_ivf_tuning", "linear", 3.0 * Scale, 600.0),

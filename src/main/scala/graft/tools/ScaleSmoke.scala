@@ -58,7 +58,10 @@ object ScaleSmoke {
     "d25_scrub_maxspans",
     // d27 is d12's shape with a broadcast Bloom prefilter BEFORE the
     // exchange — strictly less shuffled work than the linear d12
-    "d27_decontaminate_bloom")
+    "d27_decontaminate_bloom",
+    // d43 is d01's hash-groupBy one level finer: fixed-width (id, pos,
+    // md5) paragraph index, min-struct rollup, id-keyed removal join
+    "d43_paragraph_bloom")
   // d06 is crossJaccard (inverted-index pair work: Σ df_a·df_b per gram),
   // pair-driven like d02 — the first smoke run misfiled it as linear and
   // correctly failed at 57× on a banner-heavy corpus
@@ -144,7 +147,7 @@ object ScaleSmoke {
 
     val dTier = graft.SparkEntry.queries.keys.toSeq.filter(_.startsWith("d"))
       .sorted
-    require(dTier.size == 41, s"expected 41 d-tier queries, got $dTier")
+    require(dTier.size == 42, s"expected 42 d-tier queries, got $dTier")
 
     def timed(fn: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -382,6 +385,15 @@ object ScaleSmoke {
         measure("s19_bitext_margin", Double.PositiveInfinity,
           queryFn("s19_bitext_margin"), wallCap = 60.0))
 
+    // r15: the generator now carries a FIXED-HORIZON events table
+    // (720 hours at every N), so the series ops smoke directly — e40's
+    // hourly rollup is linear in events while its C(H,2) pair/median
+    // work is horizon-pinned (and now parameter-capped: theilSenTrend
+    // maxHours); e41 is one purchase rollup + three p13-class ranked
+    // passes over the user-cardinality frame
+    val eventRows = Seq("e40_theil_sen", "e41_rfm_segments")
+      .map(n => measure(n, 15.0, queryFn(n)))
+
     // EpochBuild (order → shard → pack as one composed pass): linear —
     // the same prefix-sum shape plus packing's per-group window cumsum
     val epochRow = measure("epoch_build", 15.0, { dir =>
@@ -392,7 +404,8 @@ object ScaleSmoke {
       e.boundaries.write.format("noop").mode("overwrite").save()
     })
 
-    val rows = dRows ++ pRows ++ lmRows ++ r8cRows ++ r8eRows :+ epochRow
+    val rows =
+      dRows ++ pRows ++ lmRows ++ r8cRows ++ r8eRows ++ eventRows :+ epochRow
 
     val js = rows.map { case (n, b, x, r) =>
       f""""$n":{"base":$b%.2f,"x10":$x%.2f,"ratio":$r%.1f}""" }
@@ -436,6 +449,29 @@ object ScaleSmoke {
           .cast("string")).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // events on a FIXED 30-day horizon (720 hours, the testdata shape):
+    // density grows with N but the hour-series length does NOT — which
+    // is exactly the claim the series ops (e40 Theil–Sen: C(H,2) pair
+    // work fixed, hourly rollup linear) are smoke-checked against.
+    // 4 events per doc; the 5 real event types including e41's purchases
+    val eventTypes = array(
+      Seq("click", "error", "purchase", "signup", "view").map(lit): _*)
+    spark.range(nDocs * 4)
+      .select(
+        col("id").as("event_id"),
+        expr("timestamp_micros(1704067200000000 + " +
+          "pmod(xxhash64(id, 7), 2592000) * 1000000)").as("ts"),
+        pmod(xxhash64(col("id"), lit(11)), lit(math.max(nDocs / 5, 1L)))
+          .as("user_id"),
+        element_at(eventTypes,
+          (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(17)), lit(10000L)) / 100.0).as("value"),
+        concat(lit("""{"k":"""),
+          pmod(xxhash64(col("id"), lit(19)), lit(100L)).cast("string"),
+          lit("}")).as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     // every 19th vector duplicates another -> cosine-1 pairs for d05/d10
     val vecs = spark.range(nVecs)

@@ -96,7 +96,8 @@ object TblReader {
         val n = in.readLong()
         require(n <= Int.MaxValue, s"string too long: $n")
         val b = new Array[Byte](n.toInt); in.readFully(b)
-        val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        // writeLongUTF bodies are modified UTF-8, same as writeUTF's
+        val s = TblWriter.decodeModifiedUtf8(b)
         newHandle(s); s
       case 0x77 =>             // TC_BLOCKDATA
         val n = in.readUnsignedByte(); in.skipNBytes(n); BlockData(n)
@@ -190,7 +191,13 @@ object TblReader {
   /** (colname, typeTag) per column from a `.md` stream; typeTag is the
     * reference's INT=1 / STRING=2 / REAL=3.
     */
-  def readSchema(in: InputStream): Seq[(String, Int)] = {
+  def readSchema(in: InputStream): Seq[(String, Int)] =
+    readSchemaDetail(in).map { case (n, t, _) => (n, t) }
+
+  /** [[readSchema]] plus each attribute's `attrsize` — the byte-width
+    * metadata the `.md` convention carries (4 for INT/REAL, max string
+    * byte length for STRING). */
+  def readSchemaDetail(in: InputStream): Seq[(String, Int, Int)] = {
     val s = new JavaSerialStream(in)
     val schema = s.next() match {
       case Some(o: PObj) if o.cls.name == "qp.utils.Schema" => o
@@ -203,7 +210,8 @@ object TblReader {
     attList.extras.toSeq.map {
       case a: PObj if a.cls.name == "qp.utils.Attribute" =>
         (a.fields("colname").asInstanceOf[String],
-          a.fields("type").asInstanceOf[Int])
+          a.fields("type").asInstanceOf[Int],
+          a.fields("attrsize").asInstanceOf[Int])
       case other => throw new IllegalArgumentException(s"bad attribute: $other")
     }
   }
@@ -320,6 +328,49 @@ object TblWriter {
       ('L', "colname", "Ljava/lang/String;"),
       ('L', "tblname", "Ljava/lang/String;")), None)
 
+  /** Modified UTF-8 (JOSS / `DataOutput.writeUTF` encoding): U+0000 as
+    * the 2-byte form C0 80, everything else CESU-8-style per-char — the
+    * encoding BOTH string forms of the stream grammar use (TC_STRING's
+    * 2-byte-length body and TC_LONGSTRING's 8-byte-length body;
+    * `writeLongUTF` is modified UTF-8 too, not standard UTF-8).
+    */
+  private[tools] def modifiedUtf8(s: String): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream(s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      if (c >= 0x0001 && c <= 0x007F) bb.write(c)
+      else if (c <= 0x07FF) { // includes U+0000 -> C0 80
+        bb.write(0xC0 | ((c >> 6) & 0x1F)); bb.write(0x80 | (c & 0x3F))
+      } else {
+        bb.write(0xE0 | ((c >> 12) & 0x0F))
+        bb.write(0x80 | ((c >> 6) & 0x3F))
+        bb.write(0x80 | (c & 0x3F))
+      }
+      i += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Inverse of [[modifiedUtf8]] — surrogate chars round-trip as-is
+    * (a standard UTF-8 decoder would reject the CESU-8 pair bytes). */
+  private[tools] def decodeModifiedUtf8(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      if (x < 0x80) { sb.append(x.toChar); i += 1 }
+      else if ((x & 0xE0) == 0xC0) {
+        sb.append((((x & 0x1F) << 6) | (b(i + 1) & 0x3F)).toChar); i += 2
+      } else {
+        sb.append((((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) |
+          (b(i + 2) & 0x3F)).toChar)
+        i += 3
+      }
+    }
+    sb.toString
+  }
+
   /** Streaming emitter for the serialization grammar subset. Handle
     * accounting mirrors the spec (§6.4.2): every new class descriptor,
     * string, and object consumes one handle in emission order; repeated
@@ -348,9 +399,24 @@ object TblWriter {
     }
 
     /** Data string cell: fresh TC_STRING, consumes a handle (distinct
-      * runtime objects get distinct handles in the reference writer). */
+      * runtime objects get distinct handles in the reference writer).
+      * Strings whose modified-UTF-8 encoding exceeds the 2-byte length
+      * field (65535 bytes) switch to TC_LONGSTRING with an 8-byte
+      * length, exactly as `ObjectOutputStream.writeString` does — the
+      * former unconditional `writeUTF` threw UTFDataFormatException
+      * there and left a truncated file (a `documents`-sized text column
+      * trips it immediately). */
     def string(s: String): Unit = {
-      out.writeByte(0x74); out.writeUTF(s); alloc(); ()
+      val bytes = modifiedUtf8(s)
+      if (bytes.length <= 65535) {
+        out.writeByte(0x74) // TC_STRING
+        out.writeShort(bytes.length)
+      } else {
+        out.writeByte(0x7C) // TC_LONGSTRING
+        out.writeLong(bytes.length.toLong)
+      }
+      out.write(bytes)
+      alloc(); ()
     }
 
     def i4(v: Int): Unit = out.writeInt(v)
@@ -402,6 +468,9 @@ object TblWriter {
       case f: Float  => beginObject(FloatDesc); f4(f)
       case d: Double => beginObject(FloatDesc); f4(d.toFloat)
       case s: String => string(s)
+      case null => throw new IllegalArgumentException(
+        "null cell — the reference .tbl format has no null " +
+          "representation; coalesce or filter nullable columns first")
       case other => throw new IllegalArgumentException(
         s"unsupported .tbl cell: $other (${other.getClass})")
     }
@@ -452,7 +521,7 @@ object TblWriter {
   def exportTbl(
       df: org.apache.spark.sql.DataFrame, tblname: String,
       outDir: String): (java.nio.file.Path, java.nio.file.Path) = {
-    import org.apache.spark.sql.functions.{col, length, max => smax}
+    import org.apache.spark.sql.functions.{col, octet_length, max => smax}
     import org.apache.spark.sql.types._
     val tags: Seq[(String, Int)] = df.schema.fields.toSeq.map { f =>
       f.dataType match {
@@ -467,9 +536,11 @@ object TblWriter {
     val sizes: Map[String, Int] =
       if (strCols.isEmpty) Map.empty
       else {
+        // attrsize is max BYTE length (the CUSTOMER.md convention) —
+        // character length() understates it on non-ASCII columns
         val row = df.agg(
-          smax(length(col(strCols.head))).as(strCols.head),
-          strCols.tail.map(c => smax(length(col(c))).as(c)): _*).head()
+          smax(octet_length(col(strCols.head))).as(strCols.head),
+          strCols.tail.map(c => smax(octet_length(col(c))).as(c)): _*).head()
         strCols.zipWithIndex.map { case (c, i) =>
           c -> (if (row.isNullAt(i) || row.getInt(i) <= 0) 20
                 else row.getInt(i))

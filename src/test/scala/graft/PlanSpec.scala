@@ -121,6 +121,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d43: paragraph text crosses NO hash-keyed exchange — the md5 " +
+    "index shuffles fixed-width rows; text moves only in the id-keyed " +
+    "docs-side removal join; no cartesian") {
+    val p = plan("d43_paragraph_bloom")
+    assert(!p.contains("CartesianProduct"))
+    val lines = p.linesIterator.toSeq
+    val exchanges = lines.zipWithIndex
+      .filter { case (l, _) => l.matches("""\(\d+\) Exchange.*""") }
+      .map { case (l, i) =>
+        (l, lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse(""))
+      }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { case (ex, in) =>
+      // the paragraph string column (para#/ps#) may ride ONLY an
+      // exchange partitioned on the doc id — never the h-keyed ones
+      if (in.contains("para#") || in.contains("ps#"))
+        assert(ex.contains("partitioning(id#") ||
+          ex.contains("partitioning(doc_id#"),
+          s"paragraph text in a non-id exchange: $ex :: $in")
+    }
+  }
+
   test("t34: BM25 broadcasts the query terms (no shuffle keyed on the " +
     "tiny side) and has no cartesian beyond the single-row stats join") {
     val p = plan("t34_bm25_search")

@@ -492,6 +492,63 @@ class DedupSpec extends SparkSpec {
       maxGramDf = 3, candidatePairBound = 20L).collect()
   }
 
+  test("pairBoundExact: decimal-exact past 2^53, even-sum halving, " +
+    "and the guard survives an empty corpus") {
+    import spark.implicits._
+    // df=4e9: df*(df-1) = 1.6e19 overflows Long and its /2 rounds in a
+    // double (53-bit mantissa ≈ ±2048 at 1.6e19); the decimal path is
+    // exact: 4000000000*3999999999/2 + 3*2/2 = 7999999998000000003
+    val counts = Seq(4000000000L, 3L).toDF("gdf")
+      .select(org.apache.spark.sql.functions.lit("g").as("gh"), col("gdf"))
+    assert(Dedup.pairBoundExact(counts) ==
+      BigInt("7999999998000000003"))
+    assert(Dedup.pairBoundExact(counts.limit(0)) == BigInt(0))
+    // empty corpus + bound set: trivially under, no NPE (SQL NULL sum)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.nGramJaccard(empty, "text", "doc_id", 1, 2,
+      candidatePairBound = 10L).collect().isEmpty)
+  }
+
+  test("paragraphDedup: first-occurrence-by-(id,pos) paragraph dedup — " +
+    "normalization folds case/whitespace, within-doc repeats drop, " +
+    "all-dup docs disappear, whitespace-only paragraphs ignored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Shared Header\nbody one\nshared   header"),
+      (2L, "SHARED HEADER\nbody two"),
+      (3L, "shared header"),
+      (4L, "   \nbody four\n\t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 3L, 2L, "Shared Header\nbody one"),
+      (2L, 2L, 1L, "body two"),
+      (4L, 1L, 1L, "body four")), s"got $got")
+  }
+
+  test("paragraphIncremental: batch drops exactly the standing corpus' " +
+    "paragraphs — bloom FPs re-verified, corpus-only dedup (batch " +
+    "paragraphs do not dedup against each other)") {
+    import spark.implicits._
+    val corpus = Seq((100L, "known one\nknown two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "Known One\nfresh a"), // case variant of a corpus para: drops
+      (2L, "fresh a\nfresh b"),   // "fresh a" repeats doc 1's: BOTH keep
+      (3L, "known two")           // all known -> disappears
+    ).toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.5)) { // 0.5 floods the verify leg with FPs
+      val got = Dedup.paragraphIncremental(batch, corpus, "text", "doc_id",
+          expectedItems = 4L, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got == Set(
+        (1L, 2L, 1L, "fresh a"),
+        (2L, 2L, 2L, "fresh a\nfresh b")), s"fpp=$fpp: $got")
+    }
+  }
+
   test("substringDupSpans: maximal shared runs per (pair, diagonal), " +
     "minSpanLen floor, hot-window cap, removal lists") {
     val corpus = Seq(
@@ -625,6 +682,55 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(got == Set((1L, 100L, 2L, 0L, 8L)), s"got $got")
+  }
+
+  test("capped freeze: crossSubstringSpans drops spans riding corpus-hot " +
+    "windows, keeps cold evidence, and the frozen-index form agrees; " +
+    "substringHotWindows is exactly the dropped set") {
+    // 3 corpus docs share 8 boilerplate tokens (every n=4 window of the
+    // paste has per-doc-distinct df=3); doc 201 also shares a unique
+    // 6-token run with the probe (all its windows df=1)
+    val corpus = Seq(
+      (200L, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 aa bb"),
+      (201L, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 u1 u2 u3 u4 u5 u6"),
+      (202L, "cc dd bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 zz u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    def spans(maxDf: Long) =
+      Dedup.crossSubstringSpans(probe, corpus, "text", "doc_id",
+          n = 4, minSpanLen = 5, maxWindowDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val uncapped = spans(Long.MaxValue)
+    // boilerplate span vs all three + the unique span vs 201
+    assert(uncapped == Set(
+      (1L, 200L, 0L, 0L, 8L), (1L, 201L, 0L, 0L, 8L),
+      (1L, 202L, 0L, 2L, 8L), (1L, 201L, 9L, 8L, 6L)), s"got $uncapped")
+    // cap=2 < df=3: the boilerplate windows leave the frozen index, so
+    // only the cold unique evidence survives — bounded candidates
+    val capped = spans(2L)
+    assert(capped == Set((1L, 201L, 9L, 8L, 6L)), s"got $capped")
+    // the frozen-index consumer path (what CorpusMaintain/the streaming
+    // guard ride) is the same operator: capped freeze -> same output
+    val idx = Dedup.substringIndex(corpus, "text", "doc_id", 4,
+      maxWindowDf = 2L)
+    val viaIdx = Dedup.crossSubstringSpansWithIndex(probe, idx,
+        "text", "doc_id", n = 4, minSpanLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaIdx == capped)
+    // the handoff list: exactly the 5 boilerplate windows at wdf=3
+    val hot = Dedup.substringHotWindows(corpus, "text", "doc_id", 4, 2L)
+      .collect().map(_.getLong(2))
+    assert(hot.length == 5 && hot.forall(_ == 3L), s"hot=${hot.toSeq}")
+    // cap + hot list partition the uncapped index exactly
+    val full = Dedup.substringIndex(corpus, "text", "doc_id", 4)
+    assert(idx.count() + Dedup.substringHotWindows(
+        corpus, "text", "doc_id", 4, 2L).as("h")
+      .join(full.as("f"), col("h.h1") === col("f.h1") &&
+        col("h.h2") === col("f.h2")).count() == full.count())
   }
 
   test("dupGramFraction: shared 8-gram windows counted per doc, " +
@@ -1393,6 +1499,34 @@ class EventsSpec extends SparkSpec {
     assert(b.getAs[Long]("n_hours") == 3L && b.getAs[Long]("n_pairs") == 3L)
     assert(b.getAs[Long]("mk_s") == 1L)
     assert(b.getAs[Double]("ts_slope") == 1.5)
+  }
+
+  test("theilSenTrend maxHours: clips each type to its TRAILING window " +
+    "— equals running on the pre-filtered series, per type") {
+    // type a spans hours 0..9 (10 hours), type b hours 5..7: with
+    // maxHours=4, a keeps hours 6..9 only, b keeps all 3 (no-op clip)
+    val ev = ((0 until 10).flatMap(h => Seq.fill(h + 1)(("a", h))) ++
+      Seq(("b", 5), ("b", 6), ("b", 6), ("b", 7)))
+      .zipWithIndex.map { case ((t, h), i) =>
+        (i.toLong, ts(h.toLong * 3600 + (i % 60)), 1L, t, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val clipped = Events.theilSenTrend(ev, maxHours = 4)
+      .orderBy("event_type").collect()
+    val manual = Events.theilSenTrend(ev.filter(
+        col("event_type") =!= "a" ||
+          unix_timestamp(col("ts")) >= 6 * 3600))
+      .orderBy("event_type").collect()
+    assert(clipped.map(_.toSeq).toSeq == manual.map(_.toSeq).toSeq)
+    assert(clipped(0).getAs[Long]("n_hours") == 4L &&
+      clipped(0).getAs[Long]("n_pairs") == 6L)
+    assert(clipped(1).getAs[Long]("n_hours") == 3L)
+    // counts [7,8,9,10] over hours 6..9: all slopes 1 -> median 1, S=6
+    assert(clipped(0).getAs[Double]("ts_slope") == 1.0 &&
+      clipped(0).getAs[Long]("mk_s") == 6L)
+    // the bound is executable, not prose
+    intercept[IllegalArgumentException] {
+      Events.theilSenTrend(ev, maxHours = 1)
+    }
   }
 
   test("changepoint: planted mean shift localized to the exact day, " +

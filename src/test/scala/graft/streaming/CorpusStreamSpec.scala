@@ -104,6 +104,86 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("substringGuardStream inherits a maxWindowDf-capped freeze: " +
+    "corpus-hot boilerplate emits nothing, cold evidence still surfaces, " +
+    "parity with the equally-capped batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    // both standing docs carry the same 8-token boilerplate (every n=4
+    // window df=2 > cap=1); doc 101 also has a unique 6-token run
+    val standing = Seq(
+      (100L, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 aa bb"),
+      (101L, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.substringIndex(standing, "text", "doc_id", n = 4,
+      maxWindowDf = 1L)
+    val probes = Seq(
+      (1L, "bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 zz u1 u2 u3 u4 u5 u6"))
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusStream.substringGuardStream(
+        src.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        idx, n = 4, minSpanLen = 5)
+      .writeStream.format("memory").queryName("span_hits_capped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(probes: _*)
+      q.processAllAvailable()
+      val got = spark.table("span_hits_capped").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = Dedup.crossSubstringSpans(
+          probes.toDF("doc_id", "text"), standing, "text", "doc_id",
+          n = 4, minSpanLen = 5, maxWindowDf = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // only the cold unique run — the boilerplate span is the d17/d25
+      // tier's job (substringHotWindows beside the index names it)
+      assert(got == want && got == Set((1L, 101L, 9L, 8L, 6L)),
+        s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
+  test("paragraphAdmitStream: BFF ingest guard — bloom prefilter + exact " +
+    "verify equal the batch paragraphIncremental across micro-batches, " +
+    "with zero retained state") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "known one\nknown two"),
+      (101L, "known three")).toDF("doc_id", "text")
+    val standing = Dedup.paragraphHashSet(corpus, "text", "doc_id")
+    // fpp 0.5 floods the maybe-leg so BOTH legs carry traffic
+    val bloom = Dedup.paragraphBloom(corpus, "text", "doc_id", 8L, 0.5)
+    val probes = Seq(
+      (1L, "Known One\nfresh a"),       // case variant of known: drops
+      (2L, "totally new\nKNOWN THREE"),
+      (3L, "known two"))                // all known -> emits nothing
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusStream.paragraphAdmitStream(
+        src.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        standing, bloom)
+      .writeStream.format("memory").queryName("para_admit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData(probes.take(2): _*)
+      q.processAllAvailable()
+      src.addData(probes.drop(2): _*) // doc 3 arrives a batch later
+      q.processAllAvailable()
+      val got = spark.table("para_admit").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      val want = Dedup.paragraphIncremental(
+          probes.toDF("doc_id", "text"), corpus, "text", "doc_id",
+          expectedItems = 8L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got == want && got == Set(
+        (1L, 2L, 1L, "fresh a"),
+        (2L, 2L, 1L, "totally new")), s"stream $got vs batch $want")
+      // group-complete fold: the state store is never written
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
+
   test("surprisalScoreStream equals the batch join form, across batches") {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
     implicit val sqlCtx = spark.sqlContext

@@ -97,6 +97,54 @@ class CorpusMaintainSpec extends SparkSpec {
     assert(idx2.state.nVectors == idxF.state.nVectors && !idx2.retrained)
   }
 
+  test("substring-index fold equals a full re-freeze — cap crossings " +
+    "leave the index, the guard sees new-corpus spans without re-freeze") {
+    import org.apache.spark.sql.functions.col
+    val n = 4; val cap = 2L
+    // corpus: docs 1+2 share boilerplate (window df=2, AT the cap);
+    // doc 3 unique
+    val corpus = Seq(
+      (1L, "bp1 bp2 bp3 bp4 aa bb"),
+      (2L, "bp1 bp2 bp3 bp4 cc dd"),
+      (3L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    // batch: doc 20 pushes the boilerplate window OVER the cap
+    // (cold->hot crossing); doc 21 brand-new cold content that also
+    // shares a run with doc 3 (the guard must see it post-fold)
+    val admitted = Seq(
+      (20L, "bp1 bp2 bp3 bp4 zz"),
+      (21L, "u1 u2 u3 u4 u5 fresh tail here")).toDF("doc_id", "text")
+    val f = CorpusMaintain.foldSubstringIndex(
+      Dedup.substringIndex(corpus, "text", "doc_id", n, cap),
+      Dedup.substringWindowDf(corpus, "text", "doc_id", n),
+      admitted, "text", "doc_id", n, cap)
+    val union = corpus.unionByName(admitted)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    // index ≡ full re-freeze at the same cap
+    assert(rows(f.index) ==
+      rows(Dedup.substringIndex(union, "text", "doc_id", n, cap)))
+    // merged df table ≡ full recount; derived hot list ≡ full derivation
+    assert(rows(f.wdf) ==
+      rows(Dedup.substringWindowDf(union, "text", "doc_id", n)))
+    assert(rows(f.wdf.filter(col("wdf") > cap)) ==
+      rows(Dedup.substringHotWindows(union, "text", "doc_id", n, cap)))
+    // the boilerplate crossed: it is in the hot list and OUT of the index
+    assert(f.wdf.filter(col("wdf") > cap).count() == 1L)
+    // a probe sharing the (now-hot) boilerplate AND doc 21's fresh run:
+    // the folded index yields only the cold evidence — identical to the
+    // capped batch cross form over the unioned corpus
+    val probe = Seq((100L, "bp1 bp2 bp3 bp4 u1 u2 u3 u4 u5 fresh tail here"))
+      .toDF("doc_id", "text")
+    val viaFold = Dedup.crossSubstringSpansWithIndex(
+        probe, f.index, "text", "doc_id", n, minSpanLen = 5)
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.crossSubstringSpans(probe, union, "text", "doc_id",
+        n, minSpanLen = 5, maxWindowDf = cap)
+      .collect().map(_.toSeq).toSet
+    assert(viaFold == full && viaFold.nonEmpty)
+    // doc 21's fresh span is visible without any re-freeze
+    assert(viaFold.exists(r => r(1) == 21L))
+  }
+
   test("token-count fold equals a full recount; surprisal scores with the " +
     "folded table equal a from-scratch reference build") {
     import org.apache.spark.sql.functions.{col, count, explode, lit}
