@@ -369,6 +369,109 @@ object AdjacentPairSetExpr {
   }
 }
 
+/** Word-n-gram LIST of a document — document order, WITH multiplicity —
+  * the scoring-stream sibling of [[NGramHashSet]] (which is the distinct
+  * blocking set). Tokens are maximal runs between 0x20 bytes (the
+  * [[BigramSetExpr]] convention, byte-exact vs `filter(split(text, " "),
+  * _ =!= "")`); each n-gram is the space-join of n adjacent tokens.
+  * Replaces the higher-order-function formulations in TextOps
+  * (`zip_with(slice, slice)` for bigrams; `transform(sequence, i =>
+  * concat_ws(element_at(tokens, i+k)...))` for trigrams): Spark evaluates
+  * lambda functions INTERPRETED, and the trigram form re-evaluates the
+  * full `filter(split(text))` token array on EVERY `element_at` call —
+  * 3·(n−2) re-tokenizations of the whole document, O(|doc|²) per row
+  * (measured: the six t37 rollup map stages each spent 5–11 s single-task
+  * at sf0.1 doing exactly this). One fused loop, identical output values.
+  */
+case class NGramList(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngram_list"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramList.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NGramList.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramList =
+    copy(child = newChild)
+}
+
+object NGramList {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val tokens = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < bytes.length && bytes(i) != 0x20) i += 1
+        tokens.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    val m = tokens.size() - n + 1
+    val out = new Array[AnyRef](if (m > 0) m else 0)
+    var t = 0
+    while (t < m) {
+      if (n == 2) // the hot width: skip the varargs array
+        out(t) = UTF8String.concat(tokens.get(t), Space, tokens.get(t + 1))
+      else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = tokens.get(t + j); j += 1 }
+        out(t) = UTF8String.concatWs(Space, parts: _*)
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Identity wrapper that reports `deterministic = false` for an expression
+  * that IS deterministic in fact. Purpose (guide §4.4, the duplicated-
+  * evaluation fix applied to Catalyst expressions instead of UDFs): when an
+  * expensive array expression is aliased and exploded above a repartition,
+  * `InferFiltersFromGenerate` adds `size(arr) > 0 AND isnotnull(arr)` below
+  * the Generate, and predicate pushdown then substitutes the alias and
+  * pushes the filter below the exchange — so the signature expression is
+  * evaluated once per row on the pre-shuffle side AND once above it (a full
+  * extra signature pass over the corpus; measured in the d02 plan as
+  * `graft_bigram_set` appearing in a Filter below the spread Exchange).
+  * Marking the alias non-deterministic bars substitution through the
+  * Project: the inferred filter stays above, testing the cheap attribute,
+  * and the expression evaluates exactly once. Correctness under retry is
+  * unaffected because the wrapped expression really is deterministic.
+  * Canonicalized structural equality still holds, so exchange reuse across
+  * self-join sides is preserved.
+  */
+case class ExpensiveBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_expensive"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExpensiveBarrier =
+    copy(child = newChild)
+}
+
 /** Membership probe against a pre-built Bloom filter sketch, usable as a
   * scan-stage prefilter: `mightContainLong` is a few XXH64 rounds against
   * a bit array — no join, no shuffle. False positives only (callers verify
@@ -420,6 +523,17 @@ object HashExpressions {
   /** Codegen'd distinct word-n-gram xxhash64 set of a string column. */
   def ngramHashSet(text: Column, n: Int): Column =
     Bridge.column(NGramHashSet(Bridge.expression(text), n))
+
+  /** Codegen'd word-n-gram LIST (document order, with multiplicity). */
+  def ngramList(text: Column, n: Int): Column =
+    Bridge.column(NGramList(Bridge.expression(text), n))
+
+  /** Wrap an actually-deterministic expensive column so the optimizer
+    * cannot duplicate its evaluation below an exchange (see
+    * [[ExpensiveBarrier]]).
+    */
+  def expensive(c: Column): Column =
+    Bridge.column(ExpensiveBarrier(Bridge.expression(c)))
 
   /** Codegen'd Bloom-filter membership probe over a long column. */
   def bloomMightContain(

@@ -322,18 +322,25 @@ object Clusters {
     val teleport = 15L * scale / (100L * n)
     var ranks = deg.select(col("src").as("id"),
       lit(scale / n).as("rank"))
+    // rounds do NOT checkpoint (r15 — the t47/textRank discipline applied
+    // here): each round's frame is referenced exactly once by the next
+    // round, there is no driver action between rounds, and deg/edges are
+    // already materialized — so the fixed iteration compiles into ONE
+    // linear plan and executes as a single job instead of `iters`
+    // sequential materialization jobs (each a full scheduler round-trip;
+    // measured ~45 one-task 30–50 ms stages per graph query at sf0.1 on a
+    // host with 82 ms/job latency). The former per-round localCheckpoint
+    // guarded against quadratic re-execution, which only arises when a
+    // round is consumed more than once — not the case in this loop.
     (1 to iters).foreach { _ =>
       val contrib = edges.join(ranks, edges("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum("c").as("sum_c"))
-      val oldRanks = ranks
       ranks = deg.select(col("src").as("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) +
             expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
-        .localCheckpoint()
-      freeCheckpoint(oldRanks)
     }
     deg.select(col("src").as("id"), col("deg"))
       .join(ranks, "id")
@@ -492,19 +499,19 @@ object Clusters {
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-      .localCheckpoint()
+    // rounds do NOT checkpoint (r15): each round's labels are consumed
+    // exactly once by the next round's edge join and there is no action
+    // between rounds — the graphRank/textRank single-job argument; sym is
+    // already materialized so nothing upstream re-executes.
     (1 to rounds).foreach { _ =>
       val cnt = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst"), col("lab"))
         .groupBy("dst", "lab").agg(count(lit(1)).as("c"))
-      val old = labels
       labels = cnt
         .groupBy("dst")
         .agg(min(struct((lit(0L) - col("c")).as("nc"),
           col("lab").as("l"))).as("m"))
         .select(col("dst").as("id"), col("m.l").as("lab"))
-        .localCheckpoint()
-      freeCheckpoint(old)
     }
     labels
   }
@@ -617,19 +624,22 @@ object Clusters {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && topK >= 1 && scale >= 1000L,
       s"bad shape: $iters/$topK/$scale")
-    val und = df
+    // sym/nodes/edges materialize ONCE (the d26 shape): nodes and edges
+    // are each consumed by all 5 rounds, and the token explode upstream
+    // is the expensive part — without these checkpoints the round chain
+    // re-executes it per reference (measured 3x slower at sf0.1).
+    // r15: both edge orientations come from ONE explode pass — the former
+    // `und.select(u,v) unionByName und.select(v,u)` duplicated the whole
+    // scan + adjacentPairSet + explode subtree (measured as two ~12 s
+    // task-time stages at sf0.1); a second explode over a 2-element
+    // struct array emits (u,v) and (v,u) from the same generated row.
+    val sym = df
       .select(col(idCol),
         explode(TextOps.adjacentPairSet(col(textCol))).as("p"))
-      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"))
-    // sym/nodes/edges materialize ONCE (the d26 shape): nodes and edges
-    // are each consumed by all 5 rounds, and the token explode + lead
-    // window upstream is the expensive part — without these three
-    // checkpoints the round chain re-executes it per reference
-    // (measured 3x slower at sf0.1)
-    val sym = und
-      .select(col(idCol), col("u").as("src"), col("v").as("dst"))
-      .unionByName(
-        und.select(col(idCol), col("v").as("src"), col("u").as("dst")))
+      .select(col(idCol), explode(array(
+        struct(col("p.u").as("src"), col("p.v").as("dst")),
+        struct(col("p.v").as("src"), col("p.u").as("dst")))).as("e"))
+      .select(col(idCol), col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     val deg = sym.groupBy(col(idCol), col("src"))
       .agg(count(lit(1)).as("deg"))

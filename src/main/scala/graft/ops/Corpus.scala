@@ -1436,6 +1436,12 @@ object Corpus {
   def knTrigramPerDoc(
       df: DataFrame, idCol: String, textCol: String,
       refFilter: Column): DataFrame = {
+    // r15: an input spread (Tables.spreadIfNarrow) was measured here and
+    // REJECTED: with the fused NGramList expression the rollup map sides
+    // are linear and cheap, and the added text exchange made both KN ops
+    // slower (t37 3.58 s spread vs 1.98 s unspread; t35 2.54 vs 1.80 at
+    // sf0.1/32 cores). The former 5–11 s single-task stages were the
+    // O(|doc|²) interpreted trigram HOF, not missing parallelism.
     val ref = df.filter(refFilter)
     val tri = ref
       .select(explode(TextOps.trigramList(col(textCol))).as("trigram"))
@@ -2977,10 +2983,17 @@ object Corpus {
     // persist (the multi-consumer rule) so the tokenize+explode runs
     // once — the cached projection is fixed-width (id, n_tok, token)
     // rows, the same materialization class as the d02 gram index
+    // r15: persist() → EAGER localCheckpoint. A lazy persist admits a
+    // first-action race: the six consumer branches of this frame are
+    // submitted concurrently (AQE schedules independent stages at once),
+    // every one misses the not-yet-populated cache, and the tokenize +
+    // explode ran SIX times in parallel (measured: six 2.2 s single-task
+    // stages at sf0.1). Eager checkpoint materializes once, before any
+    // consumer plans.
     val tf = df.select(col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"),
       explode(TextOps.tokens(col(textCol))).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val docs = df.select(col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
     val bg = tf.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -3035,7 +3048,7 @@ object Corpus {
     if (!checkpoint) out
     else {
       val fin = out.localCheckpoint()
-      tf.unpersist(blocking = false)
+      graft.ops.Clusters.freeCheckpoint(tf)
       fin
     }
   }

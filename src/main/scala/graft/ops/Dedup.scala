@@ -55,10 +55,23 @@ object Dedup {
   private def gramsWithSizes(
       df: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("arr"))
+      // r15: the distinct-gram HASH set (NGramHashSet emits xxhash64(gram)
+      // straight from the fused tokenize loop) replaces the string set +
+      // post-explode xxhash64 — the explode now moves fixed-width longs,
+      // no gram string is ever row-materialized. Hash-set size equals
+      // string-set size absent a within-doc 64-bit collision (the same
+      // ~|doc|²/2⁶⁴ tolerance the pair count already documents). The
+      // `expensive` barrier stops InferFiltersFromGenerate's
+      // `size(arr) > 0` filter from being substituted through the alias
+      // and pushed below the spread exchange, which re-ran the whole
+      // signature computation once per row on the pre-shuffle side
+      // (observed in the d02 physical plan; a full extra corpus pass).
+      .select(col(idCol).as("id"),
+        graft.functions.HashExpressions.expensive(
+          graft.functions.HashExpressions.ngramHashSet(col(textCol), 2))
+          .as("arr"))
       .select(col("id"), size(col("arr")).cast("long").as("n"),
-        explode(col("arr")).as("g"))
-      .select(col("id"), col("n"), xxhash64(col("g")).as("gh"))
+        explode(col("arr")).as("gh"))
 
   /** Exact n-gram (word-bigram) Jaccard pairs with similarity >= tau.
     *

@@ -867,7 +867,25 @@ object Events {
         (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
           .cast("long").as("h"))
       .agg(count(lit(1)).as("n"))
+    // r15: repartition the clipped series by type BEFORE the pair join.
+    // The rollup output is a few KB, so AQE coalesces the pre-join
+    // exchanges to ONE partition — but the join EXPLODES to C(H,2) rows
+    // per type, which AQE's byte heuristic cannot see, so the join, the
+    // rank window and the median aggregation all ran in a single task
+    // (measured 2×2.5 s single-task stages at sf0.1). A user repartition
+    // by the join/window key caps the damage at types-many tasks; at any
+    // scale the frame is series-sized (types × maxHours rows), so the
+    // exchange is noise.
     val hourly = hourlyAll
+      // placed BEFORE the clip window so this user exchange IS the
+      // window's required event_type distribution (an exchange added
+      // after the window is pruned as redundant, and the window's own
+      // ENSURE_REQUIREMENTS exchange is then AQE-coalesced to one
+      // partition on KB-sized input — the explicit partition count pins
+      // it, because the downstream pair join EXPLODES to C(H,2) rows per
+      // type, which AQE's byte heuristic cannot anticipate)
+      .repartition(events.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("event_type"))
       .withColumn("mxh", max("h").over(Window.partitionBy("event_type")))
       .filter(col("h") > col("mxh") - maxHours).drop("mxh")
     val a = hourly.as("a"); val b = hourly.as("b")
@@ -885,16 +903,24 @@ object Events {
       .withColumn("rn", row_number().over(
         byType.orderBy(col("slope"), col("ha"), col("hb"))))
       .withColumn("m", count(lit(1)).over(byType))
-    val med = ranked
-      .filter(expr("rn = (m + 1) div 2 OR rn = (m + 2) div 2"))
-      .groupBy("event_type")
-      .agg((sum("slope") / count(lit(1))).as("ts_slope"))
-    val agg = pairs.groupBy("event_type")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(signum(col("dn")).cast("long")).as("mk_s"))
+    // r15: ONE aggregation over the ranked frame computes the median,
+    // n_pairs AND Mann–Kendall S together. The former separate `agg`
+    // branch re-executed the whole C(H,2) pair join a second time (pairs
+    // is lazy and was consumed by two independent subtrees — measured as
+    // two parallel 2.1 s single-task stages at sf0.1); n_pairs == m on
+    // every row of a type, and S is a plain sum, so both fold into the
+    // same pass that picks the middle ranks. Values are bit-identical:
+    // same rank tiebreak, same ≤2-double median average.
     val nh = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"))
-    nh.join(agg, "event_type").join(med, "event_type")
+    val stats = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("dn")).cast("long")).as("mk_s"),
+        (sum(when(expr("rn = (m + 1) div 2 OR rn = (m + 2) div 2"),
+          col("slope"))) /
+          count(when(expr("rn = (m + 1) div 2 OR rn = (m + 2) div 2"),
+            lit(1)))).as("ts_slope"))
+    nh.join(stats, "event_type")
       .select(col("event_type"), col("n_hours"), col("n_pairs"),
         col("mk_s"), col("ts_slope"))
   }

@@ -48,25 +48,24 @@ object TextOps {
     * .bigramSurprisalPerDoc]]); [[bigramSet]] is the distinct blocking
     * variant the dedup operators use. Empty and 1-token docs yield `[]`.
     */
-  def bigramList(text: Column): Column = {
-    val t = tokens(text)
-    zip_with(
-      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  def bigramList(text: Column): Column =
+    graft.functions.HashExpressions.ngramList(text, 2)
 
   /** Adjacent word TRIGRAMS as space-joined strings — [[bigramList]]'s
     * order-3 sibling (the KN-trigram feature stream). Docs under three
     * tokens yield the empty array.
+    *
+    * r15: both list builders are the fused native [[graft.functions
+    * .NGramList]] (one tokenize pass per document). The former
+    * higher-order-function forms evaluated INTERPRETED, and the trigram
+    * `transform(sequence, i => concat_ws(element_at(tokens, i+k)...))`
+    * re-evaluated the whole `filter(split(text))` token array on every
+    * `element_at` call — O(|doc|²) per row, measured as 5–11 s single-task
+    * map stages in each of t37's six rollups at sf0.1. Output values are
+    * byte-identical (same tokenizer convention, same space join).
     */
-  def trigramList(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3), i => concat_ws(" ",
-        element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def trigramList(text: Column): Column =
+    graft.functions.HashExpressions.ngramList(text, 3)
 
   /** Marker stopwords per language for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -1854,12 +1854,21 @@ object VectorOps {
       iters: Int,
       tau: Double,
       nAssign: Int = 2,
-      maxClusterSize: Int = 20000): DataFrame = {
+      maxClusterSize: Int = 20000,
+      materialize: Boolean = true): DataFrame = {
     require(maxClusterSize > 1)
     // nAssign=2: each point also probes its 2nd-nearest cluster, so a
     // duplicate pair is compared unless it straddles BOTH points' two
     // nearest centroids — the same recall/cost dial as IVF's nProbe
     // (work multiplies by ≤ nAssign², recall measured in RecallSpec)
+    // r15: the assignment frame materializes EAGERLY — it is consumed by
+    // many sibling subtrees below (class reps, tagged, rep rows, cluster
+    // stats, both self-join sides, and the final keep spine), and each
+    // lazily re-ran the fused argmin + centroid join + posexplode over
+    // the vector checkpoint (measured: nine ~6 s task-time stages per run
+    // at sf0.1). One (id, q, cluster, dist2, crk, n2, h1, h2) checkpoint
+    // is the same fixed-width-per-vector materialization class as
+    // kmeansCore's own `c`.
     val assigned = kmeansCore(df, idCol, vecCol, k, iters, nAssign)
       .select(col("id"), col("q"), col("cluster"), col("dist2"), col("crk"))
       .withColumn("n2", norm2(col("q")))
@@ -1867,9 +1876,12 @@ object VectorOps {
     // The class join keys on the narrow (h1, h2) pair; identical vectors
     // share every crk assignment, so rep rows keep the full multi-probe
     // cell structure.
-    val keyed = assigned
+    // materialize=false keeps the declarative plan (PlanSpec pins the
+    // fused-argmin shape on it — the chi2Outliers checkpoint convention)
+    val keyed0 = assigned
       .withColumn("h1", xxhash64(col("q")))
       .withColumn("h2", xxhash64(lit(42L), col("q")))
+    val keyed = if (materialize) keyed0.localCheckpoint() else keyed0
     val reps = keyed.filter(col("crk") === 1)
       .groupBy("h1", "h2").agg(min(col("id")).as("rep_id"))
     val tagged = keyed.join(reps, Seq("h1", "h2"))
@@ -1910,7 +1922,7 @@ object VectorOps {
         col("a.n2"), col("b.n2")) >= tau)
       .select(col("b.id").as("id"))
       .unionByName(exactDropped).distinct()
-    assigned.filter(col("crk") === 1).select(col("id"))
+    keyed.filter(col("crk") === 1).select(col("id"))
       .join(dropped.withColumn("dup", lit(1)), Seq("id"), "left_outer")
       .select(col("id"),
         when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("keep"))

@@ -422,12 +422,24 @@ class PlanSpec extends SparkSpec {
     // r5: graft_nearest_centroid(s) replaced the corpus × broadcast(k)
     // scoring join + per-id window argsort — the plan must contain the
     // fused expression and no nested-loop/cartesian row blow-up
-    Seq("s04_kmeans", "d10_dedup_semantic", "s03_knn_ivf").foreach { q =>
+    Seq("s04_kmeans", "s03_knn_ivf").foreach { q =>
       val p = plan(q)
       assert(p.contains("graft_nearest_centroid"), q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"), q)
     }
+    // d10's query default eagerly materializes the assignment frame (r15 —
+    // nine sibling subtrees re-ran the fused argmin lazily), truncating
+    // explain to a Scan ExistingRDD; pin the DECLARATIVE plan the op
+    // builds (the chi2Outliers checkpoint=false convention)
+    val d10 = graft.ops.VectorOps.semanticDedup(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = 10, iters = 3, tau = 0.4, nAssign = 3, materialize = false)
+    val pd = d10.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(pd.contains("graft_nearest_centroid"), pd.take(2000))
+    assert(!pd.contains("BroadcastNestedLoopJoin") &&
+      !pd.contains("CartesianProduct"), "d10")
   }
 
   test("q24: NOT IN runs as a null-aware broadcast anti join, not a loop") {
