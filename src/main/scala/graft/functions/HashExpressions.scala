@@ -437,6 +437,53 @@ object NGramList {
   }
 }
 
+/** Count of common elements of two SORTED long arrays — one linear merge,
+  * no hashing, no boxing, no result-array materialization. The verify
+  * stage of the similarity joins only needs |A ∩ B| of two distinct-hash
+  * sets; `size(array_intersect(ga, gb))` built a boxed hash set AND the
+  * intersection array per candidate pair (measured: two ~25 s task-time
+  * stages verifying d34's ~500k candidates at sf0.1). Callers sort once
+  * per document at set-build time (`sort_array(collect_list(gh))`); both
+  * inputs must be duplicate-free and ascending, which gram-hash SETS are
+  * after sort_array.
+  */
+case class SortedCommonCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_common_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedCommonCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedCommonCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCommonCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedCommonCount {
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Identity wrapper that reports `deterministic = false` for an expression
   * that IS deterministic in fact. Purpose (guide §4.4, the duplicated-
   * evaluation fix applied to Catalyst expressions instead of UDFs): when an
@@ -527,6 +574,11 @@ object HashExpressions {
   /** Codegen'd word-n-gram LIST (document order, with multiplicity). */
   def ngramList(text: Column, n: Int): Column =
     Bridge.column(NGramList(Bridge.expression(text), n))
+
+  /** Codegen'd |A ∩ B| of two sorted, duplicate-free long-array columns. */
+  def sortedCommonCount(a: Column, b: Column): Column =
+    Bridge.column(SortedCommonCount(
+      Bridge.expression(a), Bridge.expression(b)))
 
   /** Wrap an actually-deterministic expensive column so the optimizer
     * cannot duplicate its evaluation below an exchange (see

@@ -641,6 +641,12 @@ object Clusters {
         struct(col("p.v").as("src"), col("p.u").as("dst")))).as("e"))
       .select(col(idCol), col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // r15: the ITERATION runs on xxhash64 word keys (guide §2.3 — shuffle
+    // keys, not payloads): every round sorts/joins the edge frame, and
+    // string keys paid UTF8 compare + string row width ×5 rounds. Word
+    // strings live only in `nodes` and re-attach once after the rounds;
+    // within one document two distinct words colliding in 64 bits is the
+    // same ~|doc|²/2⁶⁴ tolerance the gram kernel documents.
     val deg = sym.groupBy(col(idCol), col("src"))
       .agg(count(lit(1)).as("deg"))
     val nd = deg.groupBy(col(idCol)).agg(count(lit(1)).as("n_d"))
@@ -648,11 +654,14 @@ object Clusters {
     // uniform start, both floor-exact in scale units
     val nodes = deg.join(nd, Seq(idCol))
       .select(col(idCol), col("src").as("word"),
+        xxhash64(col("src")).as("wh"),
         expr(s"(15 * ${scale}L) div (100 * n_d)").as("tele"),
         expr(s"${scale}L div n_d").as("r0"))
       .localCheckpoint()
     val edges = sym.join(
         deg.select(col(idCol), col("src"), col("deg")), Seq(idCol, "src"))
+      .select(col(idCol), xxhash64(col("src")).as("srcH"),
+        xxhash64(col("dst")).as("dstH"), col("deg"))
       .localCheckpoint()
     freeCheckpoint(sym)
     // rounds do NOT checkpoint (unlike graphRank): each round's frame is
@@ -661,24 +670,26 @@ object Clusters {
     // so the 5 rounds compile into ONE linear-size plan and execute as a
     // single job (checkpointing here was measured 3x slower at sf0.1:
     // 10+ sequential materialization jobs for no reuse — the t37 lesson)
-    var ranks = nodes.select(col(idCol), col("word"), col("r0").as("rank"))
+    var ranks = nodes.select(col(idCol), col("wh"), col("r0").as("rank"))
     (1 to iters).foreach { _ =>
       val contrib = edges
         .join(ranks, edges(idCol) === ranks(idCol) &&
-          edges("src") === ranks("word"))
-        .select(edges(idCol).as(idCol), col("dst").as("word"),
+          edges("srcH") === ranks("wh"))
+        .select(edges(idCol).as(idCol), col("dstH").as("wh"),
           expr("rank div deg").as("c"))
-        .groupBy(col(idCol), col("word")).agg(sum("c").as("sum_c"))
-      ranks = nodes.select(col(idCol), col("word"), col("tele"))
-        .join(contrib, Seq(idCol, "word"), "left")
-        .select(col(idCol), col("word"),
+        .groupBy(col(idCol), col("wh")).agg(sum("c").as("sum_c"))
+      ranks = nodes.select(col(idCol), col("wh"), col("tele"))
+        .join(contrib, Seq(idCol, "wh"), "left")
+        .select(col(idCol), col("wh"),
           (col("tele") +
             expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
     }
+    val named = ranks.join(
+      nodes.select(col(idCol), col("wh"), col("word")), Seq(idCol, "wh"))
     val byRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("rank").desc, col("word").asc)
-    ranks.withColumn("rn", row_number().over(byRank))
+    named.withColumn("rn", row_number().over(byRank))
       .filter(col("rn") <= topK)
       .select(col(idCol), col("word"), col("rank"),
         col("rn").cast("long").as("rn"))

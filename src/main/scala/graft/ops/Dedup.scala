@@ -269,13 +269,18 @@ object Dedup {
           col("a.id") < col("b.id") && lengthOk)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
+      // r15: sorted gram-HASH sets + fused merge count (the prefixJaccard
+      // verify convention) — no per-pair boxed hash set, no intersection
+      // array, no gram strings
       val sets = graft.Tables.spreadIfNarrow(df)
-        .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
-      val c = size(array_intersect(col("ga"), col("gb")))
+        .select(col(idCol).as("sid"), sort_array(
+          graft.functions.HashExpressions.ngramHashSet(col(textCol), 2))
+          .as("gs"))
       cand
         .join(sets.select(col("sid").as("id_a"), col("gs").as("ga")), "id_a")
         .join(sets.select(col("sid").as("id_b"), col("gs").as("gb")), "id_b")
-        .withColumn("c", c)
+        .withColumn("c", graft.functions.HashExpressions
+          .sortedCommonCount(col("ga"), col("gb")))
         .withColumn("u", size(col("ga")) + size(col("gb")) - col("c"))
         .filter(col("c") * tauDen >= col("u") * tauNum)
         .select(col("id_a"), col("id_b"),
@@ -375,13 +380,20 @@ object Dedup {
     // verify on the HASHED gram sets rebuilt from the materialized
     // index (the d02 convention: common-gram counts key on gh) — full
     // string bigram arrays re-tokenized the corpus and shipped text
-    // through the pair join for the same counts
+    // through the pair join for the same counts.
+    // r15: sets sort ONCE per doc and the per-pair count is a fused
+    // sorted-merge (SortedCommonCount) — size(array_intersect(...))
+    // built a boxed hash set and materialized the intersection array
+    // per candidate pair just to count it (measured ~50 s task-time
+    // over d34's ~500k candidates at sf0.1; the count is all the
+    // jaccard test needs).
     val sets = withN.groupBy(col("id"))
-      .agg(collect_list(col("gh")).as("gs"))
+      .agg(sort_array(collect_list(col("gh"))).as("gs"))
     cand
       .join(sets.select(col("id").as("id_a"), col("gs").as("ga")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("gs").as("gb")), "id_b")
-      .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("c", graft.functions.HashExpressions
+        .sortedCommonCount(col("ga"), col("gb")))
       .withColumn("u",
         size(col("ga")).cast("long") + size(col("gb")) - col("c"))
       .filter(col("c") * tauDen >= col("u") * tauNum)
@@ -675,12 +687,14 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
       def sets(df: DataFrame) = graft.Tables.spreadIfNarrow(df)
-        .select(col(idCol).as("sid"), TextOps.bigramSet(col(textCol)).as("gs"))
-      val c = size(array_intersect(col("ga"), col("gb")))
+        .select(col(idCol).as("sid"), sort_array(
+          graft.functions.HashExpressions.ngramHashSet(col(textCol), 2))
+          .as("gs")) // r15: sorted hash sets + fused merge count
       cand
         .join(sets(left).select(col("sid").as("id_a"), col("gs").as("ga")), "id_a")
         .join(sets(right).select(col("sid").as("id_b"), col("gs").as("gb")), "id_b")
-        .withColumn("c", c)
+        .withColumn("c", graft.functions.HashExpressions
+          .sortedCommonCount(col("ga"), col("gb")))
         .withColumn("u", size(col("ga")) + size(col("gb")) - col("c"))
         .filter(col("c") * tauDen >= col("u") * tauNum)
         .select(col("id_a"), col("id_b"),
@@ -1022,12 +1036,19 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = fps.groupBy("id").agg(collect_list("fp").as("fs"))
+    // r15: sorted fingerprint sets + fused merge count on the long-fp
+    // path (fps are distinct per (id, fp) by construction above); the
+    // md5-string oracle path keeps array_intersect — SortedCommonCount
+    // is a long-array merge
+    val sets = fps.groupBy("id").agg(sort_array(collect_list("fp")).as("fs"))
+    val nShared =
+      if (hashFps) graft.functions.HashExpressions
+        .sortedCommonCount(col("fa"), col("fb"))
+      else size(array_intersect(col("fa"), col("fb"))).cast("long")
     cand
       .join(sets.select(col("id").as("id_a"), col("fs").as("fa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("fs").as("fb")), "id_b")
-      .withColumn("n_shared",
-        size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .withColumn("n_shared", nShared)
       .filter(col("n_shared") >= minShared)
       .withColumn("n_a", size(col("fa")).cast("long"))
       .withColumn("n_b", size(col("fb")).cast("long"))
@@ -1649,14 +1670,15 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // exact verification on the candidate set only
     val grams = graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("gid"),
-        TextOps.bigramSet(col(textCol)).as("grams"))
-    val c = size(array_intersect(col("ga"), col("gb")))
-    val union = size(col("ga")) + size(col("gb")) - c
+      .select(col(idCol).as("gid"), sort_array(
+        graft.functions.HashExpressions.ngramHashSet(col(textCol), 2))
+        .as("grams")) // r15: sorted hash sets + fused merge count
     cand
       .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")), "id_a")
       .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")), "id_b")
-      .withColumn("c", c).withColumn("u", union)
+      .withColumn("c", graft.functions.HashExpressions
+        .sortedCommonCount(col("ga"), col("gb")))
+      .withColumn("u", size(col("ga")) + size(col("gb")) - col("c"))
       .filter(col("c") * tauDen >= col("u") * tauNum)
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") / col("u")).as("jaccard"))

@@ -176,6 +176,84 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getInt(0) == 2)
   }
 
+  test("NGramList: values equal the HOF zip_with/transform formulations, " +
+    "in order, with multiplicity; short docs yield empty") {
+    val df = Seq("the cat sat on the cat sat", "a b", "a", "",
+      "  double  spaced  ").toDF("text")
+    // reference: the pre-r15 interpreted formulations, inlined here as
+    // the oracle for the fused expression that replaced them
+    def toks(t: org.apache.spark.sql.Column) =
+      filter(split(t, " "), x => x =!= lit(""))
+    def bigramHof(t: org.apache.spark.sql.Column) = {
+      val tk = toks(t)
+      zip_with(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    def trigramHof(t: org.apache.spark.sql.Column) = {
+      val tk = toks(t)
+      when(size(tk) >= 3,
+        transform(sequence(lit(0), size(tk) - 3), i => concat_ws(" ",
+          element_at(tk, i + 1), element_at(tk, i + 2),
+          element_at(tk, i + 3))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rows = df.select(
+      HashExpressions.ngramList(col("text"), 2).as("n2"),
+      bigramHof(col("text")).as("h2"),
+      HashExpressions.ngramList(col("text"), 3).as("n3"),
+      trigramHof(col("text")).as("h3")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r)
+      assert(r.getSeq[String](2) == r.getSeq[String](3), r)
+    }
+    // multiplicity preserved: "the cat" appears twice in doc order
+    assert(rows.head.getSeq[String](0).count(_ == "the cat") == 2)
+  }
+
+  test("SortedCommonCount: equals size(array_intersect) on sorted distinct " +
+    "long arrays; null-safe; disjoint and identical edges") {
+    val df = Seq(
+      (Array(1L, 3L, 7L, 9L), Array(2L, 3L, 9L, 11L)), // overlap 2
+      (Array(1L, 2L), Array(3L, 4L)), // disjoint
+      (Array(5L, 6L, 7L), Array(5L, 6L, 7L)), // identical
+      (Array.empty[Long], Array(1L))) // empty side
+      .toDF("a", "b")
+    val rows = df.select(
+      HashExpressions.sortedCommonCount(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 0L, 3L, 0L))
+    val nullRow = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+      .select(HashExpressions.sortedCommonCount(col("a"), col("b")))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("ExpensiveBarrier: transparent values, reports non-deterministic, " +
+    "keeps the inferred explode filter off the expression") {
+    val df = Seq("a b c", "x").toDF("text")
+    val wrapped = df.select(HashExpressions.expensive(
+      HashExpressions.ngramHashSet(col("text"), 2)).as("arr"))
+    val plain = df.select(
+      HashExpressions.ngramHashSet(col("text"), 2).as("arr"))
+    assert(wrapped.collect().map(_.getSeq[Long](0)).toSeq ==
+      plain.collect().map(_.getSeq[Long](0)).toSeq)
+    // the point of the wrapper: a filter inferred from a downstream
+    // explode must not be substituted through the alias (which would
+    // re-evaluate the expression below a preceding exchange)
+    val p = df.repartition(2)
+      .select(col("text"), HashExpressions.expensive(
+        HashExpressions.ngramHashSet(col("text"), 2)).as("arr"))
+      .select(explode(col("arr")))
+      .queryExecution.executedPlan.toString
+    val belowExchange = p.linesIterator.dropWhile(!_.contains("Exchange"))
+    assert(!belowExchange.exists(_.contains("graft_ngram_hash_set")), p)
+  }
+
   test("crossNGramOverlap: finds the planted shared 5-gram, counts exactly") {
     val left = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
