@@ -332,15 +332,21 @@ object Clusters {
     // host with 82 ms/job latency). The former per-round localCheckpoint
     // guarded against quadratic re-execution, which only arises when a
     // round is consumed more than once — not the case in this loop.
+    //
+    // r15b: no per-round spine join. `sym` holds BOTH orientations of
+    // every pair, so its dst-set equals its src-set equals deg's key set
+    // — every node receives >= 1 contribution each round, contrib's key
+    // set is exactly the node set, and the former
+    // `deg LEFT JOIN contrib` (one extra join + exchange per round, and
+    // its coalesce(sum_c, 0) arm) was dead code: round values and key
+    // sets are bit-identical without it (ClustersSpec's scalar replay
+    // pins the values; the d26 oracle unrolls the same rounds).
     (1 to iters).foreach { _ =>
-      val contrib = edges.join(ranks, edges("src") === ranks("id"))
+      ranks = edges.join(ranks, edges("src") === ranks("id"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum("c").as("sum_c"))
-      ranks = deg.select(col("src").as("id"))
-        .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) +
-            expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
+          (lit(teleport) + expr("(sum_c * 85) div 100")).as("rank"))
     }
     deg.select(col("src").as("id"), col("deg"))
       .join(ranks, "id")
@@ -650,18 +656,28 @@ object Clusters {
     val deg = sym.groupBy(col(idCol), col("src"))
       .agg(count(lit(1)).as("deg"))
     val nd = deg.groupBy(col(idCol)).agg(count(lit(1)).as("n_d"))
-    // nodes carries everything a round needs: per-doc teleport and the
-    // uniform start, both floor-exact in scale units
+    // nodes carries the uniform start (floor-exact in scale units) and
+    // the word string for the one post-round re-attach; the per-doc
+    // teleport rides on EDGES (r15b, below), not here
     val nodes = deg.join(nd, Seq(idCol))
       .select(col(idCol), col("src").as("word"),
         xxhash64(col("src")).as("wh"),
-        expr(s"(15 * ${scale}L) div (100 * n_d)").as("tele"),
         expr(s"${scale}L div n_d").as("r0"))
       .localCheckpoint()
+    // r15b: each edge carries the DST doc-constant teleport
+    // (15*scale div (100*n_d) — a function of the doc alone), so a round
+    // is join -> group -> project with NO nodes spine join: sym holds
+    // both orientations, hence every node receives >= 1 contribution
+    // per round and the former `nodes LEFT JOIN contrib` (one join plus
+    // a ~contrib-sized broadcast/exchange per round, coalesce arm dead)
+    // added nothing. Values are bit-identical (ClustersSpec scalar
+    // replay; t47 oracle unrolls the rounds CTE-for-CTE).
     val edges = sym.join(
         deg.select(col(idCol), col("src"), col("deg")), Seq(idCol, "src"))
+      .join(nd, Seq(idCol))
       .select(col(idCol), xxhash64(col("src")).as("srcH"),
-        xxhash64(col("dst")).as("dstH"), col("deg"))
+        xxhash64(col("dst")).as("dstH"), col("deg"),
+        expr(s"(15 * ${scale}L) div (100 * n_d)").as("tele"))
       .localCheckpoint()
     freeCheckpoint(sym)
     // rounds do NOT checkpoint (unlike graphRank): each round's frame is
@@ -672,17 +688,17 @@ object Clusters {
     // 10+ sequential materialization jobs for no reuse — the t37 lesson)
     var ranks = nodes.select(col(idCol), col("wh"), col("r0").as("rank"))
     (1 to iters).foreach { _ =>
-      val contrib = edges
+      // tele is constant within a (doc, dst) group (doc-level constant);
+      // max() is a deterministic way to carry it through the rollup
+      ranks = edges
         .join(ranks, edges(idCol) === ranks(idCol) &&
           edges("srcH") === ranks("wh"))
         .select(edges(idCol).as(idCol), col("dstH").as("wh"),
-          expr("rank div deg").as("c"))
-        .groupBy(col(idCol), col("wh")).agg(sum("c").as("sum_c"))
-      ranks = nodes.select(col(idCol), col("wh"), col("tele"))
-        .join(contrib, Seq(idCol, "wh"), "left")
+          expr("rank div deg").as("c"), col("tele"))
+        .groupBy(col(idCol), col("wh"))
+        .agg(sum("c").as("sum_c"), max("tele").as("tele"))
         .select(col(idCol), col("wh"),
-          (col("tele") +
-            expr("(coalesce(sum_c, 0L) * 85) div 100")).as("rank"))
+          (col("tele") + expr("(sum_c * 85) div 100")).as("rank"))
     }
     val named = ranks.join(
       nodes.select(col(idCol), col("wh"), col("word")), Seq(idCol, "wh"))
