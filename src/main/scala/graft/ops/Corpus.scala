@@ -2994,8 +2994,18 @@ object Corpus {
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"),
       explode(TextOps.tokens(col(textCol))).as("token"))
       .localCheckpoint()
-    val docs = df.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    // r15b: the per-doc spine reuses tf's n_tok instead of re-tokenizing
+    // the corpus — the former `df.select(tokenCount(text))` was a SECOND
+    // full pass over every text byte just to recover a column tf already
+    // carries. The ids-only scan prunes to the id column (no text read);
+    // docs the explode dropped (zero tokens) fall through the left join
+    // to n_tok = 0, exactly what tokenCount returned for them. max() over
+    // a doc-constant is deterministic; the map-side partial agg collapses
+    // tf to one row per doc before the exchange.
+    val docs = df.select(col(idCol))
+      .join(tf.groupBy(col(idCol)).agg(max("n_tok").as("n_tok")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"))
     val bg = tf.groupBy("token").agg(count(lit(1)).as("cnt"))
     val top = bg.orderBy(col("cnt").desc, col("token").asc).limit(topK)
     val stats = bg.agg(sum("cnt").as("n_total"))

@@ -343,7 +343,19 @@ object Dedup {
       floor((n * tauNum + (tauDen - 1)) / lit(tauDen)).cast("long")
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("gdf").asc, col("gh").asc)
+    // r15b (the e40 convention): pin the prefix-rank window's parallelism
+    // with a user repartition by the window key. The (gram ⋈ df) frame is
+    // small in bytes, so AQE coalesces the window's ENSURE_REQUIREMENTS
+    // exchange to a handful of tasks — but the window's OUTPUT feeds the
+    // prefix self-join, whose candidate fan-out (Σ dfPref(g)² rows) AQE's
+    // byte heuristic cannot anticipate: the rank sort AND the join-side
+    // exchange write then run nearly serial (measured a 3-task 1.7 s-wall
+    // stage at sf0.1, the largest in d34's profile). Count follows the
+    // session conf; rank order is total per id (gdf, gh — gh distinct
+    // within a doc), so partitioning cannot change any value.
     val pref = withN.join(gdf, "gh")
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("id"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n") - minOverlap(col("n")) + 1)
       .select(col("id"), col("n"), col("gh"), col("rk"))
