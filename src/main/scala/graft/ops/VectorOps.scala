@@ -507,12 +507,27 @@ object VectorOps {
     * The index trains ONCE (the standing-structure rule) and every
     * sweep point probes the same lists, so the curve isolates the
     * nProbe effect; recall is exact set-intersection counting against
-    * the brute-force top-k. Driver-side loop over the HANDFUL of sweep
-    * points only — each point is one distributed probe run + one count.
-    * Rows-only by design (trained centroids have no SQL mirror);
-    * RecallSpec-class gates ride the query: monotone non-decreasing
-    * recall in nProbe, and full-sweep recall at nProbe = nCentroids
-    * (probing every list IS the brute scan, modulo quantization ties).
+    * the brute-force top-k. Rows-only by design (trained centroids have
+    * no SQL mirror); RecallSpec-class gates ride the query: monotone
+    * non-decreasing recall in nProbe, and full-sweep recall at
+    * nProbe = nCentroids (probing every list IS the brute scan, modulo
+    * quantization ties).
+    *
+    * Scale shape (r15b): the corpus is assigned and probed ONCE, at the
+    * LARGEST sweep point, keeping each candidate list's probe rank
+    * `pr` — [[graft.functions.VectorExpressions.nearestCentroids]]
+    * orders by (distance, centroid index) with strict-< insertion, so
+    * its n-list result is exactly the n-prefix of its pMax-list result
+    * and the nProbe = p candidate set is precisely {pr < p}. Each sweep
+    * point's top-k membership is then ONE windowed predecessor count
+    * over the shared (cos desc, corpus_id asc) order: a row is in
+    * top-k(p) iff pr < p and fewer than k rows with pr < p precede it —
+    * bit-identical to [[knnIvf]]'s row_number ≤ k at that nProbe
+    * (spec-replayed against the per-point knnIvf construction). The
+    * former driver loop re-assigned and re-probed the corpus once PER
+    * sweep point — six full corpus passes and ~54 scheduler stages for
+    * a six-point curve; now one probe pass, one window, one truth join,
+    * one aggregate.
     */
   def ivfTuningCurve(
       probes: DataFrame,
@@ -530,15 +545,49 @@ object VectorOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTruth = truth.count()
     val model = trainIvfModel(corpus, idCol, vecCol, nCentroids)
-    val rows = probeSweep.sorted.map { p =>
-      val hits = knnIvf(probes, corpus, idCol, vecCol, k, nCentroids,
-          nProbe = p, model = Some(model))
-        .select(col("probe_id"), col("corpus_id"))
-        .join(truth, Seq("probe_id", "corpus_id"))
-        .count()
-      (p.toLong, hits, nTruth)
+    val mat = model.centroids
+    val sweep = probeSweep.sorted
+    val pMax = sweep.last
+    // one corpus assignment + one probe pass at pMax (knnIvf's exact
+    // conventions: same quantize/spread, same self-pair and non-finite
+    // cosine exclusions, probe side broadcast)
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .withColumn("cn2", norm2(col("cq")))
+      .withColumn("list",
+        graft.functions.VectorExpressions.nearestCentroid(col("cq"), mat))
+    val p = spread(probes)
+      .select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", norm2(col("pq")))
+    val probeLists = p.select(col("probe_id"), col("pq"), col("pn2"),
+      posexplode(graft.functions.VectorExpressions.nearestCentroids(
+        col("pq"), mat, pMax)).as(Seq("pr", "list")))
+    val scored = c.join(broadcast(probeLists), "list")
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"), col("pr"),
+        cosine(dot(col("pq"), col("cq")), col("pn2"), col("cn2")).as("cos"))
+      .filter(abs(col("cos")) < lit(Double.PositiveInfinity))
+    // all sweep predecessor counts share ONE window sort; (cos desc,
+    // corpus_id asc) is a strict total order per probe, so "< k
+    // predecessors among pr < p rows" is row_number() <= k on the
+    // pr < p subset, knnIvf's exact top-k rule
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = sweep.foldLeft(scored) { (df, pp) =>
+      df.withColumn(s"in_$pp", col("pr") < pp &&
+        coalesce(sum(when(col("pr") < pp, 1L).otherwise(0L)).over(w),
+          lit(0L)) < k)
     }
+    val hitRow = withIn.join(truth, Seq("probe_id", "corpus_id"))
+      .agg(sum(when(col(s"in_${sweep.head}"), 1L).otherwise(0L)),
+        sweep.tail.map(pp =>
+          sum(when(col(s"in_$pp"), 1L).otherwise(0L))): _*)
+      .head()
     truth.unpersist(blocking = false)
+    val rows = sweep.zipWithIndex.map { case (pp, i) =>
+      (pp.toLong, if (hitRow.isNullAt(i)) 0L else hitRow.getLong(i), nTruth)
+    }
     import spark.implicits._
     rows.toDF("n_probe", "n_hits", "n_truth")
       .withColumn("recall", expr(

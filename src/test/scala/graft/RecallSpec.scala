@@ -581,4 +581,33 @@ class RecallSpec extends SparkSpec {
       assert(est <= ex + eps, s"CMS over bound for $t: $est > $ex + $eps")
     }
   }
+  test("s22 r15b: the one-pass sweep equals the per-point knnIvf " +
+    "construction bit-for-bit (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 6)
+    val k = 7; val nC = 16; val sweep = Seq(1, 3, 8, 16)
+    val got = graft.ops.VectorOps.ivfTuningCurve(
+        probes, emb, "vec_id", "embedding", k, nC, sweep)
+      .orderBy("n_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent reference: the pre-r15b construction — one knnIvf run
+    // per sweep point against the same deterministic model, hits by
+    // exact intersection with the brute-force truth
+    val truth = graft.ops.VectorOps.knnBrute(
+        probes, emb, "vec_id", "embedding", k)
+      .select("probe_id", "corpus_id")
+    val nT = truth.count()
+    val model = graft.ops.VectorOps.trainIvfModel(
+      emb, "vec_id", "embedding", nC)
+    val want = sweep.map { p =>
+      val hits = graft.ops.VectorOps.knnIvf(
+          probes, emb, "vec_id", "embedding", k, nC,
+          nProbe = p, model = Some(model))
+        .select("probe_id", "corpus_id")
+        .join(truth, Seq("probe_id", "corpus_id")).count()
+      (p.toLong, hits, nT)
+    }
+    assert(got.toSeq == want, s"one-pass ${got.toSeq} != per-point $want")
+  }
 }
