@@ -1238,9 +1238,16 @@ object Dedup {
           .otherwise(array_except(
             sequence(lit(0), size(col("t")) - 1), col("removed"))))
       .filter(size(col("keep_pos")) > 0)
+      // r15b: the rebuilt text is an ExpensiveBarrier alias — a composed
+      // caller's pushed-down filter (p12's lang/quality gates) otherwise
+      // SUBSTITUTES this whole concat_ws(transform(...)) rebuild into its
+      // condition once per reference (~20 rebuilds per row observed in
+      // the p12 physical plan); the barrier pins one rebuild per row and
+      // the filter tests the materialized column above.
       .select(col("id").as(idCol),
-        concat_ws(" ", transform(col("keep_pos"),
-          p => element_at(col("t"), p + 1))).as(textCol))
+        graft.functions.HashExpressions.expensive(
+          concat_ws(" ", transform(col("keep_pos"),
+            p => element_at(col("t"), p + 1)))).as(textCol))
   }
 
   /** MAXIMAL-span ExactSubstr scrub (Lee et al. 2022 §4 semantics at
@@ -1305,9 +1312,16 @@ object Dedup {
           .otherwise(array_except(
             sequence(lit(0), size(col("t")) - 1), col("removed"))))
       .filter(size(col("keep_pos")) > 0)
+      // r15b: the rebuilt text is an ExpensiveBarrier alias — a composed
+      // caller's pushed-down filter (p12's lang/quality gates) otherwise
+      // SUBSTITUTES this whole concat_ws(transform(...)) rebuild into its
+      // condition once per reference (~20 rebuilds per row observed in
+      // the p12 physical plan); the barrier pins one rebuild per row and
+      // the filter tests the materialized column above.
       .select(col("id").as(idCol),
-        concat_ws(" ", transform(col("keep_pos"),
-          p => element_at(col("t"), p + 1))).as(textCol))
+        graft.functions.HashExpressions.expensive(
+          concat_ws(" ", transform(col("keep_pos"),
+            p => element_at(col("t"), p + 1)))).as(textCol))
   }
 
   /** Exact-substring duplicate spans between document PAIRS (Lee et al.

@@ -3197,9 +3197,17 @@ object CorpusPack {
           .as("text"))
       val clean = Dedup.scrubRepeatedSpans(src, "text", "doc_id",
         n = 5, maxSpanDf = 10)
+      // r15b: the gate columns are ExpensiveBarrier aliases so the filter
+      // below cannot be pushed through the projection by substituting the
+      // lang/quality expression trees into its condition — each gate
+      // expression evaluates once per row, and the filter tests the
+      // materialized columns (values unchanged; the p12 plan previously
+      // inlined the full scrub-rebuild + gate trees ~20x per row)
       val scored = clean.select(col("doc_id"), col("text"),
-          TextOps.langId(col("text")).as("lang_pred"),
-          TextOps.qualityScore(col("text")).as("quality"),
+          graft.functions.HashExpressions.expensive(
+            TextOps.langId(col("text"))).as("lang_pred"),
+          graft.functions.HashExpressions.expensive(
+            TextOps.qualityScore(col("text"))).as("quality"),
           TextOps.tokenCount(col("text")).as("n_tok"))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
       // exact dedup INLINE as a window-min over the content hash (d01's
