@@ -2566,7 +2566,13 @@ object Corpus {
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__ts"))
+    // r15b: the token list is an ExpensiveBarrier alias — the empty-doc
+    // guard below otherwise substitutes size(tokens(text)) into its
+    // pushed-down condition and every document tokenizes twice per row
+    // (the p12 filter-inlining class)
+    df.select(col(idCol),
+        graft.functions.HashExpressions.expensive(
+          TextOps.tokens(col(textCol))).as("__ts"))
       .withColumn("__n", size(col("__ts")).cast("long"))
       .filter(col("__n") > 0)
       .select(col(idCol), col("__ts"), col("__n"),

@@ -600,9 +600,13 @@ object Dedup {
           (p, i) => struct(i.as("pos"), p.as("para"))),
           s => length(paraNorm(s.getField("para"))) > 0).as("ps"))
       .join(removed, Seq("id"), "left")
+      // r15b: kp is an ExpensiveBarrier alias — the size() guard below
+      // otherwise substitutes the whole kept-paragraph filter chain into
+      // its condition (one extra full evaluation per row; the p12 class)
       .select(col("id"), col("ps"),
-        filter(col("ps"), s => col("removed").isNull ||
-          !array_contains(col("removed"), s.getField("pos"))).as("kp"))
+        graft.functions.HashExpressions.expensive(
+          filter(col("ps"), s => col("removed").isNull ||
+            !array_contains(col("removed"), s.getField("pos")))).as("kp"))
       .filter(size(col("kp")) > 0)
       .select(col("id").as(idCol),
         size(col("ps")).cast("long").as("n_paras"),
@@ -1590,7 +1594,14 @@ object Dedup {
       textCol: String,
       idCol: String,
       numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextOps.bigramSet(col(textCol)).as("grams"))
+    // r15b: the gram set is an ExpensiveBarrier alias — the empty-set
+    // guard below otherwise substitutes the full bigram-set computation
+    // into its pushed-down condition (2x per doc; and below a narrow
+    // source's spread exchange, a pre-shuffle corpus pass — the d02
+    // InferFiltersFromGenerate disease, here via an explicit filter)
+    df.select(col(idCol).as("id"),
+        graft.functions.HashExpressions.expensive(
+          TextOps.bigramSet(col(textCol))).as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("id"), graft.functions.HashExpressions
         .minHashSig(col("grams"), minHashParams(numHashes)).as("sig"))
@@ -1724,7 +1735,11 @@ object Dedup {
     */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.Tables.spreadIfNarrow(df)
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("ts"))
+      // r15b: same barrier as minHashSignaturesRaw — without it the
+      // empty-doc guard re-tokenizes every document in the pushed filter
+      .select(col(idCol).as("id"),
+        graft.functions.HashExpressions.expensive(
+          TextOps.tokens(col(textCol))).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("id"),
         graft.functions.HashExpressions.simHash64(col("ts")).as("sh"))
